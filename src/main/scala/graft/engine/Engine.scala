@@ -1,0 +1,223 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.spec.{PipelineSpec, SegType, Stage}
+import graft.stages.{CommandStage, ModuleRegistry, NdjsonBridge}
+
+/** Execution context — parity with the reference's option plumbing:
+  * `cwd`/`env` inherited by all stages (`index.js:124-125`), `params` argv
+  * appended to every command with the pipeline name always argv[1]
+  * (`index.js:85`), `stderr` passthrough flag (`index.js:20-22`).
+  * `partitions` is the Spark-native addition: None = keep the input's
+  * partitioning (distributed; one process per partition for command
+  * stages), Some(1) = strict single-process reference parity.
+  */
+final case class RunOptions(
+    cwd: String = ".",
+    env: Map[String, String] = Map.empty,
+    params: Seq[String] = Nil,
+    stderr: Boolean = false,
+    partitions: Option[Int] = None)
+
+/** The pipeline engine — registry + planner, the Spark-native rebuild of
+  * `gasket(config, defaults)` (`/root/reference/index.js:117-212`).
+  *
+  * Planner semantics, traced from the reference (SURVEY §2.1):
+  *   - stages are grouped into maximal same-type segments
+  *     (`split()`, index.js:94-115);
+  *   - a `pipe` segment composes its stages serially
+  *     (`pipeStream`, index.js:52-56);
+  *   - a `run` segment runs stages independently and concatenates outputs
+  *     in stage order (`runStream`, index.js:30-39);
+  *   - a `fork` segment runs stages independently, outputs interleaved
+  *     (`forkStream`, index.js:42-49) — `unionByName`, which makes no
+  *     inter-input ordering promise: exactly the interleave contract;
+  *   - a `map` segment tees the FIRST stage's output into each remaining
+  *     stage (index.js:62); the source is persisted so effectful stages
+  *     (external commands) run once, like Node's byte-tee;
+  *   - a `reduce` segment pipes each remaining stage into the first — the
+  *     aggregator (index.js:64);
+  *   - segment outputs are CONCATENATED in order (`runStream(mainPipeline)`,
+  *     index.js:164) — segments do not feed each other; each non-head
+  *     segment starts from the empty source, matching
+  *     `pipe.end() // first not writable` (index.js:54);
+  *   - `background` segments run beside the main pipeline and their output
+  *     is merged (index.js:167-173); in batch they union unordered, in
+  *     streaming use [[graft.streaming.BackgroundRunner]].
+  *
+  * Laziness parity: `.pipe` builds the DataFrame (no action), `.run` is the
+  * same here because DataFrames are lazy — the *caller's action* is
+  * gasket's `stream.end()` (index.js:197-201).
+  */
+final class Engine(
+    val spec: PipelineSpec,
+    val modules: ModuleRegistry = ModuleRegistry.default,
+    val defaults: RunOptions = RunOptions()) {
+
+  /** `.list()` parity (index.js:180-182). */
+  def list: Seq[String] = spec.list
+
+  /** `.has(name)` parity (index.js:184-186). */
+  def has(name: String): Boolean = spec.has(name)
+
+  /** `.pipe(name)` parity (index.js:188-195): build the pipeline lazily;
+    * unknown name → None (the reference returns undefined). `input` is the
+    * engine-level stdin analog (`gasket pipe`, bin.js:157-184) and feeds
+    * the first segment's head.
+    */
+  def pipe(
+      name: String,
+      spark: SparkSession,
+      input: Option[DataFrame] = None,
+      opts: RunOptions = defaults): Option[DataFrame] =
+    spec.pipelines.get(name).map(stages => plan(name, stages, spark, input, opts))
+
+  /** `.run(name)` parity (index.js:197-201): close the input side and hand
+    * back the source-driven DataFrame. Throws on unknown pipelines (the CLI
+    * errors for missing non-`main` names, bin.js:142-145).
+    */
+  def run(
+      name: String,
+      spark: SparkSession,
+      input: Option[DataFrame] = None,
+      opts: RunOptions = defaults): DataFrame =
+    pipe(name, spark, input, opts).getOrElse(
+      throw new NoSuchElementException(s"Could not find pipeline: $name"))
+
+  /** `gasket.exec` parity (index.js:203-206): ad-hoc command outside any
+    * pipeline; params prefixed with the literal name 'exec' (index.js:205).
+    */
+  def exec(
+      command: String,
+      input: DataFrame,
+      opts: RunOptions = defaults): DataFrame =
+    CommandStage(input, command, "exec" +: opts.params, opts.env, opts.partitions)
+
+  /** `.toJSON()` parity (index.js:208-210). */
+  def toJson: String = spec.toJson
+
+  // ------------------------------------------------------------- planner
+
+  private def plan(
+      name: String,
+      stages: Seq[Stage],
+      spark: SparkSession,
+      input: Option[DataFrame],
+      opts: RunOptions): DataFrame = {
+    val segments = split(stages)
+    val empty = emptySource(spark)
+    var background = List.empty[DataFrame]
+    var segOutputs = List.empty[DataFrame]
+    var first = true
+    segments.foreach { seg =>
+      val segInput = if (first) input.getOrElse(empty) else empty
+      first = false
+      val out = buildSegment(name, seg, spark, segInput, opts)
+      if (seg.head.segType == SegType.Background) background ::= out
+      else segOutputs ::= out
+    }
+    val mains = segOutputs.reverse
+    // ordered concat of segment outputs (runStream, index.js:164): a
+    // segment ordinal + stable sort reproduces sequential output order
+    // without serializing execution.
+    val main = mains match {
+      case Nil => empty
+      case one :: Nil => one
+      case many =>
+        many.zipWithIndex
+          .map { case (df, i) => df.withColumn("_seg", lit(i)) }
+          .reduce(_ unionByName _)
+          .orderBy("_seg")
+          .drop("_seg")
+    }
+    // background output merged unordered (parallel([main, bkgds]),
+    // index.js:172)
+    background.foldLeft(main)(_ unionByName _)
+  }
+
+  /** `split()` parity (index.js:94-115): maximal runs of equal type. */
+  private[engine] def split(stages: Seq[Stage]): List[List[Stage]] =
+    stages.foldRight(List.empty[List[Stage]]) {
+      case (s, (h :: t) :: rest) if h.segType == s.segType => ((s :: h :: t)) :: rest
+      case (s, acc) => List(s) :: acc
+    }
+
+  private def buildSegment(
+      pipelineName: String,
+      seg: List[Stage],
+      spark: SparkSession,
+      segInput: DataFrame,
+      opts: RunOptions): DataFrame = {
+    def app(st: Stage, in: DataFrame): DataFrame = applyStage(pipelineName, st, in, opts)
+    seg.head.segType match {
+      case SegType.Pipe =>
+        seg.foldLeft(segInput)((df, st) => app(st, df))
+      case SegType.Run =>
+        seg.zipWithIndex
+          .map { case (st, i) => app(st, segInput).withColumn("_run", lit(i)) }
+          .reduce(_ unionByName _)
+          .orderBy("_run")
+          .drop("_run")
+      case SegType.Fork | SegType.Background =>
+        seg.map(app(_, segInput)).reduce(_ unionByName _)
+      case SegType.MapTee =>
+        // tee: first stage's output duplicated into each remaining stage
+        // (index.js:62). persist() keeps effectful sources single-run, the
+        // DataFrame analog of Node duplicating bytes to N destinations.
+        val src = app(seg.head, segInput).persist(StorageLevel.MEMORY_AND_DISK)
+        seg.tail match {
+          case Nil => src
+          case rest => rest.map(app(_, src)).reduce(_ unionByName _)
+        }
+      case SegType.Reduce =>
+        // fan-in: every remaining stage feeds the first (index.js:64)
+        seg.tail match {
+          case Nil => app(seg.head, segInput)
+          case rest =>
+            app(seg.head, rest.map(app(_, segInput)).reduce(_ unionByName _))
+        }
+    }
+  }
+
+  private def applyStage(
+      pipelineName: String,
+      st: Stage,
+      in: DataFrame,
+      opts: RunOptions): DataFrame = st match {
+    case Stage.Command(cmd, _, _) =>
+      // pipeline name is always argv[1] (index.js:85)
+      CommandStage(in, cmd, pipelineName +: opts.params, opts.env, opts.partitions)
+    case Stage.Module(name, _, json) =>
+      bridgeJson(json, modules.resolve(name), in)
+    case Stage.Inline(_, fn, _, json) =>
+      bridgeJson(json, fn, in)
+  }
+
+  private def bridgeJson(
+      json: Boolean,
+      fn: DataFrame => DataFrame,
+      in: DataFrame): DataFrame =
+    if (json) NdjsonBridge.serialize(fn(NdjsonBridge.parse(in)))
+    else fn(in)
+
+  private def emptySource(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF(CommandStage.ValueCol)
+  }
+}
+
+object Engine {
+  /** Load + construct from config discovery (`gasket.load`, SURVEY §1.2). */
+  def load(
+      cwd: String = ".",
+      explicitFile: Option[String] = None,
+      modules: ModuleRegistry = ModuleRegistry.default,
+      defaults: RunOptions = RunOptions()): Engine = {
+    val loaded = graft.spec.ConfigLoader.load(cwd, explicitFile)
+    // opts.cwd rebinds to the config file's directory (index.js:237)
+    new Engine(loaded.spec, modules, defaults.copy(cwd = loaded.configDir.toString))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are pure DataFrame algebra (no driver-side loops, no UDFs
+  * in the hot path) so every stage is codegen'd and scales by partitioning:
+  *
+  *   - exact: hash groupBy on the content (or its md5) — one shuffle keyed
+  *     by content hash; at 100 TB the shuffle carries (hash, min_id, count)
+  *     after partial aggregation, not documents;
+  *   - MinHash+LSH: shingle → k minhashes (k agg-min's over one explode) →
+  *     b bands → bucket-join. Candidate generation never compares all
+  *     pairs: the only shuffles are the per-doc signature aggregation and
+  *     the band-bucket self-join, both keyed and skew-resistant (bucket
+  *     sizes are bounded by construction);
+  *   - SimHash: 64 sign-sums over token hashes, reassembled into one
+  *     64-bit fingerprint; near-dup = small Hamming distance;
+  *   - n-gram Jaccard: exact verification on candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per identical content.
+    * Deterministic (unlike dropDuplicates, which keeps an arbitrary row).
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col(contentCol)).as("fp"))
+
+  /** Character k-shingles of a text column as a distinct array (SQL lambda
+    * — stays inside whole-stage codegen).
+    */
+  def shinglesExpr(textCol: String, k: Int): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k)))")
+
+  /** MinHash signature columns: for each of `numHashes` seeded hash
+    * functions, the min over the doc's shingles. One explode + one groupBy;
+    * the k min-aggregates are map-side combined, so the shuffle carries one
+    * k-long signature per doc.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 5): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shinglesExpr(textCol, shingleSize)).as("_shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("_shingle"))).as(s"h$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (id, band_id, band_hash) rows. Docs sharing a band hash
+    * are candidate pairs. bands*rowsPerBand must equal numHashes.
+    */
+  def lshBands(
+      signatures: DataFrame,
+      idCol: String,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+    val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Estimated Jaccard from signatures: fraction of agreeing minhashes. */
+  def estimatedJaccard(
+      pairs: DataFrame,
+      signatures: DataFrame,
+      idCol: String,
+      numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map(i => col(s"h$i"))
+    val s1 = signatures.select(col(idCol).as("id1"), array(sigCols: _*).as("sig1"))
+    val s2 = signatures.select(col(idCol).as("id2"), array(sigCols: _*).as("sig2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($numHashes as double)"))
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs (the only
+    * quadratic step, and it runs on candidates, never the corpus).
+    */
+  def exactJaccard(
+      pairs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5): DataFrame = {
+    val sets = df.select(col(idCol), shinglesExpr(textCol, shingleSize).as("sh"))
+    pairs
+      .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .select(col("id1"), col("id2"), (col("inter") / col("uni")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact verification →
+    * pairs with jaccard ≥ threshold.
+    */
+  def nearDupMinHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val cand = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
+    exactJaccard(cand, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash 64-bit fingerprint per document: per-token 64-bit hashes,
+    * per-bit ±1 sums, sign → bit. Pure aggregates: one explode + one
+    * groupBy with 64 codegen'd conditional sums.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fingerprint = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col(idCol), fingerprint.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (bit_count of xor). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 16-bit sub-keys (a ≤h-distance-3
+    * pair must agree on at least one block — pigeonhole), verify Hamming.
+    */
+  def nearDupSimHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(df, idCol, textCol)
+    val blocked = fp.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("block_id"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("block_key"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.block_id"), col("b.block_key"))
+    val a = blocked.select(col("block_id"), col("block_key"),
+      col(idCol).as("id1"), col("simhash").as("fp1"))
+    val b = blocked.select(col("block_id"), col("block_key"),
+      col(idCol).as("id2"), col("simhash").as("fp2"))
+    a.join(b, Seq("block_id", "block_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming64(col("fp1"), col("fp2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{functions => gf}
+import scala.util.Random
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, as a training-data pipeline needs at 100 TB:
+  *   - brute-force top-k: a map-only scan scoring every vector with the
+  *     codegen'd [[graft.functions.CosineSimilarity]] expression, finished
+  *     by TakeOrdered(k) — no shuffle of the corpus, only k rows per
+  *     partition travel to the driver-side merge;
+  *   - LSH-bucketed ANN: random-hyperplane signatures put vectors into
+  *     buckets; queries probe only matching buckets (multi-probe on nearby
+  *     buckets for recall). The bucket id is a plain column, so the bucket
+  *     scan is a pushed-down equality filter — at scale, bucket-partitioned
+  *     parquet turns this into partition pruning.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seeded — stable across runs/nodes). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    Array.fill(numPlanes, dim)((rnd.nextGaussian()).toFloat)
+  }
+
+  private def planeCol(plane: Array[Float]): Column =
+    array(plane.map(v => lit(v)): _*)
+
+  /** Sign-bit LSH bucket id for an embedding column. */
+  def lshBucket(embedding: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(gf.dot_product(embedding, planeCol(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Brute-force cosine top-k against one query vector. */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Array[Float],
+      k: Int): DataFrame =
+    embeddings
+      .select(col(idCol),
+        gf.cosine_similarity(col(embCol), planeCol(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** ANN top-k: probe the query's LSH bucket plus all buckets within
+    * Hamming distance 1 (multi-probe), then exact-score the candidates.
+    * Recall/cost trades via numPlanes and the probe radius.
+    */
+  def annTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Array[Float],
+      k: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val queryBucket: Long = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probes: Seq[Long] =
+      queryBucket +: (0 until numPlanes).map(i => queryBucket ^ (1L << i))
+    embeddings
+      .withColumn("_bucket", lshBucket(col(embCol), planes))
+      .filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol),
+        gf.cosine_similarity(col(embCol), planeCol(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket
+    * self-join (never all-pairs), exact cosine verification, threshold.
+    */
+  def nearDupEmbedding(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bucketed = embeddings
+      .select(col(idCol), col(embCol), lshBucket(col(embCol), planes).as("_bucket"))
+    val a = bucketed.select(col("_bucket"), col(idCol).as("id1"), col(embCol).as("e1"))
+    val b = bucketed.select(col("_bucket"), col(idCol).as("id2"), col(embCol).as("e2"))
+    a.join(b, "_bucket")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        gf.cosine_similarity(col("e1"), col("e2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, map-only — no shuffle until the caller
+  * aggregates), so they run at scan speed over a 100 TB corpus.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword inventories for the heuristic language ID
+    * (n-gram/stopword-vote approach; public-knowledge lists).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "y", "los", "un", "una", "es"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai", "you", "he"))
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
+  }
+
+  /** Heuristic language ID: vote by stopword hits per language; the winner
+    * (score, then language code as tiebreak) is the prediction. Implemented
+    * as array_max over (score, lang) structs — one pass, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  def langIdScore(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("score").cast("long")
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: words plus an extra token per 4 chars of long
+    * words — a cheap deterministic proxy for tokenizer budgeting.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => greatest(ceil(length(t) / 4.0), lit(1L))),
+      lit(0L), (acc, x) => acc + x).cast("long")
+
+  /** Quality features + composite score in [0,1]:
+    * length band, mean word length band, stopword ratio.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChars = length(t).cast("long")
+    val meanWordLen = (length(regexp_replace(t, " ", "")).cast("double") / nTok)
+    val stopRatio = stopwordHits(t, stopwords("en")).cast("double") / nTok
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_calc", nChars)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        (when(nChars.between(50, 5000), 0.4).otherwise(0.0)
+          + when(meanWordLen.between(3.0, 10.0), 0.3).otherwise(0.0)
+          + when(stopRatio.between(0.01, 0.6), 0.3).otherwise(0.0)))
+  }
+
+  /** 128-bit content fingerprint (md5 hex — portable across engines). */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit xxhash fingerprint (fast path for shuffle keys / dedup). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31,
+    * wrap-around long arithmetic) — order-sensitive, unlike a bag-of-words
+    * hash. Expressed with aggregate() so it is codegen'd.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => acc * lit(31L) + xxhash64(tok))
+}

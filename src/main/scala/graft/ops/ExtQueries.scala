@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Tables._
+
+/** Mandated extension operators (BASELINE north star): deduplication,
+  * similarity search, text analysis, multimodal columns — the operations a
+  * large-scale training-data pipeline needs (see the ext/ package scaladocs
+  * for the 100 TB design rationale of each).
+  *
+  * Model-defined operators (MinHash, SimHash, LSH, heuristic language ID,
+  * stub decoders) are oracle-omitted per SURVEY §7.3 and covered by seeded
+  * unit tests; everything SQL-expressible carries a DuckDB oracle.
+  */
+object ExtQueries {
+
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      Dedup.exact(documents(s, d), "text", "doc_id").orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+            FROM documents GROUP BY text ORDER BY keep_id"""),
+    "exact dedup: deterministic keep-min-id per content group")
+
+  private val qDedupNear = Q(
+    "q_dedup_near",
+    (s, d) =>
+      Dedup.nearDupMinHash(documents(s, d), "doc_id", "text",
+          threshold = 0.5, numHashes = 64, bands = 16, shingleSize = 5)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"),
+    None, // model-defined (MinHash-LSH candidates); seeded unit tests
+    "near-dup via MinHash+LSH with exact shingle-Jaccard verification")
+
+  private val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) =>
+      Dedup.simHash(documents(s, d), "doc_id", "text").orderBy("doc_id"),
+    None, // xxhash64-based fingerprint — not expressible in DuckDB
+    "64-bit SimHash fingerprint per document")
+
+  private val qDedupNgram = Q(
+    "q_dedup_ngram",
+    (s, d) => {
+      val docs = documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 64, 5)
+      val cand = Dedup.candidatePairs(Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
+      Dedup.exactJaccard(cand, docs, "doc_id", "text", 5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+    None, // candidate set is model-defined (LSH)
+    "exact n-gram Jaccard over LSH candidate pairs")
+
+  private val qDedupEmbed = Q(
+    "q_dedup_embed",
+    (s, d) =>
+      // threshold tuned to the corpus: pairwise cosine tops out ≈0.51 on
+      // the synthetic embeddings, so 0.25 exercises bucket-join + verify
+      // with a non-empty result; production near-dup would use ~0.9
+      Similarity.nearDupEmbedding(embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.25, numPlanes = 4, dim = 64)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2"),
+    None, // model-defined (hyperplane LSH buckets)
+    "embedding-cosine near-dup via hyperplane LSH bucketing")
+
+  private val qSimTopk = Q(
+    "q_sim_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      // query parameter: the vector of vec_id 0 (single-row driver lookup)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id LIMIT 10"""),
+    "brute-force cosine top-k (codegen'd expression + TakeOrdered)")
+
+  private val qSimAnn = Q(
+    "q_sim_ann",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.annTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    None, // model-defined (LSH probe set)
+    "LSH-bucketed ANN top-k (multi-probe hyperplane buckets)")
+
+  private val qTextStats = Q(
+    "q_text_stats",
+    (s, d) =>
+      documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+            FROM documents GROUP BY lang ORDER BY lang"""),
+    "corpus stats per language")
+
+  private val qTokenCount = Q(
+    "q_token_count",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        t -> greatest(CAST(ceil(length(t) / 4.0) AS BIGINT), 1))) AS BIGINT) AS n_subwords
+            FROM documents ORDER BY doc_id"""),
+    "whitespace + BPE-ish subword token counting")
+
+  private val qQualityScore = Q(
+    "q_quality_score",
+    (s, d) =>
+      TextAnalysis.qualityFeatures(documents(s, d), "text")
+        .select("doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "quality_score")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS mean_word_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stopword_ratio,
+                   (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END
+                    + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                             / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                             / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END)
+                     AS quality_score
+            FROM documents ORDER BY doc_id"""),
+    "document quality features + composite score")
+
+  private val qLangId = Q(
+    "q_lang_id",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang").as("lang_actual"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.langIdScore(col("text")).as("votes"))
+        .orderBy("doc_id"),
+    None, // heuristic/model-defined; accuracy asserted in unit tests
+    "stopword-vote language identification")
+
+  private val qFingerprint = Q(
+    "q_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS fp_md5
+            FROM documents ORDER BY doc_id"""),
+    "portable 128-bit content fingerprint (md5)")
+
+  private val qMultimodal = Q(
+    "q_multimodal",
+    (s, d) => {
+      val media = Multimodal.asMedia(documents(s, d), "doc_id", "text", "image/fake")
+      Multimodal.decodeImages(media).toDF().orderBy("media_id")
+    },
+    None, // decoder is stubbed (no media libs in-container)
+    "binary media columns + mapPartitions decode stage (stub codec)")
+
+  def all: Seq[Q] = Seq(
+    qDedupExact, qDedupNear, qDedupSimhash, qDedupNgram, qDedupEmbed,
+    qSimTopk, qSimAnn,
+    qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
+    qMultimodal)
+}

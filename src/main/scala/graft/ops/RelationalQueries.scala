@@ -1,0 +1,663 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Catalog.dec
+import Tables._
+
+/** The relational operator catalog (SURVEY §2.2).
+  *
+  * The reference engine (`/root/reference/index.js`) has no relational
+  * operators of its own — it delegates record-level work to Unix stages
+  * (`grep` = filter, `sort` = order, `uniq -c` = group-count,
+  * `transform-uppercase` = scalar fn; SURVEY §2.2). Here each capability is
+  * a first-class declarative DataFrame expression so Catalyst handles
+  * pushdown, pruning, join selection, partial aggregation and AQE — the
+  * whole point of the Spark-first rebuild (SURVEY §4.3).
+  *
+  * Scale notes (100 TB design intent, verified on the local plans):
+  *   - scans are bare parquet reads: filters/projections land in the scan
+  *     (`PushedFilters`, pruned `ReadSchema`);
+  *   - dimension joins (`part`, `region`, `customer` at dim-scale) are
+  *     explicitly `broadcast()`; fact⋈fact joins (lineitem⋈orders) stay
+  *     shuffle joins on their natural keys so AQE can pick SMJ/SHJ;
+  *   - aggregations are expressed as groupBy().agg(...) → Spark always
+  *     plans partial (map-side) + final aggregation, so the shuffle carries
+  *     pre-combined state, not raw rows;
+  *   - the trailing global orderBy on every query exists ONLY for oracle
+  *     determinism (driver hash-compares sorted output); at production
+  *     scale the same plans run without the final sort.
+  */
+object RelationalQueries {
+
+  // ---------------------------------------------------------------- scans
+
+  // (l_orderkey, l_linenumber) is NOT unique in the generated lineitem —
+  // the unique key (verified against the data) also needs partkey/suppkey/
+  // quantity/extendedprice. Oracle orderings below always use a key that is
+  // total over the projected columns (ties only between identical rows).
+  private val liKey = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice")
+  private val liKeySql = liKey.mkString(", ")
+
+  private val qScan = Q(
+    "q_scan",
+    (s, d) => lineitem(s, d).orderBy(liKey.map(col): _*),
+    Some(s"SELECT * FROM lineitem ORDER BY $liKeySql"),
+    "full parquet scan (reference source = stdin/cat, index.js:14-27)")
+
+  private val qProject = Q(
+    "q_project",
+    (s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""),
+    "projection → pruned ReadSchema at the parquet scan")
+
+  private val qFilter = Q(
+    "q_filter",
+    (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= expr("timestamp'1995-06-01 00:00:00'") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_discount"),
+    Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_discount
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+              AND l_discount > 0.05
+            ORDER BY l_orderkey, l_linenumber, l_shipdate, l_discount"""),
+    "predicate pushdown → PushedFilters on the parquet scan")
+
+  // ------------------------------------------------------ scalar functions
+
+  private val qStringFns = Q(
+    "q_string_fns",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("prefix_upper"),
+        length(col("text")).cast("long").as("len"),
+        concat_ws(":", col("lang"), col("source")).as("tag"),
+        expr("replace(source, 'src', 'source_')").as("src_renamed"),
+        instr(col("text"), "agg").cast("long").as("agg_pos"),
+        lpad(col("lang"), 5, "_").as("lang_padded")
+      ).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   upper(substring(text, 1, 20)) AS prefix_upper,
+                   CAST(length(text) AS BIGINT) AS len,
+                   lang || ':' || source AS tag,
+                   replace(source, 'src', 'source_') AS src_renamed,
+                   CAST(instr(text, 'agg') AS BIGINT) AS agg_pos,
+                   lpad(lang, 5, '_') AS lang_padded
+            FROM documents ORDER BY doc_id"""),
+    "scalar string fns (reference: transform-uppercase stage, test.js:11)")
+
+  private val qDateFns = Q(
+    "q_date_fns",
+    (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("dom"),
+        hour(col("ts")).cast("long").as("h"),
+        date_trunc("hour", col("ts")).as("ts_hour"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("days_since")
+      ).orderBy("event_id"),
+    Some("""SELECT event_id,
+                   CAST(year(ts) AS BIGINT) AS y,
+                   CAST(month(ts) AS BIGINT) AS m,
+                   CAST(day(ts) AS BIGINT) AS dom,
+                   CAST(hour(ts) AS BIGINT) AS h,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+            FROM events ORDER BY event_id"""),
+    "date/time fns; ns→µs-stable derivations only (see Catalog scaladoc)")
+
+  private val qMathFns = Q(
+    "q_math_fns",
+    (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (col("l_orderkey") % 7).cast("long").as("ok_mod7"),
+        signum(col("l_discount") - 0.05).as("disc_sign")
+      ).orderBy("l_orderkey", "l_linenumber", "price_ceil", "disc_dev", "qty_sqrt"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                   abs(l_discount - 0.05) AS disc_dev,
+                   sqrt(l_quantity) AS qty_sqrt,
+                   CAST(l_orderkey % 7 AS BIGINT) AS ok_mod7,
+                   CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, price_ceil, disc_dev, qty_sqrt"""),
+    "math fns limited to IEEE-deterministic ops (no libm pow/log)")
+
+  private val qArrayFns = Q(
+    "q_array_fns",
+    (s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("e_first"),
+        element_at(col("embedding"), -1).as("e_last"),
+        array_min(col("embedding")).as("e_min"),
+        array_max(col("embedding")).as("e_max"),
+        col("label").cast("long").as("label")
+      ).orderBy("vec_id"),
+    Some("""SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   embedding[1] AS e_first,
+                   embedding[-1] AS e_last,
+                   list_aggregate(embedding, 'min') AS e_min,
+                   list_aggregate(embedding, 'max') AS e_max,
+                   CAST(label AS BIGINT) AS label
+            FROM embeddings ORDER BY vec_id"""),
+    "array fns on the embedding column (exact element ops, no float sums)")
+
+  private val qJsonFns = Q(
+    "q_json_fns",
+    (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      ).orderBy("event_id"),
+    Some("""SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id"""),
+    "JSON path extraction (reference ndjson framing, index.js:73)")
+
+  private val qScanNdjson = Q(
+    "q_scan_ndjson",
+    (s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("obj"))
+        .select(col("event_id"), col("obj.k").as("k"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id"""),
+    "schema-on-read NDJSON parse via from_json (index.js:73 parity)")
+
+  // ---------------------------------------------------------------- joins
+
+  private val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("p_brand"),
+    Some("""SELECT p_brand,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand"""),
+    "explicit broadcast-hash join against the dim table")
+
+  private val qJoinSortmerge = Q(
+    "q_join_sortmerge",
+    (s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority", "l_returnflag"),
+    Some("""SELECT o_orderpriority, l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority, l_returnflag
+            ORDER BY o_orderpriority, l_returnflag"""),
+    "fact⋈fact shuffle join — Catalyst/AQE picks SMJ or SHJ on l_orderkey")
+
+  private val qJoinOuter = Q(
+    "q_join_outer",
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name,
+                   count(o_orderkey) AS n_orders,
+                   coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name ORDER BY c_custkey"""),
+    "left outer join preserving customers without orders")
+
+  private val qJoinSemi = Q(
+    "q_join_semi",
+    (s, d) =>
+      orders(s, d)
+        .join(
+          lineitem(s, d).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+            ORDER BY o_orderkey"""),
+    "left-semi join (EXISTS)")
+
+  private val qJoinAnti = Q(
+    "q_join_anti",
+    (s, d) =>
+      orders(s, d)
+        .join(
+          lineitem(s, d).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+            ORDER BY o_orderkey"""),
+    "left-anti join (NOT EXISTS)")
+
+  private val qJoinRange = Q(
+    "q_join_range",
+    (s, d) =>
+      lineitem(s, d)
+        .join(
+          broadcast(region(s, d)
+            .select(
+              col("r_regionkey").cast("long").as("bucket"),
+              (col("r_regionkey") * 10).cast("double").as("lo"),
+              ((col("r_regionkey") + 1) * 10).cast("double").as("hi"))),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("bucket"),
+    Some("""SELECT CAST(r_regionkey AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem
+            JOIN region ON l_quantity >= r_regionkey * 10
+                       AND l_quantity < (r_regionkey + 1) * 10
+            GROUP BY r_regionkey ORDER BY bucket"""),
+    "theta/range join → broadcast-nested-loop against the tiny bucket dim")
+
+  private val qJoinAsof = Q(
+    "q_join_asof",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("prev_click_id",
+          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        .select("event_id", "user_id", "event_type", "prev_click_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+                   max(CASE WHEN event_type = 'click' THEN event_id END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_id
+            FROM events ORDER BY event_id"""),
+    "as-of join: latest prior 'click' per user (event_id is ts-monotone, " +
+      "so max(event_id) over the preceding frame = most recent)")
+
+  // ------------------------------------------------------------ aggregates
+
+  private val qAgg = Q(
+    "q_agg",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""),
+    "TPC-H Q1-style hash aggregate; partial+final agg planned by Spark")
+
+  private val qAggDistinct = Q(
+    "q_agg_distinct",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS nd_parts,
+                   count(DISTINCT l_suppkey) AS nd_supps,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "exact distinct aggregation (expand + two-phase agg)")
+
+  private val qAggApprox = Q(
+    "q_agg_approx",
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    None, // approximate — not oracle-comparable; covered by unit test bounds
+    "HyperLogLog++ approx distinct — sketch mergeable across partitions")
+
+  private val qRollup = Q(
+    "q_rollup",
+    (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("n"), col("sum_qty"), col("g_flag"), col("g_status"))
+        .orderBy("g_flag", "g_status", "flag", "status"),
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+                   coalesce(l_linestatus, '(all)') AS status,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY g_flag, g_status, flag, status"""),
+    "rollup with grouping() markers; NULL group keys coalesced for ordering parity")
+
+  private val qCube = Q(
+    "q_cube",
+    (s, d) =>
+      lineitem(s, d)
+        .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .cube("l_returnflag", "ship_year")
+        .agg(
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("ship_year")).cast("long").as("g_year"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("ship_year"), lit(-1L)).as("ship_year"),
+          col("n"), col("g_flag"), col("g_year"))
+        .orderBy("g_flag", "g_year", "flag", "ship_year"),
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+                   coalesce(CAST(year(l_shipdate) AS BIGINT), -1) AS ship_year,
+                   count(*) AS n,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(grouping(year(l_shipdate)) AS BIGINT) AS g_year
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, year(l_shipdate))
+            ORDER BY g_flag, g_year, flag, ship_year"""),
+    "cube over (flag, ship year)")
+
+  private val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+                      coalesce(l_linestatus, '(all)') AS status,
+                      count(*) AS n,
+                      CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                      CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+               FROM lineitem_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY g_flag, g_status, flag, status""")
+    },
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+                   coalesce(l_linestatus, '(all)') AS status,
+                   count(*) AS n,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY g_flag, g_status, flag, status"""),
+    "explicit GROUPING SETS via the SQL surface")
+
+  private val qPivot = Q(
+    "q_pivot",
+    (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click"), col("view"), col("purchase"),
+          col("signup"), col("error"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS error
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    "pivot with explicit value list (single-pass, no extra distinct job)")
+
+  // --------------------------------------------------------------- windows
+
+  private val qWindowRank = Q(
+    "q_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    },
+    Some("""SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                         CAST(row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+                  FROM lineitem)
+            WHERE rn <= 3 ORDER BY l_suppkey, rn"""),
+    "top-3 per supplier via ranking window (total tiebreak order)")
+
+  private val qWindowFrame = Q(
+    "q_window_frame",
+    (s, d) => {
+      // window order must be total within a partition: (shipdate, orderkey,
+      // linenumber) ties on duplicate keys, so quantity/extendedprice join
+      // the ordering (identical leftover ties produce identical rows)
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      lineitem(s, d)
+        .withColumn("running_qty",
+          sum(dec(col("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+          "running_qty", "prev_qty", "next_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "running_qty")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+                   lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty,
+                   lead(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS next_qty
+            FROM lineitem
+            ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty"""),
+    "analytic window with running frame + lag/lead")
+
+  private val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > 1800000000 OR
+                              lag(epoch_us(ts), 1)
+                                OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         THEN 1 ELSE 0 END AS new_sess
+                  FROM events)
+            ORDER BY event_id"""),
+    "gap-based sessionization (30-min gap) — batch analog of session windows; " +
+      "µs-exact on both engines via unix_micros/epoch_us")
+
+  private val qTumblingWindow = Q(
+    "q_tumbling_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("h", "event_type"),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY h, event_type"""),
+    "tumbling event-time window (batch form of the streaming window op)")
+
+  private val qTopk = Q(
+    "q_topk",
+    (s, d) =>
+      lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 100"""),
+    "top-k → TakeOrderedAndProject (no global sort materialization)")
+
+  // --------------------------------------------------------------- set ops
+
+  private val qUnionAll = Q(
+    "q_union_all",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val hi = li.filter(col("l_quantity") >= 45)
+        .select(lit("hi").as("src"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val lo = li.filter(col("l_quantity") <= 5)
+        .select(lit("lo").as("src"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      hi.unionByName(lo).orderBy("src", "l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'hi' AS src, l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_quantity >= 45
+              UNION ALL
+              SELECT 'lo' AS src, l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_quantity <= 5)
+            ORDER BY src, l_orderkey, l_linenumber, l_quantity"""),
+    "union-all = the reference's `fork` merge (index.js:42-49): unordered interleave")
+
+  private val qConcatOrdered = Q(
+    "q_concat_ordered",
+    (s, d) => {
+      val o = orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(lit(0L).as("seg"), col("o_orderkey"), col("o_orderstatus"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(lit(1L).as("seg"), col("o_orderkey"), col("o_orderstatus"))
+      a.unionByName(b).orderBy("seg", "o_orderkey")
+    },
+    Some("""SELECT * FROM (
+              SELECT CAST(0 AS BIGINT) AS seg, o_orderkey, o_orderstatus
+              FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT CAST(1 AS BIGINT) AS seg, o_orderkey, o_orderstatus
+              FROM orders WHERE o_orderstatus = 'O')
+            ORDER BY seg, o_orderkey"""),
+    "ordered concat = the reference's `run` segment (index.js:30-39): " +
+      "segment ordinal + sort reproduces sequential output order")
+
+  private val qIntersect = Q(
+    "q_intersect",
+    (s, d) =>
+      lineitem(s, d).select(col("l_orderkey").as("okey"))
+        .intersect(
+          orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_orderkey").as("okey")))
+        .orderBy("okey"),
+    Some("""SELECT l_orderkey AS okey FROM lineitem
+            INTERSECT
+            SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY okey"""),
+    "set intersect (distinct semantics in both engines)")
+
+  private val qExcept = Q(
+    "q_except",
+    (s, d) =>
+      orders(s, d).select(col("o_orderkey").as("okey"))
+        .except(
+          lineitem(s, d).filter(col("l_quantity") >= 40).select(col("l_orderkey").as("okey")))
+        .orderBy("okey"),
+    Some("""SELECT o_orderkey AS okey FROM orders
+            EXCEPT
+            SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity >= 40
+            ORDER BY okey"""),
+    "set except (distinct semantics in both engines)")
+
+  def all: Seq[Q] = Seq(
+    qScan, qProject, qFilter,
+    qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
+    qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
+    qJoinRange, qJoinAsof,
+    qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
+    qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qTopk,
+    qUnionAll, qConcatOrdered, qIntersect, qExcept)
+}
