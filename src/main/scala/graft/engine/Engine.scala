@@ -88,13 +88,15 @@ final class Engine(
       throw new NoSuchElementException(s"Could not find pipeline: $name"))
 
   /** `gasket.exec` parity (index.js:203-206): ad-hoc command outside any
-    * pipeline; params prefixed with the literal name 'exec' (index.js:205).
+    * pipeline. As with pipeline command stages, only explicit user params
+    * are appended (documented semantics; the reference also injects the
+    * literal name 'exec' as argv[1], see the discrepancy note below).
     */
   def exec(
       command: String,
       input: DataFrame,
       opts: RunOptions = defaults): DataFrame =
-    CommandStage(input, command, "exec" +: opts.params, opts.env, opts.partitions)
+    CommandStage(input, command, opts.params, opts.env, opts.partitions)
 
   /** `.toJSON()` parity (index.js:208-210). */
   def toJson: String = spec.toJson
@@ -188,8 +190,13 @@ final class Engine(
       in: DataFrame,
       opts: RunOptions): DataFrame = st match {
     case Stage.Command(cmd, _, _) =>
-      // pipeline name is always argv[1] (index.js:85)
-      CommandStage(in, cmd, pipelineName +: opts.params, opts.env, opts.partitions)
+      // Documented-vs-actual discrepancy (SURVEY §2.1): the reference
+      // appends [pipelineName, ...params] to EVERY command's argv
+      // (index.js:85 + execspawn), which makes its own canonical example
+      // print "HELLO WORLD EXAMPLE", contradicting readme.md:47
+      // ("will print HELLO WORLD"). We implement the documented
+      // semantics: only explicit user params reach the command line.
+      CommandStage(in, cmd, opts.params, opts.env, opts.partitions)
     case Stage.Module(name, _, json) =>
       bridgeJson(json, modules.resolve(name), in)
     case Stage.Inline(_, fn, _, json) =>
@@ -203,9 +210,16 @@ final class Engine(
     if (json) NdjsonBridge.serialize(fn(NdjsonBridge.parse(in)))
     else fn(in)
 
+  /** Empty source with exactly ONE empty partition — an empty
+    * LocalRelation plans to a zero-partition RDD, and `RDD.pipe` on zero
+    * partitions never launches the process; one empty partition makes a
+    * leading command stage run once with closed stdin, the reference's
+    * source semantics (`pipe.end()`, index.js:54).
+    */
   private def emptySource(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[String].toDF(CommandStage.ValueCol)
+    spark.createDataset(spark.sparkContext.parallelize(Seq.empty[String], 1))
+      .toDF(CommandStage.ValueCol)
   }
 }
 

@@ -81,11 +81,15 @@ object TextAnalysis {
   /** 64-bit xxhash fingerprint (fast path for shuffle keys / dedup). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
-  /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31,
-    * wrap-around long arithmetic) — order-sensitive, unlike a bag-of-words
-    * hash. Expressed with aggregate() so it is codegen'd.
+  /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31) —
+    * order-sensitive, unlike a bag-of-words hash. Expressed with
+    * aggregate() so it is codegen'd. Arithmetic stays below 2^39 (mod 2^33
+    * per step) because Spark 4's ANSI mode makes silent long wraparound an
+    * overflow error.
     */
-  def rollingHash(text: Column): Column =
+  def rollingHash(text: Column): Column = {
+    val m = lit(1L << 33)
     aggregate(tokens(text), lit(0L),
-      (acc, tok) => acc * lit(31L) + xxhash64(tok))
+      (acc, tok) => pmod(acc * lit(31L) + pmod(xxhash64(tok), m), m))
+  }
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators — the unbounded side of the engine.
+  *
+  * The reference's streaming surface is `gasket pipe` (stdin stays open,
+  * `/root/reference/bin.js:157-184`) and `background` segments
+  * (`index.js:167-173`); record-level streaming computation was delegated
+  * to stages. Here the standard event-time toolkit is first-class, built
+  * on watermarks so state is bounded at scale (a 1000-executor streaming
+  * job lives or dies by state-store size — every op below declares its
+  * eviction policy via the watermark).
+  *
+  * All transforms are `DataFrame => DataFrame` so they compose identically
+  * over `spark.read` (batch backfill) and `spark.readStream` (live) — the
+  * batch/streaming unification the reference approximates with "a pipeline
+  * is a pipeline whether stdin ends or not".
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state. Output: window start/end, group column, count + sum(value).
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      windowLen: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(groupCol), col("n"), col("sum_value"))
+
+  /** Sliding window variant (windowLen, slide). */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      windowLen: String,
+      slide: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide), col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(groupCol), col("n"))
+
+  /** Session windows: gap-closed per-key sessions (the streaming form of
+    * the batch q_sessionize operator).
+    */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col(keyCol), col("n"))
+
+  /** Stateful streaming dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped, state evicted beyond it.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

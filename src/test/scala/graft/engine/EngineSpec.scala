@@ -1,0 +1,140 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.spec.{PipelineSpec, SegType, Stage}
+import graft.stages.{CommandStage, ModuleRegistry}
+
+/** Engine planner semantics vs the reference's combinators (SURVEY §2.1).
+  * Each test reproduces a documented reference behavior.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lines(xs: String*): DataFrame = xs.toDF(CommandStage.ValueCol)
+  private def collectValues(df: DataFrame): Seq[String] =
+    df.select(CommandStage.ValueCol).as[String].collect().toSeq
+
+  test("flagship parity: echo hello world | uppercase => HELLO WORLD (test.js:5-13)") {
+    val spec = PipelineSpec(ListMap("example" -> Seq(
+      Stage.Command("echo hello world"),
+      Stage.Module("uppercase"))))
+    val out = new Engine(spec).run("example", spark)
+    assert(collectValues(out) == Seq("HELLO WORLD"))
+  }
+
+  test("plain-string stage is a command stage (gasket add form, bin.js:100)") {
+    val spec = graft.spec.ConfigLoader.parse("""{"test": ["echo hi"]}""")
+    val out = new Engine(spec).run("test", spark)
+    assert(collectValues(out) == Seq("hi"))
+  }
+
+  test("run segment concatenates outputs in order (readme.md:55-77)") {
+    val spec = PipelineSpec(ListMap("main" -> Seq(
+      Stage.Command("echo hello world", SegType.Run),
+      Stage.Command("echo hello afterwards", SegType.Run))))
+    val out = new Engine(spec).run("main", spark)
+    assert(collectValues(out) == Seq("hello world", "hello afterwards"))
+  }
+
+  test("fork segment merges outputs as a multiset (index.js:42-49)") {
+    val spec = PipelineSpec(ListMap("main" -> Seq(
+      Stage.Command("echo a", SegType.Fork),
+      Stage.Command("echo b", SegType.Fork),
+      Stage.Command("echo c", SegType.Fork))))
+    val out = new Engine(spec).run("main", spark)
+    assert(collectValues(out).sorted == Seq("a", "b", "c"))
+  }
+
+  test("map segment tees the first stage into each other stage (index.js:62)") {
+    val reg = ModuleRegistry.default
+      .register("suffix_x", df => df.withColumn(CommandStage.ValueCol,
+        concat(col(CommandStage.ValueCol), lit("-x"))))
+      .register("suffix_y", df => df.withColumn(CommandStage.ValueCol,
+        concat(col(CommandStage.ValueCol), lit("-y"))))
+    val spec = PipelineSpec(ListMap("tee" -> Seq(
+      Stage.Command("echo src", SegType.MapTee),
+      Stage.Module("suffix_x", SegType.MapTee),
+      Stage.Module("suffix_y", SegType.MapTee))))
+    val out = new Engine(spec, reg).run("tee", spark)
+    assert(collectValues(out).sorted == Seq("src-x", "src-y"))
+  }
+
+  test("reduce segment fans producers into the first aggregator (index.js:64)") {
+    val reg = ModuleRegistry.default
+      .register("emit_1", _ => lines("1", "2")) // producers ignore input
+      .register("emit_2", _ => lines("3"))
+    val spec = PipelineSpec(ListMap("fanin" -> Seq(
+      Stage.Module("linecount", SegType.Reduce), // aggregator is FIRST
+      Stage.Module("emit_1", SegType.Reduce),
+      Stage.Module("emit_2", SegType.Reduce))))
+    val out = new Engine(spec, reg).run("fanin", spark)
+    assert(collectValues(out) == Seq("3"))
+  }
+
+  test("segments are concatenated, not piped (runStream concat, index.js:164)") {
+    // [run-segment producing 'first'] then [pipe-segment echoing 'second']:
+    // the pipe segment starts from the EMPTY source, not the run output.
+    val spec = PipelineSpec(ListMap("main" -> Seq(
+      Stage.Command("echo first", SegType.Run),
+      Stage.Command("echo second", SegType.Pipe))))
+    val out = new Engine(spec).run("main", spark)
+    assert(collectValues(out) == Seq("first", "second"))
+  }
+
+  test("pipe composes stages serially over the input (pipeStream, index.js:52-56)") {
+    val spec = PipelineSpec(ListMap("chain" -> Seq(
+      Stage.Module("uppercase"),
+      Stage.Command("rev"))))
+    val out = new Engine(spec).run("chain", spark, Some(lines("abc", "xyz")))
+    assert(collectValues(out).sorted == Seq("CBA", "ZYX"))
+  }
+
+  test("non-zero exit destroys the stream with an error (index.js:16-18)") {
+    val spec = PipelineSpec(ListMap("boom" -> Seq(Stage.Command("exit 3"))))
+    val e = intercept[SparkException] {
+      new Engine(spec).run("boom", spark, Some(lines("x"))).collect()
+    }
+    assert(e.getMessage.contains("status 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("status 3")))
+  }
+
+  test("unknown pipeline: pipe → None (index.js:194), run → error (bin.js:142-145)") {
+    val engine = new Engine(PipelineSpec.empty)
+    assert(engine.pipe("nope", spark).isEmpty)
+    intercept[NoSuchElementException] { engine.run("nope", spark) }
+  }
+
+  test("exec runs an ad-hoc command; user params reach argv (index.js:203-206)") {
+    val out = new Engine(PipelineSpec.empty)
+      .exec("tr a-z A-Z", lines("ok"), RunOptions(partitions = Some(1)))
+    assert(collectValues(out) == Seq("OK"))
+    val withParams = new Engine(PipelineSpec.empty)
+      .exec("tr", lines("ok"), RunOptions(params = Seq("a-z", "A-Z"), partitions = Some(1)))
+    assert(collectValues(withParams) == Seq("OK"))
+  }
+
+  test("env vars reach command stages (index.js:124-125)") {
+    val spec = PipelineSpec(ListMap("env" -> Seq(
+      Stage.Command("printenv GREETING"))))
+    val out = new Engine(spec, defaults = RunOptions(env = Map("GREETING" -> "bonjour")))
+      .run("env", spark)
+    assert(collectValues(out) == Seq("bonjour"))
+  }
+
+  test("registry surface: list/has/toJson round-trip (index.js:180-210)") {
+    val spec = PipelineSpec(ListMap(
+      "a" -> Seq(Stage.Command("cat -")),
+      "b" -> Seq(Stage.Module("uppercase", json = true))))
+    val engine = new Engine(spec)
+    assert(engine.list == Seq("a", "b"))
+    assert(engine.has("a") && !engine.has("z"))
+    val reparsed = graft.spec.ConfigLoader.parse(engine.toJson)
+    assert(reparsed == spec)
+  }
+}

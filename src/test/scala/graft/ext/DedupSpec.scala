@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Seeded correctness tests for the model-defined dedup operators (the
+  * oracle-omitted surface, SURVEY §7.3).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                     // exact dup of 0
+    (2L, base + " tonight"),                        // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, "yet another unrelated document on parquet column pruning today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 2L)
+  }
+
+  test("minhash signatures: identical texts share all hashes; estimated jaccard finds near dup") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 64)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")
+    val est = Dedup.estimatedJaccard(pairs, sigs, "doc_id", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((0L, 1L)) == 1.0)            // exact dup: identical signature
+    assert(est((0L, 2L)) > 0.6)             // near dup: high agreement
+    assert(est((0L, 3L)) < 0.3)             // unrelated: low agreement
+  }
+
+  test("nearDupMinHash surfaces the planted near-dup pair and the exact pair") {
+    val out = Dedup.nearDupMinHash(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 1L)))
+    assert(out.contains((0L, 2L)))
+    assert(!out.exists { case (a, b) => b == 3L || b == 4L && a == 3L })
+  }
+
+  test("exact jaccard: identical = 1.0, disjoint ≈ low") {
+    val pairs = Seq((0L, 1L), (3L, 4L)).toDF("id1", "id2")
+    val j = Dedup.exactJaccard(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((3L, 4L)) < 0.2)
+  }
+
+  test("simhash: identical texts same fingerprint; near dup within small hamming") {
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    val hamNear = java.lang.Long.bitCount(fp(0L) ^ fp(2L))
+    val hamFar = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
+    assert(hamNear < hamFar)
+    assert(hamNear <= 12)
+  }
+
+  test("nearDupSimHash blocks + verifies the exact pair") {
+    val out = Dedup.nearDupSimHash(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 1L)))
+  }
+}

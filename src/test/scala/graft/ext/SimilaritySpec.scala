@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{functions => gf}
+import graft.ops.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_similarity expression matches a scala-side computation (eval + codegen)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), gf.cosine_similarity(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0)
+    assert(math.abs(got(3L) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    assert(got(4L) == 0.0) // zero vector guarded
+  }
+
+  test("dot_product expression") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val v = df.select(gf.dot_product(col("a"), col("b"))).head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("brute-force top-k returns the self-match first on a planted query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 7L)             // exact self-match, score 1
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("ANN probe set contains the query bucket and recalls the self-match") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = Similarity.annTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 7L) // self is always in its own bucket
+  }
+
+  test("ANN candidates are a subset of brute-force scores (same scoring)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, 10).collect()
+    ann.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("nearDupEmbedding verifies pairs above threshold only") {
+    val out = Similarity.nearDupEmbedding(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      threshold = 0.25, numPlanes = 4, dim = 64).collect()
+    assert(out.forall(_.getDouble(2) >= 0.25))
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming semantics on MemoryStream (events-shaped rows): windows,
+  * sessions, watermark-bounded dedup, background-query lifecycle
+  * (`background` segment parity, index.js:167-173).
+  */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window aggregation with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamOps.tumblingCounts(mem.toDF(), "ts", "event_type", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumble")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 00:04:00"), 1, "click", 2.0),
+        Ev(ts("2024-01-01 00:11:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble").collect()
+        .map(r => (r.getAs[Timestamp]("w_start").toString, r.getAs[Long]("n"))).toMap
+      assert(rows("2024-01-01 00:00:00.0") == 2L)
+      assert(rows("2024-01-01 00:10:00.0") == 1L)
+    } finally q.stop()
+  }
+
+  test("session window closes after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamOps.sessionCounts(mem.toDF(), "ts", "user_id", "5 minutes", "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 00:00:00"), 1, "a", 0),
+        Ev(ts("2024-01-01 00:02:00"), 1, "a", 0),  // same session (gap 2m)
+        Ev(ts("2024-01-01 00:30:00"), 1, "a", 0))  // new session
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamOps.dedupWithinWatermark(mem.toDF(), "ts", Seq("user_id", "event_type"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 00:01:00"), 1, "click", 1.0), // dup within horizon
+        Ev(ts("2024-01-01 00:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("background runner stops side queries when the main action ends (index.js:167-173)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(ts("2024-01-01 00:00:00"), 1, "click", 1.0))
+    var sideQuery: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    val result = BackgroundRunner.withBackground(() => {
+      val q = mem.toDF().writeStream.format("memory").queryName("bg")
+        .outputMode("append").start()
+      sideQuery = Some(q)
+      q
+    }) {
+      sideQuery.get.processAllAvailable()
+      spark.table("bg").count()
+    }
+    assert(result == 1L)
+    assert(!sideQuery.get.isActive) // destroyed when main ended
+  }
+
+  test("streaming and batch share the same transform (unified pipeline)") {
+    // the exact DataFrame=>DataFrame used in streaming runs in batch too
+    val batch = Seq(
+      Ev(ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(ts("2024-01-01 00:14:00"), 1, "click", 2.0)).toDF()
+    val out = StreamOps.tumblingCounts(batch, "ts", "event_type", "10 minutes", "5 minutes")
+    assert(out.count() == 2)
+  }
+}
