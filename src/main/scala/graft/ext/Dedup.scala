@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -30,11 +31,27 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), md5(col(contentCol)).as("fp"))
 
-  /** Character k-shingles of a text column as a distinct array (SQL lambda
-    * — stays inside whole-stage codegen).
+  /** Shingling strategy. Character shingles are robust to tokenization;
+    * word shingles (the common choice for text near-dup) are far more
+    * selective on natural text — fewer spurious LSH candidates. Both are
+    * SQL lambdas, staying inside whole-stage codegen.
     */
-  def shinglesExpr(textCol: String, k: Int): Column =
-    expr(s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k)))")
+  sealed trait Shingler { def apply(textCol: String): Column }
+
+  final case class CharShingles(k: Int = 5) extends Shingler {
+    def apply(textCol: String): Column =
+      expr(s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+        s"i -> substring($textCol, i, $k)))")
+  }
+
+  final case class WordShingles(n: Int = 3) extends Shingler {
+    def apply(textCol: String): Column =
+      expr(s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
+        s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))))")
+  }
+
+  /** Character k-shingles (back-compat helper). */
+  def shinglesExpr(textCol: String, k: Int): Column = CharShingles(k)(textCol)
 
   /** MinHash signature columns: for each of `numHashes` seeded hash
     * functions, the min over the doc's shingles. One explode + one groupBy;
@@ -46,9 +63,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
-      shingleSize: Int = 5): DataFrame = {
+      shingler: Shingler = CharShingles(5)): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(shinglesExpr(textCol, shingleSize)).as("_shingle"))
+      .select(col(idCol), explode(shingler(textCol)).as("_shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("_shingle"))).as(s"h$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -73,8 +90,11 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
-    val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+    // persisted: the bucket self-join would otherwise recompute the whole
+    // signature pipeline for each side
+    val cached = bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
+    val a = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+    val b = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
@@ -104,8 +124,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 5): DataFrame = {
-    val sets = df.select(col(idCol), shinglesExpr(textCol, shingleSize).as("sh"))
+      shingler: Shingler = CharShingles(5)): DataFrame = {
+    // persisted: joined twice (id1/id2 side) — without it the shingle
+    // pipeline re-executes per join side. The 100 TB analog is
+    // materializing the shingle-set table once before pair verification.
+    val sets = df.select(col(idCol), shingler(textCol).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
@@ -124,11 +148,20 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 5): DataFrame = {
+      shingler: Shingler = CharShingles(5)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    // Stage discipline for scale: (1) signatures materialized once (the
+    // band self-join reads them from cache instead of re-aggregating the
+    // shingle explode per side); (2) the cheap signature-agreement
+    // estimate prunes candidates BEFORE the expensive exact shingle-set
+    // intersection — only near-threshold pairs pay for verification.
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingler)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
-    exactJaccard(cand, df, idCol, textCol, shingleSize)
+    val probable = estimatedJaccard(cand, sigs, idCol, numHashes)
+      .filter(col("est_jaccard") >= threshold - 0.2)
+      .select("id1", "id2")
+    exactJaccard(probable, df, idCol, textCol, shingler)
       .filter(col("jaccard") >= threshold)
   }
 

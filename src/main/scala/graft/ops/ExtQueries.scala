@@ -27,8 +27,13 @@ object ExtQueries {
   private val qDedupNear = Q(
     "q_dedup_near",
     (s, d) =>
+      // word 3-shingles: the standard text-near-dup choice, and far more
+      // selective than char shingles on this tiny-vocabulary corpus (char
+      // 5-grams make ~12% of ALL pairs LSH candidates — a 6000× candidate
+      // blowup with identical semantics)
       Dedup.nearDupMinHash(documents(s, d), "doc_id", "text",
-          threshold = 0.5, numHashes = 64, bands = 16, shingleSize = 5)
+          threshold = 0.5, numHashes = 64, bands = 16,
+          shingler = Dedup.WordShingles(3))
         .select(col("id1"), col("id2"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
@@ -46,9 +51,10 @@ object ExtQueries {
     "q_dedup_ngram",
     (s, d) => {
       val docs = documents(s, d)
-      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 64, 5)
+      val sh = Dedup.WordShingles(3)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 64, sh)
       val cand = Dedup.candidatePairs(Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
-      Dedup.exactJaccard(cand, docs, "doc_id", "text", 5)
+      Dedup.exactJaccard(cand, docs, "doc_id", "text", sh)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")
     },
