@@ -20,7 +20,8 @@ final case class RunOptions(
     env: Map[String, String] = Map.empty,
     params: Seq[String] = Nil,
     stderr: Boolean = false,
-    partitions: Option[Int] = None)
+    partitions: Option[Int] = None,
+    debug: Boolean = false)
 
 /** The pipeline engine — registry + planner, the Spark-native rebuild of
   * `gasket(config, defaults)` (`/root/reference/index.js:117-212`).
@@ -153,7 +154,11 @@ final class Engine(
       spark: SparkSession,
       segInput: DataFrame,
       opts: RunOptions): DataFrame = {
-    def app(st: Stage, in: DataFrame): DataFrame = applyStage(pipelineName, st, in, opts)
+    var stageIdx = -1
+    def app(st: Stage, in: DataFrame): DataFrame = {
+      stageIdx += 1
+      applyStage(pipelineName, st, stageIdx, in, opts)
+    }
     seg.head.segType match {
       case SegType.Pipe =>
         seg.foldLeft(segInput)((df, st) => app(st, df))
@@ -187,20 +192,31 @@ final class Engine(
   private def applyStage(
       pipelineName: String,
       st: Stage,
+      idx: Int,
       in: DataFrame,
-      opts: RunOptions): DataFrame = st match {
-    case Stage.Command(cmd, _, _) =>
-      // Documented-vs-actual discrepancy (SURVEY §2.1): the reference
-      // appends [pipelineName, ...params] to EVERY command's argv
-      // (index.js:85 + execspawn), which makes its own canonical example
-      // print "HELLO WORLD EXAMPLE", contradicting readme.md:47
-      // ("will print HELLO WORLD"). We implement the documented
-      // semantics: only explicit user params reach the command line.
-      CommandStage(in, cmd, opts.params, opts.env, opts.partitions)
-    case Stage.Module(name, _, json) =>
-      bridgeJson(json, modules.resolve(name), in)
-    case Stage.Inline(_, fn, _, json) =>
-      bridgeJson(json, fn, in)
+      opts: RunOptions): DataFrame = {
+    val out = st match {
+      case Stage.Command(cmd, _, _) =>
+        // Documented-vs-actual discrepancy (SURVEY §2.1): the reference
+        // appends [pipelineName, ...params] to EVERY command's argv
+        // (index.js:85 + execspawn), which makes its own canonical example
+        // print "HELLO WORLD EXAMPLE", contradicting readme.md:47
+        // ("will print HELLO WORLD"). We implement the documented
+        // semantics: only explicit user params reach the command line.
+        CommandStage(in, cmd, opts.params, opts.env, opts.partitions)
+      case Stage.Module(name, _, json) =>
+        bridgeJson(json, modules.resolve(name), in)
+      case Stage.Inline(_, fn, _, json) =>
+        bridgeJson(json, fn, in)
+    }
+    // DEBUG tap parity (index.js:77-80, debug-stream per stage): under
+    // opts.debug every stage output carries an observed row-count metric,
+    // retrievable from QueryExecution.observedMetrics / a listener —
+    // the plan-metric analog of tapping the byte stream.
+    if (opts.debug)
+      out.observe(s"graft_${pipelineName}_stage$idx",
+        count(lit(1)).as("rows"))
+    else out
   }
 
   private def bridgeJson(

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.stages.{CommandStage, NdjsonBridge}
+
+/** Source/sink surface of the engine.
+  *
+  * The reference's data plane is stdin/stdout byte streams with optional
+  * NDJSON framing (`/root/reference/index.js:14-27,73`); files enter via
+  * shell stages (`cat file`). Here each transport is a first-class typed
+  * reader/writer on Spark's native connectors, so scans prune/push down
+  * and writes are partitioned:
+  *
+  *   - lines: text files ↔ the `value`-column byte-stream analog;
+  *   - ndjson: text lines parsed to structured rows (schema inference or
+  *     explicit schema — the scale path, no inference pass);
+  *   - parquet/csv/json: standard columnar/row formats;
+  *   - binary: whole-file payloads for multimodal columns
+  *     (`binaryFile` connector: path, modificationTime, length, content).
+  */
+object Sources {
+
+  // ------------------------------------------------------------- readers
+
+  /** Text lines as the engine's pipe-data-plane (`value: string`). */
+  def lines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", CommandStage.ValueCol)
+
+  /** NDJSON file → structured rows. Pass a schema at scale (inference
+    * costs an extra pass).
+    */
+  def ndjson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    NdjsonBridge.parse(lines(spark, path), schema)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** Whole-file binary payloads (images/audio/video) with file metadata —
+    * the ingestion path for [[graft.ext.Multimodal]].
+    */
+  def binaryFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("length").as("byte_len"), col("content").as("payload"))
+
+  /** Streaming variants — same schemas, unbounded (`gasket pipe` analog:
+    * stdin stays open, bin.js:157-184).
+    */
+  def linesStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path).withColumnRenamed("value", CommandStage.ValueCol)
+
+  def ndjsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    NdjsonBridge.parse(linesStream(spark, path), Some(schema))
+
+  // --------------------------------------------------------------- sinks
+
+  /** Structured rows → NDJSON text files (ndjson.serialize parity). */
+  def writeNdjson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    NdjsonBridge.serialize(df).write.mode(mode).text(path)
+
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** stdout sink (CLI `gasket run` prints to stdout, bin.js:149). Driver-
+    * side by nature; for big results prefer a file sink.
+    */
+  def printLines(df: DataFrame, limit: Int = 1000): Unit =
+    df.select(CommandStage.ValueCol).limit(limit).collect()
+      .foreach(r => println(r.getString(0)))
+}

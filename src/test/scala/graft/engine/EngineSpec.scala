@@ -127,6 +127,17 @@ class EngineSpec extends SparkSpec {
     assert(collectValues(out) == Seq("bonjour"))
   }
 
+  test("DEBUG taps expose per-stage row counts (index.js:77-80)") {
+    val spec = PipelineSpec(ListMap("example" -> Seq(
+      Stage.Command("echo hello world"),
+      Stage.Module("uppercase"))))
+    val out = new Engine(spec).run("example", spark, opts = RunOptions(debug = true))
+    out.collect()
+    val metrics = out.queryExecution.observedMetrics
+    assert(metrics.keySet == Set("graft_example_stage0", "graft_example_stage1"))
+    assert(metrics("graft_example_stage1").getAs[Long]("rows") == 1L)
+  }
+
   test("registry surface: list/has/toJson round-trip (index.js:180-210)") {
     val spec = PipelineSpec(ListMap(
       "a" -> Seq(Stage.Command("cat -")),

@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Tables
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    Files.createTempDirectory("graft-src").resolve(name).toString
+
+  test("ndjson round-trip: write → read back equals original") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    val path = tmp("docs_ndjson")
+    Sources.writeNdjson(docs, path)
+    val back = Sources.ndjson(spark, path)
+    assert(back.count() == docs.count())
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = back.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("csv round-trip with header") {
+    val df = Tables.nation(spark, sfDir)
+    val path = tmp("nation_csv")
+    Sources.writeCsv(df, path)
+    val back = Sources.csv(spark, path)
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = tmp("docs_part")
+    Sources.writeParquet(docs, path, partitionBy = Seq("lang"))
+    val back = Sources.parquet(spark, path).filter(col("lang") === "en")
+    assert(back.count() ==
+      docs.filter(col("lang") === "en").count())
+    // partition pruning visible in the plan: only the lang=en directory
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.contains("lang=fr"))
+  }
+
+  test("binaryFiles loads whole-file payloads with metadata") {
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.bin"), Array[Byte](4, 5))
+    val media = Sources.binaryFiles(spark, dir.toString + "/*.bin")
+    val rows = media.orderBy("byte_len").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("byte_len") == 2L)
+    assert(rows(1).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("lines source feeds the pipeline data plane") {
+    val dir = Files.createTempDirectory("graft-lines")
+    Files.writeString(dir.resolve("in.txt"), "alpha\nbeta\n")
+    val df = Sources.lines(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("value"))
+    assert(df.count() == 2)
+  }
+}
