@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** SQL-surface bootstrap: register the corpus tables as temp views and the
+  * custom Catalyst expressions as SQL functions, so the whole engine is
+  * usable from `spark.sql(...)` — the declarative twin of the programmatic
+  * DataFrame API.
+  */
+object GraftSql {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n =>
+      ops.Tables.table(spark, dir, n).createOrReplaceTempView(n))
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)))
+  }
+
+  def bootstrap(spark: SparkSession, dir: String): Unit = {
+    registerTables(spark, dir)
+    registerFunctions(spark)
+  }
+}

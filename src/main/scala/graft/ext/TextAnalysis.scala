@@ -81,6 +81,19 @@ object TextAnalysis {
   /** 64-bit xxhash fingerprint (fast path for shuffle keys / dedup). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  /** Deterministic, content-addressed train/val/test split: the first hex
+    * nibble of md5(key) buckets rows 13/2/1 (≈81%/12.5%/6.25%). Stable
+    * across runs, engines, partitionings, and data additions — the
+    * property a training pipeline needs so examples never migrate between
+    * splits when the corpus grows.
+    */
+  def stableSplit(key: Column): Column = {
+    val nib = substring(md5(key.cast("string")), 1, 1)
+    when(nib.isin("d", "e"), "val")
+      .when(nib === "f", "test")
+      .otherwise("train")
+  }
+
   /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31) —
     * order-sensitive, unlike a bag-of-words hash. Expressed with
     * aggregate() so it is codegen'd. Arithmetic stays below 2^39 (mod 2^33

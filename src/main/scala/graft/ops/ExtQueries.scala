@@ -187,6 +187,23 @@ object ExtQueries {
             FROM documents ORDER BY doc_id"""),
     "portable 128-bit content fingerprint (md5)")
 
+  private val qSplitStable = Q(
+    "q_split_stable",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("split", TextAnalysis.stableSplit(col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang"),
+    Some("""SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d', 'e') THEN 'val'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+                        ELSE 'train' END AS split,
+                   lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2 ORDER BY split, lang"""),
+    "stable content-addressed train/val/test split (examples never migrate " +
+      "between splits as the corpus grows)")
+
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
@@ -200,5 +217,5 @@ object ExtQueries {
     qDedupExact, qDedupNear, qDedupSimhash, qDedupNgram, qDedupEmbed,
     qSimTopk, qSimAnn,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qMultimodal)
+    qSplitStable, qMultimodal)
 }

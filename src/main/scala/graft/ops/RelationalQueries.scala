@@ -652,8 +652,95 @@ object RelationalQueries {
             ORDER BY okey"""),
     "set except (distinct semantics in both engines)")
 
+  // -------------------------------------------------- subqueries & misc
+
+  private val qScalarSubquery = Q(
+    "q_scalar_subquery",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+      // threshold computed as exact decimal sum → double → IEEE ops, so
+      // both engines derive the identical double before comparing
+      s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+               FROM lineitem_sq
+               WHERE l_quantity > 1.9 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                                / COUNT(*) FROM lineitem_sq)
+               ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_quantity > 1.9 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                             / COUNT(*) FROM lineitem)
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""),
+    "uncorrelated scalar subquery (planned as a broadcast one-row join)")
+
+  private val qWindowDistribution = Q(
+    "q_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_suppkey"), col("l_partkey"))
+      lineitem(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .filter(col("l_orderkey") % 100 === 0) // keep output bounded
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+          "quartile", "prank", "cdist")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "prank")
+    },
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, quartile, prank, cdist
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                         percent_rank() OVER w AS prank,
+                         cume_dist() OVER w AS cdist
+                  FROM lineitem
+                  WINDOW w AS (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                                        l_quantity, l_suppkey, l_partkey))
+            WHERE l_orderkey % 100 = 0
+            ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity, prank"""),
+    "distribution window functions (ntile / percent_rank / cume_dist)")
+
+  private val qRegexFns = Q(
+    "q_regex_fns",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "*").as("devoweled"),
+        col("text").rlike("agg").as("has_agg")
+      ).orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   regexp_extract(text, '([a-z]+)', 1) AS first_word,
+                   regexp_replace(substring(text, 1, 30), '[aeiou]', '*', 'g') AS devoweled,
+                   regexp_matches(text, 'agg') AS has_agg
+            FROM documents ORDER BY doc_id"""),
+    "regex functions (patterns restricted to the RE2∩Java-regex dialect)")
+
+  private val qSampleHash = Q(
+    "q_sample_hash",
+    (s, d) =>
+      lineitem(s, d)
+        .filter(substring(md5(concat_ws("-",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          col("l_quantity").cast("string"))), 1, 1).isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                CAST(l_linenumber AS VARCHAR) || '-' ||
+                                CAST(l_quantity AS VARCHAR)), 1, 1) IN ('0', '1')
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "deterministic content-addressed sampling (~12.5%) — engine-portable, " +
+      "stable across partitionings; the scalable alternative to rand() samples")
+
   def all: Seq[Q] = Seq(
     qScan, qProject, qFilter,
+    qScalarSubquery, qWindowDistribution, qRegexFns, qSampleHash,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof,
