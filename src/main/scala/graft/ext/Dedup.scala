@@ -12,11 +12,10 @@ import org.apache.spark.storage.StorageLevel
   *   - exact: hash groupBy on the content (or its md5) — one shuffle keyed
   *     by content hash; at 100 TB the shuffle carries (hash, min_id, count)
   *     after partial aggregation, not documents;
-  *   - MinHash+LSH: shingle → k minhashes (k agg-min's over one explode) →
+  *   - MinHash+LSH: shingle → k minhashes (a map-only array projection) →
   *     b bands → bucket-join. Candidate generation never compares all
-  *     pairs: the only shuffles are the per-doc signature aggregation and
-  *     the band-bucket self-join, both keyed and skew-resistant (bucket
-  *     sizes are bounded by construction);
+  *     pairs: the only shuffle is the band-bucket self-join, keyed and
+  *     skew-resistant (bucket sizes are bounded by construction);
   *   - SimHash: 64 sign-sums over token hashes, reassembled into one
   *     64-bit fingerprint; near-dup = small Hamming distance;
   *   - n-gram Jaccard: exact verification on candidate pairs only.
@@ -45,18 +44,29 @@ object Dedup {
   }
 
   final case class WordShingles(n: Int = 3) extends Shingler {
+    // the outer single-element transform binds the token array ONCE per
+    // row — naively referencing split() inside the index lambda re-splits
+    // the text per shingle (O(tokens²) interpreted work per document)
     def apply(textCol: String): Column =
-      expr(s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
-        s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))))")
+      expr(s"""array_distinct(transform(array(split($textCol, ' ')),
+               toks -> transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)),
+                                 i -> array_join(slice(toks, i, $n), ' ')))[0])""")
   }
 
   /** Character k-shingles (back-compat helper). */
   def shinglesExpr(textCol: String, k: Int): Column = CharShingles(k)(textCol)
 
-  /** MinHash signature columns: for each of `numHashes` seeded hash
-    * functions, the min over the doc's shingles. One explode + one groupBy;
-    * the k min-aggregates are map-side combined, so the shuffle carries one
-    * k-long signature per doc.
+  /** MinHash signature per document as ONE `array<bigint>` column `sig`.
+    *
+    * MAP-ONLY: each shingle string is hashed once, and the k seeded
+    * variants are derived by hashing the resulting 8-byte long — all
+    * inside nested array lambdas, so the whole signature computation is
+    * one codegen'd projection with no explode, no aggregation, and no
+    * shuffle: it runs at scan speed and parallelizes embarrassingly at
+    * 100 TB. Packing the signature as a single array (rather than k
+    * columns) keeps the generated code a small loop instead of k
+    * unrolled expressions — k-column unrolling made Janino compilation
+    * dominate the wall time at k=64.
     */
   def minHashSignatures(
       df: DataFrame,
@@ -64,11 +74,14 @@ object Dedup {
       textCol: String,
       numHashes: Int = 64,
       shingler: Shingler = CharShingles(5)): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingler(textCol)).as("_shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("_shingle"))).as(s"h$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // CPU-heavy map stage: a small parquet file scans as ONE partition,
+    // which would serialize the hashing onto one core. Widen only when
+    // the scan under-partitions (a no-op at real scale).
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    src.select(col(idCol),
+      graft.functions.MinHashSignature
+        .minhash_signature(shingler(textCol), numHashes).as("sig"))
   }
 
   /** LSH banding: (id, band_id, band_hash) rows. Docs sharing a band hash
@@ -79,13 +92,13 @@ object Dedup {
       idCol: String,
       bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash"))
-    }
+    // band hash = hash of the signature slice (xxhash64 hashes array
+    // values natively); one posexplode over the band array per doc
     signatures
-      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
-      .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+      .select(col(idCol), posexplode(
+        expr(s"""transform(sequence(0, ${bands - 1}),
+                   b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
+        .as(Seq("band_id", "band_hash")))
   }
 
   /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
@@ -107,9 +120,8 @@ object Dedup {
       signatures: DataFrame,
       idCol: String,
       numHashes: Int): DataFrame = {
-    val sigCols = (0 until numHashes).map(i => col(s"h$i"))
-    val s1 = signatures.select(col(idCol).as("id1"), array(sigCols: _*).as("sig1"))
-    val s2 = signatures.select(col(idCol).as("id2"), array(sigCols: _*).as("sig2"))
+    val s1 = signatures.select(col(idCol).as("id1"), col("sig").as("sig1"))
+    val s2 = signatures.select(col(idCol).as("id2"), col("sig").as("sig2"))
     pairs.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($numHashes as double)"))
