@@ -1,0 +1,108 @@
+package graft.props
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.engine.Engine
+import graft.ext.Dedup
+import graft.spec.{PipelineSpec, SegType, Stage}
+import graft.stages.{CommandStage, ModuleRegistry, NdjsonBridge}
+
+/** Property-based checks (SURVEY §5.2 item 3): algebraic laws the
+  * combinators must satisfy on generated inputs. ScalaCheck generators
+  * with fixed seeds (scalatestplus isn't in the offline cache, so
+  * sampling is explicit — same coverage, deterministic).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private val lineGen: Gen[List[String]] =
+    Gen.listOfN(6, Gen.alphaNumStr.map(_.take(8))).map(_.filter(_.nonEmpty))
+
+  test("fork union is multiset-equal to its inputs (index.js:42-49)") {
+    (1L to 5L).foreach { seed =>
+      val xs = sample(lineGen, seed)
+      val ys = sample(lineGen, seed + 100)
+      val reg = ModuleRegistry.default
+        .register("xs", _ => xs.toDF(CommandStage.ValueCol))
+        .register("ys", _ => ys.toDF(CommandStage.ValueCol))
+      val spec = PipelineSpec(ListMap("f" -> Seq(
+        Stage.Module("xs", SegType.Fork), Stage.Module("ys", SegType.Fork))))
+      val out = new Engine(spec, reg).run("f", spark)
+        .as[String].collect().toSeq.sorted
+      assert(out == (xs ++ ys).sorted, s"seed=$seed")
+    }
+  }
+
+  test("map tee row count = branches × source count (index.js:62)") {
+    (1L to 5L).foreach { seed =>
+      val xs = sample(lineGen, seed) match {
+        case Nil => List("fallback")
+        case l   => l
+      }
+      val branches = 1 + (seed % 3).toInt
+      val reg = (1 to branches).foldLeft(
+        ModuleRegistry.default.register("src", _ => xs.toDF(CommandStage.ValueCol))) {
+        (r, i) => r.register(s"b$i", df => df)
+      }
+      val stages = Stage.Module("src", SegType.MapTee) +:
+        (1 to branches).map(i => Stage.Module(s"b$i", SegType.MapTee))
+      val spec = PipelineSpec(ListMap("t" -> stages.toSeq))
+      val n = new Engine(spec, reg).run("t", spark).count()
+      assert(n == branches.toLong * xs.size, s"seed=$seed")
+    }
+  }
+
+  test("NDJSON round-trip preserves rows: parse ∘ serialize = id") {
+    val rowGen = Gen.listOfN(5,
+      Gen.zip(Gen.chooseNum(0L, 9999L), Gen.alphaNumStr.map(_.take(6))))
+    (1L to 5L).foreach { seed =>
+      // dedupe keys post-generation (suchThat can exhaust the sampler)
+      val rows = sample(rowGen, seed).distinctBy(_._1) match {
+        case Nil => List((1L, "x"))
+        case rs  => rs
+      }
+      val df = rows.toDF("id", "s")
+      val back = NdjsonBridge.parse(NdjsonBridge.serialize(df))
+      val a = df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val b = back.select(col("id").cast("long"), col("s")).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
+  test("minhash estimate tracks exact jaccard across overlap levels") {
+    val words = (1 to 40).map(i => s"w$i")
+    Seq(0, 5, 10, 15, 20).foreach { overlap =>
+      val a = words.take(20 + overlap).mkString(" ")
+      val b = words.drop(20 - overlap).mkString(" ")
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 64, Dedup.WordShingles(2))
+      val est = Dedup.estimatedJaccard(
+        Seq((1L, 2L)).toDF("id1", "id2"), sigs, "doc_id", 64)
+        .head().getDouble(2)
+      val exact = Dedup.exactJaccard(
+        Seq((1L, 2L)).toDF("id1", "id2"), docs, "doc_id", "text", Dedup.WordShingles(2))
+        .head().getDouble(2)
+      // k=64 unbiased estimator → loose tolerance
+      assert(math.abs(est - exact) <= 0.3, s"overlap=$overlap est=$est exact=$exact")
+    }
+  }
+
+  test("stable split is a total function into {train,val,test}") {
+    (1L to 5L).foreach { seed =>
+      val keys = sample(Gen.listOfN(30, Gen.chooseNum(0L, 1000000L)), seed)
+      val out = keys.toDF("k")
+        .select(graft.ext.TextAnalysis.stableSplit(col("k")).as("s"))
+        .distinct().as[String].collect().toSet
+      assert(out.subsetOf(Set("train", "val", "test")), s"seed=$seed")
+    }
+  }
+}
