@@ -19,12 +19,23 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // failed queries report -1 so a breakage can't masquerade as a
+      // fast run (and is excluded from the total)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // release pipeline-local persisted intermediates between queries so
+      // caching helps within a query but can't accumulate across 50+
+      ops.CacheUtils.releaseAll(spark)
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -40,9 +40,12 @@ object Main {
     var i = 0
     while (i < argv.length) {
       argv(i) match {
-        case "-c" | "--config" => config = Some(argv(i + 1)); i += 2
-        case "--cwd"           => cwd = argv(i + 1); i += 2
-        case other             => pos += other; i += 1
+        case f @ ("-c" | "--config" | "--cwd") =>
+          if (i + 1 >= argv.length)
+            throw new IllegalArgumentException(s"$f requires a value")
+          if (f == "--cwd") cwd = argv(i + 1) else config = Some(argv(i + 1))
+          i += 2
+        case other => pos += other; i += 1
       }
     }
     Args(pos.headOption.getOrElse("help"), pos.drop(1).toSeq, cwd, config)
@@ -54,7 +57,13 @@ object Main {
     * config verbs (ls/show/add/rm) run without one.
     */
   def run(argv: Array[String], mkSession: () => SparkSession): Unit = {
-    val args = parseArgs(argv)
+    val args = try parseArgs(argv) catch {
+      case e: IllegalArgumentException =>
+        Console.err.println(e.getMessage)
+        Console.err.println(
+          "usage: graft <ls|show|add|rm|run|pipe|exec|version> [args] [-c file] [--cwd dir]")
+        return
+    }
     args.verb match {
       case "ls" =>
         loadEngine(args).list.foreach(printSafe)
@@ -76,7 +85,7 @@ object Main {
         val names = if (args.positional.nonEmpty) args.positional else Seq("main")
         names.foreach { n =>
           engine.pipe(n, spark) match {
-            case Some(df) => Sources.printLines(df)
+            case Some(df) => Sources.printLines(df, Int.MaxValue)
             case None if n == "main" => ()
             case None => Console.err.println(s"Could not find pipe: $n")
           }
@@ -89,8 +98,17 @@ object Main {
         val spark = mkSession()
         import spark.implicits._
         val stdin = scala.io.Source.stdin.getLines().toSeq.toDF(CommandStage.ValueCol)
-        val out = args.positional.foldLeft(stdin)((df, n) =>
-          engine.run(n, spark, Some(df)))
+        // default to 'main' and skip missing names with a stderr note
+        // (silent for 'main'), as the reference does (bin.js:158-175)
+        val names = if (args.positional.nonEmpty) args.positional else Seq("main")
+        val out = names.foldLeft(stdin) { (df, n) =>
+          engine.pipe(n, spark, Some(df)) match {
+            case Some(next) => next
+            case None =>
+              if (n != "main") Console.err.println(s"$n does not exist")
+              df
+          }
+        }
         Sources.printLines(out, Int.MaxValue)
       case "exec" =>
         val spark = mkSession()

@@ -97,7 +97,8 @@ final class Engine(
       command: String,
       input: DataFrame,
       opts: RunOptions = defaults): DataFrame =
-    CommandStage(input, command, opts.params, opts.env, opts.partitions)
+    CommandStage(input, command, opts.params, opts.env, opts.partitions,
+      Some(opts.cwd))
 
   /** `.toJSON()` parity (index.js:208-210). */
   def toJson: String = spec.toJson
@@ -112,14 +113,20 @@ final class Engine(
       opts: RunOptions): DataFrame = {
     val segments = split(stages)
     val empty = emptySource(spark)
+    val stageCounter = new java.util.concurrent.atomic.AtomicInteger(0)
     var background = List.empty[DataFrame]
     var segOutputs = List.empty[DataFrame]
-    var first = true
+    // engine input feeds the first MAIN segment's head — background
+    // segments run beside the main chain and never consume its input
+    // (the reference pulls them out of mainPipeline, index.js:150-151)
+    var mainInputPending = input.isDefined
     segments.foreach { seg =>
-      val segInput = if (first) input.getOrElse(empty) else empty
-      first = false
-      val out = buildSegment(name, seg, spark, segInput, opts)
-      if (seg.head.segType == SegType.Background) background ::= out
+      val isBackground = seg.head.segType == SegType.Background
+      val segInput =
+        if (!isBackground && mainInputPending) { mainInputPending = false; input.get }
+        else empty
+      val out = buildSegment(name, seg, spark, segInput, opts, stageCounter)
+      if (isBackground) background ::= out
       else segOutputs ::= out
     }
     val mains = segOutputs.reverse
@@ -153,12 +160,12 @@ final class Engine(
       seg: List[Stage],
       spark: SparkSession,
       segInput: DataFrame,
-      opts: RunOptions): DataFrame = {
-    var stageIdx = -1
-    def app(st: Stage, in: DataFrame): DataFrame = {
-      stageIdx += 1
-      applyStage(pipelineName, st, stageIdx, in, opts)
-    }
+      opts: RunOptions,
+      stageCounter: java.util.concurrent.atomic.AtomicInteger): DataFrame = {
+    // pipeline-global stage index: observe() metric names must be unique
+    // across the whole (possibly multi-segment, unioned) query
+    def app(st: Stage, in: DataFrame): DataFrame =
+      applyStage(pipelineName, st, stageCounter.getAndIncrement(), in, opts)
     seg.head.segType match {
       case SegType.Pipe =>
         seg.foldLeft(segInput)((df, st) => app(st, df))
@@ -203,7 +210,8 @@ final class Engine(
         // print "HELLO WORLD EXAMPLE", contradicting readme.md:47
         // ("will print HELLO WORLD"). We implement the documented
         // semantics: only explicit user params reach the command line.
-        CommandStage(in, cmd, opts.params, opts.env, opts.partitions)
+        CommandStage(in, cmd, opts.params, opts.env, opts.partitions,
+          Some(opts.cwd))
       case Stage.Module(name, _, json) =>
         bridgeJson(json, modules.resolve(name), in)
       case Stage.Inline(_, fn, _, json) =>

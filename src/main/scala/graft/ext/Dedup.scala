@@ -152,6 +152,11 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact verification →
     * pairs with jaccard ≥ threshold.
+    *
+    * Caching note: the persisted intermediates (signatures, band buckets,
+    * shingle sets) are plan-local and stay cached for the session; a
+    * long-lived caller running many batches should release them between
+    * units of work via [[graft.ops.CacheUtils.releaseAll]].
     */
   def nearDupMinHash(
       df: DataFrame,

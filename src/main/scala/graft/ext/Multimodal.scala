@@ -34,7 +34,9 @@ object Multimodal {
       col(idCol).cast("long").as("media_id"),
       col(contentCol).cast("binary").as("payload"),
       lit(mediaType).as("media_type"),
-      length(col(contentCol)).cast("long").as("byte_len"))
+      // length of the BINARY payload (bytes), not the string (chars) —
+      // they differ for non-ASCII content
+      length(col(contentCol).cast("binary")).cast("long").as("byte_len"))
 
   final case class DecodedMeta(
       media_id: Long,

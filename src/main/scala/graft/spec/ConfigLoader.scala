@@ -32,6 +32,15 @@ object ConfigLoader {
           Option(p.toAbsolutePath.getParent).getOrElse(base)))
       else None
 
+    // explicit -c semantics: a DIRECTORY falls through (the reference's
+    // EISDIR parity, index.js:242-245) but a MISSING file is an error —
+    // silently falling back would let e.g. `rm -c typo.json` mutate a
+    // config the user never targeted.
+    explicitFile.foreach { f =>
+      val p = base.resolve(f)
+      if (!Files.exists(p))
+        throw new java.io.FileNotFoundException(s"Config file not found: $p")
+    }
     explicitFile.flatMap(f => read(base.resolve(f), unwrapGasketKey = false))
       .orElse(read(base.resolve("gasket.json"), unwrapGasketKey = false))
       .orElse(read(base.resolve("package.json"), unwrapGasketKey = true))

@@ -29,12 +29,19 @@ object CommandStage {
       command: String,
       params: Seq[String] = Nil,
       env: Map[String, String] = Map.empty,
-      partitions: Option[Int] = None): DataFrame = {
+      partitions: Option[Int] = None,
+      cwd: Option[String] = None): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
     // Params are appended to the command line, shell-quoted — parity with
     // `p.params` argv appending (index.js:85, npm-execspawn behavior).
-    val full = (command +: params.map(shellQuote)).mkString(" ")
+    // cwd: RDD.pipe has no working-directory knob, so the shell cd's first
+    // (execspawn's cwd option parity, index.js:124) — relative paths in
+    // commands resolve against the config directory. Only meaningful
+    // where the path exists on every executor (shared FS / local mode).
+    val base = (command +: params.map(shellQuote)).mkString(" ")
+    val full = cwd.filter(_ != ".")
+      .fold(base)(d => s"cd ${shellQuote(d)} && ($base)")
     val lines = input.select(ValueCol).as[String]
     val sized = partitions.fold(lines)(n => lines.coalesce(n))
     val piped = sized.rdd.pipe(

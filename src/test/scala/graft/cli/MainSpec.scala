@@ -60,6 +60,15 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("a trailing flag without a value prints usage instead of crashing") {
+    val err = new ByteArrayOutputStream()
+    Console.withErr(err) {
+      Main.run(Array("ls", "-c"), () => spark)
+    }
+    assert(err.toString.contains("-c requires a value"))
+    assert(err.toString.contains("usage:"))
+  }
+
   test("run of missing non-main name errors to stderr, missing main is silent") {
     withDir("""{"x": ["echo hi"]}""") { cwd =>
       val err = new ByteArrayOutputStream()

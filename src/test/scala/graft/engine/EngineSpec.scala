@@ -138,6 +138,35 @@ class EngineSpec extends SparkSpec {
     assert(metrics("graft_example_stage1").getAs[Long]("rows") == 1L)
   }
 
+  test("DEBUG taps stay unique across segments (multi-segment pipeline)") {
+    val spec = PipelineSpec(ListMap("multi" -> Seq(
+      Stage.Command("echo first", SegType.Run),
+      Stage.Command("echo second", SegType.Pipe))))
+    val out = new Engine(spec).run("multi", spark, opts = RunOptions(debug = true))
+    out.collect() // duplicate metric names would fail analysis here
+    assert(out.queryExecution.observedMetrics.keySet ==
+      Set("graft_multi_stage0", "graft_multi_stage1"))
+  }
+
+  test("background segments do not consume the pipeline input (index.js:150-151)") {
+    val spec = PipelineSpec(ListMap("bg" -> Seq(
+      Stage.Module("linecount", SegType.Background),
+      Stage.Command("cat -", SegType.Pipe))))
+    val out = new Engine(spec).run("bg", spark, Some(lines("x", "y")))
+    // main chain sees the input (cat echoes both rows); the background
+    // linecount ran on the empty source (contributes "0")
+    assert(collectValues(out).sorted == Seq("0", "x", "y"))
+  }
+
+  test("cwd makes relative paths in commands resolve against the config dir (index.js:124)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cwd")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "from-config-dir\n")
+    val spec = PipelineSpec(ListMap("readit" -> Seq(Stage.Command("cat data.txt"))))
+    val out = new Engine(spec, defaults = RunOptions(cwd = dir.toString))
+      .run("readit", spark)
+    assert(collectValues(out) == Seq("from-config-dir"))
+  }
+
   test("registry surface: list/has/toJson round-trip (index.js:180-210)") {
     val spec = PipelineSpec(ListMap(
       "a" -> Seq(Stage.Command("cat -")),

@@ -58,6 +58,14 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(loaded.spec.list == Seq("custom"))
   }
 
+  test("a missing explicit -c file errors instead of silently falling back") {
+    val d = tmpDir()
+    Files.writeString(d.toPath.resolve("gasket.json"), """{"real": ["cat -"]}""")
+    intercept[java.io.FileNotFoundException] {
+      ConfigLoader.load(d.toString, explicitFile = Some("typo.json"))
+    }
+  }
+
   test("JSON parse errors abort rather than falling through (index.js:244,248)") {
     val d = tmpDir()
     Files.writeString(d.toPath.resolve("gasket.json"), """{not json""")
