@@ -3,8 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{CosineSimilarity, DotProduct}
-
 /** SQL-surface bootstrap: register the corpus tables as temp views and the
   * custom Catalyst expressions as SQL functions, so the whole engine is
   * usable from `spark.sql(...)` — the declarative twin of the programmatic
@@ -19,12 +17,11 @@ object GraftSql {
     tableNames.foreach(n =>
       ops.Tables.table(spark, dir, n).createOrReplaceTempView(n))
 
-  def registerFunctions(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)))
-    Bridge.registerFunction(spark, "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)))
-  }
+  /** Same builders as [[GraftExtensions]], applied to a live session. */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 
   def bootstrap(spark: SparkSession, dir: String): Unit = {
     registerTables(spark, dir)

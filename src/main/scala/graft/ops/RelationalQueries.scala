@@ -652,6 +652,59 @@ object RelationalQueries {
             ORDER BY okey"""),
     "set except (distinct semantics in both engines)")
 
+  private val qMultiJoin = Q(
+    "q_multi_join",
+    (s, d) =>
+      // 5-way star join: two broadcast dims chained off customer, the
+      // fact⋈fact core left as a shuffle join — Catalyst reorders and
+      // picks build sides; the shape of TPC-H Q5
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name, count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name"""),
+    "5-way star join (TPC-H Q5 shape): broadcast dims + shuffled fact join")
+
+  private val qQuantiles = Q(
+    "q_quantiles",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_qq")
+      // percentile() (exact, linear interpolation) matches DuckDB's
+      // quantile_cont on integer-valued doubles
+      s.sql("""SELECT l_returnflag,
+                      CAST(percentile(l_quantity, 0.25) AS DOUBLE) AS p25,
+                      CAST(percentile(l_quantity, 0.5) AS DOUBLE) AS p50,
+                      CAST(percentile(l_quantity, 0.75) AS DOUBLE) AS p75,
+                      CAST(min(l_quantity) AS DOUBLE) AS qmin,
+                      CAST(max(l_quantity) AS DOUBLE) AS qmax
+               FROM lineitem_qq GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.75) AS p75,
+                   CAST(min(l_quantity) AS DOUBLE) AS qmin,
+                   CAST(max(l_quantity) AS DOUBLE) AS qmax
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "exact interpolated quantiles (sort-based; approx_percentile is the " +
+      "sketch path at scale — see q_agg_approx for the approximate family)")
+
   // -------------------------------------------------- subqueries & misc
 
   private val qScalarSubquery = Q(
@@ -741,6 +794,7 @@ object RelationalQueries {
   def all: Seq[Q] = Seq(
     qScan, qProject, qFilter,
     qScalarSubquery, qWindowDistribution, qRegexFns, qSampleHash,
+    qMultiJoin, qQuantiles,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof,

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.SparkSpec
+
+/** The extensions class injects without error, and the SAME builders are
+  * exercised end-to-end through SQL via GraftSql (shared-session safe:
+  * building a second getOrCreate session here would hijack the suite-wide
+  * one, so the withExtensions path is validated structurally and the
+  * builders functionally).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extension injection applies all builders without error") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    assert(GraftExtensions.builders.map(_._1).sorted ==
+      Seq("cosine_similarity", "dot_product", "minhash_signature"))
+  }
+
+  test("every builder works through SQL on a live session") {
+    GraftSql.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+                dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+                size(minhash_signature(array('ab', 'cd'), 16)) AS k""").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 6.0)
+    assert(r.getInt(2) == 16)
+  }
+}
