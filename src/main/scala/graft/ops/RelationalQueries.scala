@@ -705,6 +705,121 @@ object RelationalQueries {
     "exact interpolated quantiles (sort-based; approx_percentile is the " +
       "sketch path at scale — see q_agg_approx for the approximate family)")
 
+  private val qStringAgg = Q(
+    "q_string_agg",
+    (s, d) =>
+      // deterministic listagg: collect_list has no ordering promise, so
+      // sort_array fixes the element order before joining
+      nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .select(col("n_regionkey").cast("long").as("region_key"), col("nations"), col("n"))
+        .orderBy("region_key"),
+    Some("""SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n
+            FROM nation GROUP BY n_regionkey ORDER BY region_key"""),
+    "ordered string aggregation (listagg) — sort_array fixes collect_list's " +
+      "unordered contract")
+
+  private val qFirstLastWindow = Q(
+    "q_first_last_window",
+    (s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      lineitem(s, d)
+        .withColumn("first_qty", first(col("l_quantity")).over(w))
+        .withColumn("last_qty", last(col("l_quantity")).over(w))
+        .groupBy("l_suppkey", "first_qty", "last_qty")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey, first_qty, last_qty, count(*) AS n
+            FROM (SELECT l_suppkey,
+                         first_value(l_quantity) OVER w AS first_qty,
+                         last_value(l_quantity) OVER w AS last_qty
+                  FROM lineitem
+                  WINDOW w AS (PARTITION BY l_suppkey
+                               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                        l_quantity, l_extendedprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+            GROUP BY l_suppkey, first_qty, last_qty ORDER BY l_suppkey"""),
+    "first_value/last_value over an unbounded frame (total order per partition)")
+
+  private val qCrossJoin = Q(
+    "q_cross_join",
+    (s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name"""),
+    "explicit cartesian product (dim×dim only — never on facts)")
+
+  private val qUnionDistinct = Q(
+    "q_union_distinct",
+    (s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck"))
+        .union(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("ck")))
+        .distinct()
+        .orderBy("ck")
+    },
+    Some("""SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+            UNION
+            SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+            ORDER BY ck"""),
+    "UNION (distinct) vs the fork-parity UNION ALL")
+
+  private val qNullHandling = Q(
+    "q_null_handling",
+    (s, d) =>
+      // left join produces genuine NULLs; coalesce/nullif/null-aware count
+      // exercised over them
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_null"),
+          coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("spend"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+                   count(*) AS n_rows,
+                   count(o_orderkey) AS n_matched,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_totalprice > 400000
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    "NULL semantics: null-skipping count, null-aware conditional sum, coalesce")
+
+  private val qCaseBuckets = Q(
+    "q_case_buckets",
+    (s, d) =>
+      lineitem(s, d)
+        .withColumn("qty_band",
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 35, "medium")
+            .otherwise("large"))
+        .groupBy("qty_band")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("qty_band"),
+    Some("""SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                        WHEN l_quantity < 35 THEN 'medium'
+                        ELSE 'large' END AS qty_band,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem GROUP BY 1 ORDER BY qty_band"""),
+    "conditional bucketing (CASE WHEN) feeding aggregation")
+
   // -------------------------------------------------- subqueries & misc
 
   private val qScalarSubquery = Q(
@@ -795,6 +910,8 @@ object RelationalQueries {
     qScan, qProject, qFilter,
     qScalarSubquery, qWindowDistribution, qRegexFns, qSampleHash,
     qMultiJoin, qQuantiles,
+    qStringAgg, qFirstLastWindow, qCrossJoin, qUnionDistinct,
+    qNullHandling, qCaseBuckets,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof,
