@@ -75,6 +75,23 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
+  /** Bucketed managed table: pre-shuffles once at write time so repeated
+    * equi-joins/aggregations on the bucket key run WITHOUT a shuffle —
+    * the co-located-join layout for fact⋈fact at 100 TB (write cost is
+    * paid once, every downstream join on the key is exchange-free).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** stdout sink (CLI `gasket run` prints to stdout, bin.js:149). Driver-
     * side by nature; for big results prefer a file sink.
     */

@@ -167,6 +167,17 @@ class EngineSpec extends SparkSpec {
     assert(collectValues(out) == Seq("from-config-dir"))
   }
 
+  test("degenerate pipelines: empty stage list and single-stage map/reduce") {
+    val spec = PipelineSpec(ListMap(
+      "empty" -> Seq.empty,
+      "solo_map" -> Seq(Stage.Command("echo solo", SegType.MapTee)),
+      "solo_reduce" -> Seq(Stage.Command("echo solo", SegType.Reduce))))
+    val engine = new Engine(spec)
+    assert(engine.run("empty", spark).isEmpty)
+    assert(collectValues(engine.run("solo_map", spark)) == Seq("solo"))
+    assert(collectValues(engine.run("solo_reduce", spark)) == Seq("solo"))
+  }
+
   test("registry surface: list/has/toJson round-trip (index.js:180-210)") {
     val spec = PipelineSpec(ListMap(
       "a" -> Seq(Stage.Command("cat -")),

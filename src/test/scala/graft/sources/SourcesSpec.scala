@@ -56,6 +56,34 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("bucketed tables join without a shuffle (co-located join layout)") {
+    // unique names + cleanup: the metastore is per-JVM but the warehouse
+    // dir persists, and saveAsTable refuses orphaned locations
+    val tag = System.nanoTime()
+    val liT = s"li_bucketed_$tag"; val oT = s"o_bucketed_$tag"
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the bucket layout (not a broadcast)
+      // is what eliminates the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sources.writeBucketed(li, liT, "l_orderkey", 4, Some("l_orderkey"))
+      Sources.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        oT, "l_orderkey", 4, Some("l_orderkey"))
+      val joined = spark.table(liT).join(spark.table(oT), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $oT")
+    }
+  }
+
   test("lines source feeds the pipeline data plane") {
     val dir = Files.createTempDirectory("graft-lines")
     Files.writeString(dir.resolve("in.txt"), "alpha\nbeta\n")

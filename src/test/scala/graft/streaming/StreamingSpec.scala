@@ -89,6 +89,25 @@ class StreamingSpec extends SparkSpec {
     assert(!sideQuery.get.isActive) // destroyed when main ended
   }
 
+  test("foreachBatch sink lands each micro-batch as parquet (file-sink path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/b$id")
+      }
+      .start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 00:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 00:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$outDir/b*")
+      assert(written.count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming and batch share the same transform (unified pipeline)") {
     // the exact DataFrame=>DataFrame used in streaming runs in batch too
     val batch = Seq(
