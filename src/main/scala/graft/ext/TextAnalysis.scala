@@ -81,6 +81,24 @@ object TextAnalysis {
   /** 64-bit xxhash fingerprint (fast path for shuffle keys / dedup). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  /** Word n-grams of a text column (token array bound once via the outer
+    * single-element transform; 1-based element_at matches SQL dialects).
+    * Caller must filter rows with fewer than n tokens first — Spark's
+    * sequence(1, 0) counts DOWN, it is not empty.
+    */
+  def wordNgramsExpr(textCol: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    expr(s"""transform(array(split($textCol, ' ')),
+             toks -> transform(sequence(1, size(toks) - ${n - 1}),
+                               i -> concat_ws(' ', $parts)))[0]""")
+  }
+
+  /** Canonical text normalization for dedup preprocessing: lowercase,
+    * whitespace squeeze, trim. Engine-portable (same regex dialect).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
+
   /** Deterministic, content-addressed train/val/test split: the first hex
     * nibble of md5(key) buckets rows 13/2/1 (≈81%/12.5%/6.25%). Stable
     * across runs, engines, partitionings, and data additions — the

@@ -187,6 +187,38 @@ object ExtQueries {
             FROM documents ORDER BY doc_id"""),
     "portable 128-bit content fingerprint (md5)")
 
+  private val qNgramFreq = Q(
+    "q_ngram_freq",
+    (s, d) =>
+      documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(explode(TextAnalysis.wordNgramsExpr("text", 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(100),
+    Some("""SELECT bigram, count(*) AS n FROM (
+              SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2))
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"""),
+    "corpus bigram frequency (top-100) — n-gram statistics for LM data work")
+
+  private val qTextNormalize = Q(
+    "q_text_normalize",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm"),
+          length(TextAnalysis.normalize(col("text"))).cast("long").as("norm_len"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm,
+                   CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+            FROM documents ORDER BY doc_id"""),
+    "canonical normalization (lower + whitespace squeeze + trim) for dedup keys")
+
   private val qSplitStable = Q(
     "q_split_stable",
     (s, d) =>
@@ -217,5 +249,5 @@ object ExtQueries {
     qDedupExact, qDedupNear, qDedupSimhash, qDedupNgram, qDedupEmbed,
     qSimTopk, qSimAnn,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qSplitStable, qMultimodal)
+    qNgramFreq, qTextNormalize, qSplitStable, qMultimodal)
 }
