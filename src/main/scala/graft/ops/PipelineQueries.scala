@@ -111,7 +111,10 @@ object PipelineQueries {
       val out = CommandStage(docLines(s, d), "tr 'a-z' 'A-Z'", partitions = Some(4))
       splitBack(out).orderBy("doc_id")
     },
-    None, // env-dependent (external process) — exercised by unit test vs upper()
+    // POSIX tr over ASCII ≡ upper(); the verify container ships it, so the
+    // external-process path gets a real oracle
+    Some("""SELECT doc_id, upper(text) AS text_out
+            FROM documents ORDER BY doc_id"""),
     "external-process stage via RDD.pipe with exit-code propagation")
 
   private val qUdfModule = Q(
