@@ -25,10 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.builders.foreach { case (name, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name), asJava(builder)))
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
-
-  private def asJava(b: Seq[Expression] => Expression): Seq[Expression] => Expression = b
 }
 
 object GraftExtensions {
@@ -40,6 +38,12 @@ object GraftExtensions {
     "dot_product" -> ((exprs: Seq[Expression]) =>
       DotProduct(exprs(0), exprs(1))),
     "minhash_signature" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"minhash_signature expects (shingles, k), got ${exprs.length} arguments")
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "minhash_signature: k must be an integer literal")
       val k = exprs(1).eval(null) match {
         case i: Int => i
         case l: Long => l.toInt

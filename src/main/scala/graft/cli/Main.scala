@@ -101,15 +101,18 @@ object Main {
         // default to 'main' and skip missing names with a stderr note
         // (silent for 'main'), as the reference does (bin.js:158-175)
         val names = if (args.positional.nonEmpty) args.positional else Seq("main")
+        var applied = 0
         val out = names.foldLeft(stdin) { (df, n) =>
           engine.pipe(n, spark, Some(df)) match {
-            case Some(next) => next
+            case Some(next) => applied += 1; next
             case None =>
               if (n != "main") Console.err.println(s"$n does not exist")
               df
           }
         }
-        Sources.printLines(out, Int.MaxValue)
+        // zero resolved pipelines → no output (bin.js:174 `if
+        // (!streams.length) return` — stdin is NOT echoed through)
+        if (applied > 0) Sources.printLines(out, Int.MaxValue)
       case "exec" =>
         val spark = mkSession()
         import spark.implicits._

@@ -83,14 +83,16 @@ object TextAnalysis {
 
   /** Word n-grams of a text column (token array bound once via the outer
     * single-element transform; 1-based element_at matches SQL dialects).
-    * Caller must filter rows with fewer than n tokens first — Spark's
-    * sequence(1, 0) counts DOWN, it is not empty.
+    * Total: rows with fewer than n tokens yield an empty array — the
+    * guard lives HERE because Spark's sequence(1, 0) counts DOWN (it is
+    * not empty) and unguarded element_at would fail the whole job.
     */
   def wordNgramsExpr(textCol: String, n: Int): Column = {
     val parts = (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")
     expr(s"""transform(array(split($textCol, ' ')),
-             toks -> transform(sequence(1, size(toks) - ${n - 1}),
-                               i -> concat_ws(' ', $parts)))[0]""")
+             toks -> CASE WHEN size(toks) < $n THEN array()
+                          ELSE transform(sequence(1, size(toks) - ${n - 1}),
+                                         i -> concat_ws(' ', $parts)) END)[0]""")
   }
 
   /** Canonical text normalization for dedup preprocessing: lowercase,

@@ -191,7 +191,8 @@ object ExtQueries {
     "q_ngram_freq",
     (s, d) =>
       documents(s, d)
-        .filter(size(split(col("text"), " ")) >= 2)
+        // short docs yield an empty array (guarded inside wordNgramsExpr)
+        // which explode simply drops — matching the oracle's WHERE
         .select(explode(TextAnalysis.wordNgramsExpr("text", 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))

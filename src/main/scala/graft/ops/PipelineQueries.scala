@@ -111,9 +111,12 @@ object PipelineQueries {
       val out = CommandStage(docLines(s, d), "tr 'a-z' 'A-Z'", partitions = Some(4))
       splitBack(out).orderBy("doc_id")
     },
-    // POSIX tr over ASCII ≡ upper(); the verify container ships it, so the
-    // external-process path gets a real oracle
-    Some("""SELECT doc_id, upper(text) AS text_out
+    // byte-faithful oracle: translate() maps exactly the ASCII range tr
+    // maps, so the check stays correct even if the corpus ever grows
+    // non-ASCII text (upper() would diverge from tr there)
+    Some("""SELECT doc_id,
+                   translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS text_out
             FROM documents ORDER BY doc_id"""),
     "external-process stage via RDD.pipe with exit-code propagation")
 
