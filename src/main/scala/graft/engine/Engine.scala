@@ -203,6 +203,13 @@ final class Engine(
       in: DataFrame,
       opts: RunOptions): DataFrame = {
     val out = st match {
+      case Stage.Command(cmd, _, _) if in.isStreaming =>
+        // RDD.pipe has no streaming analog; fail with intent instead of a
+        // cryptic planner error deep inside the query
+        throw new UnsupportedOperationException(
+          s"Command stage '$cmd' cannot run on a streaming input — module/" +
+            "inline stages are stream-agnostic, external-process stages are " +
+            "batch-only (use foreachBatch to bridge if needed)")
       case Stage.Command(cmd, _, _) =>
         // Documented-vs-actual discrepancy (SURVEY §2.1): the reference
         // appends [pipelineName, ...params] to EVERY command's argv

@@ -206,6 +206,38 @@ object ExtQueries {
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"""),
     "corpus bigram frequency (top-100) — n-gram statistics for LM data work")
 
+  private val qRepetition = Q(
+    "q_repetition",
+    (s, d) =>
+      // Gopher-style repetition signal: duplicate-bigram fraction per doc
+      // (high values flag boilerplate/templated text for filtering)
+      documents(s, d)
+        .withColumn("_bi", TextAnalysis.wordNgramsExpr("text", 2))
+        .select(
+          col("doc_id"),
+          size(col("_bi")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("_bi"))).cast("long").as("n_unique"),
+          when(size(col("_bi")) > 0,
+            lit(1.0) - size(array_distinct(col("_bi"))).cast("double")
+              / size(col("_bi")).cast("double"))
+            .otherwise(0.0).as("dup_fraction"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(bi) AS BIGINT) AS n_bigrams,
+                   CAST(len(list_distinct(bi)) AS BIGINT) AS n_unique,
+                   CASE WHEN len(bi) > 0
+                        THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+                                   / CAST(len(bi) AS DOUBLE)
+                        ELSE 0.0 END AS dup_fraction
+            FROM (SELECT doc_id,
+                         CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+                              ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+                         END AS bi
+                  FROM documents)
+            ORDER BY doc_id"""),
+    "duplicate-bigram fraction (Gopher-style repetition filter signal)")
+
   private val qTextNormalize = Q(
     "q_text_normalize",
     (s, d) =>
@@ -250,5 +282,5 @@ object ExtQueries {
     qDedupExact, qDedupNear, qDedupSimhash, qDedupNgram, qDedupEmbed,
     qSimTopk, qSimAnn,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qNgramFreq, qTextNormalize, qSplitStable, qMultimodal)
+    qNgramFreq, qRepetition, qTextNormalize, qSplitStable, qMultimodal)
 }

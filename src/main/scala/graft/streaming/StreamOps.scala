@@ -67,6 +67,28 @@ object StreamOps {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col(keyCol), col("n"))
 
+  /** Stream-stream equi-join with an event-time interval bound. Both
+    * sides carry watermarks and the range condition bounds the join
+    * state: rows are dropped from state once the other side's watermark
+    * passes their interval — the only way a stream⋈stream join survives
+    * unbounded inputs.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String,
+      maxLag: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxLag"))
+  }
+
   /** Stateful streaming dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped, state evicted beyond it.
     */

@@ -89,6 +89,41 @@ class StreamingSpec extends SparkSpec {
     assert(!sideQuery.get.isActive) // destroyed when main ended
   }
 
+  test("stream-stream interval join matches events within the lag window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select($"user_id", $"ts".as("click_ts")),
+      views.toDF().select($"user_id", $"ts".as("view_ts")),
+      "user_id", "click_ts", "view_ts", "10 minutes", "5 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(ts("2024-01-01 00:00:00"), 1, "click", 0))
+      views.addData(
+        Ev(ts("2024-01-01 00:03:00"), 1, "view", 0),   // within 5 min → match
+        Ev(ts("2024-01-01 00:09:00"), 1, "view", 0),   // beyond lag → no match
+        Ev(ts("2024-01-01 00:03:00"), 2, "view", 0))   // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Timestamp]("view_ts") == ts("2024-01-01 00:03:00"))
+    } finally q.stop()
+  }
+
+  test("command stages reject streaming input with a clear error") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = graft.spec.PipelineSpec(scala.collection.immutable.ListMap(
+      "bad" -> Seq(graft.spec.Stage.Command("cat -"))))
+    val stream = mem.toDF().selectExpr("event_type AS value")
+    val e = intercept[UnsupportedOperationException] {
+      new graft.engine.Engine(spec).run("bad", spark, Some(stream))
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("foreachBatch sink lands each micro-batch as parquet (file-sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
