@@ -182,6 +182,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list (id1, id2) by
+    * iterative min-label propagation, driver-orchestrated: each round is
+    * one keyed join + min-aggregate, and the loop runs until no label
+    * changes or maxIter. Rounds needed ≈ graph diameter (near-dup
+    * clusters are shallow); every round is a pair of keyed shuffles, so
+    * the pattern scales like any iterative Spark graph job. Returns
+    * (id, label) with label = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("id2") === labels("id"))
+        .select(edges("id1").as("id"), col("label"))
+      val next = labels.select("id", "label")
+        .unionByName(neighborMin)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-dup clustering: MinHash-LSH pairs → connected components →
+    * every document mapped to its cluster representative (min id; docs
+    * with no near-dup map to themselves). Downstream keep-one dedup is
+    * `filter(col(idCol) === col("cluster_rep"))`.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingler: Shingler = CharShingles(5)): DataFrame = {
+    val pairs = nearDupMinHash(df, idCol, textCol, threshold, numHashes, bands, shingler)
+      .select("id1", "id2")
+    val cc = connectedComponents(pairs)
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_rep"))
+  }
+
   /** SimHash 64-bit fingerprint per document: per-token 64-bit hashes,
     * per-bit ±1 sums, sign → bit. Pure aggregates: one explode + one
     * groupBy with 64 codegen'd conditional sums.

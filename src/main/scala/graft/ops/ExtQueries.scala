@@ -40,6 +40,16 @@ object ExtQueries {
     None, // model-defined (MinHash-LSH candidates); seeded unit tests
     "near-dup via MinHash+LSH with exact shingle-Jaccard verification")
 
+  private val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, d) =>
+      Dedup.nearDupClusters(documents(s, d), "doc_id", "text",
+          threshold = 0.5, shingler = Dedup.WordShingles(3))
+        .orderBy("doc_id"),
+    None, // model-defined (LSH clusters); component semantics unit-tested
+    "near-dup clustering: pairs → connected components → cluster reps " +
+      "(keep-one dedup = filter id == cluster_rep)")
+
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, d) =>
@@ -279,7 +289,7 @@ object ExtQueries {
     "binary media columns + mapPartitions decode stage (stub codec)")
 
   def all: Seq[Q] = Seq(
-    qDedupExact, qDedupNear, qDedupSimhash, qDedupNgram, qDedupEmbed,
+    qDedupExact, qDedupNear, qDedupClusters, qDedupSimhash, qDedupNgram, qDedupEmbed,
     qSimTopk, qSimAnn,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable, qMultimodal)

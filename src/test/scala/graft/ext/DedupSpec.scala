@@ -62,6 +62,26 @@ class DedupSpec extends SparkSpec {
     assert(hamNear <= 12)
   }
 
+  test("connected components label transitive clusters with the min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (7L, 7L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L) // chain 1-2-3
+    assert(cc(4L) == 4L && cc(5L) == 4L)
+    assert(cc(7L) == 7L)
+  }
+
+  test("nearDupClusters maps every doc; near-dups share a representative") {
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))      // total mapping
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L) // dup cluster
+    assert(out(3L) == 3L && out(4L) == 4L)             // singletons map to self
+    // keep-one dedup drops exactly the non-representatives
+    val kept = out.count { case (id, rep) => id == rep }
+    assert(kept == 3)
+  }
+
   test("nearDupSimHash blocks + verifies the exact pair") {
     val out = Dedup.nearDupSimHash(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
