@@ -84,6 +84,36 @@ object ExtQueries {
     None, // model-defined (hyperplane LSH buckets)
     "embedding-cosine near-dup via hyperplane LSH bucketing")
 
+  private val qVecCentroid = Q(
+    "q_vec_centroid",
+    (s, d) =>
+      // per-label centroid, elementwise. Exactness trick: float → STRING
+      // (shortest round-trip repr, identical in both engines) → DECIMAL,
+      // so the sums are exact and order-insensitive; a direct
+      // float→decimal cast diverges (Spark goes through the binary
+      // double, DuckDB through the decimal string).
+      embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          col("v").cast("string").cast("decimal(25,10)").as("dv"))
+        .groupBy("label", "dim")
+        .agg((sum(col("dv")).cast("double") / count(lit(1))).as("centroid"),
+          count(lit(1)).as("n"))
+        .filter(col("dim") <= 4) // bounded output: first 4 dims per label
+        .orderBy("label", "dim"),
+    Some("""SELECT label, dim, centroid, n FROM (
+              SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+                     CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(25,10))) AS DOUBLE)
+                       / count(*) AS centroid,
+                     count(*) AS n
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+              GROUP BY label, i)
+            WHERE dim <= 4 ORDER BY label, dim"""),
+    "per-label embedding centroids (elementwise exact-decimal mean) — the " +
+      "IVF coarse-quantizer training step")
+
   private val qSimTopk = Q(
     "q_sim_topk",
     (s, d) => {
@@ -290,7 +320,7 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNear, qDedupClusters, qDedupSimhash, qDedupNgram, qDedupEmbed,
-    qSimTopk, qSimAnn,
+    qVecCentroid, qSimTopk, qSimAnn,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable, qMultimodal)
 }

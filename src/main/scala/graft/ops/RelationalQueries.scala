@@ -820,6 +820,82 @@ object RelationalQueries {
             FROM lineitem GROUP BY 1 ORDER BY qty_band"""),
     "conditional bucketing (CASE WHEN) feeding aggregation")
 
+  private val qStatsMoments = Q(
+    "q_stats_moments",
+    (s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_sm")
+      // variance/correlation from EXACT decimal co-moments, finished with
+      // the same IEEE double formula on both engines — the built-in
+      // corr()/stddev() stream in doubles and are summation-order
+      // sensitive, so they can't be oracle-compared
+      s.sql("""SELECT l_returnflag,
+                      sqrt((n * sxx - sx * sx) / (n * n)) AS stddev_pop_qty,
+                      (n * sxy - sx * sy)
+                        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+               FROM (SELECT l_returnflag,
+                            CAST(count(*) AS DOUBLE) AS n,
+                            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                     * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                     * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                     FROM lineitem_sm GROUP BY l_returnflag)
+               ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   sqrt((n * sxx - sx * sx) / (n * n)) AS stddev_pop_qty,
+                   (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+            FROM (SELECT l_returnflag,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                  FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""),
+    "stddev/correlation from exact decimal co-moments (deterministic " +
+      "cross-engine, unlike streaming corr()/stddev())")
+
+  private val qHistogram = Q(
+    "q_histogram",
+    (s, d) =>
+      lineitem(s, d)
+        .withColumn("bucket", floor(col("l_extendedprice") / 10000).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+    Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY bucket"""),
+    "fixed-width histogram by manual bucketing (no width_bucket in DuckDB)")
+
+  private val qDateArith = Q(
+    "q_date_arith",
+    (s, d) =>
+      // TIMESTAMP outputs on both sides: DATE columns reach the compare as
+      // different host types (DuckDB dates widen to datetimes in pandas)
+      orders(s, d).select(
+        col("o_orderkey"),
+        expr("CAST(CAST(o_orderdate AS DATE) + INTERVAL 5 DAY AS TIMESTAMP)").as("plus5"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        date_trunc("month", col("o_orderdate")).as("month_start")
+      ).orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 5 DAY AS TIMESTAMP) AS plus5,
+                   CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+            FROM orders ORDER BY o_orderkey"""),
+    "date arithmetic: interval add, month end/start (timestamp-typed for " +
+      "cross-engine value parity)")
+
   // -------------------------------------------------- subqueries & misc
 
   private val qScalarSubquery = Q(
@@ -912,6 +988,7 @@ object RelationalQueries {
     qMultiJoin, qQuantiles,
     qStringAgg, qFirstLastWindow, qCrossJoin, qUnionDistinct,
     qNullHandling, qCaseBuckets,
+    qStatsMoments, qHistogram, qDateArith,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof,
