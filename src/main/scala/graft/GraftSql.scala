@@ -14,8 +14,14 @@ object GraftSql {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def registerTables(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach(n =>
-      ops.Tables.table(spark, dir, n).createOrReplaceTempView(n))
+    tableNames.foreach { n =>
+      // events goes through Tables.events so the SQL view sees the same
+      // µs timestamp `ts` as the DataFrame surface (raw parquet ts is
+      // TIMESTAMP(NANOS) read as long under the nanosAsLong flag)
+      val df = if (n == "events") ops.Tables.events(spark, dir)
+               else ops.Tables.table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** Same builders as [[GraftExtensions]], applied to a live session. */
   def registerFunctions(spark: SparkSession): Unit =

@@ -10,7 +10,10 @@ import graft.stages.{CommandStage, ModuleRegistry, NdjsonBridge}
 /** Execution context — parity with the reference's option plumbing:
   * `cwd`/`env` inherited by all stages (`index.js:124-125`), `params` argv
   * appended to every command with the pipeline name always argv[1]
-  * (`index.js:85`), `stderr` passthrough flag (`index.js:20-22`).
+  * (`index.js:85`). `stderr` reproduces index.js:20-23: false (default) =
+  * child stderr discarded (`stderr.resume()`), true = passed through —
+  * to the terminal in local mode, the executor log on a cluster (see
+  * [[graft.stages.CommandStage]]).
   * `partitions` is the Spark-native addition: None = keep the input's
   * partitioning (distributed; one process per partition for command
   * stages), Some(1) = strict single-process reference parity.
@@ -58,6 +61,11 @@ final class Engine(
     val modules: ModuleRegistry = ModuleRegistry.default,
     val defaults: RunOptions = RunOptions()) {
 
+  /** Internal ordinal column carrying a run-segment's stage index from
+    * buildSegment to the single ordering sort in plan().
+    */
+  private val RunOrdCol = "_graft_run"
+
   /** `.list()` parity (index.js:180-182). */
   def list: Seq[String] = spec.list
 
@@ -98,7 +106,7 @@ final class Engine(
       input: DataFrame,
       opts: RunOptions = defaults): DataFrame =
     CommandStage(input, command, opts.params, opts.env, opts.partitions,
-      Some(opts.cwd))
+      Some(opts.cwd), opts.stderr)
 
   /** `.toJSON()` parity (index.js:208-210). */
   def toJson: String = spec.toJson
@@ -130,18 +138,28 @@ final class Engine(
       else segOutputs ::= out
     }
     val mains = segOutputs.reverse
-    // ordered concat of segment outputs (runStream, index.js:164): a
-    // segment ordinal + stable sort reproduces sequential output order
-    // without serializing execution.
+    // ordered concat of segment outputs (runStream, index.js:164): ONE
+    // sort over (segment ordinal, intra-segment stage ordinal) reproduces
+    // sequential output order without serializing execution. Run segments
+    // carry their stage ordinal in `_run` (buildSegment) — sorting only by
+    // `_seg` would let Catalyst eliminate the inner `_run` sort as
+    // redundant and lose stage order WITHIN a run segment.
     val main = mains match {
       case Nil => empty
-      case one :: Nil => one
+      case one :: Nil =>
+        if (one.columns.contains(RunOrdCol)) one.orderBy(RunOrdCol).drop(RunOrdCol)
+        else one
       case many =>
         many.zipWithIndex
-          .map { case (df, i) => df.withColumn("_seg", lit(i)) }
+          .map { case (df, i) =>
+            val withRun =
+              if (df.columns.contains(RunOrdCol)) df
+              else df.withColumn(RunOrdCol, lit(0))
+            withRun.withColumn("_seg", lit(i))
+          }
           .reduce(_ unionByName _)
-          .orderBy("_seg")
-          .drop("_seg")
+          .orderBy("_seg", RunOrdCol)
+          .drop("_seg", RunOrdCol)
     }
     // background output merged unordered (parallel([main, bkgds]),
     // index.js:172)
@@ -170,11 +188,13 @@ final class Engine(
       case SegType.Pipe =>
         seg.foldLeft(segInput)((df, st) => app(st, df))
       case SegType.Run =>
+        // stage ordinal kept as a column — the SINGLE ordering sort runs
+        // in plan() over (_seg, _run); sorting here would be eliminated
+        // by the outer sort anyway (and was: round-1 multi-segment
+        // pipelines lost intra-run order exactly that way)
         seg.zipWithIndex
-          .map { case (st, i) => app(st, segInput).withColumn("_run", lit(i)) }
+          .map { case (st, i) => app(st, segInput).withColumn(RunOrdCol, lit(i)) }
           .reduce(_ unionByName _)
-          .orderBy("_run")
-          .drop("_run")
       case SegType.Fork | SegType.Background =>
         seg.map(app(_, segInput)).reduce(_ unionByName _)
       case SegType.MapTee =>
@@ -218,7 +238,7 @@ final class Engine(
         // ("will print HELLO WORLD"). We implement the documented
         // semantics: only explicit user params reach the command line.
         CommandStage(in, cmd, opts.params, opts.env, opts.partitions,
-          Some(opts.cwd))
+          Some(opts.cwd), opts.stderr)
       case Stage.Module(name, _, json) =>
         bridgeJson(json, modules.resolve(name), in)
       case Stage.Inline(_, fn, _, json) =>

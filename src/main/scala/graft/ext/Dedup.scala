@@ -73,12 +73,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
-      shingler: Shingler = CharShingles(5)): DataFrame = {
+      shingler: Shingler = CharShingles(5),
+      widen: Boolean = true): DataFrame = {
     // CPU-heavy map stage: a small parquet file scans as ONE partition,
     // which would serialize the hashing onto one core. Widen only when
-    // the scan under-partitions (a no-op at real scale).
+    // the scan under-partitions. The partition probe is driver-side
+    // planning only (queryExecution.toRdd — no job, no row
+    // deserialization); callers whose inputs are already well-partitioned
+    // (any real-scale scan) pass widen = false to skip the extra planning
+    // pass entirely.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    val src =
+      if (widen && df.queryExecution.toRdd.getNumPartitions < parallelism)
+        df.repartition(parallelism)
+      else df
     src.select(col(idCol),
       graft.functions.MinHashSignature
         .minhash_signature(shingler(textCol), numHashes).as("sig"))
@@ -109,6 +117,26 @@ object Dedup {
     val a = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
     val b = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
     a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Skew-hardened variant of [[candidatePairs]]: identical output, but a
+    * hot band bucket (one band hash shared by a huge near-dup family —
+    * boilerplate pages, templated docs) is spread over `salts` reducers
+    * instead of landing on one. The left side gets a deterministic
+    * content-derived salt (retry-safe, unlike rand()), the right side is
+    * replicated `salts`× — the standard salted self-join: every (id1, id2)
+    * bucket pair still meets exactly once, on salt = hash(id1) % salts.
+    */
+  def candidatePairsSalted(bandsDf: DataFrame, idCol: String, salts: Int): DataFrame = {
+    val cached = bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
+    val a = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+      .withColumn("_salt", graft.ops.SkewUtils.salt(col("id1"), salts))
+    val b = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+      .withColumn("_salt", explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    a.join(b, Seq("band_id", "band_hash", "_salt"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
@@ -183,36 +211,53 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (id1, id2) by
-    * iterative min-label propagation, driver-orchestrated: each round is
-    * one keyed join + min-aggregate, and the loop runs until no label
-    * changes or maxIter. Rounds needed ≈ graph diameter (near-dup
-    * clusters are shallow); every round is a pair of keyed shuffles, so
-    * the pattern scales like any iterative Spark graph job. Returns
+    * iterative min-label propagation, driver-orchestrated. Returns
     * (id, label) with label = min id of the component.
+    *
+    * Scale discipline (each round):
+    *   - the new label frontier is `localCheckpoint`ed LAZILY, then the
+    *     change count is the FIRST action over it — so one job per round
+    *     both materializes the round's labels and detects convergence,
+    *     and the materialized RDD TRUNCATES THE LINEAGE: round N's plan
+    *     is one join over cached edges + round N-1's checkpointed RDD,
+    *     never the accumulated DAG of all prior rounds (which would
+    *     balloon planning and recomputation-on-failure cost at 100 TB);
+    *   - rounds needed ≈ graph diameter (near-dup clusters are shallow);
+    *     a non-converged exit (diameter > maxIter, e.g. a pathological
+    *     chain) is LOGGED loudly rather than silently returning split
+    *     clusters.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges
         .join(labels, edges("id2") === labels("id"))
         .select(edges("id1").as("id"), col("label"))
-      val next = labels.select("id", "label")
-        .unionByName(neighborMin)
-        .groupBy("id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+        .groupBy("id").agg(min("label").as("nmin"))
+      // labels only ever decrease, so change detection is label < prev —
+      // carried through the same projection the checkpoint materializes
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("id", "label")
       i += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents exited UNCONVERGED after $maxIter rounds " +
+          s"($changed labels still changing) — returned clusters may be split; " +
+          "raise maxIter for graphs with diameter > maxIter")
     edges.unpersist(blocking = false)
     labels
   }

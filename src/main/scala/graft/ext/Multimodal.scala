@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct beside them.
   *
   * The Spark-side plumbing here is real and tested — schema contract,
-  * partition-sized batch iteration, deterministic outputs. The actual
-  * codec step is STUBBED (this container has no image/audio libraries):
-  * [[StubDecoders.decodeImageMeta]] derives deterministic fake
-  * width/height/format from the payload bytes. Swapping in a real decoder
-  * changes only that one function — the operator shape (mapPartitions over
-  * binary batches, one decode per row, metadata struct out) is exactly
-  * what a production decode stage looks like.
+  * partition-sized batch iteration, deterministic outputs. The metadata
+  * decode is REAL for PNG/JPEG/GIF ([[ImageHeaders]]: pure-JVM header
+  * byte parsing — width/height/format, no media library needed); full
+  * pixel decode and other formats fall back to a deterministic stub
+  * (this container has no image/audio libraries). Swapping in a full
+  * codec changes only [[StubDecoders.decodeImageMeta]] — the operator
+  * shape (mapPartitions over binary batches, one decode per row,
+  * metadata struct out) is exactly what a production decode stage looks
+  * like.
   */
 object Multimodal {
 
@@ -80,20 +82,94 @@ object Multimodal {
       .drop("payload")
 }
 
-/** Deterministic stand-ins for codec calls (no media libs in-container). */
+/** Image-header decoders: REAL dimension parsing for the formats whose
+  * headers are plain byte layouts (PNG IHDR, JPEG SOF, GIF logical screen
+  * descriptor) — no media library needed, pure JVM byte reads. Payloads
+  * in any other format fall back to the deterministic stub so the
+  * pipeline shape stays exercised end-to-end on synthetic corpora.
+  */
+object ImageHeaders {
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (len + "IHDR") with
+    * width/height as big-endian u32 at offsets 16 and 20.
+    */
+  def png(b: Array[Byte]): Option[(Int, Int, String)] =
+    if (b.length >= 24 && b.startsWith(PngMagic) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20), "png"))
+    else None
+
+  /** JPEG: SOI (FFD8), then marker segments; the first SOFn frame header
+    * (C0–CF except C4/C8/CC) carries height/width as big-endian u16 at
+    * segment offsets +5/+7.
+    */
+  def jpeg(b: Array[Byte]): Option[(Int, Int, String)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None // desynced: not a marker
+      var j = i
+      while (j < b.length && (b(j) & 0xFF) == 0xFF) j += 1 // skip fill bytes
+      if (j >= b.length) return None
+      val marker = b(j) & 0xFF
+      if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+        if (j + 7 >= b.length) return None
+        // SOFn layout after the marker byte: len(2) precision(1) height(2) width(2)
+        return Some((be16(b, j + 6), be16(b, j + 4), "jpeg"))
+      }
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) i = j + 1
+      else {
+        if (j + 2 >= b.length) return None
+        i = j + 1 + be16(b, j + 1) // 2-byte length includes itself
+      }
+    }
+    None
+  }
+
+  /** GIF87a/89a: width/height as little-endian u16 at offsets 6/8. */
+  def gif(b: Array[Byte]): Option[(Int, Int, String)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8), "gif"))
+    else None
+
+  def decode(b: Array[Byte]): Option[(Int, Int, String)] =
+    png(b).orElse(jpeg(b)).orElse(gif(b))
+}
+
+/** Codec entry point: real header parsing where the format allows it,
+  * deterministic stand-ins otherwise (no media libs in-container for full
+  * pixel decode — the metadata path above is real).
+  */
 object StubDecoders {
 
-  /** STUB: a real implementation would parse the image header (PNG IHDR /
-    * JPEG SOF). Here: deterministic pseudo-metadata from the bytes so
-    * tests are stable and the pipeline shape is exercised end-to-end.
+  /** Parse real PNG/JPEG/GIF headers; other payloads get deterministic
+    * pseudo-metadata from a byte hash so tests are stable and the
+    * pipeline shape is exercised end-to-end. The checksum is the byte
+    * hash in both paths (a content fingerprint, not a codec output).
     */
   def decodeImageMeta(payload: Array[Byte]): (Int, Int, String, Long) = {
     var h = 1125899906842597L // FNV-ish fold; any stable mix works
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val width = 64 + math.floorMod(h, 1024).toInt
-    val height = 64 + math.floorMod(h >> 10, 1024).toInt
-    val format = if (math.floorMod(h, 2) == 0L) "png" else "jpeg"
-    (width, height, format, h)
+    ImageHeaders.decode(payload) match {
+      case Some((w, ht, fmt)) => (w, ht, fmt, h)
+      case None =>
+        val width = 64 + math.floorMod(h, 1024).toInt
+        val height = 64 + math.floorMod(h >> 10, 1024).toInt
+        val format = if (math.floorMod(h, 2) == 0L) "png" else "jpeg"
+        (width, height, format, h)
+    }
   }
 }

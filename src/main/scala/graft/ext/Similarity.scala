@@ -49,9 +49,66 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Brute-force cosine top-k where the query vector is a ONE-ROW
+    * DataFrame instead of a driver-side array: the query is broadcast
+    * into a nested-loop join with a single build row, so the whole
+    * operator is ONE lazy plan — no eager `.head()` job runs when the
+    * query is declared, and the scoring scan still finishes with
+    * TakeOrdered (k rows per partition to the driver-side merge).
+    */
+  def bruteForceTopKLazy(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: DataFrame,
+      queryEmbCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(query.select(col(queryEmbCol).as("_qvec")))
+    embeddings
+      .crossJoin(q)
+      .select(col(idCol), gf.cosine_similarity(col(embCol), col("_qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** ANN top-k with a one-row DataFrame query (lazy-plan twin of the
+    * array form below): the query row carries its own LSH bucket, and the
+    * corpus keeps rows within `probeRadius` bucket bits of it
+    * (bit_count(xor) ≤ r ≡ the multi-probe bucket set). Trade-off vs the
+    * array form: the bucket predicate here is a join-side filter, not a
+    * driver-known literal — when the corpus is bucket-partitioned on
+    * disk, use the array form so the probe set prunes partitions at the
+    * scan.
+    */
+  def annTopKLazy(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: DataFrame,
+      queryEmbCol: String,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val q = broadcast(query.select(
+      col(queryEmbCol).as("_qvec"),
+      lshBucket(col(queryEmbCol), planes).as("_qbucket")))
+    embeddings
+      .withColumn("_bucket", lshBucket(col(embCol), planes))
+      .crossJoin(q)
+      .filter(bit_count(col("_bucket").bitwiseXOR(col("_qbucket"))) <= probeRadius)
+      .select(col(idCol), gf.cosine_similarity(col(embCol), col("_qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: probe the query's LSH bucket plus all buckets within
     * Hamming distance 1 (multi-probe), then exact-score the candidates.
-    * Recall/cost trades via numPlanes and the probe radius.
+    * Recall/cost trades via numPlanes and the probe radius. The bucket
+    * probe set is a driver-known literal `isin` — the partition-pruning
+    * path when the corpus is bucket-partitioned on disk.
     */
   def annTopK(
       embeddings: DataFrame,

@@ -9,12 +9,19 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first composition (SURVEY §2.2 as-of row): no custom physical
   * operator needed — tag both sides, union on (key, ts), and carry the
-  * right side's values forward with `last(..., ignoreNulls)` over a
+  * right side forward with `last(..., ignoreNulls)` over a
   * key-partitioned time window, then keep the left rows. Cost: ONE
   * shuffle on the key (the union sorts within partitions), same as any
   * keyed window — versus a naive range join's quadratic blowup. Skewed
   * keys shard like any window partition (salt via SkewUtils if one key
   * dominates).
+  *
+  * The whole right row rides as ONE struct through a single
+  * `last(ignoreNulls)`, so every `asof_*` output field comes from the
+  * SAME right row — per-column carries would mix rows whenever a right
+  * value column is null (a null `bid` would fall back to an older row's
+  * bid while `asof_ts` reported the newer row's timestamp, letting a
+  * tolerance check validate a stale value).
   *
   * `tolerance`: optional max staleness; matches older than it are
   * nulled out.
@@ -31,39 +38,35 @@ object AsOfJoin {
       tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // one unioned relation: left rows carry their payload, right rows
-    // carry the joinable values; _side breaks ts ties so a right row at
-    // exactly leftTs is visible to that left row (side 0 sorts first)
+    // carry (ts + values) as one struct; _side breaks ts ties so a right
+    // row at exactly leftTs is visible to that left row (side 0 first)
     val taggedLeft = left
       .withColumn("_ts", col(leftTsCol))
       .withColumn("_side", lit(1))
-      .withColumn("_rts", lit(null).cast("timestamp"))
     val taggedRight = right
-      .select((keyCol +: rightTsCol +: rightValueCols).map(col): _*)
-      .withColumn("_ts", col(rightTsCol))
-      .withColumn("_side", lit(0))
-      .withColumn("_rts", col(rightTsCol))
+      .select(col(keyCol),
+        col(rightTsCol).as("_ts"),
+        lit(0).as("_side"),
+        struct((col(rightTsCol).as("_rts") +: rightValueCols.map(col)): _*).as("_rrow"))
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
     val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"_asof_$c", last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w)))
-      .withColumn("_asof_ts", last(when(col("_side") === 0, col("_rts")), ignoreNulls = true).over(w))
+    // left rows have _rrow = null (unionByName fill), so no when() needed
+    val carried = unioned.withColumn("_asof", last(col("_rrow"), ignoreNulls = true).over(w))
 
-    val withinTolerance = tolerance match {
+    val ok = tolerance match {
       case Some(tol) =>
-        carried.withColumn("_ok",
-          col("_asof_ts").isNotNull &&
-            col("_ts").cast("long") - col("_asof_ts").cast("long") <= tol.cast("long"))
-      case None => carried.withColumn("_ok", col("_asof_ts").isNotNull)
+        col("_asof").isNotNull &&
+          col("_ts").cast("long") - col("_asof._rts").cast("long") <= tol.cast("long")
+      case None => col("_asof").isNotNull
     }
 
-    val result = rightValueCols.foldLeft(withinTolerance)((df, c) =>
-      df.withColumn(s"asof_$c", when(col("_ok"), col(s"_asof_$c"))))
-      .withColumn("asof_ts", when(col("_ok"), col("_asof_ts")))
-
-    result
+    carried
       .filter(col("_side") === 1)
-      .select((leftCols.map(col) ++ rightValueCols.map(c => col(s"asof_$c")) :+ col("asof_ts")): _*)
+      .withColumn("_ok", ok)
+      .select((leftCols.map(col) ++
+        rightValueCols.map(c => when(col("_ok"), col(s"_asof.$c")).as(s"asof_$c")) :+
+        when(col("_ok"), col("_asof._rts")).as("asof_ts")): _*)
   }
 }

@@ -71,6 +71,35 @@ object ExtQueries {
     None, // candidate set is model-defined (LSH)
     "exact n-gram Jaccard over LSH candidate pairs")
 
+  private val qDedupJaccard = Q(
+    "q_dedup_jaccard",
+    (s, d) => {
+      // Oracle-able dedup-family query: the LSH candidate generation is
+      // model-defined, but the VERIFICATION kernel (exact word-shingle
+      // Jaccard) is pure set algebra — run it over a deterministic
+      // candidate grid (each doc against its id-successor) so DuckDB can
+      // replay it exactly.
+      val docs = documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      Dedup.exactJaccard(pairs, docs, "doc_id", "text", Dedup.WordShingles(3))
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1")
+    },
+    Some("""WITH sets AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+            ORDER BY id1"""),
+    "exact word-3-shingle Jaccard on a deterministic candidate grid — the " +
+      "near-dup verification kernel, cross-engine checked")
+
   private val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, d) =>
@@ -118,10 +147,12 @@ object ExtQueries {
     "q_sim_topk",
     (s, d) => {
       val emb = embeddings(s, d)
-      // query parameter: the vector of vec_id 0 (single-row driver lookup)
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+      // query parameter: the vector of vec_id 0, as a broadcast one-row
+      // join — the whole query is ONE lazy plan (no eager driver .head()
+      // job at declaration time)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+      Similarity.bruteForceTopKLazy(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding", 10)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     },
@@ -138,14 +169,15 @@ object ExtQueries {
     "q_sim_ann",
     (s, d) => {
       val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
-      Similarity.annTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+      Similarity.annTopKLazy(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",
+          k = 10, dim = 64)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     },
     None, // model-defined (LSH probe set)
-    "LSH-bucketed ANN top-k (multi-probe hyperplane buckets)")
+    "LSH-bucketed ANN top-k (multi-probe hyperplane buckets, lazy one-plan form)")
 
   private val qTextStats = Q(
     "q_text_stats",
@@ -319,7 +351,8 @@ object ExtQueries {
     "binary media columns + mapPartitions decode stage (stub codec)")
 
   def all: Seq[Q] = Seq(
-    qDedupExact, qDedupNear, qDedupClusters, qDedupSimhash, qDedupNgram, qDedupEmbed,
+    qDedupExact, qDedupNear, qDedupClusters, qDedupSimhash, qDedupNgram,
+    qDedupJaccard, qDedupEmbed,
     qVecCentroid, qSimTopk, qSimAnn,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable, qMultimodal)

@@ -324,6 +324,44 @@ object RelationalQueries {
     "as-of join: latest prior 'click' per user (event_id is ts-monotone, " +
       "so max(event_id) over the preceding frame = most recent)")
 
+  private val qJoinAsofGeneric = Q(
+    "q_join_asof_generic",
+    (s, d) => {
+      // The generic two-table as-of operator (graft.ops.AsOfJoin) on the
+      // trades⋈quotes shape: left = non-click events, right = clicks.
+      // Cross-engine ts discipline: Spark reads events.ts at µs, DuckDB
+      // at ns — both sides of the oracle work on the µs truncation, and
+      // the right side is pre-aggregated to ONE row per (user_id, ts) so
+      // equal-timestamp right rows can't make `last()` nondeterministic.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val lefts = ev.filter(col("event_type") =!= "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.asof(lefts, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("asof_click_id"),
+          unix_micros(col("asof_ts")).as("asof_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH clicks AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, max(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ), lefts AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS lts
+              FROM events WHERE event_type <> 'click'
+            )
+            SELECT l.event_id, l.user_id,
+                   c.click_id AS asof_click_id,
+                   epoch_us(c.cts) AS asof_us
+            FROM lefts l
+            LEFT JOIN clicks c ON c.user_id = l.user_id AND c.cts =
+              (SELECT max(c2.cts) FROM clicks c2
+               WHERE c2.user_id = l.user_id AND c2.cts <= l.lts)
+            ORDER BY event_id"""),
+    "generic two-table as-of join (AsOfJoin.asof, trades⋈quotes shape): " +
+      "latest click at-or-before each event per user, with the matched " +
+      "row's timestamp — tolerance/tie-break semantics checked cross-engine")
+
   // ------------------------------------------------------------ aggregates
 
   private val qAgg = Q(
@@ -991,7 +1029,7 @@ object RelationalQueries {
     qStatsMoments, qHistogram, qDateArith,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof,
+    qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)

@@ -13,8 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - non-zero exit: `RDD.pipe` (checkCode=true) throws
   *     `Pipe function exited with status N`, reproducing
   *     `Error('Process exited with code: N')` (index.js:16-18).
-  *   - stderr: surfaces in executor logs rather than an inherited fd
-  *     (index.js:20-23).
+  *   - stderr: the reference DISCARDS child stderr by default
+  *     (`child.stderr.resume()`, index.js:23) and pipes it to the
+  *     caller's stderr only under `opts.stderr` (index.js:20-22). Here
+  *     `stderr = false` (the default) redirects to /dev/null in the shell
+  *     wrapper; `stderr = true` lets Spark's pipe machinery forward child
+  *     stderr to the executor's stderr — the terminal in local mode, the
+  *     executor log on a cluster (the distributed generalization of
+  *     inheriting the fd).
   */
 object CommandStage {
 
@@ -30,7 +36,8 @@ object CommandStage {
       params: Seq[String] = Nil,
       env: Map[String, String] = Map.empty,
       partitions: Option[Int] = None,
-      cwd: Option[String] = None): DataFrame = {
+      cwd: Option[String] = None,
+      stderr: Boolean = false): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
     // Params are appended to the command line, shell-quoted — parity with
@@ -40,11 +47,24 @@ object CommandStage {
     // commands resolve against the config directory. Only meaningful
     // where the path exists on every executor (shared FS / local mode).
     val base = (command +: params.map(shellQuote)).mkString(" ")
-    val full = cwd.filter(_ != ".")
+    val cded = cwd.filter(_ != ".")
       .fold(base)(d => s"cd ${shellQuote(d)} && ($base)")
+    // stderr default = discard, the reference's `child.stderr.resume()`
+    val full = if (stderr) cded else s"{ $cded ; } 2>/dev/null"
     val lines = input.select(ValueCol).as[String]
     val sized = partitions.fold(lines)(n => lines.coalesce(n))
-    val piped = sized.rdd.pipe(
+    // An empty input (empty LocalRelation, empty file scan) plans to a
+    // ZERO-partition RDD, and RDD.pipe on zero partitions never spawns
+    // the process — but the reference always spawns each stage and just
+    // closes its stdin (pipe.end(), index.js:54): `echo hi` with empty
+    // stdin must still emit. Raise 0 → 1 empty partition so the command
+    // runs exactly once with closed stdin. (coalesce can shrink but
+    // cannot raise 0 partitions.)
+    val rdd0 = sized.rdd
+    val inputRdd =
+      if (rdd0.getNumPartitions == 0) spark.sparkContext.parallelize(Seq.empty[String], 1)
+      else rdd0
+    val piped = inputRdd.pipe(
       Seq("/bin/sh", "-c", full),
       env,
       null, null, false, 8192, java.nio.charset.StandardCharsets.UTF_8.name())
