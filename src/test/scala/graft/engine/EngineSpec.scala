@@ -178,6 +178,55 @@ class EngineSpec extends SparkSpec {
     assert(collectValues(engine.run("solo_reduce", spark)) == Seq("solo"))
   }
 
+  test("empty input still spawns the command once with closed stdin (pipe.end(), index.js:54)") {
+    // an empty LocalRelation plans to a ZERO-partition RDD; without the
+    // 0→1 raise the process would never run and `echo hi` would emit
+    // nothing — the reference always spawns each stage
+    val out = CommandStage(lines(), "echo hi")
+    assert(collectValues(out) == Seq("hi"))
+    // engine-level: empty engine input into a command-headed pipeline
+    val spec = PipelineSpec(ListMap("main" -> Seq(Stage.Command("echo ran"))))
+    val piped = new Engine(spec).run("main", spark, Some(lines()))
+    assert(collectValues(piped) == Seq("ran"))
+  }
+
+  test("multi-segment pipelines keep stage order WITHIN a run segment (runStream, index.js:30-39)") {
+    // run segment (two multi-line stages) followed by a pipe segment:
+    // output must be seg0-stage0 lines, seg0-stage1 lines, then seg1 —
+    // sorting only by the segment ordinal loses the intra-run order
+    val spec = PipelineSpec(ListMap("main" -> Seq(
+      Stage.Command("printf 'a1\\na2\\n'", SegType.Run),
+      Stage.Command("printf 'b1\\nb2\\n'", SegType.Run),
+      Stage.Command("echo c1", SegType.Pipe))))
+    val out = collectValues(new Engine(spec).run("main", spark))
+    assert(out == Seq("a1", "a2", "b1", "b2", "c1"))
+  }
+
+  test("stderr flag: discarded by default (stderr.resume(), index.js:23), passed through when set") {
+    val spec = PipelineSpec(ListMap("noisy" -> Seq(
+      Stage.Command("echo data; echo oops-marker 1>&2"))))
+    def captureErr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      // the pipe stderr-reader thread may still be draining just after
+      // the action returns — keep the redirect in place briefly
+      try { body; Thread.sleep(300) } finally System.setErr(old)
+      buf.toString
+    }
+    val quiet = captureErr {
+      val out = new Engine(spec).run("noisy", spark, Some(lines("x")))
+      assert(collectValues(out) == Seq("data"))
+    }
+    assert(!quiet.contains("oops-marker"))
+    val loud = captureErr {
+      val out = new Engine(spec, defaults = RunOptions(stderr = true))
+        .run("noisy", spark, Some(lines("x")))
+      assert(collectValues(out) == Seq("data"))
+    }
+    assert(loud.contains("oops-marker"))
+  }
+
   test("registry surface: list/has/toJson round-trip (index.js:180-210)") {
     val spec = PipelineSpec(ListMap(
       "a" -> Seq(Stage.Command("cat -")),

@@ -62,6 +62,37 @@ class DedupSpec extends SparkSpec {
     assert(hamNear <= 12)
   }
 
+  test("salted candidate pairs equal the unsalted pairs on a skewed corpus") {
+    // one dominant near-dup family (identical text → identical band
+    // hashes → ONE hot LSH bucket) plus distinct tail docs: the exact
+    // shape where a band-bucket self-join skews onto one reducer
+    val hot = (0L until 30L).map(i => (i, base))
+    val tail = Seq(
+      (100L, "completely different content about spark catalyst optimizer rules"),
+      (101L, "yet another unrelated document on parquet column pruning today"))
+    val skewed = (hot ++ tail).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(skewed, "doc_id", "text", numHashes = 64,
+      shingler = Dedup.WordShingles(3))
+    val bands = Dedup.lshBands(sigs, "doc_id", bands = 16, rowsPerBand = 4)
+    val plain = Dedup.candidatePairs(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.candidatePairsSalted(bands, "doc_id", salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain)
+    assert(plain.size == 30 * 29 / 2) // the hot family is all-pairs by construction
+  }
+
+  test("connected components: converges on a long chain and labels with the min id") {
+    // 13-node path graph — label 0 needs 12 propagation rounds to reach
+    // the far end; exercises the checkpointed loop well past the depth
+    // any single round covers
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == (0L to 12L).toSet)
+    assert(cc.values.forall(_ == 0L))
+  }
+
   test("connected components label transitive clusters with the min id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (7L, 7L)).toDF("id1", "id2")
     val cc = Dedup.connectedComponents(pairs)

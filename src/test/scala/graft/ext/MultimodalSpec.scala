@@ -25,6 +25,47 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(m => m.format == "png" || m.format == "jpeg"))
   }
 
+  test("real image headers decode to true dimensions (PNG IHDR / JPEG SOFn / GIF)") {
+    // minimal PNG: 8-byte signature + IHDR chunk header + w=320, h=240
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x01, 0x40, // width 320 (BE)
+      0x00, 0x00, 0x00, 0xF0  // height 240 (BE)
+    ).map(_.toByte)
+    assert(ImageHeaders.decode(png).contains((320, 240, "png")))
+    // JPEG: SOI, APP0 segment, then SOF0 with h=240, w=320
+    val jpeg = Array[Int](
+      0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46, // APP0, len 4
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0xF0, 0x01, 0x40
+    ).map(_.toByte)
+    assert(ImageHeaders.decode(jpeg).contains((320, 240, "jpeg")))
+    // GIF89a: little-endian u16 dims at offsets 6/8
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xF0, 0x00, 0x00, 0x00).map(_.toByte))
+    assert(ImageHeaders.decode(gif).contains((320, 240, "gif")))
+    // non-image bytes fall back to the deterministic stub
+    assert(ImageHeaders.decode("plain text".getBytes).isEmpty)
+    val (w, h, fmt, _) = StubDecoders.decodeImageMeta(png)
+    assert((w, h, fmt) == (320, 240, "png"))
+  }
+
+  test("decodeImages surfaces real header dimensions through the pipeline") {
+    import spark.implicits._
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x02, 0x00, // width 512
+      0x00, 0x00, 0x01, 0x00  // height 256
+    ).map(_.toByte)
+    val media = Seq((1L, png, "image/png", png.length.toLong))
+      .toDF("media_id", "payload", "media_type", "byte_len")
+    val out = Multimodal.decodeImages(media).collect()
+    assert(out.length == 1)
+    assert(out.head.width == 512 && out.head.height == 256 && out.head.format == "png")
+  }
+
   test("frame sampling yields ceil(len/chunk) strided frames with bounded size") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "video/fake")
     val frames = Multimodal.sampleFrames(media, chunkSize = 50, stride = 2)

@@ -49,6 +49,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(byKey((2L, ts("2024-01-01 10:00:10"))).contains(199.5)) // 0s old
   }
 
+  test("all asof_* fields come from the SAME right row even when a value column is null") {
+    // latest quote has a NULL bid: a per-column carry would fall back to
+    // the older row's bid while asof_ts reported the newer timestamp —
+    // the struct carry must surface the newer row's (null bid, its ts)
+    val quotesWithNull = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(99.5)),
+      (1L, ts("2024-01-01 10:00:10"), None: Option[Double])
+    ).toDF("sym", "quote_ts", "bid")
+    val trade = Seq((1L, ts("2024-01-01 10:00:20"), 101.0))
+      .toDF("sym", "trade_ts", "trade_px")
+    val out = AsOfJoin.asof(trade, quotesWithNull, "sym", "trade_ts", "quote_ts", Seq("bid"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_bid")))
+    assert(out.head.getTimestamp(out.head.fieldIndex("asof_ts")) == ts("2024-01-01 10:00:10"))
+  }
+
   test("one shuffle on the key: plan has a single exchange before the window") {
     val out = AsOfJoin.asof(trades, quotes, "sym", "trade_ts", "quote_ts", Seq("bid"))
     val plan = out.queryExecution.executedPlan.toString
