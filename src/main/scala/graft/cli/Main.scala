@@ -9,21 +9,30 @@ import org.json4s.jackson.JsonMethods
 import graft.engine.{Engine, RunOptions}
 import graft.spec.{ConfigLoader, PipelineSpec}
 import graft.sources.Sources
-import graft.stages.CommandStage
 
 /** CLI — the `bin.js` verb surface (SURVEY §2.1 CLI table):
   *
   *   run [pipes…]     run pipelines sequentially, print to stdout (bin.js:132-155)
   *   pipe [pipes…]    stdin → pipeline₁ → … → stdout (bin.js:157-184)
+  *   pipe --stream d  unbounded form: follow a growing dir of line files
+  *                    (the reference keeps stdin open; the Spark-native
+  *                    unbounded transport is a file-stream source)
   *   exec <cmd>       stdin → ad-hoc command → stdout (bin.js:79-84)
   *   add <pipe> <cmd> append a plain-string stage + persist (bin.js:94-103)
   *   rm <pipe>        delete pipeline + persist (bin.js:122-130)
   *   ls               list pipeline names (bin.js:73-77)
   *   show <pipe>      shell-style pretty print (bin.js:105-120)
+  *   completion       bash completion script (completion sources, bin.js:57-67)
+  *   help             full usage text (help.txt parity, bin.js:90-92)
   *   version          engine version
   *
   * Options: `-c <file>` explicit config, `--cwd <dir>` working directory.
   * stdout EPIPE is tolerated so `run x | head` doesn't crash (bin.js:12-14).
+  *
+  * Driver-memory discipline: stdin is spooled to a temp file and read back
+  * as a Spark text scan (never held as a driver-side Seq), and results are
+  * printed via `toLocalIterator` — the CLI handles inputs/outputs larger
+  * than the driver heap.
   */
 object Main {
 
@@ -31,24 +40,30 @@ object Main {
       verb: String,
       positional: Seq[String],
       cwd: String = ".",
-      config: Option[String] = None)
+      config: Option[String] = None,
+      stream: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var cwd = "."
     var config: Option[String] = None
+    var stream: Option[String] = None
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < argv.length) {
       argv(i) match {
-        case f @ ("-c" | "--config" | "--cwd") =>
+        case f @ ("-c" | "--config" | "--cwd" | "--stream") =>
           if (i + 1 >= argv.length)
             throw new IllegalArgumentException(s"$f requires a value")
-          if (f == "--cwd") cwd = argv(i + 1) else config = Some(argv(i + 1))
+          f match {
+            case "--cwd"    => cwd = argv(i + 1)
+            case "--stream" => stream = Some(argv(i + 1))
+            case _          => config = Some(argv(i + 1))
+          }
           i += 2
         case other => pos += other; i += 1
       }
     }
-    Args(pos.headOption.getOrElse("help"), pos.drop(1).toSeq, cwd, config)
+    Args(pos.headOption.getOrElse("help"), pos.drop(1).toSeq, cwd, config, stream)
   }
 
   def main(argv: Array[String]): Unit = run(argv, () => session())
@@ -91,40 +106,128 @@ object Main {
           }
         }
       case "pipe" =>
-        // stdin → chained pipelines → stdout. Batch form: stdin is read
-        // to end; the unbounded form is Sources.linesStream + the same
-        // pipeline chain as a StreamingQuery.
         val engine = loadEngine(args)
         val spark = mkSession()
-        import spark.implicits._
-        val stdin = scala.io.Source.stdin.getLines().toSeq.toDF(CommandStage.ValueCol)
         // default to 'main' and skip missing names with a stderr note
         // (silent for 'main'), as the reference does (bin.js:158-175)
         val names = if (args.positional.nonEmpty) args.positional else Seq("main")
-        var applied = 0
-        val out = names.foldLeft(stdin) { (df, n) =>
-          engine.pipe(n, spark, Some(df)) match {
-            case Some(next) => applied += 1; next
-            case None =>
-              if (n != "main") Console.err.println(s"$n does not exist")
-              df
-          }
+        args.stream match {
+          case Some(dir) =>
+            // unbounded parity: the reference's `pipe` keeps stdin open
+            // indefinitely (bin.js:157-184); the Spark-native unbounded
+            // transport is a file-stream source over a growing directory,
+            // the same pipeline chain, and an incremental stdout sink.
+            // Runs until interrupted (like the reference until stdin EOF).
+            pipeStream(engine, spark, dir, names).foreach(_.awaitTermination())
+          case None =>
+            val stdin = spooledStdin(spark)
+            var applied = 0
+            val out = names.foldLeft(stdin) { (df, n) =>
+              engine.pipe(n, spark, Some(df)) match {
+                case Some(next) => applied += 1; next
+                case None =>
+                  if (n != "main") Console.err.println(s"$n does not exist")
+                  df
+              }
+            }
+            // zero resolved pipelines → no output (bin.js:174 `if
+            // (!streams.length) return` — stdin is NOT echoed through)
+            if (applied > 0) Sources.printLines(out, Int.MaxValue)
         }
-        // zero resolved pipelines → no output (bin.js:174 `if
-        // (!streams.length) return` — stdin is NOT echoed through)
-        if (applied > 0) Sources.printLines(out, Int.MaxValue)
       case "exec" =>
         val spark = mkSession()
-        import spark.implicits._
-        val stdin = scala.io.Source.stdin.getLines().toSeq.toDF(CommandStage.ValueCol)
         val out = new Engine(PipelineSpec.empty)
-          .exec(args.positional.mkString(" "), stdin, RunOptions(partitions = Some(1)))
+          .exec(args.positional.mkString(" "), spooledStdin(spark),
+            RunOptions(partitions = Some(1)))
         Sources.printLines(out, Int.MaxValue)
       case "version" => printSafe("graft 0.1.0")
-      case _ =>
-        printSafe("usage: graft <ls|show|add|rm|run|pipe|exec|version> [args] [-c file] [--cwd dir]")
+      case "completion" => printSafe(completionScript)
+      case _ => printSafe(helpText)
     }
   }
+
+  /** Streaming pipe chain: file-stream lines → pipelines → incremental
+    * sink per micro-batch. Returns None when no named pipeline resolves
+    * (parity with the batch form's no-output rule). Factored from the
+    * verb so tests can drive micro-batches without blocking on
+    * awaitTermination.
+    */
+  private[cli] def pipeStream(
+      engine: Engine,
+      spark: SparkSession,
+      dir: String,
+      names: Seq[String],
+      sink: org.apache.spark.sql.DataFrame => Unit = Sources.printLines(_, Int.MaxValue))
+      : Option[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val input = Sources.linesStream(spark, dir)
+    var applied = 0
+    val out = names.foldLeft(input) { (df, n) =>
+      engine.pipe(n, spark, Some(df)) match {
+        case Some(next) => applied += 1; next
+        case None =>
+          if (n != "main") Console.err.println(s"$n does not exist")
+          df
+      }
+    }
+    if (applied == 0) None
+    else Some(out.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => sink(batch))
+      .start())
+  }
+
+  /** stdin → temp-file spool → Spark text scan. Keeps arbitrarily large
+    * stdin off the driver heap (the scan is partitioned like any file
+    * read); reads from Console.in so tests can inject input.
+    */
+  private def spooledStdin(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    val tmp = Files.createTempFile("graft-stdin-", ".txt")
+    tmp.toFile.deleteOnExit()
+    val w = Files.newBufferedWriter(tmp)
+    try {
+      val buf = new Array[Char](8192)
+      var n = Console.in.read(buf)
+      while (n >= 0) { w.write(buf, 0, n); n = Console.in.read(buf) }
+    } finally w.close()
+    Sources.lines(spark, tmp.toString)
+  }
+
+  private val helpText =
+    """Usage: graft <command> [args] [-c <config>] [--cwd <dir>]
+      |
+      |Commands:
+      |  run [names...]       Run pipelines sequentially, print output to stdout
+      |  pipe [names...]      Read stdin through the named pipelines to stdout
+      |  pipe --stream <dir>  Unbounded pipe: follow a growing directory of line
+      |                       files through the pipelines (Ctrl-C to stop)
+      |  exec <cmd...>        Run an ad-hoc shell command over stdin
+      |  add <name> <cmd...>  Append a command stage to a pipeline and persist
+      |  rm <name>            Remove a pipeline and persist
+      |  ls                   List pipeline names
+      |  show <name>          Print a pipeline's stages shell-style
+      |  completion           Print a bash completion script (source it)
+      |  version              Print engine version
+      |  help                 This message
+      |
+      |Options:
+      |  -c, --config <file>  Explicit config file (gasket.json format)
+      |  --cwd <dir>          Working directory for config discovery and stages
+      |  --stream <dir>       With pipe: watch <dir> for new line files
+      |
+      |Config is discovered as gasket.json or the "gasket" key of package.json
+      |in the working directory.""".stripMargin
+
+  private val completionScript =
+    """# bash completion for graft — source this file or add to ~/.bashrc
+      |_graft_complete() {
+      |  local cur="${COMP_WORDS[COMP_CWORD]}"
+      |  if [ "$COMP_CWORD" -eq 1 ]; then
+      |    COMPREPLY=( $(compgen -W "run pipe exec add rm ls show completion version help" -- "$cur") )
+      |  else
+      |    COMPREPLY=( $(compgen -W "$(graft ls 2>/dev/null)" -- "$cur") )
+      |  fi
+      |}
+      |complete -F _graft_complete graft""".stripMargin
 
   private def loadEngine(args: Args): Engine =
     Engine.load(args.cwd, args.config)

@@ -93,9 +93,14 @@ object Sources {
   }
 
   /** stdout sink (CLI `gasket run` prints to stdout, bin.js:149). Driver-
-    * side by nature; for big results prefer a file sink.
+    * side by nature, but streamed through `toLocalIterator` so only ONE
+    * partition's rows are resident on the driver heap at a time — a
+    * whole-result `collect()` would cap output size at driver memory.
     */
-  def printLines(df: DataFrame, limit: Int = 1000): Unit =
-    df.select(CommandStage.ValueCol).limit(limit).collect()
-      .foreach(r => println(r.getString(0)))
+  def printLines(df: DataFrame, limit: Int = 1000): Unit = {
+    val projected = df.select(CommandStage.ValueCol)
+    val limited = if (limit == Int.MaxValue) projected else projected.limit(limit)
+    val it = limited.toLocalIterator()
+    while (it.hasNext) println(it.next().getString(0))
+  }
 }

@@ -69,6 +69,73 @@ class MainSpec extends SparkSpec {
     assert(err.toString.contains("usage:"))
   }
 
+  test("pipe reads stdin through the pipeline (bin.js:157-184)") {
+    withDir("""{"main": ["tr a-z A-Z"]}""") { cwd =>
+      val out = capture {
+        Console.withIn(new java.io.StringReader("hello\nworld\n")) {
+          Main.run(Array("pipe", "--cwd", cwd), () => spark)
+        }
+      }
+      assert(out.trim.split("\n").toSeq == Seq("HELLO", "WORLD"))
+    }
+  }
+
+  test("pipe with EMPTY stdin still spawns an echo-headed pipeline (pipe.end(), index.js:54)") {
+    withDir("""{"main": ["echo spawned"]}""") { cwd =>
+      val out = capture {
+        Console.withIn(new java.io.StringReader("")) {
+          Main.run(Array("pipe", "--cwd", cwd), () => spark)
+        }
+      }
+      assert(out.trim == "spawned")
+    }
+  }
+
+  test("exec runs an ad-hoc command over stdin (bin.js:79-84)") {
+    val out = capture {
+      Console.withIn(new java.io.StringReader("abc\n")) {
+        Main.run(Array("exec", "rev"), () => spark)
+      }
+    }
+    assert(out.trim == "cba")
+  }
+
+  test("pipe --stream follows a growing directory incrementally") {
+    withDir("""{"main": [{"module": "uppercase"}]}""") { cwd =>
+      // module stage: command stages are batch-only; the module registry's
+      // uppercase is the streaming-safe flagship transform
+      val streamDir = Files.createTempDirectory("graft-stream")
+      val collected = scala.collection.mutable.ArrayBuffer[String]()
+      val engine = graft.engine.Engine.load(cwd)
+      val q = Main.pipeStream(engine, spark, streamDir.toString, Seq("main"),
+        batch => collected ++= batch.collect().map(_.getString(0))).get
+      try {
+        Files.writeString(streamDir.resolve("a.txt"), "first\n")
+        q.processAllAvailable()
+        assert(collected.toSeq == Seq("FIRST"))
+        Files.writeString(streamDir.resolve("b.txt"), "second\n")
+        q.processAllAvailable()
+        assert(collected.sorted.toSeq == Seq("FIRST", "SECOND"))
+      } finally q.stop()
+    }
+  }
+
+  test("pipe --stream with no resolvable pipeline returns no query (bin.js:174)") {
+    withDir("""{"x": ["cat -"]}""") { cwd =>
+      val streamDir = Files.createTempDirectory("graft-stream-none")
+      val engine = graft.engine.Engine.load(cwd)
+      assert(Main.pipeStream(engine, spark, streamDir.toString, Seq("main"), _ => ()).isEmpty)
+    }
+  }
+
+  test("help and completion verbs print the full surface") {
+    val help = capture(Main.run(Array("help"), () => spark))
+    Seq("run", "pipe", "exec", "add", "rm", "ls", "show", "--stream", "completion")
+      .foreach(v => assert(help.contains(v), s"help is missing $v"))
+    val comp = capture(Main.run(Array("completion"), () => spark))
+    assert(comp.contains("complete -F") && comp.contains("graft ls"))
+  }
+
   test("run of missing non-main name errors to stderr, missing main is silent") {
     withDir("""{"x": ["echo hi"]}""") { cwd =>
       val err = new ByteArrayOutputStream()
