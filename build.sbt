@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Spark whole-stage codegen churns generated classes; the JDK default
+  // 240 MB JIT code cache fills under a 70-query session, after which the
+  // compiler shuts off and everything runs interpreted (huge, noisy
+  // slowdowns). Size it for a long-lived multi-query driver.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -87,9 +87,20 @@ object Dedup {
       if (widen && df.queryExecution.toRdd.getNumPartitions < parallelism)
         df.repartition(parallelism)
       else df
-    src.select(col(idCol),
-      graft.functions.MinHashSignature
-        .minhash_signature(shingler(textCol), numHashes).as("sig"))
+    // The two standard shinglers take the FUSED kernel (one compiled pass
+    // over the text bytes, no shingle strings materialized — bit-identical
+    // output, see MinHashText); a custom Shingler falls back to the
+    // composable HOF → minhash_signature path.
+    val sigCol = shingler match {
+      case WordShingles(n) =>
+        graft.functions.MinHashText.minhash_word_shingles(col(textCol), n, numHashes)
+      case CharShingles(k) =>
+        graft.functions.MinHashText.minhash_char_shingles(col(textCol), k, numHashes)
+      case other =>
+        graft.functions.MinHashSignature
+          .minhash_signature(other(textCol), numHashes)
+    }
+    src.select(col(idCol), sigCol.as("sig"))
   }
 
   /** LSH banding: (id, band_id, band_hash) rows. Docs sharing a band hash
@@ -165,12 +176,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingler: Shingler = CharShingles(5)): DataFrame = {
-    // persisted: joined twice (id1/id2 side) — without it the shingle
-    // pipeline re-executes per join side. The 100 TB analog is
-    // materializing the shingle-set table once before pair verification.
-    val sets = df.select(col(idCol), shingler(textCol).as("sh"))
+    // Shingle sets are built ONLY for documents that appear in a candidate
+    // pair (semi-join first): shingling is the CPU-heavy interpreted-HOF
+    // step, and candidates are a vanishing fraction of the corpus — at
+    // 100 TB materializing shingle sets for every document would dwarf the
+    // verification itself. Persisted because the set table feeds both the
+    // id1 and id2 join sides.
+    // pairs persisted too: it feeds the id-set extraction and both joins,
+    // and upstream it is itself a multi-stage LSH pipeline
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val candIds = p.select(col("id1").as(idCol))
+      .union(p.select(col("id2").as(idCol)))
+      .distinct()
+    val sets = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingler(textCol).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs
+    p
       .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
@@ -228,30 +249,82 @@ object Dedup {
     *     clusters.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
+    // materialize the edge cache BEFORE the loop: the rounds' joins spawn
+    // AQE broadcast-stage jobs concurrently, and against a lazily-persisted
+    // edge list each of them races to recompute the full upstream pairs
+    // pipeline (observed: the same 15-CPU-s signature pass running 10×
+    // in parallel). CC is already driver-orchestrated/eager, so the
+    // up-front count() costs nothing extra semantically.
+    val rawEdges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id"))
+    val edgeCount = rawEdges.count()
+    // Size the edge list from its MEASURED count — the union inherits the
+    // upstream plan's partitioning (there is no shuffle for AQE to
+    // re-coalesce), so a tiny pair list otherwise drags 64 near-empty
+    // partitions through every round (observed as 128-task stages over
+    // ~500 rows), while a huge one stays as wide as it was written.
+    // coalesce() keeps it shuffle-free; ~1M edges per partition keeps a
+    // partition's share of the per-round join comfortably in memory, and
+    // a well-partitioned big edge list (count/1M ≥ current width) is left
+    // alone. Only re-shape on >2× over-partitioning — churn below that
+    // isn't worth re-caching.
+    val targetParts = (edgeCount / 1000000L + 1L).toInt
+    val edges =
+      if (rawEdges.rdd.getNumPartitions > 2 * targetParts)
+        rawEdges.coalesce(targetParts).persist(StorageLevel.MEMORY_AND_DISK)
+      else rawEdges
+    if (edges ne rawEdges) { edges.count(); rawEdges.unpersist(blocking = false) }
+    val idType = edges.schema("id1").dataType
+    val nullOwn = lit(null).cast(idType).as("own")
+    // Round 1 needs NO join: a neighbor's label IS its id, so the seed
+    // round is one min-aggregation over (own id ∪ neighbor ids) — one
+    // shuffle replaces the old identity-seed distinct plus a full
+    // join round. The `own` marker (set only on own-label rows) carries
+    // the previous label through the same aggregation, so convergence
+    // detection costs no extra shuffle or job.
+    var next = edges.select(col("id1").as("id"), col("id1").as("label"), col("id1").as("own"))
+      .union(edges.select(col("id1").as("id"), col("id2").as("label"), nullOwn))
+      .groupBy("id")
+      .agg(min("label").as("label"), max("own").as("prev"))
       .localCheckpoint(eager = false)
-    var changed = 1L
-    var i = 0
+    var changed = next.filter(col("label") < col("prev")).count()
+    var labels = next.select("id", "label")
+    var i = 1
     while (changed > 0 && i < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("id2") === labels("id"))
-        .select(edges("id1").as("id"), col("label"))
-        .groupBy("id").agg(min("label").as("nmin"))
-      // labels only ever decrease, so change detection is label < prev —
-      // carried through the same projection the checkpoint materializes
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("prev"))
-        .localCheckpoint(eager = false)
+      // One round = TWO shuffles, not three: neighbor labels (join) are
+      // UNIONed with own labels and a single min-aggregation both merges
+      // them and carries the previous label for change detection. The
+      // old join+groupBy+left-join shape paid a third shuffle per round
+      // for the same result. `labels` is 1 row per id after aggregation,
+      // so the mapping join never fans out.
+      //
+      // Convergence is checked every SECOND round: the count() is the
+      // round's only job, so checking at stride 2 halves the job count.
+      // Each round still lazily checkpoints, so the un-counted round's
+      // checkpoint simply materializes inside the next count's job and
+      // lineage stays one round deep. The only cost is at most one
+      // wasted propagation round after convergence — a no-op on
+      // already-stable labels, far cheaper than a per-round driver job.
+      val rounds = math.min(2, maxIter - i)
+      for (_ <- 0 until rounds) {
+        val neighborLabels = edges
+          .join(labels, edges("id2") === labels("id"))
+          .select(edges("id1").as("id"), col("label"), nullOwn)
+        next = labels
+          .select(col("id"), col("label"), col("label").as("own"))
+          .union(neighborLabels)
+          .groupBy("id")
+          .agg(min("label").as("label"), max("own").as("prev"))
+          .localCheckpoint(eager = false)
+        labels = next.select("id", "label")
+        i += 1
+      }
+      // `prev` spans only the LAST propagation round, so a change in the
+      // first of the two rounds that settles by the second is invisible
+      // here — correctly so: convergence means the last round changed
+      // nothing, which is exactly what this counts.
       changed = next.filter(col("label") < col("prev")).count()
-      labels = next.select("id", "label")
-      i += 1
     }
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)

@@ -27,6 +27,22 @@ object DedupProfile {
     }
 
     val sh = Dedup.WordShingles(3)
+    time("shingles-only") {
+      docs.select(sh("text").as("s")).selectExpr("sum(size(s))").collect()
+    }
+    time("shingles-again") {
+      docs.select(sh("text").as("s")).selectExpr("sum(size(s))").collect()
+    }
+    time("minhash-on-top") {
+      docs.select(graft.functions.MinHashSignature
+        .minhash_signature(sh("text"), 64).as("sig"))
+        .selectExpr("sum(size(sig))").collect()
+    }
+    time("minhash-again") {
+      docs.select(graft.functions.MinHashSignature
+        .minhash_signature(sh("text"), 64).as("sig"))
+        .selectExpr("sum(size(sig))").collect()
+    }
     val sigs = time("signatures") {
       val s0 = Dedup.minHashSignatures(docs, "doc_id", "text", 64, sh)
         .persist()
@@ -51,8 +67,17 @@ object DedupProfile {
       println(s"  verified: ${Dedup.exactJaccard(probable, docs, "doc_id", "text", sh)
         .filter(col("jaccard") >= 0.5).count()}")
     }
-    time("full-pipeline-fresh") {
-      Dedup.nearDupMinHash(docs, "doc_id", "text", 0.5, 64, 16, sh).count()
+    val pairs = time("pairs-materialize") {
+      val p = Dedup.exactJaccard(probable, docs, "doc_id", "text", sh)
+        .filter(col("jaccard") >= 0.5).select("id1", "id2").persist()
+      println(s"  pairs: ${p.count()}")
+      p
+    }
+    time("connected-components") {
+      println(s"  labels: ${Dedup.connectedComponents(pairs).count()}")
+    }
+    time("full-clusters-fresh") {
+      Dedup.nearDupClusters(docs, "doc_id", "text", 0.5, shingler = sh).count()
     }
     spark.stop()
   }
