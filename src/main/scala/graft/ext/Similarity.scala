@@ -135,6 +135,112 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Train an IVF coarse quantizer: k centroids by Lloyd's iterations,
+    * expressed as DataFrame ops so every pass is a distributed scan:
+    * assignment is the codegen'd [[graft.functions.IvfCells]] argmax over
+    * the broadcast centroid matrix (map-only), and the re-estimation is
+    * one keyed shuffle of (cell, dim) partial sums. Only the k×dim model
+    * ever reaches the driver — the classic MLlib-style training shape.
+    *
+    * Initialization is deterministic (first k vectors by xxhash64 order),
+    * so trained models are stable across runs and retries.
+    */
+  def trainIvfCentroids(
+      embeddings: DataFrame,
+      embCol: String,
+      k: Int,
+      iters: Int = 3): Array[Array[Float]] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    var cents: Array[Array[Float]] = embeddings
+      .select(col(embCol).as("e"))
+      .orderBy(xxhash64(col("e")))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = embeddings
+        .select(graft.functions.IvfCells
+          .nearest_cell(col(embCol), cents.map(_.toSeq).toSeq).as("cell"),
+          posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("v")) / count(lit(1))).as("mean"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next // empty cells keep their previous centroid
+    }
+    cents
+  }
+
+  /** Cell assignment — the IVF WRITE path. At scale, assign at ingest and
+    * `partitionBy(cellCol)` the stored corpus: searches then prune to the
+    * probed cells' partitions at the parquet scan.
+    */
+  def ivfAssign(
+      embeddings: DataFrame,
+      embCol: String,
+      centroids: Array[Array[Float]],
+      cellCol: String = "ivf_cell"): DataFrame =
+    embeddings.withColumn(cellCol,
+      graft.functions.IvfCells.nearest_cell(col(embCol), centroids.map(_.toSeq).toSeq))
+
+  /** IVF top-k search, driver-known query form: the probe set is a
+    * LITERAL `isin` over the query's nearest `nprobe` cells — the
+    * partition-pruning path over a cell-partitioned corpus. Exact cosine
+    * ranks within the probed cells; recall/cost trades via nprobe.
+    */
+  def ivfSearch(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Array[Float],
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
+    val probeCells = graft.functions.IvfCells
+      .computeCells(query, centroids, nprobe)
+      .toIntArray()
+      .toSeq
+    ivfAssign(embeddings, embCol, centroids, "_cell")
+      .filter(col("_cell").isin(probeCells: _*))
+      .select(col(idCol),
+        gf.cosine_similarity(col(embCol), planeCol(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF top-k search, lazy one-plan form: the query is a one-row
+    * DataFrame broadcast into the scan; its probe-cell set is computed by
+    * the same codegen'd kernel and the corpus keeps rows whose assigned
+    * cell is in it. Use the array form when the corpus is cell-partitioned
+    * on disk (literal probes prune partitions; a join-side filter can't).
+    */
+  def ivfSearchLazy(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: DataFrame,
+      queryEmbCol: String,
+      k: Int,
+      centroids: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
+    val cs = centroids.map(_.toSeq).toSeq
+    val q = broadcast(query.select(
+      col(queryEmbCol).as("_qvec"),
+      graft.functions.IvfCells.nearest_cells(col(queryEmbCol), cs, nprobe).as("_qcells")))
+    embeddings
+      .withColumn("_cell", graft.functions.IvfCells.nearest_cell(col(embCol), cs))
+      .crossJoin(q)
+      .filter(array_contains(col("_qcells"), col("_cell")))
+      .select(col(idCol), gf.cosine_similarity(col(embCol), col("_qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket
     * self-join (never all-pairs), exact cosine verification, threshold.
     */

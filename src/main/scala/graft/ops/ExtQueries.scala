@@ -179,6 +179,25 @@ object ExtQueries {
     None, // model-defined (LSH probe set)
     "LSH-bucketed ANN top-k (multi-probe hyperplane buckets, lazy one-plan form)")
 
+  private val qSimIvf = Q(
+    "q_sim_ivf",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      // train the coarse quantizer (distributed Lloyd passes; only the
+      // k×dim model reaches the driver), then search the probed cells.
+      // 8 cells / nprobe 3 exercises real pruning on the small corpus.
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+      Similarity.ivfSearchLazy(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",
+          k = 10, centroids, nprobe = 3)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    None, // model-defined (trained quantizer / probe set)
+    "IVF ANN top-k: k-means coarse quantizer + cell-pruned exact search " +
+      "(the cell column partition-prunes a cell-partitioned corpus at scale)")
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, d) =>
@@ -353,7 +372,7 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNear, qDedupClusters, qDedupSimhash, qDedupNgram,
     qDedupJaccard, qDedupEmbed,
-    qVecCentroid, qSimTopk, qSimAnn,
+    qVecCentroid, qSimTopk, qSimAnn, qSimIvf,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable, qMultimodal)
 }

@@ -193,6 +193,25 @@ object RelationalQueries {
             FROM events ORDER BY event_id"""),
     "schema-on-read NDJSON parse via from_json (index.js:73 parity)")
 
+  private val qCsvRoundtrip = Q(
+    "q_csv_roundtrip",
+    (s, d) => {
+      // sink → source round-trip through the CSV format: written from the
+      // parquet original and read back with an explicit schema, then
+      // hash-compared against DuckDB reading the parquet directly — one
+      // green row proves quoting, header, and type fidelity of both the
+      // CSV sink and the CSV source. Free-text documents exercise quoting.
+      val src = documents(s, d)
+        .select("doc_id", "lang", "text", "n_chars")
+      val out = s"/tmp/graft_csv_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writeCsv(src, out)
+      graft.sources.Sources.csv(s, out, header = true, schema = Some(src.schema))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, text, n_chars
+            FROM documents ORDER BY doc_id"""),
+    "CSV sink -> CSV source round-trip, hash-checked against the parquet original")
+
   // ---------------------------------------------------------------- joins
 
   private val qJoinBroadcast = Q(
@@ -1028,6 +1047,7 @@ object RelationalQueries {
     qNullHandling, qCaseBuckets,
     qStatsMoments, qHistogram, qDateArith,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
+    qCsvRoundtrip,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,

@@ -66,4 +66,52 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) >= 0.25))
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("IVF training is deterministic and assigns every vector a valid cell") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val c1 = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 2)
+    val c2 = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "training must be deterministic")
+    val cells = Similarity.ivfAssign(emb, "embedding", c1)
+      .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 4).toSet))
+    assert(cells.size > 1, "separable corpus should occupy several cells")
+  }
+
+  test("IVF search with nprobe = k equals brute force exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfSearch(emb, "vec_id", "embedding", q, 10, centroids, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute, "probing every cell must degrade to exact search")
+  }
+
+  test("IVF lazy form recalls the self-match and scores exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+    val top = Similarity.ivfSearchLazy(
+      emb, "vec_id", "embedding", q, "embedding", 5, centroids, nprobe = 3).collect()
+    assert(top.nonEmpty)
+    // the self-vector's cell is by construction in its own probe set
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("IVF probed search reaches useful recall against brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfSearch(emb, "vec_id", "embedding", q, 10, centroids, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 was $recall with half the cells probed")
+  }
 }
