@@ -629,6 +629,68 @@ object RelationalQueries {
             FROM events GROUP BY 1, 2 ORDER BY h, event_type"""),
     "tumbling event-time window (batch form of the streaming window op)")
 
+  /** Unique memory-sink names so warmup + timed + repeated Verify runs
+    * never collide on the temp view.
+    */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val qStreamTumbling = Q(
+    "q_stream_tumbling",
+    (s, d) => {
+      // The SAME tumbling-window operator, driven through Structured
+      // Streaming: a bounded file-stream replay (Trigger.AvailableNow)
+      // through StreamOps.tumblingCounts into a memory sink, in complete
+      // mode so every window emits at end-of-stream. The result must
+      // hash-match the batch GROUP BY oracle — streaming/batch parity is
+      // checked cross-engine, not just claimed. Values are summed as
+      // DECIMAL so the result is partition-order-insensitive (exactness,
+      // not float luck).
+      val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      // glob form: the file-stream source requires a directory or glob
+      // basePath (a bare file path is rejected)
+      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
+      val ev = (raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }).withColumn("value", dec(col("value")))
+      val agg = graft.streaming.StreamOps
+        .tumblingCounts(ev, "ts", "event_type", "1 hour", "30 minutes")
+      // checkpoint on tmpfs: every state-store partition fsyncs its delta
+      // file at commit, and against disk-backed /tmp those 32 fsyncs cost
+      // ~70 task-seconds for a 10k-row replay. Checkpoint placement is a
+      // deployment choice (HDFS/S3 on a cluster); for a bounded local
+      // replay memory-backed is the honest equivalent.
+      val ckDir = s"/dev/shm/graft_ck_$name"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          agg.writeStream
+            .outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckDir)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      try {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      } catch { case _: Exception => () }
+      s.table(name)
+        .select(col("w_start").as("h"), col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("h", "event_type")
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY h, event_type"""),
+    "tumbling window executed by Structured Streaming (bounded replay, " +
+      "complete-mode memory sink) — hash-equal to the batch oracle")
+
   private val qTopk = Q(
     "q_topk",
     (s, d) =>
@@ -1051,6 +1113,6 @@ object RelationalQueries {
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
-    qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qTopk,
+    qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }
