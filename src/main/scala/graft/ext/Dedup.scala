@@ -277,6 +277,16 @@ object Dedup {
     if (edges ne rawEdges) { edges.count(); rawEdges.unpersist(blocking = false) }
     val idType = edges.schema("id1").dataType
     val nullOwn = lit(null).cast(idType).as("own")
+    // AQE off for the loop's actions (restored after): its shuffle keys
+    // are document ids — uniform by construction, nothing for the skew
+    // planner to fix — and the partition width is already set from the
+    // measured edge count, so adaptive re-planning buys nothing while its
+    // per-round query-stage re-optimization dominates wall time on small
+    // graphs (each round is a separate action, so the cost repeats).
+    val spark = pairs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // Round 1 needs NO join: a neighbor's label IS its id, so the seed
     // round is one min-aggregation over (own id ∪ neighbor ids) — one
     // shuffle replaces the old identity-seed distinct plus a full
@@ -333,6 +343,7 @@ object Dedup {
           "raise maxIter for graphs with diameter > maxIter")
     edges.unpersist(blocking = false)
     labels
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Near-dup clustering: MinHash-LSH pairs → connected components →
