@@ -114,6 +114,59 @@ object TextAnalysis {
       .otherwise("train")
   }
 
+  /** PII-style scrubbing for training text: emails → `<EMAIL>`,
+    * URLs → `<URL>`, long digit runs → `<NUM>`. Patterns deliberately
+    * stay in the RE2-compatible subset (no backrefs/lookarounds) so the
+    * same regexes run identically on Java-regex (Spark) and RE2 (DuckDB,
+    * Go tooling) engines — scrubbing must be reproducible across the
+    * stack that touches the corpus. Pure codegen'd regexp_replace chain:
+    * map-only, scan-speed at any scale.
+    */
+  def redact(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{5,}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        url, "<URL>"),
+      num, "<NUM>")
+  }
+
+  /** Eval-set decontamination: flag corpus documents sharing any word
+    * n-gram with a held-out evaluation set (the standard guard against
+    * benchmark leakage into training data).
+    *
+    * Shape at 100 TB: the eval side is a benchmark — MBs, not TBs — so
+    * its distinct n-gram set is explicitly `broadcast()`; the corpus side
+    * is a map-only explode into a broadcast-hash semi-join, no shuffle of
+    * corpus data at all. Output keeps every corpus document with its
+    * shared-n-gram count so thresholds are a downstream filter, not baked
+    * in here.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 8): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(wordNgramsExpr(textCol, n))).as("_g"))
+    val evalGrams = evalSet
+      .select(explode(array_distinct(wordNgramsExpr(evalTextCol, n))).as("_g"))
+      .distinct()
+    val shared = corpusGrams
+      .join(broadcast(evalGrams), "_g")
+      .groupBy(idCol)
+      .agg(count_distinct(col("_g")).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31) —
     * order-sensitive, unlike a bag-of-words hash. Expressed with
     * aggregate() so it is codegen'd. Arithmetic stays below 2^39 (mod 2^33

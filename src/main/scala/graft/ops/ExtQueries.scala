@@ -360,6 +360,69 @@ object ExtQueries {
     "stable content-addressed train/val/test split (examples never migrate " +
       "between splits as the corpus grows)")
 
+  private val qRedact = Q(
+    "q_redact",
+    (s, d) =>
+      // the synthetic corpus contains no PII, so the query PLANTS a
+      // deterministic email/URL/number per document before scrubbing —
+      // the oracle replays the same planting, so the hash compare proves
+      // the redaction regexes behave identically cross-engine
+      documents(s, d)
+        .withColumn("_dirty",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via https://ex.example/p/"), col("doc_id"),
+            lit(" ref 1234567"), col("doc_id")))
+        .select(col("doc_id"),
+          TextAnalysis.redact(col("_dirty")).as("clean"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         text || ' contact user' || doc_id ||
+                         '@example.com via https://ex.example/p/' || doc_id ||
+                         ' ref 1234567' || doc_id,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'),
+                     '[0-9]{5,}', '<NUM>', 'g') AS clean
+            FROM documents ORDER BY doc_id"""),
+    "PII-style scrubbing (email/URL/number -> placeholder), cross-engine " +
+      "identical RE2-subset regexes")
+
+  private val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      // held-out "benchmark": every 50th document; corpus = the rest.
+      // Documents sharing any word 8-gram with the benchmark are flagged —
+      // near-dups of an eval doc light up, unrelated docs stay at 0.
+      val docs = documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      TextAnalysis.decontaminate(corpus, "doc_id", "text", evalSet, "text", n = 8)
+        .orderBy("doc_id")
+    },
+    Some("""WITH ng AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+              WHERE len(toks) >= 8),
+            eval_g AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
+              FROM ng c JOIN eval_g e USING (g)
+              WHERE c.doc_id % 50 <> 0
+              GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(h.n_shared, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id"""),
+    "eval-set decontamination: word-8-gram overlap against a held-out " +
+      "benchmark (broadcast eval grams; map-only corpus side)")
+
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
@@ -374,5 +437,6 @@ object ExtQueries {
     qDedupJaccard, qDedupEmbed,
     qVecCentroid, qSimTopk, qSimAnn, qSimIvf,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qNgramFreq, qRepetition, qTextNormalize, qSplitStable, qMultimodal)
+    qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
+    qRedact, qDecontaminate, qMultimodal)
 }

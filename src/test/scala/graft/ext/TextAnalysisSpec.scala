@@ -58,4 +58,35 @@ class TextAnalysisSpec extends SparkSpec {
     val fp = df.select(TextAnalysis.fingerprintMd5(col("text"))).head().getString(0)
     assert(fp == "5eb63bbbe01eeed093cb22bb8f5acdc3") // well-known md5
   }
+
+  test("redact scrubs emails, urls and long digit runs; leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail me at a.user+x@sub.example.org today"),
+      (2L, "see https://ex.org/a?b=c#d and http://plain.io/x for docs"),
+      (3L, "card 123456789012 pin 12345 year 2024 ok 1234"),
+      (4L, "perfectly clean text with no secrets")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> today")
+    assert(got(2L) == "see <URL> and <URL> for docs")
+    assert(got(3L) == "card <NUM> pin <NUM> year 2024 ok 1234") // <5 digits kept
+    assert(got(4L) == "perfectly clean text with no secrets")
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the eval set") {
+    val evalSet = Seq("the quick brown fox jumps over the lazy dog tonight")
+      .toDF("text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps over the lazy dog suffix"), // shares 8-grams
+      (2L, "completely unrelated content about database systems and storage"),
+      (3L, "short doc") // fewer than 8 tokens → no grams, never flagged
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(corpus, "doc_id", "text", evalSet, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(1L)._1 > 0)
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+    assert(got.size == 3) // every corpus doc present, flagged or not
+  }
 }
