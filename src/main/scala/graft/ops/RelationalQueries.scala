@@ -691,6 +691,63 @@ object RelationalQueries {
     "tumbling window executed by Structured Streaming (bounded replay, " +
       "complete-mode memory sink) — hash-equal to the batch oracle")
 
+  private val qStreamSession = Q(
+    "q_stream_session",
+    (s, d) => {
+      // session_window gap semantics (merge while next.ts ≤ prev.ts + gap,
+      // split on STRICTLY greater) must equal the batch lag/cumsum
+      // sessionization — proven by hash-matching a DuckDB oracle that
+      // builds sessions the lag way. Same bounded-replay harness as
+      // q_stream_tumbling.
+      val name = s"graft_stream_session_${streamRuns.incrementAndGet()}"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
+      val agg = graft.streaming.StreamOps
+        .sessionCounts(ev, "ts", "user_id", "30 minutes", "30 minutes")
+      val ckDir = s"/dev/shm/graft_ck_$name"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          agg.writeStream
+            .outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckDir)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      try {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      } catch { case _: Exception => () }
+      s.table(name)
+        .select(col("user_id"), col("s_start"), col("n"))
+        .orderBy("user_id", "s_start")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked)
+            SELECT user_id, min(ts) AS s_start, count(*) AS n
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, s_start"""),
+    "session windows executed by Structured Streaming (session_window + " +
+      "watermark, bounded replay) — hash-equal to a lag/cumsum batch oracle")
+
   private val qTopk = Q(
     "q_topk",
     (s, d) =>
@@ -1113,6 +1170,7 @@ object RelationalQueries {
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
-    qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling, qTopk,
+    qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
+    qStreamSession, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }
