@@ -748,6 +748,99 @@ object RelationalQueries {
     "session windows executed by Structured Streaming (session_window + " +
       "watermark, bounded replay) — hash-equal to a lag/cumsum batch oracle")
 
+  // exact-decimal revenue term: both factors cast to DECIMAL before the
+  // multiply so the grouped SUM is order-insensitive and identical
+  // cross-engine (a double product would make the hash compare float luck)
+  private def revenue: org.apache.spark.sql.Column =
+    sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+      .cast("double")
+
+  private val revenueSql =
+    """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"""
+
+  private val qTpchQ3 = Q(
+    "q_tpch_q3",
+    (s, d) =>
+      // TPC-H Q3 shape on the synthetic schema: segment-filtered customer
+      // dim broadcast into the orders⋈lineitem fact join (which stays a
+      // shuffle join for AQE), grouped revenue, top-10 by revenue. The
+      // classic "shipping priority" analytics query — exercises selective
+      // dim filter pushdown + multi-join ordering end-to-end.
+      broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'") &&
+          col("l_shipdate") > expr("timestamp'1998-01-01 00:00:00'"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueSql AS revenue
+             FROM customer
+             JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND l_shipdate > TIMESTAMP '1998-01-01'
+             GROUP BY 1, 2, 3
+             ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    "TPC-H Q3 shape: segment dim filter + 3-way join + grouped revenue top-10")
+
+  private val qTpchQ5 = Q(
+    "q_tpch_q5",
+    (s, d) =>
+      // TPC-H Q5 shape: region→nation dims broadcast, customer⋈orders⋈
+      // lineitem fact chain shuffled on natural keys, supplier joined on
+      // BOTH the lineitem supplier key and the customer's nation (the
+      // local-supplier condition that makes Q5 a genuine 6-way join).
+      broadcast(region(s, d).filter(col("r_name") === "ASIA"))
+        .join(broadcast(nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+    Some(s"""SELECT n_name, $revenueSql AS revenue
+             FROM region
+             JOIN nation ON n_regionkey = r_regionkey
+             JOIN customer ON c_nationkey = n_nationkey
+             JOIN orders ON o_custkey = c_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             WHERE r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+             GROUP BY n_name
+             ORDER BY revenue DESC, n_name"""),
+    "TPC-H Q5 shape: 6-way join with the local-supplier nation condition")
+
+  private val qJoinSalted = Q(
+    "q_join_salted",
+    (s, d) =>
+      // the salted join must be RESULT-IDENTICAL to the plain equi-join —
+      // proven here by oracle-matching the plain SQL join. The salt is
+      // content-derived (retry-safe); the orders side is replicated
+      // buckets× with the hot left key spread across that many tasks.
+      SkewUtils.saltedJoin(
+          lineitem(s, d),
+          orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          "l_orderkey", col("l_linenumber"), buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    "salted skew join, hash-proven identical to the plain equi-join")
+
   private val qTopk = Q(
     "q_topk",
     (s, d) =>
@@ -1171,6 +1264,6 @@ object RelationalQueries {
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
-    qStreamSession, qTopk,
+    qStreamSession, qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }
