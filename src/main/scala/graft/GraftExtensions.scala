@@ -51,5 +51,34 @@ object GraftExtensions {
           s"minhash_signature: k must be an integer literal, got $other")
       }
       MinHashSignature(exprs(0), k)
+    }),
+    "minhash_word_shingles" -> ((exprs: Seq[Expression]) => {
+      val (n, k) = twoIntLiterals("minhash_word_shingles", exprs)
+      graft.functions.MinHashWordShingles(exprs(0), n, k)
+    }),
+    "minhash_char_shingles" -> ((exprs: Seq[Expression]) => {
+      val (c, k) = twoIntLiterals("minhash_char_shingles", exprs)
+      graft.functions.MinHashCharShingles(exprs(0), c, k)
     }))
+
+  /** (text, n, k) argument shape shared by the fused shingle functions:
+    * both size parameters must be integer literals (they are baked into
+    * the generated kernel call).
+    */
+  private def twoIntLiterals(name: String, exprs: Seq[Expression]): (Int, Int) = {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"$name expects (text, size, k), got ${exprs.length} arguments")
+    def lit(e: Expression, what: String): Int = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"$name: $what must be an integer literal")
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$name: $what must be an integer literal, got $other")
+      }
+    }
+    (lit(exprs(1), "size"), lit(exprs(2), "k"))
+  }
 }

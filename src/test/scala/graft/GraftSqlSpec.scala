@@ -17,6 +17,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(self.forall(_.getDouble(2) > 0.0))
   }
 
+  test("fused minhash functions are callable from SQL and match the column API") {
+    GraftSql.bootstrap(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_word_shingles(text, 3, 16) AS sw,
+                minhash_char_shingles(text, 5, 16) AS sc
+         FROM documents ORDER BY doc_id LIMIT 20""").collect()
+    val viaApi = ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        functions.MinHashText.minhash_word_shingles(col("text"), 3, 16).as("sw"),
+        functions.MinHashText.minhash_char_shingles(col("text"), 5, 16).as("sc"))
+      .orderBy("doc_id").limit(20).collect()
+    viaSql.zip(viaApi).foreach { case (a, b) =>
+      assert(a.getSeq[Long](1) == b.getSeq[Long](1))
+      assert(a.getSeq[Long](2) == b.getSeq[Long](2))
+    }
+    // non-literal size parameter is rejected with intent
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_word_shingles(text, CAST(doc_id AS INT), 16) FROM documents")
+        .collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("stable split fractions are plausible and deterministic") {
     GraftSql.bootstrap(spark, sfDir)
     val splits = ops.Tables.documents(spark, sfDir)
