@@ -66,6 +66,33 @@ object Multimodal {
       }
   }
 
+  final case class DecodedAudioMeta(
+      media_id: Long,
+      byte_len: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      duration_ms: Long,
+      format: String,
+      checksum: Long)
+
+  /** Audio decode stage — same partition-batch shape as [[decodeImages]].
+    * WAV (RIFF) headers are parsed for REAL ([[AudioHeaders]]); other
+    * payloads fall back to the deterministic stub.
+    */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val (sr, ch, bits, dur, fmt, sum) = StubDecoders.decodeAudioMeta(bytes)
+          DecodedAudioMeta(id, bytes.length.toLong, sr, ch, bits, dur, fmt, sum)
+        }
+      }
+  }
+
   /** Frame sampling plumbing: every `stride`-th chunk of the payload as a
     * (media_id, frame_no, frame_bytes) row — the shape of video
     * frame-extraction output. Chunking is deterministic.
@@ -148,6 +175,54 @@ object ImageHeaders {
     png(b).orElse(jpeg(b)).orElse(gif(b))
 }
 
+/** Audio-header decoder: REAL metadata parsing for WAV — a RIFF/WAVE
+  * container is a plain chunk list, no codec needed. `fmt ` carries
+  * sample rate / channels / bits; `data`'s size over the byte rate gives
+  * the duration.
+  */
+object AudioHeaders {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  /** (sampleRate, channels, bitsPerSample, durationMs). Walks the chunk
+    * list rather than assuming the canonical 44-byte layout — real WAV
+    * files may carry LIST/fact chunks before data.
+    */
+  def wav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 12 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+        !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var rate = 0; var channels = 0; var bits = 0; var byteRate = 0L
+    var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        byteRate = le32(b, i + 16)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataLen = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (rate <= 0 || channels <= 0) None
+    else {
+      val dur =
+        if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
+      Some((rate, channels, bits, dur))
+    }
+  }
+}
+
 /** Codec entry point: real header parsing where the format allows it,
   * deterministic stand-ins otherwise (no media libs in-container for full
   * pixel decode — the metadata path above is real).
@@ -170,6 +245,24 @@ object StubDecoders {
         val height = 64 + math.floorMod(h >> 10, 1024).toInt
         val format = if (math.floorMod(h, 2) == 0L) "png" else "jpeg"
         (width, height, format, h)
+    }
+  }
+
+  /** Real WAV header parsing; deterministic pseudo-metadata otherwise
+    * (same contract as [[decodeImageMeta]]). Returns (sampleRate,
+    * channels, bits, durationMs, format, checksum).
+    */
+  def decodeAudioMeta(payload: Array[Byte]): (Int, Int, Int, Long, String, Long) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    AudioHeaders.wav(payload) match {
+      case Some((rate, ch, bits, dur)) => (rate, ch, bits, dur, "wav", h)
+      case None =>
+        val rate = Seq(16000, 22050, 44100, 48000)(math.floorMod(h, 4).toInt)
+        val channels = 1 + math.floorMod(h >> 2, 2).toInt
+        val dur = 100 + math.floorMod(h >> 3, 60000)
+        (rate, channels, 16, dur, "pcm_stub", h)
     }
   }
 }

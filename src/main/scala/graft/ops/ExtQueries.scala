@@ -432,11 +432,20 @@ object ExtQueries {
     None, // decoder is stubbed (no media libs in-container)
     "binary media columns + mapPartitions decode stage (stub codec)")
 
+  private val qMultimodalAudio = Q(
+    "q_multimodal_audio",
+    (s, d) => {
+      val media = Multimodal.asMedia(documents(s, d), "doc_id", "text", "audio/fake")
+      Multimodal.decodeAudio(media).toDF().orderBy("media_id")
+    },
+    None, // synthetic payloads take the stub path; WAV parsing unit-tested
+    "audio metadata decode stage (real WAV header parse; stub fallback)")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNear, qDedupClusters, qDedupSimhash, qDedupNgram,
     qDedupJaccard, qDedupEmbed,
     qVecCentroid, qSimTopk, qSimAnn, qSimIvf,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
-    qRedact, qDecontaminate, qMultimodal)
+    qRedact, qDecontaminate, qMultimodal, qMultimodalAudio)
 }

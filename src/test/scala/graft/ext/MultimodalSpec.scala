@@ -66,6 +66,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.width == 512 && out.head.height == 256 && out.head.format == "png")
   }
 
+  test("real WAV headers decode to true sample rate / channels / duration") {
+    import spark.implicits._
+    // canonical 44-byte WAV header + 1 second of silence: 16 kHz mono
+    // 16-bit → byteRate 32000, data 32000 bytes → duration 1000 ms
+    val sampleRate = 16000
+    val channels = 1
+    val bits = 16
+    val byteRate = sampleRate * channels * bits / 8
+    val dataLen = byteRate // exactly one second
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val wav = bb.array()
+    val media = Seq((7L, wav, "audio/wav", wav.length.toLong))
+      .toDF("media_id", "payload", "media_type", "byte_len")
+    val out = Multimodal.decodeAudio(media).collect()
+    assert(out.length == 1)
+    val m = out.head
+    assert(m.format == "wav" && m.sample_rate == 16000 && m.channels == 1)
+    assert(m.bits == 16 && m.duration_ms == 1000L)
+    // non-WAV payloads take the deterministic stub path
+    val stub = Multimodal.decodeAudio(
+      Seq((8L, "not audio".getBytes, "audio/x", 9L))
+        .toDF("media_id", "payload", "media_type", "byte_len")).collect().head
+    assert(stub.format == "pcm_stub" && stub.sample_rate > 0)
+  }
+
   test("frame sampling yields ceil(len/chunk) strided frames with bounded size") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "video/fake")
     val frames = Multimodal.sampleFrames(media, chunkSize = 50, stride = 2)
