@@ -50,6 +50,44 @@ object ExtQueries {
     "near-dup clustering: pairs → connected components → cluster reps " +
       "(keep-one dedup = filter id == cluster_rep)")
 
+  private val qCcChains = Q(
+    "q_cc_chains",
+    (s, d) => {
+      // Oracle-checked connected components: the pair rule (consecutive
+      // doc_ids sharing a language) is deterministic and SQL-expressible,
+      // and produces genuine multi-hop CHAINS — the adversarial case for
+      // min-label propagation (cliques converge in one round; chains need
+      // diameter rounds). Components of a consecutive-id pair graph are
+      // intervals, which DuckDB labels exactly via gaps-and-islands — so
+      // the distributed loop's output is hash-checked cross-engine.
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      val pairs = docs.as("a")
+        .join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            col("a.lang") === col("b.lang"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      Dedup.connectedComponents(pairs).orderBy("id")
+    },
+    Some("""WITH pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM documents a
+              JOIN documents b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+            nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT id1 AS id FROM pairs UNION ALL SELECT id2 AS id FROM pairs)),
+            flags AS (
+              SELECT id, CASE WHEN EXISTS (SELECT 1 FROM pairs p WHERE p.id1 = id - 1)
+                              THEN 0 ELSE 1 END AS brk
+              FROM nodes),
+            grp AS (
+              SELECT id, sum(brk) OVER (ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM flags)
+            SELECT id, CAST(min(id) OVER (PARTITION BY g) AS BIGINT) AS label
+            FROM grp ORDER BY id"""),
+    "connected components over deterministic same-lang chains, hash-checked " +
+      "against a gaps-and-islands oracle (chains = worst case for label propagation)")
+
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, d) =>
@@ -442,7 +480,7 @@ object ExtQueries {
     "audio metadata decode stage (real WAV header parse; stub fallback)")
 
   def all: Seq[Q] = Seq(
-    qDedupExact, qDedupNear, qDedupClusters, qDedupSimhash, qDedupNgram,
+    qDedupExact, qDedupNear, qDedupClusters, qCcChains, qDedupSimhash, qDedupNgram,
     qDedupJaccard, qDedupEmbed,
     qVecCentroid, qSimTopk, qSimAnn, qSimIvf,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,

@@ -105,4 +105,30 @@ class PropertySpec extends SparkSpec {
       assert(out.subsetOf(Set("train", "val", "test")), s"seed=$seed")
     }
   }
+
+  test("fused minhash kernels equal the composable HOF path on generated text") {
+    // unicode chars + runs of spaces + empty strings: the boundary cases
+    // where a byte-range hash could diverge from the string-built path
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ß', '中', 'Я'))
+    val textGen = Gen.listOfN(40, charGen).map(_.mkString)
+    (1L to 10L).foreach { seed =>
+      val texts = "" :: " " :: sample(Gen.listOfN(20, textGen), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      for ((shingler, fused) <- Seq(
+          (Dedup.WordShingles(3),
+            graft.functions.MinHashText.minhash_word_shingles(col("text"), 3, 16)),
+          (Dedup.CharShingles(4),
+            graft.functions.MinHashText.minhash_char_shingles(col("text"), 4, 16)))) {
+        val mismatch = df.select(
+            fused.as("a"),
+            graft.functions.MinHashSignature
+              .minhash_signature(shingler("text"), 16).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(mismatch == 0, s"seed=$seed shingler=$shingler")
+      }
+    }
+  }
 }
