@@ -167,6 +167,82 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Sequence packing for training batches: documents, taken in a
+    * deterministic order, are assigned to fixed-token-budget training
+    * sequences by their running token OFFSET (a document belongs to the
+    * window its first token falls in; a straddling document spills into
+    * the next window at materialization time). Pure window algebra — one
+    * keyed sort, no driver loop — and deterministic, so re-runs pack
+    * identically.
+    *
+    * Packing runs per SHARD (`shardCol`) — each shard is one window
+    * partition, so the work distributes: at 100 TB, shard by
+    * `stableSplit`/hash bucket and every shard packs independently on its
+    * own reducer. (A shard-less global pack would serialize the corpus
+    * through one window partition — deliberately not offered.)
+    */
+  def packSequences(
+      df: DataFrame,
+      shardCol: String,
+      orderCol: String,
+      tokenCol: Column,
+      budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol)
+      .orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_start_offset", coalesce(sum(tokenCol).over(w), lit(0L)))
+      .withColumn("seq_id", (col("_start_offset") / budgetTokens).cast("long"))
+      .withColumn("seq_offset", col("_start_offset") % budgetTokens)
+      .drop("_start_offset")
+  }
+
+  /** Context-window chunking: split each document into overlapping
+    * token windows (the embedding-pipeline shape: window size = model
+    * context, stride < window for overlap). One row per (doc, window),
+    * map-only explode — no shuffle.
+    */
+  def chunkWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): DataFrame =
+    df
+      .withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(sequence(1, greatest(size(_toks) - ${windowTokens - 1}, 1), $strideTokens),
+              i -> array_join(slice(_toks, i, $windowTokens), ' '))"""))
+          .as(Seq("window_no", "chunk")))
+      .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
+
+  /** Deterministic mixture sampling: each source kept at its own target
+    * rate via a content-addressed md5 bucket — the data-mixing step of a
+    * training pipeline. Reproducible across runs/partitionings (no
+    * rand()), and a document's fate never changes as the corpus grows.
+    * Sources absent from `weights` are dropped.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    // md5's first 4 hex chars → uniform bucket in [0, 0x10000), compared
+    // LEXICOGRAPHICALLY against the weight's 4-digit hex threshold:
+    // fixed-width lowercase hex orders exactly like the number it
+    // encodes, so no engine-specific hex→int conversion is needed and
+    // any SQL engine replays the same keep/drop decisions. w ≥ 1 maps to
+    // "g", which every hex string sorts below (hex digits stop at 'f').
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    def hexThreshold(w: Double): String =
+      if (w >= 1.0) "g" else f"${math.round(w * 65536)}%04x"
+    val threshold = weights.foldLeft(lit("")) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(hexThreshold(w))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31) —
     * order-sensitive, unlike a bag-of-words hash. Expressed with
     * aggregate() so it is codegen'd. Arithmetic stays below 2^39 (mod 2^33

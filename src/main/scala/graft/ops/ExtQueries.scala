@@ -398,6 +398,71 @@ object ExtQueries {
     "stable content-addressed train/val/test split (examples never migrate " +
       "between splits as the corpus grows)")
 
+  private val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, d) =>
+      TextAnalysis.packSequences(
+          documents(s, d).select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          shardCol = "lang", orderCol = "doc_id",
+          tokenCol = col("n_tokens"), budgetTokens = 2048L)
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_tokens,
+                   CAST(floor(start_offset / 2048) AS BIGINT) AS seq_id,
+                   CAST(start_offset % 2048 AS BIGINT) AS seq_offset
+            FROM (SELECT doc_id, lang,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                         coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                           OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+                  FROM documents)
+            ORDER BY doc_id"""),
+    "sequence packing: running-token-offset binning into 2048-token " +
+      "training sequences, sharded by lang (per-shard window, distributes)")
+
+  private val qChunkWindows = Q(
+    "q_chunk_windows",
+    (s, d) =>
+      TextAnalysis.chunkWindows(documents(s, d), "doc_id", "text",
+          windowTokens = 32, strideTokens = 16)
+        .orderBy("doc_id", "window_no"),
+    Some("""SELECT doc_id, window_no, chunk,
+                   CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id,
+                         CAST(i AS INT) - 1 AS window_no,
+                         array_to_string(toks[pos:pos+31], ' ') AS chunk
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                       LATERAL (SELECT unnest(generate_series(1,
+                                  CAST(ceil(greatest(len(toks) - 31, 1) / 16.0) AS BIGINT))) AS i),
+                       LATERAL (SELECT 1 + (i - 1) * 16 AS pos))
+            ORDER BY doc_id, window_no"""),
+    "context-window chunking: overlapping 32-token windows at stride 16 " +
+      "(map-only explode, the embedding-pipeline shape)")
+
+  private val qMixture = Q(
+    "q_mixture",
+    (s, d) =>
+      // data-mixing step: src0 kept whole, src1 halved, src2 at 10%,
+      // everything else dropped — per-source rates via content-addressed
+      // md5 buckets compared as fixed-width hex (engine-portable, no
+      // hex→int conversion anywhere)
+      TextAnalysis.mixtureSample(documents(s, d), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_kept
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE source WHEN 'src0' THEN 'g'
+                              WHEN 'src1' THEN '8000'
+                              WHEN 'src2' THEN '199a'
+                              ELSE '' END
+            GROUP BY source ORDER BY source"""),
+    "deterministic mixture sampling: per-source keep rates via " +
+      "content-addressed md5 buckets (reproducible data mixing)")
+
   private val qRedact = Q(
     "q_redact",
     (s, d) =>
@@ -485,5 +550,6 @@ object ExtQueries {
     qVecCentroid, qSimTopk, qSimAnn, qSimIvf,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
+    qPackSequences, qChunkWindows, qMixture,
     qRedact, qDecontaminate, qMultimodal, qMultimodalAudio)
 }

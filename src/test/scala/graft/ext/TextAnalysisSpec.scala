@@ -74,6 +74,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == "perfectly clean text with no secrets")
   }
 
+  test("packSequences bins by running token offset within each shard") {
+    val df = Seq(
+      (1L, "a", 1000L), (2L, "a", 1000L), (3L, "a", 100L), // a: 0,1000,2000
+      (4L, "b", 2049L), (5L, "b", 1L)                      // b: 0,2049
+    ).toDF("doc_id", "shard", "n_tokens")
+    val got = TextAnalysis.packSequences(df, "shard", "doc_id", col("n_tokens"), 2048L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 1000L)))
+    assert(got(3L) == ((0L, 2000L)))  // starts inside window 0
+    assert(got(4L) == ((0L, 0L)))     // shard b packs independently
+    assert(got(5L) == ((1L, 1L)))     // 2049 % 2048 = 1, window 1
+  }
+
+  test("chunkWindows produces overlapping strided windows; short docs yield one") {
+    val df = Seq(
+      (1L, (1 to 64).map(i => s"t$i").mkString(" ")),
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkWindows(df, "doc_id", "text", 32, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // windows start at tokens 1,17,33 → ceil((64-31)/16) = 3 windows
+    assert(d1.length == 3)
+    assert(d1(0)._3.startsWith("t1 ") && d1(1)._3.startsWith("t17 ") &&
+      d1(2)._3.startsWith("t33 "))
+    assert(d1.forall(_._3.split(" ").length == 32))
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "tiny doc")
+  }
+
+  test("mixtureSample keeps sources at their rates, deterministically") {
+    val df = (0L until 2000L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val kept = TextAnalysis.mixtureSample(df, "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.25))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 1000L) // rate 1.0 keeps everything
+    assert(math.abs(kept("src1") - 250L) < 60, s"src1 kept ${kept("src1")}")
+    // re-run on a different partitioning → identical selection
+    val again = TextAnalysis.mixtureSample(df.repartition(7), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.25))
+      .agg(sum("doc_id")).head().getLong(0)
+    val first = TextAnalysis.mixtureSample(df, "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.25))
+      .agg(sum("doc_id")).head().getLong(0)
+    assert(again == first)
+  }
+
   test("decontaminate flags only docs sharing an n-gram with the eval set") {
     val evalSet = Seq("the quick brown fox jumps over the lazy dog tonight")
       .toDF("text")
