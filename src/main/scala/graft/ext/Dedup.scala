@@ -285,7 +285,14 @@ object Dedup {
     // graphs (each round is a separate action, so the cost repeats).
     val spark = pairs.sparkSession
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // with AQE off, the loop's shuffle width must be set explicitly —
+    // and the measured edge count gives the right number directly (the
+    // same ~1M-edges-per-partition sizing as the edge cache). Without
+    // this, a ~1k-edge graph drags the session default width through
+    // every chained round stage, and task-launch overhead dominates.
+    spark.conf.set("spark.sql.shuffle.partitions", targetParts.toString)
     try {
     // Round 1 needs NO join: a neighbor's label IS its id, so the seed
     // round is one min-aggregation over (own id ∪ neighbor ids) — one
@@ -321,9 +328,21 @@ object Dedup {
         val neighborLabels = edges
           .join(labels, edges("id2") === labels("id"))
           .select(edges("id1").as("id"), col("label"), nullOwn)
+        // POINTER JUMP: also adopt the label of one's own label
+        // (label(label(id))). Pure neighbor propagation moves a min one
+        // hop per round — O(diameter) rounds, which on chain-shaped
+        // components (the q_cc_chains case) meant dozens of driver
+        // round-trips. Following the label pointer doubles the reach
+        // each round instead: O(log diameter) rounds. Converges to the
+        // same fixpoint (labels still only ever decrease, and only to
+        // labels already held within the component).
+        val jumped = labels.select(col("id"), col("label").as("_via"))
+          .join(labels.select(col("id").as("_via"), col("label").as("_vlabel")), "_via")
+          .select(col("id"), col("_vlabel").as("label"), nullOwn)
         next = labels
           .select(col("id"), col("label"), col("label").as("own"))
           .union(neighborLabels)
+          .union(jumped)
           .groupBy("id")
           .agg(min("label").as("label"), max("own").as("prev"))
           .localCheckpoint(eager = false)
@@ -343,7 +362,10 @@ object Dedup {
           "raise maxIter for graphs with diameter > maxIter")
     edges.unpersist(blocking = false)
     labels
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
   }
 
   /** Near-dup clustering: MinHash-LSH pairs → connected components →
