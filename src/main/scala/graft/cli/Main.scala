@@ -229,8 +229,13 @@ object Main {
       |}
       |complete -F _graft_complete graft""".stripMargin
 
+  /** DEBUG env-var parity (index.js:78-79): when DEBUG is set, every
+    * stage output carries an observed row-count metric — the plan-metric
+    * analog of the reference's per-stage debug-stream taps.
+    */
   private def loadEngine(args: Args): Engine =
-    Engine.load(args.cwd, args.config)
+    Engine.load(args.cwd, args.config,
+      defaults = RunOptions(debug = sys.env.get("DEBUG").exists(_.nonEmpty)))
 
   /** Persist parity (`save`, bin.js:26-46): write gasket.json directly, or
     * rewrite package.json's "gasket" key when that's where config lives.
