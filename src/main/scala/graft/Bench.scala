@@ -48,10 +48,32 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> runOnce(name, fn, warmup = false)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
+    // Full-precision per-query timings to a file for plan audits…
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""" + "\n")
+    catch { case _: Exception => () } // cwd may not be writable under the harness
+    // …but the stdout line must survive the harness's bounded (2000-char)
+    // output-tail capture with sbt's footer behind it, or it never parses:
+    // 2-decimal values, and if the query map alone would blow the budget,
+    // the FASTEST queries are dropped (the slow ones are the audit surface)
+    // with an "omitted" count so truncation is visible.
+    val budget = 1650
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.2f"
+    val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var len = 0
+    var omitted = 0
+    bySlowest.foreach { case (k, v) =>
+      val entry = s"\"" + k + "\":" + fmt(v)
+      if (len + entry.length + 1 <= budget) { kept += entry; len += entry.length + 1 }
+      else omitted += 1
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

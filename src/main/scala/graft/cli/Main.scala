@@ -75,8 +75,9 @@ object Main {
     val args = try parseArgs(argv) catch {
       case e: IllegalArgumentException =>
         Console.err.println(e.getMessage)
-        Console.err.println(
-          "usage: graft <ls|show|add|rm|run|pipe|exec|version> [args] [-c file] [--cwd dir]")
+        // the full help text IS the usage surface — keep one source of
+        // truth rather than a drifting one-line verb list
+        Console.err.println(helpText)
         return
     }
     args.verb match {

@@ -140,8 +140,14 @@ object Dedup {
     * content-derived salt (retry-safe, unlike rand()), the right side is
     * replicated `salts`× — the standard salted self-join: every (id1, id2)
     * bucket pair still meets exactly once, on salt = hash(id1) % salts.
+    *
+    * Caching: `bandsDf` is persisted here (it feeds both join sides) and,
+    * like every plan-local intermediate in this pipeline, stays cached for
+    * the session — callers own release via
+    * [[graft.ops.CacheUtils.releaseAll]] between units of work.
     */
   def candidatePairsSalted(bandsDf: DataFrame, idCol: String, salts: Int): DataFrame = {
+    // persisted: feeds both self-join sides (see caching note above)
     val cached = bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
     val a = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
       .withColumn("_salt", graft.ops.SkewUtils.salt(col("id1"), salts))
@@ -183,7 +189,8 @@ object Dedup {
     // verification itself. Persisted because the set table feeds both the
     // id1 and id2 join sides.
     // pairs persisted too: it feeds the id-set extraction and both joins,
-    // and upstream it is itself a multi-stage LSH pipeline
+    // and upstream it is itself a multi-stage LSH pipeline. Both persists
+    // are plan-local; callers release via CacheUtils.releaseAll.
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val candIds = p.select(col("id1").as(idCol))
       .union(p.select(col("id2").as(idCol)))
@@ -249,14 +256,23 @@ object Dedup {
     *     clusters.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // The loop runs on a CLONED session (shared SparkContext, catalog and
+    // cache; isolated runtime conf): it wants AQE off and a measured
+    // shuffle width (below), and setting those on the caller's session
+    // would silently apply to any concurrent query on it. The edge list
+    // crosses into the clone via its RDD — a one-time bridge; everything
+    // downstream of it plans under the clone's conf.
+    val caller = pairs.sparkSession
+    val spark = caller.newSession()
     // materialize the edge cache BEFORE the loop: the rounds' joins spawn
     // AQE broadcast-stage jobs concurrently, and against a lazily-persisted
     // edge list each of them races to recompute the full upstream pairs
     // pipeline (observed: the same 15-CPU-s signature pass running 10×
     // in parallel). CC is already driver-orchestrated/eager, so the
     // up-front count() costs nothing extra semantically.
-    val rawEdges = pairs.select(col("id1"), col("id2"))
+    val srcEdges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val rawEdges = spark.createDataFrame(srcEdges.rdd, srcEdges.schema)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = rawEdges.count()
     // Size the edge list from its MEASURED count — the union inherits the
@@ -277,15 +293,12 @@ object Dedup {
     if (edges ne rawEdges) { edges.count(); rawEdges.unpersist(blocking = false) }
     val idType = edges.schema("id1").dataType
     val nullOwn = lit(null).cast(idType).as("own")
-    // AQE off for the loop's actions (restored after): its shuffle keys
+    // AQE off for the loop's actions — on the CLONE only: its shuffle keys
     // are document ids — uniform by construction, nothing for the skew
     // planner to fix — and the partition width is already set from the
     // measured edge count, so adaptive re-planning buys nothing while its
     // per-round query-stage re-optimization dominates wall time on small
     // graphs (each round is a separate action, so the cost repeats).
-    val spark = pairs.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // with AQE off, the loop's shuffle width must be set explicitly —
     // and the measured edge count gives the right number directly (the
@@ -293,7 +306,6 @@ object Dedup {
     // this, a ~1k-edge graph drags the session default width through
     // every chained round stage, and task-launch overhead dominates.
     spark.conf.set("spark.sql.shuffle.partitions", targetParts.toString)
-    try {
     // Round 1 needs NO join: a neighbor's label IS its id, so the seed
     // round is one min-aggregation over (own id ∪ neighbor ids) — one
     // shuffle replaces the old identity-seed distinct plus a full
@@ -361,11 +373,11 @@ object Dedup {
           s"($changed labels still changing) — returned clusters may be split; " +
           "raise maxIter for graphs with diameter > maxIter")
     edges.unpersist(blocking = false)
-    labels
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
-    }
+    // Re-bind the result to the CALLER's session: labels is checkpointed
+    // (RDD-backed, one round of lineage), so the bridge is a free handle
+    // swap — and downstream plans over it run under the caller's conf,
+    // not the clone's loop-tuned one.
+    caller.createDataFrame(labels.rdd, labels.schema)
   }
 
   /** Near-dup clustering: MinHash-LSH pairs → connected components →

@@ -200,20 +200,30 @@ object AudioHeaders {
     var i = 12
     var rate = 0; var channels = 0; var bits = 0; var byteRate = 0L
     var dataLen = -1L
-    while (i + 8 <= b.length) {
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length) {
       val id = new String(b.slice(i, i + 4), "US-ASCII")
       val size = le32(b, i + 4)
-      if (id == "fmt " && i + 24 <= b.length) {
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12).toInt
-        byteRate = le32(b, i + 16)
-        bits = le16(b, i + 22)
-      } else if (id == "data") {
-        dataLen = size
+      // A chunk size that overflows Int or runs past the payload means the
+      // header is corrupt; bail rather than looping on a non-advancing index.
+      if (size < 0 || size > Int.MaxValue - 9 || i + 8 + size > b.length.toLong) {
+        corrupt = id != "data" || size < 0 // a truncated trailing data chunk is tolerable
+        if (id == "data" && size >= 0) dataLen = size
+        i = b.length // stop walking either way
+      } else {
+        if (id == "fmt " && i + 24 <= b.length) {
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12).toInt
+          byteRate = le32(b, i + 16)
+          bits = le16(b, i + 22)
+        } else if (id == "data") {
+          dataLen = size
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size.toInt + (size.toInt & 1)
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
     }
+    if (corrupt) return None
     if (rate <= 0 || channels <= 0) None
     else {
       val dur =

@@ -48,9 +48,13 @@ object IvfCells {
     val used = new Array[Boolean](k)
     var p = 0
     while (p < n) {
-      var best = -1
-      var bestScore = Double.NegativeInfinity
-      c = 0
+      // Seed with the first unused index so an all-NaN score row (NaN
+      // compares false against everything) still picks a deterministic
+      // cell instead of leaving best = -1.
+      var best = 0
+      while (used(best)) best += 1
+      var bestScore = scores(best)
+      c = best + 1
       while (c < k) {
         if (!used(c) && scores(c) > bestScore) { bestScore = scores(c); best = c }
         c += 1

@@ -66,7 +66,11 @@ class MainSpec extends SparkSpec {
       Main.run(Array("ls", "-c"), () => spark)
     }
     assert(err.toString.contains("-c requires a value"))
-    assert(err.toString.contains("usage:"))
+    // parse failure prints the FULL help text — the single usage surface,
+    // so new verbs/options can't drift out of the error path
+    assert(err.toString.contains("Usage: graft"))
+    assert(err.toString.contains("completion"))
+    assert(err.toString.contains("--stream"))
   }
 
   test("pipe reads stdin through the pipeline (bin.js:157-184)") {

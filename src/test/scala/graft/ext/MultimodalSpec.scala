@@ -98,6 +98,32 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.format == "pcm_stub" && stub.sample_rate > 0)
   }
 
+  test("corrupt WAV chunk sizes bail to None instead of looping forever") {
+    // chunk size near u32 max: the old walker's `i += 8 + size.toInt` step
+    // went negative/zero and the loop never advanced (task hang)
+    def wavWithChunkSize(size: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(size.toInt)
+      bb.array()
+    }
+    for (bad <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x7FFFFFFFL, 1000L))
+      assert(AudioHeaders.wav(wavWithChunkSize(bad)).isEmpty,
+        s"chunk size $bad must not hang or decode")
+    // a truncated trailing data chunk (common in streamed writes) still
+    // decodes: fmt is intact and duration comes from the declared size
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 32000)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(32000) // declared but absent
+    val truncated = AudioHeaders.wav(bb.array())
+    assert(truncated.contains((16000, 1, 16, 1000L)))
+  }
+
   test("frame sampling yields ceil(len/chunk) strided frames with bounded size") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "video/fake")
     val frames = Multimodal.sampleFrames(media, chunkSize = 50, stride = 2)

@@ -102,6 +102,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("all-NaN probe scores still pick deterministic cells (no crash)") {
+    // a NaN component makes every cosine score NaN; NaN > -Inf is false,
+    // so the old scan left best = -1 and threw on used(best)
+    val cents = Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f))
+    val nanVec = Array(Float.NaN, 1f)
+    val cells = graft.functions.IvfCells
+      .computeCells(nanVec, cents, nprobe = 2).toIntArray().toSeq
+    assert(cells == Seq(0, 1), "must fall back to lowest unused indices")
+    assert(graft.functions.IvfCells.computeCell(nanVec, cents) == 0)
+  }
+
   test("IVF probed search reaches useful recall against brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
