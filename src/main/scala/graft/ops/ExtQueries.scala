@@ -217,6 +217,56 @@ object ExtQueries {
     None, // model-defined (LSH probe set)
     "LSH-bucketed ANN top-k (multi-probe hyperplane buckets, lazy one-plan form)")
 
+  private val brutForceOracleSql =
+    """SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id LIMIT 10"""
+
+  private val qSimAnnFull = Q(
+    "q_sim_ann_full",
+    (s, d) => {
+      // Full-probe configuration: probeRadius = numPlanes admits every
+      // bucket, so the ANN machinery (bucket signatures, broadcast query
+      // row, probe filter, scoring kernel) provably degrades to exact
+      // brute-force top-k — which DuckDB CAN check. Recall=1 is the
+      // cross-engine anchor for the approximate configurations (q_sim_ann),
+      // whose probe sets are model-defined and unit-tested instead.
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+      Similarity.annTopKLazy(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",
+          k = 10, dim = 64, numPlanes = 8, probeRadius = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    Some(brutForceOracleSql),
+    "ANN top-k at full probe radius — the LSH pipeline's recall=1 anchor, " +
+      "hash-checked against exact brute force")
+
+  private val qSimIvfFull = Q(
+    "q_sim_ivf_full",
+    (s, d) => {
+      // nprobe = k probes every cell: the IVF path (trained quantizer,
+      // codegen'd cell assignment, probe-set filter) must return exactly
+      // the brute-force answer — the oracle-checked recall=1 anchor for
+      // the pruned configuration below.
+      val emb = embeddings(s, d)
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+      Similarity.ivfSearchLazy(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",
+          k = 10, centroids, nprobe = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    Some(brutForceOracleSql),
+    "IVF top-k probing every cell — the quantizer pipeline's recall=1 " +
+      "anchor, hash-checked against exact brute force")
+
   private val qSimIvf = Q(
     "q_sim_ivf",
     (s, d) => {
@@ -301,8 +351,31 @@ object ExtQueries {
           TextAnalysis.langId(col("text")).as("lang_pred"),
           TextAnalysis.langIdScore(col("text")).as("votes"))
         .orderBy("doc_id"),
-    None, // heuristic/model-defined; accuracy asserted in unit tests
-    "stopword-vote language identification")
+    // The heuristic is DETERMINISTIC (stopword hit counts; ties go to the
+    // lexicographically largest language code via struct array_max), so
+    // DuckDB can replay it: per-language hit counts, then a reverse-
+    // alphabetical >= cascade implements the same argmax+tiebreak.
+    Some {
+      val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1) // de en es fr zh
+      val hits = langs.map { case (l, ws) =>
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS h_$l"
+      }.mkString(",\n                     ")
+      val codes = langs.map(_._1)
+      val cascade = codes.reverse.zipWithIndex.map { case (l, i) =>
+        val rest = codes.reverse.drop(i + 1)
+        if (rest.isEmpty) s"ELSE '$l'"
+        else s"WHEN ${rest.map(r => s"h_$l >= h_$r").mkString(" AND ")} THEN '$l'"
+      }.mkString("\n                        ")
+      s"""SELECT doc_id, lang AS lang_actual,
+                   CASE $cascade END AS lang_pred,
+                   greatest(${codes.map("h_" + _).mkString(", ")}) AS votes
+            FROM (SELECT doc_id, lang, text,
+                     $hits
+                  FROM documents)
+            ORDER BY doc_id"""
+    },
+    "stopword-vote language identification (deterministic heuristic, " +
+      "cross-engine checked)")
 
   private val qFingerprint = Q(
     "q_fingerprint",
@@ -547,7 +620,7 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNear, qDedupClusters, qCcChains, qDedupSimhash, qDedupNgram,
     qDedupJaccard, qDedupEmbed,
-    qVecCentroid, qSimTopk, qSimAnn, qSimIvf,
+    qVecCentroid, qSimTopk, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
     qPackSequences, qChunkWindows, qMixture,
