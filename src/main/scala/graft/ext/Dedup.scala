@@ -259,9 +259,9 @@ object Dedup {
     // The loop runs on a CLONED session (shared SparkContext, catalog and
     // cache; isolated runtime conf): it wants AQE off and a measured
     // shuffle width (below), and setting those on the caller's session
-    // would silently apply to any concurrent query on it. The edge list
-    // crosses into the clone via its RDD — a one-time bridge; everything
-    // downstream of it plans under the clone's conf.
+    // would silently apply to any concurrent query on it. The edge plan is
+    // re-bound into the clone zero-copy (Bridge.rebind — same logical
+    // plan, re-planned under the clone's conf; no RDD row round-trip).
     val caller = pairs.sparkSession
     val spark = caller.newSession()
     // materialize the edge cache BEFORE the loop: the rounds' joins spawn
@@ -272,7 +272,7 @@ object Dedup {
     // up-front count() costs nothing extra semantically.
     val srcEdges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    val rawEdges = spark.createDataFrame(srcEdges.rdd, srcEdges.schema)
+    val rawEdges = org.apache.spark.sql.graftbridge.Bridge.rebind(spark, srcEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = rawEdges.count()
     // Size the edge list from its MEASURED count — the union inherits the
@@ -373,11 +373,11 @@ object Dedup {
           s"($changed labels still changing) — returned clusters may be split; " +
           "raise maxIter for graphs with diameter > maxIter")
     edges.unpersist(blocking = false)
-    // Re-bind the result to the CALLER's session: labels is checkpointed
-    // (RDD-backed, one round of lineage), so the bridge is a free handle
-    // swap — and downstream plans over it run under the caller's conf,
-    // not the clone's loop-tuned one.
-    caller.createDataFrame(labels.rdd, labels.schema)
+    // Re-bind the result to the CALLER's session (zero-copy): labels is
+    // checkpointed (RDD-backed, one round of lineage), and downstream
+    // plans over it run under the caller's conf, not the clone's
+    // loop-tuned one.
+    org.apache.spark.sql.graftbridge.Bridge.rebind(caller, labels)
   }
 
   /** Near-dup clustering: MinHash-LSH pairs → connected components →

@@ -634,6 +634,16 @@ object RelationalQueries {
     */
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The file-stream source needs an explicit schema, which costs an eager
+    * parquet-footer read per declaration; memoized per directory since the
+    * corpus schema is immutable within a run (saves a ~0.3 s driver job on
+    * every streaming-query construction).
+    */
+  private val streamSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private def eventsSchema(s: org.apache.spark.sql.SparkSession, d: String) =
+    streamSchemaCache.getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
+
   private val qStreamTumbling = Q(
     "q_stream_tumbling",
     (s, d) => {
@@ -646,7 +656,7 @@ object RelationalQueries {
       // DECIMAL so the result is partition-order-insensitive (exactness,
       // not float luck).
       val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = eventsSchema(s, d)
       // glob form: the file-stream source requires a directory or glob
       // basePath (a bare file path is rejected)
       val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
@@ -700,7 +710,7 @@ object RelationalQueries {
       // builds sessions the lag way. Same bounded-replay harness as
       // q_stream_tumbling.
       val name = s"graft_stream_session_${streamRuns.incrementAndGet()}"
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = eventsSchema(s, d)
       val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
       val ev = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -713,6 +723,10 @@ object RelationalQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q =
         try {
+          // narrow state width: measured at sf0.1, the session stage's
+          // task time is dominated by per-partition state-store commit
+          // wait, not CPU — 16 partitions spend MORE total task time than
+          // 4 for the same wall clock, so fewer commits wins
           s.conf.set("spark.sql.shuffle.partitions", "4")
           agg.writeStream
             .outputMode("complete")
