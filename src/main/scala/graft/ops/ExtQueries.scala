@@ -217,6 +217,19 @@ object ExtQueries {
     None, // model-defined (LSH probe set)
     "LSH-bucketed ANN top-k (multi-probe hyperplane buckets, lazy one-plan form)")
 
+  /** Trained IVF models memoized per (corpus dir, k, iters): training is
+    * deterministic (seeded init, fixed iteration count), so the model is a
+    * pure function of its inputs — the "train once, serve many queries"
+    * shape a real vector-search deployment has. Without this, every IVF
+    * query declaration re-runs the Lloyd passes.
+    */
+  private val ivfModels =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Float]]]
+  private def ivfCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int, iters: Int) =
+    ivfModels.getOrElseUpdate((d, k, iters),
+      Similarity.trainIvfCentroids(embeddings(s, d), "embedding", k, iters))
+
   private val brutForceOracleSql =
     """SELECT vec_id,
                    round(list_cosine_similarity(
@@ -255,7 +268,7 @@ object ExtQueries {
       // the brute-force answer — the oracle-checked recall=1 anchor for
       // the pruned configuration below.
       val emb = embeddings(s, d)
-      val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
+      val centroids = ivfCentroids(s, d, k = 8, iters = 2)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
       Similarity.ivfSearchLazy(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",
@@ -274,7 +287,7 @@ object ExtQueries {
       // train the coarse quantizer (distributed Lloyd passes; only the
       // k×dim model reaches the driver), then search the probed cells.
       // 8 cells / nprobe 3 exercises real pruning on the small corpus.
-      val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
+      val centroids = ivfCentroids(s, d, k = 8, iters = 2)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
       Similarity.ivfSearchLazy(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",

@@ -113,6 +113,45 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.functions.IvfCells.computeCell(nanVec, cents) == 0)
   }
 
+  test("cell-partitioned corpus: IVF probe filter prunes partitions at the scan") {
+    // The 100 TB story made checkable at sf: assign cells at WRITE time and
+    // partitionBy the cell column; a probed search's literal isin filter
+    // must then reach the scan as a partition filter, reading only the
+    // probed cells' directories — not a post-scan row filter.
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    try {
+      Similarity.ivfAssign(emb, "embedding", centroids)
+        .write.partitionBy("ivf_cell").mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      val q = emb.filter(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val probeCells = graft.functions.IvfCells
+        .computeCells(q, centroids, 2).toIntArray().toSeq
+      val searched = corpus.filter(col("ivf_cell").isin(probeCells: _*))
+      val scan = searched.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "probe predicate must be a partition filter, not a row filter")
+      // the scan must touch only the probed cells' files
+      val touched = scan.inputRDDs().head.partitions.length
+      assert(searched.select("ivf_cell").distinct().collect()
+        .map(_.getInt(0)).toSet.subsetOf(probeCells.toSet))
+      // and scoring over the pruned scan still finds the self-match
+      val top = searched
+        .select(col("vec_id"),
+          gf.cosine_similarity(col("embedding"),
+            array(q.map(v => lit(v)): _*)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(3).collect()
+      assert(top.head.getLong(0) == 7L)
+      assert(touched >= 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF probed search reaches useful recall against brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
