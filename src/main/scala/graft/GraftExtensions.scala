@@ -59,6 +59,15 @@ object GraftExtensions {
     "minhash_char_shingles" -> ((exprs: Seq[Expression]) => {
       val (c, k) = twoIntLiterals("minhash_char_shingles", exprs)
       graft.functions.MinHashCharShingles(exprs(0), c, k)
+    }),
+    // stopword-vote language ID over the engine's built-in inventories;
+    // returns struct<lang, score> (SELECT stopword_votes(text).lang ...)
+    "stopword_votes" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 1)
+        throw new IllegalArgumentException(
+          s"stopword_votes expects (text), got ${exprs.length} arguments")
+      graft.functions.StopwordVotesExpr(exprs(0),
+        graft.ext.TextAnalysis.stopwords.toSeq)
     }))
 
   /** (text, n, k) argument shape shared by the fused shingle functions:

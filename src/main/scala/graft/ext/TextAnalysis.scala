@@ -28,17 +28,35 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID: vote by stopword hits per language; the winner
-    * (score, then language code as tiebreak) is the prediction. Implemented
-    * as array_max over (score, lang) structs — one pass, no UDF.
+    * (score, then language code as tiebreak) is the prediction.
+    *
+    * Production form: the fused [[graft.functions.StopwordVotes]]
+    * expression — every token looked up once in a stopword→language
+    * bitmask table, all counters advancing in one compiled pass (the
+    * composable HOF form below re-splits the text per language per output
+    * column — 2×|languages| interpreted lambda passes per row).
     */
-  def langId(text: Column): Column = {
+  def langVotes(text: Column): Column =
+    graft.functions.StopwordVotes.stopword_votes(text, stopwords.toSeq)
+
+  def langId(text: Column): Column = langVotes(text).getField("lang")
+
+  def langIdScore(text: Column): Column =
+    langVotes(text).getField("score").cast("long")
+
+  /** Composable reference form (array_max over (score, lang) structs of
+    * HOF stopword counts) — kept as the semantic spec the fused expression
+    * must match (asserted in TextAnalysisSpec), same role as the
+    * composable shingling path vs the fused MinHash kernels.
+    */
+  def langIdComposable(text: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
     }
     array_max(array(scored: _*)).getField("lang")
   }
 
-  def langIdScore(text: Column): Column = {
+  def langIdScoreComposable(text: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
     }

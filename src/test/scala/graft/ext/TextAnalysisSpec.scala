@@ -22,6 +22,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == "es")
   }
 
+  test("fused stopword-vote expression matches the composable HOF form corpus-wide") {
+    // same contract as the fused-vs-composable MinHash parity: the fused
+    // single-pass kernel must agree with the array_max/HOF spec form on
+    // every document, including tie-breaks (max score, then largest code)
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val mismatches = docs.select(
+        TextAnalysis.langId(col("text")).as("fused_lang"),
+        TextAnalysis.langIdScore(col("text")).as("fused_score"),
+        TextAnalysis.langIdComposable(col("text")).as("ref_lang"),
+        TextAnalysis.langIdScoreComposable(col("text")).as("ref_score"))
+      .filter(col("fused_lang") =!= col("ref_lang") ||
+        col("fused_score") =!= col("ref_score"))
+      .count()
+    assert(mismatches == 0L)
+    // targeted tie-break case: 'de' appears in both de and zh lists → on
+    // an equal-vote text the larger code (zh) must win in both forms
+    val tie = Seq(Tuple1("de de")).toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("f"),
+        TextAnalysis.langIdComposable(col("text")).as("r")).head()
+    assert(tie.getString(0) == tie.getString(1) && tie.getString(0) == "zh")
+  }
+
   test("token counting: whitespace + subword proxy") {
     val df = Seq(("a bb ccc dddd eeeeeeee", 5L)).toDF("text", "expected")
     val row = df.select(
