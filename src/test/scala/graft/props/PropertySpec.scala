@@ -131,4 +131,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("fused stopword votes equal the composable HOF path on generated text") {
+    // mix real stopwords from several languages with noise tokens and
+    // irregular spacing — exercising tie-breaks and empty-token edges
+    val tokGen = Gen.frequency(
+      5 -> Gen.oneOf(graft.ext.TextAnalysis.stopwords.values.flatten.toSeq),
+      3 -> Gen.alphaNumStr.map(_.take(6)),
+      1 -> Gen.const(""))
+    val textGen = Gen.listOfN(12, tokGen).map(_.mkString(" "))
+    (1L to 10L).foreach { seed =>
+      val texts = "" :: " " :: "  " :: sample(Gen.listOfN(25, textGen), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val mismatch = df.select(
+          graft.ext.TextAnalysis.langId(col("text")).as("fl"),
+          graft.ext.TextAnalysis.langIdScore(col("text")).as("fs"),
+          graft.ext.TextAnalysis.langIdComposable(col("text")).as("rl"),
+          graft.ext.TextAnalysis.langIdScoreComposable(col("text")).as("rs"))
+        .filter(col("fl") =!= col("rl") || col("fs") =!= col("rs")).count()
+      assert(mismatch == 0, s"seed=$seed")
+    }
+  }
+
+  test("binary header parsers terminate and never throw on arbitrary bytes") {
+    // the decode stage's input is an arbitrary binary corpus — fuzz the
+    // walkers with random payloads, plus adversarial prefixes that carry
+    // valid magics followed by garbage chunk/segment structure
+    val bytesGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    def withMagic(magic: Array[Byte], rest: Array[Byte]): Array[Byte] =
+      magic ++ rest
+    val riff = "RIFF1234WAVE".getBytes("US-ASCII")
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val jpegSig = Array(0xFF, 0xD8).map(_.toByte)
+    (1L to 20L).foreach { seed =>
+      val raw = sample(bytesGen, seed)
+      for (payload <- Seq(raw, withMagic(riff, raw), withMagic(pngSig, raw),
+          withMagic(jpegSig, raw))) {
+        // must return (any value) without throwing; termination is implied
+        graft.ext.AudioHeaders.wav(payload)
+        graft.ext.ImageHeaders.decode(payload)
+        graft.ext.StubDecoders.decodeImageMeta(payload)
+        graft.ext.StubDecoders.decodeAudioMeta(payload)
+      }
+    }
+  }
 }
