@@ -62,8 +62,13 @@ object Bench {
     // with an "omitted" count so truncation is visible.
     val budget = 1650
     def fmt(v: Double): String =
-      if (v < 0) "-1" else f"$v%.2f"
-    val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+      if (v < 0) "-1"
+      // Locale.ROOT: the default-locale f"" interpolator would emit a
+      // comma decimal separator under e.g. de_DE — invalid JSON
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // failures (-1) sort FIRST so budget truncation can never hide a
+    // broken query in the omitted tail; then slowest-first
+    val bySlowest = results.toSeq.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var len = 0
     var omitted = 0

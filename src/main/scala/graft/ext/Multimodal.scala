@@ -203,12 +203,16 @@ object AudioHeaders {
     var corrupt = false
     while (!corrupt && i + 8 <= b.length) {
       val id = new String(b.slice(i, i + 4), "US-ASCII")
-      val size = le32(b, i + 4)
+      val size = le32(b, i + 4) // unsigned u32 ∈ [0, 0xFFFFFFFF]
       // A chunk size that overflows Int or runs past the payload means the
       // header is corrupt; bail rather than looping on a non-advancing index.
-      if (size < 0 || size > Int.MaxValue - 9 || i + 8 + size > b.length.toLong) {
-        corrupt = id != "data" || size < 0 // a truncated trailing data chunk is tolerable
-        if (id == "data" && size >= 0) dataLen = size
+      if (size > Int.MaxValue - 9 || i + 8 + size > b.length.toLong) {
+        // a truncated trailing data chunk (streamed writes; 0xFFFFFFFF
+        // "unknown length" sentinel) is tolerable — but only the bytes
+        // actually present count toward the duration, never the declared
+        // size (a 0xFFFFFFFF claim would otherwise read as ~37 hours)
+        corrupt = id != "data"
+        if (id == "data") dataLen = math.max(b.length - i - 8, 0).toLong
         i = b.length // stop walking either way
       } else {
         if (id == "fmt " && i + 24 <= b.length) {

@@ -22,13 +22,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   */
 object IvfCells {
 
+  /** Cosine score with NaN normalized to -Infinity: a NaN component (in
+    * the vector or a degenerate trained centroid) must LOSE to every real
+    * score — and identically in the assign path (computeCell) and the
+    * probe path (computeCells), or corpus rows land in cells queries
+    * never probe. NaN's compare-false-to-everything otherwise makes the
+    * outcome depend on scan order.
+    */
+  private def score(vec: Array[Float], cent: Array[Float]): Double = {
+    val s = CosineSimilarity.compute(vec, cent)
+    if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+  }
+
   /** argmax-cosine cell index. */
   def computeCell(vec: Array[Float], cents: Array[Array[Float]]): Int = {
     var best = 0
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < cents.length) {
-      val s = CosineSimilarity.compute(vec, cents(c))
+      val s = score(vec, cents(c))
       if (s > bestScore) { bestScore = s; best = c }
       c += 1
     }
@@ -42,15 +54,15 @@ object IvfCells {
     val k = cents.length
     val scores = new Array[Double](k)
     var c = 0
-    while (c < k) { scores(c) = CosineSimilarity.compute(vec, cents(c)); c += 1 }
+    while (c < k) { scores(c) = score(vec, cents(c)); c += 1 }
     val n = math.min(nprobe, k)
     val picked = new Array[Int](n)
     val used = new Array[Boolean](k)
     var p = 0
     while (p < n) {
-      // Seed with the first unused index so an all-NaN score row (NaN
-      // compares false against everything) still picks a deterministic
-      // cell instead of leaving best = -1.
+      // Seed with the first unused index (scores are NaN-free, so the
+      // comparisons below are total): an all -Infinity row still picks
+      // deterministic ascending cells instead of leaving best = -1.
       var best = 0
       while (used(best)) best += 1
       var bestScore = scores(best)

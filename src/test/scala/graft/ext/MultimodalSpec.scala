@@ -112,16 +112,23 @@ class MultimodalSpec extends SparkSpec {
     for (bad <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x7FFFFFFFL, 1000L))
       assert(AudioHeaders.wav(wavWithChunkSize(bad)).isEmpty,
         s"chunk size $bad must not hang or decode")
-    // a truncated trailing data chunk (common in streamed writes) still
-    // decodes: fmt is intact and duration comes from the declared size
-    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 32000)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(32000) // declared but absent
-    val truncated = AudioHeaders.wav(bb.array())
-    assert(truncated.contains((16000, 1, 16, 1000L)))
+    // a truncated trailing data chunk (streamed writes / 0xFFFFFFFF
+    // unknown-length sentinel) still decodes, but duration counts only
+    // the bytes actually PRESENT — never the declared size
+    def truncatedWav(declared: Int, present: Int): Option[(Int, Int, Int, Long)] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + present)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + declared)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(declared)
+      AudioHeaders.wav(bb.array())
+    }
+    // declared 32000 bytes but only 16000 present → 500 ms, not 1000
+    assert(truncatedWav(32000, 16000).contains((16000, 1, 16, 500L)))
+    // streaming sentinel with no data bytes → duration 0, not ~37 hours
+    assert(truncatedWav(0xFFFFFFFF, 0).contains((16000, 1, 16, 0L)))
   }
 
   test("frame sampling yields ceil(len/chunk) strided frames with bounded size") {

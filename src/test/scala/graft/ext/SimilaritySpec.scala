@@ -113,6 +113,18 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.functions.IvfCells.computeCell(nanVec, cents) == 0)
   }
 
+  test("a NaN centroid loses to every real cell, identically in assign and probe") {
+    // one degenerate trained centroid (NaN) must not shadow valid cells:
+    // NaN scores normalize to -Infinity, so the real argmax wins and the
+    // assign path and the probe path agree on it
+    val cents = Array(Array(Float.NaN, Float.NaN), Array(1f, 0f), Array(0f, 1f))
+    val q = Array(1f, 0f)
+    assert(graft.functions.IvfCells.computeCell(q, cents) == 1)
+    val probes = graft.functions.IvfCells
+      .computeCells(q, cents, nprobe = 2).toIntArray().toSeq
+    assert(probes == Seq(1, 2), "NaN cell must be probed last, not first")
+  }
+
   test("cell-partitioned corpus: IVF probe filter prunes partitions at the scan") {
     // The 100 TB story made checkable at sf: assign cells at WRITE time and
     // partitionBy the cell column; a probed search's literal isin filter
@@ -125,20 +137,27 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfAssign(emb, "embedding", centroids)
         .write.partitionBy("ivf_cell").mode("overwrite").parquet(dir)
       val corpus = spark.read.parquet(dir)
+      val totalCells = corpus.select("ivf_cell").distinct().count()
+      assert(totalCells >= 2, "corpus must occupy several cells for the proof to bite")
       val q = emb.filter(col("vec_id") === 7).select("embedding")
         .head().getSeq[Float](0).toArray
+      // nprobe = 1: the strictest pruning case — exactly one cell directory
       val probeCells = graft.functions.IvfCells
-        .computeCells(q, centroids, 2).toIntArray().toSeq
+        .computeCells(q, centroids, 1).toIntArray().toSeq
       val searched = corpus.filter(col("ivf_cell").isin(probeCells: _*))
       val scan = searched.queryExecution.executedPlan.collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.getOrElse(fail("no file scan in plan"))
-      assert(scan.partitionFilters.nonEmpty,
-        "probe predicate must be a partition filter, not a row filter")
-      // the scan must touch only the probed cells' files
-      val touched = scan.inputRDDs().head.partitions.length
-      assert(searched.select("ivf_cell").distinct().collect()
-        .map(_.getInt(0)).toSet.subsetOf(probeCells.toSet))
+      // the probe predicate must be a PARTITION filter on the cell column —
+      // not a post-scan row filter
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "ivf_cell")),
+        s"ivf_cell probe must prune partitions; got ${scan.partitionFilters}")
+      searched.collect()
+      // the scan's own metric: directories actually read < total cells
+      val partsRead = scan.metrics("numPartitions").value
+      assert(partsRead == probeCells.size.toLong,
+        s"read $partsRead partitions, expected exactly ${probeCells.size}")
+      assert(partsRead < totalCells, "pruning must skip the unprobed cells")
       // and scoring over the pruned scan still finds the self-match
       val top = searched
         .select(col("vec_id"),
@@ -146,7 +165,6 @@ class SimilaritySpec extends SparkSpec {
             array(q.map(v => lit(v)): _*)).as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(3).collect()
       assert(top.head.getLong(0) == 7L)
-      assert(touched >= 1)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
