@@ -151,6 +151,36 @@ object ExtQueries {
     None, // model-defined (hyperplane LSH buckets)
     "embedding-cosine near-dup via hyperplane LSH bucketing")
 
+  private val qDedupEmbedGrid = Q(
+    "q_dedup_embed_grid",
+    (s, d) => {
+      // The embedding near-dup VERIFICATION kernel (exact cosine +
+      // threshold on candidate pairs) replayed over a deterministic grid
+      // (each vector against its id-successor) — the cross-engine anchor
+      // for q_dedup_embed, whose LSH candidate set is model-defined.
+      // Same anchor pattern as q_dedup_jaccard for the text path.
+      val emb = embeddings(s, d)
+      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b = emb.select((col("vec_id") - 1).as("id1"),
+        col("vec_id").as("id2"), col("embedding").as("e2"))
+      a.join(b, "id1")
+        .select(col("id1"), col("id2"),
+          graft.functions.functions.cosine_similarity(col("e1"), col("e2")).as("c"))
+        .filter(col("c") >= 0.2)
+        .select(col("id1"), col("id2"), round(col("c"), 6).as("cosine"))
+        .orderBy("id1")
+    },
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.2
+            ORDER BY id1"""),
+    "exact-cosine near-dup verification on a deterministic candidate grid — " +
+      "the embedding-dedup kernel, cross-engine checked")
+
   private val qVecCentroid = Q(
     "q_vec_centroid",
     (s, d) =>
@@ -632,7 +662,7 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNear, qDedupClusters, qCcChains, qDedupSimhash, qDedupNgram,
-    qDedupJaccard, qDedupEmbed,
+    qDedupJaccard, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
