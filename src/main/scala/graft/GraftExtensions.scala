@@ -68,6 +68,34 @@ object GraftExtensions {
           s"stopword_votes expects (text), got ${exprs.length} arguments")
       graft.functions.StopwordVotesExpr(exprs(0),
         graft.ext.TextAnalysis.stopwords.toSeq)
+    }),
+    "subword_count" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"subword_count expects (text, divisor), got ${exprs.length} arguments")
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "subword_count: divisor must be an integer literal")
+      val d = exprs(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"subword_count: divisor must be an integer literal, got $other")
+      }
+      graft.functions.SubwordCount(exprs(0), d)
+    }),
+    "stopword_count" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 2 || !exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "stopword_count expects (text, array-of-strings literal)")
+      val words = exprs(1).eval(null) match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"stopword_count: words must be an array literal, got $other")
+      }
+      graft.functions.StopwordCount(exprs(0), words)
     }))
 
   /** (text, n, k) argument shape shared by the fused shingle functions:

@@ -68,8 +68,14 @@ object TextAnalysis {
 
   /** BPE-ish subword count: words plus an extra token per 4 chars of long
     * words — a cheap deterministic proxy for tokenizer budgeting.
+    * Production form is the fused single-pass kernel
+    * ([[graft.functions.TextKernels]]); the composable HOF reference form
+    * below is the semantic spec it must match (TextAnalysisSpec).
     */
   def subwordCount(text: Column): Column =
+    graft.functions.TextKernels.subword_count(text, 4)
+
+  def subwordCountComposable(text: Column): Column =
     aggregate(
       transform(tokens(text), t => greatest(ceil(length(t) / 4.0), lit(1L))),
       lit(0L), (acc, x) => acc + x).cast("long")
@@ -82,7 +88,10 @@ object TextAnalysis {
     val nTok = tokenCount(t)
     val nChars = length(t).cast("long")
     val meanWordLen = (length(regexp_replace(t, " ", "")).cast("double") / nTok)
-    val stopRatio = stopwordHits(t, stopwords("en")).cast("double") / nTok
+    // fused one-pass counter (the HOF stopwordHits form re-splits the text
+    // through an interpreted lambda — this scan runs corpus-wide)
+    val stopRatio = graft.functions.TextKernels
+      .stopword_count(t, stopwords("en")).cast("double") / nTok
     df.withColumn("n_tokens", nTok)
       .withColumn("n_chars_calc", nChars)
       .withColumn("mean_word_len", meanWordLen)

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-pass text kernels for the quality/token scans that run
+  * over the whole corpus: the composable forms
+  * (`aggregate(transform(split(...)))` / `size(filter(split(...)))`)
+  * evaluate higher-order lambdas interpreted and re-split the text per
+  * output column — the same cost class the fused MinHash
+  * ([[MinHashText]]) and language-ID ([[StopwordVotes]]) kernels
+  * eliminated. Each kernel here walks the token boundaries once, with no
+  * token array materialized.
+  *
+  * Both are semantics-identical to their composable reference forms
+  * (asserted corpus-wide and property-tested in TextAnalysisSpec /
+  * PropertySpec).
+  */
+object TextKernels {
+
+  /** BPE-ish subword count: Σ over space-separated tokens of
+    * max(ceil(charLen/divisor), 1). Token length is counted in
+    * CHARACTERS (matching `length()` on the split tokens — UTF-8 aware).
+    */
+  def computeSubwords(text: UTF8String, divisor: Int): Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var total = 0L
+    var tokChars = 0
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') {
+        total += math.max((tokChars + divisor - 1) / divisor, 1)
+        tokChars = 0
+        i += 1
+      } else {
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        tokChars += 1
+      }
+    }
+    total + math.max((tokChars + divisor - 1) / divisor, 1)
+  }
+
+  /** Number of space-separated tokens contained in `words` (with
+    * multiplicity) — the stopword-hit counter behind quality scoring.
+    */
+  def computeStopwordHits(text: UTF8String, words: java.util.HashSet[String]): Long = {
+    val s = text.toString
+    var hits = 0L
+    var from = 0
+    val len = s.length
+    while (from <= len) {
+      var to = s.indexOf(' ', from)
+      if (to < 0) to = len
+      if (words.contains(s.substring(from, to))) hits += 1
+      from = to + 1
+    }
+    hits
+  }
+
+  def subword_count(text: Column, divisor: Int): Column =
+    Bridge.column(SubwordCount(Bridge.expression(text), divisor))
+
+  def stopword_count(text: Column, words: Seq[String]): Column =
+    Bridge.column(StopwordCount(Bridge.expression(text), words))
+}
+
+case class SubwordCount(child: Expression, divisor: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.computeSubwords(input.asInstanceOf[UTF8String], divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.computeSubwords($c, $divisor);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class StopwordCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "stopword_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.computeStopwordHits(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("stopwordSet", set, "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.computeStopwordHits($c, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -16,7 +16,8 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.builders.map(_._1).sorted ==
       Seq("cosine_similarity", "dot_product", "minhash_char_shingles",
-        "minhash_signature", "minhash_word_shingles", "stopword_votes"))
+        "minhash_signature", "minhash_word_shingles", "stopword_count",
+        "stopword_votes", "subword_count"))
   }
 
   test("every builder works through SQL on a live session") {
@@ -28,12 +29,16 @@ class GraftExtensionsSpec extends SparkSpec {
                 size(minhash_signature(array('ab', 'cd'), 16)) AS k,
                 size(minhash_word_shingles('a b c d', 3, 8)) AS kw,
                 size(minhash_char_shingles('abcdef', 5, 8)) AS kc,
-                stopword_votes('the cat is here').lang AS lang""").head()
+                stopword_votes('the cat is here').lang AS lang,
+                subword_count('a eeeeeeee', 4) AS sw,
+                stopword_count('the cat the', array('the', 'a')) AS sc""").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) == 6.0)
     assert(r.getInt(2) == 16)
     assert(r.getInt(3) == 8)
     assert(r.getInt(4) == 8)
     assert(r.getString(5) == "en")
+    assert(r.getLong(6) == 3L) // 1 + ceil(8/4)
+    assert(r.getLong(7) == 2L)
   }
 }

@@ -55,6 +55,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(1) == 6L)
   }
 
+  test("fused subword/stopword kernels match the composable HOF forms corpus-wide") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("text"))
+      // unicode + irregular-spacing edges on top of the corpus
+      .union(Seq("", " ", "  a  ", "héllo wörld 中文 it", "the the the")
+        .toDF("text"))
+    val en = TextAnalysis.stopwords("en")
+    val mismatch = docs.select(
+        TextAnalysis.subwordCount(col("text")).as("fs"),
+        TextAnalysis.subwordCountComposable(col("text")).as("rs"),
+        graft.functions.TextKernels.stopword_count(col("text"), en).as("fh"),
+        size(filter(split(col("text"), " "),
+          t => t.isin(en.map(lit(_)): _*))).cast("long").as("rh"))
+      .filter(col("fs") =!= col("rs") || col("fh") =!= col("rh")).count()
+    assert(mismatch == 0L)
+  }
+
   test("quality features are bounded and deterministic") {
     val df = Seq((1L, "the data is big and the model is nice today ok")).toDF("doc_id", "text")
     val row = TextAnalysis.qualityFeatures(df, "text").head()
