@@ -212,6 +212,24 @@ object RelationalQueries {
             FROM documents ORDER BY doc_id"""),
     "CSV sink -> CSV source round-trip, hash-checked against the parquet original")
 
+  private val qOrcRoundtrip = Q(
+    "q_orc_roundtrip",
+    (s, d) => {
+      // same contract as q_csv_roundtrip through the OTHER columnar
+      // format: written from the parquet original, read back (schema
+      // rides in the ORC files), hash-compared against DuckDB reading
+      // the parquet — type + value fidelity of the ORC sink and source.
+      val src = orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate") // timestamp column: the fidelity risk surface
+      val out = s"/tmp/graft_orc_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writeOrc(src, out)
+      graft.sources.Sources.orc(s, out).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_orderdate
+            FROM orders ORDER BY o_orderkey"""),
+    "ORC sink -> ORC source round-trip, hash-checked against the parquet original")
+
   // ---------------------------------------------------------------- joins
 
   private val qJoinBroadcast = Q(
@@ -1273,7 +1291,7 @@ object RelationalQueries {
     qNullHandling, qCaseBuckets,
     qStatsMoments, qHistogram, qDateArith,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
-    qCsvRoundtrip,
+    qCsvRoundtrip, qOrcRoundtrip,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,

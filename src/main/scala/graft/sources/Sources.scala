@@ -75,6 +75,15 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
+  /** ORC source/sink — the other columnar format a lakehouse pipeline
+    * meets; schema rides in the files, so reads need no external schema.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Bucketed managed table: pre-shuffles once at write time so repeated
     * equi-joins/aggregations on the bucket key run WITHOUT a shuffle —
     * the co-located-join layout for fact⋈fact at 100 TB (write cost is
