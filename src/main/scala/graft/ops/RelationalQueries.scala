@@ -780,6 +780,61 @@ object RelationalQueries {
     "session windows executed by Structured Streaming (session_window + " +
       "watermark, bounded replay) — hash-equal to a lag/cumsum batch oracle")
 
+  private val qStreamJoin = Q(
+    "q_stream_join",
+    (s, d) => {
+      // Stream⋈stream interval join (watermark-bounded state on BOTH
+      // sides), bounded-replay through Structured Streaming and
+      // hash-compared against a plain batch interval join in DuckDB:
+      // each click joined to the same user's purchases within the next
+      // 10 minutes. Append-mode inner join emits exactly the matched
+      // rows, so the bounded replay must equal the batch result.
+      val name = s"graft_stream_join_${streamRuns.incrementAndGet()}"
+      val schema = eventsSchema(s, d)
+      def side(eventType: String, prefix: String) = {
+        val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
+        val ev = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => raw
+        }
+        ev.filter(col("event_type") === eventType)
+          .select(col("user_id"),
+            col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+      }
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        side("click", "l"), side("purchase", "r"),
+        "user_id", "l_ts", "r_ts", "30 minutes", "10 minutes")
+        .select(col("l.user_id").as("user_id"), col("l_id"), col("r_id"))
+      val ckDir = s"/dev/shm/graft_ck_$name"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "1")
+          joined.writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckDir)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      try {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      } catch { case _: Exception => () }
+      s.table(name).orderBy("user_id", "l_id", "r_id")
+    },
+    Some("""SELECT l.user_id AS user_id, l.event_id AS l_id, r.event_id AS r_id
+            FROM events l
+            JOIN events r ON r.user_id = l.user_id
+             AND l.event_type = 'click' AND r.event_type = 'purchase'
+             AND epoch_us(r.ts) >= epoch_us(l.ts)
+             AND epoch_us(r.ts) <= epoch_us(l.ts) + 600000000
+            ORDER BY l.user_id, l_id, r_id"""),
+    "stream-stream interval join (watermarked state both sides), bounded " +
+      "replay hash-equal to the batch interval join")
+
   // exact-decimal revenue term: both factors cast to DECIMAL before the
   // multiply so the grouped SUM is order-insensitive and identical
   // cross-engine (a double product would make the hash compare float luck)
@@ -1296,6 +1351,6 @@ object RelationalQueries {
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
-    qStreamSession, qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
+    qStreamSession, qStreamJoin, qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }
