@@ -108,13 +108,22 @@ object TextAnalysis {
   /** 64-bit xxhash fingerprint (fast path for shuffle keys / dedup). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
-  /** Word n-grams of a text column (token array bound once via the outer
-    * single-element transform; 1-based element_at matches SQL dialects).
-    * Total: rows with fewer than n tokens yield an empty array — the
-    * guard lives HERE because Spark's sequence(1, 0) counts DOWN (it is
-    * not empty) and unguarded element_at would fail the whole job.
+  /** Word n-grams of a text column. Production form is the fused
+    * zero-copy kernel ([[graft.functions.TextKernels.word_ngrams]]):
+    * each n-gram is a byte-range view of the input (an n-gram joined
+    * with the separator it was split on is a contiguous substring), one
+    * compiled pass, no token array. Rows with fewer than n tokens yield
+    * an empty array.
     */
-  def wordNgramsExpr(textCol: String, n: Int): Column = {
+  def wordNgramsExpr(textCol: String, n: Int): Column =
+    graft.functions.TextKernels.word_ngrams(col(textCol), n)
+
+  /** Composable reference form (the semantic spec the fused kernel must
+    * match — asserted in TextAnalysisSpec). The guard lives HERE because
+    * Spark's sequence(1, 0) counts DOWN (it is not empty) and unguarded
+    * element_at would fail the whole job.
+    */
+  def wordNgramsComposable(textCol: String, n: Int): Column = {
     val parts = (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")
     expr(s"""transform(array(split($textCol, ' ')),
              toks -> CASE WHEN size(toks) < $n THEN array()

@@ -62,11 +62,49 @@ object TextKernels {
     hits
   }
 
+  /** Word n-grams as zero-copy byte-range slices: a token n-gram joined
+    * with the single-space separator it was split on IS a contiguous
+    * substring of the input (the same identity the fused MinHash kernel
+    * exploits), so each output string just wraps a (offset, length) view
+    * of the text's byte array. Rows with fewer than n tokens yield an
+    * empty array — matching the composable form's guard.
+    */
+  def computeWordNgrams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var tokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') tokens += 1; i += 1 }
+    if (tokens < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = len
+    val out = new Array[Any](tokens - n + 1)
+    var s = 0
+    while (s < out.length) {
+      val from = starts(s)
+      out(s) = UTF8String.fromBytes(bytes, from, ends(s + n - 1) - from)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def subword_count(text: Column, divisor: Int): Column =
     Bridge.column(SubwordCount(Bridge.expression(text), divisor))
 
   def stopword_count(text: Column, words: Seq[String]): Column =
     Bridge.column(StopwordCount(Bridge.expression(text), words))
+
+  def word_ngrams(text: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(text), n))
 }
 
 case class SubwordCount(child: Expression, divisor: Int) extends UnaryExpression {
@@ -79,6 +117,23 @@ case class SubwordCount(child: Expression, divisor: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels.computeSubwords($c, $divisor);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.computeWordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.computeWordNgrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -55,6 +55,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(1) == 6L)
   }
 
+  test("fused word-ngram kernel matches the composable HOF form corpus-wide") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("text"))
+      .union(Seq("", " ", "a", "a b", "a  b c", "héllo wörld 中文 ok x")
+        .toDF("text"))
+    for (n <- Seq(2, 3, 8)) {
+      val mismatch = docs.select(
+          TextAnalysis.wordNgramsExpr("text", n).as("f"),
+          TextAnalysis.wordNgramsComposable("text", n).as("r"))
+        .filter(col("f") =!= col("r")).count()
+      assert(mismatch == 0L, s"n=$n")
+    }
+  }
+
   test("fused subword/stopword kernels match the composable HOF forms corpus-wide") {
     val docs = graft.ops.Tables.documents(spark, sfDir)
       .select(col("text"))
