@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: runs the dedup/text family on a synthetic corpus 10–100×
+  * the sf0.1 test data to measure how per-document cost and shuffle sizes
+  * behave as the corpus grows — the evidence behind PERF.md's 100 TB
+  * extrapolation claims.
+  *
+  * The corpus is deterministic (seeded columns derived from the row id):
+  * ~30-token documents over a small vocabulary, with a planted 5% exact-
+  * duplicate rate and 5% near-duplicate rate (one token changed), so the
+  * dedup pipelines have real work at every scale.
+  *
+  * Usage: runMain graft.tools.ScaleSoak [numDocs] (default 500000)
+  */
+object ScaleSoak {
+
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    // seeded, partition-independent: every column is a pure function of
+    // the row id. ~10% of docs copy the text of doc (id - 1): half
+    // verbatim (exact dups), half with the last token perturbed
+    // (near dups at jaccard ≈ 0.93 for 28 shingles).
+    val base = spark.range(0, n, 1, 64)
+    val srcId = when(pmod(col("id"), lit(20)) < 2, col("id") - 1).otherwise(col("id"))
+    base
+      .withColumn("srcId", greatest(srcId, lit(0L)))
+      .withColumn("toks", expr(
+        "transform(sequence(1, 30), i -> concat('w', pmod(hash(srcId, i), 600)))"))
+      .withColumn("toks",
+        when(pmod(col("id"), lit(20)) === 1, // near-dup: perturb the last token
+          concat(slice(col("toks"), 1, 29), array(concat(lit("u"), col("id")))))
+          .otherwise(col("toks")))
+      .select(col("id").as("doc_id"), concat_ws(" ", col("toks")).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "24g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // materialize the corpus to parquet so every stage reads from disk
+    // like a real pipeline (not from a cached in-memory range)
+    val dir = s"/tmp/graft_soak_$n"
+    corpus(spark, n).write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[soak] $name%-22s $dt%8.2f s   rows=$rows%,d   (${dt * 1e6 / n}%.2f µs/doc)")
+      graft.ops.CacheUtils.releaseAll(spark)
+    }
+
+    println(s"[soak] corpus: $n docs at $dir")
+    timed("exact_dedup") {
+      graft.ext.Dedup.exact(docs, "text", "doc_id").count()
+    }
+    timed("minhash_signatures") {
+      // aggregate over the signature column so column pruning can't elide
+      // the kernel under a bare count()
+      graft.ext.Dedup.minHashSignatures(docs, "doc_id", "text",
+          64, graft.ext.Dedup.WordShingles(3), widen = false)
+        .agg(expr("bit_xor(sig[0])")).collect().length.toLong // xor: no ANSI overflow
+    }
+    timed("neardup_pairs") {
+      graft.ext.Dedup.nearDupMinHash(docs, "doc_id", "text",
+        threshold = 0.5, shingler = graft.ext.Dedup.WordShingles(3)).count()
+    }
+    timed("neardup_clusters") {
+      graft.ext.Dedup.nearDupClusters(docs, "doc_id", "text",
+        threshold = 0.5, shingler = graft.ext.Dedup.WordShingles(3)).count()
+    }
+    timed("simhash") {
+      graft.ext.Dedup.simHash(docs, "doc_id", "text").count()
+    }
+    timed("text_features") {
+      // quality_score depends on every feature column — nothing prunable
+      graft.ext.TextAnalysis.qualityFeatures(docs, "text")
+        .agg(sum("quality_score"), sum("n_tokens"), sum("mean_word_len"))
+        .collect().length.toLong
+    }
+    timed("lang_id") {
+      docs.select(graft.ext.TextAnalysis.langId(col("text")).as("l"))
+        .groupBy("l").count().count()
+    }
+    timed("ngram_freq_top100") {
+      docs.select(explode(graft.ext.TextAnalysis.wordNgramsExpr("text", 2)).as("g"))
+        .groupBy("g").count().orderBy(col("count").desc).limit(100).count()
+    }
+    spark.stop()
+  }
+}
