@@ -32,22 +32,36 @@ object Dedup {
 
   /** Shingling strategy. Character shingles are robust to tokenization;
     * word shingles (the common choice for text near-dup) are far more
-    * selective on natural text — fewer spurious LSH candidates. Both are
-    * SQL lambdas, staying inside whole-stage codegen.
+    * selective on natural text — fewer spurious LSH candidates.
+    *
+    * Production forms are the fused byte-range kernels
+    * ([[graft.functions.TextKernels]]): a shingle joined with the
+    * separator it was split on is a contiguous substring, so each shingle
+    * is a zero-copy view of the input — one compiled pass, no interpreted
+    * lambdas and no token array. The composable SQL-lambda forms are kept
+    * below as the semantic specs (parity asserted in PropertySpec).
     */
-  sealed trait Shingler { def apply(textCol: String): Column }
+  sealed trait Shingler {
+    def apply(textCol: String): Column
+    /** Composable HOF reference form — the spec `apply` must match. */
+    def composable(textCol: String): Column
+  }
 
   final case class CharShingles(k: Int = 5) extends Shingler {
     def apply(textCol: String): Column =
+      array_distinct(graft.functions.TextKernels.char_shingles(col(textCol), k))
+    def composable(textCol: String): Column =
       expr(s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
         s"i -> substring($textCol, i, $k)))")
   }
 
   final case class WordShingles(n: Int = 3) extends Shingler {
+    def apply(textCol: String): Column =
+      array_distinct(graft.functions.TextKernels.word_shingles(col(textCol), n))
     // the outer single-element transform binds the token array ONCE per
     // row — naively referencing split() inside the index lambda re-splits
     // the text per shingle (O(tokens²) interpreted work per document)
-    def apply(textCol: String): Column =
+    def composable(textCol: String): Column =
       expr(s"""array_distinct(transform(array(split($textCol, ' ')),
                toks -> transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)),
                                  i -> array_join(slice(toks, i, $n), ' ')))[0])""")

@@ -97,6 +97,71 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Word n-shingles: like [[computeWordNgrams]] but with the shingling
+    * guard — a document with fewer than n tokens yields ONE shingle (the
+    * whole text), matching `Dedup.WordShingles`' composable form (and the
+    * window rule of [[MinHashText.computeWords]]).
+    */
+  def computeWordShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var tokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') tokens += 1; i += 1 }
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = len
+    val numShingles = math.max(tokens - n + 1, 1)
+    val out = new Array[Any](numShingles)
+    var s = 0
+    while (s < numShingles) {
+      val from = starts(s)
+      val to = ends(math.min(s + n - 1, tokens - 1))
+      out(s) = UTF8String.fromBytes(bytes, from, to - from)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Char k-shingles (UTF-8 aware: a window of k CHARACTERS is still a
+    * contiguous byte range), whole text as the single shingle when
+    * shorter than k chars — matching `Dedup.CharShingles`' composable
+    * form and [[MinHashText.computeChars]].
+    */
+  def computeCharShingles(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var chars = 0
+    var i = 0
+    while (i < len) { i += UTF8String.numBytesForFirstByte(bytes(i)); chars += 1 }
+    val starts = new Array[Int](chars + 1)
+    var ci = 0
+    i = 0
+    while (i < len) {
+      starts(ci) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      ci += 1
+    }
+    starts(chars) = len
+    val numShingles = math.max(chars - k + 1, 1)
+    val out = new Array[Any](numShingles)
+    var s = 0
+    while (s < numShingles) {
+      val from = if (chars == 0) 0 else starts(s)
+      val to = starts(math.min(s + k, chars))
+      out(s) = UTF8String.fromBytes(bytes, from, to - from)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def subword_count(text: Column, divisor: Int): Column =
     Bridge.column(SubwordCount(Bridge.expression(text), divisor))
 
@@ -105,6 +170,12 @@ object TextKernels {
 
   def word_ngrams(text: Column, n: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(text), n))
+
+  def word_shingles(text: Column, n: Int): Column =
+    Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
+
+  def char_shingles(text: Column, k: Int): Column =
+    Bridge.column(CharShinglesExpr(Bridge.expression(text), k))
 }
 
 case class SubwordCount(child: Expression, divisor: Int) extends UnaryExpression {
@@ -134,6 +205,40 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextKernels.computeWordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.computeWordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.computeWordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class CharShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.computeCharShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cIn =>
+      s"${ev.value} = graft.functions.TextKernels.computeCharShingles($cIn, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -118,9 +118,9 @@ class PropertySpec extends SparkSpec {
       val texts = "" :: " " :: sample(Gen.listOfN(20, textGen), seed)
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
       for ((shingler, fused) <- Seq(
-          (Dedup.WordShingles(3),
+          (Dedup.WordShingles(3): Dedup.Shingler,
             graft.functions.MinHashText.minhash_word_shingles(col("text"), 3, 16)),
-          (Dedup.CharShingles(4),
+          (Dedup.CharShingles(4): Dedup.Shingler,
             graft.functions.MinHashText.minhash_char_shingles(col("text"), 4, 16)))) {
         val mismatch = df.select(
             fused.as("a"),
@@ -128,6 +128,12 @@ class PropertySpec extends SparkSpec {
               .minhash_signature(shingler("text"), 16).as("b"))
           .filter(col("a") =!= col("b")).count()
         assert(mismatch == 0, s"seed=$seed shingler=$shingler")
+        // the fused shingle ARRAYS must equal the composable HOF form too
+        // (exactJaccard materializes them for candidate verification)
+        val shMismatch = df.select(
+            shingler("text").as("f"), shingler.composable("text").as("r"))
+          .filter(col("f") =!= col("r")).count()
+        assert(shMismatch == 0, s"seed=$seed shingle-array parity $shingler")
       }
     }
   }
