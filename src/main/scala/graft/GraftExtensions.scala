@@ -82,6 +82,9 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"subword_count: divisor must be an integer literal, got $other")
       }
+      if (d < 1)
+        throw new IllegalArgumentException(
+          s"subword_count: divisor must be >= 1, got $d")
       graft.functions.SubwordCount(exprs(0), d)
     }),
     "stopword_count" -> ((exprs: Seq[Expression]) => {
@@ -90,8 +93,11 @@ object GraftExtensions {
           "stopword_count expects (text, array-of-strings literal)")
       val words = exprs(1).eval(null) match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          a.toObjectArray(org.apache.spark.sql.types.StringType)
-            .map(_.toString).toSeq
+          val elems = a.toObjectArray(org.apache.spark.sql.types.StringType)
+          if (elems.exists(_ == null))
+            throw new IllegalArgumentException(
+              "stopword_count: words array must not contain NULL")
+          elems.map(_.toString).toSeq
         case other => throw new IllegalArgumentException(
           s"stopword_count: words must be an array literal, got $other")
       }

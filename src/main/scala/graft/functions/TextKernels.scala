@@ -62,21 +62,16 @@ object TextKernels {
     hits
   }
 
-  /** Word n-grams as zero-copy byte-range slices: a token n-gram joined
-    * with the single-space separator it was split on IS a contiguous
-    * substring of the input (the same identity the fused MinHash kernel
-    * exploits), so each output string just wraps a (offset, length) view
-    * of the text's byte array. Rows with fewer than n tokens yield an
-    * empty array — matching the composable form's guard.
+  /** Token boundaries of a single-space-separated byte string (the
+    * `split(text, ' ', -1)` model: empty tokens kept): returns
+    * (starts, ends, tokenCount) with ends exclusive. Shared by every
+    * word-oriented kernel so the subtle boundary scan exists ONCE.
     */
-  def computeWordNgrams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val bytes = text.getBytes
+  private def tokenBounds(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     val len = bytes.length
     var tokens = 1
     var i = 0
     while (i < len) { if (bytes(i) == ' ') tokens += 1; i += 1 }
-    if (tokens < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val starts = new Array[Int](tokens)
     val ends = new Array[Int](tokens)
     var t = 0
@@ -87,6 +82,21 @@ object TextKernels {
       i += 1
     }
     ends(t) = len
+    (starts, ends, tokens)
+  }
+
+  /** Word n-grams as zero-copy byte-range slices: a token n-gram joined
+    * with the single-space separator it was split on IS a contiguous
+    * substring of the input (the same identity the fused MinHash kernel
+    * exploits), so each output string just wraps a (offset, length) view
+    * of the text's byte array. Rows with fewer than n tokens yield an
+    * empty array — matching the composable form's guard.
+    */
+  def computeWordNgrams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, tokens) = tokenBounds(bytes)
+    if (tokens < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val out = new Array[Any](tokens - n + 1)
     var s = 0
     while (s < out.length) {
@@ -104,20 +114,7 @@ object TextKernels {
     */
   def computeWordShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val bytes = text.getBytes
-    val len = bytes.length
-    var tokens = 1
-    var i = 0
-    while (i < len) { if (bytes(i) == ' ') tokens += 1; i += 1 }
-    val starts = new Array[Int](tokens)
-    val ends = new Array[Int](tokens)
-    var t = 0
-    starts(0) = 0
-    i = 0
-    while (i < len) {
-      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
-      i += 1
-    }
-    ends(t) = len
+    val (starts, ends, tokens) = tokenBounds(bytes)
     val numShingles = math.max(tokens - n + 1, 1)
     val out = new Array[Any](numShingles)
     var s = 0

@@ -691,6 +691,11 @@ object RelationalQueries {
       // deployment choice (HDFS/S3 on a cluster); for a bounded local
       // replay memory-backed is the honest equivalent.
       val ckDir = s"/dev/shm/graft_ck_$name"
+      // a failed prior run (crash before the post-success cleanup) leaves
+      // a checkpoint with committed offsets; resuming from it would
+      // silently yield an empty batch — always start fresh
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      catch { case _: Exception => () }
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q =
         try {
@@ -738,6 +743,11 @@ object RelationalQueries {
       val agg = graft.streaming.StreamOps
         .sessionCounts(ev, "ts", "user_id", "30 minutes", "30 minutes")
       val ckDir = s"/dev/shm/graft_ck_$name"
+      // a failed prior run (crash before the post-success cleanup) leaves
+      // a checkpoint with committed offsets; resuming from it would
+      // silently yield an empty batch — always start fresh
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      catch { case _: Exception => () }
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q =
         try {
@@ -807,6 +817,11 @@ object RelationalQueries {
         "user_id", "l_ts", "r_ts", "30 minutes", "10 minutes")
         .select(col("l.user_id").as("user_id"), col("l_id"), col("r_id"))
       val ckDir = s"/dev/shm/graft_ck_$name"
+      // a failed prior run (crash before the post-success cleanup) leaves
+      // a checkpoint with committed offsets; resuming from it would
+      // silently yield an empty batch — always start fresh
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      catch { case _: Exception => () }
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q =
         try {

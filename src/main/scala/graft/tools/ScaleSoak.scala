@@ -19,11 +19,17 @@ object ScaleSoak {
 
   def corpus(spark: SparkSession, n: Long): DataFrame = {
     // seeded, partition-independent: every column is a pure function of
-    // the row id. ~10% of docs copy the text of doc (id - 1): half
-    // verbatim (exact dups), half with the last token perturbed
-    // (near dups at jaccard ≈ 0.93 for 28 shingles).
+    // the row id. ~10% of docs copy the text of a nearby SELF-SOURCED doc
+    // (one whose text derives from its own id): id≡0 (mod 20) copies
+    // id-1 verbatim (exact dup), id≡1 copies id-2 with the last token
+    // perturbed (near dup, jaccard ≈ 0.93 for 28 shingles). Sourcing
+    // id≡1 from id-1 would be wrong: id-1 is itself a copier, so the
+    // base text would exist in no document and the "near dups" would
+    // never pair with anything.
     val base = spark.range(0, n, 1, 64)
-    val srcId = when(pmod(col("id"), lit(20)) < 2, col("id") - 1).otherwise(col("id"))
+    val srcId = when(pmod(col("id"), lit(20)) === 0, col("id") - 1)
+      .when(pmod(col("id"), lit(20)) === 1, col("id") - 2)
+      .otherwise(col("id"))
     base
       .withColumn("srcId", greatest(srcId, lit(0L)))
       .withColumn("toks", expr(
@@ -42,7 +48,8 @@ object ScaleSoak {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "24g")
+      // NOTE: driver heap cannot be set from inside a running JVM — it
+      // comes from the forked JVM's -Xmx (build.sbt run settings)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
