@@ -245,6 +245,22 @@ object TextAnalysis {
       windowTokens: Int,
       strideTokens: Int): DataFrame =
     df
+      .select(col(idCol),
+        // fused byte-range kernel; the composable HOF spec it must match
+        // is chunkWindowsComposable (parity asserted in TextAnalysisSpec)
+        posexplode(graft.functions.TextKernels
+          .chunk_windows(col(textCol), windowTokens, strideTokens))
+          .as(Seq("window_no", "chunk")))
+      .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
+
+  /** Composable reference form of [[chunkWindows]]. */
+  def chunkWindowsComposable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): DataFrame =
+    df
       .withColumn("_toks", split(col(textCol), " "))
       .select(col(idCol),
         posexplode(expr(

@@ -159,6 +159,30 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Overlapping token windows (context-window chunking): window w at
+    * stride s over the tokens — each chunk is the byte range from token
+    * (k·s)'s start to token (k·s + w - 1)'s end. Matches the composable
+    * `transform(sequence(1, greatest(tokens - w + 1, 1), s), i ->
+    * array_join(slice(toks, i, w), ' '))` form: at least one window, the
+    * last window clamped to the end.
+    */
+  def computeChunks(text: UTF8String, window: Int, stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends, tokens) = tokenBounds(bytes)
+    val span = math.max(tokens - window + 1, 1)
+    val numChunks = (span + stride - 1) / stride
+    val out = new Array[Any](numChunks)
+    var k = 0
+    while (k < numChunks) {
+      val first = k * stride
+      val from = starts(first)
+      val to = ends(math.min(first + window - 1, tokens - 1))
+      out(k) = UTF8String.fromBytes(bytes, from, to - from)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def subword_count(text: Column, divisor: Int): Column =
     Bridge.column(SubwordCount(Bridge.expression(text), divisor))
 
@@ -173,6 +197,9 @@ object TextKernels {
 
   def char_shingles(text: Column, k: Int): Column =
     Bridge.column(CharShinglesExpr(Bridge.expression(text), k))
+
+  def chunk_windows(text: Column, window: Int, stride: Int): Column =
+    Bridge.column(ChunkWindows(Bridge.expression(text), window, stride))
 }
 
 case class SubwordCount(child: Expression, divisor: Int) extends UnaryExpression {
@@ -236,6 +263,24 @@ case class CharShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, cIn =>
       s"${ev.value} = graft.functions.TextKernels.computeCharShingles($cIn, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ChunkWindows(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "chunk_windows"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.computeChunks(input.asInstanceOf[UTF8String], window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.computeChunks($c, $window, $stride);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -69,6 +69,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("fused chunk-window kernel matches the composable HOF form corpus-wide") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9000001L, ""), (9000002L, " "), (9000003L, "a b c"))
+        .toDF("doc_id", "text"))
+    for ((w, s) <- Seq((32, 16), (8, 8), (5, 2))) {
+      val f = TextAnalysis.chunkWindows(docs, "doc_id", "text", w, s)
+        .orderBy("doc_id", "window_no").collect().toSeq
+      val r = TextAnalysis.chunkWindowsComposable(docs, "doc_id", "text", w, s)
+        .orderBy("doc_id", "window_no").collect().toSeq
+      assert(f == r, s"window=$w stride=$s")
+    }
+  }
+
   test("fused subword/stopword kernels match the composable HOF forms corpus-wide") {
     val docs = graft.ops.Tables.documents(spark, sfDir)
       .select(col("text"))
