@@ -45,6 +45,36 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("lang=fr"))
   }
 
+  test("compaction collapses a small-files dataset; sorted form enables skipping") {
+    // simulate a streaming sink's output: 40 tiny files
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val fragmented = tmp("frag")
+    docs.repartition(40).write.parquet(fragmented)
+    val out = tmp("compacted")
+    val (before, after) =
+      Sources.compactParquet(spark, fragmented, out, targetBytes = 512L << 20)
+    assert(before == 40)
+    assert(after == 1, s"tiny dataset must compact to one file, got $after")
+    // content identical (same rows, nothing lost or duplicated)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // sorted variant: files cover disjoint key ranges (range partitioning),
+    // rows sorted within each file so row-group min/max prune on doc_id
+    val sortedOut = tmp("compacted_sorted")
+    Sources.compactParquet(spark, fragmented, sortedOut,
+      targetBytes = docs.count() * 8, sortCols = Seq("doc_id"))
+    val perFile = spark.read.parquet(sortedOut)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "sorted form should produce several ranged files")
+    perFile.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, "file key ranges must be disjoint for stat-based skipping")
+    case _ => ()
+    }
+  }
+
   test("binaryFiles loads whole-file payloads with metadata") {
     val dir = Files.createTempDirectory("graft-bin")
     Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
