@@ -103,6 +103,50 @@ object ScaleSoak {
       docs.select(explode(graft.ext.TextAnalysis.wordNgramsExpr("text", 2)).as("g"))
         .groupBy("g").count().orderBy(col("count").desc).limit(100).count()
     }
+
+    // ------------------------------------------------- similarity family
+    // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor
+    // directions plus per-vector noise, so IVF cells are meaningful
+    val nVec = math.max(n / 2, 100000L)
+    val vecDir = s"/tmp/graft_soak_vec_$nVec"
+    spark.range(0, nVec, 1, 64)
+      .withColumn("embedding", expr(
+        """transform(sequence(1, 64),
+           i -> cast(pmod(hash(pmod(id, 32), i), 1000) / 500.0 - 1.0
+                     + pmod(hash(id, i), 100) / 250.0 as float))"""))
+      .select(col("id").as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(vecDir)
+    val emb = spark.read.parquet(vecDir)
+    println(s"[soak] vectors: $nVec x 64 at $vecDir")
+    def vtimed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[soak] $name%-22s $dt%8.2f s   rows=$rows%,d   (${dt * 1e6 / nVec}%.2f µs/vec)")
+      graft.ops.CacheUtils.releaseAll(spark)
+    }
+    val q = Array.tabulate(64)(i => ((i * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    vtimed("brute_force_top10") {
+      graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).count()
+    }
+    val centroids = {
+      val t0 = System.nanoTime()
+      val c = graft.ext.Similarity.trainIvfCentroids(
+        emb.sample(0.02, 42), "embedding", k = 32, iters = 2)
+      println(f"[soak] ivf_train_on_sample   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      c
+    }
+    vtimed("ivf_assign") {
+      graft.ext.Similarity.ivfAssign(emb, "embedding", centroids)
+        .agg(expr("bit_xor(cast(ivf_cell as bigint))")).collect().length.toLong
+    }
+    vtimed("ivf_search_nprobe4") {
+      graft.ext.Similarity.ivfSearch(emb, "vec_id", "embedding", q, 10,
+        centroids, nprobe = 4).count()
+    }
+    vtimed("ann_lsh_top10") {
+      graft.ext.Similarity.annTopK(emb, "vec_id", "embedding", q, 10).count()
+    }
     spark.stop()
   }
 }
