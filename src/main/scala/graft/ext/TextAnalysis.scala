@@ -247,9 +247,14 @@ object TextAnalysis {
     df
       .select(col(idCol),
         // fused byte-range kernel; the composable HOF spec it must match
-        // is chunkWindowsComposable (parity asserted in TextAnalysisSpec)
-        posexplode(graft.functions.TextKernels
-          .chunk_windows(col(textCol), windowTokens, strideTokens))
+        // is chunkWindowsComposable (parity asserted in TextAnalysisSpec).
+        // NULL text emits one (0, null) row — the kernel expression is
+        // null-safe (returns NULL, which posexplode would DROP), so the
+        // composable form's keep-the-document behavior is restored here.
+        posexplode(
+          when(col(textCol).isNull, array(lit(null).cast("string")))
+            .otherwise(graft.functions.TextKernels
+              .chunk_windows(col(textCol), windowTokens, strideTokens)))
           .as(Seq("window_no", "chunk")))
       .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
 

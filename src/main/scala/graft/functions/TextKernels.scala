@@ -203,6 +203,7 @@ object TextKernels {
 }
 
 case class SubwordCount(child: Expression, divisor: Int) extends UnaryExpression {
+  require(divisor >= 1, s"subword_count: divisor must be >= 1, got $divisor")
   override def dataType: DataType = LongType
   override def prettyName: String = "subword_count"
 
@@ -218,6 +219,7 @@ case class SubwordCount(child: Expression, divisor: Int) extends UnaryExpression
 }
 
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
@@ -235,6 +237,7 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_shingles: n must be >= 1, got $n")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
@@ -252,6 +255,7 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 case class CharShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"char_shingles: k must be >= 1, got $k")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
@@ -270,6 +274,8 @@ case class CharShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
 
 case class ChunkWindows(child: Expression, window: Int, stride: Int)
     extends UnaryExpression {
+  require(window >= 1 && stride >= 1,
+    s"chunk_windows: window and stride must be >= 1, got ($window, $stride)")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)

@@ -93,36 +93,64 @@ object Sources {
       inPath: String,
       outPath: String,
       targetBytes: Long = 128L << 20,
-      sortCols: Seq[String] = Nil): (Int, Int) = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listFiles(hadoopPath, true)
-    var totalBytes = 0L
-    var filesBefore = 0
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        totalBytes += f.getLen
-        filesBefore += 1
+      sortCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def countParquet(path: String): (Int, Long, Set[String]) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      // each path resolves its OWN FileSystem — in and out may live on
+      // different stores (hdfs → s3a compaction is the common shape)
+      val fs = p.getFileSystem(conf)
+      val root = fs.makeQualified(p)
+      val files = fs.listFiles(p, true)
+      var bytes = 0L
+      var n = 0
+      val partDirs = scala.collection.mutable.Set[String]()
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          bytes += f.getLen
+          n += 1
+          // hive-style partition dirs (name=value) strictly BELOW the root
+          var d = f.getPath.getParent
+          while (d != null && d != root) {
+            val seg = d.getName
+            val eq = seg.indexOf('=')
+            if (eq > 0) partDirs += seg.substring(0, eq)
+            d = d.getParent
+          }
+        }
       }
+      (n, bytes, partDirs.toSet)
     }
+    val (filesBefore, totalBytes, foundPartCols) = countParquet(inPath)
+    // refusing beats silently flattening: a hive-partitioned input whose
+    // layout the caller didn't ask to preserve would lose partition
+    // pruning for every downstream reader
+    val missing = foundPartCols -- partitionCols.toSet
+    require(missing.isEmpty,
+      s"input is hive-partitioned by ${missing.mkString(", ")} — pass them in " +
+        "partitionCols to preserve the layout (compacting would flatten it)")
     // parquet compresses ~2-4x better than its in-memory width; sizing by
-    // ON-DISK bytes of the input is the honest target
-    val numFiles = math.max((totalBytes / math.max(targetBytes, 1L)).toInt, 1)
+    // ON-DISK bytes of the input is the honest target (ceiling division:
+    // 250 MB at a 128 MB target is two ~125 MB files, not one 250 MB file)
+    val tgt = math.max(targetBytes, 1L)
+    val numFiles = math.max(((totalBytes + tgt - 1) / tgt).toInt, 1)
     val df = spark.read.parquet(inPath)
+    val shapeCols = (partitionCols ++ sortCols).map(col)
     val shaped =
-      if (sortCols.nonEmpty)
+      if (shapeCols.nonEmpty)
         // range partition + in-file sort: each output file covers a tight
         // key range → min/max row-group stats prune reads on that key
-        df.repartitionByRange(numFiles, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
+        // (partition cols lead so a partitioned write stays one-file-per-
+        // output-partition-per-task)
+        df.repartitionByRange(numFiles, shapeCols: _*)
+          .sortWithinPartitions(shapeCols: _*)
       else df.coalesce(numFiles)
-    shaped.write.mode(SaveMode.Overwrite).parquet(outPath)
-    val outFiles = fs.listFiles(new org.apache.hadoop.fs.Path(outPath), true)
-    var filesAfter = 0
-    while (outFiles.hasNext) {
-      if (outFiles.next().getPath.getName.endsWith(".parquet")) filesAfter += 1
-    }
+    val writer = shaped.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outPath)
+    val (filesAfter, _, _) = countParquet(outPath)
     (filesBefore, filesAfter)
   }
 

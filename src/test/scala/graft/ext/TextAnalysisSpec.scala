@@ -70,10 +70,12 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("fused chunk-window kernel matches the composable HOF form corpus-wide") {
+    val edge = Seq((9000001L, Some("")), (9000002L, Some(" ")),
+      (9000003L, Some("a b c")), (9000004L, None)) // incl. NULL text
+      .toDF("doc_id", "text")
     val docs = graft.ops.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .union(Seq((9000001L, ""), (9000002L, " "), (9000003L, "a b c"))
-        .toDF("doc_id", "text"))
+      .union(edge)
     for ((w, s) <- Seq((32, 16), (8, 8), (5, 2))) {
       val f = TextAnalysis.chunkWindows(docs, "doc_id", "text", w, s)
         .orderBy("doc_id", "window_no").collect().toSeq

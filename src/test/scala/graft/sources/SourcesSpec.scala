@@ -75,6 +75,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("compaction preserves (and refuses to flatten) hive partition layout") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val partitioned = tmp("part_frag")
+    docs.repartition(10).write.partitionBy("lang").parquet(partitioned)
+    // not listing the partition column must refuse loudly, not flatten
+    val out = tmp("part_compacted")
+    val e = intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, partitioned, out)
+    }
+    assert(e.getMessage.contains("lang"))
+    // listing it preserves the layout: lang= dirs exist in the output and
+    // partition pruning still works on the compacted dataset
+    Sources.compactParquet(spark, partitioned, out, partitionCols = Seq("lang"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val scan = back.filter(col("lang") === "en")
+      .queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      "compacted output must still prune on the partition column")
+  }
+
   test("binaryFiles loads whole-file payloads with metadata") {
     val dir = Files.createTempDirectory("graft-bin")
     Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
