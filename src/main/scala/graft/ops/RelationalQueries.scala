@@ -455,14 +455,24 @@ object RelationalQueries {
     None, // approximate — not oracle-comparable; covered by unit test bounds
     "HyperLogLog++ approx distinct — sketch mergeable across partitions")
 
+  // Two-phase grouping sets: Spark plans CUBE/ROLLUP/GROUPING SETS as an
+  // Expand that replicates EVERY input row once per grouping set BEFORE the
+  // (partial) aggregation — at 100 TB that is a 3-4× blowup of the scan
+  // feeding the shuffle. Aggregating by the full dimension set first
+  // collapses the fact table to |distinct dim combos| rows in one keyed
+  // shuffle; the Expand then multiplies only that tiny intermediate. Valid
+  // because count/sum are decomposable (count → sum of partial counts);
+  // grouping() markers are computed by the outer rollup exactly as before.
   private val qRollup = Q(
     "q_rollup",
     (s, d) =>
       lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("_n"), sum(dec(col("l_quantity"))).as("_sq"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-          count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(col("_n")).as("n"),
+          sum(col("_sq")).cast("double").as("sum_qty"),
           grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("l_linestatus")).cast("long").as("g_status"))
         .select(
@@ -484,11 +494,15 @@ object RelationalQueries {
   private val qCube = Q(
     "q_cube",
     (s, d) =>
+      // same two-phase shape as q_rollup: collapse to (flag, year) first,
+      // cube over the ~tens-of-rows pre-aggregate
       lineitem(s, d)
         .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .groupBy("l_returnflag", "ship_year")
+        .agg(count(lit(1)).as("_n"))
         .cube("l_returnflag", "ship_year")
         .agg(
-          count(lit(1)).as("n"),
+          sum(col("_n")).as("n"),
           grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("ship_year")).cast("long").as("g_year"))
         .select(
@@ -510,12 +524,17 @@ object RelationalQueries {
     "q_grouping_sets",
     (s, d) => {
       lineitem(s, d).createOrReplaceTempView("lineitem_gs")
-      s.sql("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+      // two-phase on the SQL surface too: the CTE's plain GROUP BY takes
+      // the one full-width shuffle; the Expand only sees its output
+      s.sql("""WITH pre AS (
+                 SELECT l_returnflag, l_linestatus, count(*) AS _n
+                 FROM lineitem_gs GROUP BY l_returnflag, l_linestatus)
+               SELECT coalesce(l_returnflag, '(all)') AS flag,
                       coalesce(l_linestatus, '(all)') AS status,
-                      count(*) AS n,
+                      sum(_n) AS n,
                       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
                       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
-               FROM lineitem_gs
+               FROM pre
                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                ORDER BY g_flag, g_status, flag, status""")
     },
