@@ -30,6 +30,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), md5(col(contentCol)).as("fp"))
 
+  /** Incremental exact dedup: dedup a NEW batch against an existing
+    * reference corpus — the production shape of exact dedup, where the
+    * historical corpus is deduped once and each new crawl/delivery only
+    * needs (a) within-batch dedup and (b) an anti-join against the
+    * corpus's content fingerprints.
+    *
+    * Scale design: the corpus side collapses to DISTINCT fingerprints
+    * before the join (partial agg makes that shuffle carry fingerprints,
+    * not documents), and at 100 TB that fingerprint set is exactly the
+    * index you materialize once at write time, bucketed by `fp` — then
+    * every batch's anti-join co-locates with it shuffle-free, and the
+    * whole historical corpus is never re-scanned. Fingerprint is md5 of
+    * the content (engine-portable), matching [[exact]]'s output.
+    */
+  def incremental(
+      newBatch: DataFrame,
+      corpus: DataFrame,
+      contentCol: String,
+      idCol: String): DataFrame = {
+    val corpusFp = corpus.select(md5(col(contentCol)).as("fp")).distinct()
+    newBatch
+      .groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col(contentCol)).as("fp"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      // the USING-join moves fp first; restore the exact-dedup column order
+      .select("keep_id", "n_copies", "fp")
+  }
+
   /** Shingling strategy. Character shingles are robust to tokenization;
     * word shingles (the common choice for text near-dup) are far more
     * selective on natural text — fewer spurious LSH candidates.

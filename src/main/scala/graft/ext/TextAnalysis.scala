@@ -300,6 +300,54 @@ object TextAnalysis {
     df.filter(bucket < threshold)
   }
 
+  /** Stratified per-group capped sampling: keep at most `cap` rows per
+    * group, chosen by content-addressed md5 order — deterministic across
+    * runs, engines, and partitionings (the per-source/per-language cap
+    * step of corpus curation, where one dominant source must not swamp
+    * the mixture).
+    *
+    * Scale shape: a rank-filter window. Spark 4 plans `row_number ≤ k`
+    * as WindowGroupLimit — each map partition pre-truncates every group
+    * to `cap` rows BEFORE the shuffle, so the exchange carries at most
+    * `cap × maps` rows per group, not the group's full population.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
+
+  /** Deterministic global shuffle + shard assignment for training-data
+    * ordering: shard = first hex nibble of md5(id) (16 shards), pos =
+    * rank within the shard by the full md5 — together a reproducible
+    * random permutation of the corpus, independent of input order and
+    * partitioning (training runs must see the same example order on
+    * every re-run and after any upstream repartition).
+    *
+    * At scale the `pos` window is the production write path itself:
+    * `repartition($"shard").sortWithinPartitions(md5)` gives each shard
+    * file its position order with ONE shuffle and NO global sort — the
+    * window form here exists so the permutation is oracle-checkable
+    * row-by-row.
+    */
+  def shuffleShards(df: DataFrame, idCol: String): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val shardCol =
+      expr(s"CAST(locate(substring(md5(CAST($idCol AS STRING)), 1, 1), " +
+        "'0123456789abcdef') - 1 AS BIGINT)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(h, col(idCol))
+    df.withColumn("shard", shardCol)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31) —
     * order-sensitive, unlike a bag-of-words hash. Expressed with
     * aggregate() so it is codegen'd. Arithmetic stays below 2^39 (mod 2^33

@@ -24,6 +24,44 @@ object ExtQueries {
             FROM documents GROUP BY text ORDER BY keep_id"""),
     "exact dedup: deterministic keep-min-id per content group")
 
+  private val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      // the production exact-dedup shape: a NEW batch deduped against the
+      // already-deduped historical corpus. The synthetic documents table
+      // has no cross-split duplicate texts, so the query PLANTS them (the
+      // q_redact pattern): the batch = the %3==0 docs, plus re-id'd copies
+      // of some corpus docs (must be dropped by the anti-join), plus
+      // re-id'd copies of some batch docs (must collapse to keep-min-id).
+      // The oracle replays the same planting, so the hash compare proves
+      // both halves of the semantics cross-engine.
+      val docs = documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.incremental(batch, corpus, "text", "doc_id").orderBy("keep_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+              batch AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 20000 AS doc_id, text FROM documents
+                WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
+              grouped AS (
+                SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+                FROM batch GROUP BY text)
+            SELECT keep_id, n_copies, fp
+            FROM grouped g
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = g.fp)
+            ORDER BY keep_id"""),
+    "incremental exact dedup: new batch vs historical corpus fingerprint " +
+      "index (within-batch keep-min-id + anti-join on content md5)")
+
   private val qDedupNear = Q(
     "q_dedup_near",
     (s, d) =>
@@ -232,6 +270,33 @@ object ExtQueries {
             WHERE vec_id <> 0
             ORDER BY score DESC, vec_id LIMIT 10"""),
     "brute-force cosine top-k (codegen'd expression + TakeOrdered)")
+
+  private val qSimFiltered = Q(
+    "q_sim_filtered",
+    (s, d) => {
+      // filtered vector search: top-k cosine restricted by a metadata
+      // predicate (label), the retrieval-with-filters shape every vector
+      // store needs. Pre-filtering BEFORE the distance kernel is the
+      // scale-correct order: the predicate prunes at the scan (plain
+      // pushed-down column filter), and the kernel only scores survivors —
+      // post-filtering an unfiltered top-k would under-fill k.
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+      Similarity.bruteForceTopKLazy(
+          emb.filter(col("vec_id") =!= 0 && col("label") === 1),
+          "vec_id", "embedding", q, "embedding", 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            WHERE vec_id <> 0 AND label = 1
+            ORDER BY score DESC, vec_id LIMIT 10"""),
+    "metadata-filtered vector search: pushed-down label predicate + " +
+      "cosine top-k over the survivors")
 
   private val qSimAnn = Q(
     "q_sim_ann",
@@ -556,6 +621,40 @@ object ExtQueries {
     "context-window chunking: overlapping 32-token windows at stride 16 " +
       "(map-only explode, the embedding-pipeline shape)")
 
+  private val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) =>
+      TextAnalysis.stratifiedSample(
+          documents(s, d).select("doc_id", "lang"), "doc_id", "lang", cap = 30)
+        .orderBy("lang", "doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 30
+            ORDER BY lang, doc_id"""),
+    "stratified per-group cap sampling (≤30 docs per language, " +
+      "content-addressed order; WindowGroupLimit pre-truncates before the shuffle)")
+
+  private val qShuffleShard = Q(
+    "q_shuffle_shard",
+    (s, d) =>
+      TextAnalysis.shuffleShards(
+          documents(s, d).select("doc_id"), "doc_id")
+        .orderBy("shard", "pos"),
+    Some("""SELECT doc_id,
+                   CAST(strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+            FROM documents
+            ORDER BY shard, pos"""),
+    "deterministic global shuffle: md5-derived shard + in-shard position " +
+      "(reproducible training-data permutation; production path = " +
+      "repartition(shard) + sortWithinPartitions, no global sort)")
+
   private val qMixture = Q(
     "q_mixture",
     (s, d) =>
@@ -661,11 +760,12 @@ object ExtQueries {
     "audio metadata decode stage (real WAV header parse; stub fallback)")
 
   def all: Seq[Q] = Seq(
-    qDedupExact, qDedupNear, qDedupClusters, qCcChains, qDedupSimhash, qDedupNgram,
+    qDedupExact, qDedupIncremental, qDedupNear, qDedupClusters, qCcChains,
+    qDedupSimhash, qDedupNgram,
     qDedupJaccard, qDedupEmbed, qDedupEmbedGrid,
-    qVecCentroid, qSimTopk, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
+    qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
-    qPackSequences, qChunkWindows, qMixture,
+    qPackSequences, qChunkWindows, qMixture, qSampleStratified, qShuffleShard,
     qRedact, qDecontaminate, qMultimodal, qMultimodalAudio)
 }

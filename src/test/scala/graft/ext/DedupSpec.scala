@@ -26,6 +26,20 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 2L)
   }
 
+  test("incremental dedup drops corpus copies, collapses in-batch dups, keeps new uniques") {
+    val corpus = Seq((10L, "alpha doc"), (11L, "beta doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha doc"),   // already in corpus → dropped
+      (21L, "gamma doc"),   // new unique → kept
+      (22L, "delta doc"),   // in-batch dup pair → one row, keep_id 22
+      (23L, "delta doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, corpus, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((21L, 1L), (22L, 2L)))
+  }
+
   test("minhash signatures: identical texts share all hashes; estimated jaccard finds near dup") {
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 64)
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")

@@ -208,4 +208,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0L, false)))
     assert(got.size == 3) // every corpus doc present, flagged or not
   }
+
+  test("stratifiedSample caps each group, keeps small groups whole, is partition-stable") {
+    val df = spark.range(0, 50).select(col("id"), lit("big").as("g"))
+      .unionByName(spark.range(100, 103).select(col("id"), lit("small").as("g")))
+    val out = TextAnalysis.stratifiedSample(df, "id", "g", cap = 5)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 5L, "small" -> 3L))
+    // deterministic: the same ids are chosen regardless of partitioning
+    val again = TextAnalysis.stratifiedSample(df.repartition(7), "id", "g", cap = 5)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("shuffleShards assigns bounded shards with contiguous positions, partition-stable") {
+    val df = spark.range(0, 500).select(col("id"))
+    val out = TextAnalysis.shuffleShards(df, "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, shard, _) => shard >= 0 && shard < 16 })
+    // positions are 1..n within every shard (a true permutation)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = TextAnalysis.shuffleShards(spark.range(0, 500).select(col("id"))
+        .repartition(9), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
