@@ -252,7 +252,14 @@ object RelationalQueries {
   private val qJoinSortmerge = Q(
     "q_join_sortmerge",
     (s, d) =>
+      // merge hint pins the documented fact⋈fact shuffle join: at test SF
+      // the column-pruned lineitem size estimate sneaks under the 10 MB
+      // broadcast threshold and Catalyst would hash-build all 600k fact
+      // rows ON THE DRIVER — exactly the shape that cannot scale. The hint
+      // keeps the plan the one that survives 100×; AQE still picks the
+      // shuffle-side strategy within it.
       lineitem(s, d)
+        .hint("merge")
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority", "l_returnflag")
         .agg(
@@ -890,7 +897,8 @@ object RelationalQueries {
       // dim filter pushdown + multi-join ordering end-to-end.
       broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
         .join(orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        // merge hint: see q_join_sortmerge — never driver-build the fact side
+        .join(lineitem(s, d).hint("merge"), col("o_orderkey") === col("l_orderkey"))
         .filter(col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'") &&
           col("l_shipdate") > expr("timestamp'1998-01-01 00:00:00'"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -921,7 +929,8 @@ object RelationalQueries {
         .join(orders(s, d), col("o_custkey") === col("c_custkey"))
         .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
           col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
-        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        // merge hint: see q_join_sortmerge — never driver-build the fact side
+        .join(lineitem(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supplier(s, d)),
           col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
