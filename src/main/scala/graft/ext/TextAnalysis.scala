@@ -348,6 +348,51 @@ object TextAnalysis {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Per-group quantile gate: keep rows whose `valueCol` reaches their
+    * group's q-quantile — the "drop the shortest/lowest-quality quartile
+    * per language/source" curation step, where an absolute threshold
+    * would over-prune low-resource groups.
+    *
+    * Scale shape: the thresholds aggregate is |groups| rows (one keyed
+    * shuffle; `percentile` is exact/sort-based — swap in
+    * `approx_percentile` at 100 TB, same plan shape, see q_agg_approx for
+    * the sketch family) and is broadcast back, so the corpus side is one
+    * scan + a broadcast-hash semi-filter, never reshuffled.
+    */
+  def quantileGate(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      q: Double): DataFrame = {
+    val thr = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $q)").as("_thr"))
+    df.join(broadcast(thr), groupCol)
+      .filter(col(valueCol) >= col("_thr"))
+  }
+
+  /** Write-path twin of [[shuffleShards]]: the SAME permutation produced
+    * the way a production job writes it — ONE shuffle
+    * (`repartition(shard)`) plus a partition-local sort by the md5 rank
+    * key, no window, no global sort. Every row of a shard hashes to the
+    * same partition, so `write.partitionBy("shard")` emits one file per
+    * shard whose row order IS the shard's `pos` order
+    * (parity asserted in TextAnalysisSpec).
+    */
+  def shuffleShardsWritePath(df: DataFrame, idCol: String): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val shardCol =
+      expr(s"CAST(locate(substring(md5(CAST($idCol AS STRING)), 1, 1), " +
+        "'0123456789abcdef') - 1 AS BIGINT)")
+    // shard leads the sort: partitioned writers REQUIRE rows ordered by
+    // the partition column and would otherwise insert their own
+    // (non-stable) re-sort, destroying the md5 order the shard files
+    // exist to carry. With shard as the sort prefix the writer's
+    // requirement is already satisfied and no extra sort is planned.
+    df.withColumn("shard", shardCol)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), h, col(idCol))
+  }
+
   /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31) —
     * order-sensitive, unlike a bag-of-words hash. Expressed with
     * aggregate() so it is codegen'd. Arithmetic stays below 2^39 (mod 2^33

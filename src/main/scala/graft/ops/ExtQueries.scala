@@ -621,6 +621,34 @@ object ExtQueries {
     "context-window chunking: overlapping 32-token windows at stride 16 " +
       "(map-only explode, the embedding-pipeline shape)")
 
+  private val qQualityGate = Q(
+    "q_quality_gate",
+    (s, d) => {
+      // per-language length gate: drop each language's shortest quartile.
+      // Relative (per-group) thresholds are the curation-correct form — a
+      // single absolute cutoff would gut low-resource languages.
+      val f = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      TextAnalysis.quantileGate(f, "n_tokens", "lang", 0.25)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("_thr"), 6).as("lang_p25"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            thr AS (
+              SELECT lang, quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25
+              FROM f GROUP BY lang)
+            SELECT f.doc_id, f.lang, f.n_tokens, round(thr.p25, 6) AS lang_p25
+            FROM f JOIN thr USING (lang)
+            WHERE f.n_tokens >= thr.p25
+            ORDER BY f.doc_id"""),
+    "per-group quantile gate: keep docs at/above their language's P25 " +
+      "token count (exact interpolated percentile, broadcast thresholds)")
+
   private val qSampleStratified = Q(
     "q_sample_stratified",
     (s, d) =>
@@ -766,6 +794,7 @@ object ExtQueries {
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
-    qPackSequences, qChunkWindows, qMixture, qSampleStratified, qShuffleShard,
+    qPackSequences, qChunkWindows, qMixture, qQualityGate,
+    qSampleStratified, qShuffleShard,
     qRedact, qDecontaminate, qMultimodal, qMultimodalAudio)
 }

@@ -222,6 +222,36 @@ class TextAnalysisSpec extends SparkSpec {
       again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("quantileGate keeps per-group upper quantiles, never cross-contaminates thresholds") {
+    // group a: values 1..8 (p50 = 4.5 → keep 5,6,7,8); group b: 100..103
+    // (p50 = 101.5 → keep 102,103). An absolute threshold could not
+    // produce this split.
+    val df = (1 to 8).map(v => ("a", v.toLong)) ++ Seq(("b", 100L), ("b", 101L), ("b", 102L), ("b", 103L))
+    val out = TextAnalysis.quantileGate(df.toDF("g", "v"), "v", "g", 0.5)
+      .select("g", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 5L), ("a", 6L), ("a", 7L), ("a", 8L),
+      ("b", 102L), ("b", 103L)))
+  }
+
+  test("write-path sharding reproduces the window-form permutation file-for-file") {
+    val df = spark.range(0, 300).select(col("id"))
+    val byWindow = TextAnalysis.shuffleShards(df, "id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))  // (shard, pos, id)
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      TextAnalysis.shuffleShardsWritePath(df, "id")
+        .write.partitionBy("shard").parquet(s"$tmp/out")
+      byWindow.foreach { case (shard, wantIds) =>
+        // every row of a shard hashes to one partition → one file per
+        // shard dir; its physical row order must BE the pos order
+        val gotIds = spark.read.parquet(s"$tmp/out/shard=$shard")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(gotIds == wantIds, s"shard $shard order mismatch")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("shuffleShards assigns bounded shards with contiguous positions, partition-stable") {
     val df = spark.range(0, 500).select(col("id"))
     val out = TextAnalysis.shuffleShards(df, "id").collect()
