@@ -155,24 +155,41 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int): DataFrame = {
     // band hash = hash of the signature slice (xxhash64 hashes array
-    // values natively); one posexplode over the band array per doc
+    // values natively). The band array is STATICALLY UNROLLED — `bands`
+    // is a plan-time constant, and a `transform(sequence(...), b -> ...)`
+    // HOF form would run 16 interpreted lambda calls per row corpus-wide
+    // (the round-1 key finding: SQL lambdas never codegen; measured as
+    // the dominant cost of the band stage at 2M docs).
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
     signatures
-      .select(col(idCol), posexplode(
-        expr(s"""transform(sequence(0, ${bands - 1}),
-                   b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
-        .as(Seq("band_id", "band_hash")))
+      .select(col(idCol), posexplode(bandHashes).as(Seq("band_id", "band_hash")))
   }
 
-  /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct).
+    *
+    * Bucket-grouping form, not a self-join: one keyed shuffle of the band
+    * rows builds each bucket's member list map-side, singleton buckets
+    * (the overwhelming majority) are dropped BEFORE any pair exists, and
+    * pairs are generated only inside ≥2-member buckets. The join form
+    * shuffled and sorted the full band table TWICE (both join sides) and
+    * emitted a (x,x) row per band row just to filter it — measured 6×
+    * slower at 2M docs. Degenerate buckets (mass-identical content)
+    * concentrate pair generation the same way in both forms: exact-dedup
+    * first, and see [[candidatePairsSalted]] for residual hot buckets.
+    */
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    // persisted: the bucket self-join would otherwise recompute the whole
-    // signature pipeline for each side
-    val cached = bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
-    val a = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
-    val b = cached.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
+    bandsDf
+      .groupBy("band_id", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      // tiny by here: interpreted pair-gen lambdas touch only real buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(slice(ids, i + 1, size(ids) - i),
+                            j -> struct(ids[i - 1] AS id1, j AS id2))))""")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }
 
@@ -241,8 +258,16 @@ object Dedup {
     val sets = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingler(textCol).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    p
+    // Width pinned explicitly: the pair list is tiny in BYTES but each
+    // row pays a shingle-set intersection, so AQE's byte-based partition
+    // coalescing would funnel the compute-heavy verify joins onto a
+    // handful of cores (measured 6s → 53s at 2M docs when the candidate
+    // stage upstream started producing small-stats output). An explicit
+    // repartition is an AQE barrier; the set-side shuffles must match it.
+    val width = pairs.sparkSession.sparkContext.defaultParallelism
+    p.repartition(width, col("id1"))
       .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .repartition(width, col("id2"))
       .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))

@@ -516,6 +516,52 @@ object ExtQueries {
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"""),
     "corpus bigram frequency (top-100) — n-gram statistics for LM data work")
 
+  private val qTfidf = Q(
+    "q_tfidf",
+    (s, d) => {
+      // distinctive-terms analysis: top-5 TF-IDF terms per source. Scale
+      // shape: tf and df are both keyed aggregations on `term` (the join
+      // between them co-partitions on the same key — one shuffle family),
+      // the source-count is a broadcast scalar, and the final top-5 is a
+      // rank-filter window (WindowGroupLimit pre-truncation, as in
+      // q_sample_stratified). IDF uses the natural log of a small
+      // rational (n_sources/df), so both engines compute identical
+      // doubles; the output rounds to 6 decimals.
+      val docs = documents(s, d)
+      val terms = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val ns = docs.agg(countDistinct(col("source")).as("ns"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dft, "term")
+        .crossJoin(broadcast(ns))
+        .withColumn("tfidf", col("tf") * log(col("ns").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"), col("rk"))
+        .orderBy("source", "rk")
+    },
+    Some("""WITH terms AS (
+              SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+            tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            ns AS (SELECT count(DISTINCT source) AS ns FROM documents),
+            ranked AS (
+              SELECT tf.source, tf.term, tf.tf, dft.df,
+                     tf.tf * ln(CAST(ns.ns AS DOUBLE) / dft.df) AS tfidf,
+                     row_number() OVER (PARTITION BY tf.source
+                       ORDER BY tf.tf * ln(CAST(ns.ns AS DOUBLE) / dft.df) DESC, tf.term) AS rk
+              FROM tf JOIN dft USING (term) CROSS JOIN ns)
+            SELECT source, term, tf, df, round(tfidf, 6) AS tfidf,
+                   CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 5
+            ORDER BY source, rk"""),
+    "TF-IDF distinctive terms per source (top-5): co-partitioned tf⋈df " +
+      "aggregations + broadcast scalar idf + rank-filter window")
+
   private val qRepetition = Q(
     "q_repetition",
     (s, d) =>
@@ -793,7 +839,7 @@ object ExtQueries {
     qDedupJaccard, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qNgramFreq, qRepetition, qTextNormalize, qSplitStable,
+    qNgramFreq, qTfidf, qRepetition, qTextNormalize, qSplitStable,
     qPackSequences, qChunkWindows, qMixture, qQualityGate,
     qSampleStratified, qShuffleShard,
     qRedact, qDecontaminate, qMultimodal, qMultimodalAudio)

@@ -103,6 +103,42 @@ object ScaleSoak {
       docs.select(explode(graft.ext.TextAnalysis.wordNgramsExpr("text", 2)).as("g"))
         .groupBy("g").count().orderBy(col("count").desc).limit(100).count()
     }
+    timed("incremental_dedup") {
+      // the daily-batch shape: 1/10 of the corpus deduped against the rest
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 2)
+      val corpusSide = docs.filter(pmod(col("doc_id"), lit(10)) =!= 2)
+      graft.ext.Dedup.incremental(batch, corpusSide, "text", "doc_id").count()
+    }
+    timed("stratified_cap") {
+      // 16 synthetic strata; cap far below the group size so the
+      // WindowGroupLimit truncation actually bites
+      docs.withColumn("g", pmod(col("doc_id"), lit(16)))
+        .transform(d => graft.ext.TextAnalysis.stratifiedSample(d, "doc_id", "g", 1000))
+        .count()
+    }
+    timed("shuffle_shard_writepath") {
+      graft.ext.TextAnalysis.shuffleShardsWritePath(docs.select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(s"$dir-shards")
+      spark.read.parquet(s"$dir-shards").count()
+    }
+    timed("quantile_gate") {
+      graft.ext.TextAnalysis.quantileGate(
+        docs.withColumn("g", pmod(col("doc_id"), lit(16)))
+          .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col("text"))),
+        "n_tokens", "g", 0.25).count()
+    }
+    timed("tfidf_top5") {
+      val terms = docs
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dft, "term")
+        .withColumn("tfidf", col("tf") * log(lit(20.0) / col("df")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5).count()
+    }
 
     // ------------------------------------------------- similarity family
     // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor
