@@ -55,7 +55,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), md5(col(contentCol)).as("fp"))
       .join(corpusFp, Seq("fp"), "left_anti")
-      // the USING-join moves fp first; restore the exact-dedup column order
+      // Spark's USING-column join moves the key first in the output — for
+      // anti joins too (verified by DedupSpec); restore the exact-dedup
+      // column order
       .select("keep_id", "n_copies", "fp")
   }
 

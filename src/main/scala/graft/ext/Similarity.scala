@@ -62,13 +62,28 @@ object Similarity {
       embCol: String,
       query: DataFrame,
       queryEmbCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    bruteForceScoresLazy(embeddings, idCol, embCol, query, queryEmbCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Score-every-vector form of [[bruteForceTopKLazy]] with no top-k cut:
+    * callers that post-process the score (e.g. rounding for a cross-engine
+    * compare) apply their transform BEFORE their own orderBy+limit, so the
+    * selection key is exactly the key they rank by — a raw-score top-k
+    * followed by rounding could keep a different row at the k boundary
+    * than a rounded-score top-k when raw scores differ but round equal.
+    */
+  def bruteForceScoresLazy(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: DataFrame,
+      queryEmbCol: String): DataFrame = {
     val q = broadcast(query.select(col(queryEmbCol).as("_qvec")))
     embeddings
       .crossJoin(q)
       .select(col(idCol), gf.cosine_similarity(col(embCol), col("_qvec")).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
   }
 
   /** ANN top-k with a one-row DataFrame query (lazy-plan twin of the
@@ -90,6 +105,25 @@ object Similarity {
       dim: Int,
       numPlanes: Int = 8,
       seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame =
+    annScoresLazy(embeddings, idCol, embCol, query, queryEmbCol, dim,
+        numPlanes, seed, probeRadius)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Probe-and-score form of [[annTopKLazy]] with no top-k cut (see
+    * [[bruteForceScoresLazy]] for why callers that transform the score
+    * want to rank after the transform).
+    */
+  def annScoresLazy(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: DataFrame,
+      queryEmbCol: String,
+      dim: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L,
       probeRadius: Int = 1): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val q = broadcast(query.select(
@@ -100,8 +134,6 @@ object Similarity {
       .crossJoin(q)
       .filter(bit_count(col("_bucket").bitwiseXOR(col("_qbucket"))) <= probeRadius)
       .select(col(idCol), gf.cosine_similarity(col(embCol), col("_qvec")).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
   }
 
   /** ANN top-k: probe the query's LSH bucket plus all buckets within
@@ -227,6 +259,22 @@ object Similarity {
       queryEmbCol: String,
       k: Int,
       centroids: Array[Array[Float]],
+      nprobe: Int): DataFrame =
+    ivfScoresLazy(embeddings, idCol, embCol, query, queryEmbCol, centroids, nprobe)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Probe-and-score form of [[ivfSearchLazy]] with no top-k cut (see
+    * [[bruteForceScoresLazy]] for why callers that transform the score
+    * want to rank after the transform).
+    */
+  def ivfScoresLazy(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: DataFrame,
+      queryEmbCol: String,
+      centroids: Array[Array[Float]],
       nprobe: Int): DataFrame = {
     val cs = centroids.map(_.toSeq).toSeq
     val q = broadcast(query.select(
@@ -237,8 +285,6 @@ object Similarity {
       .crossJoin(q)
       .filter(array_contains(col("_qcells"), col("_cell")))
       .select(col(idCol), gf.cosine_similarity(col(embCol), col("_qvec")).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
   }
 
   /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket

@@ -338,15 +338,26 @@ object TextAnalysis {
     * row-by-row.
     */
   def shuffleShards(df: DataFrame, idCol: String): DataFrame = {
-    val h = md5(col(idCol).cast("string"))
-    val shardCol =
-      expr(s"CAST(locate(substring(md5(CAST($idCol AS STRING)), 1, 1), " +
-        "'0123456789abcdef') - 1 AS BIGINT)")
+    val h = shardRankKey(idCol)
+    val shardCol = shardOf(idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(shardCol).orderBy(h, col(idCol))
     df.withColumn("shard", shardCol)
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Shard id = first hex nibble of md5(id), 16 shards. ONE definition
+    * shared by [[shuffleShards]] and [[shuffleShardsWritePath]] — their
+    * whole contract is emitting the SAME permutation, so the keys must be
+    * identical by construction, not by parallel edits.
+    */
+  private def shardOf(idCol: String): Column =
+    expr(s"CAST(locate(substring(md5(CAST($idCol AS STRING)), 1, 1), " +
+      "'0123456789abcdef') - 1 AS BIGINT)")
+
+  /** Within-shard rank key for the deterministic permutation. */
+  private def shardRankKey(idCol: String): Column =
+    md5(col(idCol).cast("string"))
 
   /** Per-group quantile gate: keep rows whose `valueCol` reaches their
     * group's q-quantile — the "drop the shortest/lowest-quality quartile
@@ -358,6 +369,11 @@ object TextAnalysis {
     * `approx_percentile` at 100 TB, same plan shape, see q_agg_approx for
     * the sketch family) and is broadcast back, so the corpus side is one
     * scan + a broadcast-hash semi-filter, never reshuffled.
+    *
+    * Output schema: `groupCol` first (USING-join key ordering), then the
+    * remaining input columns, then the group's threshold as `_thr` —
+    * `_thr` is part of the contract (callers report the applied cutoff,
+    * e.g. q_quality_gate's `lang_p25`), not an accidental leak.
     */
   def quantileGate(
       df: DataFrame,
@@ -379,10 +395,8 @@ object TextAnalysis {
     * (parity asserted in TextAnalysisSpec).
     */
   def shuffleShardsWritePath(df: DataFrame, idCol: String): DataFrame = {
-    val h = md5(col(idCol).cast("string"))
-    val shardCol =
-      expr(s"CAST(locate(substring(md5(CAST($idCol AS STRING)), 1, 1), " +
-        "'0123456789abcdef') - 1 AS BIGINT)")
+    val h = shardRankKey(idCol)
+    val shardCol = shardOf(idCol)
     // shard leads the sort: partitioned writers REQUIRE rows ordered by
     // the partition column and would otherwise insert their own
     // (non-stable) re-sort, destroying the md5 order the shard files

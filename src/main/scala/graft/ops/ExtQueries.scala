@@ -257,10 +257,14 @@ object ExtQueries {
       // join — the whole query is ONE lazy plan (no eager driver .head()
       // job at declaration time)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
-      Similarity.bruteForceTopKLazy(
-          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding", 10)
+      // round BEFORE the top-k cut so the selection key is exactly the
+      // oracle's rounded ordering key (orderBy+limit still compiles to
+      // TakeOrderedAndProject — k rows per partition, no global sort).
+      Similarity.bruteForceScoresLazy(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding")
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
     },
     Some("""SELECT vec_id,
                    round(list_cosine_similarity(
@@ -282,11 +286,12 @@ object ExtQueries {
       // post-filtering an unfiltered top-k would under-fill k.
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
-      Similarity.bruteForceTopKLazy(
+      Similarity.bruteForceScoresLazy(
           emb.filter(col("vec_id") =!= 0 && col("label") === 1),
-          "vec_id", "embedding", q, "embedding", 10)
+          "vec_id", "embedding", q, "embedding")
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
     },
     Some("""SELECT vec_id,
                    round(list_cosine_similarity(
@@ -345,11 +350,12 @@ object ExtQueries {
       // whose probe sets are model-defined and unit-tested instead.
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
-      Similarity.annTopKLazy(
+      Similarity.annScoresLazy(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",
-          k = 10, dim = 64, numPlanes = 8, probeRadius = 8)
+          dim = 64, numPlanes = 8, probeRadius = 8)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
     },
     Some(brutForceOracleSql),
     "ANN top-k at full probe radius — the LSH pipeline's recall=1 anchor, " +
@@ -365,11 +371,12 @@ object ExtQueries {
       val emb = embeddings(s, d)
       val centroids = ivfCentroids(s, d, k = 8, iters = 2)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
-      Similarity.ivfSearchLazy(
+      Similarity.ivfScoresLazy(
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, "embedding",
-          k = 10, centroids, nprobe = 8)
+          centroids, nprobe = 8)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
     },
     Some(brutForceOracleSql),
     "IVF top-k probing every cell — the quantizer pipeline's recall=1 " +

@@ -478,7 +478,9 @@ object RelationalQueries {
         .agg(count(lit(1)).as("_n"), sum(dec(col("l_quantity"))).as("_sq"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("_n")).as("n"),
+          // coalesce: on EMPTY input the () grouping set still emits one
+          // row, where sum(_n) is NULL but count(*) semantics demand 0
+          coalesce(sum(col("_n")), lit(0L)).as("n"),
           sum(col("_sq")).cast("double").as("sum_qty"),
           grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("l_linestatus")).cast("long").as("g_status"))
@@ -509,7 +511,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("_n"))
         .cube("l_returnflag", "ship_year")
         .agg(
-          sum(col("_n")).as("n"),
+          coalesce(sum(col("_n")), lit(0L)).as("n"), // count(*)=0 on empty input
           grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("ship_year")).cast("long").as("g_year"))
         .select(
@@ -538,7 +540,8 @@ object RelationalQueries {
                  FROM lineitem_gs GROUP BY l_returnflag, l_linestatus)
                SELECT coalesce(l_returnflag, '(all)') AS flag,
                       coalesce(l_linestatus, '(all)') AS status,
-                      sum(_n) AS n,
+                      coalesce(sum(_n), 0) AS n, -- count(*)=0 on empty input
+
                       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
                       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
                FROM pre

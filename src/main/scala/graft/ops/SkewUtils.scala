@@ -84,7 +84,8 @@ object SkewUtils {
       distinguishing: Column,
       sampleOneIn: Int,
       minCount: Long): DataFrame = {
-    val sampledCutoff = math.max(1L, minCount / math.max(1, sampleOneIn))
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    val sampledCutoff = math.max(1L, minCount / sampleOneIn)
     df.filter(pmod(xxhash64(distinguishing, lit("hot-sample")), lit(sampleOneIn)) === 0)
       .groupBy(key)
       .count()
