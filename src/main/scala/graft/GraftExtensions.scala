@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature}
 
@@ -86,6 +87,26 @@ object GraftExtensions {
         throw new IllegalArgumentException(
           s"subword_count: divisor must be >= 1, got $d")
       graft.functions.SubwordCount(exprs(0), d)
+    }),
+    // Spark's internal bloom expressions (the machinery behind runtime
+    // join filters), surfaced for user queries: a mergeable set sketch
+    // built in one distributed agg + a map-only membership probe. The
+    // probe's sketch argument must be a literal or scalar subquery
+    // (enforced by the expression itself) — the plan-shape guarantee that
+    // the sketch is broadcast, never joined.
+    "bloom_filter_agg" -> ((exprs: Seq[Expression]) => exprs match {
+      case Seq(child) => new BloomFilterAggregate(child)
+      case Seq(child, items) => new BloomFilterAggregate(child, items)
+      case Seq(child, items, bits) => new BloomFilterAggregate(child, items, bits)
+      case _ => throw new IllegalArgumentException(
+        s"bloom_filter_agg expects (hashed[, estimatedItems[, numBits]]), " +
+          s"got ${exprs.length} arguments")
+    }),
+    "might_contain" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"might_contain expects (sketch, hashed), got ${exprs.length} arguments")
+      BloomFilterMightContain(exprs(0), exprs(1))
     }),
     "stopword_count" -> ((exprs: Seq[Expression]) => {
       if (exprs.length != 2 || !exprs(1).foldable)

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import Tables._
 
 /** Mandated extension operators (BASELINE north star): deduplication,
@@ -822,6 +822,65 @@ object ExtQueries {
     "eval-set decontamination: word-8-gram overlap against a held-out " +
       "benchmark (broadcast eval grams; map-only corpus side)")
 
+  private val qDecontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (s, d) => {
+      // Bloom-prefiltered EXACT decontamination, declared on the SQL
+      // surface so the sketch is a scalar subquery — one lazy plan, no
+      // driver-side train job at declaration. The clean branch is a
+      // map-only probe (no false negatives → provably clean); only the
+      // tiny suspect set pays the exact anti-join that kills the sketch's
+      // false positives. Cross-split exact duplicates are PLANTED
+      // (re-id'd bench docs) so the drop semantics are actually
+      // exercised; the oracle replays the planting.
+      graft.GraftSql.registerFunctions(s)
+      documents(s, d).createOrReplaceTempView("documents_bloom")
+      s.sql("""
+        WITH bench AS (SELECT doc_id, text FROM documents_bloom WHERE doc_id % 50 = 0),
+             corpus AS (
+               SELECT doc_id, text FROM documents_bloom WHERE doc_id % 50 <> 0
+               UNION ALL
+               SELECT doc_id + 50000 AS doc_id, text FROM bench WHERE doc_id % 150 = 0),
+             bf AS (SELECT bloom_filter_agg(xxhash64(text), 4096L, 32768L) AS b FROM bench)
+        SELECT doc_id FROM corpus
+        WHERE NOT might_contain((SELECT b FROM bf), xxhash64(text))
+        UNION ALL
+        SELECT c.doc_id FROM corpus c
+        WHERE might_contain((SELECT b FROM bf), xxhash64(c.text))
+          AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.text = c.text)
+        ORDER BY doc_id""")
+    },
+    Some("""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+                 corpus AS (
+                   SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+                   UNION ALL
+                   SELECT doc_id + 50000 AS doc_id, text FROM bench WHERE doc_id % 150 = 0)
+            SELECT c.doc_id FROM corpus c
+            WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.text = c.text)
+            ORDER BY doc_id"""),
+    "bloom-prefiltered exact decontamination: map-only sketch probe on " +
+      "the corpus; only suspects (hits + false positives) pay the exact " +
+      "anti-join — the corpus-wide shuffle a plain anti-join costs at 100 TB")
+
+  private val qZorder = Q(
+    "q_zorder",
+    (s, d) =>
+      // Z-order layout key: Morton-interleave (p_partkey, p_size) so a
+      // zkey range sort clusters BOTH dimensions (multi-column file
+      // skipping; see graft.ext.Layout). Key arithmetic is bit-for-bit
+      // oracle-checked: the SQL string is generated by the SAME loop that
+      // builds the Spark expression.
+      Layout.withZorderKey(
+          part(s, d).select(col("p_partkey"), col("p_size").cast("long").as("p_size")),
+          Seq("p_partkey", "p_size"), bits = 8)
+        .orderBy("zkey", "p_partkey"),
+    Some(s"""SELECT p_partkey,
+                    CAST(p_size AS BIGINT) AS p_size,
+                    ${Layout.zorderKeySql(Seq("(p_partkey % 256)", "(p_size % 256)"), 8)} AS zkey
+             FROM part ORDER BY zkey, p_partkey"""),
+    "Z-order (Morton) clustering key over two columns — the write-layout " +
+      "sort key for multi-dimensional min/max file skipping")
+
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
@@ -849,5 +908,6 @@ object ExtQueries {
     qNgramFreq, qTfidf, qRepetition, qTextNormalize, qSplitStable,
     qPackSequences, qChunkWindows, qMixture, qQualityGate,
     qSampleStratified, qShuffleShard,
-    qRedact, qDecontaminate, qMultimodal, qMultimodalAudio)
+    qRedact, qDecontaminate, qDecontaminateBloom, qZorder,
+    qMultimodal, qMultimodalAudio)
 }
