@@ -276,6 +276,47 @@ object Dedup {
       .select(col("id1"), col("id2"), (col("inter") / col("uni")).as("jaccard"))
   }
 
+  /** Threshold-bounded edit distance over candidate pairs — the
+    * VERIFICATION kernel for character-level near-dup (OCR noise, small
+    * in-place edits) where set-based Jaccard is blind to transpositions.
+    *
+    * Never all-pairs: like [[exactJaccard]], this only ever runs on a
+    * candidate DataFrame from blocking/LSH. Two scale bounds on the
+    * O(len²) kernel itself: Spark's `levenshtein(l, r, threshold)` is the
+    * BANDED variant (O(threshold·len), returns -1 past the threshold —
+    * exactly what a dedup decision needs), and `prefixLen > 0` caps the
+    * compared text (prefix fingerprinting; document edits concentrate
+    * early, and a full-document distance on book-length rows is never
+    * worth its cost at 100 TB).
+    */
+  def editDistancePairs(
+      pairs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Int,
+      prefixLen: Int = 0): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val content =
+      if (prefixLen > 0) substring(col(textCol), 1, prefixLen) else col(textCol)
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val candIds = p.select(col("id1").as(idCol))
+      .union(p.select(col("id2").as(idCol)))
+      .distinct()
+    val texts = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), content.as("_txt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // explicit width for the same AQE-funnel reason as exactJaccard: tiny
+    // rows, heavy per-row kernel
+    val width = pairs.sparkSession.sparkContext.defaultParallelism
+    p.repartition(width, col("id1"))
+      .join(texts.select(col(idCol).as("id1"), col("_txt").as("_t1")), "id1")
+      .repartition(width, col("id2"))
+      .join(texts.select(col(idCol).as("id2"), col("_txt").as("_t2")), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("_t1"), col("_t2"), threshold).as("edit_distance"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates → exact verification →
     * pairs with jaccard ≥ threshold.
     *

@@ -102,6 +102,45 @@ object TextAnalysis {
           + when(stopRatio.between(0.01, 0.6), 0.3).otherwise(0.0)))
   }
 
+  /** Unigram language-model quality score: each document's mean token
+    * surprisal `avg(-ln p(tok))` under a unigram model trained on the
+    * corpus itself — the classic LM-filtering curation signal (low =
+    * natural high-frequency text, high = gibberish/rare-token soup). One
+    * lazy plan: tokenize → token-frequency aggregate → join the
+    * frequencies back → per-document mean. At 100 TB the vocab aggregate
+    * becomes a top-V broadcast table with an OOV floor probability
+    * (replace the frequency join with a broadcast lookup); the plan shape
+    * is otherwise unchanged.
+    *
+    * Per-token surprisals are QUANTIZED (`round(·, decimals)` to an exact
+    * DECIMAL) before the exact-sum mean: double summation order varies
+    * with partitioning, so an unquantized mean would flicker across
+    * cluster widths and re-runs — a curation gate must make the same
+    * keep/drop decision every time. Quantization also makes the score
+    * engine-portable (oracle-checked by q_lm_score).
+    */
+  def lmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      decimals: Int = 6): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
+    val total = toks.agg(count(lit(1)).as("_n"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(-log(col("_c").cast("double") / col("_n")), decimals)
+          .cast(org.apache.spark.sql.types.DecimalType(18, decimals)).as("_nll"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_toks"),
+        round(sum(col("_nll")).cast("double") / count(lit(1)), decimals)
+          .as("avg_nll"))
+  }
+
   /** 128-bit content fingerprint (md5 hex — portable across engines). */
   def fingerprintMd5(text: Column): Column = md5(text)
 

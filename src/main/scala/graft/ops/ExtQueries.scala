@@ -176,6 +176,53 @@ object ExtQueries {
     "exact word-3-shingle Jaccard on a deterministic candidate grid — the " +
       "near-dup verification kernel, cross-engine checked")
 
+  private val qDedupEdit = Q(
+    "q_dedup_edit",
+    (s, d) => {
+      // the character-level near-dup verification kernel on the same
+      // deterministic successor grid as q_dedup_jaccard: banded
+      // levenshtein over 128-char prefixes, -1 past the threshold (the
+      // exact shape a dedup decision consumes)
+      val docs = documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      Dedup.editDistancePairs(pairs, docs, "doc_id", "text",
+          threshold = 40, prefixLen = 128)
+        .select(col("id1"), col("id2"), col("edit_distance").cast("long").as("edit_distance"))
+        .orderBy("id1")
+    },
+    Some("""WITH t AS (SELECT doc_id, substring(text, 1, 128) AS txt FROM documents)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(CASE WHEN levenshtein(a.txt, b.txt) <= 40
+                             THEN levenshtein(a.txt, b.txt) ELSE -1 END AS BIGINT)
+                     AS edit_distance
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+            ORDER BY id1"""),
+    "threshold-banded edit distance on a deterministic candidate grid — " +
+      "the character-level near-dup verification kernel, cross-engine checked")
+
+  private val qLmScore = Q(
+    "q_lm_score",
+    (s, d) =>
+      TextAnalysis.lmScore(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            vocab AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
+            total AS (SELECT count(*) AS n FROM toks2)
+            SELECT t.doc_id,
+                   count(*) AS n_toks,
+                   round(CAST(sum(CAST(round(-ln(CAST(v.c AS DOUBLE) / total.n), 6)
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                              / count(*), 6) AS avg_nll
+            FROM toks2 t JOIN vocab v USING (tok) CROSS JOIN total
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id"""),
+    "unigram-LM quality score: mean token surprisal under corpus-trained " +
+      "frequencies (quantized per-token so the gate is partitioning- and " +
+      "engine-stable)")
+
   private val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, d) =>
@@ -902,7 +949,7 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupNear, qDedupClusters, qCcChains,
     qDedupSimhash, qDedupNgram,
-    qDedupJaccard, qDedupEmbed, qDedupEmbedGrid,
+    qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qTfidf, qRepetition, qTextNormalize, qSplitStable,

@@ -127,6 +127,37 @@ object ScaleSoak {
           .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col("text"))),
         "n_tokens", "g", 0.25).count()
     }
+    // bench set = 20% of the corpus: big enough that its raw fingerprints
+    // exceed the broadcast threshold, so the baseline anti-join must
+    // SHUFFLE the whole corpus — the cost the bloom path exists to avoid
+    // (a 1% bench broadcasts and both paths are map-only ties)
+    timed("decontaminate_antijoin") {
+      val bench = docs.filter(pmod(col("doc_id"), lit(5)) === 3).select("text")
+      val corpusSide = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3)
+      corpusSide.withColumn("_fp", md5(col("text")))
+        .join(bench.select(md5(col("text")).as("_fp")).distinct(), Seq("_fp"), "left_anti")
+        .count()
+    }
+    timed("decontaminate_bloom") {
+      // same semantics via the sketch: one distributed agg to train, a
+      // ~1 MB broadcast, a map-only probe; only suspects pay the anti-join
+      val bench = docs.filter(pmod(col("doc_id"), lit(5)) === 3).select("text")
+      val corpusSide = docs.filter(pmod(col("doc_id"), lit(5)) =!= 3)
+      val sketch = graft.ext.Bloom.trainSketch(bench, "text",
+        expectedItems = math.max(n / 5, 1024L), numBits = math.max(n / 5 * 16, 16384L))
+      graft.ext.Bloom.decontaminateExact(corpusSide, "text", bench, "text", sketch)
+        .count()
+    }
+    timed("lm_score") {
+      graft.ext.TextAnalysis.lmScore(docs, "doc_id", "text")
+        .agg(sum("avg_nll")).collect().length.toLong
+    }
+    timed("edit_distance_grid") {
+      // successor-grid candidates, banded kernel on 128-char prefixes
+      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      graft.ext.Dedup.editDistancePairs(pairs, docs, "doc_id", "text",
+        threshold = 20, prefixLen = 128).filter(col("edit_distance") >= 0).count()
+    }
     timed("tfidf_top5") {
       val terms = docs
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))

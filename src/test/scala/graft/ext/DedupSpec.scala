@@ -40,6 +40,20 @@ class DedupSpec extends SparkSpec {
       Seq((21L, 1L), (22L, 2L)))
   }
 
+  test("editDistancePairs: banded levenshtein on candidates, -1 past threshold") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")
+    val out = Dedup.editDistancePairs(pairs, docs, "doc_id", "text", threshold = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((0L, 1L)) == 0)         // exact dup
+    assert(out((0L, 2L)) == 8)         // " tonight" appended = 8 chars
+    assert(out((0L, 3L)) == -1)        // unrelated: banded out past 10
+    // prefix cap: distance computed on the first 4 chars only
+    val pref = Dedup.editDistancePairs(pairs, docs, "doc_id", "text",
+        threshold = 10, prefixLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pref((0L, 2L)) == 0)        // both prefixes are "the "
+  }
+
   test("minhash signatures: identical texts share all hashes; estimated jaccard finds near dup") {
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 64)
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2")

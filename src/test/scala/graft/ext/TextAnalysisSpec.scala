@@ -252,6 +252,24 @@ class TextAnalysisSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("lmScore ranks repetitive common-token docs below rare-token soup") {
+    val docs = Seq(
+      (0L, "the the the the the the the the"),     // all high-frequency
+      (1L, "the cat sat on the mat"),              // mixed
+      (2L, "zyx qwv jkl pqr mno abc")              // all singletons
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq == Seq(8L, 6L, 6L))
+    // surprisal strictly increases from all-common to all-rare
+    assert(out(0)._3 < out(1)._3 && out(1)._3 < out(2)._3)
+    // partitioning-stable: same quantized scores from a different layout
+    val again = TextAnalysis.lmScore(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("shuffleShards assigns bounded shards with contiguous positions, partition-stable") {
     val df = spark.range(0, 500).select(col("id"))
     val out = TextAnalysis.shuffleShards(df, "id").collect()
