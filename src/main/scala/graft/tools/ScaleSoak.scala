@@ -43,6 +43,12 @@ object ScaleSoak {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    // optional 2nd arg: comma-separated substrings — only stages whose
+    // name contains one of them run (fast re-measurement of one family)
+    val only: Seq[String] = args.drop(1).headOption
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -56,10 +62,13 @@ object ScaleSoak {
     // materialize the corpus to parquet so every stage reads from disk
     // like a real pipeline (not from a cached in-memory range)
     val dir = s"/tmp/graft_soak_$n"
-    corpus(spark, n).write.mode("overwrite").parquet(dir)
+    // the corpus is a pure function of n — reuse an existing materialization
+    // (stage-filtered re-measurement runs shouldn't pay the write)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      corpus(spark, n).write.mode("overwrite").parquet(dir)
     val docs = spark.read.parquet(dir)
 
-    def timed(name: String)(body: => Long): Unit = {
+    def timed(name: String)(body: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val dt = (System.nanoTime() - t0) / 1e9
@@ -174,6 +183,10 @@ object ScaleSoak {
     // ------------------------------------------------- similarity family
     // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor
     // directions plus per-vector noise, so IVF cells are meaningful
+    val vectorStages =
+      Seq("brute_force_top10", "ivf_train", "ivf_assign", "ivf_search_nprobe4",
+        "ann_lsh_top10")
+    if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_$nVec"
     spark.range(0, nVec, 1, 64)
