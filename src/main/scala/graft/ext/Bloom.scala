@@ -42,6 +42,12 @@ object Bloom {
     * many" shape as the IVF coarse quantizer): the returned bytes embed
     * as a literal in any number of later probe queries — the write-time
     * index for repeated incremental-batch decontamination.
+    *
+    * Returns null when the benchmark contributes NO rows (Spark's
+    * BloomFilterAggregate yields null at cardinality 0) — callers must
+    * treat a null sketch as "nothing to match" ([[decontaminateExact]]
+    * does), never feed it to [[mightContain]], whose probe would be NULL
+    * for every row.
     */
   def trainSketch(
       bench: DataFrame,
@@ -66,6 +72,16 @@ object Bloom {
     * but shuffled ZERO times on the clean branch; at 100 TB a rescan is
     * embarrassingly parallel while the anti-join's full-corpus shuffle is
     * the cluster-wide bottleneck this operator exists to avoid.
+    *
+    * EXACTNESS CONTRACT: the sketch must have been trained on (a
+    * superset of) THIS `bench`'s content — the no-false-negative
+    * guarantee is relative to the trained set, so probing with a sketch
+    * from an older, smaller benchmark would let new contamination ride
+    * the clean branch. For "train once, serve many", pass the benchmark
+    * the sketch was trained on; if the benchmark has grown, retrain (or
+    * use the sketch-free overload, which trains on the spot). A null
+    * sketch (empty benchmark — see [[trainSketch]]) means nothing can
+    * match: the corpus passes through unchanged.
     */
   def decontaminateExact(
       corpus: DataFrame,
@@ -73,6 +89,7 @@ object Bloom {
       bench: DataFrame,
       benchContentCol: String,
       sketch: Array[Byte]): DataFrame = {
+    if (sketch == null) return corpus
     val probe = mightContain(sketch, xxhash64(col(contentCol)))
     val benchFp = bench.select(md5(col(benchContentCol)).as("_fp")).distinct()
     val clean = corpus.filter(!probe)
@@ -81,5 +98,21 @@ object Bloom {
       .join(benchFp, Seq("_fp"), "left_anti")
       .drop("_fp")
     clean.unionByName(suspects)
+  }
+
+  /** Sketch-free convenience form: trains on the passed benchmark, so
+    * the sketch/bench coherence of the contract above holds by
+    * construction. Sketch sized at 16 bits/item (<1% fpp).
+    */
+  def decontaminateExact(
+      corpus: DataFrame,
+      contentCol: String,
+      bench: DataFrame,
+      benchContentCol: String,
+      expectedBenchItems: Long): DataFrame = {
+    require(expectedBenchItems > 0, "expectedBenchItems must be positive")
+    val sketch = trainSketch(bench, benchContentCol,
+      expectedBenchItems, expectedBenchItems * 16)
+    decontaminateExact(corpus, contentCol, bench, benchContentCol, sketch)
   }
 }

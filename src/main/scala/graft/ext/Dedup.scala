@@ -238,43 +238,56 @@ object Dedup {
   /** Exact n-gram Jaccard verification of candidate pairs (the only
     * quadratic step, and it runs on candidates, never the corpus).
     */
+  /** Shared scaffolding of the pairwise verification kernels
+    * ([[exactJaccard]], [[editDistancePairs]]): attach a per-document
+    * payload column to both sides of a candidate-pair list, as
+    * `(id1, id2, _v1, _v2)`.
+    *
+    * Payloads are built ONLY for documents that appear in a candidate
+    * pair (semi-join first): payload construction is the CPU-heavy step,
+    * and candidates are a vanishing fraction of the corpus — at 100 TB
+    * materializing payloads for every document would dwarf the
+    * verification itself. The payload table is persisted because it
+    * feeds both the id1 and id2 join sides; pairs too, because upstream
+    * they are themselves a multi-stage LSH pipeline. Both persists are
+    * plan-local; callers release via CacheUtils.releaseAll.
+    *
+    * Join width pinned explicitly: the pair list is tiny in BYTES but
+    * each row pays a heavy per-pair kernel, so AQE's byte-based
+    * partition coalescing would funnel the verify joins onto a handful
+    * of cores (measured 6s → 53s at 2M docs when the candidate stage
+    * upstream started producing small-stats output). An explicit
+    * repartition is an AQE barrier; the payload-side shuffles match it.
+    */
+  private def joinCandidatePayloads(
+      pairs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      payload: Column): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val candIds = p.select(col("id1").as(idCol))
+      .union(p.select(col("id2").as(idCol)))
+      .distinct()
+    val payloads = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), payload.as("_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val width = pairs.sparkSession.sparkContext.defaultParallelism
+    p.repartition(width, col("id1"))
+      .join(payloads.select(col(idCol).as("id1"), col("_v").as("_v1")), "id1")
+      .repartition(width, col("id2"))
+      .join(payloads.select(col(idCol).as("id2"), col("_v").as("_v2")), "id2")
+  }
+
   def exactJaccard(
       pairs: DataFrame,
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingler: Shingler = CharShingles(5)): DataFrame = {
-    // Shingle sets are built ONLY for documents that appear in a candidate
-    // pair (semi-join first): shingling is the CPU-heavy interpreted-HOF
-    // step, and candidates are a vanishing fraction of the corpus — at
-    // 100 TB materializing shingle sets for every document would dwarf the
-    // verification itself. Persisted because the set table feeds both the
-    // id1 and id2 join sides.
-    // pairs persisted too: it feeds the id-set extraction and both joins,
-    // and upstream it is itself a multi-stage LSH pipeline. Both persists
-    // are plan-local; callers release via CacheUtils.releaseAll.
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val candIds = p.select(col("id1").as(idCol))
-      .union(p.select(col("id2").as(idCol)))
-      .distinct()
-    val sets = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), shingler(textCol).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Width pinned explicitly: the pair list is tiny in BYTES but each
-    // row pays a shingle-set intersection, so AQE's byte-based partition
-    // coalescing would funnel the compute-heavy verify joins onto a
-    // handful of cores (measured 6s → 53s at 2M docs when the candidate
-    // stage upstream started producing small-stats output). An explicit
-    // repartition is an AQE barrier; the set-side shuffles must match it.
-    val width = pairs.sparkSession.sparkContext.defaultParallelism
-    p.repartition(width, col("id1"))
-      .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
-      .repartition(width, col("id2"))
-      .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      shingler: Shingler = CharShingles(5)): DataFrame =
+    joinCandidatePayloads(pairs, df, idCol, shingler(textCol))
+      .withColumn("inter", size(array_intersect(col("_v1"), col("_v2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("_v1"), col("_v2"))).cast("double"))
       .select(col("id1"), col("id2"), (col("inter") / col("uni")).as("jaccard"))
-  }
 
   /** Threshold-bounded edit distance over candidate pairs — the
     * VERIFICATION kernel for character-level near-dup (OCR noise, small
@@ -299,22 +312,9 @@ object Dedup {
     require(threshold >= 0, s"threshold must be >= 0, got $threshold")
     val content =
       if (prefixLen > 0) substring(col(textCol), 1, prefixLen) else col(textCol)
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val candIds = p.select(col("id1").as(idCol))
-      .union(p.select(col("id2").as(idCol)))
-      .distinct()
-    val texts = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), content.as("_txt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // explicit width for the same AQE-funnel reason as exactJaccard: tiny
-    // rows, heavy per-row kernel
-    val width = pairs.sparkSession.sparkContext.defaultParallelism
-    p.repartition(width, col("id1"))
-      .join(texts.select(col(idCol).as("id1"), col("_txt").as("_t1")), "id1")
-      .repartition(width, col("id2"))
-      .join(texts.select(col(idCol).as("id2"), col("_txt").as("_t2")), "id2")
+    joinCandidatePayloads(pairs, df, idCol, content)
       .select(col("id1"), col("id2"),
-        levenshtein(col("_t1"), col("_t2"), threshold).as("edit_distance"))
+        levenshtein(col("_v1"), col("_v2"), threshold).as("edit_distance"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact verification →

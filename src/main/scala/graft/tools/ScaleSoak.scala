@@ -61,9 +61,12 @@ object ScaleSoak {
 
     // materialize the corpus to parquet so every stage reads from disk
     // like a real pipeline (not from a cached in-memory range)
-    val dir = s"/tmp/graft_soak_$n"
-    // the corpus is a pure function of n — reuse an existing materialization
-    // (stage-filtered re-measurement runs shouldn't pay the write)
+    // the corpus is a pure function of (generator version, n) — reuse an
+    // existing materialization (stage-filtered re-measurement runs
+    // shouldn't pay the write). BUMP corpusGen whenever corpus() changes,
+    // or re-measurements would silently run against stale data.
+    val corpusGen = 2
+    val dir = s"/tmp/graft_soak_g${corpusGen}_$n"
     if (!new java.io.File(s"$dir/_SUCCESS").exists())
       corpus(spark, n).write.mode("overwrite").parquet(dir)
     val docs = spark.read.parquet(dir)
@@ -183,22 +186,25 @@ object ScaleSoak {
     // ------------------------------------------------- similarity family
     // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor
     // directions plus per-vector noise, so IVF cells are meaningful
+    // names exactly as printed, so a stage name copied from a previous
+    // soak log always selects what it names
     val vectorStages =
-      Seq("brute_force_top10", "ivf_train", "ivf_assign", "ivf_search_nprobe4",
-        "ann_lsh_top10")
+      Seq("brute_force_top10", "ivf_train_on_sample", "ivf_assign",
+        "ivf_search_nprobe4", "ann_lsh_top10")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
-    val vecDir = s"/tmp/graft_soak_vec_$nVec"
-    spark.range(0, nVec, 1, 64)
-      .withColumn("embedding", expr(
-        """transform(sequence(1, 64),
-           i -> cast(pmod(hash(pmod(id, 32), i), 1000) / 500.0 - 1.0
-                     + pmod(hash(id, i), 100) / 250.0 as float))"""))
-      .select(col("id").as("vec_id"), col("embedding"))
-      .write.mode("overwrite").parquet(vecDir)
+    val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
+    if (!new java.io.File(s"$vecDir/_SUCCESS").exists())
+      spark.range(0, nVec, 1, 64)
+        .withColumn("embedding", expr(
+          """transform(sequence(1, 64),
+             i -> cast(pmod(hash(pmod(id, 32), i), 1000) / 500.0 - 1.0
+                       + pmod(hash(id, i), 100) / 250.0 as float))"""))
+        .select(col("id").as("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(vecDir)
     val emb = spark.read.parquet(vecDir)
     println(s"[soak] vectors: $nVec x 64 at $vecDir")
-    def vtimed(name: String)(body: => Long): Unit = {
+    def vtimed(name: String)(body: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val dt = (System.nanoTime() - t0) / 1e9
@@ -209,13 +215,17 @@ object ScaleSoak {
     vtimed("brute_force_top10") {
       graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).count()
     }
-    val centroids = {
+    // trained only when an IVF stage needs it (train time printed when
+    // explicitly selected or when running unfiltered)
+    lazy val centroids = {
       val t0 = System.nanoTime()
       val c = graft.ext.Similarity.trainIvfCentroids(
         emb.sample(0.02, 42), "embedding", k = 32, iters = 2)
-      println(f"[soak] ivf_train_on_sample   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      if (selected("ivf_train_on_sample"))
+        println(f"[soak] ivf_train_on_sample   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       c
     }
+    if (selected("ivf_train_on_sample")) centroids // force the train + print
     vtimed("ivf_assign") {
       graft.ext.Similarity.ivfAssign(emb, "embedding", centroids)
         .agg(expr("bit_xor(cast(ivf_cell as bigint))")).collect().length.toLong

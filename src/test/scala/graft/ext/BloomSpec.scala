@@ -45,6 +45,20 @@ class BloomSpec extends SparkSpec {
     assert(want.length == 800) // the 50 planted contaminated rows are gone
   }
 
+  test("empty benchmark → null sketch → corpus passes through unchanged") {
+    val emptyBench = bench.filter(col("doc_id") < 0)
+    val sketch = Bloom.trainSketch(emptyBench, "text", 256, 4096)
+    assert(sketch == null) // Spark's bloom agg yields null at cardinality 0
+    val out = Bloom.decontaminateExact(corpus, "text", emptyBench, "text", sketch)
+    assert(out.count() == corpus.count())
+  }
+
+  test("sketch-free overload trains on the passed bench (coherence by construction)") {
+    val got = Bloom.decontaminateExact(corpus, "text", bench, "text",
+      expectedBenchItems = 256L)
+    assert(got.count() == 800L)
+  }
+
   test("registered SQL functions build and probe the sketch") {
     // note: probing a CONSTANT (as here) constant-folds the hash and
     // trips a Janino cast quirk in Spark's BloomFilterMightContain
