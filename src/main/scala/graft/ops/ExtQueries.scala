@@ -749,6 +749,63 @@ object ExtQueries {
     "per-group quantile gate: keep docs at/above their language's P25 " +
       "token count (exact interpolated percentile, broadcast thresholds)")
 
+  private val qCuratePipeline = Q(
+    "q_curate_pipeline",
+    (s, d) => {
+      // the operators composed END-TO-END as one declarative plan — the
+      // engine's whole point (the reference is a pipeline orchestrator):
+      // per-language quality gate → exact dedup (keep-min-id) → stable
+      // split → deterministic shard+pos for the train set. One lazy
+      // Catalyst plan: the gate's thresholds broadcast, dedup is one
+      // keyed window, split/shard are map-only, the shard window is the
+      // only remaining shuffle.
+      val docs = documents(s, d)
+      val gated = TextAnalysis.quantileGate(
+        docs.select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", "lang", 0.25)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+      val deduped = gated
+        .withColumn("_keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("_keep"))
+      val train = deduped
+        .withColumn("split", TextAnalysis.stableSplit(col("doc_id")))
+        .filter(col("split") === "train")
+        .select("doc_id", "lang", "n_tokens", "split")
+      TextAnalysis.shuffleShards(train, "doc_id")
+        .orderBy("shard", "pos")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id, lang, text,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            thr AS (
+              SELECT lang, quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25
+              FROM f GROUP BY lang),
+            gated AS (
+              SELECT f.* FROM f JOIN thr USING (lang)
+              WHERE f.n_tokens >= thr.p25),
+            deduped AS (
+              SELECT * FROM (
+                SELECT g.*, min(doc_id) OVER (PARTITION BY text) AS _keep
+                FROM gated g)
+              WHERE doc_id = _keep),
+            train AS (
+              SELECT doc_id, lang, n_tokens, 'train' AS split
+              FROM deduped
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    NOT IN ('d', 'e', 'f'))
+            SELECT doc_id, lang, n_tokens, split,
+                   CAST(strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+            FROM train ORDER BY shard, pos"""),
+    "end-to-end curation pipeline as ONE lazy plan: per-language quality " +
+      "gate → exact dedup → stable split → deterministic train-set " +
+      "shard+pos — operator composition, the engine's core claim")
+
   private val qSampleStratified = Q(
     "q_sample_stratified",
     (s, d) =>
@@ -954,7 +1011,7 @@ object ExtQueries {
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qTfidf, qRepetition, qTextNormalize, qSplitStable,
     qPackSequences, qChunkWindows, qMixture, qQualityGate,
-    qSampleStratified, qShuffleShard,
+    qSampleStratified, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qDecontaminateBloom, qZorder,
     qMultimodal, qMultimodalAudio)
 }

@@ -42,4 +42,22 @@ object ModuleRegistry {
       // `wc -l`-style terminal stage: one line holding the count
       df.groupBy().agg(count(lit(1)).cast("string").as(CommandStage.ValueCol))
     })
+    // Curation modules: the ext/ text operators exposed at the line level,
+    // so a gasket-style JSON pipeline composes them exactly like any Unix
+    // stage (the reference's whole model — and the `sort -u` / `shuf`
+    // analogs in particular — but distributed):
+    .register("normalize", df =>
+      df.withColumn(CommandStage.ValueCol,
+        graft.ext.TextAnalysis.normalize(col(CommandStage.ValueCol))))
+    .register("redact", df =>
+      df.withColumn(CommandStage.ValueCol,
+        graft.ext.TextAnalysis.redact(col(CommandStage.ValueCol))))
+    .register("dedup-lines", df =>
+      // `sort -u` analog, order-free: exact dedup on line content
+      df.dropDuplicates(CommandStage.ValueCol))
+    .register("shuffle-lines", df =>
+      // deterministic `shuf` analog: content-addressed md5 order — the
+      // same reproducible permutation TextAnalysis.shuffleShards uses,
+      // independent of input order and partitioning
+      df.orderBy(md5(col(CommandStage.ValueCol)), col(CommandStage.ValueCol)))
 }

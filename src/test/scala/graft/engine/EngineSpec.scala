@@ -28,6 +28,22 @@ class EngineSpec extends SparkSpec {
     assert(collectValues(out) == Seq("HELLO WORLD"))
   }
 
+  test("curation modules compose as a gasket pipeline: normalize | redact | dedup | shuffle") {
+    val spec = graft.spec.ConfigLoader.parse(
+      """{"curate": [{"module": "normalize"}, {"module": "redact"},
+                     {"module": "dedup-lines"}, {"module": "shuffle-lines"}]}""")
+    val in = lines(
+      "  Contact Bob at bob@example.com  ",
+      "contact bob at BOB@EXAMPLE.COM",   // normalize+redact-equal to line 1
+      "plain line")
+    val out = collectValues(new Engine(spec).run("curate", spark, Some(in)))
+    // dedup collapsed the two equivalent lines; emails are redacted;
+    // order is the content-addressed permutation (deterministic)
+    assert(out.toSet == Set("contact bob at <EMAIL>", "plain line"))
+    val again = collectValues(new Engine(spec).run("curate", spark, Some(in)))
+    assert(out == again)
+  }
+
   test("plain-string stage is a command stage (gasket add form, bin.js:100)") {
     val spec = graft.spec.ConfigLoader.parse("""{"test": ["echo hi"]}""")
     val out = new Engine(spec).run("test", spark)
