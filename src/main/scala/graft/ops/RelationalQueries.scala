@@ -819,6 +819,53 @@ object RelationalQueries {
     "session windows executed by Structured Streaming (session_window + " +
       "watermark, bounded replay) — hash-equal to a lag/cumsum batch oracle")
 
+  private val qStreamDedup = Q(
+    "q_stream_dedup",
+    (s, d) => {
+      // Stateful streaming dedup (dropDuplicatesWithinWatermark) through
+      // the same bounded-replay harness. The surviving ROW per key is
+      // arrival-order-dependent, so the oracle-able projection is the key
+      // columns themselves: append-mode dedup emits exactly one row per
+      // distinct (user_id, event_type) — DISTINCT, cross-engine. The
+      // watermark delay spans the whole corpus so a multi-batch replay
+      // can never evict state mid-replay and re-emit a key.
+      val name = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
+      val schema = eventsSchema(s, d)
+      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
+      val deduped = graft.streaming.StreamOps
+        .dedupWithinWatermark(ev, "ts", Seq("user_id", "event_type"), "3650 days")
+        .select("user_id", "event_type")
+      val ckDir = s"/dev/shm/graft_ck_$name"
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      catch { case _: Exception => () }
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          deduped.writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckDir)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      try {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      } catch { case _: Exception => () }
+      s.table(name).orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""),
+    "stateful streaming dedup (dropDuplicatesWithinWatermark, bounded " +
+      "replay) — key set hash-equal to batch DISTINCT")
+
   private val qStreamJoin = Q(
     "q_stream_join",
     (s, d) => {
@@ -1397,6 +1444,6 @@ object RelationalQueries {
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
-    qStreamSession, qStreamJoin, qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
+    qStreamSession, qStreamJoin, qStreamDedup, qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }
