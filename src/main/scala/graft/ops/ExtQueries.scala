@@ -764,8 +764,14 @@ object ExtQueries {
         docs.select(col("doc_id"), col("lang"), col("text"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "n_tokens", "lang", 0.25)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+      // dedup keyed by the content FINGERPRINT with text projected away
+      // first: a window has no map-side partial agg, so keying by raw
+      // text would shuffle every document body — the fingerprint row is
+      // a few dozen bytes regardless of document size
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp")
       val deduped = gated
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          md5(col("text")).as("_fp"))
         .withColumn("_keep", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("_keep"))
       val train = deduped
@@ -787,7 +793,7 @@ object ExtQueries {
               WHERE f.n_tokens >= thr.p25),
             deduped AS (
               SELECT * FROM (
-                SELECT g.*, min(doc_id) OVER (PARTITION BY text) AS _keep
+                SELECT g.*, min(doc_id) OVER (PARTITION BY md5(text)) AS _keep
                 FROM gated g)
               WHERE doc_id = _keep),
             train AS (
