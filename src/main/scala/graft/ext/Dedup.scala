@@ -48,8 +48,17 @@ object Dedup {
       newBatch: DataFrame,
       corpus: DataFrame,
       contentCol: String,
-      idCol: String): DataFrame = {
-    val corpusFp = corpus.select(md5(col(contentCol)).as("fp")).distinct()
+      idCol: String,
+      corpusIsFingerprintIndex: Boolean = false): DataFrame = {
+    // corpusIsFingerprintIndex: `corpus` is already the materialized
+    // fingerprint table (an `fp` column — the write-time index this
+    // scaladoc describes, e.g. a bucketed table from
+    // Sources.writeBucketed). The historical corpus is then never
+    // re-scanned, and a bucketed index side joins without reshuffling
+    // (DedupSpec proves the plan).
+    val corpusFp =
+      if (corpusIsFingerprintIndex) corpus.select("fp")
+      else corpus.select(md5(col(contentCol)).as("fp")).distinct()
     newBatch
       .groupBy(col(contentCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.sources.Sources
 
 /** Seeded correctness tests for the model-defined dedup operators (the
   * oracle-omitted surface, SURVEY §7.3).
@@ -145,5 +146,44 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.nearDupSimHash(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((0L, 1L)))
+  }
+
+  test("incremental dedup against a BUCKETED fingerprint index: index side never reshuffles") {
+    // the 100 TB shape Dedup.incremental documents: the historical corpus'
+    // fingerprint set materialized ONCE as a bucketed table, so each
+    // day's batch anti-join co-locates with it instead of reshuffling the
+    // whole index per batch. Proven on the plan: the index-side scan is
+    // bucketed and the only hash exchange is the (small) batch side.
+    val tag = System.nanoTime()
+    val idxT = s"fp_index_$tag"
+    val corpus = (0 until 400).map(i => (i.toLong, s"historic doc $i"))
+      .toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sources.writeBucketed(
+        corpus.select(md5(col("text")).as("fp")).distinct(),
+        idxT, "fp", 4, Some("fp"))
+      val batch = (380 until 420).map(i => (i + 1000L, s"historic doc $i"))
+        .toDF("doc_id", "text") // 20 dup, 20 new
+      val out = Dedup.incremental(batch, spark.table(idxT), "text", "doc_id",
+        corpusIsFingerprintIndex = true)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      def exchanges(p: String) = p.split("Exchange hashpartitioning").length - 1
+      // the batch side pays its two exchanges (its own dedup agg + join
+      // alignment); the bucketed index side pays NONE — one fewer than
+      // the identical join against a non-bucketed index
+      val unbucketed = Dedup.incremental(batch,
+        corpus.select(md5(col("text")).as("fp")),
+        "text", "doc_id", corpusIsFingerprintIndex = true)
+      assert(exchanges(plan) ==
+        exchanges(unbucketed.queryExecution.executedPlan.toString) - 1,
+        s"bucketed index did not eliminate its exchange:\n$plan")
+      assert(out.count() == 20L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    }
   }
 }
