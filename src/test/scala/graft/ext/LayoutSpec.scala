@@ -69,6 +69,37 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-sorted files skip on BOTH dimensions; x-sorted files only on x") {
+    // the actual file-skipping payoff, measured on real written files: a
+    // 64x64 grid written as 16 range-partitions. Under a z-key sort each
+    // file covers one 16x16 block, so a predicate on EITHER column
+    // intersects only 4/16 file [min,max] ranges — footer-stats pruning.
+    // Under a plain x sort the same y-predicate intersects ALL files.
+    import org.apache.spark.sql.DataFrame
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def fileSpans(df: DataFrame, sortCol: String): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-z-$sortCol").toString
+      df.repartitionByRange(16, col(sortCol)).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      assert(files.size == 16)
+      files.map { f =>
+        val r = spark.read.parquet(f).agg(min("y"), max("y")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    val zSpans = fileSpans(grid.withColumn("z",
+      Layout.zorderKey(Seq(col("x"), col("y")), 6)), "z")
+    val xSpans = fileSpans(grid, "x")
+    // predicate: y BETWEEN 0 AND 15 — count files whose y-range intersects
+    def hits(spans: Seq[(Long, Long)]) =
+      spans.count { case (lo, hi) => lo <= 15 && hi >= 0 }
+    assert(hits(zSpans) == 4, s"z-layout should prune to 4/16 files: $zSpans")
+    assert(hits(xSpans) == 16, s"x-sort cannot prune on y: $xSpans")
+  }
+
   test("withZorderKey wraps inputs into the bit range deterministically") {
     val df = Seq((300L, 5L), (44L, 5L)).toDF("x", "y") // 300 % 256 == 44
     val keys = Layout.withZorderKey(df, Seq("x", "y"), 8).select("zkey")
