@@ -93,6 +93,57 @@ object Multimodal {
       }
   }
 
+  final case class ResizedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Resize stage — same partition-batch shape as [[decodeImages]] (one
+    * partition = one codec session; a real resizer amortizes library init
+    * exactly here). The pixel transform is the clearly-marked stub
+    * ([[StubDecoders.resizePayload]] — no image libs in-container); the
+    * Spark-side contract is real: deterministic output, declared target
+    * dims, payload bytes proportional to w×h so downstream size
+    * accounting behaves like a real thumbnail pipeline.
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): Dataset[ResizedImage] = {
+    require(width > 0 && height > 0, s"target dims must be positive: ${width}x$height")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition resizer init would go here
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          ResizedImage(id, width, height,
+            StubDecoders.resizePayload(bytes, width, height))
+        }
+      }
+  }
+
+  /** Feature-extraction stage: payload → dense `Array[Float]` embedding —
+    * the media-to-vector bridge feeding the similarity family (the output
+    * column plugs straight into [[Similarity]] search/dedup). The
+    * embedding itself is the deterministic stub (content-hash-seeded,
+    * unit-norm); the batch shape, schema, and normalization contract are
+    * what a real vision encoder slots into.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition encoder init would go here
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          (id, StubDecoders.embedPayload(bytes, dim))
+        }
+      }
+      .toDF("media_id", "embedding")
+  }
+
   /** Frame sampling plumbing: every `stride`-th chunk of the payload as a
     * (media_id, frame_no, frame_bytes) row — the shape of video
     * frame-extraction output. Chunking is deterministic.
@@ -278,5 +329,54 @@ object StubDecoders {
         val dur = 100 + math.floorMod(h >> 3, 60000)
         (rate, channels, 16, dur, "pcm_stub", h)
     }
+  }
+
+  private def contentHash(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    h
+  }
+
+  /** STUB pixel resize (no image libs in-container): a deterministic,
+    * content-seeded payload of exactly w×h bytes — size-faithful to a
+    * real 8-bit grayscale thumbnail, so downstream storage accounting
+    * and batch shaping behave as with a real resizer. Swap seam: replace
+    * this one function with a codec call.
+    */
+  def resizePayload(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val h = contentHash(payload)
+    val out = new Array[Byte]((width * height).min(1 << 22)) // 4 MB cap
+    var i = 0
+    var s = h
+    while (i < out.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L // splitmix-ish
+      out(i) = (s >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** STUB media embedding: content-hash-seeded unit-norm float vector —
+    * deterministic per payload, so near-dup payloads do NOT embed close
+    * (a real encoder's output would; the stub only guarantees shape and
+    * normalization). Swap seam: replace with a real vision encoder.
+    */
+  def embedPayload(payload: Array[Byte], dim: Int): Array[Float] = {
+    val h = contentHash(payload)
+    val v = new Array[Float](dim)
+    var i = 0
+    var s = h
+    var norm = 0.0
+    while (i < dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      v(i) = ((s >>> 40).toInt / 8388608.0f) - 1.0f // in [-1, 1)
+      norm += v(i).toDouble * v(i)
+      i += 1
+    }
+    val inv = if (norm == 0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
+    i = 0
+    while (i < dim) { v(i) *= inv; i += 1 }
+    v
   }
 }

@@ -143,4 +143,29 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(frames.select(max(length(col("frame_bytes")))).head().getInt(0) <= 50)
   }
+
+  test("resize stage emits size-faithful payloads, deterministic across partitionings") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "image/fake")
+    val out = Multimodal.resizeImages(media, 32, 16).toDF()
+    val lens = out.select(length(col("payload")).as("len")).distinct().collect()
+    assert(lens.map(_.getInt(0)).toSeq == Seq(32 * 16)) // exactly w*h bytes each
+    val a = out.orderBy("media_id").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](3).toSeq))
+    val b = Multimodal.resizeImages(media.repartition(7), 32, 16).toDF()
+      .orderBy("media_id").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](3).toSeq))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("feature extraction emits unit-norm vectors that plug into the similarity family") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "image/fake")
+    val emb = Multimodal.extractFeatures(media, dim = 16)
+    assert(emb.columns.toSeq == Seq("media_id", "embedding"))
+    val norms = emb.select(
+      graft.functions.functions.dot_product(col("embedding"), col("embedding")).as("n2"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-3, s"not unit-norm: $n2"))
+    // the output column drives vector search directly
+    val q = emb.limit(1).select("embedding")
+    val top = graft.ext.Similarity.bruteForceTopKLazy(emb, "media_id", "embedding", q, "embedding", 3)
+    assert(top.count() == 3)
+  }
 }
