@@ -565,4 +565,60 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Span-level (substring) deduplication over sliding word n-grams — the
+    * distributed form of exact-substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2021, which uses a
+    * suffix array on one machine; the n-gram-window formulation is the
+    * shuffle-friendly equivalent at a fixed match length). A span is
+    * duplicated when its n-token window occurs in >= minDocs distinct
+    * documents. Per document this reports the token coverage of
+    * duplicated windows and the text with those spans removed — the two
+    * shapes a curation pipeline consumes (a gate signal and the cleaned
+    * text).
+    *
+    * Scale design: window generation is a map-only array projection (one
+    * md5 per window over a zero-copy slice — no per-window string row
+    * until the explode, which carries only (id, pos, 16-byte hash)). The
+    * shuffles are (a) the window-frequency groupBy keyed by gram hash,
+    * partial-agg'd so it moves (hash, doc-count) not text, and (b) the
+    * hash-keyed join of occurrences against the duplicated-gram set. The
+    * coverage explode is bounded by n x duplicated windows only, never
+    * the corpus. At 100 TB the duplicated-gram set is what you
+    * materialize once as a bucketed index keyed by gram hash (the
+    * [[incremental]] pattern), so per-batch span dedup joins it
+    * shuffle-free.
+    */
+  def spanDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .withColumn("_nt", size(col("_toks")))
+    val grams = toks.select(col(idCol),
+      posexplode(when(col("_nt") >= n,
+          transform(sequence(lit(0), col("_nt") - n),
+            i => md5(array_join(slice(col("_toks"), i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("_pos", "_g")))
+    val dupGrams = grams
+      .groupBy("_g").agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_g")
+    val cover = grams.join(dupGrams, "_g")
+      .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + n - 1)).as("_p"))
+      .distinct()
+    val stats = cover.groupBy(idCol)
+      .agg(count(lit(1)).as("_dup"), collect_set(col("_p")).as("_cov"))
+    toks.join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        col("_nt").cast("long").as("n_tokens"),
+        coalesce(col("_dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("_dup"), lit(0L)) / col("_nt"), 6).as("dup_frac"),
+        array_join(filter(col("_toks"),
+            (t: Column, i: Column) =>
+              !array_contains(coalesce(col("_cov"), array().cast("array<int>")), i)),
+          " ").as("pruned_text"))
+  }
 }

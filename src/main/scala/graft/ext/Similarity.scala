@@ -309,4 +309,40 @@ object Similarity {
         gf.cosine_similarity(col("e1"), col("e2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et al.
+    * 2023): within each cell of a coarse partition (a k-means/IVF cell
+    * from [[ivfAssign]], or any deterministic grouping column), drop
+    * every vector that is cosine-similar (>= threshold) to a lower-id
+    * vector in the same cell. The drop rule compares against ALL lower
+    * ids — not only survivors — so it is closed-form: one cell-keyed
+    * self-join, no iteration, and the result is independent of
+    * evaluation order (engine-portable, hence oracle-checkable when the
+    * cell column is deterministic).
+    *
+    * Scale design: the self-join is keyed by cell, so cost is sum over
+    * cells of |cell|^2 — bounded by the quantizer's cell-size cap, not
+    * corpus size, which is exactly SemDeDup's design point. On a
+    * cell-partitioned write layout (the same one IVF search prunes on)
+    * the join co-locates shuffle-free, and the anti-join back carries
+    * only dropped ids.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      cellCol: String,
+      threshold: Double): DataFrame = {
+    val right = embeddings.select(col(cellCol).as("_cell"),
+      col(idCol).as("_id2"), col(embCol).as("_e2"))
+    val dropped = embeddings
+      .select(col(cellCol).as("_cell"), col(idCol), col(embCol))
+      .join(right, "_cell")
+      .filter(col("_id2") < col(idCol) &&
+        gf.cosine_similarity(col(embCol), col("_e2")) >= threshold)
+      .select(col(idCol))
+      .distinct()
+    embeddings.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -200,6 +200,64 @@ object ExtQueries {
     "threshold-banded edit distance on a deterministic candidate grid — " +
       "the character-level near-dup verification kernel, cross-engine checked")
 
+  private val qDedupSpan = Q(
+    "q_dedup_span",
+    (s, d) =>
+      Dedup.spanDuplicates(documents(s, d), "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+4], ' ')) AS g
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) s
+              WHERE len(w) >= 5),
+            dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+            cover AS (
+              SELECT DISTINCT doc_id, p
+              FROM grams JOIN dupg USING (g),
+                   LATERAL (SELECT unnest(generate_series(pos, pos + 4)) AS p) t),
+            stats AS (SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS p, w[i] AS tok
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s),
+            pruned AS (
+              SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS pruned_text
+              FROM tokpos tp ANTI JOIN cover c ON c.doc_id = tp.doc_id AND c.p = tp.p
+              GROUP BY tp.doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(CAST(coalesce(s.dup_tokens, 0) AS DOUBLE) / len(t.w), 6) AS dup_frac,
+                   coalesce(p.pruned_text, '') AS pruned_text
+            FROM toks t
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN pruned p USING (doc_id)
+            ORDER BY t.doc_id"""),
+    "span-level (substring) dedup: 5-token windows duplicated across " +
+      "documents, per-doc coverage + span-pruned text, cross-engine checked")
+
+  private val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, d) =>
+      // cell = the deterministic label column so DuckDB can replay the
+      // partition exactly; the IVF-celled production form is the same
+      // call with ivfAssign's cell column (model-defined → not declared).
+      // threshold 0.3 drops 95/500 at sf0.01; nearest within-cell pair
+      // sits 1.9e-4 from the boundary, so float/double parity is safe.
+      Similarity.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+          "label", threshold = 0.3)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy("vec_id"),
+    Some("""SELECT a.vec_id, CAST(a.label AS BIGINT) AS label
+            FROM embeddings a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM embeddings b
+              WHERE b.label = a.label AND b.vec_id < a.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.3)
+            ORDER BY a.vec_id"""),
+    "SemDeDup-style semantic dedup: within-cell cosine >= tau vs any " +
+      "lower id drops the row; deterministic cells make it oracle-exact")
+
   private val qLmScore = Q(
     "q_lm_score",
     (s, d) =>
@@ -1011,7 +1069,7 @@ object ExtQueries {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupNear, qDedupClusters, qCcChains,
-    qDedupSimhash, qDedupNgram,
+    qDedupSimhash, qDedupNgram, qDedupSpan, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,

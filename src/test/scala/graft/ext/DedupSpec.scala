@@ -111,6 +111,51 @@ class DedupSpec extends SparkSpec {
     assert(plain.size == 30 * 29 / 2) // the hot family is all-pairs by construction
   }
 
+  test("span dedup: flags shared 5-token windows, prunes exactly those spans") {
+    val shared = "alpha beta gamma delta epsilon" // one shared 5-token span
+    val spanDocs = Seq(
+      (0L, s"intro words here $shared closing words"),
+      (1L, s"other document starts $shared and then diverges fully"),
+      (2L, "a totally unrelated text with no shared window at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDuplicates(spanDocs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    // doc 0: 10 tokens, the shared window covers positions 3..7
+    assert(out(0).getLong(1) == 10L && out(0).getLong(2) == 5L)
+    assert(out(0).getString(4) == "intro words here closing words")
+    // doc 1: shared window at 3..7 of 10 tokens
+    assert(out(1).getLong(2) == 5L)
+    assert(out(1).getString(4) == "other document starts and then diverges fully")
+    // doc 2: untouched — zero coverage, text round-trips unchanged
+    assert(out(2).getLong(2) == 0L && out(2).getDouble(3) == 0.0)
+    assert(out(2).getString(4) == spanDocs.filter(col("doc_id") === 2)
+      .head().getString(1))
+  }
+
+  test("span dedup: overlapping duplicated windows merge their coverage") {
+    // docs 0/1 share a 6-token run → two overlapping 5-gram windows in
+    // each; coverage must count the 6 distinct tokens, not 10
+    val run = "one two three four five six"
+    val spanDocs = Seq(
+      (0L, s"$run tail0 tail1"),
+      (1L, s"head0 head1 $run")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDuplicates(spanDocs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 6L)
+    assert(out(0).getString(4) == "tail0 tail1")
+    assert(out(1).getLong(2) == 6L)
+    assert(out(1).getString(4) == "head0 head1")
+  }
+
+  test("span dedup: documents shorter than the window are passed through") {
+    val spanDocs = Seq((0L, "tiny doc"), (1L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.spanDuplicates(spanDocs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(2) == 0L))
+    assert(out.forall(_.getString(4) == "tiny doc"))
+  }
+
   test("connected components: converges on a long chain and labels with the min id") {
     // 13-node path graph — label 0 needs 12 propagation rounds to reach
     // the far end; exercises the checkpointed loop well past the depth

@@ -170,6 +170,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: within-cell similars drop to the min id, across cells kept") {
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.99f, 0.14f, 0.0f) // cos(e1,e2) ≈ 0.99
+    val e3 = Array(0.0f, 1.0f, 0.0f)   // orthogonal to e1
+    val emb = Seq(
+      (0L, e1, 10), (1L, e1, 10),      // identical, same cell → 1 dropped
+      (2L, e2, 10),                    // similar to 0 AND 1 → dropped
+      (3L, e3, 10),                    // orthogonal → kept
+      (4L, e1, 20)                     // copy of 0 but other cell → kept
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
+  test("semantic dedup drop rule compares against all lower ids, not survivors") {
+    // 1 is similar to 0 (dropped); 2 is similar to 1 but NOT to 0. The
+    // closed-form rule still drops 2 — it matched a lower id regardless
+    // of that id's own fate — which is what makes the operator a single
+    // self-join instead of a sequential scan.
+    val a = Array(1.0f, 0.0f)
+    val b = Array(0.92f, 0.39f)  // cos(a,b) ≈ 0.92
+    val c = Array(0.71f, 0.71f)  // cos(b,c) ≈ 0.93, cos(a,c) ≈ 0.71
+    val emb = Seq((0L, a, 1), (1L, b, 1), (2L, c, 1)).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+  }
+
   test("IVF probed search reaches useful recall against brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
