@@ -454,6 +454,64 @@ object TextAnalysis {
       .sortWithinPartitions(col("shard"), h, col(idCol))
   }
 
+  /** Within-document repeated-span pruning: remove every later occurrence
+    * of an n-token window already seen earlier in the SAME document — the
+    * cleanup counterpart of the Gopher duplicate-bigram SIGNAL (which only
+    * flags), aimed at templated/looping web text ("menu menu menu …").
+    * Cross-document span dedup is [[graft.ext.Dedup.spanDuplicates]]; this
+    * is its document-local form.
+    *
+    * Scale design: entirely per-row array algebra (windows, prefix-match
+    * flags, coverage, rebuild) — a map-only scan with no shuffle at any
+    * corpus size; cost is O(L·n) window text + O(W²) prefix scans per doc,
+    * bounded by document length, and the codegen'd HOFs keep it inside
+    * whole-stage codegen.
+    *
+    * Output per doc: n_tokens, rep_tokens (positions covered by a repeated
+    * window), rep_frac, pruned_text.
+    */
+  def selfRepetitionPrune(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(col("_toks")) >= n,
+        transform(sequence(lit(0), size(col("_toks")) - n),
+          i => array_join(slice(col("_toks"), i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // flags(i): window i textually equals some window j < i. Guarded: on
+    // an empty gram array, sequence(0, -1) DESCENDS and element_at would
+    // throw under ANSI.
+    val flags = when(size(col("_grams")) > 0,
+        transform(sequence(lit(0), size(col("_grams")) - 1),
+          i => array_position(slice(col("_grams"), lit(1), i),
+            element_at(col("_grams"), i + 1)) > 0))
+      .otherwise(array().cast("array<boolean>"))
+    // covered(p): some flagged window i spans token position p
+    def covered(p: Column): Column =
+      exists(sequence(greatest(p - n + 1, lit(0)),
+          least(p, size(col("_flags")) - 1)),
+        i => element_at(col("_flags"), i + 1))
+    df.select(col(idCol), col(textCol))
+      .withColumn("_toks", toks)
+      .withColumn("_grams", grams)
+      .withColumn("_flags", flags)
+      .withColumn("_cov", when(size(col("_grams")) > 0,
+          transform(sequence(lit(0), size(col("_toks")) - 1), covered(_)))
+        .otherwise(array().cast("array<boolean>")))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(filter(col("_cov"), c => c)).cast("long").as("rep_tokens"),
+        round(size(filter(col("_cov"), c => c)) / size(col("_toks")), 6).as("rep_frac"),
+        array_join(filter(col("_toks"),
+            (t: Column, p: Column) =>
+              // get(): 0-based and null (not an ANSI error) past the end —
+              // _cov is empty for docs shorter than the window
+              !coalesce(get(col("_cov"), p), lit(false))),
+          " ").as("pruned_text"))
+  }
+
   /** Rolling polynomial hash over tokens (Rabin-Karp style, base 31) —
     * order-sensitive, unlike a bag-of-words hash. Expressed with
     * aggregate() so it is codegen'd. Arithmetic stays below 2^39 (mod 2^33

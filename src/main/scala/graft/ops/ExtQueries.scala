@@ -706,6 +706,44 @@ object ExtQueries {
             ORDER BY doc_id"""),
     "duplicate-bigram fraction (Gopher-style repetition filter signal)")
 
+  private val qRepetitionPrune = Q(
+    "q_repetition_prune",
+    (s, d) =>
+      // the cleanup counterpart of q_repetition's SIGNAL: later
+      // occurrences of a bigram window already seen in the same doc are
+      // removed (map-only per-row array algebra — no shuffle at any scale)
+      TextAnalysis.selfRepetitionPrune(documents(s, d), "doc_id", "text", n = 2)
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT doc_id, w,
+                    CASE WHEN len(w) >= 2
+                         THEN list_transform(generate_series(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+1], ' '))
+                         ELSE [] END AS G
+                  FROM t),
+            f AS (SELECT doc_id, w, G,
+                    list_transform(generate_series(1, len(G)),
+                      i -> list_contains(G[1:i-1], G[i])) AS F
+                  FROM g),
+            c AS (SELECT doc_id, w,
+                    list_transform(generate_series(1, len(w)),
+                      p -> len(list_filter(generate_series(greatest(1, p - 1),
+                                                           least(p, len(F))),
+                             i -> F[i])) > 0) AS C
+                  FROM f)
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(C, x -> x)) AS BIGINT) AS rep_tokens,
+                   round(CAST(len(list_filter(C, x -> x)) AS DOUBLE) / len(w), 6)
+                     AS rep_frac,
+                   array_to_string(list_filter(list_transform(generate_series(1, len(w)),
+                     p -> CASE WHEN C[p] THEN NULL ELSE w[p] END),
+                     x -> x IS NOT NULL), ' ') AS pruned_text
+            FROM c
+            ORDER BY doc_id"""),
+    "within-document repeated-window pruning (bigram windows): the " +
+      "map-only cleanup form of the Gopher repetition signal")
+
   private val qTextNormalize = Q(
     "q_text_normalize",
     (s, d) =>
@@ -1073,7 +1111,7 @@ object ExtQueries {
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qNgramFreq, qTfidf, qRepetition, qTextNormalize, qSplitStable,
+    qNgramFreq, qTfidf, qRepetition, qRepetitionPrune, qTextNormalize, qSplitStable,
     qPackSequences, qChunkWindows, qMixture, qQualityGate,
     qSampleStratified, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qDecontaminateBloom, qZorder,

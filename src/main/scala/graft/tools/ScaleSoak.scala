@@ -170,6 +170,14 @@ object ScaleSoak {
       graft.ext.Dedup.editDistancePairs(pairs, docs, "doc_id", "text",
         threshold = 20, prefixLen = 128).filter(col("edit_distance") >= 0).count()
     }
+    timed("span_dedup") {
+      // duplicated 5-token windows across docs + span-pruned text; the
+      // planted dup families are the docs whose windows recur. Aggregate
+      // over the computed columns so pruning can't elide the kernel.
+      graft.ext.Dedup.spanDuplicates(docs, "doc_id", "text", n = 5)
+        .agg(sum("dup_tokens"), sum(length(col("pruned_text"))))
+        .collect().length.toLong
+    }
     timed("tfidf_top5") {
       val terms = docs
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
@@ -190,7 +198,7 @@ object ScaleSoak {
     // soak log always selects what it names
     val vectorStages =
       Seq("brute_force_top10", "ivf_train_on_sample", "ivf_assign",
-        "ivf_search_nprobe4", "ann_lsh_top10")
+        "ivf_search_nprobe4", "ann_lsh_top10", "semantic_dedup_ivf")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -236,6 +244,18 @@ object ScaleSoak {
     }
     vtimed("ann_lsh_top10") {
       graft.ext.Similarity.annTopK(emb, "vec_id", "embedding", q, 10).count()
+    }
+    vtimed("semantic_dedup_ivf") {
+      // SemDeDup at scale: the cluster count grows with the corpus so
+      // cell sizes stay bounded (the paper's design point) — k here
+      // targets ~1k vectors/cell at 1M vectors; the within-cell
+      // self-join is the only quadratic term and it is cell-local.
+      val k = math.max(32, (nVec / 1000L).toInt)
+      val cells = graft.ext.Similarity.trainIvfCentroids(
+        emb.sample(0.02, 43), "embedding", k = k, iters = 1)
+      val withCell = graft.ext.Similarity.ivfAssign(emb, "embedding", cells)
+      graft.ext.Similarity.semanticDedup(withCell, "vec_id", "embedding",
+        "ivf_cell", threshold = 0.95).count()
     }
     spark.stop()
   }

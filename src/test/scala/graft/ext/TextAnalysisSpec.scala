@@ -270,6 +270,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("selfRepetitionPrune removes later occurrences of repeated windows") {
+    val docs = Seq(
+      (0L, "menu menu menu menu"),       // classic loop → one token survives
+      (1L, "a b a b c"),                 // "a b" repeats at pos 2 → covers 2,3
+      (2L, "x y"),                       // no repeats → unchanged
+      (3L, "x")                          // shorter than the window → unchanged
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.selfRepetitionPrune(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(4) == "menu" && out(0).getLong(2) == 3L)
+    assert(out(1).getString(4) == "a b c" && out(1).getLong(2) == 2L)
+    assert(out(2).getString(4) == "x y" && out(2).getLong(2) == 0L)
+    assert(out(3).getString(4) == "x" && out(3).getLong(2) == 0L)
+    assert(out(1).getDouble(3) == 0.4) // 2 of 5 tokens pruned
+  }
+
   test("shuffleShards assigns bounded shards with contiguous positions, partition-stable") {
     val df = spark.range(0, 500).select(col("id"))
     val out = TextAnalysis.shuffleShards(df, "id").collect()
