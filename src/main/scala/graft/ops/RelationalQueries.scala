@@ -691,6 +691,57 @@ object RelationalQueries {
   private def eventsSchema(s: org.apache.spark.sql.SparkSession, d: String) =
     streamSchemaCache.getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
 
+  /** The events table as a bounded file-stream source (explicit schema,
+    * ns→µs ts conversion mirroring Tables.events).
+    */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    // glob form: the file-stream source requires a directory or glob
+    // basePath (a bare file path is rejected)
+    val raw = s.readStream.schema(eventsSchema(s, d)).parquet(s"$d/events.*")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** Bounded Structured-Streaming replay harness shared by the q_stream_*
+    * queries: fresh checkpoint (a crashed prior run leaves committed
+    * offsets whose resume would silently yield an empty batch), tmpfs
+    * checkpoint placement (every state-store partition fsyncs its delta at
+    * commit — against disk-backed /tmp those fsyncs cost ~70 task-seconds
+    * per 10k-row replay; on a cluster this is HDFS/S3), memory sink,
+    * AvailableNow trigger, narrowed state width (measured at sf0.1: the
+    * stateful stages are dominated by per-partition state-store commit
+    * wait, not CPU — fewer partitions win), cleanup after success.
+    */
+  private def boundedReplay(
+      s: SparkSession,
+      name: String,
+      agg: DataFrame,
+      mode: String,
+      statePartitions: String = "4"): DataFrame = {
+    val ckDir = s"/dev/shm/graft_ck_$name"
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+    catch { case _: Exception => () }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+        agg.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+    catch { case _: Exception => () }
+    s.table(name)
+  }
+
   private val qStreamTumbling = Q(
     "q_stream_tumbling",
     (s, d) => {
@@ -703,45 +754,10 @@ object RelationalQueries {
       // DECIMAL so the result is partition-order-insensitive (exactness,
       // not float luck).
       val name = s"graft_stream_tumbling_${streamRuns.incrementAndGet()}"
-      val schema = eventsSchema(s, d)
-      // glob form: the file-stream source requires a directory or glob
-      // basePath (a bare file path is rejected)
-      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
-      val ev = (raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => raw
-      }).withColumn("value", dec(col("value")))
+      val ev = streamEvents(s, d).withColumn("value", dec(col("value")))
       val agg = graft.streaming.StreamOps
         .tumblingCounts(ev, "ts", "event_type", "1 hour", "30 minutes")
-      // checkpoint on tmpfs: every state-store partition fsyncs its delta
-      // file at commit, and against disk-backed /tmp those 32 fsyncs cost
-      // ~70 task-seconds for a 10k-row replay. Checkpoint placement is a
-      // deployment choice (HDFS/S3 on a cluster); for a bounded local
-      // replay memory-backed is the honest equivalent.
-      val ckDir = s"/dev/shm/graft_ck_$name"
-      // a failed prior run (crash before the post-success cleanup) leaves
-      // a checkpoint with committed offsets; resuming from it would
-      // silently yield an empty batch — always start fresh
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      catch { case _: Exception => () }
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
-          agg.writeStream
-            .outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckDir)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-      try {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      } catch { case _: Exception => () }
-      s.table(name)
+      boundedReplay(s, name, agg, "complete")
         .select(col("w_start").as("h"), col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("h", "event_type")
@@ -753,6 +769,34 @@ object RelationalQueries {
     "tumbling window executed by Structured Streaming (bounded replay, " +
       "complete-mode memory sink) — hash-equal to the batch oracle")
 
+  private val qStreamSliding = Q(
+    "q_stream_sliding",
+    (s, d) => {
+      // Sliding event-time windows (2 h length, 1 h slide — every event
+      // lands in exactly two windows) through the same bounded-replay
+      // harness; the oracle replays the overlap by exploding each event
+      // into both of its hour-aligned window starts.
+      val name = s"graft_stream_sliding_${streamRuns.incrementAndGet()}"
+      val agg = graft.streaming.StreamOps.slidingCounts(
+        streamEvents(s, d), "ts", "event_type", "2 hours", "1 hour", "30 minutes")
+      boundedReplay(s, name, agg, "complete")
+        .orderBy("w_start", "event_type")
+    },
+    Some("""WITH starts AS (
+              SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                     event_type FROM events
+              UNION ALL
+              SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)
+                       AS w_start,
+                     event_type FROM events)
+            SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type,
+                   count(*) AS n
+            FROM starts GROUP BY w_start, event_type
+            ORDER BY w_start, event_type"""),
+    "sliding windows executed by Structured Streaming (bounded replay) — " +
+      "hash-equal to a batch oracle that explodes each event into both " +
+      "overlapping windows")
+
   private val qStreamSession = Q(
     "q_stream_session",
     (s, d) => {
@@ -762,42 +806,9 @@ object RelationalQueries {
       // builds sessions the lag way. Same bounded-replay harness as
       // q_stream_tumbling.
       val name = s"graft_stream_session_${streamRuns.incrementAndGet()}"
-      val schema = eventsSchema(s, d)
-      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
-      val ev = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => raw
-      }
       val agg = graft.streaming.StreamOps
-        .sessionCounts(ev, "ts", "user_id", "30 minutes", "30 minutes")
-      val ckDir = s"/dev/shm/graft_ck_$name"
-      // a failed prior run (crash before the post-success cleanup) leaves
-      // a checkpoint with committed offsets; resuming from it would
-      // silently yield an empty batch — always start fresh
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      catch { case _: Exception => () }
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q =
-        try {
-          // narrow state width: measured at sf0.1, the session stage's
-          // task time is dominated by per-partition state-store commit
-          // wait, not CPU — 16 partitions spend MORE total task time than
-          // 4 for the same wall clock, so fewer commits wins
-          s.conf.set("spark.sql.shuffle.partitions", "4")
-          agg.writeStream
-            .outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckDir)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-      try {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      } catch { case _: Exception => () }
-      s.table(name)
+        .sessionCounts(streamEvents(s, d), "ts", "user_id", "30 minutes", "30 minutes")
+      boundedReplay(s, name, agg, "complete")
         .select(col("user_id"), col("s_start"), col("n"))
         .orderBy("user_id", "s_start")
     },
@@ -830,36 +841,11 @@ object RelationalQueries {
       // watermark delay spans the whole corpus so a multi-batch replay
       // can never evict state mid-replay and re-emit a key.
       val name = s"graft_stream_dedup_${streamRuns.incrementAndGet()}"
-      val schema = eventsSchema(s, d)
-      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
-      val ev = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => raw
-      }
       val deduped = graft.streaming.StreamOps
-        .dedupWithinWatermark(ev, "ts", Seq("user_id", "event_type"), "3650 days")
+        .dedupWithinWatermark(streamEvents(s, d), "ts",
+          Seq("user_id", "event_type"), "3650 days")
         .select("user_id", "event_type")
-      val ckDir = s"/dev/shm/graft_ck_$name"
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      catch { case _: Exception => () }
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
-          deduped.writeStream
-            .outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckDir)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-      try {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      } catch { case _: Exception => () }
-      s.table(name).orderBy("user_id", "event_type")
+      boundedReplay(s, name, deduped, "append").orderBy("user_id", "event_type")
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""),
@@ -876,45 +862,18 @@ object RelationalQueries {
       // 10 minutes. Append-mode inner join emits exactly the matched
       // rows, so the bounded replay must equal the batch result.
       val name = s"graft_stream_join_${streamRuns.incrementAndGet()}"
-      val schema = eventsSchema(s, d)
-      def side(eventType: String, prefix: String) = {
-        val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
-        val ev = raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case _ => raw
-        }
-        ev.filter(col("event_type") === eventType)
+      def side(eventType: String, prefix: String) =
+        streamEvents(s, d).filter(col("event_type") === eventType)
           .select(col("user_id"),
             col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
-      }
       val joined = graft.streaming.StreamOps.intervalJoin(
         side("click", "l"), side("purchase", "r"),
         "user_id", "l_ts", "r_ts", "30 minutes", "10 minutes")
         .select(col("l.user_id").as("user_id"), col("l_id"), col("r_id"))
-      val ckDir = s"/dev/shm/graft_ck_$name"
-      // a failed prior run (crash before the post-success cleanup) leaves
-      // a checkpoint with committed offsets; resuming from it would
-      // silently yield an empty batch — always start fresh
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      catch { case _: Exception => () }
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "1")
-          joined.writeStream
-            .outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckDir)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-      try {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      } catch { case _: Exception => () }
-      s.table(name).orderBy("user_id", "l_id", "r_id")
+      // width 1: the interval join pays 2 batches × 4 state stores per
+      // PARTITION — at this replay size the commit machinery dominates
+      boundedReplay(s, name, joined, "append", statePartitions = "1")
+        .orderBy("user_id", "l_id", "r_id")
     },
     Some("""SELECT l.user_id AS user_id, l.event_id AS l_id, r.event_id AS r_id
             FROM events l
@@ -1444,6 +1403,7 @@ object RelationalQueries {
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
-    qStreamSession, qStreamJoin, qStreamDedup, qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
+    qStreamSliding, qStreamSession, qStreamJoin, qStreamDedup,
+    qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }
