@@ -96,6 +96,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span dedup matches a brute-force reference on generated corpora") {
+    val n = 3
+    (1L to 5L).foreach { seed =>
+      // tiny alphabet + short docs → duplicated windows arise organically
+      val docGen = Gen.listOfN(12,
+        Gen.chooseNum(1, 9).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // plain-Scala reference: windows, cross-doc dup set, coverage, prune
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val grams = docs.flatMap { case (id, _) =>
+        val w = toks(id)
+        if (w.size >= n) (0 to w.size - n).map(i => (id, i, w.slice(i, i + n).mkString(" ")))
+        else Nil
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expect = docs.map { case (id, _) =>
+        val w = toks(id)
+        val cov = grams.collect { case (d, i, g) if d == id && dup(g) =>
+          i until i + n }.flatten.toSet
+        val pruned = w.zipWithIndex.collect { case (t, i) if !cov(i) => t }.mkString(" ")
+        id -> ((w.size.toLong, cov.size.toLong, pruned))
+      }.toMap
+      val got = Dedup.spanDuplicates(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+        .toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("self-repetition prune matches a brute-force reference on generated docs") {
+    val n = 2
+    (1L to 5L).foreach { seed =>
+      val docGen = Gen.listOfN(10,
+        Gen.chooseNum(1, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))))
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expect = docs.map { case (id, t) =>
+        val w = t.split(" ", -1).toSeq
+        val g = if (w.size >= n) (0 to w.size - n).map(i => w.slice(i, i + n).mkString(" "))
+                else Nil
+        val flagged = g.zipWithIndex.collect { case (gr, i) if g.take(i).contains(gr) => i }
+        val cov = flagged.flatMap(i => i until i + n).toSet
+        val pruned = w.zipWithIndex.collect { case (t2, i) if !cov(i) => t2 }.mkString(" ")
+        id -> ((w.size.toLong, cov.size.toLong, pruned))
+      }.toMap
+      val got = graft.ext.TextAnalysis
+        .selfRepetitionPrune(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+        .toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("stable split is a total function into {train,val,test}") {
     (1L to 5L).foreach { seed =>
       val keys = sample(Gen.listOfN(30, Gen.chooseNum(0L, 1000000L)), seed)
