@@ -30,6 +30,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), md5(col(contentCol)).as("fp"))
 
+  /** Canonical-document selection: dedup on a normalized content-prefix
+    * fingerprint, keeping the BEST member of each group instead of the
+    * smallest id. "Best" here is the keep-longest policy common in web
+    * curation (the longest variant usually carries the most content);
+    * ties break to the smallest id so the choice is total and
+    * deterministic. Grouping on `md5(prefix(normalize(text)))` collapses
+    * near-identical variants — same opening after case/whitespace
+    * canonicalization, different casing or tail — that byte-exact dedup
+    * keeps apart.
+    *
+    * Scale shape: the fingerprint is map-only; the survivor choice is a
+    * single `max_by` aggregation, so partial aggregation makes the
+    * shuffle carry one (len, id) candidate per group per mapper — never
+    * the texts.
+    */
+  def keepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      prefixLen: Int = 120): DataFrame = {
+    val fp = md5(substring(TextAnalysis.normalize(col(textCol)), 1, prefixLen))
+    df.select(col(idCol), fp.as("fp"), length(col(textCol)).cast("long").as("len"))
+      .groupBy("fp")
+      .agg(
+        max_by(col(idCol), struct(col("len"), negate(col(idCol)).as("_neg"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("len")).as("best_len"))
+      .select("keep_id", "n_members", "best_len", "fp")
+  }
+
   /** Incremental exact dedup: dedup a NEW batch against an existing
     * reference corpus — the production shape of exact dedup, where the
     * historical corpus is deduped once and each new crawl/delivery only

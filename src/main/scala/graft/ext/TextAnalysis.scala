@@ -250,6 +250,85 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Scored decontamination: [[decontaminate]]'s policy form. Reports the
+    * FRACTION of each document's distinct n-grams that appear in the eval
+    * set, plus the drop decision at `threshold` — a document quoting one
+    * benchmark sentence survives, wholesale leakage is dropped. Same
+    * 100 TB shape as [[decontaminate]] (broadcast eval grams, map-only
+    * corpus side); the one difference is a left join instead of a semi
+    * join so the per-document gram TOTAL falls out of the same pass.
+    */
+  def decontaminateScore(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(wordNgramsExpr(textCol, n))).as("_g"))
+    val evalGrams = evalSet
+      .select(explode(array_distinct(wordNgramsExpr(evalTextCol, n))).as("_g"))
+      .distinct()
+    val perDoc = corpusGrams
+      .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("_g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared"))
+    // docs with < n tokens have no gram rows: restore them at 0 overlap
+    val frac = col("n_shared").cast("double") / col("n_grams").cast("double")
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams").isNotNull, round(frac, 6)).otherwise(0.0)
+          .as("overlap_frac"),
+        when(col("n_grams").isNotNull, frac >= threshold).otherwise(false)
+          .as("drop_doc"))
+  }
+
+  /** Exact frequent-token mining at a relative support threshold — the
+    * corpus-statistics pass before tokenizer/vocabulary work. The total
+    * is a broadcast scalar, so the plan is one shuffle family keyed on
+    * the token (partial + final agg) plus a broadcast join; no driver
+    * loop, no collect. Support is reported as a fraction of all tokens.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, support: Double): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val total = toks.agg(count(lit(1)).as("_n_total"))
+    toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n").cast("double") >= col("_n_total").cast("double") * support)
+      .select(col("tok"), col("n"),
+        round(col("n").cast("double") / col("_n_total").cast("double"), 6)
+          .as("support"))
+  }
+
+  /** Tokenizer-vocabulary coverage: vocab = the top-`vocabSize` corpus
+    * tokens (total order: count desc, token asc), then each document's
+    * out-of-vocabulary token fraction. Scale shape: the vocab derivation
+    * is a keyed count + distributed top-V (TakeOrdered — V rows to the
+    * driver, never the counts table), broadcast back against the map-only
+    * token explode; the per-document agg is the only corpus-wide shuffle.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(vocabSize)
+      .select("tok")
+    toks.join(broadcast(vocab.withColumn("_in", lit(1))), Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(col("_in").isNull, 1)).as("n_oov"))
+      .select(col(idCol), col("n_toks"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_toks").cast("double"), 6)
+          .as("oov_frac"))
+  }
+
   /** Sequence packing for training batches: documents, taken in a
     * deterministic order, are assigned to fixed-token-budget training
     * sequences by their running token OFFSET (a document belongs to the

@@ -62,6 +62,47 @@ object ExtQueries {
     "incremental exact dedup: new batch vs historical corpus fingerprint " +
       "index (within-batch keep-min-id + anti-join on content md5)")
 
+  private val qDedupKeepBest = Q(
+    "q_dedup_keep_best",
+    (s, d) => {
+      // canonical-selection dedup: groups are normalized-PREFIX
+      // fingerprints, the survivor is the LONGEST member (tie → min id) —
+      // the keep-best policy, vs q_dedup_exact's keep-min-id. The
+      // synthetic corpus has only byte-identical duplicates, so
+      // prefix-sharing longer variants are PLANTED (the
+      // q_dedup_incremental pattern): re-id'd copies with an appended
+      // tail, which must WIN their group — proving the survivor choice
+      // really is by length, not id. The oracle replays the planting.
+      val docs = documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"),
+            lit(" planted longer variant for canonical selection")).as("text"))
+      Dedup.keepBest(docs.unionByName(planted), "text", "doc_id")
+        .orderBy("keep_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 30000 AS doc_id,
+                     text || ' planted longer variant for canonical selection' AS text
+              FROM documents WHERE doc_id % 11 = 0),
+            k AS (SELECT doc_id,
+                         CAST(length(text) AS BIGINT) AS len,
+                         md5(substring(trim(regexp_replace(lower(text), ' +', ' ', 'g')),
+                                       1, 120)) AS fp
+                  FROM corpus),
+            r AS (SELECT fp, doc_id, len,
+                         row_number() OVER (PARTITION BY fp ORDER BY len DESC, doc_id) AS rk,
+                         count(*) OVER (PARTITION BY fp) AS n_members,
+                         max(len) OVER (PARTITION BY fp) AS best_len
+                  FROM k)
+            SELECT doc_id AS keep_id, n_members, best_len, fp
+            FROM r WHERE rk = 1 ORDER BY keep_id"""),
+    "keep-best canonical dedup: normalized-prefix fingerprint groups, " +
+      "longest member survives (single max_by agg — the shuffle carries " +
+      "one candidate per group per mapper)")
+
   private val qDedupNear = Q(
     "q_dedup_near",
     (s, d) =>
@@ -628,6 +669,57 @@ object ExtQueries {
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"""),
     "corpus bigram frequency (top-100) — n-gram statistics for LM data work")
 
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, d) =>
+      // exact frequent-token mining at 0.2% relative support. The sketch
+      // twin (count_min_sketch partial-agg + driver probe, the one-pass
+      // bounded-memory form for when exact counts don't fit) is
+      // property-tested against these exact counts in TextAnalysisSpec.
+      TextAnalysis.heavyHitters(documents(s, d), "text", support = 0.002)
+        .orderBy(col("n").desc, col("tok")),
+    Some("""WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+            total AS (SELECT count(*) AS n_total FROM t2)
+            SELECT tok, count(*) AS n,
+                   round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM total), 6)
+                     AS support
+            FROM t2 GROUP BY tok
+            HAVING CAST(count(*) AS DOUBLE) >= 0.002 * (SELECT n_total FROM total)
+            ORDER BY n DESC, tok"""),
+    "exact heavy hitters at relative support: one keyed agg + broadcast " +
+      "scalar total (CMS sketch twin property-tested against it)")
+
+  private val qOovRate = Q(
+    "q_oov_rate",
+    (s, d) =>
+      // tokenizer-vocab coverage: top-V corpus tokens as the vocab,
+      // per-doc out-of-vocabulary fraction. The vocab is a distributed
+      // TakeOrdered (V rows, never the counts table) broadcast back over
+      // the map-only token explode. V=16 because the synthetic corpus
+      // has only 31 distinct tokens — a real vocab size would make every
+      // fraction 0 and the operator unexercised.
+      TextAnalysis.oovRate(documents(s, d), "doc_id", "text", vocabSize = 16)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS n FROM t2
+                GROUP BY tok ORDER BY n DESC, tok LIMIT 16)),
+            per AS (
+              SELECT t.doc_id, count(*) AS n_toks,
+                     count(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+              FROM t2 t LEFT JOIN vocab v ON t.tok = v.tok
+              GROUP BY t.doc_id)
+            SELECT doc_id, n_toks, n_oov,
+                   round(CAST(n_oov AS DOUBLE) / n_toks, 6) AS oov_frac
+            FROM per ORDER BY doc_id"""),
+    "out-of-vocabulary rate against the top-V corpus vocab: distributed " +
+      "top-V + broadcast join — tokenizer coverage analysis")
+
   private val qTfidf = Q(
     "q_tfidf",
     (s, d) => {
@@ -1028,6 +1120,84 @@ object ExtQueries {
     "eval-set decontamination: word-8-gram overlap against a held-out " +
       "benchmark (broadcast eval grams; map-only corpus side)")
 
+  private val qContaminationScore = Q(
+    "q_contamination_score",
+    (s, d) => {
+      // q_decontaminate's POLICY form: per-document overlap fraction
+      // (shared distinct 8-grams / total distinct 8-grams) and the drop
+      // decision at 20% — partial overlap survives, wholesale leakage is
+      // dropped. The synthetic corpus has almost no organic mid-range
+      // overlap, so both sides of the threshold are PLANTED: eval docs
+      // re-id'd with a SHORT distinct-token pad (overlap stays high →
+      // dropped) and with a LONG pad (the same leak diluted below 20% →
+      // survives with a real nonzero fraction). Pads use numbered tokens
+      // because the fraction counts DISTINCT grams — a repeated pad word
+      // would collapse to one gram and not dilute at all.
+      def pad(n: Int) = array_join(
+        transform(sequence(lit(1), lit(n)),
+          i => concat(lit("pad"), i.cast("string"))), " ")
+      val docs = documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val heavy = evalSet.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(col("text"), lit(" "), pad(30)).as("text"))
+      val light = evalSet.filter(col("doc_id") % 100 === 50)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(col("text"), lit(" "), pad(600)).as("text"))
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text")
+        .unionByName(heavy).unionByName(light)
+      TextAnalysis.decontaminateScore(corpus, "doc_id", "text",
+          evalSet, "text", n = 8, threshold = 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH pads AS (
+              SELECT 30 AS k, array_to_string(list_transform(
+                       generate_series(1, 30), i -> 'pad' || CAST(i AS VARCHAR)), ' ') AS p
+              UNION ALL
+              SELECT 600, array_to_string(list_transform(
+                       generate_series(1, 600), i -> 'pad' || CAST(i AS VARCHAR)), ' ')),
+            corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+              UNION ALL
+              SELECT doc_id + 60000, text || ' ' || (SELECT p FROM pads WHERE k = 30)
+              FROM documents WHERE doc_id % 100 = 0
+              UNION ALL
+              SELECT doc_id + 70000, text || ' ' || (SELECT p FROM pads WHERE k = 600)
+              FROM documents WHERE doc_id % 100 = 50 AND doc_id % 50 = 0),
+            ng AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+              WHERE len(toks) >= 8),
+            eval_ng AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> array_to_string(toks[i:i+7], ' ')))) AS g
+              FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                    WHERE doc_id % 50 = 0)
+              WHERE len(toks) >= 8),
+            per AS (
+              SELECT c.doc_id, count(*) AS n_grams, count(e.g) AS n_shared
+              FROM ng c LEFT JOIN eval_ng e ON c.g = e.g
+              GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+                   CASE WHEN p.n_grams IS NOT NULL
+                        THEN round(CAST(p.n_shared AS DOUBLE) / p.n_grams, 6)
+                        ELSE 0.0 END AS overlap_frac,
+                   CASE WHEN p.n_grams IS NOT NULL
+                        THEN CAST(p.n_shared AS DOUBLE) / p.n_grams >= 0.2
+                        ELSE false END AS drop_doc
+            FROM (SELECT doc_id FROM corpus) d
+            LEFT JOIN per p ON d.doc_id = p.doc_id
+            ORDER BY d.doc_id"""),
+    "scored decontamination: per-doc eval-overlap fraction + drop policy " +
+      "(broadcast eval grams; the gram total falls out of the same pass)")
+
   private val qDecontaminateBloom = Q(
     "q_decontaminate_bloom",
     (s, d) => {
@@ -1106,14 +1276,15 @@ object ExtQueries {
     "audio metadata decode stage (real WAV header parse; stub fallback)")
 
   def all: Seq[Q] = Seq(
-    qDedupExact, qDedupIncremental, qDedupNear, qDedupClusters, qCcChains,
-    qDedupSimhash, qDedupNgram, qDedupSpan, qDedupSemantic,
+    qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear, qDedupClusters,
+    qCcChains, qDedupSimhash, qDedupNgram, qDedupSpan, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qNgramFreq, qTfidf, qRepetition, qRepetitionPrune, qTextNormalize, qSplitStable,
+    qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
+    qTextNormalize, qSplitStable,
     qPackSequences, qChunkWindows, qMixture, qQualityGate,
     qSampleStratified, qShuffleShard, qCuratePipeline,
-    qRedact, qDecontaminate, qDecontaminateBloom, qZorder,
+    qRedact, qDecontaminate, qContaminationScore, qDecontaminateBloom, qZorder,
     qMultimodal, qMultimodalAudio)
 }

@@ -230,6 +230,25 @@ object RelationalQueries {
             FROM orders ORDER BY o_orderkey"""),
     "ORC sink -> ORC source round-trip, hash-checked against the parquet original")
 
+  private val qXmlRoundtrip = Q(
+    "q_xml_roundtrip",
+    (s, d) => {
+      // third round-trip format: row-oriented XML (Spark 4 built-in
+      // source), for feeds that arrive as XML records. p_name/p_type are
+      // multi-word free-ish text — the entity-escaping risk surface —
+      // and the read passes the write schema explicitly (no inference).
+      val src = part(s, d)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+      val out = s"/tmp/graft_xml_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writeXml(src, out, rowTag = "part")
+      graft.sources.Sources.xml(s, out, rowTag = "part", schema = Some(src.schema))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size
+            FROM part ORDER BY p_partkey"""),
+    "XML sink -> XML source round-trip (rowTag records, entity escaping), " +
+      "hash-checked against the parquet original")
+
   // ---------------------------------------------------------------- joins
 
   private val qJoinBroadcast = Q(
@@ -1398,7 +1417,7 @@ object RelationalQueries {
     qNullHandling, qCaseBuckets,
     qStatsMoments, qHistogram, qDateArith,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
-    qCsvRoundtrip, qOrcRoundtrip,
+    qCsvRoundtrip, qOrcRoundtrip, qXmlRoundtrip,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofGeneric,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,

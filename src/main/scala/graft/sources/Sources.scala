@@ -163,6 +163,23 @@ object Sources {
   def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** XML source/sink (Spark 4's built-in `xml` format) — the third
+    * interchange round-trip next to CSV and ORC, for feeds that arrive as
+    * XML records. `rowTag` names the per-record element. Reads take an
+    * explicit schema at scale (like [[ndjson]] — inference costs an extra
+    * pass); the fidelity risk this format adds is entity escaping of
+    * free text, which the round-trip query hash-checks.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("xml").option("rowTag", rowTag).save(path)
+
   /** Bucketed managed table: pre-shuffles once at write time so repeated
     * equi-joins/aggregations on the bucket key run WITHOUT a shuffle —
     * the co-located-join layout for fact⋈fact at 100 TB (write cost is

@@ -27,6 +27,24 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 2L)
   }
 
+  test("keepBest keeps the longest member per normalized-prefix group, ties to min id") {
+    val variants = Seq(
+      (0L, "Shared Opening Words For The Group here"),
+      (1L, "shared opening words for the group here plus a much longer tail"), // longest → wins
+      (2L, "SHARED OPENING WORDS FOR THE GROUP here"), // case variant, same norm prefix
+      (3L, "tie candidate text"),
+      (4L, "tie candidate text"), // equal length → min id 3 survives
+      (5L, "a lone document")
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepBest(variants, "text", "doc_id", prefixLen = 30)
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 63L), // group {0,1,2}: longest member
+      (3L, 2L, 18L), // tie group {3,4}: min id
+      (5L, 1L, 15L)))
+  }
+
   test("incremental dedup drops corpus copies, collapses in-batch dups, keeps new uniques") {
     val corpus = Seq((10L, "alpha doc"), (11L, "beta doc")).toDF("doc_id", "text")
     val batch = Seq(

@@ -209,6 +209,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.size == 3) // every corpus doc present, flagged or not
   }
 
+  test("decontaminateScore reports shared-gram fraction and drops only above threshold") {
+    val evalSet = Seq("one two three four").toDF("text")
+    val corpus = Seq(
+      (1L, "one two three four"),            // both 3-grams shared → frac 1.0 → dropped
+      (2L, "one two three padA padB padC"),  // 1 of 4 grams shared → 0.25 → kept
+      (3L, "x y")                            // < n tokens → no grams, frac 0, kept
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateScore(corpus, "doc_id", "text",
+        evalSet, "text", n = 3, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 1.0, true)))
+    assert(got(2L) == ((4L, 1L, 0.25, false)))
+    assert(got(3L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("heavyHitters finds exactly the tokens above support; CMS twin never undercounts") {
+    val df = Seq("a a a a b b c", "a b d").toDF("text")
+    // counts: a=5, b=3, c=1, d=1 of 10 tokens; support 0.25 → {a, b}
+    val got = TextAnalysis.heavyHitters(df, "text", support = 0.25)
+      .orderBy(desc("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 5L, 0.5), ("b", 3L, 0.3)))
+
+    // the sketch twin (the one-pass bounded-memory form for when exact
+    // counts don't fit): a distributed count_min_sketch partial agg whose
+    // driver-side probe must never undercount, and at this eps has no
+    // collisions — estimates equal the exact counts
+    val toks = df.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.createOrReplaceTempView("hh_toks")
+    val bytes = spark.sql(
+      "SELECT count_min_sketch(tok, 0.001d, 0.99d, 42) FROM hh_toks")
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
+    exact.foreach { case (tok, n) =>
+      assert(cms.estimateCount(tok) >= n, s"CMS undercounted $tok")
+      assert(cms.estimateCount(tok) == n, s"CMS collided on $tok at eps=0.001")
+    }
+  }
+
+  test("oovRate scores tokens outside the top-V vocab, with a total tiebreak") {
+    val df = Seq((1L, "a a b z"), (2L, "a b b q z")).toDF("doc_id", "text")
+    // counts: a=3, b=3, z=2, q=1; V=2 → vocab {a, b} (count desc, token asc)
+    val got = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 5L, 2L, 0.4)))
+  }
+
   test("stratifiedSample caps each group, keeps small groups whole, is partition-stable") {
     val df = spark.range(0, 50).select(col("id"), lit("big").as("g"))
       .unionByName(spark.range(100, 103).select(col("id"), lit("small").as("g")))

@@ -33,6 +33,25 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.toSeq == df.columns.toSeq)
   }
 
+  test("xml round-trip preserves markup-significant text via entity escaping") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain text"),
+      (2L, "a < b & c > d"),          // the characters XML must escape
+      (3L, "quotes \" and ' survive"),
+      (4L, "tags <record>nested</record> as data")
+    ).toDF("id", "txt")
+    val path = tmp("xml_rt")
+    Sources.writeXml(df, path, rowTag = "rec")
+    val back = Sources.xml(spark, path, rowTag = "rec", schema = Some(df.schema))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == Seq(
+      (1L, "plain text"),
+      (2L, "a < b & c > d"),
+      (3L, "quotes \" and ' survive"),
+      (4L, "tags <record>nested</record> as data")))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = Tables.documents(spark, sfDir)
     val path = tmp("docs_part")
