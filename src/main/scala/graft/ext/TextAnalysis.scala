@@ -329,6 +329,25 @@ object TextAnalysis {
           .as("oov_frac"))
   }
 
+  /** Epoch-weighting upsample: the complement of [[mixtureSample]]'s
+    * down-sampling. Each source's documents are REPEATED `weight` times
+    * (integer weights, default 1), tagged with a copy index so
+    * downstream shard shuffling treats copies as distinct examples.
+    * Map-only explode — no shuffle at any scale; the standard way
+    * high-quality sources get more than one epoch in a mixed corpus
+    * without a driver loop or a self-union per epoch.
+    */
+  def mixtureUpsample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    val w = weights.foldLeft(lit(1)) { case (acc, (src, k)) =>
+      when(col(sourceCol) === src, lit(k)).otherwise(acc)
+    }
+    df.withColumn("copy", explode(sequence(lit(1), w)))
+  }
+
   /** Sequence packing for training batches: documents, taken in a
     * deterministic order, are assigned to fixed-token-budget training
     * sequences by their running token OFFSET (a document belongs to the

@@ -1057,6 +1057,27 @@ object ExtQueries {
     "deterministic mixture sampling: per-source keep rates via " +
       "content-addressed md5 buckets (reproducible data mixing)")
 
+  private val qMixtureUpsample = Q(
+    "q_mixture_upsample",
+    (s, d) =>
+      // the other half of data mixing: EPOCH WEIGHTING. High-quality
+      // sources repeat (src0/src1 ×3, src2 ×2, rest ×1) with a copy
+      // index — a map-only explode, no shuffle, no driver loop.
+      TextAnalysis.mixtureUpsample(
+          documents(s, d).select("doc_id", "source"),
+          "doc_id", "source", Map("src0" -> 3, "src1" -> 3, "src2" -> 2))
+        .select(col("doc_id"), col("source"),
+          col("copy").cast("long").as("copy"))
+        .orderBy("doc_id", "copy"),
+    Some("""SELECT doc_id, source,
+                   unnest(generate_series(1, CASE source WHEN 'src0' THEN 3
+                                                         WHEN 'src1' THEN 3
+                                                         WHEN 'src2' THEN 2
+                                                         ELSE 1 END)) AS copy
+            FROM documents ORDER BY doc_id, copy"""),
+    "epoch-weighting upsample: per-source integer repeat with copy index " +
+      "(map-only explode — reproducible mixture weighting)")
+
   private val qRedact = Q(
     "q_redact",
     (s, d) =>
@@ -1283,7 +1304,7 @@ object ExtQueries {
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable,
-    qPackSequences, qChunkWindows, qMixture, qQualityGate,
+    qPackSequences, qChunkWindows, qMixture, qMixtureUpsample, qQualityGate,
     qSampleStratified, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateBloom, qZorder,
     qMultimodal, qMultimodalAudio)

@@ -425,6 +425,41 @@ object RelationalQueries {
       "latest click at-or-before each event per user, with the matched " +
       "row's timestamp — tolerance/tie-break semantics checked cross-engine")
 
+  private val qJoinInterval = Q(
+    "q_join_interval",
+    (s, d) => {
+      // interval containment WITHOUT an equi-key — which Catalyst can only
+      // plan as a nested-loop join. graft.ops.IntervalJoin bins both sides
+      // onto bucket ids (width = the 10-min interval span, so each
+      // interval explodes to ≤ 2 buckets) and equi-joins on the bucket:
+      // clicks falling inside any purchase's 10-minute attribution window,
+      // corpus-wide. µs epochs on both engines (the ns-safe derivation).
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("us"))
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("us").as("start_us"), (col("us") + 600000000L).as("end_us"))
+      IntervalJoin.containment(probes, "us", intervals,
+          "start_us", "end_us", bucketWidth = 600000000L)
+        .select(col("click_id"), col("purchase_id"),
+          (col("us") - col("start_us")).as("lag_us"))
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                        FROM events),
+            p AS (SELECT event_id AS click_id, us FROM ev WHERE event_type = 'click'),
+            i AS (SELECT event_id AS purchase_id, us AS start_us,
+                         us + 600000000 AS end_us
+                  FROM ev WHERE event_type = 'purchase')
+            SELECT p.click_id, i.purchase_id, p.us - i.start_us AS lag_us
+            FROM p JOIN i ON p.us BETWEEN i.start_us AND i.end_us
+            ORDER BY click_id, purchase_id"""),
+    "no-equi-key interval containment via bucket binning (IntervalJoin): " +
+      "a keyed shuffle join instead of the quadratic nested-loop plan")
+
   // ------------------------------------------------------------ aggregates
 
   private val qAgg = Q(
@@ -1419,7 +1454,7 @@ object RelationalQueries {
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
     qCsvRoundtrip, qOrcRoundtrip, qXmlRoundtrip,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinAsofGeneric,
+    qJoinRange, qJoinAsof, qJoinAsofGeneric, qJoinInterval,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
     qStreamSliding, qStreamSession, qStreamJoin, qStreamDedup,

@@ -262,6 +262,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 5L, 2L, 0.4)))
   }
 
+  test("mixtureUpsample repeats sources by weight with a distinct copy index") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "source")
+    val got = TextAnalysis.mixtureUpsample(df, "doc_id", "source",
+        Map("a" -> 3, "b" -> 2))
+      .orderBy("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 1), (1L, "a", 2), (1L, "a", 3),
+      (2L, "b", 1), (2L, "b", 2),
+      (3L, "c", 1))) // unweighted source defaults to one copy
+  }
+
   test("stratifiedSample caps each group, keeps small groups whole, is partition-stable") {
     val df = spark.range(0, 50).select(col("id"), lit("big").as("g"))
       .unionByName(spark.range(100, 103).select(col("id"), lit("small").as("g")))
