@@ -191,6 +191,45 @@ object ScaleSoak {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5).count()
     }
 
+    timed("keep_best_dedup") {
+      graft.ext.Dedup.keepBest(docs, "text", "doc_id").count()
+    }
+    timed("heavy_hitters") {
+      graft.ext.TextAnalysis.heavyHitters(docs, "text", support = 0.001).count()
+    }
+    timed("oov_rate") {
+      graft.ext.TextAnalysis.oovRate(docs, "doc_id", "text", vocabSize = 300)
+        .agg(sum("n_oov")).collect().length.toLong
+    }
+    timed("contamination_score") {
+      // fixed-size benchmark (eval sets don't grow with the corpus), so
+      // the broadcast gram set stays ~MBs at any n
+      val bench = docs.filter(col("doc_id") < 20000)
+      val corpusSide = docs.filter(col("doc_id") >= 20000)
+      graft.ext.TextAnalysis.decontaminateScore(corpusSide, "doc_id", "text",
+        bench, "text", n = 8, threshold = 0.2).filter(col("drop_doc")).count()
+    }
+    timed("interval_join") {
+      // probe density 0.5/unit over a 2n domain; interval span 10 at
+      // bucket width 16 → ≤2 exploded buckets per interval, ~8 probes
+      // per bucket, ~n output pairs — the keyed-shuffle containment join
+      val domain = n * 2
+      val probes = docs.select(col("doc_id").as("probe_id"),
+        pmod(hash(col("doc_id")), lit(domain)).cast("long").as("x"))
+      val ivs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("interval_id"),
+          pmod(hash(col("doc_id"), lit(1)), lit(domain)).cast("long").as("s"))
+        .withColumn("e", col("s") + 10)
+      graft.ops.IntervalJoin.containment(probes, "x", ivs, "s", "e",
+        bucketWidth = 16).count()
+    }
+    timed("mixture_upsample") {
+      graft.ext.TextAnalysis.mixtureUpsample(
+        docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+          .select("doc_id", "source"),
+        "doc_id", "source", Map("s0" -> 3, "s1" -> 2)).count()
+    }
+
     // ------------------------------------------------- similarity family
     // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor
     // directions plus per-vector noise, so IVF cells are meaningful

@@ -152,6 +152,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("keepBest matches a brute-force reference on generated corpora") {
+    val prefixLen = 12
+    (1L to 5L).foreach { seed =>
+      // mixed case + a trailing-space word → normalization (lower, squeeze,
+      // trim) does real work before the prefix fingerprint groups anything
+      val docGen = Gen.listOfN(30, for {
+        len <- Gen.chooseNum(1, 6)
+        ws <- Gen.listOfN(len, Gen.oneOf("alpha", "Beta", "GAMMA", "delta "))
+      } yield ws.mkString(" "))
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def norm(s: String) = s.toLowerCase.replaceAll(" +", " ").trim
+      val expect = docs.groupBy { case (_, t) => norm(t).take(prefixLen) }
+        .map { case (_, members) =>
+          val (bestId, _) = members.maxBy { case (id, t) => (t.length.toLong, -id) }
+          (bestId, members.size.toLong, members.map(_._2.length).max.toLong)
+        }.toSet
+      val got = Dedup.keepBest(docs.toDF("doc_id", "text"), "text", "doc_id", prefixLen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("interval containment join matches the quadratic reference on generated data") {
+    (1L to 5L).foreach { seed =>
+      val probeGen = Gen.listOfN(40, Gen.chooseNum(0L, 300L))
+      val ivGen = Gen.listOfN(15, for {
+        s <- Gen.chooseNum(0L, 280L)
+        len <- Gen.chooseNum(0L, 60L)
+      } yield (s, s + len))
+      val probes = sample(probeGen, seed).zipWithIndex
+        .map { case (x, i) => (i.toLong, x) }
+      val ivs = sample(ivGen, seed + 100).zipWithIndex
+        .map { case ((st, en), i) => (i.toLong, st, en) }
+      val expect = (for {
+        (pid, x) <- probes
+        (iid, st, en) <- ivs
+        if x >= st && x <= en
+      } yield (pid, iid)).toSet
+      val pdf = probes.toDF("probe_id", "x")
+      val idf = ivs.toDF("interval_id", "s", "e")
+      for (w <- Seq(7L, 50L)) {
+        val got = graft.ops.IntervalJoin.containment(pdf, "x", idf, "s", "e", w)
+          .select("probe_id", "interval_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == got.toSet.size, s"seed=$seed width=$w: duplicate pairs")
+        assert(got.toSet == expect, s"seed=$seed width=$w")
+      }
+    }
+  }
+
   test("stable split is a total function into {train,val,test}") {
     (1L to 5L).foreach { seed =>
       val keys = sample(Gen.listOfN(30, Gen.chooseNum(0L, 1000000L)), seed)
