@@ -651,4 +651,53 @@ object Dedup {
               !array_contains(coalesce(col("_cov"), array().cast("array<int>")), i)),
           " ").as("pruned_text"))
   }
+
+  /** Paragraph-level cross-corpus dedup (the CCNet shape, Wenzek et al.
+    * 2019: hash each paragraph, drop every occurrence after the first
+    * ACROSS the whole corpus, reassemble documents from the surviving
+    * paragraphs, drop documents left empty). "First" is by (doc id,
+    * paragraph position) — total and content-independent, so re-runs and
+    * engines agree on which copy survives.
+    *
+    * `parasCol` is any array-of-strings segmentation (newline paragraphs
+    * in real corpora; [[TextAnalysis.fixedTokenSegments]] for the
+    * newline-free test tables) — segmentation policy stays with the
+    * caller, dedup semantics live here.
+    *
+    * Scale shape: explode is map-only; the first-occurrence choice is a
+    * `min(struct(id, pos))` groupBy keyed by the paragraph hash —
+    * partial-agg'd, so the shuffle carries one (16-byte fp, id, pos)
+    * candidate per group per mapper, never the text. The occurrence⋈
+    * first-occurrence join is keyed by the same fp (at 100 TB the
+    * materialized fp→first index is the [[incremental]] bucketed-index
+    * pattern). Reassembly is one groupBy(id) collect of the KEPT
+    * paragraphs only — bounded by each doc's own size.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      parasCol: Column): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(parasCol).as(Seq("_pos", "_para")))
+      .withColumn("_fp", md5(col("_para")))
+    val firsts = paras
+      .groupBy("_fp")
+      .agg(min(struct(col(idCol).as("_id"), col("_pos").as("_p"))).as("_first"))
+    paras
+      .join(firsts, "_fp")
+      .withColumn("_keep",
+        col("_first._id") === col(idCol) && col("_first._p") === col("_pos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops nulls, so only kept paragraphs enter; struct
+        // sort orders by _pos first → original paragraph order restored
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("_pos"), col("_para"))))),
+            p => p.getField("_para"))).as("text"))
+      .filter(col("n_kept") > 0)
+  }
 }

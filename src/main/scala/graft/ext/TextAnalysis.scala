@@ -329,6 +329,82 @@ object TextAnalysis {
           .as("oov_frac"))
   }
 
+  /** Fixed-size token segmentation: splits a document into consecutive
+    * `k`-token paragraphs (the last one may be shorter) — the segmenter
+    * [[graft.ext.Dedup.paragraphDedup]] uses on the newline-free test
+    * tables. Map-only array projection; real corpora would pass
+    * `split(text, "\n\n")` instead.
+    */
+  def fixedTokenSegments(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(0), floor((size(toks) - 1) / k).cast("int")),
+      g => array_join(slice(toks, g * k + 1, lit(k)), " "))
+  }
+
+  /** Vocabulary build with a coverage curve: the top-`topV` corpus tokens
+    * by frequency (total order: count desc, token asc) with rank,
+    * cumulative token count, and the fraction of ALL corpus tokens the
+    * vocabulary covers through that rank — the "how big must V be"
+    * diagnostic behind tokenizer/vocab sizing.
+    *
+    * Scale shape: one keyed token count (partial-agg'd — the shuffle
+    * carries (token, count), never positions), a distributed top-V
+    * (TakeOrdered: V rows, not the counts table), and the corpus total
+    * from the same counts aggregate. The rank/cumsum window runs over the
+    * V survivors only — bounded by V, independent of corpus size.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, topV: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    counts
+      .orderBy(col("n").desc, col("tok"))
+      .limit(topV)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("n"), col("cum_n"),
+        round(col("cum_n").cast("double") / col("_total").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** Per-source token-budget sampling: documents are taken in a
+    * content-addressed deterministic order (md5 of the id — re-runs and
+    * partitionings agree) and kept while the source's running token count
+    * is still under `budgetTokens`; the document that crosses the budget
+    * is the last one kept. The mixture-construction step when targets are
+    * TOKEN budgets, not document counts or rates — [[mixtureSample]]'s
+    * complement for corpora with wildly varying document lengths.
+    *
+    * Scale shape: one window sort keyed by source (each source packs
+    * independently on its own reducer — the [[packSequences]] sharding
+    * argument); the token count is a map-only expression. Sources absent
+    * from `budgets` are dropped.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (src, b)) =>
+      when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("_before") < budget)
+      .withColumn("cum_tokens", col("_before") + col("n_tokens"))
+      .drop("_before")
+  }
+
   /** Epoch-weighting upsample: the complement of [[mixtureSample]]'s
     * down-sampling. Each source's documents are REPEATED `weight` times
     * (integer weights, default 1), tagged with a copy index so

@@ -1078,6 +1078,122 @@ object ExtQueries {
     "epoch-weighting upsample: per-source integer repeat with copy index " +
       "(map-only explode — reproducible mixture weighting)")
 
+  private val qDedupParagraph = Q(
+    "q_dedup_paragraph",
+    (s, d) => {
+      // CCNet-style paragraph dedup: drop every paragraph occurrence
+      // after the first ACROSS the corpus, reassemble the survivors. The
+      // synthetic docs share no whole segments, so cross-doc duplicate
+      // paragraphs are PLANTED (the q_dedup_incremental pattern): re-id'd
+      // docs whose opening 12-token segment copies an existing doc's
+      // opening segment — that paragraph must drop from the planted doc
+      // (the original is first by (id, pos)) while its unique tail
+      // survives. The oracle replays the planting.
+      val docs = documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(
+            array_join(slice(split(col("text"), " "), 1, 12), " "),
+            lit(" planted tail "), col("doc_id")).as("text"))
+      // wholly-duplicate docs (their only paragraph copies an original's
+      // opening segment) must VANISH — the drop-emptied-docs path
+      val emptied = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+      Dedup.paragraphDedup(
+          docs.unionByName(planted).unionByName(emptied), "doc_id",
+          TextAnalysis.fixedTokenSegments(col("text"), 12))
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 50000 AS doc_id,
+                     array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+                       || ' planted tail ' || doc_id AS text
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 60000 AS doc_id,
+                     array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS text
+              FROM documents WHERE doc_id % 13 = 0),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+            paras AS (
+              SELECT t.doc_id, r.pos,
+                     array_to_string(list_slice(t.toks, r.pos * 12 + 1,
+                                                r.pos * 12 + 12), ' ') AS para
+              FROM toks t JOIN range(0, 1000) r(pos)
+                ON r.pos <= CAST(floor((len(t.toks) - 1) / 12.0) AS BIGINT)),
+            ranked AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+              FROM paras)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   string_agg(CASE WHEN rk = 1 THEN para END, ' ' ORDER BY pos) AS text
+            FROM ranked GROUP BY doc_id
+            HAVING sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) > 0
+            ORDER BY doc_id"""),
+    "paragraph-level cross-corpus dedup (CCNet shape): keep-first by " +
+      "(id, pos) on paragraph hash, reassemble survivors, drop emptied docs")
+
+  private val qVocabBuild = Q(
+    "q_vocab_build",
+    (s, d) =>
+      TextAnalysis.vocabCoverage(documents(s, d), "text", topV = 50)
+        .orderBy("rank"),
+    Some("""WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            counts AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE tok <> '' GROUP BY tok),
+            total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+            top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 50),
+            r AS (
+              SELECT tok, n,
+                     CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
+                     CAST(sum(n) OVER (ORDER BY n DESC, tok) AS BIGINT) AS cum_n
+              FROM top)
+            SELECT rank, tok, n, cum_n,
+                   round(CAST(cum_n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS coverage
+            FROM r, total ORDER BY rank"""),
+    "vocabulary build with coverage curve: keyed token count + " +
+      "distributed top-V, rank/cumsum window over the V survivors only")
+
+  private val qSampleTokenBudget = Q(
+    "q_sample_token_budget",
+    (s, d) =>
+      // token-budget mixture step: src0 capped at 800 tokens (partial
+      // keep — the crossing doc is the last kept), src1 at 600, src2 at
+      // 10000 (keeps the whole source), the other 17 sources dropped
+      TextAnalysis.tokenBudgetSample(
+          documents(s, d).select("doc_id", "source", "text"),
+          "doc_id", "source", "text",
+          Map("src0" -> 800L, "src1" -> 600L, "src2" -> 10000L))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS _before
+              FROM t)
+            SELECT doc_id, source, n_tokens, _before + n_tokens AS cum_tokens
+            FROM c
+            WHERE _before < CASE source WHEN 'src0' THEN 800
+                                        WHEN 'src1' THEN 600
+                                        WHEN 'src2' THEN 10000
+                                        ELSE -1 END
+            ORDER BY doc_id"""),
+    "per-source token-budget sampling: content-addressed order, keep " +
+      "while the running token count is under budget (one keyed window)")
+
   private val qRedact = Q(
     "q_redact",
     (s, d) =>
@@ -1303,9 +1419,9 @@ object ExtQueries {
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
-    qTextNormalize, qSplitStable,
+    qTextNormalize, qSplitStable, qDedupParagraph, qVocabBuild,
     qPackSequences, qChunkWindows, qMixture, qMixtureUpsample, qQualityGate,
-    qSampleStratified, qShuffleShard, qCuratePipeline,
+    qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateBloom, qZorder,
     qMultimodal, qMultimodalAudio)
 }

@@ -1014,6 +1014,40 @@ object RelationalQueries {
              ORDER BY revenue DESC, n_name"""),
     "TPC-H Q5 shape: 6-way join with the local-supplier nation condition")
 
+  private val qTpchQ10 = Q(
+    "q_tpch_q10",
+    (s, d) =>
+      // TPC-H Q10 shape (returned-item report): quarter-filtered orders ⋈
+      // returned lineitems shuffled on the order key, customer dim joined
+      // on the grouped custkey, nation broadcast for the display name —
+      // top-20 customers by lost revenue. The synthetic schema carries no
+      // c_address/c_phone/c_comment; the grouped keys are the ones it has.
+      customer(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("timestamp'1996-04-01 00:00:00'")),
+          col("c_custkey") === col("o_custkey"))
+        // merge hint: see q_join_sortmerge — never driver-build the fact side
+        .join(lineitem(s, d).hint("merge").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+    Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revenueSql AS revenue
+             FROM customer
+             JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             JOIN nation ON c_nationkey = n_nationkey
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1996-04-01'
+               AND l_returnflag = 'R'
+             GROUP BY 1, 2, 3, 4
+             ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    "TPC-H Q10 shape: returned-item revenue by customer, dim broadcast + " +
+      "fact shuffle join, top-20")
+
   private val qJoinSalted = Q(
     "q_join_salted",
     (s, d) =>
@@ -1458,6 +1492,6 @@ object RelationalQueries {
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
     qStreamSliding, qStreamSession, qStreamJoin, qStreamDedup,
-    qTpchQ3, qTpchQ5, qJoinSalted, qTopk,
+    qTpchQ3, qTpchQ5, qTpchQ10, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }

@@ -229,6 +229,23 @@ object ScaleSoak {
           .select("doc_id", "source"),
         "doc_id", "source", Map("s0" -> 3, "s1" -> 2)).count()
     }
+    timed("paragraph_dedup") {
+      // 10-token segments over 30-token docs: exact-dup docs lose all 3
+      // paragraphs, near-dups lose their first 2 → ~15% of docs shrink
+      graft.ext.Dedup.paragraphDedup(docs, "doc_id",
+        graft.ext.TextAnalysis.fixedTokenSegments(col("text"), 10)).count()
+    }
+    timed("vocab_coverage") {
+      graft.ext.TextAnalysis.vocabCoverage(docs, "text", 1000).count()
+    }
+    timed("token_budget") {
+      // per-source budget = half the source's ~1.5n/20 tokens → real
+      // partial keeps on all 20 window partitions
+      val budgets = (0 until 20).map(i => s"s$i" -> n * 3 / 80).toMap
+      graft.ext.TextAnalysis.tokenBudgetSample(
+        docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+        "doc_id", "source", "text", budgets).count()
+    }
 
     // ------------------------------------------------- similarity family
     // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor

@@ -203,6 +203,105 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("paragraphDedup matches a brute-force reference on generated corpora") {
+    val k = 3 // 3-token paragraphs over a tiny vocab → real cross-doc dups
+    (1L to 5L).foreach { seed =>
+      val docGen = Gen.listOfN(25, for {
+        len <- Gen.chooseNum(1, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield ws.mkString(" "))
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      // brute force: segment, keep global first occurrence by (id, pos),
+      // reassemble in pos order, drop emptied docs
+      val segs = docs.flatMap { case (id, t) =>
+        t.split(" ").grouped(k).map(_.mkString(" ")).zipWithIndex
+          .map { case (p, pos) => (id, pos, p) }
+      }
+      val firsts = segs.groupBy(_._3).map { case (p, occ) =>
+        (p, occ.map(o => (o._1, o._2)).min)
+      }
+      val expect = segs
+        .filter { case (id, pos, p) => firsts(p) == (id, pos) }
+        .groupBy(_._1)
+        .map { case (id, kept) =>
+          val total = segs.count(_._1 == id).toLong
+          (id, total, kept.size.toLong,
+            kept.sortBy(_._2).map(_._3).mkString(" "))
+        }.toSet
+      val got = Dedup.paragraphDedup(docs.toDF("doc_id", "text"), "doc_id",
+          graft.ext.TextAnalysis.fixedTokenSegments(col("text"), k))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("tokenBudgetSample is greedy-prefix-exact per source") {
+    val budgets = Map("s0" -> 20L, "s1" -> 7L)
+    (1L to 5L).foreach { seed =>
+      val docGen = Gen.listOfN(30, for {
+        src <- Gen.oneOf("s0", "s1", "s2")
+        len <- Gen.chooseNum(1, 6)
+        ws <- Gen.listOfN(len, Gen.oneOf("x", "y"))
+      } yield (src, ws.mkString(" ")))
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case ((src, t), i) => (i.toLong, src, t) }
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      // brute force: per source, docs in (md5(id), id) order, keep while
+      // the running total BEFORE the doc is still under budget
+      val expect = docs.groupBy(_._2).flatMap { case (src, members) =>
+        budgets.get(src).toSeq.flatMap { b =>
+          var cum = 0L
+          members.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+            .flatMap { case (id, _, t) =>
+              val n = t.split(" ").length.toLong
+              val keep = cum < b
+              cum += n
+              if (keep) Some((id, src, n, cum)) else None
+            }
+        }
+      }.toSet
+      val got = graft.ext.TextAnalysis.tokenBudgetSample(
+          docs.toDF("doc_id", "source", "text"),
+          "doc_id", "source", "text", budgets)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("vocabCoverage is the exact frequency-ranked prefix of the corpus") {
+    (1L to 5L).foreach { seed =>
+      val docGen = Gen.listOfN(20, Gen.listOfN(8,
+        Gen.oneOf("p", "q", "r", "s", "t", "u")).map(_.mkString(" ")))
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val counts = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, o) => (w, o.size.toLong) }
+      val total = counts.values.sum
+      val ranked = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(4)
+      val expect = ranked.zipWithIndex.map { case ((w, n), i) =>
+        val cum = ranked.take(i + 1).map(_._2).sum
+        (i + 1L, w, n, cum,
+          BigDecimal(cum.toDouble / total)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val got = graft.ext.TextAnalysis.vocabCoverage(
+          docs.toDF("doc_id", "text"), "text", topV = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+        .toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("stable split is a total function into {train,val,test}") {
     (1L to 5L).foreach { seed =>
       val keys = sample(Gen.listOfN(30, Gen.chooseNum(0L, 1000000L)), seed)
