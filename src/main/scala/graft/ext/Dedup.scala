@@ -700,4 +700,31 @@ object Dedup {
             p => p.getField("_para"))).as("text"))
       .filter(col("n_kept") > 0)
   }
+
+  /** Corpus version diff: the added / removed / changed report between
+    * two snapshots of a keyed corpus — the audit step before promoting a
+    * new crawl or rebuild (how many documents did this pipeline change,
+    * and which). Rows identical in both versions are omitted (at real
+    * scale they are the overwhelming majority; the report is the delta).
+    *
+    * Scale shape: contents collapse to md5 fingerprints map-side, so the
+    * full-outer join shuffles (id, 16-byte fp) pairs — never the texts —
+    * and both sides co-locate if the snapshots are bucketed by id (the
+    * [[incremental]] write-time pattern).
+    */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(contentCol)).as("old_fp"))
+    val n = newDf.select(col(idCol), md5(col(contentCol)).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"), col("old_fp"), col("new_fp"))
+  }
 }

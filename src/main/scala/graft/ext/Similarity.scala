@@ -86,6 +86,51 @@ object Similarity {
       .select(col(idCol), gf.cosine_similarity(col(embCol), col("_qvec")).as("score"))
   }
 
+  /** Contrastive-training mining sets for one anchor: the top `posK`
+    * vectors by cosine are the POSITIVES, the next `hardK` are the HARD
+    * NEGATIVES (similar-but-not-matching — the band that makes contrastive
+    * losses learn), and `randK` RANDOM NEGATIVES are drawn from the rest
+    * by content-addressed md5 order (deterministic across runs, engines,
+    * and partitionings — no rand()). Scores are rounded to 6 places
+    * BEFORE ranking so the band boundaries are engine-portable.
+    *
+    * Scale shape: one map-only scoring scan (broadcast one-row query, the
+    * [[bruteForceScoresLazy]] kernel); the positive/hard band is a single
+    * TakeOrdered of posK+hardK rows; the random negatives are a second
+    * TakeOrdered keyed by md5 after a broadcast anti-join against the
+    * (tiny) band — the corpus is never shuffled, only scanned.
+    */
+  def miningSets(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: DataFrame,
+      queryEmbCol: String,
+      posK: Int,
+      hardK: Int,
+      randK: Int): DataFrame = {
+    val scores = bruteForceScoresLazy(embeddings, idCol, embCol, query, queryEmbCol)
+      .select(col(idCol), round(col("score"), 6).as("score"))
+    val band = scores.orderBy(col("score").desc, col(idCol)).limit(posK + hardK)
+    // rank window over the posK+hardK survivors only — bounded by the band
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    val ranked = band.withColumn("rank", row_number().over(w).cast("long"))
+    val positives = ranked.filter(col("rank") <= posK)
+      .withColumn("role", lit("positive"))
+    val hard = ranked.filter(col("rank") > posK)
+      .withColumn("role", lit("hard_negative"))
+    val rest = scores.join(broadcast(band.select(idCol)), Seq(idCol), "left_anti")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(randK)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val rand = rest.withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("role", lit("random_negative"))
+    positives.unionByName(hard).unionByName(rand)
+      .select(col("role"), col("rank"), col(idCol), col("score"))
+  }
+
   /** ANN top-k with a one-row DataFrame query (lazy-plan twin of the
     * array form below): the query row carries its own LSH bucket, and the
     * corpus keeps rows within `probeRadius` bucket bits of it

@@ -1137,6 +1137,86 @@ object ExtQueries {
     "paragraph-level cross-corpus dedup (CCNet shape): keep-first by " +
       "(id, pos) on paragraph hash, reassemble survivors, drop emptied docs")
 
+  private val qCorpusDiff = Q(
+    "q_corpus_diff",
+    (s, d) => {
+      // snapshot-promotion audit: v2 PLANTS all three delta kinds against
+      // the documents table (removed %17 docs, changed %23 texts, added
+      // re-id'd %29 docs) and the diff must report exactly those — the
+      // oracle replays the planting.
+      val v1 = documents(s, d).select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 23 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 70000).as("doc_id"), col("text")))
+      Dedup.corpusDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+            v2src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 23 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 70000 AS doc_id, text
+              FROM documents WHERE doc_id % 29 = 0),
+            v2 AS (SELECT doc_id, md5(text) AS new_fp FROM v2src),
+            j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_fp, new_fp
+                  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+            SELECT doc_id,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp <> new_fp THEN 'changed' END AS status,
+                   old_fp, new_fp
+            FROM j
+            WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+            ORDER BY doc_id"""),
+    "corpus version diff: added/removed/changed report via fingerprint " +
+      "full-outer join — (id, 16-byte fp) pairs shuffle, never texts")
+
+  private val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, d) => {
+      // contrastive mining sets for anchor vec_id 0: top-5 positives,
+      // ranks 6-15 hard negatives, 10 md5-drawn random negatives from the
+      // rest — band boundaries on the ROUNDED score (engine-portable)
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+      Similarity.miningSets(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, "embedding",
+          posK = 5, hardK = 10, randK = 10)
+        .orderBy("role", "rank")
+    },
+    Some("""WITH s AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 6) AS score
+              FROM embeddings WHERE vec_id <> 0),
+            r AS (SELECT vec_id, score,
+                         CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+                  FROM s),
+            band AS (
+              SELECT CASE WHEN rank <= 5 THEN 'positive' ELSE 'hard_negative' END AS role,
+                     rank, vec_id, score
+              FROM r WHERE rank <= 15),
+            rnd AS (
+              SELECT 'random_negative' AS role,
+                     CAST(row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rank,
+                     vec_id, score
+              FROM r WHERE rank > 15
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10)
+            SELECT role, rank, vec_id, score FROM band
+            UNION ALL
+            SELECT role, rank, vec_id, score FROM rnd
+            ORDER BY role, rank"""),
+    "contrastive mining sets: positives / hard negatives by rounded-score " +
+      "band (one TakeOrdered), md5-deterministic random negatives from the " +
+      "rest (anti-join + second TakeOrdered — corpus scanned, never shuffled)")
+
   private val qVocabBuild = Q(
     "q_vocab_build",
     (s, d) =>
@@ -1419,7 +1499,8 @@ object ExtQueries {
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
-    qTextNormalize, qSplitStable, qDedupParagraph, qVocabBuild,
+    qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,
+    qHardNegatives, qVocabBuild,
     qPackSequences, qChunkWindows, qMixture, qMixtureUpsample, qQualityGate,
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateBloom, qZorder,

@@ -249,6 +249,36 @@ object RelationalQueries {
     "XML sink -> XML source round-trip (rowTag records, entity escaping), " +
       "hash-checked against the parquet original")
 
+  private val qSchemaEvolution = Q(
+    "q_schema_evolution",
+    (s, d) => {
+      // schema-on-read evolution: batch 1 written with the narrow schema,
+      // batch 2 with two added columns, one mergeSchema read unifies them
+      // (missing columns surface as NULL) — the append-only ingestion
+      // reality at scale, where a crawl's schema grows over time and old
+      // files are never rewritten. The oracle replays the union with
+      // typed NULLs.
+      val docs = documents(s, d)
+      val out = s"/tmp/graft_evolve_${math.abs(d.hashCode)}"
+      docs.select(col("doc_id"), lit(1L).as("batch"), col("text"))
+        .write.mode("overwrite").parquet(s"$out/b1")
+      docs.select(col("doc_id"), lit(2L).as("batch"), col("text"),
+          col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .select("doc_id", "batch", "text", "lang", "n_chars")
+        .orderBy("doc_id", "batch")
+    },
+    Some("""SELECT doc_id, CAST(1 AS BIGINT) AS batch, text,
+                   CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT) AS batch, text, lang, n_chars
+            FROM documents
+            ORDER BY doc_id, batch"""),
+    "parquet schema evolution: two batches with differing schemas, one " +
+      "mergeSchema read (added columns NULL-filled for old files)")
+
   // ---------------------------------------------------------------- joins
 
   private val qJoinBroadcast = Q(
@@ -1486,7 +1516,7 @@ object RelationalQueries {
     qNullHandling, qCaseBuckets,
     qStatsMoments, qHistogram, qDateArith,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
-    qCsvRoundtrip, qOrcRoundtrip, qXmlRoundtrip,
+    qCsvRoundtrip, qOrcRoundtrip, qXmlRoundtrip, qSchemaEvolution,
     qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofGeneric, qJoinInterval,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,

@@ -247,6 +247,18 @@ object ScaleSoak {
         "doc_id", "source", "text", budgets).count()
     }
 
+    timed("corpus_diff") {
+      // v2 = 5% removed (id tail), 5% changed, 5% added → ~15% of n rows
+      // in the delta report
+      val v2 = docs.filter(col("doc_id") < n * 19 / 20)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(20)) === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 4)
+          .select((col("doc_id") + n * 2).as("doc_id"), col("text")))
+      graft.ext.Dedup.corpusDiff(docs, v2, "doc_id", "text").count()
+    }
+
     // ------------------------------------------------- similarity family
     // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor
     // directions plus per-vector noise, so IVF cells are meaningful
@@ -254,7 +266,8 @@ object ScaleSoak {
     // soak log always selects what it names
     val vectorStages =
       Seq("brute_force_top10", "ivf_train_on_sample", "ivf_assign",
-        "ivf_search_nprobe4", "ann_lsh_top10", "semantic_dedup_ivf")
+        "ivf_search_nprobe4", "ann_lsh_top10", "semantic_dedup_ivf",
+        "mining_sets")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -300,6 +313,15 @@ object ScaleSoak {
     }
     vtimed("ann_lsh_top10") {
       graft.ext.Similarity.annTopK(emb, "vec_id", "embedding", q, 10).count()
+    }
+    vtimed("mining_sets") {
+      // contrastive mining for one anchor: two TakeOrdered scans of the
+      // corpus (band + md5-drawn negatives), zero corpus shuffles
+      graft.ext.Similarity.miningSets(
+        emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
+        posK = 10, hardK = 20, randK = 20).count()
     }
     vtimed("semantic_dedup_ivf") {
       // SemDeDup at scale: the cluster count grows with the corpus so

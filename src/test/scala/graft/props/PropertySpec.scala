@@ -302,6 +302,87 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff matches a brute-force map diff on generated snapshots") {
+    (1L to 5L).foreach { seed =>
+      val gen = Gen.listOfN(30, for {
+        id <- Gen.chooseNum(0L, 20L)
+        t <- Gen.oneOf("aa", "bb", "cc")
+      } yield (id, t))
+      // last write wins per id → well-defined keyed snapshots
+      val v1 = sample(gen, seed).toMap
+      val v2 = sample(gen, seed + 100).toMap
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = (v1.keySet ++ v2.keySet).flatMap { id =>
+        (v1.get(id), v2.get(id)) match {
+          case (None, Some(n))              => Some((id, "added", null, md5hex(n)))
+          case (Some(o), None)              => Some((id, "removed", md5hex(o), null))
+          case (Some(o), Some(n)) if o != n => Some((id, "changed", md5hex(o), md5hex(n)))
+          case _                            => None
+        }
+      }
+      val got = Dedup.corpusDiff(
+          v1.toSeq.toDF("doc_id", "text"), v2.toSeq.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(got == expect.map(t => (t._1, t._2, t._3, t._4)), s"seed=$seed")
+    }
+  }
+
+  test("miningSets bands are the exact rank partition of the corpus") {
+    import graft.ext.Similarity
+    (1L to 3L).foreach { seed =>
+      // integer-valued components → every dot/norm is exact in double, so
+      // the rounded scores are engine- and order-deterministic
+      val vecGen = Gen.listOfN(40,
+        Gen.listOfN(8, Gen.chooseNum(-3, 3).map(_.toFloat)).map(_.toArray))
+        .suchThat(_.forall(v => v.exists(_ != 0f)))
+      val vecs = sample(vecGen, seed).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val (posK, hardK, randK) = (4, 6, 5)
+      val anchor = vecs.head._2
+      val corpus = vecs.tail
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i =>
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        }
+        if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def r6(d: Double): Double =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val scored = corpus.map { case (id, v) => (id, r6(cos(v, anchor))) }
+      val rankOrder = scored.sortBy { case (id, sc) => (-sc, id) }
+      val band = rankOrder.take(posK + hardK)
+      val expectPos = band.take(posK).map(_._1).toSet
+      val expectHard = band.drop(posK).map(_._1).toSet
+      val bandIds = band.map(_._1).toSet
+      val expectRand = scored.filterNot(s => bandIds(s._1))
+        .sortBy { case (id, _) => (md5hex(id.toString), id) }
+        .take(randK).map(_._1).toSet
+      val got = Similarity.miningSets(
+          corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          vecs.take(1).map(_._2).toSeq.toDF("embedding"), "embedding",
+          posK, hardK, randK)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.filter(_._1 == "positive").map(_._3).toSet == expectPos, s"seed=$seed pos")
+      assert(got.filter(_._1 == "hard_negative").map(_._3).toSet == expectHard, s"seed=$seed hard")
+      assert(got.filter(_._1 == "random_negative").map(_._3).toSet == expectRand, s"seed=$seed rand")
+      // ranks: 1..posK, posK+1..posK+hardK, 1..randK — each band total
+      assert(got.filter(_._1 == "positive").map(_._2).sorted.toSeq == (1L to posK),
+        s"seed=$seed posrank")
+      assert(got.filter(_._1 == "hard_negative").map(_._2).sorted.toSeq ==
+        ((posK + 1).toLong to (posK + hardK)), s"seed=$seed hardrank")
+      assert(got.filter(_._1 == "random_negative").map(_._2).sorted.toSeq == (1L to randK),
+        s"seed=$seed randrank")
+    }
+  }
+
   test("stable split is a total function into {train,val,test}") {
     (1L to 5L).foreach { seed =>
       val keys = sample(Gen.listOfN(30, Gen.chooseNum(0L, 1000000L)), seed)
