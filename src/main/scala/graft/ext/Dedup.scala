@@ -665,13 +665,17 @@ object Dedup {
     * caller, dedup semantics live here.
     *
     * Scale shape: explode is map-only; the first-occurrence choice is a
-    * `min(struct(id, pos))` groupBy keyed by the paragraph hash —
-    * partial-agg'd, so the shuffle carries one (16-byte fp, id, pos)
-    * candidate per group per mapper, never the text. The occurrence⋈
-    * first-occurrence join is keyed by the same fp (at 100 TB the
-    * materialized fp→first index is the [[incremental]] bucketed-index
-    * pattern). Reassembly is one groupBy(id) collect of the KEPT
-    * paragraphs only — bounded by each doc's own size.
+    * `min(struct(id, pos, para))` groupBy keyed by the paragraph hash —
+    * the struct compares on (id, pos), unique, so the text rides along as
+    * a payload and NO occurrence⋈first join is needed. Partial
+    * aggregation makes this skew-proof by construction: a paragraph
+    * duplicated a million times still sends at most ONE candidate per
+    * mapper through the shuffle. Survivors are exactly the agg output,
+    * so reassembly is one groupBy(id) collect of kept paragraphs —
+    * bounded by each doc's own size — plus a co-partitioned join of the
+    * light per-doc totals (both sides hashed on id). Docs with zero
+    * survivors are absent from the kept side, so the inner join drops
+    * them, as CCNet does.
     */
   def paragraphDedup(
       df: DataFrame,
@@ -679,26 +683,26 @@ object Dedup {
       parasCol: Column): DataFrame = {
     val paras = df
       .select(col(idCol), posexplode(parasCol).as(Seq("_pos", "_para")))
-      .withColumn("_fp", md5(col("_para")))
-    val firsts = paras
-      .groupBy("_fp")
-      .agg(min(struct(col(idCol).as("_id"), col("_pos").as("_p"))).as("_first"))
-    paras
-      .join(firsts, "_fp")
-      .withColumn("_keep",
-        col("_first._id") === col(idCol) && col("_first._p") === col("_pos"))
+    // per-doc totals need no explode and no shuffle: ids key one doc each,
+    // so the paragraph count is just the segmentation array's size
+    val totals = df.select(col(idCol), size(parasCol).cast("long").as("n_paras"))
+    val kept = paras
+      .groupBy(md5(col("_para")).as("_fp"))
+      .agg(min(struct(col(idCol).as("_id"), col("_pos").as("_p"),
+        col("_para").as("_t"))).as("_first"))
+      .select(col("_first._id").as(idCol), col("_first._p").as("_pos"),
+        col("_first._t").as("_para"))
+    kept
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_paras"),
-        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
-        // collect_list drops nulls, so only kept paragraphs enter; struct
-        // sort orders by _pos first → original paragraph order restored
+        count(lit(1)).as("n_kept"),
+        // struct sort orders by _pos first → original paragraph order
         concat_ws(" ",
           transform(
-            array_sort(collect_list(
-              when(col("_keep"), struct(col("_pos"), col("_para"))))),
+            array_sort(collect_list(struct(col("_pos"), col("_para")))),
             p => p.getField("_para"))).as("text"))
-      .filter(col("n_kept") > 0)
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("n_paras"), col("n_kept"), col("text"))
   }
 
   /** Corpus version diff: the added / removed / changed report between
