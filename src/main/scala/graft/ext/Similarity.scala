@@ -390,4 +390,41 @@ object Similarity {
       .distinct()
     embeddings.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Batch k-NN join: for EVERY vector, its `k` nearest neighbors within
+    * its cell (IVF assignment in production — the blocked form of an ANN
+    * join; the single-query searches above answer "what matches this
+    * probe", this answers "what matches each of a billion rows" in one
+    * plan). Scores are rounded to 6 places BEFORE ranking so the kept
+    * neighbor at the k boundary is engine-portable; ties break to the
+    * smaller neighbor id.
+    *
+    * Scale shape: one cell-keyed self-join — the only quadratic term is
+    * cell-local (the SemDeDup argument: cells stay ~constant size when
+    * the cell count grows with the corpus), and the per-vector top-k is
+    * a rank-filter window that Spark 4 plans as WindowGroupLimit: every
+    * map partition pre-truncates each vector's candidate list to k
+    * before the shuffle.
+    */
+  def knnJoinWithinCells(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      cellCol: String,
+      k: Int): DataFrame = {
+    val right = embeddings.select(col(cellCol).as("_cell"),
+      col(idCol).as("nn_id"), col(embCol).as("_e2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("nn_id"))
+    embeddings
+      .select(col(cellCol).as("_cell"), col(idCol), col(embCol))
+      .join(right, "_cell")
+      .filter(col("nn_id") =!= col(idCol))
+      .select(col(idCol), col("nn_id"),
+        round(gf.cosine_similarity(col(embCol), col("_e2")), 6).as("score"))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+      .select(col(idCol), col("nn_rank"), col("nn_id"), col("score"))
+  }
 }

@@ -1217,6 +1217,36 @@ object ExtQueries {
       "band (one TakeOrdered), md5-deterministic random negatives from the " +
       "rest (anti-join + second TakeOrdered — corpus scanned, never shuffled)")
 
+  private val qKnnJoin = Q(
+    "q_knn_join",
+    (s, d) =>
+      // batch k-NN join, every vector → its top-3 within-cell neighbors.
+      // Cells here are the deterministic label column (the oracle-able
+      // stand-in for the production `ivfAssign` cell, exactly the
+      // q_dedup_semantic pattern); ranking on the ROUNDED score makes the
+      // k-boundary engine-portable.
+      Similarity.knnJoinWithinCells(embeddings(s, d),
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy("vec_id", "nn_rank"),
+    Some("""WITH pairs AS (
+              SELECT a.vec_id, b.vec_id AS nn_id,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+            r AS (SELECT vec_id, nn_id, score,
+                         CAST(row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY score DESC, nn_id) AS BIGINT) AS nn_rank
+                  FROM pairs)
+            SELECT vec_id, nn_rank, nn_id, score
+            FROM r WHERE nn_rank <= 3
+            ORDER BY vec_id, nn_rank"""),
+    "batch k-NN join: per-vector top-k within-cell neighbors (cell-local " +
+      "quadratic term only; WindowGroupLimit pre-truncates before the " +
+      "rank shuffle)")
+
   private val qVocabBuild = Q(
     "q_vocab_build",
     (s, d) =>
@@ -1500,7 +1530,7 @@ object ExtQueries {
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,
-    qHardNegatives, qVocabBuild,
+    qHardNegatives, qKnnJoin, qVocabBuild,
     qPackSequences, qChunkWindows, qMixture, qMixtureUpsample, qQualityGate,
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateBloom, qZorder,

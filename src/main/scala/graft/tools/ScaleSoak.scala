@@ -267,7 +267,7 @@ object ScaleSoak {
     val vectorStages =
       Seq("brute_force_top10", "ivf_train_on_sample", "ivf_assign",
         "ivf_search_nprobe4", "ann_lsh_top10", "semantic_dedup_ivf",
-        "mining_sets")
+        "mining_sets", "knn_join")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -322,6 +322,17 @@ object ScaleSoak {
         "vec_id", "embedding",
         emb.filter(col("vec_id") === 0).select("embedding"), "embedding",
         posK = 10, hardK = 20, randK = 20).count()
+    }
+    vtimed("knn_join") {
+      // batch ANN join: ~250-vector cells keep the cell-local quadratic
+      // term at ~nVec×250 scored pairs; WindowGroupLimit pre-truncates
+      // each vector's candidates to k before the rank shuffle
+      val k = math.max(32, (nVec / 250L).toInt)
+      val cells = graft.ext.Similarity.trainIvfCentroids(
+        emb.sample(0.02, 44), "embedding", k = k, iters = 1)
+      val withCell = graft.ext.Similarity.ivfAssign(emb, "embedding", cells)
+      graft.ext.Similarity.knnJoinWithinCells(withCell, "vec_id", "embedding",
+        "ivf_cell", k = 5).count()
     }
     vtimed("semantic_dedup_ivf") {
       // SemDeDup at scale: the cluster count grows with the corpus so

@@ -383,6 +383,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("knnJoinWithinCells matches the brute-force per-vector top-k") {
+    import graft.ext.Similarity
+    (1L to 3L).foreach { seed =>
+      val vecGen = Gen.listOfN(30,
+        Gen.listOfN(6, Gen.chooseNum(-3, 3).map(_.toFloat)).map(_.toArray))
+        .suchThat(_.forall(v => v.exists(_ != 0f)))
+      val vecs = sample(vecGen, seed).zipWithIndex
+        .map { case (v, i) => (i.toLong, (i % 3).toInt, v) }
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i =>
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        }
+        if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def r6(d: Double): Double =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val k = 2
+      val expect = vecs.flatMap { case (id, cell, v) =>
+        vecs.filter(o => o._2 == cell && o._1 != id)
+          .map(o => (o._1, r6(cos(v, o._3))))
+          .sortBy { case (nid, sc) => (-sc, nid) }
+          .take(k).zipWithIndex
+          .map { case ((nid, sc), i) => (id, i + 1L, nid, sc) }
+      }.toSet
+      val got = Similarity.knnJoinWithinCells(
+          vecs.toDF("vec_id", "cell", "embedding"),
+          "vec_id", "embedding", "cell", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("stable split is a total function into {train,val,test}") {
     (1L to 5L).foreach { seed =>
       val keys = sample(Gen.listOfN(30, Gen.chooseNum(0L, 1000000L)), seed)
