@@ -45,15 +45,34 @@ object Bench {
       elapsed
     }
     SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn, warmup = true) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> runOnce(name, fn, warmup = false)
+    // MEDIAN of `reps` timed passes per query, interleaved ROUND-ROBIN
+    // (pass 1 of every query, then pass 2, ...) rather than back-to-back:
+    // two rounds of single-pass numbers on byte-identical code showed 2-4×
+    // per-query drift (GC/codegen-cache weather in a 124-query JVM), and
+    // back-to-back reps would share whatever weather hit that moment —
+    // interleaving decorrelates the passes, so the median discards the
+    // unlucky one. Any failed pass reports the query as -1 (a breakage
+    // must never hide behind two good passes).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val samples: Map[String, Seq[Double]] = {
+      val passes = (0 until reps).map { _ =>
+        names.map(n => n -> runOnce(n, SparkEntry.queries(n), warmup = false)).toMap
+      }
+      names.map(n => n -> passes.map(_(n))).toMap
     }
+    def median(xs: Seq[Double]): Double =
+      if (xs.exists(_ < 0)) -1.0
+      else { val s = xs.sorted; s(s.size / 2) }
+    val results: Map[String, Double] = samples.map { case (n, xs) => n -> median(xs) }
     val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
-    // Full-precision per-query timings to a file for plan audits…
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Full-precision per-rep samples to a file for plan/variance audits…
+    val detail = samples.map { case (k, xs) =>
+      s"\"" + k + "\":{\"median\":" + median(xs) + ",\"runs\":" +
+        xs.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$detail,"sf":"$sfDir"}""" + "\n")
     catch { case _: Exception => () } // cwd may not be writable under the harness
     // …but the stdout line must survive the harness's bounded (2000-char)
     // output-tail capture with sbt's footer behind it, or it never parses:

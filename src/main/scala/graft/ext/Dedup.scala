@@ -216,12 +216,41 @@ object Dedup {
     * pairs are generated only inside ≥2-member buckets. The join form
     * shuffled and sorted the full band table TWICE (both join sides) and
     * emitted a (x,x) row per band row just to filter it — measured 6×
-    * slower at 2M docs. Degenerate buckets (mass-identical content)
-    * concentrate pair generation the same way in both forms: exact-dedup
-    * first, and see [[candidatePairsSalted]] for residual hot buckets.
+    * slower at 2M docs.
+    *
+    * DEGENERATE-BUCKET BOUND: a mass-duplicate family that survives exact
+    * dedup shares every band hash, so the grouping form would build one
+    * O(n) member array in a single reducer and emit its O(n²) pairs from
+    * that one task — the unbounded worst case at 100 TB. Buckets over
+    * `maxBucket` members are therefore AUTO-ROUTED to the salted
+    * self-join form ([[candidatePairsSalted]]'s shape), which spreads the
+    * same pair set over `hash(id1) % salts` reducers: identical output,
+    * bounded per-task state. The routing costs one extra exchange-free
+    * size aggregation: the band rows are repartitioned by bucket key
+    * ONCE (the same single shuffle the grouping form already paid) and
+    * both the size count and the member lists aggregate on top of that
+    * co-partitioning without further exchanges; the oversized-key set —
+    * empty in healthy corpora, tiny by construction otherwise — routes
+    * via broadcast joins, so the common case pays only the count pass.
     */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    bandsDf
+  def candidatePairs(
+      bandsDf: DataFrame,
+      idCol: String,
+      maxBucket: Int = 4096,
+      salts: Int = 32): DataFrame = {
+    // one keyed shuffle, shared by the size pass and the member-list pass
+    // (HashPartitioning(band_id, band_hash) satisfies both groupBys)
+    val parts = bandsDf
+      .select(col("band_id"), col("band_hash"), col(idCol))
+      .repartition(col("band_id"), col("band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oversized = parts
+      .groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBucket)
+      .select("band_id", "band_hash")
+    val smallPairs = parts
+      .join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
       .groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -231,7 +260,15 @@ object Dedup {
              i -> transform(slice(ids, i + 1, size(ids) - i),
                             j -> struct(ids[i - 1] AS id1, j AS id2))))""")).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .distinct()
+    val hot = parts.join(broadcast(oversized), Seq("band_id", "band_hash"))
+    val a = hot.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+      .withColumn("_salt", graft.ops.SkewUtils.salt(col("id1"), salts))
+    val b = hot.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+      .withColumn("_salt", explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    val hotPairs = a.join(b, Seq("band_id", "band_hash", "_salt"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    smallPairs.union(hotPairs).distinct()
   }
 
   /** Skew-hardened variant of [[candidatePairs]]: identical output, but a

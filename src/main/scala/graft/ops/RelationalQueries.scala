@@ -799,6 +799,26 @@ object RelationalQueries {
     * stateful stages are dominated by per-partition state-store commit
     * wait, not CPU — fewer partitions win), cleanup after success.
     */
+  /** Replay state width derived from the input footprint: one state
+    * partition per ~32 MB of input, clamped to the session's parallelism.
+    * At replay scale this resolves to 1 (the measured optimum — the
+    * stateful stages are commit-wait-bound, and every extra partition
+    * pays 2 batches × 4 state-store commits); at 100× the same derivation
+    * widens the state with the data, so the declared query is the scale
+    * shape rather than a pinned toy width.
+    */
+  private def stateWidthFor(s: SparkSession, d: String, table: String): String = {
+    val width =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+        val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        math.min(s.sparkContext.defaultParallelism.toLong,
+          bytes / (32L << 20) + 1L)
+      } catch { case _: Exception => 1L }
+    width.toString
+  }
+
   private def boundedReplay(
       s: SparkSession,
       name: String,
@@ -954,9 +974,12 @@ object RelationalQueries {
         side("click", "l"), side("purchase", "r"),
         "user_id", "l_ts", "r_ts", "30 minutes", "10 minutes")
         .select(col("l.user_id").as("user_id"), col("l_id"), col("r_id"))
-      // width 1: the interval join pays 2 batches × 4 state stores per
-      // PARTITION — at this replay size the commit machinery dominates
-      boundedReplay(s, name, joined, "append", statePartitions = "1")
+      // state width derived from the input footprint (resolves to 1 at
+      // replay scale — the interval join pays 2 batches × 4 state stores
+      // per PARTITION, so the commit machinery dominates here — and
+      // widens with the data at 100×)
+      boundedReplay(s, name, joined, "append",
+        statePartitions = stateWidthFor(s, d, "events"))
         .orderBy("user_id", "l_id", "r_id")
     },
     Some("""SELECT l.user_id AS user_id, l.event_id AS l_id, r.event_id AS r_id

@@ -129,6 +129,33 @@ class DedupSpec extends SparkSpec {
     assert(plain.size == 30 * 29 / 2) // the hot family is all-pairs by construction
   }
 
+  test("oversized LSH buckets auto-route to the salted form with identical output") {
+    // planted mass-duplicate family (60 identical docs → every band bucket
+    // holds all 60 ids) well over maxBucket: the grouping form would build
+    // one 60-member array per bucket in a single reducer; the bound must
+    // route those buckets through the salted self-join instead — and the
+    // pair set must be EXACTLY the unbounded result (routing spreads work,
+    // never drops candidates)
+    val family = (0L until 60L).map(i => (i, base))
+    val tail = Seq(
+      (200L, "an unrelated control document about shuffle partition sizing"),
+      (201L, "another control document concerning broadcast join thresholds"))
+    val df = (family ++ tail).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", numHashes = 64,
+      shingler = Dedup.WordShingles(3))
+    val bands = Dedup.lshBands(sigs, "doc_id", bands = 16, rowsPerBand = 4)
+    val bounded = Dedup.candidatePairs(bands, "doc_id", maxBucket = 8, salts = 4)
+    // the plan actually routes: both the anti-join (small buckets) and the
+    // salted-join (hot buckets) branches are present under the union
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"expected routed union plan:\n$plan")
+    val boundedSet = bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = Dedup.candidatePairs(bands, "doc_id", maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boundedSet == unbounded)
+    assert(boundedSet.size == 60 * 59 / 2) // the family is all-pairs by construction
+  }
+
   test("span dedup: flags shared 5-token windows, prunes exactly those spans") {
     val shared = "alpha beta gamma delta epsilon" // one shared 5-token span
     val spanDocs = Seq(
