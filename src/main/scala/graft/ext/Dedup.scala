@@ -297,6 +297,107 @@ object Dedup {
       .distinct()
   }
 
+  /** Materialize the LSH index as first-class WRITE-ONCE tables — the
+    * 100 TB production shape the scaladocs above describe: the corpus'
+    * band table bucketed by (band_id, band_hash) and its signature table
+    * bucketed by the id, written once, so every subsequent batch's
+    * near-dup check ([[nearDupAgainstIndex]]) joins the index
+    * EXCHANGE-FREE on the index side — the historical corpus is never
+    * re-shingled, re-hashed, or re-shuffled per batch.
+    *
+    * `basePath` places the table data outside the warehouse (external
+    * table) — e.g. the curated-dataset prefix on object storage; None
+    * writes a managed table. Bucket counts are the usual bucketing
+    * trade-off: enough buckets that one bucket ≈ one task's worth of
+    * band rows at the corpus' scale.
+    */
+  def writeBandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingler: Shingler = CharShingles(5),
+      numBuckets: Int = 8,
+      basePath: Option[String] = None): Unit = {
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingler)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = lshBands(sigs, idCol, bands, numHashes / bands)
+    def writer(out: DataFrame, suffix: String) = {
+      val w = out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      basePath.fold(w)(p => w.option("path", s"$p/$suffix"))
+    }
+    writer(bandsDf, "bands")
+      .bucketBy(numBuckets, "band_id", "band_hash")
+      .saveAsTable(s"${tablePrefix}_bands")
+    writer(sigs, "sigs")
+      .bucketBy(numBuckets, idCol)
+      .saveAsTable(s"${tablePrefix}_sigs")
+    sigs.unpersist(blocking = false)
+  }
+
+  /** Near-dup a NEW batch against a materialized band index
+    * ([[writeBandIndex]]) — the incremental MinHash shape: only the batch
+    * is shingled and hashed; candidate generation joins the batch's band
+    * rows against the bucketed index band table (the index side scans
+    * WITHOUT an Exchange — proven on the plan in DedupSpec), and the
+    * estimate joins corpus signatures from the id-bucketed signature
+    * table, again exchange-free on the index side.
+    *
+    * With `corpusText` provided, candidates are exact-verified
+    * (est-prefilter at threshold−0.2 like [[nearDupMinHash]], then exact
+    * shingle Jaccard ≥ threshold); without it — e.g. the index owner
+    * doesn't retain payloads — pairs are thresholded on the signature
+    * estimate alone. Returns (batch_id, corpus_id, jaccard|est_jaccard).
+    * Batch and corpus ids must be disjoint (they are distinct id spaces
+    * in the incremental shape by construction).
+    */
+  def nearDupAgainstIndex(
+      newBatch: DataFrame,
+      indexBands: DataFrame,
+      indexSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingler: Shingler = CharShingles(5),
+      corpusText: Option[DataFrame] = None): DataFrame = {
+    val batchSigs = minHashSignatures(newBatch, idCol, textCol, numHashes, shingler)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batchBands = lshBands(batchSigs, idCol, bands, numHashes / bands)
+    val cand = batchBands
+      .select(col("band_id"), col("band_hash"), col(idCol).as("batch_id"))
+      .join(indexBands
+          .select(col("band_id"), col("band_hash"), col(idCol).as("corpus_id")),
+        Seq("band_id", "band_hash"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val est = cand
+      .join(indexSigs.select(col(idCol).as("corpus_id"), col("sig").as("sig2")),
+        "corpus_id")
+      .join(batchSigs.select(col(idCol).as("batch_id"), col("sig").as("sig1")),
+        "batch_id")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) " +
+          s"/ cast($numHashes as double)"))
+      .select("batch_id", "corpus_id", "est_jaccard")
+    corpusText match {
+      case None => est.filter(col("est_jaccard") >= threshold)
+      case Some(ct) =>
+        val probable = est.filter(col("est_jaccard") >= threshold - 0.2)
+          .select(col("batch_id").as("id1"), col("corpus_id").as("id2"))
+        exactJaccard(probable,
+            newBatch.select(col(idCol), col(textCol))
+              .unionByName(ct.select(col(idCol), col(textCol))),
+            idCol, textCol, shingler)
+          .filter(col("jaccard") >= threshold)
+          .select(col("id1").as("batch_id"), col("id2").as("corpus_id"),
+            col("jaccard"))
+    }
+  }
+
   /** Estimated Jaccard from signatures: fraction of agreeing minhashes. */
   def estimatedJaccard(
       pairs: DataFrame,
@@ -608,30 +709,44 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints (bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4 16-bit sub-keys (a ≤h-distance-3
-    * pair must agree on at least one block — pigeonhole), verify Hamming.
+  /** Hamming-blocked near-dup pairs over ANY 64-bit fingerprint column
+    * (SimHash text fingerprints, perceptual image hashes, …): block on 4
+    * 16-bit sub-keys (a ≤h-distance-3 pair must agree on at least one
+    * block — pigeonhole), self-join within blocks only, verify exact
+    * Hamming. Never all-pairs: the only shuffle is keyed by
+    * (block_id, block_key), and candidates exist only inside shared
+    * blocks.
     */
-  def nearDupSimHash(
-      df: DataFrame,
+  def hammingPairs64(
+      fp: DataFrame,
       idCol: String,
-      textCol: String,
+      fpCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simHash(df, idCol, textCol)
-    val blocked = fp.select(col(idCol), col("simhash"),
+    val blocked = fp.select(col(idCol), col(fpCol),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("block_id"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("block_key"))): _*)).as("b"))
-      .select(col(idCol), col("simhash"), col("b.block_id"), col("b.block_key"))
+          shiftright(col(fpCol), i * 16).bitwiseAND(0xFFFFL).as("block_key"))): _*)).as("b"))
+      .select(col(idCol), col(fpCol), col("b.block_id"), col("b.block_key"))
     val a = blocked.select(col("block_id"), col("block_key"),
-      col(idCol).as("id1"), col("simhash").as("fp1"))
+      col(idCol).as("id1"), col(fpCol).as("fp1"))
     val b = blocked.select(col("block_id"), col("block_key"),
-      col(idCol).as("id2"), col("simhash").as("fp2"))
+      col(idCol).as("id2"), col(fpCol).as("fp2"))
     a.join(b, Seq("block_id", "block_key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming64(col("fp1"), col("fp2")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs: [[simHash]] fingerprints through the
+    * [[hammingPairs64]] pigeonhole blocking.
+    */
+  def nearDupSimHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simHash(df, idCol, textCol), idCol, "simhash", maxHamming)
 
   /** Span-level (substring) deduplication over sliding word n-grams — the
     * distributed form of exact-substring dedup ("Deduplicating Training

@@ -144,6 +144,41 @@ object Multimodal {
       .toDF("media_id", "embedding")
   }
 
+  final case class MediaFingerprint(
+      media_id: Long,
+      byte_len: Long,
+      phash: Long)
+
+  /** Perceptual-hash stage — same partition-batch shape as
+    * [[decodeImages]] (one partition = one codec session). Emits a 64-bit
+    * aHash fingerprint per payload ([[StubDecoders.perceptualHash]]: real
+    * byte-region hash; with a codec, the same hash over downscaled
+    * pixels). Feeds [[nearDupImages]].
+    */
+  def perceptualHashes(media: DataFrame): Dataset[MediaFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition decoder init would go here
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          MediaFingerprint(id, bytes.length.toLong,
+            StubDecoders.perceptualHash(bytes))
+        }
+      }
+  }
+
+  /** Perceptual near-dup image pairs: aHash fingerprints blocked and
+    * verified by [[Dedup.hammingPairs64]] (pigeonhole 16-bit blocking —
+    * the SimHash machinery pointed at media fingerprints). Never
+    * all-pairs: candidates exist only inside shared blocks. Returns
+    * (id1, id2, hamming) with hamming ≤ maxHamming.
+    */
+  def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(
+      perceptualHashes(media).toDF(), "media_id", "phash", maxHamming)
+
   /** Frame sampling plumbing: every `stride`-th chunk of the payload as a
     * (media_id, frame_no, frame_bytes) row — the shape of video
     * frame-extraction output. Chunking is deterministic.
@@ -355,6 +390,44 @@ object StubDecoders {
       i += 1
     }
     out
+  }
+
+  /** Perceptual average-hash (aHash) over the payload byte stream: the
+    * payload is cut into 64 equal slices, and bit b is set when slice b's
+    * mean byte value exceeds the whole payload's mean — a 64-bit
+    * fingerprint where small in-place edits flip few bits (few slice
+    * means move) while different content diverges broadly. With a real
+    * codec this function computes the identical hash from the 8×8
+    * downscaled grayscale PIXELS instead of raw bytes (the classic
+    * aHash/dHash); the byte-stream form keeps the distance semantics —
+    * Hamming ∝ fraction of regions changed — exercised end-to-end
+    * without pixel decode. Swap seam: one function, like
+    * [[resizePayload]].
+    */
+  def perceptualHash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val slice = ((i.toLong << 6) / n).toInt // i * 64 / n, overflow-safe
+      val v = payload(i) & 0xFF
+      sums(slice) += v
+      counts(slice) += 1
+      total += v
+      i += 1
+    }
+    val globalMean = total.toDouble / n
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0 && sums(b).toDouble / counts(b) > globalMean)
+        h |= (1L << b)
+      b += 1
+    }
+    h
   }
 
   /** STUB media embedding: content-hash-seeded unit-norm float vector —

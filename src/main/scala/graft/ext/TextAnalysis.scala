@@ -288,6 +288,58 @@ object TextAnalysis {
           .as("drop_doc"))
   }
 
+  /** SPAN-level decontamination — the curation-complete form of
+    * [[decontaminate]]: instead of dropping or scoring whole documents,
+    * prune the contaminated SPANS (token runs covered by any word n-gram
+    * shared with the eval set) and KEEP the document. A doc quoting one
+    * benchmark sentence loses that sentence, not its training value.
+    * Returns per document: token count, contaminated-token count and
+    * fraction (the gate signals), and the text with contaminated spans
+    * removed (the cleaned payload) — the [[graft.ext.Dedup.spanDuplicates]]
+    * machinery pointed at a benchmark side.
+    *
+    * Shape at 100 TB: eval n-grams are a benchmark (MBs) → md5'd,
+    * deduped, and explicitly `broadcast()`; the corpus side is a map-only
+    * positional gram projection (zero-copy slices, 16-byte hashes) into
+    * the broadcast join, so NO corpus data shuffles for candidate
+    * detection. Only contaminated documents pay the coverage explode
+    * (bounded by n × matched grams) and the per-doc aggregation.
+    */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = corpus.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_nt", size(col("_toks")))
+    val grams = toks.select(col(idCol),
+      posexplode(when(col("_nt") >= n,
+          transform(sequence(lit(0), col("_nt") - n),
+            i => md5(array_join(slice(col("_toks"), i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("_pos", "_g")))
+    val evalGrams = evalSet
+      .select(explode(array_distinct(wordNgramsExpr(evalTextCol, n))).as("_eg"))
+      .select(md5(col("_eg")).as("_g"))
+      .distinct()
+    val cover = grams.join(broadcast(evalGrams), "_g")
+      .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + n - 1)).as("_p"))
+      .distinct()
+    val stats = cover.groupBy(idCol)
+      .agg(count(lit(1)).as("_dup"), collect_set(col("_p")).as("_cov"))
+    toks.join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        col("_nt").cast("long").as("n_tokens"),
+        coalesce(col("_dup"), lit(0L)).as("contaminated_tokens"),
+        round(coalesce(col("_dup"), lit(0L)) / col("_nt"), 6)
+          .as("contaminated_frac"),
+        array_join(filter(col("_toks"),
+            (_: Column, i: Column) =>
+              !array_contains(coalesce(col("_cov"), array().cast("array<int>")), i)),
+          " ").as("pruned_text"))
+  }
+
   /** Exact frequent-token mining at a relative support threshold — the
     * corpus-statistics pass before tokenizer/vocabulary work. The total
     * is a broadcast scalar, so the plan is one shuffle family keyed on

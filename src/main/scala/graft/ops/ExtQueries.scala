@@ -119,6 +119,42 @@ object ExtQueries {
     None, // model-defined (MinHash-LSH candidates); seeded unit tests
     "near-dup via MinHash+LSH with exact shingle-Jaccard verification")
 
+  private val qDedupNearIncremental = Q(
+    "q_dedup_near_incremental",
+    (s, d) => {
+      // the production NEAR-dup shape (q_dedup_incremental's MinHash
+      // sibling): the historical corpus' LSH band + signature tables are
+      // materialized ONCE as bucketed indexes (Dedup.writeBandIndex), and
+      // the new batch is deduped against them — only the batch is
+      // shingled/hashed, and the index side joins WITHOUT an Exchange
+      // (plan-proven in DedupSpec). Near-dups are PLANTED (the
+      // q_dedup_incremental pattern): re-id'd corpus docs with a short
+      // appended tail, which must surface as high-Jaccard (batch, corpus)
+      // pairs after exact verification. Model-defined candidates → rows
+      // only; the estimate/verify kernels are anchored by q_dedup_jaccard
+      // and q_dedup_near.
+      val docs = documents(s, d).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" small appended tail")).as("text")))
+      val prefix = s"graft_bandidx_${math.abs(d.hashCode)}"
+      Dedup.writeBandIndex(corpus, "doc_id", "text", prefix,
+        numHashes = 64, bands = 16, shingler = Dedup.WordShingles(3),
+        numBuckets = 8, basePath = Some(s"/tmp/$prefix"))
+      Dedup.nearDupAgainstIndex(batch,
+          s.table(s"${prefix}_bands"), s.table(s"${prefix}_sigs"),
+          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 16,
+          shingler = Dedup.WordShingles(3), corpusText = Some(corpus))
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+    },
+    None, // model-defined (MinHash-LSH candidates); kernels oracle-anchored
+    "incremental near-dup against a write-once bucketed LSH band index " +
+      "(index side joins exchange-free; batch-only shingling)")
+
   private val qDedupClusters = Q(
     "q_dedup_clusters",
     (s, d) =>
@@ -1445,6 +1481,80 @@ object ExtQueries {
     "scored decontamination: per-doc eval-overlap fraction + drop policy " +
       "(broadcast eval grams; the gram total falls out of the same pass)")
 
+  private val qDecontaminateSpan = Q(
+    "q_decontaminate_span",
+    (s, d) => {
+      // SPAN-level decontamination: contaminated token runs are PRUNED
+      // and the document kept — the curation-complete form next to
+      // q_decontaminate's doc-level flag. Partial contamination is
+      // PLANTED (the q_contamination_score pattern): eval docs re-id'd
+      // with distinct-token pads on BOTH sides, so exactly the eval text
+      // between the pads is contaminated and must be cut while the pads
+      // survive — proving span surgery, not doc dropping. The oracle
+      // replays the planting and the pruning in SQL.
+      def pad(a: Int, b: Int) = array_join(
+        transform(sequence(lit(a), lit(b)),
+          i => concat(lit("pad"), i.cast("string"))), " ")
+      val docs = documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val planted = evalSet.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 80000).as("doc_id"),
+          concat(pad(1, 10), lit(" "), col("text"), lit(" "), pad(11, 20))
+            .as("text"))
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+      TextAnalysis.decontaminateSpans(corpus, "doc_id", "text",
+          evalSet, "text", n = 8)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+              UNION ALL
+              SELECT doc_id + 80000,
+                     array_to_string(list_transform(generate_series(1, 10),
+                       i -> 'pad' || CAST(i AS VARCHAR)), ' ')
+                     || ' ' || text || ' ' ||
+                     array_to_string(list_transform(generate_series(11, 20),
+                       i -> 'pad' || CAST(i AS VARCHAR)), ' ')
+              FROM documents WHERE doc_id % 100 = 0),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s
+              WHERE len(w) >= 8),
+            eval_g AS (
+              SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+              FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                    WHERE doc_id % 50 = 0),
+                   LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+              WHERE len(toks) >= 8),
+            cover AS (
+              SELECT DISTINCT doc_id, p
+              FROM grams JOIN eval_g USING (g),
+                   LATERAL (SELECT unnest(generate_series(pos, pos + 7)) AS p) t),
+            stats AS (SELECT doc_id, count(*) AS ct FROM cover GROUP BY doc_id),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS p, w[i] AS tok
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s),
+            pruned AS (
+              SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS pruned_text
+              FROM tokpos tp ANTI JOIN cover c ON c.doc_id = tp.doc_id AND c.p = tp.p
+              GROUP BY tp.doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.ct, 0) AS BIGINT) AS contaminated_tokens,
+                   round(CAST(coalesce(s.ct, 0) AS DOUBLE) / len(t.w), 6)
+                     AS contaminated_frac,
+                   coalesce(p.pruned_text, '') AS pruned_text
+            FROM toks t
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN pruned p USING (doc_id)
+            ORDER BY t.doc_id"""),
+    "span-level decontamination: eval-overlapping token runs pruned, " +
+      "document kept (broadcast eval grams; coverage explode bounded by " +
+      "matched grams)")
+
   private val qDecontaminateBloom = Q(
     "q_decontaminate_bloom",
     (s, d) => {
@@ -1504,6 +1614,31 @@ object ExtQueries {
     "Z-order (Morton) clustering key over two columns — the write-layout " +
       "sort key for multi-dimensional min/max file skipping")
 
+  private val qDedupImage = Q(
+    "q_dedup_image",
+    (s, d) => {
+      // perceptual media dedup: payload near-dups are PLANTED (the
+      // q_dedup_incremental pattern) as re-id'd copies with ONE in-place
+      // byte edit — a perceptual hash must land them within a small
+      // Hamming distance of their source (byte-exact dedup is blind to
+      // them; embedding-stub cosine is too, by design). Exact-duplicate
+      // families pair at Hamming 0 alongside. Model-defined fingerprint →
+      // rows-only; the hash kernel + blocking are anchored by seeded
+      // MultimodalSpec tests on structured payloads.
+      val docs = documents(s, d).select("doc_id", "text")
+      val edited = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          concat(substring(col("text"), 1, 20), lit("X"),
+            substring(col("text"), 22, 1000000)).as("text"))
+      val media = Multimodal.asMedia(
+        docs.unionByName(edited), "doc_id", "text", "image/fake")
+      Multimodal.nearDupImages(media, maxHamming = 5)
+        .orderBy("id1", "id2")
+    },
+    None, // model-defined (perceptual hash); kernel + blocking unit-anchored
+    "perceptual image dedup: byte-region aHash through the decoder seam, " +
+      "pigeonhole Hamming blocking (never all-pairs)")
+
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
@@ -1523,7 +1658,8 @@ object ExtQueries {
     "audio metadata decode stage (real WAV header parse; stub fallback)")
 
   def all: Seq[Q] = Seq(
-    qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear, qDedupClusters,
+    qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
+    qDedupNearIncremental, qDedupClusters,
     qCcChains, qDedupSimhash, qDedupNgram, qDedupSpan, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
@@ -1533,6 +1669,7 @@ object ExtQueries {
     qHardNegatives, qKnnJoin, qVocabBuild,
     qPackSequences, qChunkWindows, qMixture, qMixtureUpsample, qQualityGate,
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
-    qRedact, qDecontaminate, qContaminationScore, qDecontaminateBloom, qZorder,
-    qMultimodal, qMultimodalAudio)
+    qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
+    qDecontaminateBloom, qZorder,
+    qDedupImage, qMultimodal, qMultimodalAudio)
 }

@@ -276,4 +276,67 @@ class DedupSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $idxT")
     }
   }
+
+  test("near-dup against a materialized band index: index side never reshuffles") {
+    // writeBandIndex's 100 TB contract: the corpus' band table (bucketed
+    // by band_id, band_hash) and signature table (bucketed by id) are
+    // written once; nearDupAgainstIndex shingles only the BATCH and joins
+    // both index tables without an Exchange on the index side — proven
+    // the same way as the fingerprint-index test: bucketed scans in the
+    // plan, and exactly two fewer exchanges than the identical join
+    // against unbucketed copies of the same tables.
+    val tag = System.nanoTime()
+    val prefix = s"band_idx_$tag"
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, s"historic document number $i about topic ${i % 7} " +
+        s"with deterministic filler content for shingling"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 42 (appended tail) — must be found
+      (9042L, "historic document number 42 about topic 0 " +
+        "with deterministic filler content for shingling plus tail"),
+      (9100L, "a wholly unrelated batch document mentioning nothing shared"))
+      .toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.writeBandIndex(corpus, "doc_id", "text", prefix,
+        numHashes = 64, bands = 16, shingler = Dedup.WordShingles(3),
+        numBuckets = 4)
+      // estimate-only form: its plan is exactly the two index joins
+      val est = Dedup.nearDupAgainstIndex(batch,
+        spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_sigs"),
+        "doc_id", "text", threshold = 0.5,
+        shingler = Dedup.WordShingles(3))
+      val plan = est.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scans not bucketed:\n$plan")
+      def exchanges(p: String) = p.split("Exchange hashpartitioning").length - 1
+      val sigsPlain = Dedup.minHashSignatures(corpus, "doc_id", "text",
+        shingler = Dedup.WordShingles(3))
+      val unbucketed = Dedup.nearDupAgainstIndex(batch,
+        Dedup.lshBands(sigsPlain, "doc_id", 16, 4), sigsPlain,
+        "doc_id", "text", threshold = 0.5,
+        shingler = Dedup.WordShingles(3))
+      assert(exchanges(plan) ==
+        exchanges(unbucketed.queryExecution.executedPlan.toString) - 2,
+        s"bucketed band index did not eliminate both index-side exchanges:\n$plan")
+      // the verified form surfaces the planted near-dup; same-topic corpus
+      // docs differ by one token so they legitimately pair too, but only
+      // with the near-dup batch doc (9042), never the unrelated one, and
+      // the planted source doc 42 must carry the highest jaccard
+      val verified = Dedup.nearDupAgainstIndex(batch,
+        spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_sigs"),
+        "doc_id", "text", threshold = 0.5,
+        shingler = Dedup.WordShingles(3), corpusText = Some(corpus))
+        .collect()
+      assert(verified.nonEmpty)
+      assert(verified.forall(_.getLong(0) == 9042L))
+      assert(verified.exists(r => r.getLong(1) == 42L && r.getDouble(2) > 0.5))
+      assert(verified.maxBy(_.getDouble(2)).getLong(1) == 42L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_sigs")
+    }
+  }
 }

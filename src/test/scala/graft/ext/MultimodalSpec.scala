@@ -155,6 +155,42 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("perceptual hash: region edits flip proportional bits; blocking finds the planted pair") {
+    // structured bimodal payloads — each 64-byte slice is all-0 or all-255,
+    // so slice means sit far from the global mean and the hash is exactly
+    // the slice pattern (no borderline bits). Editing k whole slices
+    // flips exactly k bits: the distance semantics the operator promises.
+    def payload(pattern: Long): Array[Byte] = {
+      val out = new Array[Byte](64 * 64)
+      var b = 0
+      while (b < 64) {
+        val v: Byte = if (((pattern >> b) & 1L) == 1L) 0xFF.toByte else 0x00
+        java.util.Arrays.fill(out, b * 64, (b + 1) * 64, v)
+        b += 1
+      }
+      out
+    }
+    val base = 0x5A5A5A5A5A5A5A5AL
+    val near = base ^ 0x6L        // 2 slices rewritten
+    val far = ~base               // every slice rewritten
+    assert(graft.ext.StubDecoders.perceptualHash(payload(base)) == base)
+    assert(java.lang.Long.bitCount(
+      graft.ext.StubDecoders.perceptualHash(payload(base)) ^
+        graft.ext.StubDecoders.perceptualHash(payload(near))) == 2)
+    assert(graft.ext.StubDecoders.perceptualHash(Array.emptyByteArray) == 0L)
+    import spark.implicits._
+    val media = Seq(
+      (0L, payload(base)), (1L, payload(near)), (2L, payload(far)))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.nearDupImages(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 1L, 2)))
+    // determinism across partitionings (the decode-stage contract)
+    val again = Multimodal.perceptualHashes(media.repartition(7)).collect()
+      .map(f => f.media_id -> f.phash).toMap
+    assert(again == Map(0L -> base, 1L -> near, 2L -> far))
+  }
+
   test("feature extraction emits unit-norm vectors that plug into the similarity family") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "image/fake")
     val emb = Multimodal.extractFeatures(media, dim = 16)

@@ -226,6 +226,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0.0, false)))
   }
 
+  test("decontaminateSpans prunes exactly the eval-overlapping spans, keeps the doc") {
+    val evalSet = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val corpus = Seq(
+      // 5-gram leak mid-document: positions 2..6 cut, flanks survive
+      (1L, "intro words alpha beta gamma delta epsilon closing words"),
+      (2L, "completely unrelated content about database systems and storage"),
+      (3L, "tiny doc") // shorter than the window → untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpans(corpus, "doc_id", "text",
+        evalSet, "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 9L && out(0).getLong(2) == 5L)
+    assert(out(0).getString(4) == "intro words closing words")
+    assert(out(1).getLong(2) == 0L)
+    assert(out(1).getString(4) == corpus.filter(col("doc_id") === 2)
+      .head().getString(1))
+    assert(out(2).getLong(2) == 0L && out(2).getString(4) == "tiny doc")
+    // a FULLY contaminated doc empties but is still present (kept, not dropped)
+    val full = TextAnalysis.decontaminateSpans(
+        Seq((9L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", evalSet, "text", n = 5)
+      .collect()
+    assert(full.length == 1 && full(0).getString(4) == "" &&
+      full(0).getDouble(3) == 1.0)
+  }
+
   test("heavyHitters finds exactly the tokens above support; CMS twin never undercounts") {
     val df = Seq("a a a a b b c", "a b d").toDF("text")
     // counts: a=5, b=3, c=1, d=1 of 10 tokens; support 0.25 → {a, b}
