@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Measured recall@k for the approximate similarity paths — the accuracy
+  * contract behind the ANN/IVF operators: a recall curve over
+  * (numPlanes, probeRadius) for the hyperplane-LSH path and (k, nprobe)
+  * for the IVF path, against exact brute-force ground truth on a
+  * synthetic clustered corpus (the ScaleSoak pattern: every vector is a
+  * pure function of its row id — cluster center + noise, unit-norm — so
+  * runs are deterministic and the near-neighbor structure is real, which
+  * uniform random vectors at dim 64 would not be).
+  *
+  * All measurement passes are single-plan: the query set is a broadcast
+  * Q-row table cross-joined into the corpus scan, candidates filtered by
+  * the method's probe predicate, and per-query top-k taken by a
+  * rank-over-qid window (WindowGroupLimit pushdown). Recall@k =
+  * |method ∩ truth| / k averaged over queries; `cand` is the fraction of
+  * the corpus scored per query — the cost the probe parameters buy
+  * recall with.
+  *
+  * Usage: runMain graft.tools.RecallCurve [numVectors] [numQueries] [dim]
+  */
+object RecallCurve {
+
+  def corpus(
+      spark: SparkSession,
+      n: Long,
+      dim: Int,
+      clusters: Int,
+      noise: Double = 0.8): DataFrame = {
+    val base = spark.range(0, n, 1, 64)
+    base
+      .withColumn("c", pmod(hash(col("id")), lit(clusters)))
+      // center(c, i) in [-1, 1) + noise·jitter(id, i): `noise` sets the
+      // data regime — 0.35 is tight clusters (every method saturates),
+      // the 0.8 default is clustered-but-boundary-heavy so
+      // nprobe/probeRadius actually trade recall for candidates. The
+      // regime matters more than any parameter: SimilaritySpec pins
+      // operating points per regime, including the weakly-structured
+      // real test corpus.
+      .withColumn("embedding", expr(
+        """transform(sequence(1, DIM),
+             i -> cast((pmod(hash(c, i, 7), 2000) / 1000.0 - 1.0)
+                     + NOISE * (pmod(hash(id, i, 13), 2000) / 1000.0 - 1.0) as float))"""
+          .replace("DIM", dim.toString)
+          .replace("NOISE", noise.toString)))
+      .withColumn("_norm", sqrt(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x / col("_norm")).cast("float")))
+      .select(col("id").as("vec_id"), col("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val numQueries = args.lift(1).map(_.toInt).getOrElse(20)
+    val dim = args.lift(2).map(_.toInt).getOrElse(64)
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // materialized like a real corpus (scans from disk, not a cached range)
+    val dir = s"/tmp/graft_recall_${n}_$dim"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      corpus(spark, n, dim, clusters = 256).write.mode("overwrite").parquet(dir)
+    val emb = spark.read.parquet(dir)
+    // held-out queries: same generator, ids past the corpus end
+    val queries = corpus(spark, n + numQueries, dim, clusters = 256)
+      .filter(col("vec_id") >= n)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .collect()
+    val queryDf = broadcast(
+      queries.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .toDF("qid", "qvec"))
+
+    def topK(scored: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+        .select("qid", "vec_id")
+    }
+    def scoreAll(filtered: DataFrame): DataFrame =
+      filtered.select(col("qid"), col("vec_id"),
+        graft.functions.functions
+          .cosine_similarity(col("embedding"), col("qvec")).as("score"))
+
+    def measure(name: String, candidates: DataFrame, truth: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.count()
+      val got = topK(scoreAll(cand))
+      val hits = got.join(truth, Seq("qid", "vec_id")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val recall = hits.toDouble / (queries.length.toLong * k)
+      val candFrac = nCand.toDouble / (n.toDouble * queries.length)
+      println(f"[recall] $name%-28s recall@$k=$recall%.3f cand=$candFrac%.4f t=$dt%6.1f s")
+      cand.unpersist(blocking = false)
+    }
+
+    val all = emb.crossJoin(queryDf)
+    val truth = topK(scoreAll(all))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    truth.count()
+    println(f"[recall] brute-force ground truth      t=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+
+    // --- hyperplane LSH: (numPlanes, probeRadius) grid -------------------
+    for (planes <- Seq(8, 12, 16); radius <- Seq(0, 1, 2)) {
+      val hp = Similarity.hyperplanes(planes, dim)
+      val cand = emb
+        .withColumn("_bucket", Similarity.lshBucket(col("embedding"), hp))
+        .crossJoin(queryDf.withColumn("_qbucket", Similarity.lshBucket(col("qvec"), hp)))
+        .filter(bit_count(col("_bucket").bitwiseXOR(col("_qbucket"))) <= radius)
+      measure(s"ann planes=$planes radius=$radius", cand, truth)
+    }
+
+    // --- IVF: (cells, nprobe) grid --------------------------------------
+    for (cells <- Seq(64, 256)) {
+      val centroids = Similarity.trainIvfCentroids(emb, "embedding", cells, iters = 2)
+      val cs = centroids.map(_.toSeq).toSeq
+      val assigned = Similarity.ivfAssign(emb, "embedding", centroids, "_cell")
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        val cand = assigned
+          .crossJoin(queryDf.withColumn("_qcells",
+            graft.functions.IvfCells.nearest_cells(col("qvec"), cs, nprobe)))
+          .filter(array_contains(col("_qcells"), col("_cell")))
+        measure(s"ivf cells=$cells nprobe=$nprobe", cand, truth)
+      }
+    }
+    spark.stop()
+  }
+}

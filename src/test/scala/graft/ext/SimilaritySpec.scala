@@ -199,6 +199,74 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(0L))
   }
 
+  test("measured recall@10 meets the documented operating points per data regime") {
+    // the accuracy CONTRACT behind the approximate paths: recall@10
+    // (mean over a query set, batched single-plan measurement — the
+    // RecallCurve shape, which also runs the full grid at 1M vectors for
+    // PERF.md) must reach 0.9 at the documented operating points. The
+    // REGIME is part of the contract: on clustered embeddings (what real
+    // encoders emit) IVF reaches 0.9 probing ~3% of the corpus and
+    // multi-probe ANN reaches 0.9 on tight clusters; on the
+    // weakly-structured test corpus (near-random vectors — the regime
+    // approximate search is NOT for) IVF needs nprobe=6 of 8 cells to
+    // clear 0.9, and that degradation is pinned here rather than hidden.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val k = 10
+    def meanRecall(emb: DataFrame, queryDf: DataFrame, nQ: Int,
+        cand: DataFrame => DataFrame): Double = {
+      val q = broadcast(queryDf)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      def topk(df: DataFrame) = df
+        .select(col("qid"), col("vec_id"),
+          graft.functions.functions
+            .cosine_similarity(col("embedding"), col("qvec")).as("score"))
+        .withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+        .select("qid", "vec_id")
+      val truth = topk(emb.crossJoin(q))
+      topk(cand(emb.crossJoin(q))).join(truth, Seq("qid", "vec_id"))
+        .count().toDouble / (k.toDouble * nQ)
+    }
+    def held(n: Long, noise: Double) = graft.tools.RecallCurve
+      .corpus(spark, n + 10, 64, 256, noise).filter(col("vec_id") >= n)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // regime 1: clustered, boundary-heavy (noise 0.8) — IVF 64 cells,
+    // nprobe 2 probes ~3% of the corpus and must clear 0.9
+    val emb1 = graft.tools.RecallCurve.corpus(spark, 10000, 64, 256, 0.8)
+    val cents1 = Similarity.trainIvfCentroids(emb1, "embedding", 64, iters = 2)
+    val cs1 = cents1.map(_.toSeq).toSeq
+    val rIvf = meanRecall(emb1, held(10000, 0.8), 10, joined => joined
+      .withColumn("_cell", graft.functions.IvfCells.nearest_cell(col("embedding"), cs1))
+      .withColumn("_qcells", graft.functions.IvfCells.nearest_cells(col("qvec"), cs1, 2))
+      .filter(array_contains(col("_qcells"), col("_cell"))))
+    assert(rIvf >= 0.9, s"IVF (64 cells, nprobe=2, clustered) recall@10 = $rIvf")
+
+    // regime 2: tight clusters (noise 0.35) — multi-probe ANN at
+    // 8 planes / radius 2 must clear 0.9
+    val emb2 = graft.tools.RecallCurve.corpus(spark, 10000, 64, 256, 0.35)
+    val hp = Similarity.hyperplanes(8, 64)
+    val rAnn = meanRecall(emb2, held(10000, 0.35), 10, joined => joined
+      .withColumn("_bucket", Similarity.lshBucket(col("embedding"), hp))
+      .withColumn("_qbucket", Similarity.lshBucket(col("qvec"), hp))
+      .filter(bit_count(col("_bucket").bitwiseXOR(col("_qbucket"))) <= 2))
+    assert(rAnn >= 0.9, s"ANN (8 planes, radius 2, tight clusters) recall@10 = $rAnn")
+
+    // regime 3: the real test corpus (weakly structured) — IVF must
+    // still clear 0.9 at the documented wide-probe point (nprobe 6 of 8)
+    val emb3 = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val q3 = emb3.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents3 = Similarity.trainIvfCentroids(emb3, "embedding", 8, iters = 2)
+    val cs3 = cents3.map(_.toSeq).toSeq
+    val rReal = meanRecall(emb3, q3, 10, joined => joined
+      .withColumn("_cell", graft.functions.IvfCells.nearest_cell(col("embedding"), cs3))
+      .withColumn("_qcells", graft.functions.IvfCells.nearest_cells(col("qvec"), cs3, 6))
+      .filter(array_contains(col("_qcells"), col("_cell"))))
+    assert(rReal >= 0.9, s"IVF (8 cells, nprobe=6, real corpus) recall@10 = $rReal")
+  }
+
   test("IVF probed search reaches useful recall against brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = Similarity.trainIvfCentroids(emb, "embedding", k = 8, iters = 2)
