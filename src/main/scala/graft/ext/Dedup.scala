@@ -219,56 +219,52 @@ object Dedup {
     * slower at 2M docs.
     *
     * DEGENERATE-BUCKET BOUND: a mass-duplicate family that survives exact
-    * dedup shares every band hash, so the grouping form would build one
-    * O(n) member array in a single reducer and emit its O(n²) pairs from
-    * that one task — the unbounded worst case at 100 TB. Buckets over
-    * `maxBucket` members are therefore AUTO-ROUTED to the salted
-    * self-join form ([[candidatePairsSalted]]'s shape), which spreads the
-    * same pair set over `hash(id1) % salts` reducers: identical output,
-    * bounded per-task state. The routing costs one extra exchange-free
-    * size aggregation: the band rows are repartitioned by bucket key
-    * ONCE (the same single shuffle the grouping form already paid) and
-    * both the size count and the member lists aggregate on top of that
-    * co-partitioning without further exchanges; the oversized-key set —
-    * empty in healthy corpora, tiny by construction otherwise — routes
-    * via broadcast joins, so the common case pays only the count pass.
+    * dedup shares every band hash, so each of its buckets would emit all
+    * O(n²) pairs from one reducer task — and because the pair-gen
+    * lambda MATERIALIZES the bucket's pair array before the explode,
+    * an unbounded hot bucket is a measured heap death, not just a
+    * straggler (a planted 6000-member family × 16 band buckets OOMed a
+    * full executor heap at 8 M docs; the bounded form finished in 69 s).
+    * Pair GENERATION is therefore capped inside the aggregation
+    * expression: a bucket over `maxBucket` members emits full pairs among
+    * its first `maxBucket` (ascending-id) members plus a min-id STAR pair
+    * for every member past the cap — ≤ maxBucket²/2 + n pairs per bucket
+    * instead of n²/2 (≤ ~17 MB materialized per hot bucket at the
+    * default cap), all from the same single pass. For the
+    * realistic degenerate case (byte-identical boilerplate families) the
+    * star pairs verify at Jaccard 1 and keep the whole family one
+    * connected component, so downstream clustering/dedup is UNCHANGED;
+    * only an adversarial mixed mega-bucket loses pair recall beyond the
+    * cap, gracefully instead of exploding one task. The cap adds ZERO
+    * cost when no bucket exceeds it (the star arm is an empty slice) —
+    * an earlier auto-route design that pre-counted bucket sizes and
+    * salted-joined the hot keys cost 2.8× on the common path at 8 M docs
+    * (persist + extra pass over the full band table) and was reverted.
+    * [[candidatePairsSalted]] remains the exact-pair-set alternative
+    * when full recall inside hot buckets is worth a spread join.
     */
   def candidatePairs(
       bandsDf: DataFrame,
       idCol: String,
-      maxBucket: Int = 4096,
-      salts: Int = 32): DataFrame = {
-    // one keyed shuffle, shared by the size pass and the member-list pass
-    // (HashPartitioning(band_id, band_hash) satisfies both groupBys)
-    val parts = bandsDf
-      .select(col("band_id"), col("band_hash"), col(idCol))
-      .repartition(col("band_id"), col("band_hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val oversized = parts
-      .groupBy("band_id", "band_hash")
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > maxBucket)
-      .select("band_id", "band_hash")
-    val smallPairs = parts
-      .join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // clamped so the `cap + 1` slice start below stays a valid int literal
+    val cap = math.min(maxBucket, Int.MaxValue - 1)
+    val pairGen =
+      s"""concat(
+            flatten(transform(sequence(1, least(size(ids), $cap) - 1),
+              i -> transform(slice(ids, i + 1, least(size(ids), $cap) - i),
+                             j -> struct(ids[i - 1] AS id1, j AS id2)))),
+            transform(slice(ids, ${cap + 1}, greatest(size(ids) - $cap, 0)),
+              j -> struct(ids[0] AS id1, j AS id2)))"""
+    bandsDf
       .groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2)
       // tiny by here: interpreted pair-gen lambdas touch only real buckets
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(slice(ids, i + 1, size(ids) - i),
-                            j -> struct(ids[i - 1] AS id1, j AS id2))))""")).as("p"))
+      .select(explode(expr(pairGen)).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-    val hot = parts.join(broadcast(oversized), Seq("band_id", "band_hash"))
-    val a = hot.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
-      .withColumn("_salt", graft.ops.SkewUtils.salt(col("id1"), salts))
-    val b = hot.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
-      .withColumn("_salt", explode(sequence(lit(0L), lit((salts - 1).toLong))))
-    val hotPairs = a.join(b, Seq("band_id", "band_hash", "_salt"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-    smallPairs.union(hotPairs).distinct()
+      .distinct()
   }
 
   /** Skew-hardened variant of [[candidatePairs]]: identical output, but a

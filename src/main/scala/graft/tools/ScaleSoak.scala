@@ -101,6 +101,58 @@ object ScaleSoak {
     timed("simhash") {
       graft.ext.Dedup.simHash(docs, "doc_id", "text").count()
     }
+    timed("band_index_write") {
+      // the write-once LSH index: corpus bands bucketed by
+      // (band_id, band_hash) + sigs bucketed by id
+      graft.ext.Dedup.writeBandIndex(docs, "doc_id", "text",
+        "soak_band_idx", numHashes = 64, bands = 16,
+        shingler = graft.ext.Dedup.WordShingles(3), numBuckets = 64,
+        basePath = Some(s"$dir-bandidx"))
+      spark.table("soak_band_idx_bands").count()
+    }
+    timed("band_index_probe") {
+      // daily-batch near-dup against the materialized index: ~1% of the
+      // corpus re-id'd with an appended tail (each a true near-dup of
+      // its source); only the batch is shingled — the index side joins
+      // exchange-free from the bucketed tables
+      val batch = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select((col("doc_id") + n * 10).as("doc_id"),
+          concat(col("text"), lit(" probetail")).as("text"))
+      graft.ext.Dedup.nearDupAgainstIndex(batch,
+        spark.table("soak_band_idx_bands"), spark.table("soak_band_idx_sigs"),
+        "doc_id", "text", threshold = 0.5,
+        shingler = graft.ext.Dedup.WordShingles(3),
+        corpusText = Some(docs)).count()
+    }
+    // adversarial mass-duplicate family that (hypothetically) survived
+    // exact dedup: `famSize` byte-identical docs share every band hash →
+    // unbounded, every bucket's reducer MATERIALIZES all famSize²/2
+    // pairs before the explode. famSize 6000 > the default cap, so the
+    // bounded stage emits capped-full + min-id star pairs while the
+    // unbounded twin (opt-in below) demonstrates the failure mode.
+    def degenerateBands = {
+      val famSize = 6000
+      val family = spark.range(0, famSize).select(
+        (col("id") + n * 20).as("doc_id"),
+        lit("identical boilerplate page body repeated across the whole crawl today").as("text"))
+      val tail = docs.filter(pmod(col("doc_id"), lit(40)) === 7)
+      val sigs = graft.ext.Dedup.minHashSignatures(
+        family.unionByName(tail.select("doc_id", "text")), "doc_id", "text",
+        64, graft.ext.Dedup.WordShingles(3))
+      graft.ext.Dedup.lshBands(sigs, "doc_id", 16, 4)
+    }
+    timed("degenerate_bucket_bounded") {
+      graft.ext.Dedup.candidatePairs(degenerateBands, "doc_id").count()
+    }
+    // opt-in ONLY (never part of a full sweep): measured outcome at 8 M
+    // docs is java.lang.OutOfMemoryError — 16 band buckets × an 18M-pair
+    // materialized array each. That OOM is the finding the bounded form
+    // exists for; running it kills the whole soak JVM by design.
+    if (only.nonEmpty && selected("degenerate_bucket_unbounded"))
+      timed("degenerate_bucket_unbounded") {
+        graft.ext.Dedup.candidatePairs(degenerateBands, "doc_id",
+          maxBucket = Int.MaxValue).count()
+      }
     timed("text_features") {
       // quality_score depends on every feature column — nothing prunable
       graft.ext.TextAnalysis.qualityFeatures(docs, "text")

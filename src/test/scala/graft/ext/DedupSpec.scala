@@ -129,13 +129,14 @@ class DedupSpec extends SparkSpec {
     assert(plain.size == 30 * 29 / 2) // the hot family is all-pairs by construction
   }
 
-  test("oversized LSH buckets auto-route to the salted form with identical output") {
+  test("oversized LSH buckets cap pair generation: full pairs to the cap + min-id star") {
     // planted mass-duplicate family (60 identical docs → every band bucket
-    // holds all 60 ids) well over maxBucket: the grouping form would build
-    // one 60-member array per bucket in a single reducer; the bound must
-    // route those buckets through the salted self-join instead — and the
-    // pair set must be EXACTLY the unbounded result (routing spreads work,
-    // never drops candidates)
+    // holds all 60 ids) well over maxBucket: the unbounded grouping form
+    // would emit all 60·59/2 pairs from one reducer task per bucket; the
+    // bound must emit exactly full pairs among the first maxBucket
+    // (ascending-id) members plus a min-id star pair for every member
+    // past the cap — bounded task output that still keeps the family one
+    // connected component (the property downstream clustering needs)
     val family = (0L until 60L).map(i => (i, base))
     val tail = Seq(
       (200L, "an unrelated control document about shuffle partition sizing"),
@@ -144,16 +145,24 @@ class DedupSpec extends SparkSpec {
     val sigs = Dedup.minHashSignatures(df, "doc_id", "text", numHashes = 64,
       shingler = Dedup.WordShingles(3))
     val bands = Dedup.lshBands(sigs, "doc_id", bands = 16, rowsPerBand = 4)
-    val bounded = Dedup.candidatePairs(bands, "doc_id", maxBucket = 8, salts = 4)
-    // the plan actually routes: both the anti-join (small buckets) and the
-    // salted-join (hot buckets) branches are present under the union
-    val plan = bounded.queryExecution.executedPlan.toString
-    assert(plan.contains("Union"), s"expected routed union plan:\n$plan")
-    val boundedSet = bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val unbounded = Dedup.candidatePairs(bands, "doc_id", maxBucket = Int.MaxValue)
+    val bounded = Dedup.candidatePairs(bands, "doc_id", maxBucket = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(boundedSet == unbounded)
-    assert(boundedSet.size == 60 * 59 / 2) // the family is all-pairs by construction
+    val expected =
+      (for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j)).toSet ++
+        (8L until 60L).map(j => (0L, j)).toSet
+    assert(bounded == expected) // 28 capped-full + 52 star = bounded task output
+    // the bound is a subset of the unbounded pair set and touches every member
+    val unbounded = Dedup.candidatePairs(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.size == 60 * 59 / 2) // default cap leaves this family alone
+    assert(bounded.subsetOf(unbounded))
+    assert((0L until 60L).forall(id => bounded.exists(p => p._1 == id || p._2 == id)))
+    // connectivity preserved: clustering over the bounded pairs still
+    // labels the whole family as ONE component under the min id
+    val cc = Dedup.connectedComponents(
+      Dedup.candidatePairs(bands, "doc_id", maxBucket = 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 60L).forall(cc(_) == 0L))
   }
 
   test("span dedup: flags shared 5-token windows, prunes exactly those spans") {
