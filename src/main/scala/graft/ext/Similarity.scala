@@ -265,6 +265,80 @@ object Similarity {
     embeddings.withColumn(cellCol,
       graft.functions.IvfCells.nearest_cell(col(embCol), centroids.map(_.toSeq).toSeq))
 
+  /** Materialize the IVF index as first-class WRITE-ONCE tables — the
+    * vector sibling of [[graft.ext.Dedup.writeBandIndex]]: the corpus is
+    * written `partitionBy(cellCol)` (one directory per coarse cell), and
+    * the trained centroids land in a `_centroids` table beside it, so the
+    * index is self-contained — a later session reloads the model with
+    * [[loadIvfCentroids]] and searches with [[ivfSearchIndex]] without
+    * retraining or re-assigning anything. Every subsequent probed search
+    * reads ONLY the probed cells' directories (partition pruning at the
+    * scan, plan-proven in SimilaritySpec); the corpus is never re-scored
+    * or re-shuffled per query.
+    *
+    * `basePath` places the table data outside the warehouse (external
+    * table) — e.g. the curated-dataset prefix on object storage; None
+    * writes managed tables. Returns the trained centroids so the writing
+    * session can search immediately.
+    */
+  def writeIvfIndex(
+      embeddings: DataFrame,
+      embCol: String,
+      tablePrefix: String,
+      k: Int,
+      iters: Int = 3,
+      cellCol: String = "ivf_cell",
+      basePath: Option[String] = None): Array[Array[Float]] = {
+    val cents = trainIvfCentroids(embeddings, embCol, k, iters)
+    def writer(out: DataFrame, suffix: String) = {
+      val w = out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      basePath.fold(w)(p => w.option("path", s"$p/$suffix"))
+    }
+    writer(ivfAssign(embeddings, embCol, cents, cellCol), "cells")
+      .partitionBy(cellCol)
+      .saveAsTable(s"${tablePrefix}_cells")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    writer(cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cell", "centroid"), "centroids")
+      .saveAsTable(s"${tablePrefix}_centroids")
+    cents
+  }
+
+  /** Reload a [[writeIvfIndex]] model: the k×dim centroid artifact (bit-
+    * exact floats — cell assignment and probe order reproduce exactly).
+    */
+  def loadIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Array[Array[Float]] =
+    spark.table(s"${tablePrefix}_centroids")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toArray)
+
+  /** IVF top-k search against a materialized [[writeIvfIndex]] index: the
+    * probe set is a LITERAL `isin`, so it prunes the cell-partitioned
+    * table at the scan — only `nprobe` of the k cell directories are
+    * read. Exact cosine ranks within the probed cells.
+    */
+  def ivfSearchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      cellCol: String = "ivf_cell"): DataFrame = {
+    val cents = loadIvfCentroids(spark, tablePrefix)
+    val probeCells = graft.functions.IvfCells
+      .computeCells(query, cents, nprobe).toIntArray().toSeq
+    spark.table(s"${tablePrefix}_cells")
+      .filter(col(cellCol).isin(probeCells: _*))
+      .select(col(idCol),
+        gf.cosine_similarity(col(embCol), planeCol(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k search, driver-known query form: the probe set is a
     * LITERAL `isin` over the query's nearest `nprobe` cells — the
     * partition-pruning path over a cell-partitioned corpus. Exact cosine

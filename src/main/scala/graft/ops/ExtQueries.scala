@@ -583,6 +583,32 @@ object ExtQueries {
     "IVF ANN top-k: k-means coarse quantizer + cell-pruned exact search " +
       "(the cell column partition-prunes a cell-partitioned corpus at scale)")
 
+  private val qSimIvfIndex = Q(
+    "q_sim_ivf_index",
+    (s, d) => {
+      // the WRITE-ONCE index serve path (Similarity.writeIvfIndex —
+      // q_dedup_near_incremental's vector sibling): the corpus is
+      // materialized cell-partitioned with its centroid artifact beside
+      // it, then searched through the RELOADED model — no retraining, and
+      // the probe set prunes cell directories at the scan (plan-proven in
+      // SimilaritySpec). Probing every cell makes the result exactly
+      // brute force, which DuckDB CAN check: the recall=1 anchor for the
+      // index path; pruned configurations are covered by q_sim_ivf.
+      val emb = embeddings(s, d)
+      val prefix = s"graft_ivfidx_${math.abs(d.hashCode)}"
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") =!= 0), "embedding",
+        prefix, k = 8, iters = 2, basePath = Some(s"/tmp/$prefix"))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfSearchIndex(s, prefix, "vec_id", "embedding", q,
+          k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    Some(brutForceOracleSql),
+    "IVF top-k served from the materialized cell-partitioned index at " +
+      "full probe — the write-once index path's recall=1 anchor")
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, d) =>
@@ -1663,6 +1689,7 @@ object ExtQueries {
     qCcChains, qDedupSimhash, qDedupNgram, qDedupSpan, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
+    qSimIvfIndex,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,

@@ -170,6 +170,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("writeIvfIndex: reloadable centroids, pruned search, full-probe = brute force") {
+    // the first-class write-once index API: one call trains + writes the
+    // cell-partitioned corpus and the centroid artifact; a (simulated)
+    // later session reloads the model bit-exact and searches with
+    // partition pruning — the production serve path with no retraining
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val prefix = "spec_ivf_idx"
+    try {
+      val trained = Similarity.writeIvfIndex(emb, "embedding", prefix,
+        k = 4, iters = 1, basePath = Some(dir))
+      // centroid artifact round-trips bit-exact (floats, cell order)
+      val reloaded = Similarity.loadIvfCentroids(spark, prefix)
+      assert(reloaded.length == trained.length)
+      assert(reloaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+      val q = emb.filter(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0).toArray
+      // nprobe = 1: the literal probe set must reach the scan as a
+      // PARTITION filter and read exactly one cell directory
+      val pruned = Similarity.ivfSearchIndex(spark, prefix,
+        "vec_id", "embedding", q, k = 3, nprobe = 1)
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "ivf_cell")),
+        s"probe must prune partitions; got ${scan.partitionFilters}")
+      val top = pruned.collect()
+      assert(scan.metrics("numPartitions").value == 1L)
+      assert(top.head.getLong(0) == 7L) // self-match survives the pruning
+      // full probe (nprobe = k) must return exactly the brute-force answer
+      val full = Similarity.ivfSearchIndex(spark, prefix,
+          "vec_id", "embedding", q, k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(full.sameElements(brute))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_cells")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_centroids")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("semantic dedup: within-cell similars drop to the min id, across cells kept") {
     val e1 = Array(1.0f, 0.0f, 0.0f)
     val e2 = Array(0.99f, 0.14f, 0.0f) // cos(e1,e2) ≈ 0.99
