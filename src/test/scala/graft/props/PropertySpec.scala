@@ -96,6 +96,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("capped candidatePairs obeys its emission law on generated bucket structures") {
+    // the documented degenerate-bucket bound, as an algebraic law over
+    // random bucket compositions: a bucket's emission is EXACTLY the full
+    // clique over its first `cap` ascending-id members plus a min-id star
+    // pair per overflow member — so the result is a subset of the
+    // unbounded pair set, every bucket member stays connected, and a cap
+    // no bucket exceeds reproduces the unbounded result identically
+    val rnd = new scala.util.Random(7)
+    val cap = 5
+    (1 to 4).foreach { _ =>
+      // overlapping id universes across buckets — the real LSH shape
+      val buckets = (0 until 2 + rnd.nextInt(4)).map { b =>
+        val ids = rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(14))
+        (b, ids)
+      }
+      val bands = buckets
+        .flatMap { case (b, ids) => ids.map(id => (b % 3, b.toLong, id)) }
+        .toDF("band_id", "band_hash", "doc_id")
+      def pairs(maxBucket: Int) =
+        Dedup.candidatePairs(bands, "doc_id", maxBucket = maxBucket)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bounded = pairs(cap)
+      val unbounded = pairs(Int.MaxValue)
+      assert(bounded.subsetOf(unbounded))
+      assert(bounded.forall(p => p._1 < p._2))
+      // the exact emission law, bucket by bucket
+      val expected = buckets.flatMap { case (_, ids) =>
+        val s = ids.sorted
+        val head = math.min(s.size, cap)
+        (for (i <- 0 until head; j <- (i + 1) until head) yield (s(i), s(j))) ++
+          s.drop(cap).map(j => (s.head, j))
+      }.toSet
+      assert(bounded == expected)
+      // connectivity: every member of every real bucket appears in a pair
+      buckets.filter(_._2.size >= 2).foreach { case (_, ids) =>
+        assert(ids.forall(id => bounded.exists(p => p._1 == id || p._2 == id)))
+      }
+      // a cap nothing exceeds is the identity
+      assert(pairs(64) == unbounded)
+    }
+  }
+
   test("span dedup matches a brute-force reference on generated corpora") {
     val n = 3
     (1L to 5L).foreach { seed =>
