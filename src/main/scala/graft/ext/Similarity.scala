@@ -477,6 +477,29 @@ object Similarity {
     embeddings.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Semantic (embedding-space) decontamination: drop corpus rows whose
+    * embedding is within cosine `threshold` of ANY eval-set row — the
+    * vector sibling of the n-gram decontamination family
+    * ([[graft.ext.TextAnalysis.decontaminate]]), catching paraphrased or
+    * reformatted benchmark leakage that exact n-gram matching misses.
+    * Eval sets are small by nature (benchmarks), so the eval side
+    * BROADCASTS and the corpus is scored in one map-only pass
+    * (|corpus| × |eval| codegen'd cosines inside a broadcast nested-loop
+    * ANTI join — no corpus shuffle, plan-proven in SimilaritySpec). For
+    * an eval set too big to broadcast, assign both sides to cells
+    * ([[ivfAssign]]) and run the same drop per cell like
+    * [[semanticDedup]] does.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame =
+    corpus.join(broadcast(evalSet.select(col(embCol).as("_eval_emb"))),
+      gf.cosine_similarity(col(embCol), col("_eval_emb")) >= threshold,
+      "left_anti")
+
   /** Batch k-NN join: for EVERY vector, its `k` nearest neighbors within
     * its cell (IVF assignment in production — the blocked form of an ANN
     * join; the single-query searches above answer "what matches this

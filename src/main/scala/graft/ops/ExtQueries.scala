@@ -335,6 +335,33 @@ object ExtQueries {
     "SemDeDup-style semantic dedup: within-cell cosine >= tau vs any " +
       "lower id drops the row; deterministic cells make it oracle-exact")
 
+  private val qDecontaminateSemantic = Q(
+    "q_decontaminate_semantic",
+    (s, d) => {
+      // the embedding-space member of the decontamination family
+      // (exact / bloom / scored / span are n-gram-based): every 50th
+      // vector plays the benchmark eval set; corpus rows within cosine
+      // 0.3 of any eval row drop. tau=0.3 drops 48/490 at sf0.01 and the
+      // nearest corpus-eval pair sits 1.9e-4 from the boundary, so
+      // float/double parity is safe (the q_dedup_semantic pattern).
+      val emb = embeddings(s, d)
+      Similarity.decontaminateSemantic(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", threshold = 0.3)
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+    Some("""SELECT c.vec_id FROM embeddings c
+            WHERE c.vec_id % 50 <> 0 AND NOT EXISTS (
+              SELECT 1 FROM embeddings v
+              WHERE v.vec_id % 50 = 0
+                AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(v.embedding AS DOUBLE[])) >= 0.3)
+            ORDER BY c.vec_id"""),
+    "semantic decontamination: corpus rows within cosine tau of any eval " +
+      "embedding dropped (broadcast eval, one map-only anti-join pass)")
+
   private val qLmScore = Q(
     "q_lm_score",
     (s, d) =>
@@ -1697,6 +1724,6 @@ object ExtQueries {
     qPackSequences, qChunkWindows, qMixture, qMixtureUpsample, qQualityGate,
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
-    qDecontaminateBloom, qZorder,
+    qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qMultimodal, qMultimodalAudio)
 }

@@ -213,6 +213,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: near-eval rows drop, one map-only anti-join pass") {
+    // corpus vec 1 is nearly parallel to an eval vector (cos ~0.999),
+    // vec 2 orthogonal, vec 3 anti-parallel — only vec 1 drops at tau 0.9
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.14f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.decontaminateSemantic(
+      corpus, evalSet, "vec_id", "embedding", threshold = 0.9)
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // the at-scale contract: eval broadcasts into a nested-loop ANTI join
+    // and the corpus is never shuffled
+    val plan = kept.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "corpus must not shuffle")
+  }
+
   test("semantic dedup: within-cell similars drop to the min id, across cells kept") {
     val e1 = Array(1.0f, 0.0f, 0.0f)
     val e2 = Array(0.99f, 0.14f, 0.0f) // cos(e1,e2) ≈ 0.99
