@@ -319,7 +319,8 @@ object ScaleSoak {
     val vectorStages =
       Seq("brute_force_top10", "ivf_train_on_sample", "ivf_assign",
         "ivf_search_nprobe4", "ivf_index_write", "ivf_index_probe",
-        "ann_lsh_top10", "semantic_dedup_ivf", "mining_sets", "knn_join")
+        "ann_lsh_top10", "semantic_dedup_ivf", "semantic_decontaminate",
+        "mining_sets", "knn_join")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -412,6 +413,17 @@ object ScaleSoak {
       val withCell = graft.ext.Similarity.ivfAssign(emb, "embedding", cells)
       graft.ext.Similarity.semanticDedup(withCell, "vec_id", "embedding",
         "ivf_cell", threshold = 0.95).count()
+    }
+    vtimed("semantic_decontaminate") {
+      // exact form: every corpus vector scored against a broadcast 0.1%
+      // eval set (nVec/1000 rows) in one map-only anti-join pass — the
+      // nVec × |eval| cosine product is the honest exact baseline; an
+      // eval set too big to broadcast goes through the celled form
+      // (ivfAssign both sides) like semantic_dedup_ivf
+      graft.ext.Similarity.decontaminateSemantic(
+        emb.filter(pmod(col("vec_id"), lit(1000)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(1000)) === 0),
+        "vec_id", "embedding", threshold = 0.95).count()
     }
     spark.stop()
   }
