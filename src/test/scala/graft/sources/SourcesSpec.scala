@@ -149,6 +149,14 @@ class SourcesSpec extends SparkSpec {
         s"expected shuffle-free bucketed join:\n$plan")
       assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
       assert(joined.count() > 0)
+      // layout contract: one file per bucket, not one per (task × bucket) —
+      // the writer repartitions on the bucket key so small files can't
+      // accumulate (the 8 M-doc soak measured 2048 files without this)
+      val loc = spark.sql(s"DESCRIBE FORMATTED $liT").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val files = new java.io.File(new java.net.URI(loc))
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected one file per bucket, got $files")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql(s"DROP TABLE IF EXISTS $liT")
