@@ -44,6 +44,12 @@ object Bench {
       ops.CacheUtils.releaseAll(spark)
       elapsed
     }
+    // fail BEFORE the ~2-min warmup pass, not after; and odd reps make
+    // the median an actual middle element (even reps would silently
+    // report the upper-middle)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1 && reps % 2 == 1,
+      s"SPARK_GRAFT_BENCH_REPS must be a positive odd number, got $reps")
     SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn, warmup = true) }
     // MEDIAN of `reps` timed passes per query, interleaved ROUND-ROBIN
     // (pass 1 of every query, then pass 2, ...) rather than back-to-back:
@@ -53,7 +59,6 @@ object Bench {
     // interleaving decorrelates the passes, so the median discards the
     // unlucky one. Any failed pass reports the query as -1 (a breakage
     // must never hide behind two good passes).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
     val samples: Map[String, Seq[Double]] = {
       val passes = (0 until reps).map { _ =>

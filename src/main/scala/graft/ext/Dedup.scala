@@ -307,6 +307,16 @@ object Dedup {
     * trade-off: enough buckets that one bucket ≈ one task's worth of
     * band rows at the corpus' scale.
     */
+  private def shinglerTag(s: Shingler): String = s match {
+    case CharShingles(k) => s"char:$k"
+    case WordShingles(n) => s"word:$n"
+  }
+  private def parseShingler(tag: String): Shingler = tag.split(":") match {
+    case Array("char", k) => CharShingles(k.toInt)
+    case Array("word", n) => WordShingles(n.toInt)
+    case _ => throw new IllegalArgumentException(s"unknown shingler tag: $tag")
+  }
+
   def writeBandIndex(
       df: DataFrame,
       idCol: String,
@@ -317,6 +327,8 @@ object Dedup {
       shingler: Shingler = CharShingles(5),
       numBuckets: Int = 8,
       basePath: Option[String] = None): Unit = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) or band hashes drop coverage")
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingler)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsDf = lshBands(sigs, idCol, bands, numHashes / bands)
@@ -338,7 +350,37 @@ object Dedup {
     writer(sigs.repartition(numBuckets, col(idCol)), "sigs")
       .bucketBy(numBuckets, idCol)
       .saveAsTable(s"${tablePrefix}_sigs")
+    // the index's build parameters, recorded beside it: a probe with
+    // mismatched hashing/banding/shingling produces band hashes that
+    // match NOTHING — recall silently 0 — so the prefix overload of
+    // [[nearDupAgainstIndex]] reads this table and self-configures
+    val spark = df.sparkSession
+    import spark.implicits._
+    writer(Seq((numHashes, bands, shinglerTag(shingler), idCol))
+        .toDF("num_hashes", "bands", "shingler", "id_col"), "meta")
+      .saveAsTable(s"${tablePrefix}_meta")
     sigs.unpersist(blocking = false)
+  }
+
+  /** Probe a [[writeBandIndex]] index BY NAME: the build parameters come
+    * from the index's own `_meta` table, so the probe cannot silently
+    * mis-hash (the failure mode of hand-passing numHashes/bands/shingler
+    * that don't match the build: zero candidates, no error).
+    */
+  def nearDupAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      newBatch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      corpusText: Option[DataFrame]): DataFrame = {
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    nearDupAgainstIndex(newBatch,
+      spark.table(s"${tablePrefix}_bands"), spark.table(s"${tablePrefix}_sigs"),
+      idCol, textCol, threshold,
+      numHashes = meta.getInt(0), bands = meta.getInt(1),
+      shingler = parseShingler(meta.getString(2)), corpusText = corpusText)
   }
 
   /** Near-dup a NEW batch against a materialized band index
@@ -368,6 +410,8 @@ object Dedup {
       bands: Int = 16,
       shingler: Shingler = CharShingles(5),
       corpusText: Option[DataFrame] = None): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) or band hashes drop coverage")
     val batchSigs = minHashSignatures(newBatch, idCol, textCol, numHashes, shingler)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val batchBands = lshBands(batchSigs, idCol, bands, numHashes / bands)
@@ -714,31 +758,44 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Hamming-blocked near-dup pairs over ANY 64-bit fingerprint column
-    * (SimHash text fingerprints, perceptual image hashes, …): block on 4
-    * 16-bit sub-keys (a ≤h-distance-3 pair must agree on at least one
-    * block — pigeonhole), self-join within blocks only, verify exact
-    * Hamming. Never all-pairs: the only shuffle is keyed by
-    * (block_id, block_key), and candidates exist only inside shared
-    * blocks.
+    * (SimHash text fingerprints, perceptual image hashes, …): the 64
+    * bits split into `maxHamming + 1` near-equal-width sub-keys, so a
+    * pair within the distance budget MUST agree on at least one block
+    * (pigeonhole — a fixed block count would silently lose recall for
+    * any larger budget), candidates exist only inside shared blocks, and
+    * exact Hamming verifies. The block table is an LSH band table in all
+    * but name, so candidate generation goes through [[candidatePairs]]
+    * and inherits its degenerate-bucket bound: a mass family of
+    * identical fingerprints (empty/constant payloads all hash to the
+    * same 64 bits) emits capped-clique + min-id star pairs instead of an
+    * unbounded one-reducer quadratic join — stars verify at Hamming 0,
+    * so the family still surfaces and clusters whole.
     */
   def hammingPairs64(
       fp: DataFrame,
       idCol: String,
       fpCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val blocked = fp.select(col(idCol), col(fpCol),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("block_id"),
-          shiftright(col(fpCol), i * 16).bitwiseAND(0xFFFFL).as("block_key"))): _*)).as("b"))
-      .select(col(idCol), col(fpCol), col("b.block_id"), col("b.block_key"))
-    val a = blocked.select(col("block_id"), col("block_key"),
-      col(idCol).as("id1"), col(fpCol).as("fp1"))
-    val b = blocked.select(col("block_id"), col("block_key"),
-      col(idCol).as("id2"), col(fpCol).as("fp2"))
-    a.join(b, Seq("block_id", "block_key"))
-      .filter(col("id1") < col("id2"))
+      maxHamming: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nBlocks = maxHamming + 1
+    // near-equal widths: the first (64 % nBlocks) blocks get one extra bit
+    val bounds = (0 until nBlocks).scanLeft(0)((s, i) =>
+      s + 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val blocks = (0 until nBlocks).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1 // JVM shifts are mod 64
+      struct(lit(i).as("band_id"),
+        shiftright(col(fpCol), bounds(i)).bitwiseAND(mask).as("band_hash"))
+    }
+    val bands = fp
+      .select(col(idCol), explode(array(blocks: _*)).as("b"))
+      .select(col("b.band_id"), col("b.band_hash"), col(idCol))
+    candidatePairs(bands, idCol, maxBucket)
+      .join(fp.select(col(idCol).as("id1"), col(fpCol).as("fp1")), "id1")
+      .join(fp.select(col(idCol).as("id2"), col(fpCol).as("fp2")), "id2")
       .select(col("id1"), col("id2"), hamming64(col("fp1"), col("fp2")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

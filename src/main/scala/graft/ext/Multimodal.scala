@@ -170,10 +170,10 @@ object Multimodal {
   }
 
   /** Perceptual near-dup image pairs: aHash fingerprints blocked and
-    * verified by [[Dedup.hammingPairs64]] (pigeonhole 16-bit blocking —
-    * the SimHash machinery pointed at media fingerprints). Never
-    * all-pairs: candidates exist only inside shared blocks. Returns
-    * (id1, id2, hamming) with hamming ≤ maxHamming.
+    * verified by [[Dedup.hammingPairs64]] (pigeonhole blocking sized to
+    * the distance budget — the SimHash machinery pointed at media
+    * fingerprints). Never all-pairs: candidates exist only inside shared
+    * blocks. Returns (id1, id2, hamming) with hamming ≤ maxHamming.
     */
   def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs64(

@@ -299,14 +299,17 @@ object Similarity {
       val w = out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       basePath.fold(w)(p => w.option("path", s"$p/$suffix"))
     }
-    // repartition on the cell BEFORE the partitioned write: otherwise
+    // REBALANCE on the cell BEFORE the partitioned write: otherwise
     // every input task writes a sliver into every cell directory
     // (writers × cells files) and probes drown in file-open overhead —
-    // measured 11.9 s → 0.8 s per probe at 1 M vectors. One shuffle at
-    // write time buys ~one well-sized file per cell directory; at larger
-    // corpora AQE's rebalance splits any oversized cell across tasks.
+    // measured 11.9 s → 1.0 s per probe at 1 M vectors. The rebalance
+    // hint (not a plain repartition, which pins each cell to exactly one
+    // task) lets AQE both coalesce small cells and SPLIT a skewed hot
+    // cell across tasks — real encoder embeddings cluster heavily, and a
+    // hot cell written by one straggler task as one giant file would
+    // also be read without parallelism at probe time.
     writer(ivfAssign(embeddings, embCol, cents, cellCol)
-        .repartition(col(cellCol)), "cells")
+        .hint("rebalance", col(cellCol)), "cells")
       .partitionBy(cellCol)
       .saveAsTable(s"${tablePrefix}_cells")
     val spark = embeddings.sparkSession
@@ -339,6 +342,22 @@ object Similarity {
       query: Array[Float],
       k: Int,
       nprobe: Int,
+      cellCol: String = "ivf_cell"): DataFrame =
+    ivfScoresIndex(spark, tablePrefix, idCol, embCol, query, nprobe, cellCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Probe-and-score form of [[ivfSearchIndex]] with no top-k cut (see
+    * [[bruteForceScoresLazy]] for why callers that transform or round
+    * the score want to rank after the transform).
+    */
+  def ivfScoresIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      idCol: String,
+      embCol: String,
+      query: Array[Float],
+      nprobe: Int,
       cellCol: String = "ivf_cell"): DataFrame = {
     val cents = loadIvfCentroids(spark, tablePrefix)
     val probeCells = graft.functions.IvfCells
@@ -347,8 +366,6 @@ object Similarity {
       .filter(col(cellCol).isin(probeCells: _*))
       .select(col(idCol),
         gf.cosine_similarity(col(embCol), planeCol(query)).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
   }
 
   /** IVF top-k search, driver-known query form: the probe set is a

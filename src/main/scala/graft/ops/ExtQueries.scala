@@ -143,10 +143,10 @@ object ExtQueries {
       Dedup.writeBandIndex(corpus, "doc_id", "text", prefix,
         numHashes = 64, bands = 16, shingler = Dedup.WordShingles(3),
         numBuckets = 8, basePath = Some(s"/tmp/$prefix"))
-      Dedup.nearDupAgainstIndex(batch,
-          s.table(s"${prefix}_bands"), s.table(s"${prefix}_sigs"),
-          "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 16,
-          shingler = Dedup.WordShingles(3), corpusText = Some(corpus))
+      // by-name probe: build parameters come from the index's _meta
+      // table, so the probe cannot silently mis-hash
+      Dedup.nearDupAgainstIndex(s, prefix, batch,
+          "doc_id", "text", threshold = 0.5, corpusText = Some(corpus))
         .select(col("batch_id"), col("corpus_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("batch_id", "corpus_id")
@@ -627,10 +627,14 @@ object ExtQueries {
         prefix, k = 8, iters = 2, basePath = Some(s"/tmp/$prefix"))
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.ivfSearchIndex(s, prefix, "vec_id", "embedding", q,
-          k = 10, nprobe = 8)
+      // rank on the ROUNDED score (the q_sim_ann_full pattern): a raw
+      // float cut at k could keep a different boundary row than the
+      // oracle's 6-dp double ordering
+      Similarity.ivfScoresIndex(s, prefix, "vec_id", "embedding", q,
+          nprobe = 8)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
     },
     Some(brutForceOracleSql),
     "IVF top-k served from the materialized cell-partitioned index at " +

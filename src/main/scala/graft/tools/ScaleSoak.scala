@@ -101,15 +101,23 @@ object ScaleSoak {
     timed("simhash") {
       graft.ext.Dedup.simHash(docs, "doc_id", "text").count()
     }
-    timed("band_index_write") {
-      // the write-once LSH index: corpus bands bucketed by
-      // (band_id, band_hash) + sigs bucketed by id
+    def buildBandIndex(): Unit =
       graft.ext.Dedup.writeBandIndex(docs, "doc_id", "text",
         "soak_band_idx", numHashes = 64, bands = 16,
         shingler = graft.ext.Dedup.WordShingles(3), numBuckets = 64,
         basePath = Some(s"$dir-bandidx"))
+    timed("band_index_write") {
+      // the write-once LSH index: corpus bands bucketed by
+      // (band_id, band_hash) + sigs bucketed by id
+      buildBandIndex()
       spark.table("soak_band_idx_bands").count()
     }
+    // probe-only runs (stage filter skipped the write) build the index
+    // OUTSIDE the timed block — the catalog is per-JVM, so the table
+    // can't come from a prior run, and the build must not pollute the
+    // probe's number
+    if (selected("band_index_probe") &&
+        !spark.catalog.tableExists("soak_band_idx_bands")) buildBandIndex()
     timed("band_index_probe") {
       // daily-batch near-dup against the materialized index: ~1% of the
       // corpus re-id'd with an appended tail (each a true near-dup of
@@ -118,11 +126,8 @@ object ScaleSoak {
       val batch = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
         .select((col("doc_id") + n * 10).as("doc_id"),
           concat(col("text"), lit(" probetail")).as("text"))
-      graft.ext.Dedup.nearDupAgainstIndex(batch,
-        spark.table("soak_band_idx_bands"), spark.table("soak_band_idx_sigs"),
-        "doc_id", "text", threshold = 0.5,
-        shingler = graft.ext.Dedup.WordShingles(3),
-        corpusText = Some(docs)).count()
+      graft.ext.Dedup.nearDupAgainstIndex(spark, "soak_band_idx", batch,
+        "doc_id", "text", threshold = 0.5, corpusText = Some(docs)).count()
     }
     // adversarial mass-duplicate family that (hypothetically) survived
     // exact dedup: `famSize` byte-identical docs share every band hash →
@@ -148,7 +153,9 @@ object ScaleSoak {
     // docs is java.lang.OutOfMemoryError — 16 band buckets × an 18M-pair
     // materialized array each. That OOM is the finding the bounded form
     // exists for; running it kills the whole soak JVM by design.
-    if (only.nonEmpty && selected("degenerate_bucket_unbounded"))
+    // EXACT name required (not the substring filter): "degenerate_bucket"
+    // must select only the bounded stage, never the JVM-killing twin
+    if (only.contains("degenerate_bucket_unbounded"))
       timed("degenerate_bucket_unbounded") {
         graft.ext.Dedup.candidatePairs(degenerateBands, "doc_id",
           maxBucket = Int.MaxValue).count()
@@ -364,15 +371,22 @@ object ScaleSoak {
       graft.ext.Similarity.ivfSearch(emb, "vec_id", "embedding", q, 10,
         centroids, nprobe = 4).count()
     }
+    def buildIvfIndex(): Unit =
+      graft.ext.Similarity.writeIvfIndex(emb, "embedding", "soak_ivf_idx",
+        k = centroids.length, cellCol = "ivf_cell",
+        basePath = Some(s"$vecDir-ivfidx"), centroids = Some(centroids))
     vtimed("ivf_index_write") {
       // the write-once serve path: quantizer trained ONCE on the sample
       // above, full corpus assigned + written cell-partitioned with the
       // centroid artifact beside it — paid at corpus build, never per query
-      graft.ext.Similarity.writeIvfIndex(emb, "embedding", "soak_ivf_idx",
-        k = centroids.length, cellCol = "ivf_cell",
-        basePath = Some(s"$vecDir-ivfidx"), centroids = Some(centroids))
+      buildIvfIndex()
       spark.table("soak_ivf_idx_cells").count()
     }
+    // probe-only runs build the index outside the timed block (per-JVM
+    // catalog — the table can't come from a prior run, and the build
+    // must not pollute the probe's number)
+    if (selected("ivf_index_probe") &&
+        !spark.catalog.tableExists("soak_ivf_idx_cells")) buildIvfIndex()
     vtimed("ivf_index_probe") {
       // per-query serve cost against the materialized index: reloaded
       // centroids + literal probes that prune cell directories at the scan

@@ -247,6 +247,41 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((0L, 1L)))
   }
 
+  test("hammingPairs64 recall holds at every budget: blocks sized to maxHamming") {
+    // adversarial placement: the flipped bits land one per 16-bit quarter
+    // (bits 0, 16, 32, 48, 63), so a FIXED 4-block scheme shares no block
+    // at distance >= 4 and would silently drop the pair — the pigeonhole
+    // only guarantees recall when there are maxHamming + 1 blocks
+    val base = 0x0123456789ABCDEFL
+    def flip(bits: Int*) = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+    val fps = Seq(
+      (0L, base),
+      (1L, flip(0, 16, 32, 48, 63)), // hamming 5 from base
+      (2L, flip(0, 16, 32)), // hamming 3
+      (3L, ~base) // hamming 64: must never pair
+    ).toDF("id", "fp")
+    def pairs(h: Int) = Dedup.hammingPairs64(fps, "id", "fp", maxHamming = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val atFive = pairs(5)
+    assert(atFive.contains((0L, 1L, 5L)), s"hamming-5 pair lost: $atFive")
+    assert(atFive.contains((0L, 2L, 3L)))
+    assert(!atFive.exists(p => p._1 == 3L || p._2 == 3L))
+    // tighter budget excludes the distance-5 pair but keeps distance-3
+    val atThree = pairs(3)
+    assert(!atThree.contains((0L, 1L, 5L)))
+    assert(atThree.contains((0L, 2L, 3L)))
+    // degenerate family: identical fingerprints ride the capped kernel —
+    // star pairs verify at hamming 0, the family clusters whole
+    val family = (10L until 40L).map((_, 0L)) :+ ((50L, base))
+    val famPairs = Dedup.hammingPairs64(
+        family.toDF("id", "fp"), "id", "fp", maxHamming = 2, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((11L until 40L).forall(j => famPairs.contains((10L, j))
+        || (10L until j).exists(i => famPairs.contains((i, j)))),
+      "every family member must pair despite the cap")
+    assert(!famPairs.exists(p => p._1 == 50L || p._2 == 50L))
+  }
+
   test("incremental dedup against a BUCKETED fingerprint index: index side never reshuffles") {
     // the 100 TB shape Dedup.incremental documents: the historical corpus'
     // fingerprint set materialized ONCE as a bucketed table, so each
