@@ -332,32 +332,23 @@ object Dedup {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingler)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsDf = lshBands(sigs, idCol, bands, numHashes / bands)
-    def writer(out: DataFrame, suffix: String) = {
-      val w = out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-      basePath.fold(w)(p => w.option("path", s"$p/$suffix"))
-    }
-    // repartition on the bucket key BEFORE the bucketed write: Spark
-    // emits one file per (task × bucket), so writing straight from the
-    // upstream partitioning costs writers × buckets small files (measured
-    // 2048 per table at the 8 M-doc soak). repartition(numBuckets, keys)
-    // uses the same Murmur3 pmod as the bucket id, so each task holds
-    // exactly one bucket → one well-sized file per bucket, and every
-    // subsequent probe reads numBuckets footers instead of thousands.
-    writer(bandsDf.repartition(numBuckets, col("band_id"), col("band_hash")),
-        "bands")
-      .bucketBy(numBuckets, "band_id", "band_hash")
-      .saveAsTable(s"${tablePrefix}_bands")
-    writer(sigs.repartition(numBuckets, col(idCol)), "sigs")
-      .bucketBy(numBuckets, idCol)
-      .saveAsTable(s"${tablePrefix}_sigs")
+    // both tables go through the shared bucketed writer, which owns the
+    // small-files discipline (repartition on the bucket key first)
+    graft.sources.Sources.writeBucketedBy(bandsDf, s"${tablePrefix}_bands",
+      Seq("band_id", "band_hash"), numBuckets,
+      basePath = basePath.map(p => s"$p/bands"))
+    graft.sources.Sources.writeBucketedBy(sigs, s"${tablePrefix}_sigs",
+      Seq(idCol), numBuckets, basePath = basePath.map(p => s"$p/sigs"))
     // the index's build parameters, recorded beside it: a probe with
     // mismatched hashing/banding/shingling produces band hashes that
     // match NOTHING — recall silently 0 — so the prefix overload of
     // [[nearDupAgainstIndex]] reads this table and self-configures
     val spark = df.sparkSession
     import spark.implicits._
-    writer(Seq((numHashes, bands, shinglerTag(shingler), idCol))
-        .toDF("num_hashes", "bands", "shingler", "id_col"), "meta")
+    val metaW = Seq((numHashes, bands, shinglerTag(shingler), idCol))
+      .toDF("num_hashes", "bands", "shingler", "id_col")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+    basePath.fold(metaW)(p => metaW.option("path", s"$p/meta"))
       .saveAsTable(s"${tablePrefix}_meta")
     sigs.unpersist(blocking = false)
   }

@@ -190,18 +190,35 @@ object Sources {
       table: String,
       bucketCol: String,
       numBuckets: Int,
-      sortCol: Option[String] = None): Unit = {
+      sortCol: Option[String] = None): Unit =
+    writeBucketedBy(df, table, Seq(bucketCol), numBuckets, sortCol)
+
+  /** Multi-column form of [[writeBucketed]] — the single write-layout
+    * implementation every bucketed index in the library goes through
+    * (corpus fingerprint index, LSH band + signature tables), so the
+    * small-files discipline below cannot be missed by one of them.
+    * `basePath` makes the table external (data under `basePath`).
+    */
+  def writeBucketedBy(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCol: Option[String] = None,
+      basePath: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     // repartition on the bucket key first: Spark's bucketed write emits
     // one file per (task × bucket), so writing from arbitrary upstream
     // partitioning costs writers × buckets small files. The repartition
     // uses the same Murmur3 pmod as the bucket id, so each task holds
     // exactly one bucket → one well-sized file per bucket (measured
-    // 2048 → 64 on the 8 M-doc LSH band index, Dedup.writeBandIndex).
-    val w = df.repartition(numBuckets, col(bucketCol))
+    // 2048 → 64 on the 8 M-doc LSH band index).
+    val w0 = df.repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(numBuckets, bucketCol)
-    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 = basePath.fold(w0)(p => w0.option("path", p))
+    sortCol.fold(w1)(c => w1.sortBy(c)).saveAsTable(table)
   }
 
   /** stdout sink (CLI `gasket run` prints to stdout, bin.js:149). Driver-
