@@ -750,38 +750,69 @@ object Dedup {
 
   /** Hamming-blocked near-dup pairs over ANY 64-bit fingerprint column
     * (SimHash text fingerprints, perceptual image hashes, …): the 64
-    * bits split into `maxHamming + 1` near-equal-width sub-keys, so a
-    * pair within the distance budget MUST agree on at least one block
-    * (pigeonhole — a fixed block count would silently lose recall for
-    * any larger budget), candidates exist only inside shared blocks, and
-    * exact Hamming verifies. The block table is an LSH band table in all
-    * but name, so candidate generation goes through [[candidatePairs]]
-    * and inherits its degenerate-bucket bound: a mass family of
-    * identical fingerprints (empty/constant payloads all hash to the
-    * same 64 bits) emits capped-clique + min-id star pairs instead of an
-    * unbounded one-reducer quadratic join — stars verify at Hamming 0,
-    * so the family still surfaces and clusters whole.
+    * bits split into `nBlocks` near-equal-width sub-keys, and candidates
+    * are keyed on every `(nBlocks - maxHamming)`-subset of blocks — a
+    * pair within the distance budget has flipped bits in at most
+    * `maxHamming` blocks, so at least one such subset is error-free on
+    * both sides (pigeonhole) and they MUST share that compound key.
+    * Exact Hamming verifies every candidate, so recall is exact at any
+    * `nBlocks`. The multi-table scheme is Manku/Jain/Sarma's simhash
+    * blocking (WWW'07 §3).
+    *
+    * `nBlocks` is the collision-vs-fanout dial and the SCALE knob. The
+    * default (`maxHamming + 1`, subsets of size 1) emits one key per
+    * block but keys are only `64/(maxHamming+1)` bits wide — at
+    * maxHamming=3 that is 16-bit keys, 65k buckets, and ~n²/65k random
+    * candidate pairs, which measured as a disk-filling ~2 billion pairs
+    * at 8 M docs. Raising `nBlocks` widens the compound key
+    * (`64·(nBlocks-maxHamming)/nBlocks` bits) at the cost of
+    * `C(nBlocks, maxHamming)` keys per row: at maxHamming=3,
+    * `nBlocks = 6` is 20 keys of ~32 bits — a 5× band table that kills
+    * the quadratic collision term entirely. Rule of thumb: pick the
+    * smallest `nBlocks` whose compound key width exceeds log2(corpus).
+    *
+    * The block table is an LSH band table in all but name, so candidate
+    * generation goes through [[candidatePairs]] and inherits its
+    * degenerate-bucket bound: a mass family of identical fingerprints
+    * (empty/constant payloads all hash to the same 64 bits) emits
+    * capped-clique + min-id star pairs instead of an unbounded
+    * one-reducer quadratic join — stars verify at Hamming 0, so the
+    * family still surfaces and clusters whole.
     */
   def hammingPairs64(
       fp: DataFrame,
       idCol: String,
       fpCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024,
+      nBlocks: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 31], got $maxHamming")
-    val nBlocks = maxHamming + 1
-    // near-equal widths: the first (64 % nBlocks) blocks get one extra bit
-    val bounds = (0 until nBlocks).scanLeft(0)((s, i) =>
-      s + 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
-    val blocks = (0 until nBlocks).map { i =>
+    val blocksN = if (nBlocks == 0) maxHamming + 1 else nBlocks
+    require(blocksN > maxHamming && blocksN <= 64,
+      s"nBlocks must be in (maxHamming, 64], got $blocksN")
+    val subsets = (0 until blocksN).combinations(blocksN - maxHamming).toVector
+    require(subsets.size <= 512,
+      s"C($blocksN, $maxHamming) = ${subsets.size} block subsets — " +
+        "per-row key fanout too high; lower nBlocks or raise maxHamming")
+    // near-equal widths: the first (64 % blocksN) blocks get one extra bit
+    val bounds = (0 until blocksN).scanLeft(0)((s, i) =>
+      s + 64 / blocksN + (if (i < 64 % blocksN) 1 else 0))
+    def blockVal(i: Int): Column = {
       val width = bounds(i + 1) - bounds(i)
       val mask = if (width == 64) -1L else (1L << width) - 1 // JVM shifts are mod 64
-      struct(lit(i).as("band_id"),
-        shiftright(col(fpCol), bounds(i)).bitwiseAND(mask).as("band_hash"))
+      shiftright(col(fpCol), bounds(i)).bitwiseAND(mask)
+    }
+    // compound key: the subset's block values bit-concatenated (exact, no
+    // hash collisions; total width = 64·|subset|/blocksN ≤ 64 always fits)
+    val keys = subsets.zipWithIndex.map { case (s, si) =>
+      val compound = s.foldLeft(lit(0L): Column) { (acc, i) =>
+        shiftleft(acc, bounds(i + 1) - bounds(i)).bitwiseOR(blockVal(i))
+      }
+      struct(lit(si).as("band_id"), compound.as("band_hash"))
     }
     val bands = fp
-      .select(col(idCol), explode(array(blocks: _*)).as("b"))
+      .select(col(idCol), explode(array(keys: _*)).as("b"))
       .select(col("b.band_id"), col("b.band_hash"), col(idCol))
     candidatePairs(bands, idCol, maxBucket)
       .join(fp.select(col(idCol).as("id1"), col(fpCol).as("fp1")), "id1")
@@ -791,14 +822,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: [[simHash]] fingerprints through the
-    * [[hammingPairs64]] pigeonhole blocking.
+    * [[hammingPairs64]] pigeonhole blocking. `nBlocks` passes through —
+    * see [[hammingPairs64]] for sizing it to the corpus.
     */
   def nearDupSimHash(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame =
-    hammingPairs64(simHash(df, idCol, textCol), idCol, "simhash", maxHamming)
+      maxHamming: Int = 3,
+      nBlocks: Int = 0): DataFrame =
+    hammingPairs64(simHash(df, idCol, textCol), idCol, "simhash", maxHamming,
+      nBlocks = nBlocks)
 
   /** Span-level (substring) deduplication over sliding word n-grams — the
     * distributed form of exact-substring dedup ("Deduplicating Training

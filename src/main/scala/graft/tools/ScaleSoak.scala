@@ -101,6 +101,15 @@ object ScaleSoak {
     timed("simhash") {
       graft.ext.Dedup.simHash(docs, "doc_id", "text").count()
     }
+    timed("simhash_pairs") {
+      // fingerprint + Hamming blocking end-to-end at the corpus-sized
+      // setting: the default 4×16-bit layout collides ~n²/65k random
+      // pairs (measured: a disk-filling ~2B candidates at 8M docs);
+      // nBlocks=6 keys on C(6,3)=20 ~32-bit block-subsets instead —
+      // same exact recall, collision term gone
+      graft.ext.Dedup.nearDupSimHash(docs, "doc_id", "text",
+        maxHamming = 3, nBlocks = 6).count()
+    }
     def buildBandIndex(): Unit =
       graft.ext.Dedup.writeBandIndex(docs, "doc_id", "text",
         "soak_band_idx", numHashes = 64, bands = 16,

@@ -282,6 +282,27 @@ class DedupSpec extends SparkSpec {
     assert(!famPairs.exists(p => p._1 == 50L || p._2 == 50L))
   }
 
+  test("hammingPairs64 multi-block subsets match brute force exactly") {
+    // the scale form (nBlocks > maxHamming + 1, Manku-style block
+    // subsets) must return the IDENTICAL pair set to brute-force
+    // all-pairs Hamming — recall is exact by pigeonhole, precision by
+    // the verify step. Deterministic fingerprints with a spread of
+    // distances, checked at several (maxHamming, nBlocks) settings.
+    val rng = new scala.util.Random(42)
+    val fpSeq = (0L until 64L).map(i => (i, rng.nextLong())) ++
+      Seq((100L, 7L), (101L, 7L ^ 0x8001L), (102L, 7L ^ 0x0110000000000001L))
+    val fps = fpSeq.toDF("id", "fp")
+    def brute(h: Int) = (for {
+      (i, a) <- fpSeq; (j, b) <- fpSeq if i < j
+      d = java.lang.Long.bitCount(a ^ b) if d <= h
+    } yield (i, j, d.toLong)).toSet
+    for ((h, nb) <- Seq((3, 6), (3, 8), (2, 5), (5, 8))) {
+      val got = Dedup.hammingPairs64(fps, "id", "fp", maxHamming = h, nBlocks = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(got == brute(h), s"mismatch at maxHamming=$h nBlocks=$nb")
+    }
+  }
+
   test("incremental dedup against a BUCKETED fingerprint index: index side never reshuffles") {
     // the 100 TB shape Dedup.incremental documents: the historical corpus'
     // fingerprint set materialized ONCE as a bucketed table, so each
