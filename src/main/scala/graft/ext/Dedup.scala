@@ -779,18 +779,28 @@ object Dedup {
     * one-reducer quadratic join — stars verify at Hamming 0, so the
     * family still surfaces and clusters whole.
     */
-  def hammingPairs64(
-      fp: DataFrame,
-      idCol: String,
-      fpCol: String,
-      maxHamming: Int = 3,
-      maxBucket: Int = 1024,
-      nBlocks: Int = 0): DataFrame = {
+  private def resolveHammingBlocks(maxHamming: Int, nBlocks: Int): Int = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 31], got $maxHamming")
     val blocksN = if (nBlocks == 0) maxHamming + 1 else nBlocks
     require(blocksN > maxHamming && blocksN <= 64,
       s"nBlocks must be in (maxHamming, 64], got $blocksN")
+    blocksN
+  }
+
+  /** The Hamming block-subset band table for [[hammingPairs64]] /
+    * [[writeHammingIndex]]: one (band_id, band_hash, id) row per
+    * `(blocksN - maxHamming)`-subset of the fingerprint's blocks.
+    * Index build and probe MUST run this with identical (maxHamming,
+    * blocksN) or band hashes match nothing — which is why the index
+    * records them in its `_meta` table.
+    */
+  private[graft] def hammingBands(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      blocksN: Int): DataFrame = {
     val subsets = (0 until blocksN).combinations(blocksN - maxHamming).toVector
     require(subsets.size <= 512,
       s"C($blocksN, $maxHamming) = ${subsets.size} block subsets — " +
@@ -811,9 +821,19 @@ object Dedup {
       }
       struct(lit(si).as("band_id"), compound.as("band_hash"))
     }
-    val bands = fp
-      .select(col(idCol), explode(array(keys: _*)).as("b"))
+    fp.select(col(idCol), explode(array(keys: _*)).as("b"))
       .select(col("b.band_id"), col("b.band_hash"), col(idCol))
+  }
+
+  def hammingPairs64(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1024,
+      nBlocks: Int = 0): DataFrame = {
+    val blocksN = resolveHammingBlocks(maxHamming, nBlocks)
+    val bands = hammingBands(fp, idCol, fpCol, maxHamming, blocksN)
     candidatePairs(bands, idCol, maxBucket)
       .join(fp.select(col(idCol).as("id1"), col(fpCol).as("fp1")), "id1")
       .join(fp.select(col(idCol).as("id2"), col(fpCol).as("fp2")), "id2")
@@ -833,6 +853,82 @@ object Dedup {
       nBlocks: Int = 0): DataFrame =
     hammingPairs64(simHash(df, idCol, textCol), idCol, "simhash", maxHamming,
       nBlocks = nBlocks)
+
+  /** Materialize a Hamming-space fingerprint index as WRITE-ONCE bucketed
+    * tables — [[writeBandIndex]]'s 64-bit-fingerprint sibling, serving
+    * SimHash text fingerprints and perceptual image hashes alike: the
+    * corpus' block-subset band table bucketed by (band_id, band_hash) and
+    * its fingerprint table bucketed by id, so every subsequent batch's
+    * near-dup check ([[hammingAgainstIndex]]) joins the index
+    * EXCHANGE-FREE on the index side — the historical corpus is never
+    * re-banded or re-shuffled per batch. The build parameters
+    * (maxHamming, nBlocks) are recorded in a `_meta` table because a
+    * probe banded with different parameters matches NOTHING — recall
+    * silently 0 — so the probe self-configures from the index.
+    */
+  def writeHammingIndex(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      tablePrefix: String,
+      maxHamming: Int = 3,
+      nBlocks: Int = 0,
+      numBuckets: Int = 8,
+      basePath: Option[String] = None): Unit = {
+    val blocksN = resolveHammingBlocks(maxHamming, nBlocks)
+    graft.sources.Sources.writeBucketedBy(
+      hammingBands(fp, idCol, fpCol, maxHamming, blocksN),
+      s"${tablePrefix}_bands", Seq("band_id", "band_hash"), numBuckets,
+      basePath = basePath.map(p => s"$p/bands"))
+    graft.sources.Sources.writeBucketedBy(
+      fp.select(col(idCol), col(fpCol)),
+      s"${tablePrefix}_fps", Seq(idCol), numBuckets,
+      basePath = basePath.map(p => s"$p/fps"))
+    val spark = fp.sparkSession
+    import spark.implicits._
+    val metaW = Seq((maxHamming, blocksN, idCol, fpCol))
+      .toDF("max_hamming", "n_blocks", "id_col", "fp_col")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+    basePath.fold(metaW)(p => metaW.option("path", s"$p/meta"))
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Near-dup a NEW batch of fingerprints against a materialized
+    * [[writeHammingIndex]] index — the incremental Hamming shape: only
+    * the batch is banded; candidates join the batch's band rows against
+    * the bucketed index band table and verify against the id-bucketed
+    * fingerprint table, both WITHOUT an Exchange on the index side
+    * (proven on the plan in DedupSpec). Blocking parameters come from the
+    * index's own `_meta` table, so the probe cannot silently mis-band.
+    * Returns (batch_id, corpus_id, hamming) with hamming ≤ the index's
+    * maxHamming. Batch and corpus ids must be disjoint (distinct id
+    * spaces in the incremental shape by construction).
+    */
+  def hammingAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      newBatch: DataFrame,
+      idCol: String,
+      fpCol: String): DataFrame = {
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (maxHamming, blocksN) = (meta.getInt(0), meta.getInt(1))
+    val (idxId, idxFp) = (meta.getString(2), meta.getString(3))
+    val cand = hammingBands(newBatch, idCol, fpCol, maxHamming, blocksN)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("batch_id"))
+      .join(spark.table(s"${tablePrefix}_bands")
+          .select(col("band_id"), col("band_hash"), col(idxId).as("corpus_id")),
+        Seq("band_id", "band_hash"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    cand
+      .join(spark.table(s"${tablePrefix}_fps")
+          .select(col(idxId).as("corpus_id"), col(idxFp).as("fp2")), "corpus_id")
+      .join(newBatch.select(col(idCol).as("batch_id"), col(fpCol).as("fp1")),
+        "batch_id")
+      .select(col("batch_id"), col("corpus_id"),
+        hamming64(col("fp1"), col("fp2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Span-level (substring) deduplication over sliding word n-grams — the
     * distributed form of exact-substring dedup ("Deduplicating Training

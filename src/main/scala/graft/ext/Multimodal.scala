@@ -174,10 +174,15 @@ object Multimodal {
     * the distance budget — the SimHash machinery pointed at media
     * fingerprints). Never all-pairs: candidates exist only inside shared
     * blocks. Returns (id1, id2, hamming) with hamming ≤ maxHamming.
+    * `nBlocks` passes through to [[Dedup.hammingPairs64]] — size it to
+    * the corpus (multi-block subset keys) for media collections past a
+    * few million items, exactly as for text fingerprints.
     */
-  def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame =
+  def nearDupImages(media: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 0): DataFrame =
     Dedup.hammingPairs64(
-      perceptualHashes(media).toDF(), "media_id", "phash", maxHamming)
+      perceptualHashes(media).toDF(), "media_id", "phash", maxHamming,
+      nBlocks = nBlocks)
 
   /** Frame sampling plumbing: every `stride`-th chunk of the payload as a
     * (media_id, frame_no, frame_bytes) row — the shape of video

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import Tables._
@@ -210,56 +211,64 @@ object ExtQueries {
     None, // xxhash64-based fingerprint — not expressible in DuckDB
     "64-bit SimHash fingerprint per document")
 
+  // Engine-portable 63-bit fingerprints for the Hamming-kernel anchors
+  // (q_hamming_pairs / q_hamming_index): q_dedup_simhash's xxhash
+  // fingerprints are oracle-inexpressible, so these derive two
+  // multiplicative-hash halves bit-concatenated, with near-dup companions
+  // PLANTED by xor-ing 1/2/3-bit masks (must pair at their exact
+  // distance) plus a 4-bit-mask negative control (must NOT pair at
+  // maxHamming=3). Identical derivation in Spark and DuckDB SQL below.
+  private def hammingFps(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = documents(s, d).select(col("doc_id").as("id"))
+      .withColumn("fp",
+        shiftleft((col("id") * 2654435761L) % 2147483648L, 32)
+          .bitwiseOR((col("id") * 40503L + 2654435769L) % 4294967296L))
+    val mask = when(col("id") % 3 === 0, lit(1L))
+      .when(col("id") % 3 === 1, lit((1L << 40) | (1L << 13)))
+      .otherwise(lit((1L << 62) | (1L << 21) | (1L << 3)))
+    val near = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 100000L).as("id"), col("fp").bitwiseXOR(mask).as("fp"))
+    val far = base.filter(col("id") % 17 === 0)
+      .select((col("id") + 200000L).as("id"),
+        col("fp").bitwiseXOR(lit((1L << 50) | (1L << 30) | (1L << 10) | (1L << 5))).as("fp"))
+    (base, near, far)
+  }
+
+  private val hammingFpsSql =
+    """base AS (
+         SELECT doc_id AS id,
+                ((doc_id * 2654435761) % 2147483648) * 4294967296
+                + ((doc_id * 40503 + 2654435769) % 4294967296) AS fp
+         FROM documents),
+       planted AS (
+         SELECT id + 100000 AS id,
+                xor(fp, CASE id % 3
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN (1::BIGINT << 40) + (1::BIGINT << 13)
+                        ELSE (1::BIGINT << 62) + (1::BIGINT << 21) + (1::BIGINT << 3)
+                        END) AS fp
+         FROM base WHERE id % 10 = 0
+         UNION ALL
+         SELECT id + 200000 AS id,
+                xor(fp, (1::BIGINT << 50) + (1::BIGINT << 30)
+                        + (1::BIGINT << 10) + (1::BIGINT << 5)) AS fp
+         FROM base WHERE id % 17 = 0)"""
+
   private val qHammingPairs = Q(
     "q_hamming_pairs",
     (s, d) => {
       // oracle-checked anchor for the Hamming BLOCKING kernel itself (the
-      // part that can silently lose recall — q_dedup_simhash's xxhash
-      // fingerprints are oracle-inexpressible, so this one derives
-      // engine-portable fingerprints instead): two multiplicative-hash
-      // halves bit-concatenated into a 63-bit fp, near-dup companions
-      // PLANTED by xor-ing 1/2/3-bit masks (all must pair at their exact
-      // distance) plus a 4-bit-mask negative control (must NOT pair at
-      // maxHamming=3). Runs the multi-block Manku scheme (nBlocks=6,
-      // C(6,3)=20 compound keys) so the SCALE path is what the oracle's
-      // brute-force bit_count(xor) all-pairs certifies.
-      val base = documents(s, d).select(col("doc_id").as("id"))
-        .withColumn("fp",
-          shiftleft((col("id") * 2654435761L) % 2147483648L, 32)
-            .bitwiseOR((col("id") * 40503L + 2654435769L) % 4294967296L))
-      val mask = when(col("id") % 3 === 0, lit(1L))
-        .when(col("id") % 3 === 1, lit((1L << 40) | (1L << 13)))
-        .otherwise(lit((1L << 62) | (1L << 21) | (1L << 3)))
-      val near = base.filter(col("id") % 10 === 0)
-        .select((col("id") + 100000L).as("id"), col("fp").bitwiseXOR(mask).as("fp"))
-      val far = base.filter(col("id") % 17 === 0)
-        .select((col("id") + 200000L).as("id"),
-          col("fp").bitwiseXOR(lit((1L << 50) | (1L << 30) | (1L << 10) | (1L << 5))).as("fp"))
+      // part that can silently lose recall). Runs the multi-block Manku
+      // scheme (nBlocks=6, C(6,3)=20 compound keys) so the SCALE path is
+      // what the oracle's brute-force bit_count(xor) all-pairs certifies.
+      val (base, near, far) = hammingFps(s, d)
       val fps = base.unionByName(near).unionByName(far)
       Dedup.hammingPairs64(fps, "id", "fp", maxHamming = 3, nBlocks = 6)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy("id1", "id2")
     },
-    Some("""WITH base AS (
-              SELECT doc_id AS id,
-                     ((doc_id * 2654435761) % 2147483648) * 4294967296
-                     + ((doc_id * 40503 + 2654435769) % 4294967296) AS fp
-              FROM documents),
-            fps AS (
-              SELECT id, fp FROM base
-              UNION ALL
-              SELECT id + 100000,
-                     xor(fp, CASE id % 3
-                             WHEN 0 THEN 1
-                             WHEN 1 THEN (1::BIGINT << 40) + (1::BIGINT << 13)
-                             ELSE (1::BIGINT << 62) + (1::BIGINT << 21) + (1::BIGINT << 3)
-                             END)
-              FROM base WHERE id % 10 = 0
-              UNION ALL
-              SELECT id + 200000,
-                     xor(fp, (1::BIGINT << 50) + (1::BIGINT << 30)
-                             + (1::BIGINT << 10) + (1::BIGINT << 5))
-              FROM base WHERE id % 17 = 0)
+    Some(s"""WITH $hammingFpsSql,
+            fps AS (SELECT id, fp FROM base UNION ALL SELECT id, fp FROM planted)
             SELECT a.id AS id1, b.id AS id2,
                    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
             FROM fps a JOIN fps b ON a.id < b.id
@@ -268,6 +277,36 @@ object ExtQueries {
     "Hamming-blocked near-dup pairs (multi-block pigeonhole keys) vs a " +
       "brute-force all-pairs bit_count oracle — certifies exact recall of " +
       "the scale blocking scheme on planted 1/2/3-bit flips")
+
+  private val qHammingIndex = Q(
+    "q_hamming_index",
+    (s, d) => {
+      // the WRITE-ONCE Hamming index serve path (Dedup.writeHammingIndex —
+      // q_dedup_near_incremental's fingerprint sibling): the corpus'
+      // block-subset band table and fingerprint table are materialized
+      // bucketed, then a new batch (the planted variants) probes the
+      // RELOADED index — only the batch is banded, the index side joins
+      // exchange-free (plan-proven in DedupSpec). Brute-force
+      // batch×corpus bit_count(xor) is the oracle.
+      val (base, near, far) = hammingFps(s, d)
+      val batch = near.unionByName(far)
+      val prefix = s"graft_hamidx_${math.abs(d.hashCode)}"
+      Dedup.writeHammingIndex(base, "id", "fp", prefix,
+        maxHamming = 3, nBlocks = 6, numBuckets = 4,
+        basePath = Some(s"/tmp/$prefix"))
+      Dedup.hammingAgainstIndex(s, prefix, batch, "id", "fp")
+        .select(col("batch_id"), col("corpus_id"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some(s"""WITH $hammingFpsSql
+            SELECT b.id AS batch_id, a.id AS corpus_id,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM planted b JOIN base a ON bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY batch_id, corpus_id"""),
+    "incremental Hamming near-dup: a new fingerprint batch probed against " +
+      "the materialized bucketed block-subset index, vs a brute-force " +
+      "batch-by-corpus bit_count oracle")
 
   private val qDedupNgram = Q(
     "q_dedup_ngram",
@@ -1776,7 +1815,8 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
-    qCcChains, qDedupSimhash, qHammingPairs, qDedupNgram, qDedupSpan, qDedupSemantic,
+    qCcChains, qDedupSimhash, qHammingPairs, qHammingIndex,
+    qDedupNgram, qDedupSpan, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qSimIvfIndex,

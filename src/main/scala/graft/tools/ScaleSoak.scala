@@ -138,6 +138,32 @@ object ScaleSoak {
       graft.ext.Dedup.nearDupAgainstIndex(spark, "soak_band_idx", batch,
         "doc_id", "text", threshold = 0.5, corpusText = Some(docs)).count()
     }
+    def buildHammingIndex(): Unit =
+      graft.ext.Dedup.writeHammingIndex(
+        graft.ext.Dedup.simHash(docs, "doc_id", "text"),
+        "doc_id", "simhash", "soak_ham_idx",
+        maxHamming = 3, nBlocks = 6, numBuckets = 64,
+        basePath = Some(s"$dir-hamidx"))
+    timed("hamming_index_write") {
+      // the write-once Hamming fingerprint index: corpus block-subset
+      // bands bucketed by (band_id, band_hash) + fps bucketed by id
+      buildHammingIndex()
+      spark.table("soak_ham_idx_bands").count()
+    }
+    if (selected("hamming_index_probe") &&
+        !spark.catalog.tableExists("soak_ham_idx_bands")) buildHammingIndex()
+    timed("hamming_index_probe") {
+      // daily-batch fingerprint dedup against the materialized index:
+      // ~1% of the corpus re-id'd (each fingerprint is a hamming-0 dup
+      // of its source); only the batch is fingerprinted + banded — the
+      // index side joins exchange-free from the bucketed tables
+      val batch = graft.ext.Dedup.simHash(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select((col("doc_id") + n * 10).as("doc_id"), col("text")),
+        "doc_id", "text")
+      graft.ext.Dedup.hammingAgainstIndex(spark, "soak_ham_idx", batch,
+        "doc_id", "simhash").count()
+    }
     // adversarial mass-duplicate family that (hypothetically) survived
     // exact dedup: `famSize` byte-identical docs share every band hash →
     // unbounded, every bucket's reducer MATERIALIZES all famSize²/2

@@ -303,6 +303,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hamming index probe: index side never reshuffles; planted flips found") {
+    // writeHammingIndex's 100 TB contract, proven like the band-index
+    // test: the corpus' block-subset band table and fingerprint table are
+    // bucketed write-once; hammingAgainstIndex bands only the BATCH and
+    // joins both index tables without an Exchange on the index side.
+    val tag = System.nanoTime()
+    val prefix = s"ham_idx_$tag"
+    val rng = new scala.util.Random(7)
+    val corpusFps = (0L until 300L).map(i => (i, rng.nextLong()))
+    val corpus = corpusFps.toDF("id", "fp")
+    val batch = Seq(
+      (9042L, corpusFps(42)._2 ^ ((1L << 5) | (1L << 44))), // hamming 2 of #42
+      (9100L, rng.nextLong()) // unrelated: ~0 chance within 3 of any corpus fp
+    ).toDF("id", "fp")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.writeHammingIndex(corpus, "id", "fp", prefix,
+        maxHamming = 3, nBlocks = 6, numBuckets = 4)
+      val out = Dedup.hammingAgainstIndex(spark, prefix, batch, "id", "fp")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scans not bucketed:\n$plan")
+      def exchanges(p: String) = p.split("Exchange hashpartitioning").length - 1
+      // unbucketed twin: same probe against plain DataFrame copies of the
+      // index tables — the bucketed index must pay two fewer exchanges
+      val unbucketedT = s"${prefix}_plain"
+      spark.table(s"${prefix}_bands").write.saveAsTable(s"${unbucketedT}_bands")
+      spark.table(s"${prefix}_fps").write.saveAsTable(s"${unbucketedT}_fps")
+      spark.table(s"${prefix}_meta").write.saveAsTable(s"${unbucketedT}_meta")
+      val unbucketed = Dedup.hammingAgainstIndex(spark, unbucketedT, batch, "id", "fp")
+      assert(exchanges(plan) ==
+        exchanges(unbucketed.queryExecution.executedPlan.toString) - 2,
+        s"bucketed hamming index did not eliminate both index-side exchanges:\n$plan")
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.toSeq == Seq((9042L, 42L, 2)), s"got: ${rows.toSeq}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq(s"${prefix}_bands", s"${prefix}_fps", s"${prefix}_meta",
+        s"${prefix}_plain_bands", s"${prefix}_plain_fps", s"${prefix}_plain_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incremental dedup against a BUCKETED fingerprint index: index side never reshuffles") {
     // the 100 TB shape Dedup.incremental documents: the historical corpus'
     // fingerprint set materialized ONCE as a bucketed table, so each
