@@ -953,24 +953,28 @@ object Dedup {
     * [[incremental]] pattern), so per-batch span dedup joins it
     * shuffle-free.
     */
-  def spanDuplicates(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int,
-      minDocs: Int = 2): DataFrame = {
-    val toks = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+  private def spanToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
       .withColumn("_nt", size(col("_toks")))
-    val grams = toks.select(col(idCol),
+
+  private def spanGrams(toks: DataFrame, idCol: String, n: Int): DataFrame =
+    toks.select(col(idCol),
       posexplode(when(col("_nt") >= n,
           transform(sequence(lit(0), col("_nt") - n),
             i => md5(array_join(slice(col("_toks"), i + 1, lit(n)), " "))))
         .otherwise(array().cast("array<string>"))).as(Seq("_pos", "_g")))
-    val dupGrams = grams
-      .groupBy("_g").agg(countDistinct(col(idCol)).as("_docs"))
-      .filter(col("_docs") >= minDocs)
-      .select("_g")
-    val cover = grams.join(dupGrams, "_g")
+
+  /** Coverage + reassembly half of span dedup: mark every token position
+    * covered by a window whose gram hash is in `dupGrams`, report per-doc
+    * coverage stats and the text with covered spans removed.
+    */
+  private def spanAssemble(
+      toks: DataFrame,
+      grams: DataFrame,
+      dupGrams: DataFrame,
+      idCol: String,
+      n: Int): DataFrame = {
+    val cover = grams.join(dupGrams.select("_g"), "_g")
       .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + n - 1)).as("_p"))
       .distinct()
     val stats = cover.groupBy(idCol)
@@ -984,6 +988,79 @@ object Dedup {
             (t: Column, i: Column) =>
               !array_contains(coalesce(col("_cov"), array().cast("array<int>")), i)),
           " ").as("pruned_text"))
+  }
+
+  def spanDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    val toks = spanToks(df, idCol, textCol)
+    val grams = spanGrams(toks, idCol, n)
+    val dupGrams = grams
+      .groupBy("_g").agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_g")
+    spanAssemble(toks, grams, dupGrams, idCol, n)
+  }
+
+  /** Materialize the duplicated-gram set as a WRITE-ONCE bucketed index —
+    * the 100 TB shape [[spanDuplicates]]'s scaladoc describes, now a
+    * first-class write path like [[writeBandIndex]]/[[writeHammingIndex]]:
+    * the corpus' n-token window hashes that occur in ≥ `minDocs` distinct
+    * documents, bucketed by gram hash, with (n, minDocs) recorded in a
+    * `_meta` table (a probe windowed with a different n matches NOTHING —
+    * recall silently 0 — so the probe self-configures).
+    *
+    * `minDocs = 1` indexes EVERY corpus window — the cross-batch /
+    * decontamination semantic, where a new batch's span is duplicate if
+    * it occurs anywhere in the historical corpus; `minDocs = 2` (the
+    * [[spanDuplicates]] default) indexes only corpus-internal repeats.
+    * The index moves (16-byte hash, count) per gram, never text.
+    */
+  def writeGramIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tablePrefix: String,
+      minDocs: Int = 1,
+      numBuckets: Int = 8,
+      basePath: Option[String] = None): Unit = {
+    val grams = spanGrams(spanToks(df, idCol, textCol), idCol, n)
+      .groupBy("_g").agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    graft.sources.Sources.writeBucketedBy(grams, s"${tablePrefix}_grams",
+      Seq("_g"), numBuckets, basePath = basePath.map(p => s"$p/grams"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val metaW = Seq((n, minDocs)).toDF("n", "min_docs")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+    basePath.fold(metaW)(p => metaW.option("path", s"$p/meta"))
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Span-dedup a NEW batch against a materialized [[writeGramIndex]]
+    * index — the incremental span shape: only the batch is tokenized and
+    * windowed; its gram hashes join the bucketed index WITHOUT an
+    * Exchange on the index side (proven on the plan in DedupSpec), and
+    * the historical corpus is never re-windowed per batch. A batch span
+    * counts as duplicated when its window is IN THE INDEX — batch-internal
+    * repeats are deliberately not counted (run [[spanDuplicates]] on the
+    * batch for those). Output schema is [[spanDuplicates]]'s:
+    * (id, n_tokens, dup_tokens, dup_frac, pruned_text).
+    */
+  def spanDuplicatesAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      newBatch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val n = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val toks = spanToks(newBatch, idCol, textCol)
+    spanAssemble(toks, spanGrams(toks, idCol, n),
+      spark.table(s"${tablePrefix}_grams"), idCol, n)
   }
 
   /** Paragraph-level cross-corpus dedup (the CCNet shape, Wenzek et al.

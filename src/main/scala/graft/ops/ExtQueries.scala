@@ -410,6 +410,68 @@ object ExtQueries {
     "span-level (substring) dedup: 5-token windows duplicated across " +
       "documents, per-doc coverage + span-pruned text, cross-engine checked")
 
+  private val qSpanIndex = Q(
+    "q_span_index",
+    (s, d) => {
+      // the WRITE-ONCE gram index serve path (Dedup.writeGramIndex —
+      // q_dedup_span's incremental sibling): the corpus' window hashes
+      // are materialized bucketed by gram hash at minDocs=1 (the
+      // cross-batch semantic: a batch span is duplicate if it occurs
+      // ANYWHERE in the historical corpus), then a new batch — re-id'd
+      // corpus docs with a guaranteed-novel tail — is span-deduped
+      // against the RELOADED index: only the batch is windowed, the
+      // index side joins exchange-free (plan-proven in DedupSpec). Every
+      // original-text position must come back covered (the source doc is
+      // in the index), no tail position may (novel tokens), which the
+      // DuckDB replay checks to the token.
+      val corpus = documents(s, d).select("doc_id", "text")
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 40000L).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2 zq3 zq4 zq5 zq6")).as("text"))
+      val prefix = s"graft_gramidx_${math.abs(d.hashCode)}"
+      Dedup.writeGramIndex(corpus, "doc_id", "text", n = 5, prefix,
+        minDocs = 1, numBuckets = 4, basePath = Some(s"/tmp/$prefix"))
+      Dedup.spanDuplicatesAgainstIndex(s, prefix, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents),
+            batch AS (SELECT doc_id + 40000 AS doc_id,
+                             text || ' zq1 zq2 zq3 zq4 zq5 zq6' AS text
+                      FROM documents WHERE doc_id % 10 = 0),
+            cw AS (SELECT string_split(text, ' ') AS w FROM corpus),
+            idx AS (SELECT DISTINCT md5(array_to_string(w[i:i+4], ' ')) AS g
+                    FROM cw, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) s
+                    WHERE len(w) >= 5),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+4], ' ')) AS g
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) s
+              WHERE len(w) >= 5),
+            cover AS (
+              SELECT DISTINCT doc_id, p
+              FROM grams JOIN idx USING (g),
+                   LATERAL (SELECT unnest(generate_series(pos, pos + 4)) AS p) t),
+            stats AS (SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS p, w[i] AS tok
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s),
+            pruned AS (
+              SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS pruned_text
+              FROM tokpos tp ANTI JOIN cover c ON c.doc_id = tp.doc_id AND c.p = tp.p
+              GROUP BY tp.doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(CAST(coalesce(s.dup_tokens, 0) AS DOUBLE) / len(t.w), 6) AS dup_frac,
+                   coalesce(p.pruned_text, '') AS pruned_text
+            FROM toks t
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN pruned p USING (doc_id)
+            ORDER BY t.doc_id"""),
+    "incremental span dedup: a new batch windowed against the " +
+      "materialized bucketed duplicated-gram index (minDocs=1 " +
+      "cross-batch semantic), cross-engine checked to the token")
+
   private val qDedupSemantic = Q(
     "q_dedup_semantic",
     (s, d) =>
@@ -1816,7 +1878,7 @@ object ExtQueries {
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
     qCcChains, qDedupSimhash, qHammingPairs, qHammingIndex,
-    qDedupNgram, qDedupSpan, qDedupSemantic,
+    qDedupNgram, qDedupSpan, qSpanIndex, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qSimIvfIndex,

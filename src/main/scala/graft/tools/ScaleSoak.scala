@@ -272,6 +272,29 @@ object ScaleSoak {
         .agg(sum("dup_tokens"), sum(length(col("pruned_text"))))
         .collect().length.toLong
     }
+    def buildGramIndex(): Unit =
+      graft.ext.Dedup.writeGramIndex(docs, "doc_id", "text", n = 5,
+        "soak_gram_idx", minDocs = 1, numBuckets = 64,
+        basePath = Some(s"$dir-gramidx"))
+    timed("gram_index_write") {
+      // the write-once duplicated-gram index (minDocs=1 cross-batch
+      // semantic): every corpus window hash, bucketed by gram hash
+      buildGramIndex()
+      spark.table("soak_gram_idx_grams").count()
+    }
+    if (selected("gram_index_probe") &&
+        !spark.catalog.tableExists("soak_gram_idx_grams")) buildGramIndex()
+    timed("gram_index_probe") {
+      // daily-batch span dedup against the materialized index: ~1% of
+      // the corpus re-id'd with a novel tail; only the batch is
+      // windowed — the index side joins exchange-free
+      val batch = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select((col("doc_id") + n * 10).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2 zq3")).as("text"))
+      graft.ext.Dedup.spanDuplicatesAgainstIndex(spark, "soak_gram_idx",
+          batch, "doc_id", "text")
+        .agg(sum("dup_tokens")).collect().length.toLong
+    }
     timed("tfidf_top5") {
       val terms = docs
         .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))

@@ -346,6 +346,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span dedup against a materialized gram index: index side never reshuffles") {
+    // writeGramIndex's 100 TB contract: the corpus' duplicated-gram set
+    // is bucketed write-once by gram hash; spanDuplicatesAgainstIndex
+    // windows only the BATCH and joins the index without an Exchange on
+    // the index side. Semantics: at minDocs=1 every original-text
+    // position of a re-id'd corpus doc comes back covered, a wholly
+    // novel doc comes back untouched.
+    val tag = System.nanoTime()
+    val prefix = s"gram_idx_$tag"
+    val corpus = (0 until 100)
+      .map(i => (i.toLong, s"historic document number $i carries topic ${i % 5} " +
+        "and deterministic shared filler content"))
+      .toDF("doc_id", "text")
+    val origLen = corpus.head().getString(1).split(" ").length
+    val batch = Seq(
+      (9042L, "historic document number 42 carries topic 2 " +
+        "and deterministic shared filler content qz1 qz2 qz3"),
+      (9100L, "qa1 qa2 qa3 qa4 qa5 qa6 qa7 qa8"))
+      .toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.writeGramIndex(corpus, "doc_id", "text", n = 4, prefix,
+        minDocs = 1, numBuckets = 4)
+      val out = Dedup.spanDuplicatesAgainstIndex(spark, prefix, batch,
+        "doc_id", "text")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      def exchanges(p: String) = p.split("Exchange hashpartitioning").length - 1
+      spark.table(s"${prefix}_grams").write.saveAsTable(s"${prefix}_plain_grams")
+      spark.table(s"${prefix}_meta").write.saveAsTable(s"${prefix}_plain_meta")
+      val unbucketed = Dedup.spanDuplicatesAgainstIndex(spark, s"${prefix}_plain",
+        batch, "doc_id", "text")
+      assert(exchanges(plan) ==
+        exchanges(unbucketed.queryExecution.executedPlan.toString) - 1,
+        s"bucketed gram index did not eliminate its exchange:\n$plan")
+      val rows = out.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+        .toMap
+      // every original position covered (source doc is in the index);
+      // the 3 novel tail tokens survive the pruning
+      assert(rows(9042L) == ((origLen + 3L, origLen.toLong, "qz1 qz2 qz3")),
+        s"got: ${rows(9042L)}")
+      // wholly novel doc: nothing covered, text intact
+      assert(rows(9100L) == ((8L, 0L, "qa1 qa2 qa3 qa4 qa5 qa6 qa7 qa8")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq(s"${prefix}_grams", s"${prefix}_meta",
+        s"${prefix}_plain_grams", s"${prefix}_plain_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incremental dedup against a BUCKETED fingerprint index: index side never reshuffles") {
     // the 100 TB shape Dedup.incremental documents: the historical corpus'
     // fingerprint set materialized ONCE as a bucketed table, so each
