@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Layout, Multimodal, Pq, Similarity, TextAnalysis}
 import Tables._
 
 /** Mandated extension operators (BASELINE north star): deduplication,
@@ -769,6 +769,88 @@ object ExtQueries {
     None, // model-defined (trained quantizer / probe set)
     "IVF ANN top-k: k-means coarse quantizer + cell-pruned exact search " +
       "(the cell column partition-prunes a cell-partitioned corpus at scale)")
+
+  /** Trained PQ codebooks memoized per (corpus dir, m, codes, iters) —
+    * same train-once-serve-many rationale as [[ivfModels]].
+    */
+  private val pqModels = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int), Array[Array[Array[Float]]]]
+  private def pqBooks(
+      s: SparkSession, d: String, m: Int, codes: Int, iters: Int) =
+    pqModels.getOrElseUpdate((d, m, codes, iters),
+      Pq.trainCodebooks(embeddings(s, d), "embedding", m, codes, iters))
+
+  private val qSimPqFull = Q(
+    "q_sim_pq_full",
+    (s, d) => {
+      // candidates ≥ corpus: the ADC stage admits every vector, so the
+      // full PQ machinery (per-subspace k-means codebooks, packed BIGINT
+      // encode, LUT-projected approximate scores, TakeOrdered candidate
+      // cut, broadcast-id exact re-rank) provably returns exact
+      // brute-force top-k — the oracle-checked recall=1 anchor for the
+      // pruned configuration (q_sim_pq), whose candidate set is
+      // model-defined and measured/unit-pinned instead.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val books = pqBooks(s, d, m = 8, codes = 16, iters = 2)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Pq.rerankScores(Pq.encode(corpus, "embedding", books), corpus,
+          "vec_id", "embedding", "pq_code", books, q, candidates = 1 << 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(brutForceOracleSql),
+    "product-quantization ADC + exact re-rank at full candidate width — " +
+      "the PQ pipeline's recall=1 anchor, hash-checked against brute force")
+
+  private val qSimPq = Q(
+    "q_sim_pq",
+    (s, d) => {
+      // the serve shape at 100 TB: the ADC stage scans ONLY the packed
+      // 8-byte codes (32× less I/O than raw 64-dim floats), the exact
+      // re-rank touches `candidates` rows. Candidate set is model-defined
+      // (trained codebooks) → rows-only; q_sim_pq_full is the anchor and
+      // PqSpec pins recall at this operating point.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val books = pqBooks(s, d, m = 8, codes = 16, iters = 2)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Pq.searchRerank(Pq.encode(corpus, "embedding", books), corpus,
+          "vec_id", "embedding", "pq_code", books, q, k = 10, candidates = 50)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    None, // model-defined (trained codebooks / ADC candidate set)
+    "product-quantization ANN: packed-code ADC scan + exact re-rank of " +
+      "the top candidates")
+
+  private val qSimPqIndex = Q(
+    "q_sim_pq_index",
+    (s, d) => {
+      // the WRITE-ONCE PQ serve path (Pq.writePqIndex — the compression
+      // sibling of q_sim_ivf_index): packed codes + codebooks are
+      // materialized, then the query is served through the RELOADED model
+      // with no retraining or re-encoding. Full candidate width makes the
+      // result exactly brute force, which DuckDB CAN check.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val prefix = s"graft_pqidx_${math.abs(d.hashCode)}"
+      Pq.writePqIndex(corpus, "vec_id", "embedding", prefix, m = 8,
+        codes = 16, iters = 2, basePath = Some(s"/tmp/$prefix"))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Pq.rerankScoresIndex(s, prefix, corpus, "vec_id", "embedding", q,
+          candidates = 1 << 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(brutForceOracleSql),
+    "PQ top-k served from the materialized codes+codebooks index at full " +
+      "candidate width — the write-once index path's recall=1 anchor")
 
   private val qSimIvfIndex = Q(
     "q_sim_ivf_index",
@@ -1881,7 +1963,7 @@ object ExtQueries {
     qDedupNgram, qDedupSpan, qSpanIndex, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
-    qSimIvfIndex,
+    qSimIvfIndex, qSimPq, qSimPqFull, qSimPqIndex,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,

@@ -956,6 +956,38 @@ object RelationalQueries {
     "stateful streaming dedup (dropDuplicatesWithinWatermark, bounded " +
       "replay) — key set hash-equal to batch DISTINCT")
 
+  private val qStreamDedupCorpus = Q(
+    "q_stream_dedup_corpus",
+    (s, d) => {
+      // Continuous-ingest dedup: the documents table replayed as a
+      // bounded file stream, each micro-batch anti-joined against the
+      // historical corpus' fingerprint set (docs with doc_id % 3 != 0)
+      // via StreamOps.dedupAgainstCorpus — the streaming form of
+      // Dedup.incremental, stream-static and stateless (no watermark:
+      // "new vs corpus" is a per-row predicate). Corpus members
+      // self-match and drop; only genuinely novel text survives. The
+      // surviving doc_id set is arrival-order-INDEPENDENT, so the full
+      // anti-join is oracle-checkable cross-engine.
+      val name = s"graft_stream_dedupc_${streamRuns.incrementAndGet()}"
+      val docsSchema = streamSchemaCache.getOrElseUpdate(s"$d/documents",
+        s.read.parquet(s"$d/documents.parquet").schema)
+      val stream = s.readStream.schema(docsSchema).parquet(s"$d/documents.*")
+      val corpusFp = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(md5(col("text")).as("fp")).distinct()
+      val novel = graft.streaming.StreamOps
+        .dedupAgainstCorpus(stream, "text", corpusFp)
+        .select("doc_id")
+      boundedReplay(s, name, novel, "append").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id FROM documents
+            WHERE md5(text) NOT IN
+              (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+            ORDER BY doc_id"""),
+    "streaming ingest dedup against the historical corpus fingerprint " +
+      "set (stream-static anti-join, bounded replay) — hash-equal to the " +
+      "batch incremental-dedup anti-join")
+
   private val qStreamJoin = Q(
     "q_stream_join",
     (s, d) => {
@@ -1545,6 +1577,7 @@ object RelationalQueries {
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
     qStreamSliding, qStreamSession, qStreamJoin, qStreamDedup,
+    qStreamDedupCorpus,
     qTpchQ3, qTpchQ5, qTpchQ10, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }

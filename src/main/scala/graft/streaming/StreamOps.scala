@@ -100,4 +100,27 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Continuous-ingest exact dedup: each micro-batch of a document
+    * stream anti-joins the historical corpus' content-fingerprint set —
+    * the streaming form of [[graft.ext.Dedup.incremental]], with the
+    * SAME md5 fingerprint so batch and stream agree on what "seen"
+    * means. `corpusFp` is the static side (at scale, the write-once
+    * bucketed fp index `Dedup.incremental` documents — reloaded once,
+    * scanned per micro-batch without a shuffle of the index).
+    *
+    * Stream-static left-anti is stateless (no watermark, no state
+    * store): the corpus set is fixed for the run, so "new vs corpus" is
+    * a pure per-row predicate — stream-INTERNAL duplicates are a
+    * separate stateful concern ([[dedupWithinWatermark]] on `fp`,
+    * chainable before this join).
+    */
+  def dedupAgainstCorpus(
+      stream: DataFrame,
+      contentCol: String,
+      corpusFp: DataFrame): DataFrame =
+    stream
+      .withColumn("fp", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col(contentCol)))
+      .join(corpusFp.select("fp"), Seq("fp"), "left_anti")
 }

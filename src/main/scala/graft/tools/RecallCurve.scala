@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Similarity
+import graft.ext.{Pq, Similarity}
 
 /** Measured recall@k for the approximate similarity paths — the accuracy
   * contract behind the ANN/IVF operators: a recall curve over
@@ -122,6 +122,39 @@ object RecallCurve {
         .crossJoin(queryDf.withColumn("_qbucket", Similarity.lshBucket(col("qvec"), hp)))
         .filter(bit_count(col("_bucket").bitwiseXOR(col("_qbucket"))) <= radius)
       measure(s"ann planes=$planes radius=$radius", cand, truth)
+    }
+
+    // --- PQ: (m, codes, candidates) grid --------------------------------
+    // ADC ranking ≡ cosine against the reconstruction x̂ (the LUT sums ARE
+    // ⟨q,x̂⟩ and ‖x̂‖², exactly), so the multi-query measurement scores
+    // reconstructions in ONE plan instead of 20 per-query LUT scans; the
+    // serve path's recall@k is |ADC-top-C ∩ truth@k| / k after the exact
+    // re-rank, which measure() performs on the candidate rows.
+    for ((m, codes) <- Seq((8, 256), (16, 16))) {
+      // quantizer trained on a ~1/13 sample — the production shape
+      val books = Pq.trainCodebooks(
+        emb.filter(pmod(col("vec_id"), lit(13)) === 0), "embedding", m, codes, iters = 2)
+      val bits = Pq.bitsPerCode(codes)
+      val sub = dim / m
+      val bookLit = (j: Int) => array(books(j).map(cw => array(cw.map(lit): _*)): _*)
+      val recCol = flatten(array((0 until m).map { j =>
+        element_at(bookLit(j),
+          (shiftright(col("pq_code"), j * bits).bitwiseAND(lit((1L << bits) - 1))).cast("int") + 1)
+      }: _*))
+      val scored = Pq.encode(emb, "embedding", books)
+        .withColumn("_rec", recCol)
+        .crossJoin(queryDf)
+        .select(col("vec_id"), col("embedding"), col("qid"), col("qvec"),
+          graft.functions.functions
+            .cosine_similarity(col("_rec"), col("qvec")).as("_adc"))
+      for (c <- Seq(100, 1000, 10000)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("_adc").desc, col("vec_id"))
+        val cand = scored.withColumn("_r", row_number().over(w))
+          .filter(col("_r") <= c)
+          .select("qid", "vec_id", "embedding", "qvec")
+        measure(s"pq m=$m codes=$codes cand=$c", cand, truth)
+      }
     }
 
     // --- IVF: (cells, nprobe) grid --------------------------------------

@@ -385,7 +385,8 @@ object ScaleSoak {
       Seq("brute_force_top10", "ivf_train_on_sample", "ivf_assign",
         "ivf_search_nprobe4", "ivf_index_write", "ivf_index_probe",
         "ann_lsh_top10", "semantic_dedup_ivf", "semantic_decontaminate",
-        "mining_sets", "knn_join")
+        "mining_sets", "knn_join",
+        "pq_train_on_sample", "pq_index_write", "pq_adc_serve")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -453,6 +454,36 @@ object ScaleSoak {
     }
     vtimed("ann_lsh_top10") {
       graft.ext.Similarity.annTopK(emb, "vec_id", "embedding", q, 10).count()
+    }
+    // product quantization: 64-dim float (256 B) → one packed BIGINT
+    // (8 B) — the compression serve path (m=8 × 256 codes)
+    lazy val pqBooks = {
+      val t0 = System.nanoTime()
+      val b = graft.ext.Pq.trainCodebooks(
+        emb.sample(0.02, 42), "embedding", m = 8, codes = 256, iters = 2)
+      if (selected("pq_train_on_sample"))
+        println(f"[soak] pq_train_on_sample    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      b
+    }
+    if (selected("pq_train_on_sample")) pqBooks
+    def buildPqIndex(): Unit =
+      graft.ext.Pq.writePqIndex(emb, "vec_id", "embedding", "soak_pq_idx",
+        m = 8, codes = 256, basePath = Some(s"$vecDir-pqidx"),
+        books = Some(pqBooks))
+    vtimed("pq_index_write") {
+      // sample-trained codebooks + map-only full-corpus encode: the codes
+      // table is the 8-byte-per-vector scan every later query reads
+      buildPqIndex()
+      spark.table("soak_pq_idx_codes").count()
+    }
+    if (selected("pq_adc_serve") &&
+        !spark.catalog.tableExists("soak_pq_idx_codes")) buildPqIndex()
+    vtimed("pq_adc_serve") {
+      // per-query serve cost: LUT-projected ADC over the packed codes +
+      // exact re-rank of the top candidates against the raw corpus
+      graft.ext.Pq.rerankScoresIndex(spark, "soak_pq_idx", emb, "vec_id",
+          "embedding", q, candidates = 1000)
+        .orderBy(col("score").desc, col("vec_id")).limit(10).count()
     }
     vtimed("mining_sets") {
       // contrastive mining for one anchor: two TakeOrdered scans of the
