@@ -882,6 +882,102 @@ object ExtQueries {
     "IVF top-k served from the materialized cell-partitioned index at " +
       "full probe — the write-once index path's recall=1 anchor")
 
+  /** Trained IVFADC models memoized per (corpus dir, cells, m, codes,
+    * iters) — same train-once-serve-many rationale as [[ivfModels]].
+    */
+  private val ivfPqModels = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int, Int), graft.ext.IvfPq.Model]
+  private def ivfPqModel(
+      s: SparkSession, d: String, cells: Int, m: Int, codes: Int, iters: Int) =
+    ivfPqModels.getOrElseUpdate((d, cells, m, codes, iters),
+      graft.ext.IvfPq.train(
+        embeddings(s, d).filter(col("vec_id") =!= 0), "embedding",
+        cells, m, codes, iters))
+
+  private val qSimIvfPqFull = Q(
+    "q_sim_ivfpq_full",
+    (s, d) => {
+      // IVFADC (IVF + residual PQ) at full probe AND full candidate
+      // width: every cell is probed and the ADC stage admits every
+      // vector, so the composed machinery (coarse quantizer, residual
+      // codebooks, fused assign+encode scan, per-cell LUT ADC scoring,
+      // TakeOrdered cut, broadcast-id exact re-rank) provably returns
+      // exact brute-force top-k — the recall=1 anchor for the pruned
+      // serve shape (q_sim_ivfpq), whose candidate set is model-defined
+      // and measured/unit-pinned instead.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = ivfPqModel(s, d, cells = 4, m = 8, codes = 16, iters = 2)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.ext.IvfPq.rerankScores(
+          graft.ext.IvfPq.encode(corpus, "vec_id", "embedding", model),
+          corpus, "vec_id", "embedding", model, q,
+          nprobe = 4, candidates = 1 << 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(brutForceOracleSql),
+    "IVFADC (coarse cells + residual PQ) at full probe and candidate " +
+      "width — the composed pipeline's recall=1 anchor vs brute force")
+
+  private val qSimIvfPqIndex = Q(
+    "q_sim_ivfpq_index",
+    (s, d) => {
+      // the WRITE-ONCE IVFADC serve path (IvfPq.writeIvfPqIndex): the
+      // cell-partitioned codes table plus centroid and codebook artifacts
+      // are materialized, then the query is served through the RELOADED
+      // model — no retraining, no re-encoding, probes prune cell
+      // directories at the scan (plan-proven in IvfPqSpec). Full probe +
+      // full candidate width makes the result exactly brute force, which
+      // DuckDB CAN check.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val prefix = s"graft_ivfpqidx_${math.abs(d.hashCode)}"
+      graft.ext.IvfPq.writeIvfPqIndex(corpus, "vec_id", "embedding", prefix,
+        cells = 4, m = 8, codes = 16, iters = 2,
+        basePath = Some(s"/tmp/$prefix"),
+        model = Some(ivfPqModel(s, d, cells = 4, m = 8, codes = 16, iters = 2)))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.ext.IvfPq.rerankScoresIndex(s, prefix, corpus, "vec_id",
+          "embedding", q, nprobe = 4, candidates = 1 << 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(brutForceOracleSql),
+    "IVFADC top-k served from the materialized cell-partitioned codes " +
+      "index through the reloaded model — the write-once path's recall=1 " +
+      "anchor")
+
+  private val qSimIvfPq = Q(
+    "q_sim_ivfpq",
+    (s, d) => {
+      // the serve shape at 100 TB: nprobe of the cell directories are
+      // read (partition pruning), the ADC stage scans 12-byte rows, the
+      // exact re-rank touches `candidates` raw rows. Candidate set is
+      // model-defined (trained quantizers) → rows-only;
+      // q_sim_ivfpq_full/_index are the anchors and IvfPqSpec pins
+      // recall at this operating point.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val model = ivfPqModel(s, d, cells = 4, m = 8, codes = 16, iters = 2)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.ext.IvfPq.rerankScores(
+          graft.ext.IvfPq.encode(corpus, "vec_id", "embedding", model),
+          corpus, "vec_id", "embedding", model, q,
+          nprobe = 2, candidates = 50)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    None, // model-defined (trained quantizers / ADC candidate set)
+    "IVFADC ANN: cell-pruned 12-byte ADC scan + exact re-rank of the " +
+      "top candidates — the composed IVF×PQ serve shape")
+
   private val qTextStats = Q(
     "q_text_stats",
     (s, d) =>
@@ -1964,6 +2060,7 @@ object ExtQueries {
     qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qSimIvfIndex, qSimPq, qSimPqFull, qSimPqIndex,
+    qSimIvfPq, qSimIvfPqFull, qSimIvfPqIndex,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,

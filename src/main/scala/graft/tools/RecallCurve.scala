@@ -59,6 +59,9 @@ object RecallCurve {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val numQueries = args.lift(1).map(_.toInt).getOrElse(20)
     val dim = args.lift(2).map(_.toInt).getOrElse(64)
+    // optional 4th arg: comma-separated section filter (ann,pq,ivf,ivfpq)
+    val sections = args.lift(3).map(_.split(',').toSet)
+    def section(s: String): Boolean = sections.forall(_.contains(s))
     val k = 10
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -115,7 +118,7 @@ object RecallCurve {
     println(f"[recall] brute-force ground truth      t=${(System.nanoTime() - t0) / 1e9}%6.1f s")
 
     // --- hyperplane LSH: (numPlanes, probeRadius) grid -------------------
-    for (planes <- Seq(8, 12, 16); radius <- Seq(0, 1, 2)) {
+    if (section("ann")) for (planes <- Seq(8, 12, 16); radius <- Seq(0, 1, 2)) {
       val hp = Similarity.hyperplanes(planes, dim)
       val cand = emb
         .withColumn("_bucket", Similarity.lshBucket(col("embedding"), hp))
@@ -130,7 +133,7 @@ object RecallCurve {
     // reconstructions in ONE plan instead of 20 per-query LUT scans; the
     // serve path's recall@k is |ADC-top-C ∩ truth@k| / k after the exact
     // re-rank, which measure() performs on the candidate rows.
-    for ((m, codes) <- Seq((8, 256), (16, 16))) {
+    if (section("pq")) for ((m, codes) <- Seq((8, 256), (16, 16))) {
       // quantizer trained on a ~1/13 sample — the production shape
       val books = Pq.trainCodebooks(
         emb.filter(pmod(col("vec_id"), lit(13)) === 0), "embedding", m, codes, iters = 2)
@@ -158,7 +161,7 @@ object RecallCurve {
     }
 
     // --- IVF: (cells, nprobe) grid --------------------------------------
-    for (cells <- Seq(64, 256)) {
+    if (section("ivf")) for (cells <- Seq(64, 256)) {
       val centroids = Similarity.trainIvfCentroids(emb, "embedding", cells, iters = 2)
       val cs = centroids.map(_.toSeq).toSeq
       val assigned = Similarity.ivfAssign(emb, "embedding", centroids, "_cell")
@@ -168,6 +171,48 @@ object RecallCurve {
             graft.functions.IvfCells.nearest_cells(col("qvec"), cs, nprobe)))
           .filter(array_contains(col("_qcells"), col("_cell")))
         measure(s"ivf cells=$cells nprobe=$nprobe", cand, truth)
+      }
+    }
+
+    // --- IVFADC: residual PQ over coarse cells ---------------------------
+    // the composed serve shape (graft.ext.IvfPq): candidates = ADC top-C
+    // within the query's nprobe cells, scored against the residual
+    // reconstruction c + r̂ — directly comparable to the `pq m=8
+    // codes=256` rows (residual advantage at equal code budget) and the
+    // `ivf cells=256` rows (what the PQ cut costs below plain IVF).
+    if (section("ivfpq")) for ((cells, m, codes) <- Seq((256, 8, 256))) {
+      val model = graft.ext.IvfPq.train(
+        emb.filter(pmod(col("vec_id"), lit(13)) === 0), "embedding",
+        cells, m, codes, iters = 2)
+      val bits = model.bits
+      val sub = dim / m
+      val bookLit = (j: Int) =>
+        array(model.books(j).map(cw => array(cw.map(lit): _*)): _*)
+      val residRec = flatten(array((0 until m).map { j =>
+        element_at(bookLit(j),
+          (shiftright(col("pq_code"), j * bits).bitwiseAND(lit((1L << bits) - 1))).cast("int") + 1)
+      }: _*))
+      val centLit = array(model.centroids.map(c => array(c.map(lit): _*)): _*)
+      val recCol = zip_with(
+        element_at(centLit, col("_cell") + 1), residRec, (a, b) => a + b)
+      val cs = model.centroids.map(_.toSeq).toSeq
+      val scored = graft.ext.IvfPq.withCodes(emb, "embedding", model, "_cell")
+        .withColumn("_rec", recCol)
+        .crossJoin(queryDf.withColumn("_qcells",
+          graft.functions.IvfCells.nearest_cells(col("qvec"), cs, 8)))
+        .select(col("vec_id"), col("embedding"), col("qid"), col("qvec"),
+          col("_cell"), col("_qcells"),
+          graft.functions.functions
+            .cosine_similarity(col("_rec"), col("qvec")).as("_adc"))
+      for (nprobe <- Seq(4, 8); c <- Seq(100, 1000)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("_adc").desc, col("vec_id"))
+        val cand = scored
+          .filter(array_contains(slice(col("_qcells"), 1, nprobe), col("_cell")))
+          .withColumn("_r", row_number().over(w))
+          .filter(col("_r") <= c)
+          .select("qid", "vec_id", "embedding", "qvec")
+        measure(s"ivfpq m=$m nprobe=$nprobe cand=$c", cand, truth)
       }
     }
     spark.stop()

@@ -386,7 +386,8 @@ object ScaleSoak {
         "ivf_search_nprobe4", "ivf_index_write", "ivf_index_probe",
         "ann_lsh_top10", "semantic_dedup_ivf", "semantic_decontaminate",
         "mining_sets", "knn_join",
-        "pq_train_on_sample", "pq_index_write", "pq_adc_serve")
+        "pq_train_on_sample", "pq_index_write", "pq_adc_serve",
+        "ivfpq_train_on_sample", "ivfpq_index_write", "ivfpq_adc_serve")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -483,6 +484,36 @@ object ScaleSoak {
       // exact re-rank of the top candidates against the raw corpus
       graft.ext.Pq.rerankScoresIndex(spark, "soak_pq_idx", emb, "vec_id",
           "embedding", q, candidates = 1000)
+        .orderBy(col("score").desc, col("vec_id")).limit(10).count()
+    }
+    // IVFADC: cell-pruned probes over 12-byte (cell, code) rows — the
+    // composed serve layout (cells=256, m=8 × 256 codes on residuals)
+    lazy val ivfPqModel = {
+      val t0 = System.nanoTime()
+      val mod = graft.ext.IvfPq.train(
+        emb.sample(0.02, 42), "embedding", cells = 256, m = 8, codes = 256, iters = 2)
+      if (selected("ivfpq_train_on_sample"))
+        println(f"[soak] ivfpq_train_on_sample ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      mod
+    }
+    if (selected("ivfpq_train_on_sample")) ivfPqModel
+    def buildIvfPqIndex(): Unit =
+      graft.ext.IvfPq.writeIvfPqIndex(emb, "vec_id", "embedding",
+        "soak_ivfpq_idx", cells = 256, m = 8, codes = 256,
+        basePath = Some(s"$vecDir-ivfpqidx"), model = Some(ivfPqModel))
+    vtimed("ivfpq_index_write") {
+      // sample-trained quantizers + one fused assign+encode map-only scan;
+      // the codes table is cell-partitioned for probe-time pruning
+      buildIvfPqIndex()
+      spark.table("soak_ivfpq_idx_codes").count()
+    }
+    if (selected("ivfpq_adc_serve") &&
+        !spark.catalog.tableExists("soak_ivfpq_idx_codes")) buildIvfPqIndex()
+    vtimed("ivfpq_adc_serve") {
+      // per-query serve cost: nprobe cell directories read, codegen'd LUT
+      // ADC over packed codes, exact re-rank of the top candidates
+      graft.ext.IvfPq.rerankScoresIndex(spark, "soak_ivfpq_idx", emb,
+          "vec_id", "embedding", q, nprobe = 8, candidates = 1000)
         .orderBy(col("score").desc, col("vec_id")).limit(10).count()
     }
     vtimed("mining_sets") {
