@@ -882,6 +882,88 @@ object ExtQueries {
     "IVF top-k served from the materialized cell-partitioned index at " +
       "full probe — the write-once index path's recall=1 anchor")
 
+  /** Trained SQ8 bounds memoized per corpus dir — same
+    * train-once-serve-many rationale as [[ivfModels]].
+    */
+  private val sqBoundsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Float], Array[Float])]
+  private def sqBounds(s: SparkSession, d: String) =
+    sqBoundsCache.getOrElseUpdate(d,
+      graft.ext.Sq.trainBounds(
+        embeddings(s, d).filter(col("vec_id") =!= 0), "embedding"))
+
+  private val qSimSqFull = Q(
+    "q_sim_sq_full",
+    (s, d) => {
+      // 8-bit scalar quantization at full candidate width: the ADC stage
+      // admits every vector, so the trained-bounds encode + byte-code
+      // scoring + broadcast-id exact re-rank provably returns exact
+      // brute-force top-k — the recall=1 anchor for the pruned serve
+      // shape (q_sim_sq).
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val (lo, hi) = sqBounds(s, d)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.ext.Sq.rerankScores(
+          graft.ext.Sq.encode(corpus, "embedding", lo, hi), corpus,
+          "vec_id", "embedding", lo, hi, q, candidates = 1 << 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(brutForceOracleSql),
+    "SQ8 scalar-quantized ADC + exact re-rank at full candidate width — " +
+      "the compression path's recall=1 anchor vs brute force")
+
+  private val qSimSq = Q(
+    "q_sim_sq",
+    (s, d) => {
+      // the serve shape: the ADC stage scans dim-byte codes (4× less I/O
+      // than raw floats) with near-exact ranking, the re-rank touches
+      // `candidates` raw rows. Candidate set is model-defined (trained
+      // bounds) → rows-only; q_sim_sq_full is the anchor and SqSpec pins
+      // recall ≥ 0.95 at a THIN rerank width on structureless gaussians.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val (lo, hi) = sqBounds(s, d)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.ext.Sq.rerankScores(
+          graft.ext.Sq.encode(corpus, "embedding", lo, hi), corpus,
+          "vec_id", "embedding", lo, hi, q, candidates = 50)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    None, // model-defined (trained bounds / ADC candidate set)
+    "SQ8 ANN: 4×-compressed byte-code ADC scan + exact re-rank of the " +
+      "top candidates")
+
+  private val qSimSqIndex = Q(
+    "q_sim_sq_index",
+    (s, d) => {
+      // the WRITE-ONCE SQ8 serve path (Sq.writeSqIndex): byte codes +
+      // bounds artifact materialized, query served through the RELOADED
+      // bounds with no retraining or re-encoding; full candidate width
+      // makes the result exactly brute force, which DuckDB CAN check.
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val prefix = s"graft_sqidx_${math.abs(d.hashCode)}"
+      graft.ext.Sq.writeSqIndex(corpus, "vec_id", "embedding", prefix,
+        basePath = Some(s"/tmp/$prefix"), bounds = Some(sqBounds(s, d)))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.ext.Sq.rerankScoresIndex(s, prefix, corpus, "vec_id",
+          "embedding", q, candidates = 1 << 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(brutForceOracleSql),
+    "SQ8 top-k served from the materialized codes+bounds index — the " +
+      "write-once path's recall=1 anchor")
+
   /** Trained IVFADC models memoized per (corpus dir, cells, m, codes,
     * iters) — same train-once-serve-many rationale as [[ivfModels]].
     */
@@ -2061,6 +2143,7 @@ object ExtQueries {
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qSimIvfIndex, qSimPq, qSimPqFull, qSimPqIndex,
     qSimIvfPq, qSimIvfPqFull, qSimIvfPqIndex,
+    qSimSq, qSimSqFull, qSimSqIndex,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,

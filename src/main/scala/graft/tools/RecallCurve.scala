@@ -174,6 +174,37 @@ object RecallCurve {
       }
     }
 
+    // --- SQ8: 8-bit scalar quantization, (candidates) curve --------------
+    // per-query serve-path measurement (the Sq8Score expression holds one
+    // query's model): 20 map-only byte-code scans + exact re-rank, recall
+    // accumulated against the collected ground truth
+    if (section("sq")) {
+      val (lo, hi) = graft.ext.Sq.trainBounds(
+        emb.filter(pmod(col("vec_id"), lit(13)) === 0), "embedding")
+      val enc = graft.ext.Sq.encode(emb, "embedding", lo, hi)
+        .select("vec_id", "sq_code")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      val truthMap = truth.collect().groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+      val qs = queries.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      for (c <- Seq(20, 100)) {
+        val t0 = System.nanoTime()
+        var hits = 0
+        for ((qid, q) <- qs) {
+          val got = graft.ext.Sq
+            .rerankScores(enc, emb, "vec_id", "embedding", lo, hi, q, c)
+            .orderBy(col("score").desc, col("vec_id")).limit(k)
+            .collect().map(_.getLong(0)).toSet
+          hits += (got & truthMap(qid)).size
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val recall = hits.toDouble / (qs.length.toLong * k)
+        println(f"[recall] sq8 cand=$c%-19s recall@$k=$recall%.3f cand=${c / n.toDouble}%.4f t=$dt%6.1f s")
+      }
+      enc.unpersist(blocking = false)
+    }
+
     // --- IVFADC: residual PQ over coarse cells ---------------------------
     // the composed serve shape (graft.ext.IvfPq): candidates = ADC top-C
     // within the query's nprobe cells, scored against the residual

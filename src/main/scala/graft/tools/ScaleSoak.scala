@@ -387,7 +387,8 @@ object ScaleSoak {
         "ann_lsh_top10", "semantic_dedup_ivf", "semantic_decontaminate",
         "mining_sets", "knn_join",
         "pq_train_on_sample", "pq_index_write", "pq_adc_serve",
-        "ivfpq_train_on_sample", "ivfpq_index_write", "ivfpq_adc_serve")
+        "ivfpq_train_on_sample", "ivfpq_index_write", "ivfpq_adc_serve",
+        "sq_train_bounds", "sq_index_write", "sq_adc_serve")
     if (!vectorStages.exists(selected)) { spark.stop(); return }
     val nVec = math.max(n / 2, 100000L)
     val vecDir = s"/tmp/graft_soak_vec_g${corpusGen}_$nVec"
@@ -514,6 +515,30 @@ object ScaleSoak {
       // ADC over packed codes, exact re-rank of the top candidates
       graft.ext.IvfPq.rerankScoresIndex(spark, "soak_ivfpq_idx", emb,
           "vec_id", "embedding", q, nprobe = 8, candidates = 1000)
+        .orderBy(col("score").desc, col("vec_id")).limit(10).count()
+    }
+    // SQ8: per-dimension byte quantization — 4× scan compression with
+    // near-exact ranking (the cheap point on the compression curve)
+    lazy val sqBounds = {
+      val t0 = System.nanoTime()
+      val b = graft.ext.Sq.trainBounds(emb.sample(0.02, 42), "embedding")
+      if (selected("sq_train_bounds"))
+        println(f"[soak] sq_train_bounds       ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      b
+    }
+    if (selected("sq_train_bounds")) sqBounds
+    def buildSqIndex(): Unit =
+      graft.ext.Sq.writeSqIndex(emb, "vec_id", "embedding", "soak_sq_idx",
+        basePath = Some(s"$vecDir-sqidx"), bounds = Some(sqBounds))
+    vtimed("sq_index_write") {
+      buildSqIndex()
+      spark.table("soak_sq_idx_codes").count()
+    }
+    if (selected("sq_adc_serve") &&
+        !spark.catalog.tableExists("soak_sq_idx_codes")) buildSqIndex()
+    vtimed("sq_adc_serve") {
+      graft.ext.Sq.rerankScoresIndex(spark, "soak_sq_idx", emb, "vec_id",
+          "embedding", q, candidates = 100)
         .orderBy(col("score").desc, col("vec_id")).limit(10).count()
     }
     vtimed("mining_sets") {
