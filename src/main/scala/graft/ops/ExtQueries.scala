@@ -882,6 +882,47 @@ object ExtQueries {
     "IVF top-k served from the materialized cell-partitioned index at " +
       "full probe — the write-once index path's recall=1 anchor")
 
+  /** Trained BPE merge tables memoized per corpus dir — same
+    * train-once-serve-many rationale as [[ivfModels]].
+    */
+  private val bpeMergesCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String)]]
+  private def bpeMerges(s: SparkSession, d: String) =
+    bpeMergesCache.getOrElseUpdate(d,
+      graft.ext.Bpe.train(documents(s, d), "text", numMerges = 64))
+
+  private val qBpeMerges = Q(
+    "q_bpe_merges",
+    (s, d) =>
+      graft.ext.Bpe.mergesDf(s, bpeMerges(s, d)).orderBy("rank"),
+    None, // model-defined (the merge loop is not SQL-expressible);
+    // BpeSpec anchors the trainer on the textbook example and pins
+    // determinism; the histogram kernel is oracle-checked by q_vocab_build
+    "BPE tokenizer training on the corpus: distributed word histogram + " +
+      "driver-side merge loop — the trained merge table as a first-class " +
+      "model artifact")
+
+  private val qBpeTokens = Q(
+    "q_bpe_tokens",
+    (s, d) => {
+      // tokenize with the corpus-trained merges: one codegen'd map-only
+      // scan, the merge table riding the plan as a reference object.
+      // n_pieces is bounded by [n_words, n_chars] and the segmentation
+      // is lossless (BpeSpec round-trip) — the token-budget accounting a
+      // curation pipeline actually uses (q_sample_token_budget's unit).
+      val merges = bpeMerges(s, d)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(graft.ext.Bpe.tokens(col("text"), merges)).as("n_pieces"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    },
+    None, // model-defined (trained merges); q_token_count is the
+    // oracle-checked twin for the whitespace/subword counting kernels
+    "BPE tokenization of the corpus against the trained merges " +
+      "(map-only codegen'd scan) — per-doc piece counts")
+
   /** Trained SQ8 bounds memoized per corpus dir — same
     * train-once-serve-many rationale as [[ivfModels]].
     */
@@ -2143,7 +2184,7 @@ object ExtQueries {
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qSimIvfIndex, qSimPq, qSimPqFull, qSimPqIndex,
     qSimIvfPq, qSimIvfPqFull, qSimIvfPqIndex,
-    qSimSq, qSimSqFull, qSimSqIndex,
+    qSimSq, qSimSqFull, qSimSqIndex, qBpeMerges, qBpeTokens,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
     qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,
