@@ -776,17 +776,14 @@ object RelationalQueries {
     streamSchemaCache.getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
 
   /** The events table as a bounded file-stream source (explicit schema,
-    * ns→µs ts conversion mirroring Tables.events).
+    * ts normalization mirroring Tables.events — ns-long and NTZ corpus
+    * generations both surface as a plain TIMESTAMP for watermarks).
     */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     // glob form: the file-stream source requires a directory or glob
     // basePath (a bare file path is rejected)
     val raw = s.readStream.schema(eventsSchema(s, d)).parquet(s"$d/events.*")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    Tables.normalizeEventTs(raw)
   }
 
   /** Bounded Structured-Streaming replay harness shared by the q_stream_*

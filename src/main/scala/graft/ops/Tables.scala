@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet corpus (TESTDATA.md).
   *
@@ -22,19 +22,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * under `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/
-    * Bench/tests). The long nanos are converted to a proper µs timestamp
-    * with integer division — ns epochs (~1.7e18) overflow double math, so
-    * `div`, not `/`.
+  /** `events.ts` normalization across the corpus generations the driver has
+    * shipped: parquet TIMESTAMP(NANOS) surfaces as LONG nanos (under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench/tests)
+    * and is converted with integer division — ns epochs (~1.7e18) overflow
+    * double math, so `div`, not `/` — while TIMESTAMP(MICROS) without a
+    * timezone surfaces as TIMESTAMP_NTZ and is cast to the session-local
+    * TIMESTAMP (all entry points pin the session timezone to UTC, so the
+    * cast maps wall-clock to the same instant DuckDB's naive TIMESTAMP
+    * arithmetic sees). Downstream `unix_micros`/watermark/window code can
+    * then assume a plain TIMESTAMP column in every generation.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+      case LongType           => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => raw
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
