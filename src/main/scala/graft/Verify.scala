@@ -21,6 +21,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a visible trace: the driver's compare
+    // only reports what lands in outDir, so a swallowed failure would
+    // otherwise VANISH from the correctness report instead of surfacing as
+    // an err row (this is exactly how a corpus re-encoding hid eight broken
+    // queries in round 6). Failures are collected into verify_errors.json
+    // alongside the dump.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -28,6 +35,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
       finally ops.CacheUtils.releaseAll(spark)
     }
@@ -46,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // deliberately still rc=0: one broken query must not void the other
+    // 140+ results, the manifest is the signal
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }
