@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Layout, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.ext.{Classifier, Dedup, Layout, Multimodal, Pq, Similarity, TextAnalysis}
 import Tables._
 
 /** Mandated extension operators (BASELINE north star): deduplication,
@@ -521,6 +521,81 @@ object ExtQueries {
             ORDER BY c.vec_id"""),
     "semantic decontamination: corpus rows within cosine tau of any eval " +
       "embedding dropped (broadcast eval, one map-only anti-join pass)")
+
+  private val qClassifierScore = Q(
+    "q_classifier_score",
+    (s, d) => {
+      // The hashed-linear-classifier SCORING kernel (hash → weight lookup
+      // → mean logit → sigmoid) replayed cross-engine: the engine-portable
+      // md5-nibble hash (D=256) with the deterministic weight ramp
+      // w[j] = j/256 − 0.5, bias 0. Every per-token weight is a multiple
+      // of 2^-8, so the token sum is EXACT in double on both engines
+      // regardless of summation order — the logit is bit-identical, and
+      // sigmoid/round of identical doubles match. Trained-model serving
+      // (q_classifier_train) is this same expression with learned weights.
+      val w = Array.tabulate(257)(j => if (j < 256) j / 256.0 - 0.5 else 0.0)
+      Classifier.score(documents(s, d), "doc_id", "text",
+          Classifier.Model(w, 256), Classifier.md5Index)
+        .select(col("doc_id"), col("n_toks"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            feat AS (SELECT doc_id,
+                       (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS i
+                     FROM t2)
+            SELECT doc_id, count(*) AS n_toks,
+                   round(1.0 / (1.0 + exp(-(sum(i / 256.0 - 0.5) / count(*)))), 6) AS score
+            FROM feat GROUP BY doc_id ORDER BY doc_id"""),
+    "hashed linear classifier scoring kernel (fastText-style quality gate): " +
+      "md5-nibble feature hash + weight lookup + mean-logit sigmoid, " +
+      "map-only; oracle replays hash and dot product exactly in DuckDB")
+
+  private val qClassifierTrain = Q(
+    "q_classifier_train",
+    (s, d) => {
+      // The CCNet/GPT-3-shaped quality-filter step as one operator:
+      // DISTILL an expensive corpus-level signal (the unigram-LM surprisal
+      // of q_lm_score — two keyed shuffles to compute) into a cheap
+      // map-only linear gate. Labels: y=1 for docs at-or-below the median
+      // avg_nll ("looks like the corpus"). The target is a mean of
+      // per-token values, i.e. exactly linear in hashed bag-of-words up to
+      // hash collisions, so the fit is real. Training is `iters` passes of
+      // (map-only scoring + one dim-bounded gradient shuffle + driver
+      // update on a 1025-float vector); DECIMAL-exact gradient aggregation
+      // makes the learned weights partitioning-stable, so this query is
+      // deterministic but oracle-inexpressible (the trained weights are a
+      // model artifact, like q_bpe_merges). Anchored by ClassifierSpec
+      // (planted-marker separation, closed-form gradient check,
+      // determinism) and q_classifier_score (the serving kernel).
+      val docs = documents(s, d)
+      val lm = TextAnalysis.lmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_nll"))
+      // exact median keeps the labels (and thus this rows-only output)
+      // bit-deterministic at test scale; the 100 TB form is
+      // approx_percentile, which changes nothing downstream (labels are
+      // an input to training, not a checked artifact)
+      val med = lm.agg(expr("percentile(avg_nll, 0.5)").as("_m"))
+      val labeled = docs.join(lm, "doc_id")
+        .crossJoin(broadcast(med))
+        .withColumn("_y", (col("avg_nll") <= col("_m")).cast("int"))
+      val dim = 1 << 10
+      val m = Classifier.train(labeled, "doc_id", "text", "_y",
+        dim = dim, iters = 10, lr = 2.0)
+      Classifier.score(labeled, "doc_id", "text", m, Classifier.hashIndex(_, dim))
+        .join(labeled.select(col("doc_id"), col("_y").as("label")), "doc_id")
+        .select(col("doc_id"), col("label"),
+          round(col("score"), 4).as("q_score"),
+          (col("score") > 0.5).cast("int").as("pred"))
+        .orderBy("doc_id")
+    },
+    None, // trained weights are a model artifact (not SQL-expressible)
+    "corpus-trained hashed logistic quality classifier (English-vs-rest): " +
+      "batch-gradient training with a dim-bounded shuffle per step, then " +
+      "the map-only scoring gate over the same corpus")
 
   private val qLmScore = Q(
     "q_lm_score",
@@ -2180,7 +2255,8 @@ object ExtQueries {
     qDedupNearIncremental, qDedupClusters,
     qCcChains, qDedupSimhash, qHammingPairs, qHammingIndex,
     qDedupNgram, qDedupSpan, qSpanIndex, qDedupSemantic,
-    qDedupJaccard, qDedupEdit, qLmScore, qDedupEmbed, qDedupEmbedGrid,
+    qDedupJaccard, qDedupEdit, qLmScore, qClassifierScore, qClassifierTrain,
+    qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qSimIvfIndex, qSimPq, qSimPqFull, qSimPqIndex,
     qSimIvfPq, qSimIvfPqFull, qSimIvfPqIndex,

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 64
+
+  private def planted = {
+    // separable corpus: positives carry a marker token, shared filler on
+    // both classes so the classifier must isolate the marker's bucket
+    val pos = (0 until 20).map(i => (i.toLong, s"common filler words zzspam zzspam item $i", 1))
+    val neg = (100 until 120).map(i => (i.toLong, s"common filler words plain item $i", 0))
+    (pos ++ neg).toDF("doc_id", "text", "label")
+  }
+
+  test("train separates a planted marker token perfectly") {
+    val m = Classifier.train(planted, "doc_id", "text", "label",
+      dim = dim, iters = 60, lr = 5.0)
+    val scored = Classifier.score(planted, "doc_id", "text", m,
+        Classifier.hashIndex(_, dim))
+      .join(planted.select("doc_id", "label"), "doc_id")
+    val wrong = scored.filter(
+      (col("score") > 0.5) =!= (col("label") === 1)).count()
+    assert(wrong == 0, s"$wrong misclassified")
+    // and with real margin, not 0.5-coin-flips
+    val margins = scored
+      .select(min(when(col("label") === 1, col("score"))).as("minPos"),
+        max(when(col("label") === 0, col("score"))).as("maxNeg"))
+      .head()
+    assert(margins.getDouble(0) > 0.7 && margins.getDouble(1) < 0.3)
+  }
+
+  test("training is deterministic across runs and repartitionings") {
+    val a = Classifier.train(planted, "doc_id", "text", "label",
+      dim = dim, iters = 10, lr = 5.0)
+    val b = Classifier.train(planted.repartition(7), "doc_id", "text", "label",
+      dim = dim, iters = 10, lr = 5.0)
+    assert(a.weights.toSeq == b.weights.toSeq)
+  }
+
+  test("one gradient step matches the closed form on a two-doc corpus") {
+    // doc A: "x x" label 1 → single feature i=h(x), x=1; doc B: "y" label 0.
+    // From w=0: p=sigmoid(0)=0.5 for both; mean grads g(hx)=(0.5-1)/2,
+    // g(hy)=0.5/2, g(bias)=((0.5-1)+(0.5-0))/2=0. Adagrad's first step per
+    // touched coordinate is exactly lr·sign(g) (G=g² ⇒ g/√G=±1), and a
+    // zero gradient leaves the coordinate untouched → w[hx]=+lr,
+    // w[hy]=-lr, bias=0, everything else 0.
+    val df = Seq((1L, "x x", 1), (2L, "y", 0)).toDF("doc_id", "text", "label")
+    val m = Classifier.train(df, "doc_id", "text", "label",
+      dim = dim, iters = 1, lr = 4.0)
+    val hx = Seq("x").toDF("t").select(Classifier.hashIndex(col("t"), dim)).head().getInt(0)
+    val hy = Seq("y").toDF("t").select(Classifier.hashIndex(col("t"), dim)).head().getInt(0)
+    assert(math.abs(m.weights(hx) - 4.0) < 1e-9)
+    assert(math.abs(m.weights(hy) + 4.0) < 1e-9)
+    assert(math.abs(m.bias) < 1e-9)
+    assert(m.weights.zipWithIndex.forall { case (w, i) =>
+      i == hx || i == hy || i == dim || w == 0.0 })
+  }
+
+  test("md5Index is a stable [0,256) bucket and scoreExpr replays it") {
+    val toks = Seq("the", "a", "zz", "", "école").toDF("t")
+    val idx = toks.filter(col("t") =!= "")
+      .select(Classifier.md5Index(col("t")).as("i")).as[Int].collect()
+    assert(idx.forall(i => i >= 0 && i < 256))
+    // portable-kernel score on a known doc: mean of w(idx(tok)) through
+    // sigmoid, with w[j] = j/256 - 0.5
+    val w = Array.tabulate(257)(j => if (j < 256) j / 256.0 - 0.5 else 0.0)
+    val m = Classifier.Model(w, 256)
+    val got = Seq((1L, "the a zz")).toDF("doc_id", "text")
+    val s = Classifier.score(got, "doc_id", "text", m, Classifier.md5Index).head()
+    val expected = {
+      val zs = idx.take(3).map(i => i / 256.0 - 0.5)
+      1.0 / (1.0 + math.exp(-(zs.sum / 3.0)))
+    }
+    assert(s.getLong(1) == 3L)
+    assert(math.abs(s.getDouble(2) - expected) < 1e-12)
+  }
+
+  test("scoring plan is map-only (no exchange)") {
+    val m = Classifier.Model(Array.fill(257)(0.1), 256)
+    val plan = Classifier.score(planted, "doc_id", "text", m, Classifier.md5Index)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
+  }
+}
