@@ -985,6 +985,49 @@ object RelationalQueries {
       "set (stream-static anti-join, bounded replay) — hash-equal to the " +
       "batch incremental-dedup anti-join")
 
+  private val qStreamClassify = Q(
+    "q_stream_classify",
+    (s, d) => {
+      // Online model serving: the documents table replayed as a bounded
+      // file stream, scored row-by-row with the hashed-linear-classifier
+      // serving kernel and gated at 0.5 (StreamOps.classifyStream) —
+      // stateless map-only inference, the streaming half of the "train
+      // offline, serve online" hand-off (q_classifier_train is the
+      // offline half; same scoring expression on both sides of the
+      // read/readStream divide). The engine-portable md5-nibble model
+      // (the q_classifier_score ramp) makes the STREAMING output
+      // hash-checkable against a batch DuckDB oracle — serving parity is
+      // proven cross-engine, not just claimed.
+      val name = s"graft_stream_classify_${streamRuns.incrementAndGet()}"
+      val docsSchema = streamSchemaCache.getOrElseUpdate(s"$d/documents",
+        s.read.parquet(s"$d/documents.parquet").schema)
+      val stream = s.readStream.schema(docsSchema).parquet(s"$d/documents.*")
+      val w = Array.tabulate(257)(j => if (j < 256) j / 256.0 - 0.5 else 0.0)
+      val kept = graft.streaming.StreamOps.classifyStream(
+          stream, "text",
+          graft.ext.Classifier.Model(w, 256), graft.ext.Classifier.md5Index,
+          threshold = 0.5)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+      boundedReplay(s, name, kept, "append").orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            feat AS (SELECT doc_id,
+                       (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS i
+                     FROM t2),
+            scored AS (
+              SELECT doc_id,
+                     1.0 / (1.0 + exp(-(sum(i / 256.0 - 0.5) / count(*)))) AS s
+              FROM feat GROUP BY doc_id)
+            SELECT doc_id, round(s, 6) AS score FROM scored
+            WHERE s >= 0.5 ORDER BY doc_id"""),
+    "streaming model serving: classifier gate over a bounded document " +
+      "replay (stateless map-only inference) — hash-equal to the batch " +
+      "scoring oracle")
+
   private val qStreamJoin = Q(
     "q_stream_join",
     (s, d) => {
@@ -1574,7 +1617,7 @@ object RelationalQueries {
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
     qStreamSliding, qStreamSession, qStreamJoin, qStreamDedup,
-    qStreamDedupCorpus,
+    qStreamDedupCorpus, qStreamClassify,
     qTpchQ3, qTpchQ5, qTpchQ10, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)
 }

@@ -123,4 +123,23 @@ object StreamOps {
       .withColumn("fp", org.apache.spark.sql.functions.md5(
         org.apache.spark.sql.functions.col(contentCol)))
       .join(corpusFp.select("fp"), Seq("fp"), "left_anti")
+
+  /** Online model serving: score a document stream with a batch-trained
+    * hashed-linear-classifier model ([[graft.ext.Classifier]]) and gate on
+    * a threshold. Stateless and map-only — the model rides in the
+    * streaming plan as one literal object exactly as in batch, so the
+    * "train offline, serve online" hand-off is the same expression on
+    * both sides of the `read`/`readStream` divide (no state store, no
+    * watermark: per-row inference has nothing to evict).
+    */
+  def classifyStream(
+      stream: DataFrame,
+      textCol: String,
+      model: graft.ext.Classifier.Model,
+      indexOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      threshold: Double): DataFrame =
+    stream
+      .withColumn("score",
+        graft.ext.Classifier.scoreExpr(col(textCol), model, indexOf))
+      .filter(col("score") >= threshold)
 }
