@@ -320,6 +320,38 @@ object Similarity {
     cents
   }
 
+  /** Index MAINTENANCE: append a new vector batch to a materialized
+    * [[writeIvfIndex]] index without retraining or rewriting — the
+    * continuous-ingest shape (daily embedding batches landing in a
+    * serving index). The batch is assigned with the RELOADED centroid
+    * artifact (quantizer frozen: cell numbering, probe order, and every
+    * existing row's placement are untouched) and appended into the
+    * cell-partitioned table, so new files land INSIDE the cell
+    * directories and partition pruning keeps working unchanged. Only the
+    * batch is scanned or shuffled — cost is O(|batch|), independent of
+    * index size. Same rebalance-before-write discipline as the initial
+    * build (writers × cells sliver files would otherwise accumulate per
+    * appended batch). Periodic retraining on drifted corpora is a new
+    * [[writeIvfIndex]] under a fresh prefix + an atomic swap, deliberately
+    * NOT this path.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      embCol: String,
+      tablePrefix: String,
+      cellCol: String = "ivf_cell"): Unit = {
+    val cents = loadIvfCentroids(spark, tablePrefix)
+    // match the existing table's column order (partition column last)
+    val cols = spark.table(s"${tablePrefix}_cells").columns
+    ivfAssign(batch, embCol, cents, cellCol)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .hint("rebalance", col(cellCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .partitionBy(cellCol)
+      .saveAsTable(s"${tablePrefix}_cells")
+  }
+
   /** Reload a [[writeIvfIndex]] model: the k×dim centroid artifact (bit-
     * exact floats — cell assignment and probe order reproduce exactly).
     */

@@ -377,6 +377,26 @@ object ScaleSoak {
     }
 
     // ------------------------------------------------- similarity family
+    timed("classifier_train") {
+      // hashed logistic regression: featurize (2 keyed aggs, persisted)
+      // + 5 full-batch Adagrad passes, each one map-only scoring pass +
+      // one dim-bounded gradient shuffle. Labels are an arbitrary
+      // deterministic split — training COST is label-independent, and
+      // the soak measures cost, not fit.
+      val labeled = docs.withColumn("_y", pmod(col("doc_id"), lit(2)).cast("int"))
+      val m = graft.ext.Classifier.train(labeled, "doc_id", "text", "_y",
+        dim = 1 << 12, iters = 5, lr = 1.0)
+      m.weights.length.toLong
+    }
+    timed("classifier_score") {
+      // the serving gate: map-only over the corpus, weight vector as one
+      // literal plan object
+      val w = Array.tabulate((1 << 12) + 1)(j => (j % 7 - 3) * 0.1)
+      graft.ext.Classifier.score(docs, "doc_id", "text",
+        graft.ext.Classifier.Model(w, 1 << 12),
+        graft.ext.Classifier.hashIndex(_, 1 << 12)).count()
+    }
+
     // synthetic 64-dim embeddings, clustered structure: 32 seeded anchor
     // directions plus per-vector noise, so IVF cells are meaningful
     // names exactly as printed, so a stage name copied from a previous

@@ -213,6 +213,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex: batch append ≡ all-at-once build, pruning intact") {
+    // continuous ingest: build the index on half the corpus, append the
+    // other half through the RELOADED frozen quantizer — the resulting
+    // table must be row-identical to building on everything at once with
+    // the same centroids (assignment is a pure function of the model),
+    // and partition pruning must still read exactly nprobe directories
+    val emb = Tables.embeddings(spark, sfDir)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_all").toString
+    val pA = "spec_ivf_app"
+    val pB = "spec_ivf_all"
+    try {
+      val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 1)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 1), "embedding",
+        pA, k = 4, basePath = Some(dirA), centroids = Some(cents))
+      Similarity.appendToIvfIndex(spark,
+        emb.filter(col("vec_id") % 2 === 0), "embedding", pA)
+      Similarity.writeIvfIndex(emb, "embedding",
+        pB, k = 4, basePath = Some(dirB), centroids = Some(cents))
+      val a = spark.table(s"${pA}_cells").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(r.length - 1)))
+      val b = spark.table(s"${pB}_cells").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(r.length - 1)))
+      assert(a.sameElements(b), "appended index must equal the all-at-once build")
+      // an appended-batch vector is findable, and the probe still prunes
+      val q = emb.filter(col("vec_id") === 8).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val pruned = Similarity.ivfSearchIndex(spark, pA,
+        "vec_id", "embedding", q, k = 3, nprobe = 1)
+      val top = pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+      assert(scan.metrics("numPartitions").value == 1L)
+      assert(top.head.getLong(0) == 8L)
+    } finally {
+      Seq(pA, pB).foreach { p =>
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_cells")
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_centroids")
+      }
+      Seq(dirA, dirB).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("semantic decontamination: near-eval rows drop, one map-only anti-join pass") {
     // corpus vec 1 is nearly parallel to an eval vector (cos ~0.999),
     // vec 2 orthogonal, vec 3 anti-parallel — only vec 1 drops at tau 0.9
