@@ -957,6 +957,40 @@ object ExtQueries {
     "IVF top-k served from the materialized cell-partitioned index at " +
       "full probe — the write-once index path's recall=1 anchor")
 
+  private val qSimIvfAppend = Q(
+    "q_sim_ivf_append",
+    (s, d) => {
+      // Index MAINTENANCE certificate: the index is built on HALF the
+      // corpus, the other half arrives later as an ingest batch through
+      // Similarity.appendToIvfIndex (reloaded frozen quantizer, O(batch)
+      // append into the cell directories) — and a full-probe search over
+      // the maintained index must STILL equal exact brute force over the
+      // whole corpus, which DuckDB checks. Cells are assigned by the same
+      // frozen centroids on both halves, so append-then-search ≡
+      // build-all-then-search (spec-proven row-identical); this query is
+      // the cross-engine anchor of that equivalence.
+      val emb = embeddings(s, d)
+      val prefix = s"graft_ivfapp_${math.abs(d.hashCode)}"
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      Similarity.writeIvfIndex(corpus.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "embedding", prefix, k = 8, iters = 2,
+        centroids = Some(ivfCentroids(s, d, k = 8, iters = 2)),
+        basePath = Some(s"/tmp/$prefix"))
+      Similarity.appendToIvfIndex(s,
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", prefix)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfScoresIndex(s, prefix, "vec_id", "embedding", q,
+          nprobe = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(brutForceOracleSql),
+    "IVF index maintenance: half the corpus appended as an ingest batch " +
+      "through the frozen quantizer, then full-probe top-k from the " +
+      "maintained index — hash-equal to exact brute force over everything")
+
   /** Trained BPE merge tables memoized per corpus dir — same
     * train-once-serve-many rationale as [[ivfModels]].
     */
@@ -2258,7 +2292,7 @@ object ExtQueries {
     qDedupJaccard, qDedupEdit, qLmScore, qClassifierScore, qClassifierTrain,
     qDedupEmbed, qDedupEmbedGrid,
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
-    qSimIvfIndex, qSimPq, qSimPqFull, qSimPqIndex,
+    qSimIvfIndex, qSimIvfAppend, qSimPq, qSimPqFull, qSimPqIndex,
     qSimIvfPq, qSimIvfPqFull, qSimIvfPqIndex,
     qSimSq, qSimSqFull, qSimSqIndex, qBpeMerges, qBpeTokens,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
