@@ -353,6 +353,36 @@ object Dedup {
     sigs.unpersist(blocking = false)
   }
 
+  /** Index MAINTENANCE: absorb an ACCEPTED batch into a materialized
+    * [[writeBandIndex]] index — the step that closes the incremental
+    * dedup lifecycle (probe with [[nearDupAgainstIndex]] → drop the
+    * matches → absorb the survivors, so tomorrow's batch dedups against
+    * today's). Only the batch is shingled/hashed; its band and signature
+    * rows are APPENDED into the bucketed index tables under the index's
+    * own recorded build parameters (`_meta`) and the tables' own catalog
+    * bucket specs, so the exchange-free probe property is preserved
+    * verbatim — cost is O(|batch|), the corpus is never rewritten. Each
+    * absorb adds one file per bucket; compact periodically
+    * ([[graft.sources.Sources.compactParquet]]) on a long-running ingest.
+    */
+  def absorbIntoBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      textCol: String): Unit = {
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (numHashes, bands, shingler, idCol) =
+      (meta.getInt(0), meta.getInt(1), parseShingler(meta.getString(2)),
+        meta.getString(3))
+    val sigs = minHashSignatures(batch, idCol, textCol, numHashes, shingler)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sources.appendBucketed(
+        lshBands(sigs, idCol, bands, numHashes / bands), s"${tablePrefix}_bands")
+      graft.sources.Sources.appendBucketed(sigs, s"${tablePrefix}_sigs")
+    } finally sigs.unpersist(blocking = false)
+  }
+
   /** Probe a [[writeBandIndex]] index BY NAME: the build parameters come
     * from the index's own `_meta` table, so the probe cannot silently
     * mis-hash (the failure mode of hand-passing numHashes/bands/shingler
@@ -891,6 +921,25 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
     basePath.fold(metaW)(p => metaW.option("path", s"$p/meta"))
       .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Index MAINTENANCE for the Hamming family — [[absorbIntoBandIndex]]'s
+    * fingerprint sibling: band an accepted batch under the index's own
+    * `_meta` blocking parameters and append into the bucketed band/fp
+    * tables (catalog bucket specs, exchange-free probes preserved).
+    */
+  def absorbIntoHammingIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      batchFp: DataFrame): Unit = {
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (maxHamming, nBlocks, idCol, fpCol) =
+      (meta.getInt(0), meta.getInt(1), meta.getString(2), meta.getString(3))
+    graft.sources.Sources.appendBucketed(
+      hammingBands(batchFp, idCol, fpCol, maxHamming, nBlocks),
+      s"${tablePrefix}_bands")
+    graft.sources.Sources.appendBucketed(
+      batchFp.select(col(idCol), col(fpCol)), s"${tablePrefix}_fps")
   }
 
   /** Near-dup a NEW batch of fingerprints against a materialized

@@ -308,6 +308,40 @@ object ExtQueries {
       "the materialized bucketed block-subset index, vs a brute-force " +
       "batch-by-corpus bit_count oracle")
 
+  private val qHammingAbsorb = Q(
+    "q_hamming_absorb",
+    (s, d) => {
+      // Index-maintenance certificate for the Hamming family (the
+      // q_sim_ivf_append pattern): the index is built on HALF the corpus
+      // fingerprints, the other half is absorbed later as an accepted
+      // batch (Dedup.absorbIntoHammingIndex — appended into the bucketed
+      // tables under the index's own _meta blocking parameters), and the
+      // planted-variant probe against the MAINTAINED index must still
+      // equal brute-force batch×corpus bit_count — the same oracle as
+      // q_hamming_index, which only holds if absorbed rows band exactly
+      // like built rows.
+      val (base, near, far) = hammingFps(s, d)
+      val batch = near.unionByName(far)
+      val prefix = s"graft_hamabs_${math.abs(d.hashCode)}"
+      Dedup.writeHammingIndex(base.filter(pmod(col("id"), lit(2)) === 0),
+        "id", "fp", prefix, maxHamming = 3, nBlocks = 6, numBuckets = 4,
+        basePath = Some(s"/tmp/$prefix"))
+      Dedup.absorbIntoHammingIndex(s, prefix,
+        base.filter(pmod(col("id"), lit(2)) === 1))
+      Dedup.hammingAgainstIndex(s, prefix, batch, "id", "fp")
+        .select(col("batch_id"), col("corpus_id"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some(s"""WITH $hammingFpsSql
+            SELECT b.id AS batch_id, a.id AS corpus_id,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM planted b JOIN base a ON bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY batch_id, corpus_id"""),
+    "Hamming index maintenance: half the corpus absorbed as an accepted " +
+      "batch into the bucketed index, then probed — hash-equal to the " +
+      "brute-force batch-by-corpus bit_count oracle")
+
   private val qDedupNgram = Q(
     "q_dedup_ngram",
     (s, d) => {
@@ -2287,7 +2321,7 @@ object ExtQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
-    qCcChains, qDedupSimhash, qHammingPairs, qHammingIndex,
+    qCcChains, qDedupSimhash, qHammingPairs, qHammingIndex, qHammingAbsorb,
     qDedupNgram, qDedupSpan, qSpanIndex, qDedupSemantic,
     qDedupJaccard, qDedupEdit, qLmScore, qClassifierScore, qClassifierTrain,
     qDedupEmbed, qDedupEmbedGrid,

@@ -221,6 +221,30 @@ object Sources {
     sortCol.fold(w1)(c => w1.sortBy(c)).saveAsTable(table)
   }
 
+  /** Append a batch into an EXISTING bucketed table with the table's own
+    * bucket spec (read from the catalog, so the caller cannot mis-bucket —
+    * a mismatched spec is rejected by Spark rather than silently breaking
+    * the shuffle-free join property). Each appended batch adds one file
+    * per bucket (the same repartition-first discipline as the initial
+    * write); a long-running ingest compacts periodically with
+    * [[compactParquet]] — append keeps serving correct in between because
+    * bucket pruning is by id, not file count.
+    */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val bucketCols = spec.bucketColumnNames
+    df.select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .repartition(spec.numBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(spec.numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** stdout sink (CLI `gasket run` prints to stdout, bin.js:149). Driver-
     * side by nature, but streamed through `toLocalIterator` so only ONE
     * partition's rows are resident on the driver heap at a time — a

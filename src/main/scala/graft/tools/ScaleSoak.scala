@@ -125,8 +125,17 @@ object ScaleSoak {
     // OUTSIDE the timed block — the catalog is per-JVM, so the table
     // can't come from a prior run, and the build must not pollute the
     // probe's number
-    if (selected("band_index_probe") &&
+    if ((selected("band_index_probe") || selected("band_index_absorb")) &&
         !spark.catalog.tableExists("soak_band_idx_bands")) buildBandIndex()
+    timed("band_index_absorb") {
+      // index maintenance: absorb a 1% accepted batch into the bucketed
+      // band index — cost must be O(batch), not O(index)
+      val batch = docs.filter(pmod(col("doc_id"), lit(100)) === 3)
+        .select((col("doc_id") + n * 20).as("doc_id"),
+          concat(col("text"), lit(" absorbed")).as("text"))
+      graft.ext.Dedup.absorbIntoBandIndex(spark, "soak_band_idx", batch, "text")
+      batch.count()
+    }
     timed("band_index_probe") {
       // daily-batch near-dup against the materialized index: ~1% of the
       // corpus re-id'd with an appended tail (each a true near-dup of

@@ -500,4 +500,85 @@ class DedupSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_sigs")
     }
   }
+
+  test("absorb closes the incremental dedup lifecycle: probe → accept → absorb") {
+    // day 1: build the index. day 2: probe a batch, absorb the survivors.
+    // day 3: a near-dup of a day-2 SURVIVOR must now be caught — and the
+    // absorbed tables must still probe exchange-free (append preserved
+    // the catalog bucket spec).
+    val tag = System.nanoTime()
+    val prefix = s"band_absorb_$tag"
+    val corpus = (0 until 100)
+      .map(i => (i.toLong, s"historic document number $i about topic ${i % 5} " +
+        s"with deterministic filler content for shingling"))
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      (9000L, "a genuinely novel day-two document with entirely fresh wording"))
+      .toDF("doc_id", "text")
+    val day3 = Seq(
+      (9500L, "a genuinely novel day-two document with entirely fresh wording and tail"))
+      .toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.writeBandIndex(corpus, "doc_id", "text", prefix,
+        numHashes = 64, bands = 16, shingler = Dedup.WordShingles(3),
+        numBuckets = 4)
+      // day 2: the novel doc matches nothing pre-absorb
+      val texts = corpus.unionByName(day2)
+      assert(Dedup.nearDupAgainstIndex(spark, prefix, day2, "doc_id", "text",
+        threshold = 0.5, corpusText = Some(corpus)).isEmpty)
+      Dedup.absorbIntoBandIndex(spark, prefix, day2, "text")
+      // absorbed rows landed in both tables
+      assert(spark.table(s"${prefix}_sigs").filter(col("doc_id") === 9000L).count() == 1)
+      // day 3: a near-dup of the absorbed survivor is caught by the index
+      val hits = Dedup.nearDupAgainstIndex(spark, prefix, day3, "doc_id", "text",
+        threshold = 0.5, corpusText = Some(texts)).collect()
+      assert(hits.exists(r => r.getLong(0) == 9500L && r.getLong(1) == 9000L
+        && r.getDouble(2) > 0.5), s"absorbed doc not found: ${hits.mkString(",")}")
+      // and the probe against the APPENDED tables is still exchange-free
+      // on the index side (bucketed scans survive the append)
+      val plan = Dedup.nearDupAgainstIndex(day3,
+        spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_sigs"),
+        "doc_id", "text", threshold = 0.5, shingler = Dedup.WordShingles(3))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"append broke bucketed scans:\n$plan")
+      // idempotence probe: the absorbed doc self-matches at estimate 1.0
+      val self = Dedup.nearDupAgainstIndex(spark, prefix,
+        day2.select((col("doc_id") + 1000L).as("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.99, corpusText = None).collect()
+      assert(self.exists(r => r.getLong(1) == 9000L && r.getDouble(2) == 1.0))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_sigs")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_meta")
+    }
+  }
+
+  test("absorbIntoHammingIndex: appended fingerprints are probed exchange-free") {
+    val tag = System.nanoTime()
+    val prefix = s"ham_absorb_$tag"
+    val corpus = (0 until 64)
+      .map(i => (i.toLong, i.toLong * 0x9E3779B97F4A7C15L))
+      .toDF("id", "fp")
+    val day2 = Seq((900L, 0x0123456789ABCDEFL)).toDF("id", "fp")
+    // 2-bit flip of the absorbed fingerprint — catchable at maxHamming 3
+    val day3 = Seq((950L, 0x0123456789ABCDEFL ^ 0x3L)).toDF("id", "fp")
+    try {
+      Dedup.writeHammingIndex(corpus, "id", "fp", prefix,
+        maxHamming = 3, numBuckets = 4)
+      Dedup.absorbIntoHammingIndex(spark, prefix, day2)
+      val hits = Dedup.hammingAgainstIndex(spark, prefix, day3, "id", "fp").collect()
+      assert(hits.exists(r => r.getLong(0) == 950L && r.getLong(1) == 900L
+        && r.getInt(2) == 2), s"absorbed fp not found: ${hits.mkString(",")}")
+      val plan = Dedup.hammingAgainstIndex(spark, prefix, day3, "id", "fp")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"append broke bucketed scans:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_fps")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_meta")
+    }
+  }
 }
