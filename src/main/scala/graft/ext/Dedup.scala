@@ -535,6 +535,31 @@ object Dedup {
       .withColumn("uni", size(array_union(col("_v1"), col("_v2"))).cast("double"))
       .select(col("id1"), col("id2"), (col("inter") / col("uni")).as("jaccard"))
 
+  /** Exact shingle CONTAINMENT over candidate pairs — the asymmetric twin
+    * of [[exactJaccard]]: `c(a,b) = |S(a) ∩ S(b)| / |S(a)|` (and the
+    * reverse direction in the same pass). Broder's original distinction:
+    * resemblance (Jaccard) is blind to doc-in-doc duplication — a document
+    * fully embedded in a much larger one scores near-zero Jaccard but
+    * containment ≈ 1 — and containment is the right verification kernel
+    * for quote/boilerplate/subset dedup decisions. Like [[exactJaccard]],
+    * this only ever runs on a candidate DataFrame from blocking/LSH, never
+    * all-pairs. Empty shingle sets score 0 (not null) so the decision
+    * column is total.
+    */
+  def exactContainment(
+      pairs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingler: Shingler = CharShingles(5)): DataFrame =
+    joinCandidatePayloads(pairs, df, idCol, array_distinct(shingler(textCol)))
+      .withColumn("inter", size(array_intersect(col("_v1"), col("_v2"))).cast("double"))
+      .select(col("id1"), col("id2"),
+        when(size(col("_v1")) > 0, col("inter") / size(col("_v1")))
+          .otherwise(0.0).as("containment_12"),
+        when(size(col("_v2")) > 0, col("inter") / size(col("_v2")))
+          .otherwise(0.0).as("containment_21"))
+
   /** Threshold-bounded edit distance over candidate pairs — the
     * VERIFICATION kernel for character-level near-dup (OCR noise, small
     * in-place edits) where set-based Jaccard is blind to transpositions.

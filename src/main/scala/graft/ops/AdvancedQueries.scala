@@ -1,0 +1,369 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Graph, Linkage}
+import Tables._
+
+/** Round-7 additions: Catalyst subquery-decorrelation shapes (the TPC-H
+  * Q17/Q18/Q21/Q22 family), iterative graph centrality (fixed-point
+  * PageRank), blocked fuzzy record linkage (Jaro-Winkler), asymmetric
+  * containment dedup, and the HLL-sketch shard/merge pre-aggregation
+  * pattern.
+  *
+  * The subquery family is deliberately written through `spark.sql` on temp
+  * views: correlated EXISTS / NOT EXISTS / IN / scalar subqueries are the
+  * one relational surface the DataFrame API cannot express directly, and
+  * the point is to prove Catalyst's decorrelation (RewriteCorrelatedScalarSubquery,
+  * RewritePredicateSubquery → semi/anti joins) produces oracle-exact
+  * results on the same shapes DuckDB plans natively.
+  */
+object AdvancedQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- Q17
+  private val qTpchQ17 = Q(
+    "q_tpch_q17",
+    (s, d) => {
+      // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+      // scalar subquery avg(l_quantity) per part, hand-decorrelated the
+      // way Catalyst itself rewrites it — pre-aggregate lineitem per
+      // partkey (partial map-side combine), join back on the part key.
+      // The brand dim filter is broadcast; the per-part aggregate joins
+      // the fact by shuffle on l_partkey. Threshold arithmetic is
+      // decimal-sum → double so both engines derive the identical IEEE
+      // double before comparing.
+      val li = lineitem(s, d)
+      val avgByPart = li.groupBy("l_partkey")
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      val brandParts = broadcast(part(s, d)
+        .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+      li.join(brandParts, col("l_partkey") === col("p_partkey"))
+        // merge hint: the per-part aggregate is one row per PART — dim-sized
+        // locally but data-proportional at 100 TB; never broadcast it
+        .join(avgByPart.hint("merge"), "l_partkey")
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(
+          (sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).cast("long").as("n_rows"))
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                     AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#1'
+              AND l.l_quantity < 0.5 *
+                  (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*)
+                   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
+    "TPC-H Q17 shape: correlated per-part avg subquery, decorrelated to a " +
+      "pre-aggregate + join; brand dim broadcast")
+
+  // ---------------------------------------------------------------- Q18
+  private val qTpchQ18 = Q(
+    "q_tpch_q18",
+    (s, d) => {
+      // TPC-H Q18 (large-volume customers): IN over a grouped-HAVING
+      // subquery. Written as SQL so Catalyst plans the IN as a left-semi
+      // join against the aggregated key set (RewritePredicateSubquery) —
+      // the fact table is never driver-collected and the semi side is a
+      // partial-aggregated key list.
+      customer(s, d).createOrReplaceTempView("customer_adv")
+      orders(s, d).createOrReplaceTempView("orders_adv")
+      lineitem(s, d).createOrReplaceTempView("lineitem_adv")
+      // MERGE(lineitem_adv): never broadcast the raw fact (q_join_sortmerge
+      // discipline). The IN-subquery's semi build side is left to the
+      // optimizer on purpose: it is an AGGREGATED key list whose size is
+      // data-dependent — at toy scale stats pick broadcast, at 100 TB AQE
+      // flips the same plan to sort-merge. That size-driven flip is the
+      // scale story, not a fixed choice.
+      s.sql("""SELECT /*+ MERGE(lineitem_adv) */
+                      c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+               FROM customer_adv
+               JOIN orders_adv ON c_custkey = o_custkey
+               JOIN lineitem_adv ON o_orderkey = l_orderkey
+               WHERE o_orderkey IN (
+                 SELECT l_orderkey FROM lineitem_adv
+                 GROUP BY l_orderkey
+                 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+               GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 100""")
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100"""),
+    "TPC-H Q18 shape: IN over grouped HAVING → left-semi join on the " +
+      "aggregated key set")
+
+  // ---------------------------------------------------------------- Q21
+  private val qTpchQ21 = Q(
+    "q_tpch_q21",
+    (s, d) => {
+      // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+      // correlated EXISTS + NOT EXISTS chain — Catalyst decorrelates to a
+      // left-semi then a left-anti self-join of lineitem on the order key.
+      // Both rewritten joins shuffle on l_orderkey, so the three scans of
+      // the fact co-partition; the synthetic schema has no
+      // commitdate/receiptdate, so "waiting" is shipdate-based: the last
+      // shipper in a multi-supplier order.
+      lineitem(s, d).createOrReplaceTempView("lineitem_adv21")
+      // MERGE hints inside the subquery blocks survive decorrelation and
+      // pin the rewritten semi/anti joins to sort-merge — the build side
+      // is the RAW fact table (same q_join_sortmerge discipline: a plan
+      // that driver-broadcasts lineitem is wrong at 100 TB even if the
+      // local file squeaks under the broadcast threshold)
+      s.sql("""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+               FROM lineitem_adv21 l1
+               WHERE EXISTS (
+                       SELECT /*+ MERGE(l2) */ 1 FROM lineitem_adv21 l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (
+                       SELECT /*+ MERGE(l3) */ 1 FROM lineitem_adv21 l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_shipdate > l1.l_shipdate)
+               GROUP BY l_suppkey
+               ORDER BY numwait DESC, l_suppkey
+               LIMIT 50""")
+    },
+    Some("""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+            FROM lineitem l1
+            WHERE EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY l_suppkey
+            ORDER BY numwait DESC, l_suppkey
+            LIMIT 50"""),
+    "TPC-H Q21 shape: correlated EXISTS + NOT EXISTS → co-partitioned " +
+      "semi/anti self-joins on the order key")
+
+  // ---------------------------------------------------------------- Q22
+  private val qTpchQ22 = Q(
+    "q_tpch_q22",
+    (s, d) => {
+      // TPC-H Q22 shape (well-funded customers with no big orders):
+      // uncorrelated scalar subquery (average balance — planned as a
+      // broadcast one-row join) + correlated NOT EXISTS (→ left-anti
+      // join against orders). Threshold derivation is decimal-exact.
+      customer(s, d).createOrReplaceTempView("customer_adv22")
+      orders(s, d).createOrReplaceTempView("orders_adv22")
+      s.sql("""SELECT c_mktsegment,
+                      CAST(count(*) AS BIGINT) AS n_cust,
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+               FROM customer_adv22 c
+               WHERE c_acctbal > (
+                       SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / count(*)
+                       FROM customer_adv22 WHERE c_acctbal > 0)
+                 AND NOT EXISTS (
+                       SELECT 1 FROM orders_adv22 o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)
+               GROUP BY c_mktsegment
+               ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*)
+                    FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment"""),
+    "TPC-H Q22 shape: uncorrelated scalar subquery + correlated NOT " +
+      "EXISTS → broadcast one-row join + left-anti join")
+
+  // ----------------------------------------------------------- PageRank
+  /** Unrolled fixed-point PageRank oracle: the SAME integer arithmetic as
+    * [[graft.ext.Graph.pageRank]], as `iters` chained CTEs. DuckDB `//` is
+    * Spark's `div` (both truncate; all values here are non-negative).
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base = "(1000000000000 * 15 // 100) // (SELECT count(*) FROM nodes)"
+    val head =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT (user_id % 64) AS src,
+         |                  (event_id % ((user_id % 64) + 2)) AS dst
+         |  FROM events
+         |  WHERE (user_id % 64) <> (event_id % ((user_id % 64) + 2))),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, 1000000000000 // (SELECT count(*) FROM nodes) AS rank
+         |       FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT n.node,
+         |         $base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.rank // o.deg) AS BIGINT) AS contrib
+         |    FROM edges e
+         |    JOIN r${k - 1} p ON p.node = e.src
+         |    JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY node"
+  }
+
+  private val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      // Derived deterministic link graph over the events table: 64 hub-
+      // skewed nodes (dst = event_id mod (src+2) biases in-links toward
+      // low ids — a preferential-attachment-ish in-degree skew, the
+      // realistic shape for web-crawl centrality). The fixed-point integer
+      // loop makes the 5-round distributed iteration hash-identical to
+      // DuckDB's unrolled replay — float PageRank could never be
+      // cross-engine-checked like this.
+      val ev = events(s, d)
+      val edges = ev.select(
+          (col("user_id") % 64).as("src"),
+          (col("event_id") % ((col("user_id") % 64) + 2)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Graph.pageRank(edges, iterations = 5).orderBy("node")
+    },
+    Some(pageRankOracleSql(5)),
+    "fixed-point integer PageRank, 5 rounds over a derived hub-skewed " +
+      "graph — distributed loop hash-equal to DuckDB's unrolled CTE replay")
+
+  // --------------------------------------------------------- fuzzy join
+  private val qFuzzyJoin = Q(
+    "q_fuzzy_join",
+    (s, d) => {
+      // Record linkage demo: every 5th customer name with its 11th char
+      // deleted (a mid-string typo that preserves the last-3-digit
+      // blocking key) is matched back against the clean table. Blocking
+      // on the name's 3-char suffix bounds candidates to ~N/1000 per
+      // block; the codegen'd Jaro-Winkler kernel scores candidates and
+      // the rank-1 window keeps the best match per probe. Scores are
+      // rounded BEFORE ranking so cross-engine ordering can't hinge on a
+      // final ulp.
+      val cust = customer(s, d)
+      val dirty = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("dirty_id"),
+          concat(substring(col("c_name"), 1, 10),
+            expr("substring(c_name, 12)")).as("dname"))
+      Linkage.fuzzyJoin(dirty, cust, "dirty_id", "dname", "c_custkey", "c_name",
+          name => substring(name, -3, 3), threshold = 0.9)
+        .orderBy("probe_id")
+    },
+    Some("""WITH dirty AS (
+              SELECT c_custkey AS probe_id,
+                     concat(substr(c_name, 1, 10), substr(c_name, 12)) AS dname
+              FROM customer WHERE c_custkey % 5 = 0),
+            cand AS (
+              SELECT d.probe_id, c.c_custkey AS match_id,
+                     round(jaro_winkler_similarity(d.dname, c.c_name), 6) AS score
+              FROM dirty d
+              JOIN customer c ON right(d.dname, 3) = right(c.c_name, 3)),
+            ranked AS (
+              SELECT probe_id, match_id, score,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY score DESC, match_id) AS rn,
+                     count(*) OVER (PARTITION BY probe_id) AS ncand
+              FROM cand WHERE score >= 0.9)
+            SELECT probe_id, match_id, score, CAST(ncand AS BIGINT) AS ncand
+            FROM ranked WHERE rn = 1 ORDER BY probe_id"""),
+    "blocked fuzzy join: suffix blocking + codegen'd Jaro-Winkler scoring " +
+      "+ rank-1 best match, value-exact against DuckDB's jaro_winkler")
+
+  // -------------------------------------------------------- containment
+  private val qDedupContainment = Q(
+    "q_dedup_containment",
+    (s, d) => {
+      // Asymmetric containment on the same deterministic successor grid
+      // as q_dedup_jaccard — the doc-in-doc verification kernel (Broder's
+      // containment vs resemblance), both directions in one pass.
+      val docs = documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      Dedup.exactContainment(pairs, docs, "doc_id", "text", Dedup.WordShingles(3))
+        .select(col("id1"), col("id2"),
+          round(col("containment_12"), 6).as("containment_12"),
+          round(col("containment_21"), 6).as("containment_21"))
+        .orderBy("id1")
+    },
+    Some("""WITH sets AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(a.sh), 6) AS containment_12,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(b.sh), 6) AS containment_21
+            FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+            ORDER BY id1"""),
+    "exact word-3-shingle CONTAINMENT (both directions) on the successor " +
+      "grid — the doc-in-doc dedup verification kernel, cross-engine checked")
+
+  // -------------------------------------------------------- HLL sketches
+  private val qHllShards = Q(
+    "q_hll_shards",
+    (s, d) =>
+      // The 100 TB distinct-count pattern: sketch each SHARD independently
+      // (one pass, map-side partial HLL buffers), persist/ship the tiny
+      // sketch blobs, and MERGE at query time — re-aggregating the union
+      // of shards without ever re-reading the data. Here: per-(type,
+      // shard) DataSketches HLL over user_id, merged per type. Estimates
+      // are approximate → rows-only; q_hll_exact is the oracle-checked
+      // exact twin, and SketchesSpec pins merge-vs-monolithic equality
+      // and the estimate error bound.
+      events(s, d)
+        .withColumn("shard", (col("user_id") % 8).cast("long"))
+        .groupBy("event_type", "shard")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_users"))
+        .orderBy("event_type"),
+    None, // approximate (HLL estimate); exact twin q_hll_exact is checked
+    "sharded HLL sketches merged per group — the write-once pre-agg " +
+      "distinct-count serve path (DataSketches HLL, lgK=12)")
+
+  private val qHllExact = Q(
+    "q_hll_exact",
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    "exact distinct twin anchoring q_hll_shards")
+
+  def all: Seq[Q] = Seq(
+    qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22,
+    qPagerank, qFuzzyJoin, qDedupContainment,
+    qHllShards, qHllExact)
+}

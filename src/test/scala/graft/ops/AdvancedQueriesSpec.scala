@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Dedup
+
+/** Semantics checks for the round-7 query family beyond the per-query
+  * smoke/oracle gates: HLL sketch merge algebra and containment asymmetry.
+  */
+class AdvancedQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sharded HLL merge equals the monolithic sketch, within 5% of exact") {
+    val ev = Tables.events(spark, sfDir)
+    val sharded = ev
+      .withColumn("shard", (col("user_id") % 8).cast("long"))
+      .groupBy("event_type", "shard")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val mono = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+    val s = sharded.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = mono.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == m, "shard-merge must be estimate-identical to one big sketch")
+    e.foreach { case (k, n) =>
+      assert(math.abs(s(k) - n).toDouble / n < 0.05,
+        s"$k: estimate ${s(k)} vs exact $n drifts > 5%")
+    }
+  }
+
+  test("containment is asymmetric: embedded doc scores 1 against its container") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      // 2 CONTAINS 1 verbatim plus much more text
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val r = Dedup.exactContainment(pairs, docs, "doc_id", "text",
+      Dedup.WordShingles(3)).collect().head
+    assert(r.getDouble(2) == 1.0, "all of doc 1's shingles appear in doc 2")
+    assert(r.getDouble(3) < 0.2, "doc 2 is mostly NOT covered by doc 1")
+    // Jaccard on the same pair is low — the case containment exists for
+    val j = Dedup.exactJaccard(pairs, docs, "doc_id", "text",
+      Dedup.WordShingles(3)).collect().head.getDouble(2)
+    assert(j < 0.2)
+  }
+
+  test("empty shingle side scores 0, not null") {
+    val docs = Seq((1L, ""), (2L, "some actual text here")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val r = Dedup.exactContainment(pairs, docs, "doc_id", "text",
+      Dedup.WordShingles(3)).collect().head
+    assert(!r.isNullAt(2) && !r.isNullAt(3))
+  }
+}
