@@ -23,6 +23,16 @@ object AdvancedQueries {
   private def dec(c: org.apache.spark.sql.Column) =
     c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
 
+  // exact-decimal revenue term (q_tpch_q3 discipline): both factors decimal
+  // before the multiply so the grouped SUM is order-insensitive cross-engine
+  private def revenueAdv: org.apache.spark.sql.Column =
+    sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+      .cast("double")
+
+  private val revenueAdvSql =
+    """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"""
+
   // ---------------------------------------------------------------- Q17
   private val qTpchQ17 = Q(
     "q_tpch_q17",
@@ -362,8 +372,145 @@ object AdvancedQueries {
             FROM events GROUP BY event_type ORDER BY event_type"""),
     "exact distinct twin anchoring q_hll_shards")
 
+  // ---------------------------------------------------------------- Q6
+  private val qTpchQ6 = Q(
+    "q_tpch_q6",
+    (s, d) =>
+      // TPC-H Q6 (forecasting revenue change): THE predicate-pushdown
+      // microbenchmark — a single fact scan where all three filters reach
+      // the parquet reader (PushedFilters) and the aggregate is one
+      // map-side partial + one-row final. No join, no wide shuffle: at
+      // 100 TB this runs at scan speed, bounded by I/O alone.
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp'1998-01-01 00:00:00'") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_rows")),
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24"""),
+    "TPC-H Q6: pure pushed-predicate scan + one-row decimal aggregate")
+
+  // ------------------------------------------------------ bloom join
+  private val qJoinBloom = Q(
+    "q_join_bloom",
+    (s, d) => {
+      // Runtime bloom-filter join (Spark 3.5+ AQE runtime filtering): a
+      // selective dim-side filter is turned into a bloom sketch INJECTED
+      // into the fact scan, so fact rows that cannot join are dropped at
+      // the scan before paying the shuffle — at 100 TB this is the
+      // difference between shuffling the whole fact and shuffling the
+      // ~10% that survives. Runs on a CLONED session (CC-loop precedent)
+      // so the creation thresholds — tuned down to fire at toy scale; the
+      // default 10 MB/10 GB thresholds fire on their own at real scale —
+      // never leak into concurrent queries. The join itself stays
+      // sort-merge (fact side never broadcast); JoinBloomSpec asserts the
+      // might_contain filter is actually in the executed plan.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // InjectRuntimeFilter only fires on probably-SHUFFLE joins, and
+      // "probably" is decided by broadcast-size estimates — at test scale
+      // every side is broadcastable so the rule would never trigger. At
+      // 100 TB neither side is, so the production default is exactly the
+      // injected plan this query pins; disabling size-based broadcast on
+      // the clone makes the toy plan the production plan.
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sel = orders(s2, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 450000)
+      lineitem(s2, d).hint("merge")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(revenueAdv.as("revenue"), count(lit(1)).cast("long").as("n_rows"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, $revenueAdvSql AS revenue,
+                    CAST(count(*) AS BIGINT) AS n_rows
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority"""),
+    "runtime bloom-filter join: selective dim filter injected as a bloom " +
+      "probe into the fact scan before the sort-merge shuffle")
+
+  // ------------------------------------------------- split leakage audit
+  private val qSplitLeakage = Q(
+    "q_split_leakage",
+    (s, d) => {
+      // Train/test leakage audit — the curation gate q_split_stable needs:
+      // a row-keyed split (by doc_id) lets DUPLICATE FAMILIES straddle
+      // train and test (memorized eval contamination); a content-keyed
+      // split (same stableSplit, keyed by the content fingerprint) makes
+      // straddling structurally impossible. Duplicates are PLANTED (the
+      // q_dedup_incremental pattern: re-id'd copies of every 11th doc) and
+      // the audit counts groups whose members span >1 split under each
+      // keying — the row-keyed count is nonzero, the content-keyed count
+      // is zero by construction. Both replayed exactly by DuckDB.
+      import graft.ext.TextAnalysis
+      val docs = documents(s, d).select("doc_id", "text")
+      val aug = docs.unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val g = aug
+        .withColumn("fp", md5(col("text")))
+        .withColumn("naive", TextAnalysis.stableSplit(col("doc_id")))
+        .withColumn("grouped", TextAnalysis.stableSplit(col("fp")))
+      val per = g.groupBy("fp").agg(
+        countDistinct(col("naive")).as("cn"),
+        countDistinct(col("grouped")).as("cg"))
+      val naive = per.agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("cn") > 1, 1L).otherwise(0L)).cast("long").as("leaking_groups"))
+        .select(lit("by_doc_id").as("method"), col("n_groups"), col("leaking_groups"))
+      val grouped = per.agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("cg") > 1, 1L).otherwise(0L)).cast("long").as("leaking_groups"))
+        .select(lit("by_content").as("method"), col("n_groups"), col("leaking_groups"))
+      naive.unionByName(grouped).orderBy("method")
+    },
+    Some("""WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0),
+            g AS (
+              SELECT fp,
+                     CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e') THEN 'val'
+                          WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+                          ELSE 'train' END AS naive,
+                     CASE WHEN substring(md5(fp), 1, 1) IN ('d','e') THEN 'val'
+                          WHEN substring(md5(fp), 1, 1) = 'f' THEN 'test'
+                          ELSE 'train' END AS grouped
+              FROM (SELECT doc_id, md5(text) AS fp FROM aug)),
+            per AS (
+              SELECT fp, count(DISTINCT naive) AS cn, count(DISTINCT grouped) AS cg
+              FROM g GROUP BY fp)
+            SELECT 'by_doc_id' AS method,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN cn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaking_groups
+            FROM per
+            UNION ALL
+            SELECT 'by_content',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN cg > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM per
+            ORDER BY method"""),
+    "train/test leakage audit: planted dup families straddle a row-keyed " +
+      "split but NEVER a content-keyed one — the split gate dedup needs")
+
   def all: Seq[Q] = Seq(
-    qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22,
+    qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qTpchQ6,
     qPagerank, qFuzzyJoin, qDedupContainment,
-    qHllShards, qHllExact)
+    qHllShards, qHllExact, qJoinBloom, qSplitLeakage)
 }
