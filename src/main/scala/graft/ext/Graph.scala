@@ -83,4 +83,71 @@ object Graph {
     fan.unpersist(blocking = false)
     ranks
   }
+
+  /** Semi-supervised label propagation by FIXED-POINT mass diffusion —
+    * the curation use: spread a handful of trusted quality/topic labels
+    * (seeds) over a similarity or link graph to label the rest of the
+    * corpus.
+    *
+    * Classic "adopt the majority neighbor label" propagation is
+    * iteration-order-dependent (ties resolved by visit order) — useless
+    * under a correctness gate. This is the LINEAR formulation instead:
+    * each label's mass diffuses independently (personalized-PageRank
+    * style), `mass'(n,l) = keep·seed(n,l)/100 + (100-keep)·Σ_{s→n}
+    * (mass(s,l) div outdeg(s))/100`, all in scaled-long integer
+    * arithmetic — deterministic under any partitioning and replayable
+    * exactly by an unrolled SQL oracle (the [[pageRank]] trick, one more
+    * key column). The mass table stays SPARSE: only (node, label) pairs
+    * with nonzero mass exist, so cost scales with reachable mass, not
+    * nodes × labels. Per round: one edge⋈mass join + one sum by
+    * (dst, label) — two keyed shuffles.
+    *
+    * Returns (node, label, mass) for every touched pair; argmax per node
+    * (max mass, ties to the smaller label) is the final assignment and is
+    * exact on integer masses.
+    *
+    * @param seeds (node, label) long columns; each seeded pair starts
+    *              with `scale` mass and keeps re-injecting `keep`% of it
+    *              every round (the restart term).
+    */
+  def labelSpread(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      keep: Int = 50,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(keep >= 0 && keep <= 100, s"keep must be a percentage, got $keep")
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val fan = e.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    fan.count()
+    e.unpersist(blocking = false)
+    val seedMass = seeds
+      .select(col("node").cast("long").as("node"), col("label").cast("long").as("label"),
+        lit(scale * keep / 100L).as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var mass = seeds.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"), lit(scale).as("m"))
+    for (_ <- 0 until iterations) {
+      val inflow = fan.join(mass, fan("src") === mass("node"))
+        .select(col("dst").as("node"), col("label"), expr("m div deg").as("c"))
+        .groupBy("node", "label")
+        .agg(expr(s"${100 - keep} * sum(c) div 100").as("m"))
+      mass = seedMass.unionByName(inflow)
+        .groupBy("node", "label")
+        .agg(sum("m").as("m"))
+        // keep the table truly sparse: integer scale-down can strand
+        // zero-mass rows, which would then ride (and join) through every
+        // remaining round for free noise (0 contributes 0 — dropping is
+        // exact, and the oracle prunes identically)
+        .filter(col("m") > 0)
+        .localCheckpoint(eager = false)
+    }
+    mass.count()
+    seedMass.unpersist(blocking = false)
+    fan.unpersist(blocking = false)
+    mass
+  }
 }

@@ -509,8 +509,348 @@ object AdvancedQueries {
     "train/test leakage audit: planted dup families straddle a row-keyed " +
       "split but NEVER a content-keyed one — the split gate dedup needs")
 
+  // --------------------------------------------- incremental aggregation
+  private val qIncrAgg = Q(
+    "q_incr_agg",
+    (s, d) => {
+      // Incremental aggregate maintenance — the dashboard/rollup pattern
+      // at 100 TB: historical partials are WRITTEN ONCE (count / decimal
+      // sum / min / max are all algebraically mergeable), and a new delta
+      // batch is folded in by re-aggregating partials — the history is
+      // never re-read at event grain. The oracle recomputes the full
+      // aggregate from raw events, so the hash compare PROVES
+      // merge-of-partials ≡ full recompute (including the derived avg).
+      val ev = events(s, d)
+      val cut = expr("timestamp'2024-01-15 00:00:00'")
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      val histPath = s"/tmp/graft_incragg_${math.abs(d.hashCode)}"
+      partial(ev.filter(col("ts") < cut))
+        .write.mode("overwrite").parquet(histPath)
+      s.read.parquet(histPath)
+        .unionByName(partial(ev.filter(col("ts") >= cut)))
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_v")).as("sum_dec"),
+          min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+        .select(col("day"), col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"),
+          (col("sum_dec").cast("double") / col("n")).as("avg_value"),
+          col("min_v"), col("max_v"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                     AS avg_value,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
+    "incremental aggregate maintenance: write-once daily partials + delta " +
+      "merge, hash-proven equal to a full recompute from raw events")
+
+  // ------------------------------------------------- label propagation
+  /** Unrolled oracle for [[graft.ext.Graph.labelSpread]] — same integer
+    * arithmetic as the distributed loop, over the q_pagerank edge graph
+    * with seeds = nodes < 6 labelled (node % 3).
+    */
+  private def labelSpreadOracleSql(iters: Int, keep: Int): String = {
+    val head =
+      s"""WITH edges AS (
+         |  SELECT DISTINCT (user_id % 64) AS src,
+         |                  (event_id % ((user_id % 64) + 2)) AS dst
+         |  FROM events
+         |  WHERE (user_id % 64) <> (event_id % ((user_id % 64) + 2))),
+         |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS (SELECT DISTINCT src AS node, src % 3 AS label
+         |          FROM edges WHERE src < 6),
+         |r0 AS (SELECT node, label, 1000000000000 AS m FROM seeds)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT node, label, CAST(SUM(m) AS BIGINT) AS m FROM (
+         |    SELECT node, label, ${1000000000000L * keep / 100L} AS m FROM seeds
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.label,
+         |           (${100 - keep} * CAST(SUM(p.m // o.deg) AS BIGINT)) // 100 AS m
+         |    FROM edges e
+         |    JOIN r${k - 1} p ON p.node = e.src
+         |    JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst, p.label) u
+         |  GROUP BY node, label
+         |  HAVING CAST(SUM(m) AS BIGINT) > 0)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT node, label, m AS mass FROM (
+         |  SELECT node, label, m,
+         |         row_number() OVER (PARTITION BY node
+         |                            ORDER BY m DESC, label) AS rn
+         |  FROM r$iters) x
+         |WHERE rn = 1 ORDER BY node""".stripMargin
+  }
+
+  private val qLabelSpread = Q(
+    "q_label_spread",
+    (s, d) => {
+      // Semi-supervised labeling over the q_pagerank link graph: 6 seed
+      // nodes carry labels 0/1/2; 4 rounds of fixed-point mass diffusion
+      // label every reachable node; argmax mass (ties to the smaller
+      // label — exact on integer masses) is the assignment. Same
+      // cross-engine-determinism trick as q_pagerank: the distributed
+      // loop is hash-identical to DuckDB's unrolled replay.
+      val ev = events(s, d)
+      val edges = ev.select(
+          (col("user_id") % 64).as("src"),
+          (col("event_id") % ((col("user_id") % 64) + 2)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") < 6)
+        .select(col("node"), (col("node") % 3).as("label"))
+      val mass = Graph.labelSpread(edges, seeds, iterations = 4, keep = 50)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("m").desc, col("label"))
+      mass.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"), col("m").as("mass"))
+        .orderBy("node")
+    },
+    Some(labelSpreadOracleSql(4, 50)),
+    "semi-supervised label propagation: fixed-point per-label mass " +
+      "diffusion + integer argmax, hash-equal to DuckDB's unrolled replay")
+
+  // ---------------------------------------------------- unigram tokenizer
+  /** Trained unigram model memoized per corpus dir (the bpeMerges /
+    * ivfModels train-once-serve-many pattern).
+    */
+  private val unigramCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Double)]]
+  private def unigramVocab(s: org.apache.spark.sql.SparkSession, d: String) =
+    unigramCache.getOrElseUpdate(d,
+      graft.ext.Unigram.train(documents(s, d), "text", vocabSize = 256,
+        maxWords = 20000, seedSize = 5000))
+
+  private val qUnigramVocab = Q(
+    "q_unigram_vocab",
+    (s, d) =>
+      graft.ext.Unigram.vocabDf(s, unigramVocab(s, d)).orderBy("rank"),
+    None, // model-defined (EM/prune loop not SQL-expressible); UnigramSpec
+    // anchors max-likelihood segmentation, losslessness (fuzzed),
+    // determinism; the histogram kernel is oracle-checked by q_vocab_build
+    "unigram-LM (SentencePiece-style) tokenizer training: distributed " +
+      "word histogram + driver-side hard-EM prune loop — the trained " +
+      "piece table as a first-class model artifact (the BPE twin)")
+
+  private val qUnigramTokens = Q(
+    "q_unigram_tokens",
+    (s, d) => {
+      val vocab = unigramVocab(s, d)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(graft.ext.Unigram.tokens(col("text"), vocab)).as("n_pieces"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    },
+    None, // model-defined (trained vocabulary); q_token_count is the
+    // oracle-checked twin for the counting kernels
+    "unigram max-likelihood tokenization against the trained piece table " +
+      "(map-only codegen'd Viterbi scan) — per-doc piece counts")
+
+  // ------------------------------------------------------- triangles
+  private val qTriangles = Q(
+    "q_triangles",
+    (s, d) => {
+      // Triangle count with DEGREE-ORDERED edge orientation (Suri &
+      // Vassilvitskii, WWW'11): every undirected edge points from its
+      // (degree, id)-smaller endpoint, so each triangle is counted once
+      // AND the join fan-out per vertex is bounded by its ORIENTED
+      // out-degree ≈ O(√m) — the skew bound that makes distributed
+      // triangle counting survive power-law hubs (a hub's edges mostly
+      // point AT it, so it never explodes a join). Same derived graph as
+      // q_pagerank; two self-joins on the oriented edge list.
+      val ev = events(s, d)
+      val und = ev.select(
+          least(col("user_id") % 64,
+            col("event_id") % ((col("user_id") % 64) + 2)).as("a"),
+          greatest(col("user_id") % 64,
+            col("event_id") % ((col("user_id") % 64) + 2)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val ed = und
+        .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("v"))
+      val e1 = ed.select(col("u").as("u1"), col("v").as("v1"))
+      val e2 = ed.select(col("u").as("u2"), col("v").as("v2"))
+      val e3 = ed.select(col("u").as("u3"), col("v").as("v3"))
+      e1.join(e2, col("u2") === col("v1"))
+        .join(e3, col("u3") === col("u1") && col("v3") === col("v2"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+    },
+    Some("""WITH und AS (
+              SELECT DISTINCT least(user_id % 64, event_id % ((user_id % 64) + 2)) AS a,
+                              greatest(user_id % 64, event_id % ((user_id % 64) + 2)) AS b
+              FROM events
+              WHERE (user_id % 64) <> (event_id % ((user_id % 64) + 2))),
+            deg AS (SELECT node, count(*) AS dg FROM (
+                      SELECT a AS node FROM und UNION ALL SELECT b FROM und) t
+                    GROUP BY node),
+            ed AS (
+              SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+                          THEN u.a ELSE u.b END AS u,
+                     CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+                          THEN u.b ELSE u.a END AS v
+              FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM ed e1
+            JOIN ed e2 ON e2.u = e1.v
+            JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v"""),
+    "triangle count via degree-ordered orientation (oriented out-degree " +
+      "O(sqrt m) bounds hub fan-out) — each triangle counted exactly once")
+
+  // ------------------------------------------------------ co-occurrence
+  private val qCooccur = Q(
+    "q_cooccur",
+    (s, d) => {
+      // Collocation mining: top token pairs co-occurring within a
+      // document (market-basket over per-doc DISTINCT tokens, t1 < t2 so
+      // each unordered pair counts once). The per-doc distinct explode
+      // bounds the self-join: a doc with k eligible tokens yields k(k-1)/2
+      // pairs — bounded by document length, never corpus size; the global
+      // count is one map-side-combined aggregation and the top-50 a
+      // TakeOrdered. The curation use: boilerplate phrase discovery.
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) >= 4)
+        .distinct()
+      toks.select(col("doc_id"), col("t").as("t1"))
+        .join(toks.select(col("doc_id"), col("t").as("t2")), "doc_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"))
+        .limit(50)
+    },
+    Some("""WITH toks AS (
+              SELECT DISTINCT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents) x
+              WHERE length(t) >= 4)
+            SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY t1, t2 ORDER BY n DESC, t1, t2 LIMIT 50"""),
+    "top-50 within-document token co-occurrence (market-basket over " +
+      "per-doc distinct tokens) — collocation/boilerplate discovery")
+
+  // --------------------------------------------------------- outliers
+  private val qOutliers = Q(
+    "q_outliers",
+    (s, d) => {
+      // Per-group z-score anomaly gate. Mean and variance are derived
+      // from DECIMAL-exact sum and sum-of-squares (the one-pass
+      // sufficient statistics — mergeable, so this composes with the
+      // q_incr_agg partial pattern), then finished in IEEE double:
+      // identical on both engines, unlike a direct stddev over doubles
+      // (summation-order-dependent). sqrt is correctly rounded by IEEE —
+      // deterministic cross-engine.
+      val ev = events(s, d)
+      val st = ev.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("s"),
+          sum(dec(col("value")) * dec(col("value"))).cast("double").as("sq"))
+      val z = (col("value") - col("s") / col("n")) /
+        sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      ev.join(st, col("event_type") === col("et"))
+        .filter(abs(z) > 3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 6).as("z"))
+        .orderBy("event_id")
+    },
+    Some("""WITH st AS (
+              SELECT event_type AS et, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))
+                              * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+              FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+                   round((value - s / n) / sqrt((sq - s * s / n) / (n - 1)), 6) AS z
+            FROM events e JOIN st ON st.et = e.event_type
+            WHERE abs((value - s / n) / sqrt((sq - s * s / n) / (n - 1))) > 3
+            ORDER BY event_id"""),
+    "per-group z-score outlier gate from decimal-exact one-pass moments " +
+      "(mergeable sufficient statistics, IEEE-deterministic finish)")
+
+  // ---------------------------------------------- streaming partial log
+  private val qStreamIncrAgg = Q(
+    "q_stream_incr_agg",
+    (s, d) => {
+      // The STREAMING half of q_incr_agg: continuous ingest appends each
+      // micro-batch's daily partials to an append-only partial log
+      // (foreachBatch; count/sum/min/max are mergeable so append-only is
+      // enough — no read-modify-write, no transactional sink needed), and
+      // serving re-aggregates the log. The oracle recomputes from raw
+      // events, proving replay → partial log → merge ≡ batch truth.
+      // StreamIncrAggSpec drives the multi-batch path (maxFilesPerTrigger)
+      // — the driver corpus is a single file, so this replay is 1 batch.
+      val runId = streamIncrRuns.incrementAndGet()
+      val logPath = s"/tmp/graft_stream_incragg_${math.abs(d.hashCode)}_$runId"
+      val ckDir = s"/dev/shm/graft_ck_incragg_$runId"
+      for (p <- Seq(logPath, ckDir))
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+        catch { case _: Exception => () }
+      val schema = events(s, d).schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
+      val ev = Tables.normalizeEventTs(raw)
+      val q = ev.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch
+            .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_v"),
+              min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+            .write.mode("append").parquet(logPath)
+          ()
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      catch { case _: Exception => () }
+      s.read.parquet(logPath)
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_v")).cast("double").as("sum_value"),
+          min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
+    "streaming incremental rollup: foreachBatch appends mergeable daily " +
+      "partials to an append-only log; serve-time merge hash-equals the " +
+      "batch truth recomputed from raw events")
+
+  private val streamIncrRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def all: Seq[Q] = Seq(
     qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qTpchQ6,
     qPagerank, qFuzzyJoin, qDedupContainment,
-    qHllShards, qHllExact, qJoinBloom, qSplitLeakage)
+    qHllShards, qHllExact, qJoinBloom, qSplitLeakage,
+    qIncrAgg, qLabelSpread, qUnigramVocab, qUnigramTokens,
+    qTriangles, qCooccur, qOutliers, qStreamIncrAgg)
 }

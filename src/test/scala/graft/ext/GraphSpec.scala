@@ -62,4 +62,52 @@ class GraphSpec extends SparkSpec {
     assert(got == refPageRank(dup, 3))
     assert(got(2L) > got(3L), "double edge 1->2 must outweigh single 1->3")
   }
+
+  /** Driver-side replay of labelSpread's fixed-point arithmetic. */
+  private def refLabelSpread(
+      edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)], iters: Int,
+      keep: Long = 50L, scale: Long = 1000000000000L): Map[(Long, Long), Long] = {
+    val outDeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var mass = seeds.map { case (n, l) => (n, l) -> scale }.toMap
+    for (_ <- 0 until iters) {
+      val inflow = edges.flatMap { case (s, dst) =>
+        mass.collect { case ((n, l), m) if n == s => (dst, l) -> m / outDeg(s) }
+      }.groupBy(_._1).map { case (k, v) =>
+        k -> (100L - keep) * v.map(_._2).sum / 100L
+      }
+      val seeded = seeds.map { case (n, l) => (n, l) -> scale * keep / 100L }.toMap
+      mass = (inflow.keySet ++ seeded.keySet).map { k =>
+        k -> (inflow.getOrElse(k, 0L) + seeded.getOrElse(k, 0L))
+      }.toMap.filter(_._2 > 0) // mirror the loop's zero-mass pruning
+    }
+    mass
+  }
+
+  test("labelSpread matches the driver-side replay and labels reachable nodes") {
+    // two seed camps: 1 (label 0) and 4 (label 1); 2,3 reachable from 1,
+    // 5 reachable from 4; 6 reachable from both camps
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (2L, 6L), (5L, 6L), (3L, 1L), (5L, 4L))
+    val seeds = Seq((1L, 0L), (4L, 1L))
+    val got = Graph.labelSpread(edges.toDF("src", "dst"), seeds.toDF("node", "label"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == refLabelSpread(edges, seeds, 4))
+    // argmax assignment: camp membership follows the graph
+    def best(n: Long): Long =
+      got.toSeq.collect { case ((`n`, l), m) => (l, m) }
+        .sortBy { case (l, m) => (-m, l) }.head._1
+    assert(best(2L) == 0L && best(3L) == 0L, "camp-1 nodes take label 0")
+    assert(best(5L) == 1L, "camp-4 node takes label 1")
+    // the mass table stays sparse: no (node, label) pair outside reach
+    assert(!got.contains((3L, 1L)), "label 1 never reaches node 3")
+  }
+
+  test("labelSpread keep=100 freezes masses at the seed injection level") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val seeds = Seq((1L, 7L))
+    val got = Graph.labelSpread(edges.toDF("src", "dst"), seeds.toDF("node", "label"),
+      3, keep = 100)
+    val m = got.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // spread weight is 0: only the seed pair survives, at full scale
+    assert(m == Map((1L, 7L) -> 1000000000000L))
+  }
 }
