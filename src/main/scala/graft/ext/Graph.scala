@@ -150,4 +150,52 @@ object Graph {
     fan.unpersist(blocking = false)
     mass
   }
+
+  /** Single-source BFS shortest paths, frontier-style: per hop, only the
+    * nodes first reached in the PREVIOUS hop join the edge list, and a
+    * left-anti join against the settled set keeps the frontier shrinking —
+    * cost per round is O(frontier ⋈ edges), not O(visited ⋈ edges), the
+    * difference between BFS and Bellman-Ford at 100 TB graph scale. BFS
+    * distances are exact small integers, so the result is deterministic
+    * under any partitioning (no float mass to drift) and oracle-replayable
+    * by a bounded recursive CTE.
+    *
+    * The per-hop emptiness check is a driver-orchestrated convergence
+    * probe on an AGGREGATED count (the [[Dedup.connectedComponents]]
+    * pattern), not a data collect. Unreached nodes are absent from the
+    * result (the oracle mirrors that rule).
+    */
+  def shortestPaths(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    var hop = 1L
+    var done = hop > maxHops
+    while (!done) {
+      val reached = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        // eager checkpoint: `fresh` is consumed twice (union + next
+        // frontier) and its lineage holds the whole previous round
+        .localCheckpoint(eager = true)
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.unionByName(fresh).localCheckpoint(eager = false)
+        frontier = fresh
+        hop += 1
+        if (hop > maxHops) done = true
+      }
+    }
+    dist.count()
+    e.unpersist(blocking = false)
+    dist
+  }
 }

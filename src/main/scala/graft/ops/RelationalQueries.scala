@@ -763,7 +763,7 @@ object RelationalQueries {
   /** Unique memory-sink names so warmup + timed + repeated Verify runs
     * never collide on the temp view.
     */
-  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[ops] val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The file-stream source needs an explicit schema, which costs an eager
     * parquet-footer read per declaration; memoized per directory since the
@@ -772,14 +772,14 @@ object RelationalQueries {
     */
   private val streamSchemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
-  private def eventsSchema(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[ops] def eventsSchema(s: org.apache.spark.sql.SparkSession, d: String) =
     streamSchemaCache.getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
 
   /** The events table as a bounded file-stream source (explicit schema,
     * ts normalization mirroring Tables.events — ns-long and NTZ corpus
     * generations both surface as a plain TIMESTAMP for watermarks).
     */
-  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+  private[ops] def streamEvents(s: SparkSession, d: String): DataFrame = {
     // glob form: the file-stream source requires a directory or glob
     // basePath (a bare file path is rejected)
     val raw = s.readStream.schema(eventsSchema(s, d)).parquet(s"$d/events.*")
@@ -816,7 +816,7 @@ object RelationalQueries {
     width.toString
   }
 
-  private def boundedReplay(
+  private[ops] def boundedReplay(
       s: SparkSession,
       name: String,
       agg: DataFrame,

@@ -110,4 +110,24 @@ class GraphSpec extends SparkSpec {
     // spread weight is 0: only the seed pair survives, at full scale
     assert(m == Map((1L, 7L) -> 1000000000000L))
   }
+
+  test("shortestPaths: BFS distances on a diamond with a shortcut") {
+    //   0 → 1 → 2 → 3,  0 → 3  (shortcut),  3 → 4;  5 unreachable from 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (3L, 4L), (5L, 0L))
+    val got = Graph.shortestPaths(edges.toDF("src", "dst"), source = 0L, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L),
+      "shortcut wins over the long path; 5 only reaches INTO the source")
+  }
+
+  test("shortestPaths: maxHops bounds the frontier; cycles terminate") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+    val got = Graph.shortestPaths(edges.toDF("src", "dst"), source = 0L, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), "node 3 is 3 hops out")
+    // unbounded-by-cycle: full run settles every reachable node exactly once
+    val full = Graph.shortestPaths(edges.toDF("src", "dst"), source = 0L, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
 }
