@@ -123,6 +123,22 @@ object GraftExtensions {
           s"stopword_count: words must be an array literal, got $other")
       }
       graft.functions.StopwordCount(exprs(0), words)
+    }),
+    "multi_match_count" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 2 || !exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "multi_match_count expects (text, array-of-strings literal)")
+      val terms = exprs(1).eval(null) match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          val elems = a.toObjectArray(org.apache.spark.sql.types.StringType)
+          if (elems.exists(_ == null))
+            throw new IllegalArgumentException(
+              "multi_match_count: terms array must not contain NULL")
+          elems.map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"multi_match_count: terms must be an array literal, got $other")
+      }
+      graft.functions.MultiMatchCount(exprs(0), terms)
     }))
 
   /** (text, n, k) argument shape shared by the fused shingle functions:

@@ -221,5 +221,38 @@ object AnalyticsQueries {
       "harness — dimension join per micro-batch, hash-equal to the batch " +
       "join oracle")
 
-  def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity, qStreamEnrich)
+  // -------------------------------------------------------- blocklist gate
+  /** Multi-word phrases on purpose: substring (not token) semantics, the
+    * part `contains`-composition and the oracle agree on exactly.
+    */
+  private val blockTerms = Seq("spark merge", "customer query", "slow sort",
+    "hash value", "window")
+
+  private val qBlocklist = Q(
+    "q_blocklist",
+    (s, d) =>
+      // Compliance/blocklist gate: flag documents containing any of m
+      // phrases in ONE automaton pass (multi_match_count — Aho-Corasick
+      // behind whole-stage codegen) instead of m chained contains() scans;
+      // at 100 TB × hundreds of phrases the m× rescan IS the job cost.
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.MultiMatch
+            .multi_match_count(col("text"), blockTerms).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id"),
+    Some {
+      val hits = blockTerms
+        .map(t => s"CASE WHEN contains(text, '$t') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($hits AS BIGINT) AS n_hits
+         |FROM documents
+         |WHERE $hits > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+    "blocklist gate: distinct-phrase hit count via a single Aho-Corasick " +
+      "pass (custom codegen expression) — oracle replays with m contains()")
+
+  def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
+    qStreamEnrich, qBlocklist)
 }

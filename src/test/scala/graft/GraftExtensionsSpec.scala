@@ -17,8 +17,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.builders.map(_._1).sorted ==
       Seq("bloom_filter_agg", "cosine_similarity", "dot_product",
         "might_contain", "minhash_char_shingles", "minhash_signature",
-        "minhash_word_shingles", "stopword_count", "stopword_votes",
-        "subword_count"))
+        "minhash_word_shingles", "multi_match_count", "stopword_count",
+        "stopword_votes", "subword_count"))
   }
 
   test("every builder works through SQL on a live session") {
@@ -32,7 +32,8 @@ class GraftExtensionsSpec extends SparkSpec {
                 size(minhash_char_shingles('abcdef', 5, 8)) AS kc,
                 stopword_votes('the cat is here').lang AS lang,
                 subword_count('a eeeeeeee', 4) AS sw,
-                stopword_count('the cat the', array('the', 'a')) AS sc""").head()
+                stopword_count('the cat the', array('the', 'a')) AS sc,
+                multi_match_count('big red dog', array('red', 'cat', 'g r')) AS mm""").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) == 6.0)
     assert(r.getInt(2) == 16)
@@ -41,5 +42,6 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(5) == "en")
     assert(r.getLong(6) == 3L) // 1 + ceil(8/4)
     assert(r.getLong(7) == 2L)
+    assert(r.getLong(8) == 2L) // 'red' and the cross-word phrase 'g r'
   }
 }
