@@ -78,16 +78,20 @@ object AnalyticsQueries {
   private val qShortestPath = Q(
     "q_shortest_path",
     (s, d) => {
-      // Same derived hub-skewed graph as q_pagerank; source 50 has the
-      // widest fan-out (dst ∈ [0, 52)), so the BFS exercises real
-      // multi-hop frontiers instead of a chain.
+      // Same derived hub-skewed graph as q_pagerank. The source is the
+      // max src node — the widest fan-out hub in this construction (dst ∈
+      // [0, src+2)) — computed as a one-scalar aggregate (a model scalar,
+      // like IVF's N; the data never drives through the driver). At tiny
+      // SF the id space shrinks, so a pinned literal source would not
+      // even exist in the graph.
       val ev = events(s, d)
       val edges = ev.select(
           (col("user_id") % 64).as("src"),
           (col("event_id") % ((col("user_id") % 64) + 2)).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      Graph.shortestPaths(edges, source = 50L, maxHops = 6).orderBy("node")
+      val source = edges.agg(max(col("src"))).head().getLong(0)
+      Graph.shortestPaths(edges, source, maxHops = 6).orderBy("node")
     },
     Some("""WITH RECURSIVE edges AS (
               SELECT DISTINCT (user_id % 64) AS src,
@@ -95,7 +99,7 @@ object AnalyticsQueries {
               FROM events
               WHERE (user_id % 64) <> (event_id % ((user_id % 64) + 2))),
             walk(node, dist) AS (
-              SELECT CAST(50 AS BIGINT), CAST(0 AS BIGINT)
+              SELECT (SELECT max(src) FROM edges), CAST(0 AS BIGINT)
               UNION
               SELECT e.dst, w.dist + 1
               FROM walk w JOIN edges e ON e.src = w.node
@@ -253,6 +257,114 @@ object AnalyticsQueries {
     "blocklist gate: distinct-phrase hit count via a single Aho-Corasick " +
       "pass (custom codegen expression) — oracle replays with m contains()")
 
+  // ------------------------------------------------------------ WordPiece
+  /** Corpus-trained vocab memoized per dir (train-once-serve-many, the
+    * [[graft.ext.Bpe]] cache discipline).
+    */
+  private val wpVocabCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[String]]
+  private def wpVocab(s: org.apache.spark.sql.SparkSession, d: String) =
+    wpVocabCache.getOrElseUpdate(d,
+      graft.ext.WordPiece.train(documents(s, d), "text", numMerges = 64))
+
+  private val qWordpieceVocab = Q(
+    "q_wordpiece_vocab",
+    (s, d) =>
+      graft.ext.WordPiece.vocabDf(s, wpVocab(s, d)).orderBy("piece_id"),
+    None, // model-defined (likelihood-scored merge loop); WordPieceSpec
+    // anchors the trainer and greedy segmenter; the histogram kernel is
+    // oracle-checked by q_vocab_build
+    "WordPiece vocabulary training (likelihood-scored merges over the " +
+      "distributed word histogram) — the trained vocab as a write-once " +
+      "artifact; completes the BPE/unigram/WordPiece tokenizer family")
+
+  private val qWordpieceTokens = Q(
+    "q_wordpiece_tokens",
+    (s, d) => {
+      // greedy longest-match segmentation of the corpus against the
+      // trained vocab: one codegen'd map-only scan, vocab resident in the
+      // generated code; per-doc piece + UNK accounting.
+      val v = wpVocab(s, d)
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WordPieceOps
+            .wordpiece_stats(col("text"), v).as("st"))
+        .select(col("doc_id"), col("st.n_pieces").as("n_pieces"),
+          col("st.n_unk").as("n_unk"))
+        .orderBy("doc_id")
+    },
+    None, // model-defined (trained vocab); q_token_count is the
+    // oracle-checked counting twin
+    "WordPiece tokenization of the corpus (greedy longest-match, " +
+      "map-only codegen'd scan) — per-doc piece/UNK counts")
+
+  // ------------------------------------------------- weighted sampling
+  private val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (s, d) => {
+      // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+      // A-Res): priority key ln(u)/w with u content-addressed from
+      // md5(doc_id) — fully deterministic and distributed (map-only key
+      // + TakeOrderedAndProject top-k; no RNG state, so re-runs and the
+      // oracle agree bit-for-bit). Weights here are document length —
+      // the "sample proportional to token mass" curation step. The key
+      // is rounded to 12 decimals BEFORE ranking (q_fuzzy_join
+      // discipline: cross-engine order must not hinge on a final ulp).
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          round(log(u) / col("n_chars"), 12).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some("""SELECT doc_id, n_chars,
+                   round(ln((CAST(concat('0x',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                                AS UBIGINT) + 0.5) / 281474976710656.0)
+                         / n_chars, 12) AS es_key
+            FROM documents
+            ORDER BY es_key DESC, doc_id
+            LIMIT 50"""),
+    "Efraimidis–Spirakis weighted sampling without replacement: " +
+      "content-addressed priorities (md5-derived u, ln(u)/w), map-only + " +
+      "top-k — deterministic distributed weighted sampling")
+
+  // ------------------------------------------------------ curriculum
+  private val qCurriculum = Q(
+    "q_curriculum",
+    (s, d) => {
+      // Curriculum phase assignment by difficulty quartiles. The
+      // SCALE-RIGHT shape: exact quartile cutoffs as ONE aggregate
+      // (3 scalars), broadcast back, phase assignment map-only — not a
+      // global ntile() window (a single-reducer sort at 100 TB).
+      val cuts = documents(s, d).agg(
+        percentile(col("n_chars"), lit(0.25)).as("q1"),
+        percentile(col("n_chars"), lit(0.5)).as("q2"),
+        percentile(col("n_chars"), lit(0.75)).as("q3"))
+      documents(s, d).crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_chars"),
+          (lit(1L) + when(col("n_chars") > col("q1"), 1L).otherwise(0L)
+            + when(col("n_chars") > col("q2"), 1L).otherwise(0L)
+            + when(col("n_chars") > col("q3"), 1L).otherwise(0L)).as("phase"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH cuts AS (
+              SELECT quantile_cont(n_chars, 0.25) AS q1,
+                     quantile_cont(n_chars, 0.5) AS q2,
+                     quantile_cont(n_chars, 0.75) AS q3
+              FROM documents)
+            SELECT doc_id, n_chars,
+                   1 + CASE WHEN n_chars > q1 THEN 1 ELSE 0 END
+                     + CASE WHEN n_chars > q2 THEN 1 ELSE 0 END
+                     + CASE WHEN n_chars > q3 THEN 1 ELSE 0 END AS phase
+            FROM documents CROSS JOIN cuts
+            ORDER BY doc_id"""),
+    "curriculum phases by difficulty quartiles: one 3-scalar aggregate " +
+      "broadcast back, map-only phase assignment (no global-sort ntile)")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
-    qStreamEnrich, qBlocklist)
+    qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
+    qSampleWeighted, qCurriculum)
 }

@@ -167,39 +167,45 @@ object TpchQueries {
   private val qTpchQ7 = Q(
     "q_tpch_q7",
     (s, d) => {
-      // Q7 (volume shipping between two nations, both directions, by
-      // year). supplier→nation and customer→nation sides are broadcast dim
-      // chains; lineitem⋈orders is the one real shuffle (orderkey).
-      val suppNation = broadcast(
+      // Q7 (volume shipping between two trade partners, both directions,
+      // by year). The synthetic corpus spreads nation pairs too thin at
+      // sf0.001, so the partner grain is the REGION pair (ASIA↔EUROPE) —
+      // identical plan shape: two broadcast dim chains on either side of
+      // the one real shuffle (lineitem⋈orders on orderkey).
+      val suppRegion = broadcast(
         supplier(s, d)
-          .join(broadcast(nation(s, d)
-            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
-            col("s_nationkey") === col("n_nationkey"))
-          .select("s_suppkey", "supp_nation"))
-      val custNation = broadcast(
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)
+            .select(col("r_regionkey"), col("r_name").as("supp_region"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "supp_region"))
+      val custRegion = broadcast(
         customer(s, d)
           .join(broadcast(nation(s, d)
-            .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+            .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rk"))),
             col("c_nationkey") === col("cn_key"))
-          .select("c_custkey", "cust_nation"))
+          .join(broadcast(region(s, d)
+            .select(col("r_regionkey").as("cr_key"), col("r_name").as("cust_region"))),
+            col("cn_rk") === col("cr_key"))
+          .select("c_custkey", "cust_region"))
       lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .join(orders(s, d).select("o_orderkey", "o_custkey").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
-        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
         .filter(
-          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
+          (col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+          (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+        .groupBy(col("supp_region"), col("cust_region"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum(discPrice).cast("double").as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .orderBy("supp_region", "cust_region", "l_year")
     },
-    Some(s"""SELECT supp_nation, cust_nation, l_year,
+    Some(s"""SELECT supp_region, cust_region, l_year,
                     CAST(sum(volume) AS DOUBLE) AS revenue
-             FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             FROM (SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
                           CAST(year(l_shipdate) AS BIGINT) AS l_year,
                           $discPriceSql AS volume
                    FROM lineitem
@@ -207,15 +213,17 @@ object TpchQueries {
                    JOIN supplier ON s_suppkey = l_suppkey
                    JOIN customer ON c_custkey = o_custkey
                    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                   JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
                    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                   JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                      AND l_shipdate < TIMESTAMP '1998-01-01'
-                     AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
-             GROUP BY supp_nation, cust_nation, l_year
-             ORDER BY supp_nation, cust_nation, l_year"""),
-    "TPC-H Q7: nation-pair shipping volume by year; dim chains broadcast, " +
-      "single orderkey shuffle for the fact-fact join")
+                     AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+                       OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))) shipping
+             GROUP BY supp_region, cust_region, l_year
+             ORDER BY supp_region, cust_region, l_year"""),
+    "TPC-H Q7 shape: partner-pair shipping volume by year (region grain); " +
+      "dim chains broadcast, single orderkey shuffle for the fact-fact join")
 
   // ------------------------------------------------------------------ Q8
   private val qTpchQ8 = Q(
@@ -326,16 +334,17 @@ object TpchQueries {
   private val qTpchQ11 = Q(
     "q_tpch_q11",
     (s, d) => {
-      // Q11 (important stock): per-part inventory value for one nation's
-      // suppliers, kept if above a fixed fraction of the nation's total —
+      // Q11 (important stock): per-part inventory value for one region's
+      // suppliers, kept if above a fixed fraction of the region's total —
       // a grouped aggregate HAVING an uncorrelated scalar subquery. The
       // scalar lands as a one-row broadcast join over the reused per-part
       // aggregate (self-referencing plan, aggregated once per branch, both
       // branches map-side partial).
       val n1Supp = broadcast(
         supplier(s, d)
-          .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_1")),
-            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
           .select("s_suppkey"))
       val bridged = lineitem(s, d)
         .join(n1Supp, col("l_suppkey") === col("s_suppkey"))
@@ -355,7 +364,8 @@ object TpchQueries {
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation ON n_nationkey = s_nationkey
-            WHERE n_name = 'NATION_1'
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
             GROUP BY l_partkey
             HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
                        * CAST(l_quantity AS DECIMAL(18,2)))
@@ -364,7 +374,8 @@ object TpchQueries {
                     FROM lineitem
                     JOIN supplier ON s_suppkey = l_suppkey
                     JOIN nation ON n_nationkey = s_nationkey
-                    WHERE n_name = 'NATION_1')
+                    JOIN region ON r_regionkey = n_regionkey
+                    WHERE r_name = 'EUROPE')
             ORDER BY value DESC, ps_partkey"""),
     "TPC-H Q11 shape: grouped value HAVING > fraction-of-total via a " +
       "one-row broadcast of the uncorrelated scalar aggregate")
@@ -587,8 +598,9 @@ object TpchQueries {
         .filter(col("all_qty") > col("y97_qty") * lit(2))
         .select("l_suppkey").distinct()
       supplier(s, d)
-        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_4")),
-          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
         .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
@@ -596,7 +608,8 @@ object TpchQueries {
     Some("""SELECT s_suppkey, s_name, s_acctbal
             FROM supplier
             JOIN nation ON n_nationkey = s_nationkey
-            WHERE n_name = 'NATION_4'
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
               AND s_suppkey IN (
                 SELECT l_suppkey
                 FROM lineitem
