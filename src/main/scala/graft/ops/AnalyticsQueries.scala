@@ -364,7 +364,216 @@ object AnalyticsQueries {
     "curriculum phases by difficulty quartiles: one 3-scalar aggregate " +
       "broadcast back, map-only phase assignment (no global-sort ntile)")
 
+  // ---------------------------------------------------- OLS regression
+  private val qRegression = Q(
+    "q_regression",
+    (s, d) => {
+      // Per-group closed-form OLS (value vs time) from MERGEABLE
+      // sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the q_outliers
+      // moment discipline extended to two variables: sums are
+      // decimal/integer-exact (order-free), the slope/intercept division
+      // happens ONCE at the end in IEEE double on exact-in-double
+      // operands, so both engines agree bit-for-bit. Mergeable stats
+      // compose with the q_incr_agg partial pattern — per-day partial
+      // moments roll up to any window without re-reading events.
+      val x = floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+        .cast("long")
+      val pts = events(s, d).select(col("event_type"), x.as("x"),
+        dec(col("value")).as("y"))
+      val st = pts.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(28, 2)) * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      st.select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"),
+          ((col("sy").cast("double") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              col("sx").cast("double")) / col("n").cast("double"))
+            .as("intercept"))
+        .orderBy("event_type")
+    },
+    Some("""WITH pts AS (
+              SELECT event_type,
+                     CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS x,
+                     CAST(value AS DECIMAL(18,2)) AS y
+              FROM events),
+            stats AS (
+              SELECT event_type, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(CAST(x AS DECIMAL(28,2)) * y) AS sxy,
+                     sum(x*x) AS sxx
+              FROM pts GROUP BY event_type)
+            SELECT event_type, n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS intercept
+            FROM stats ORDER BY event_type"""),
+    "per-group closed-form OLS trend from mergeable decimal-exact " +
+      "sufficient statistics — one aggregate, division once at the end " +
+      "in IEEE double")
+
+  // ---------------------------------------------------- MERGE / upsert
+  private val qMergeUpsert = Q(
+    "q_merge_upsert",
+    (s, d) => {
+      // Lakehouse MERGE INTO semantics without a mutable store: base ⋈
+      // updates full-outer on the key, rows classified
+      // insert/update/delete/keep, deletes dropped from the merged
+      // state. The update batch is derived deterministically (U for
+      // id%7=0, D for id%7=1, I beyond the id space) so both engines
+      // plant the same batch. One keyed shuffle per side — the shape a
+      // MERGE compiles to in any lakehouse engine.
+      val base = documents(s, d).select(col("doc_id"), col("n_chars"))
+      val updates = documents(s, d)
+        .filter(col("doc_id") % 7 < 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("U")).otherwise(lit("D")).as("op"),
+          (col("n_chars") + 1000L).as("new_n_chars"))
+        .unionByName(
+          documents(s, d).filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
+              col("n_chars").as("new_n_chars")))
+      base.join(updates.hint("merge"), Seq("doc_id"), "full_outer")
+        .withColumn("action",
+          when(col("op") === "D", "delete")
+            .when(col("op") === "U", "update")
+            .when(col("op") === "I", "insert")
+            .otherwise("keep"))
+        .filter(col("action") =!= "delete")
+        .select(col("doc_id"),
+          coalesce(col("new_n_chars"), col("n_chars")).as("n_chars"),
+          col("action"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, n_chars FROM documents),
+            updates AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 'U' ELSE 'D' END AS op,
+                     n_chars + 1000 AS new_n_chars
+              FROM documents WHERE doc_id % 7 < 2
+              UNION ALL
+              SELECT doc_id + 1000000, 'I', n_chars
+              FROM documents WHERE doc_id % 11 = 0),
+            merged AS (
+              SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+                     coalesce(u.new_n_chars, b.n_chars) AS n_chars,
+                     CASE WHEN u.op = 'D' THEN 'delete'
+                          WHEN u.op = 'U' THEN 'update'
+                          WHEN u.op = 'I' THEN 'insert'
+                          ELSE 'keep' END AS action
+              FROM base b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id)
+            SELECT doc_id, n_chars, action FROM merged
+            WHERE action <> 'delete'
+            ORDER BY doc_id"""),
+    "MERGE INTO semantics: keyed full-outer join classifying " +
+      "insert/update/delete/keep, deletes dropped from the merged state " +
+      "— one shuffle per side, the lakehouse upsert shape")
+
+  // ------------------------------------------------- corpus overlap
+  private val qCorpusOverlap = Q(
+    "q_corpus_overlap",
+    (s, d) => {
+      // Corpus-level similarity: exact 3-gram-set Jaccard + both-way
+      // containments between two (deliberately overlapping) corpus
+      // slices — the "how much of corpus B is already in corpus A"
+      // question a mixture designer asks before adding a source.
+      // Distinct gram sets shuffle once each; all three measures come
+      // from one full-outer join via membership flags, no second pass.
+      // (Token grain saturates on this synthetic vocab — every slice
+      // contains all ~31 tokens — so the gram grain is the informative
+      // one.)
+      def grams(f: org.apache.spark.sql.Column) =
+        documents(s, d).filter(f)
+          .select(explode(graft.ext.TextAnalysis.wordNgramsExpr("text", 3))
+            .as("tok")).distinct()
+      val a = grams(col("doc_id") % 3 =!= 0).withColumn("in_a", lit(1))
+      val b = grams(col("doc_id") % 2 =!= 0).withColumn("in_b", lit(1))
+      a.join(b, Seq("tok"), "full_outer")
+        .agg(
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+            .as("n_common"),
+          sum(when(col("in_a") === 1, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_b") === 1, 1L).otherwise(0L)).as("n_b"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_common"), col("n_a"), col("n_b"), col("n_union"),
+          (col("n_common").cast("double") / col("n_union")).as("jaccard"),
+          (col("n_common").cast("double") / col("n_a")).as("containment_a"),
+          (col("n_common").cast("double") / col("n_b")).as("containment_b"))
+    },
+    Some("""WITH af AS (
+              SELECT DISTINCT unnest(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS tok
+              FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                    WHERE doc_id % 3 <> 0
+                      AND len(string_split(text, ' ')) >= 3)),
+            bf AS (
+              SELECT DISTINCT unnest(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS tok
+              FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                    WHERE doc_id % 2 <> 0
+                      AND len(string_split(text, ' ')) >= 3)),
+            j AS (
+              SELECT count(*) FILTER (WHERE af.tok IS NOT NULL
+                                        AND bf.tok IS NOT NULL) AS n_common,
+                     count(*) FILTER (WHERE af.tok IS NOT NULL) AS n_a,
+                     count(*) FILTER (WHERE bf.tok IS NOT NULL) AS n_b,
+                     count(*) AS n_union
+              FROM af FULL OUTER JOIN bf ON af.tok = bf.tok)
+            SELECT n_common, n_a, n_b, n_union,
+                   CAST(n_common AS DOUBLE) / n_union AS jaccard,
+                   CAST(n_common AS DOUBLE) / n_a AS containment_a,
+                   CAST(n_common AS DOUBLE) / n_b AS containment_b
+            FROM j"""),
+    "corpus-level exact 3-gram-set Jaccard + both-way containment " +
+      "between overlapping corpus slices — one distinct per side, one " +
+      "full-outer join, all three measures from membership flags")
+
+  private val qCorpusOverlapEst = Q(
+    "q_corpus_overlap_est",
+    (s, d) => {
+      // The 100 TB form of q_corpus_overlap: a CORPUS-LEVEL MinHash
+      // sketch per slice — component-wise min over every document's
+      // signature, i.e. the signature of the union shingle set. min is
+      // associative/commutative, so the sketch is MERGEABLE: kilobytes
+      // per corpus, combinable across shards/days without re-reading
+      // text (the HLL-shards discipline for set similarity). Estimated
+      // Jaccard = fraction of agreeing components. Rows-only (a sketch
+      // estimate); q_corpus_overlap is the exact anchor and
+      // AnalyticsSpec bounds the estimate against it.
+      def sketch(f: org.apache.spark.sql.Column, name: String) =
+        documents(s, d).filter(f)
+          .select(posexplode(graft.functions.MinHashText
+            .minhash_word_shingles(col("text"), 3, 128)).as(Seq("pos", "h")))
+          .groupBy("pos").agg(min(col("h")).as(name))
+      sketch(col("doc_id") % 3 =!= 0, "ha")
+        .join(sketch(col("doc_id") % 2 =!= 0, "hb"), "pos")
+        .agg(
+          sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_agree"),
+          count(lit(1)).as("k"))
+        .select(col("n_agree"), col("k"),
+          (col("n_agree").cast("double") / col("k")).as("est_jaccard"))
+    },
+    None, // sketch estimate (engine-specific hash family); exact anchor
+    // is q_corpus_overlap, and AnalyticsSpec pins |est - exact| on the
+    // same slice pair
+    "corpus-level MinHash sketch overlap estimate: component-wise min " +
+      "over doc signatures = union-set signature (mergeable, kilobytes " +
+      "per corpus) — the sketch form of q_corpus_overlap")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
-    qSampleWeighted, qCurriculum)
+    qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
+    qCorpusOverlapEst)
 }
