@@ -572,8 +572,80 @@ object AnalyticsQueries {
       "over doc signatures = union-set signature (mergeable, kilobytes " +
       "per corpus) — the sketch form of q_corpus_overlap")
 
+  // -------------------------------------------- entropy / KL divergence
+  private val qDivergence = Q(
+    "q_divergence",
+    (s, d) => {
+      // Per-source information profile: token entropy and KL divergence
+      // from the corpus distribution — the "is this source distributionally
+      // anomalous" mixture-design signal. All probabilities come from
+      // EXACT counts (one corpus-sized (source, tok) aggregate; the
+      // per-source and per-token totals are dim-bounded rollups of it);
+      // the transcendental finish is summed in double and rounded to 6 dp
+      // (31-term sums, ulp-level order noise ≪ the rounding grain — the
+      // q_fuzzy_join discipline).
+      val st = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      val stot = st.groupBy("source").agg(sum(col("n")).as("ns"))
+      val ct = st.groupBy("tok").agg(sum(col("n")).as("nc"))
+      val ctot = ct.agg(sum(col("nc")).as("nall"))
+      val p = col("n").cast("double") / col("ns")
+      val q = col("nc").cast("double") / col("nall")
+      st.join(broadcast(stot), "source")
+        .join(ct, "tok")
+        .crossJoin(broadcast(ctot))
+        .groupBy("source")
+        .agg(
+          round(-sum(p * log(p)), 6).as("entropy"),
+          round(sum(p * log(p / q)), 6).as("kl_vs_corpus"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+            st AS (SELECT source, tok, count(*) AS n FROM t2 GROUP BY 1, 2),
+            stot AS (SELECT source, sum(n) AS ns FROM st GROUP BY 1),
+            ct AS (SELECT tok, sum(n) AS nc FROM st GROUP BY 1),
+            ctot AS (SELECT sum(nc) AS nall FROM ct)
+            SELECT source,
+                   round(-sum((CAST(n AS DOUBLE)/ns)
+                              * ln(CAST(n AS DOUBLE)/ns)), 6) AS entropy,
+                   round(sum((CAST(n AS DOUBLE)/ns)
+                             * ln((CAST(n AS DOUBLE)/ns)
+                                  / (CAST(nc AS DOUBLE)/nall))), 6)
+                     AS kl_vs_corpus
+            FROM st JOIN stot USING (source) JOIN ct USING (tok)
+            CROSS JOIN ctot
+            GROUP BY source ORDER BY source"""),
+    "per-source token entropy + KL divergence vs the corpus distribution " +
+      "— exact-count probabilities, transcendental finish rounded before " +
+      "compare; the distributional-anomaly signal for mixture design")
+
+  // ----------------------------------------------- approx quantile twin
+  private val qQuantilesApprox = Q(
+    "q_quantiles_approx",
+    (s, d) =>
+      // The sketch form of q_quantiles: approx_percentile's mergeable
+      // quantile summary (KLL-family) — at 100 TB the exact interpolated
+      // percentile needs a global sort, the sketch needs one map-side-
+      // combined aggregate shipping kilobyte summaries. Rows-only
+      // (approximate by definition); q_quantiles is the exact twin, and
+      // accuracy=10000 bounds rank error at 1/10000.
+      events(s, d)
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)")
+          .as("approx_quartiles"))
+        .orderBy("event_type"),
+    None, // sketch estimate; exact anchor q_quantiles (same quartile set
+    // computed exactly and oracle-checked)
+    "mergeable approximate quantile sketch per group (approx_percentile " +
+      "accuracy=10000) — the 100 TB form of q_quantiles, which anchors it")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
-    qCorpusOverlapEst)
+    qCorpusOverlapEst, qDivergence, qQuantilesApprox)
 }

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-7 scale soak: the new operator families at 10–100× the sf0.1
+  * corpus — quantized k-means over 1 M vectors, frontier BFS over a
+  * multi-million-edge power-law graph, the Aho-Corasick blocklist gate
+  * and WordPiece segmentation over millions of documents, and the
+  * corpus-sketch overlap estimate. Prints per-unit costs for PERF.md.
+  *
+  * Usage: runMain graft.tools.AnalyticsSoak [nDocs] [nVecs] [nEdges]
+  *        (defaults 2M, 1M, 8M)
+  */
+object AnalyticsSoak {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val nEdges = args.lift(2).map(_.toLong).getOrElse(8000000L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String, unit: Long)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[asoak] $name%-24s $dt%8.2f s   rows=$rows%,d   " +
+        f"(${dt * 1e6 / unit}%.2f µs/unit)")
+      graft.ops.CacheUtils.releaseAll(spark)
+    }
+
+    // ---- text family over the ScaleSoak corpus
+    val docs = ScaleSoak.corpus(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[asoak] docs=${docs.count()} vecs=$nVecs edges=$nEdges")
+    timed("blocklist_gate", nDocs) {
+      docs.select(col("doc_id"),
+          graft.functions.MultiMatch.multi_match_count(col("text"),
+            Seq("w1 w2", "w17", "w3 w4 w5", "w999", "w42 w43")).as("n"))
+        .filter(col("n") > 0).count()
+    }
+    val vocab = graft.ext.WordPiece.train(
+      docs.sample(0.005, 42), "text", numMerges = 64)
+    timed("wordpiece_stats", nDocs) {
+      docs.select(graft.functions.WordPieceOps
+          .wordpiece_stats(col("text"), vocab).as("st"))
+        .agg(sum("st.n_pieces")).collect().length.toLong
+    }
+    timed("corpus_sketch_overlap", nDocs) {
+      def sketch(f: org.apache.spark.sql.Column, name: String) =
+        docs.filter(f)
+          .select(posexplode(graft.functions.MinHashText
+            .minhash_word_shingles(col("text"), 3, 128)).as(Seq("pos", "h")))
+          .groupBy("pos").agg(min(col("h")).as(name))
+      sketch(col("doc_id") % 3 =!= 0, "ha")
+        .join(sketch(col("doc_id") % 2 =!= 0, "hb"), "pos")
+        .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))).count()
+    }
+    timed("weighted_sample_top1k", nDocs) {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0)
+      docs.select(col("doc_id"),
+          (log(u) / (length(col("text")) + 1)).as("k"))
+        .orderBy(col("k").desc).limit(1000).count()
+    }
+    docs.unpersist(blocking = false)
+
+    // ---- k-means over ScaleSoak-style synthetic vectors (32 latent
+    // clusters planted by construction)
+    val vecDir = s"/tmp/graft_asoak_vec_$nVecs"
+    if (!new java.io.File(s"$vecDir/_SUCCESS").exists())
+      spark.range(0, nVecs, 1, 64)
+        .withColumn("embedding", expr(
+          """transform(sequence(1, 64),
+             i -> cast(pmod(hash(pmod(id, 32), i), 1000) / 500.0 - 1.0
+                       + pmod(hash(id, i), 100) / 250.0 as float))"""))
+        .select(col("id").as("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(vecDir)
+    val emb = spark.read.parquet(vecDir)
+    timed("kmeans_k32_2rounds", nVecs) {
+      graft.ext.Cluster.clusterProfile(emb, "vec_id", "embedding",
+        k = 32, iters = 2).count()
+    }
+
+    // ---- BFS over the GraphSoak power-law graph
+    val gDir = s"/tmp/graft_graphsoak_$nEdges"
+    if (!new java.io.File(s"$gDir/_SUCCESS").exists()) {
+      val v = math.max(nEdges / 10, 16L)
+      spark.range(0, nEdges, 1, 64)
+        .select(
+          pmod(hash(col("id"), lit(1)), lit(v)).cast("long").as("src"),
+          pmod(hash(col("id"), lit(2)),
+            lit(1L) + pmod(hash(col("id"), lit(3)), lit(v))).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .write.mode("overwrite").parquet(gDir)
+    }
+    val edges = spark.read.parquet(gDir)
+    val m = edges.count()
+    timed("bfs_maxhops8", m) {
+      graft.ext.Graph.shortestPaths(edges, source = 0L, maxHops = 8).count()
+    }
+    spark.stop()
+  }
+}
