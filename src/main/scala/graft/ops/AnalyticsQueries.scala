@@ -644,8 +644,88 @@ object AnalyticsQueries {
     "mergeable approximate quantile sketch per group (approx_percentile " +
       "accuracy=10000) — the 100 TB form of q_quantiles, which anchors it")
 
+  // -------------------------------------------- RANGE-interval frames
+  private val qWindowRange = Q(
+    "q_window_range",
+    (s, d) => {
+      // Event-time rolling aggregate via a RANGE frame (value-based: all
+      // events within the trailing hour, however many rows that is) —
+      // the windowed-rows twin q_window_frame can't express. Ordered on
+      // integer microseconds so the frame bound is the same literal in
+      // both engines; peers (equal timestamps) aggregate together by
+      // RANGE semantics, identically.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          dec(col("value")).as("v"))
+        .withColumn("rolling_1h", sum(col("v")).over(w).cast("double"))
+        .select("user_id", "event_id", "us", "rolling_1h")
+        .orderBy("user_id", "us", "event_id")
+    },
+    Some("""SELECT user_id, event_id, us,
+                   CAST(sum(v) OVER (
+                     PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS rolling_1h
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+                         CAST(value AS DECIMAL(18,2)) AS v
+                  FROM events)
+            ORDER BY user_id, us, event_id"""),
+    "event-time rolling sum over a RANGE frame (trailing hour by VALUE, " +
+      "not row count) — decimal-exact, peers aggregate together")
+
+  // ------------------------------------------------- LATERAL subquery
+  private val qLateralTopk = Q(
+    "q_lateral_topk",
+    (s, d) => {
+      // Correlated LATERAL subquery (top-3 customers per nation) —
+      // written through spark.sql because LATERAL is SQL-only surface;
+      // Catalyst decorrelates the correlated ORDER BY ... LIMIT into a
+      // per-key window group limit, so the plan is the same rank-1
+      // pattern q_window_rank declares, reached from the other syntax.
+      customer(s, d).createOrReplaceTempView("customer_lat")
+      nation(s, d).createOrReplaceTempView("nation_lat")
+      s.sql("""SELECT n_name, c_name, c_acctbal
+               FROM nation_lat,
+               LATERAL (SELECT c_name, c_acctbal FROM customer_lat
+                        WHERE c_nationkey = n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+               ORDER BY n_name, c_acctbal DESC, c_name""")
+    },
+    Some("""SELECT n_name, c_name, c_acctbal
+            FROM nation,
+            LATERAL (SELECT c_name, c_acctbal FROM customer
+                     WHERE c_nationkey = n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+            ORDER BY n_name, c_acctbal DESC, c_name"""),
+    "correlated LATERAL top-k subquery — decorrelated by Catalyst to the " +
+      "per-key group-limit plan; completes the subquery-surface family")
+
+  // ------------------------------------------------------------ UNPIVOT
+  private val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) =>
+      // wide→long melt (the inverse of q_pivot): part metrics unpivoted
+      // to (metric, val) rows — map-only, output = rows × metrics.
+      part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size_v"),
+          col("p_retailprice").as("price_v"))
+        .unpivot(Array(col("p_partkey")), Array(col("size_v"), col("price_v")),
+          "metric", "val")
+        .orderBy("p_partkey", "metric"),
+    Some("""SELECT p_partkey, metric, val
+            FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v,
+                         p_retailprice AS price_v FROM part)
+            UNPIVOT (val FOR metric IN (size_v, price_v))
+            ORDER BY p_partkey, metric"""),
+    "UNPIVOT wide→long melt (inverse of q_pivot) — map-only row " +
+      "explosion, schema-dynamic")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
-    qCorpusOverlapEst, qDivergence, qQuantilesApprox)
+    qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
+    qLateralTopk, qUnpivot)
 }
