@@ -723,9 +723,44 @@ object AnalyticsQueries {
     "UNPIVOT wide→long melt (inverse of q_pivot) — map-only row " +
       "explosion, schema-dynamic")
 
+  // ------------------------------------- custom-state streaming (FMGWS)
+  private val qStreamStateful = Q(
+    "q_stream_stateful",
+    (s, d) => {
+      // flatMapGroupsWithState through the bounded-replay harness: the
+      // custom-state API (previously unit-tested only) promoted to the
+      // oracle gate. Per-key running count/sum in update mode emits one
+      // row per key per micro-batch; the LAST update per key (max n —
+      // n is monotone) is the final state, which must equal the batch
+      // GROUP BY — robust to however many micro-batches the replay
+      // splits into. Values are pre-quantized to exact integer
+      // ten-thousandths (the fixed-point discipline): the Double state
+      // accumulates exact-in-double integers, so the final sums are
+      // bit-identical regardless of state-merge order or engine.
+      val name = s"graft_stream_stateful_${RelationalQueries.streamRuns.incrementAndGet()}"
+      import s.implicits._
+      val ev = RelationalQueries.streamEvents(s, d)
+        .select(col("user_id").as("key"), col("ts"),
+          floor(col("value") * lit(10000.0)).as("value"))
+        .as[graft.streaming.Stateful.KeyedEvent]
+      val agg = graft.streaming.Stateful.runningStats(ev).toDF()
+      RelationalQueries.boundedReplay(s, name, agg, "update")
+        .groupBy(col("key").as("user_id"))
+        .agg(max(struct(col("n"), col("sum"))).as("fin"))
+        .select(col("user_id"), col("fin.n").as("n"),
+          (col("fin.sum") / lit(10000.0)).as("sum_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n,
+                   sum(floor(value * 10000.0)) / 10000.0 AS sum_value
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    "flatMapGroupsWithState running per-key stats through bounded " +
+      "replay — final state hash-equal to the batch GROUP BY; promotes " +
+      "the custom-state streaming API into the oracle gate")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
-    qLateralTopk, qUnpivot)
+    qLateralTopk, qUnpivot, qStreamStateful)
 }
