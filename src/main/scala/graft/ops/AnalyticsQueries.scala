@@ -758,9 +758,103 @@ object AnalyticsQueries {
       "replay — final state hash-equal to the batch GROUP BY; promotes " +
       "the custom-state streaming API into the oracle gate")
 
+  // -------------------------------------- append-mode watermark close
+  private val qStreamAppend = Q(
+    "q_stream_append",
+    (s, d) => {
+      // APPEND output mode: a window emits exactly once, when the
+      // watermark passes its end — the finalize-and-never-revise
+      // semantics production sinks rely on (complete mode, which the
+      // other q_stream_* use, re-emits everything). On bounded replay
+      // the final watermark is max(event ts) − delay, so the last
+      // still-open window is withheld — and the oracle states that
+      // cutoff explicitly: windows with end ≤ max(ts) − 30 min. This
+      // pins Spark's append/watermark contract cross-engine, not just
+      // the aggregation values.
+      val name = s"graft_stream_append_${RelationalQueries.streamRuns.incrementAndGet()}"
+      val ev = RelationalQueries.streamEvents(s, d)
+        .withColumn("value", dec(col("value")))
+      val agg = graft.streaming.StreamOps
+        .tumblingCounts(ev, "ts", "event_type", "1 hour", "30 minutes")
+      RelationalQueries.boundedReplay(s, name, agg, "append")
+        .select(col("w_start").as("h"), col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("h", "event_type")
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            HAVING h + INTERVAL 1 HOUR
+                 <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+            ORDER BY h, event_type"""),
+    "append-mode tumbling windows: emit-once-on-watermark-close " +
+      "semantics, with the withheld still-open window stated explicitly " +
+      "in the oracle's cutoff — pins the watermark contract cross-engine")
+
+  // --------------------------------- stream-stream LEFT OUTER join
+  private val qStreamJoinOuter = Q(
+    "q_stream_join_outer",
+    (s, d) => {
+      // LEFT OUTER stream-stream interval join: every click, matched to
+      // same-user purchases within 10 minutes — and clicks with NO such
+      // purchase emitted null-matched once the watermark proves no match
+      // can still arrive. The oracle replays BOTH halves: the batch
+      // interval join, plus unmatched clicks GATED BY THE FINAL
+      // WATERMARK (min of both sides' max ts, minus the 30-minute
+      // delay): a click whose 10-minute horizon hasn't closed under that
+      // watermark is withheld by Spark and must be absent from the
+      // oracle too. This pins the outer-join state-eviction contract,
+      // not just the matched values.
+      val name = s"graft_stream_join_outer_${RelationalQueries.streamRuns.incrementAndGet()}"
+      def side(eventType: String, prefix: String) =
+        RelationalQueries.streamEvents(s, d)
+          .filter(col("event_type") === eventType)
+          .select(col("user_id"),
+            col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+      val joined = graft.streaming.StreamOps.intervalJoinOuter(
+        side("click", "l"), side("purchase", "r"),
+        "user_id", "l_ts", "r_ts", "30 minutes", "10 minutes")
+      // the LEFT key survives null-extension (l alias); -1 marks the
+      // no-match rows so the output schema stays non-null long
+      val j2 = joined.select(col("l.user_id").as("user_id"), col("l_id"),
+        coalesce(col("r_id"), lit(-1L)).as("r_id"))
+      RelationalQueries.boundedReplay(s, name, j2, "append",
+        statePartitions = "4")
+        .orderBy("user_id", "l_id", "r_id")
+    },
+    Some("""WITH clicks AS (
+              SELECT user_id, event_id AS l_id, epoch_us(ts) AS l_us
+              FROM events WHERE event_type = 'click'),
+            purchases AS (
+              SELECT user_id, event_id AS r_id, epoch_us(ts) AS r_us
+              FROM events WHERE event_type = 'purchase'),
+            wm AS (
+              SELECT least((SELECT max(l_us) FROM clicks),
+                           (SELECT max(r_us) FROM purchases))
+                     - 1800000000 AS wm_us),
+            matched AS (
+              SELECT c.user_id, c.l_id, p.r_id
+              FROM clicks c JOIN purchases p
+                ON p.user_id = c.user_id
+               AND p.r_us >= c.l_us AND p.r_us <= c.l_us + 600000000),
+            unmatched AS (
+              SELECT c.user_id, c.l_id, -1 AS r_id
+              FROM clicks c CROSS JOIN wm
+              WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.l_id = c.l_id)
+                AND c.l_us + 600000000 < wm.wm_us)
+            SELECT user_id, l_id, r_id FROM matched
+            UNION ALL
+            SELECT user_id, l_id, r_id FROM unmatched
+            ORDER BY user_id, l_id, r_id"""),
+    "LEFT OUTER stream-stream interval join: matched rows plus " +
+      "null-extended unmatched clicks gated by the final watermark — " +
+      "the outer state-eviction contract replayed exactly in the oracle")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
-    qLateralTopk, qUnpivot, qStreamStateful)
+    qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter)
 }

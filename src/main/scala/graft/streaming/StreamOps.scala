@@ -89,6 +89,30 @@ object StreamOps {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxLag"))
   }
 
+  /** LEFT OUTER interval join: matched rows stream out as in
+    * [[intervalJoin]]; an UNMATCHED left row is emitted (right side
+    * null) only once the watermark proves no future match can arrive —
+    * i.e. when the global watermark passes `leftTs + maxLag`. Until
+    * then the row is withheld in state: outer results are
+    * emit-once-correct, never retracted.
+    */
+  def intervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String,
+      maxLag: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxLag"),
+      "left_outer")
+  }
+
   /** Stateful streaming dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped, state evicted beyond it.
     */
