@@ -30,7 +30,8 @@ object Catalog {
   /** All declared queries, in SURVEY §2.2 order. */
   def all: Seq[Q] =
     RelationalQueries.all ++ PipelineQueries.all ++ ExtQueries.all ++
-      AdvancedQueries.all ++ TpchQueries.all ++ AnalyticsQueries.all
+      AdvancedQueries.all ++ TpchQueries.all ++ AnalyticsQueries.all ++
+      EventAnalyticsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

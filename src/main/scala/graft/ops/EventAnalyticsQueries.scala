@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables._
+
+/** Event-analytics operators over the `events` stream table: ordered
+  * funnels, cohort retention, time-series gap-fill/resampling, and
+  * hour-of-day seasonality — the product-analytics surface a
+  * clickstream lake serves, each as declarative keyed aggregations (no
+  * per-user driver loops, no global sorts outside the oracle ORDER BY).
+  */
+object EventAnalyticsQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 2))
+
+  /** Integer microseconds — the cross-engine-stable time axis. */
+  private def us(c: org.apache.spark.sql.Column) = unix_micros(c)
+
+  // ---------------------------------------------------------- funnel
+  private val qFunnel = Q(
+    "q_funnel",
+    (s, d) => {
+      // Ordered view→click→purchase funnel with a 12 h deadline per
+      // stage: the click must follow the user's FIRST view within 12 h,
+      // the purchase the qualifying first click. Each stage is one
+      // keyed aggregate joined back on user_id — stages co-partition on
+      // the same key, so the whole funnel is one shuffle family, and
+      // the per-stage deadline is a join conjunct, not a window scan.
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        us(col("ts")).as("t"))
+      val dl = 43200000000L // 12 h in µs
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("mv"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, "user_id")
+        .filter(col("t") >= col("mv") && col("t") <= col("mv") + dl)
+        .groupBy("user_id").agg(min(col("t")).as("mc"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c, "user_id")
+        .filter(col("t") >= col("mc") && col("t") <= col("mc") + dl)
+        .groupBy("user_id").agg(min(col("t")).as("mp"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("mv"),
+          coalesce(col("mc"), lit(-1L)).as("mc"),
+          coalesce(col("mp"), lit(-1L)).as("mp"))
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (
+              SELECT user_id, min(epoch_us(ts)) AS mv
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS mc
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click'
+                AND epoch_us(e.ts) >= v.mv
+                AND epoch_us(e.ts) <= v.mv + 43200000000
+              GROUP BY 1),
+            p AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS mp
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= c.mc
+                AND epoch_us(e.ts) <= c.mc + 43200000000
+              GROUP BY 1)
+            SELECT v.user_id, v.mv,
+                   coalesce(c.mc, -1) AS mc,
+                   coalesce(p.mp, -1) AS mp
+            FROM v
+            LEFT OUTER JOIN c ON c.user_id = v.user_id
+            LEFT OUTER JOIN p ON p.user_id = v.user_id
+            ORDER BY v.user_id"""),
+    "ordered view→click→purchase funnel with 12 h per-stage deadlines — " +
+      "stage aggregates co-partitioned on user_id, deadlines as join " +
+      "conjuncts; per-user stage timestamps (-1 = did not convert)")
+
+  // ------------------------------------------------------- retention
+  private val qRetention = Q(
+    "q_retention",
+    (s, d) => {
+      // Cohort retention: cohort = first active day; D+1 / D+7 return
+      // rates per cohort. distinct (user, day) activity → per-user
+      // cohort → one conditional distinct-count aggregate. All keyed on
+      // user_id/cohort — the matrix never materializes user×day.
+      val act = events(s, d)
+        .select(col("user_id"),
+          floor(us(col("ts")).cast("double") / lit(86400000000.0))
+            .cast("long").as("day"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      coh.join(act, "user_id")
+        .groupBy("cohort")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("day") === col("cohort") + 1, col("user_id")))
+            .as("n_d1"),
+          countDistinct(when(col("day") === col("cohort") + 7, col("user_id")))
+            .as("n_d7"))
+        .orderBy("cohort")
+    },
+    Some("""WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS day
+              FROM events),
+            coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+            SELECT cohort,
+                   count(DISTINCT coh.user_id) AS n_users,
+                   count(DISTINCT CASE WHEN a.day = cohort + 1
+                                       THEN a.user_id END) AS n_d1,
+                   count(DISTINCT CASE WHEN a.day = cohort + 7
+                                       THEN a.user_id END) AS n_d7
+            FROM coh JOIN act a ON a.user_id = coh.user_id
+            GROUP BY cohort ORDER BY cohort"""),
+    "cohort retention (first-active-day cohorts, D+1/D+7 return) — " +
+      "distinct activity days + one conditional distinct-count aggregate")
+
+  // -------------------------------------------------------- resample
+  private val qResample = Q(
+    "q_resample",
+    (s, d) => {
+      // Time-series regularization: per-user hourly resample over each
+      // user's own [first, last] hour with forward-fill
+      // (last-observation-carried-forward) — the gap-filling step before
+      // any window model. The spine is generated per user (sequence +
+      // explode: rows ∝ user's span, no global calendar join) and the
+      // fill is one ordered window with ignoreNulls last(). Users
+      // bounded to a deterministic slice to keep the oracle's spine
+      // identical.
+      val hourly = events(s, d)
+        .filter(col("user_id") < 8)
+        .groupBy(col("user_id"),
+          floor(us(col("ts")).cast("double") / lit(3600000000.0))
+            .cast("long").as("h"))
+        .agg(sum(dec(col("value"))).cast("double").as("v"))
+      val spine = hourly.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("user_id", "h"), "left_outer")
+        .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("observed", when(col("v").isNotNull, 1L).otherwise(0L))
+        .select("user_id", "h", "v_fill", "observed")
+        .orderBy("user_id", "h")
+    },
+    Some("""WITH hourly AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS h,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              FROM events WHERE user_id < 8 GROUP BY 1, 2),
+            bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                       FROM hourly GROUP BY 1),
+            spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+                      FROM bounds),
+            joined AS (SELECT s.user_id, s.h, v
+                       FROM spine s LEFT JOIN hourly USING (user_id, h))
+            SELECT user_id, h,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS v_fill,
+                   CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+            FROM joined
+            ORDER BY user_id, h"""),
+    "hourly resample with forward-fill (LOCF): per-user generated spine " +
+      "+ one ordered ignoreNulls-last window — time-series gap filling")
+
+  // ----------------------------------------------------- seasonality
+  private val qSeasonality = Q(
+    "q_seasonality",
+    (s, d) =>
+      // Hour-of-day seasonal profile per event type: decimal-exact mean
+      // per (type, hour) plus each type's share of its daily total —
+      // one aggregate + a per-type window rollup bounded by 24 rows.
+      events(s, d)
+        .groupBy(col("event_type"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sv"))
+        .withColumn("share",
+          round(col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("event_type")), 6))
+        .select(col("event_type"), col("hod"), col("n"),
+          (col("sv").cast("double") / col("n")).as("avg_value"), col("share"))
+        .orderBy("event_type", "hod"),
+    Some("""SELECT event_type, hod, n,
+                   CAST(sv AS DOUBLE) / n AS avg_value,
+                   round(CAST(n AS DOUBLE) /
+                         sum(n) OVER (PARTITION BY event_type), 6) AS share
+            FROM (SELECT event_type,
+                         CAST(hour(ts) AS BIGINT) AS hod,
+                         count(*) AS n,
+                         sum(CAST(value AS DECIMAL(18,2))) AS sv
+                  FROM events GROUP BY 1, 2)
+            ORDER BY event_type, hod"""),
+    "hour-of-day seasonality profile per event type: decimal-exact " +
+      "means + within-type share (24-row window rollup)")
+
+  def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality)
+}
