@@ -198,4 +198,33 @@ object Graph {
     e.unpersist(blocking = false)
     dist
   }
+
+  /** Fixed-round k-core peeling on an undirected edge list: each round
+    * drops nodes with degree < k and the edges touching them. `rounds`
+    * is FIXED (not run-to-convergence) so the distributed loop is
+    * replayable by an unrolled SQL oracle; peeling converges in ≤
+    * diameter rounds, so a fixed budget is an upper-approximation of
+    * the true k-core that both engines compute identically. Per round:
+    * one degree aggregate + two semi joins — all keyed shuffles.
+    * Returns (node, deg) of the surviving subgraph.
+    *
+    * @param edges undirected: pass each edge ONCE; symmetrization
+    *              happens here (union + distinct).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
+    val base = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var e = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      e = e.join(alive, e("src") === alive("node"), "left_semi")
+        .join(alive, e("dst") === alive("node"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

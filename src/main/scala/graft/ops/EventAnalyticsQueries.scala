@@ -202,5 +202,45 @@ object EventAnalyticsQueries {
     "hour-of-day seasonality profile per event type: decimal-exact " +
       "means + within-type share (24-row window rollup)")
 
-  def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality)
+  // ----------------------------------------------------------- k-core
+  private val qKcore = Q(
+    "q_kcore",
+    (s, d) => {
+      // 4-core of the derived interaction graph by 3 fixed peeling
+      // rounds — the dense-subgraph extraction that separates hub
+      // communities from the long tail (graph-side spam/boilerplate
+      // signal). Fixed rounds keep the distributed loop replayable by
+      // the unrolled oracle.
+      val ev = events(s, d)
+      val edges = ev.select(
+          (col("user_id") % 64).as("src"),
+          (col("event_id") % ((col("user_id") % 64) + 2)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.ext.Graph.kCorePeel(edges, k = 4, rounds = 3).orderBy("node")
+    },
+    Some("""WITH base AS (
+              SELECT DISTINCT (user_id % 64) AS src,
+                              (event_id % ((user_id % 64) + 2)) AS dst
+              FROM events
+              WHERE (user_id % 64) <> (event_id % ((user_id % 64) + 2))),
+            e0 AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+            a1 AS (SELECT src AS node FROM e0 GROUP BY src
+                   HAVING count(*) >= 4),
+            e1 AS (SELECT e.src, e.dst FROM e0 e
+                   JOIN a1 x ON e.src = x.node JOIN a1 y ON e.dst = y.node),
+            a2 AS (SELECT src AS node FROM e1 GROUP BY src
+                   HAVING count(*) >= 4),
+            e2 AS (SELECT e.src, e.dst FROM e1 e
+                   JOIN a2 x ON e.src = x.node JOIN a2 y ON e.dst = y.node),
+            a3 AS (SELECT src AS node FROM e2 GROUP BY src
+                   HAVING count(*) >= 4),
+            e3 AS (SELECT e.src, e.dst FROM e2 e
+                   JOIN a3 x ON e.src = x.node JOIN a3 y ON e.dst = y.node)
+            SELECT src AS node, count(*) AS deg FROM e3 GROUP BY src
+            ORDER BY node"""),
+    "4-core extraction by 3 fixed peeling rounds (degree aggregate + " +
+      "two semi joins per round) — hash-equal to the unrolled oracle")
+
+  def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality, qKcore)
 }

@@ -130,4 +130,21 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
+
+  test("kCorePeel: pendant chain peels away, the clique survives") {
+    // K4 on {0,1,2,3} plus a pendant chain 3-4-5: 3-core = the K4
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.kCorePeel(edges.toDF("src", "dst"), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      "only the K4 survives 3-core peeling; chain nodes (and node 3's " +
+        "chain edge) are gone")
+  }
+
+  test("kCorePeel: k above max degree empties the graph") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val got = Graph.kCorePeel(edges.toDF("src", "dst"), k = 3, rounds = 2)
+    assert(got.isEmpty, "a triangle has degree 2 everywhere — no 3-core")
+  }
 }
