@@ -242,5 +242,51 @@ object EventAnalyticsQueries {
     "4-core extraction by 3 fixed peeling rounds (degree aggregate + " +
       "two semi joins per round) — hash-equal to the unrolled oracle")
 
-  def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality, qKcore)
+  // ------------------------------------------------------ transitions
+  private val qTransitions = Q(
+    "q_transitions",
+    (s, d) => {
+      // First-order Markov transition matrix over each user's event
+      // sequence: P(next type | type) from exact pair counts — the
+      // sequence-model prior (and anomaly baseline) of an event lake.
+      // One per-user ordered window for the successor, then a 5×5-cell
+      // aggregate; probabilities from exact integer counts, divided
+      // once and rounded (q_fuzzy_join discipline).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("t", "event_id")
+      val pairs = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          us(col("ts")).as("t"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = pairs.groupBy("from_type").agg(sum(col("n")).as("nf"))
+      pairs.join(broadcast(fromTotals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("nf"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS next_type
+              FROM events),
+            pairs AS (
+              SELECT event_type AS from_type, next_type AS to_type,
+                     count(*) AS n
+              FROM seq WHERE next_type IS NOT NULL
+              GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n) AS nf FROM pairs GROUP BY 1)
+            SELECT from_type, to_type, n,
+                   round(CAST(n AS DOUBLE) / nf, 6) AS p
+            FROM pairs JOIN tot USING (from_type)
+            ORDER BY from_type, to_type"""),
+    "first-order Markov transition matrix over per-user event sequences " +
+      "— exact pair counts, one ordered window + type-pair aggregate")
+
+  def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality,
+    qKcore, qTransitions)
 }

@@ -105,6 +105,61 @@ object AnalyticsSoak {
     timed("bfs_maxhops8", m) {
       graft.ext.Graph.shortestPaths(edges, source = 0L, maxHops = 8).count()
     }
+    timed("kcore_k8_3rounds", m) {
+      graft.ext.Graph.kCorePeel(edges, k = 8, rounds = 3).count()
+    }
+
+    // ---- event-analytics family over a synthetic clickstream
+    // (10× the docs count; user/type/ts/value all id-derived)
+    val nEv = nDocs * 10
+    val evDir = s"/tmp/graft_asoak_ev_$nEv"
+    if (!new java.io.File(s"$evDir/_SUCCESS").exists())
+      spark.range(0, nEv, 1, 64)
+        .select(
+          col("id").as("event_id"),
+          pmod(hash(col("id"), lit(1)), lit(nEv / 200)).cast("long").as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(hash(col("id"), lit(2)), lit(2592000L)) * 1000000L).as("ts"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("signup"), lit("error")),
+            (pmod(hash(col("id"), lit(3)), lit(5)) + 1).cast("int")).as("event_type"),
+          (pmod(hash(col("id"), lit(4)), lit(10000)) / 100.0).as("value"))
+        .write.mode("overwrite").parquet(evDir)
+    val ev = spark.read.parquet(evDir)
+    val nEvActual = ev.count()
+    println(s"[asoak] events=$nEvActual (~${nEv / 200} users)")
+    def funnelCount(): Long = {
+      import org.apache.spark.sql.functions.{unix_micros => um}
+      val e = ev.select(col("user_id"), col("event_type"), um(col("ts")).as("t"))
+      val dl = 43200000000L
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("mv"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("t") >= col("mv") && col("t") <= col("mv") + dl)
+        .groupBy("user_id").agg(min(col("t")).as("mc"))
+      e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("t") >= col("mc") && col("t") <= col("mc") + dl)
+        .groupBy("user_id").agg(min(col("t")).as("mp")).count()
+    }
+    timed("funnel_3stage", nEvActual) { funnelCount() }
+    timed("retention_d1_d7", nEvActual) {
+      val act = ev.select(col("user_id"),
+        floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+          .cast("long").as("day")).distinct()
+      val coh = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      coh.join(act, "user_id").groupBy("cohort")
+        .agg(countDistinct(col("user_id")).as("n"),
+          countDistinct(when(col("day") === col("cohort") + 1, col("user_id"))))
+        .count()
+    }
+    timed("transitions_matrix", nEvActual) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)))
+        .count()
+    }
     spark.stop()
   }
 }
