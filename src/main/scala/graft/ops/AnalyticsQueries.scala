@@ -852,9 +852,87 @@ object AnalyticsQueries {
       "null-extended unmatched clicks gated by the final watermark — " +
       "the outer state-eviction contract replayed exactly in the oracle")
 
+  // ----------------------------------- multiset set-ops + null-safe join
+  private val qExceptAll = Q(
+    "q_except_all",
+    (s, d) =>
+      // MULTISET difference (bag semantics): each occurrence subtracts
+      // one — the q_except twin that preserves duplicates, which is what
+      // reconciliation over fact tables actually needs (three identical
+      // rows minus one = two, not zero).
+      lineitem(s, d).select(col("l_orderkey").as("okey"))
+        .exceptAll(
+          lineitem(s, d).filter(col("l_quantity") >= 25)
+            .select(col("l_orderkey").as("okey")))
+        .groupBy("okey").agg(count(lit(1)).as("n"))
+        .orderBy("okey"),
+    Some("""SELECT okey, count(*) AS n FROM (
+              SELECT l_orderkey AS okey FROM lineitem
+              EXCEPT ALL
+              SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity >= 25)
+            GROUP BY okey ORDER BY okey"""),
+    "EXCEPT ALL multiset difference (duplicates preserved) — the bag " +
+      "semantics reconciliation needs; grouped for a stable compare")
+
+  private val qIntersectAll = Q(
+    "q_intersect_all",
+    (s, d) =>
+      // MULTISET intersection: min(multiplicity) per value across the
+      // two sides — the other half of the bag-semantics pair.
+      lineitem(s, d).filter(col("l_quantity") >= 20)
+        .select(col("l_orderkey").as("okey"))
+        .intersectAll(
+          lineitem(s, d).filter(col("l_discount") >= 0.03)
+            .select(col("l_orderkey").as("okey")))
+        .groupBy("okey").agg(count(lit(1)).as("n"))
+        .orderBy("okey"),
+    Some("""SELECT okey, count(*) AS n FROM (
+              SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity >= 20
+              INTERSECT ALL
+              SELECT l_orderkey AS okey FROM lineitem WHERE l_discount >= 0.03)
+            GROUP BY okey ORDER BY okey"""),
+    "INTERSECT ALL multiset intersection (min multiplicity per value) — " +
+      "completes the bag-semantics set-op pair")
+
+  private val qNullSafeJoin = Q(
+    "q_null_safe_join",
+    (s, d) => {
+      // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+      // MATCH each other — the semantics CDC reconciliation needs when
+      // the join key is nullable. Derived nullable keys on both sides
+      // (every 7th/5th key nulled) so the NULL bucket is exercised.
+      val a = orders(s, d).select(
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey") % 100).as("k"),
+        col("o_orderkey"))
+      val b = customer(s, d).select(
+        when(col("c_custkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey") % 100).as("k2"),
+        col("c_custkey"))
+      a.join(b, col("k") <=> col("k2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .select(coalesce(col("k"), lit(-1L)).as("k"), col("n_pairs"), col("n_cust"))
+        .orderBy("k")
+    },
+    Some("""SELECT coalesce(k, -1) AS k, count(*) AS n_pairs,
+                   count(DISTINCT c_custkey) AS n_cust
+            FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                              ELSE o_custkey % 100 END AS k, o_orderkey
+                  FROM orders) a
+            JOIN (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL
+                              ELSE c_custkey % 100 END AS k2, c_custkey
+                  FROM customer) b
+              ON a.k IS NOT DISTINCT FROM b.k2
+            GROUP BY a.k ORDER BY k"""),
+    "null-safe equality join (<=>): NULL keys match each other — the " +
+      "nullable-key reconciliation semantics, NULL bucket exercised")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
-    qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter)
+    qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter,
+    qExceptAll, qIntersectAll, qNullSafeJoin)
 }
