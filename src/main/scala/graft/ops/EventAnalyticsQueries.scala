@@ -287,6 +287,48 @@ object EventAnalyticsQueries {
     "first-order Markov transition matrix over per-user event sequences " +
       "— exact pair counts, one ordered window + type-pair aggregate")
 
+  // ------------------------------------------------- negative sampling
+  private val qNegativeEdges = Q(
+    "q_negative_edges",
+    (s, d) => {
+      // Link-prediction training pairs: every real edge labeled 1, plus
+      // per-source deterministic negative candidates (hash-proposed
+      // destinations) that survive an anti-join against the edge set,
+      // labeled 0. Content-addressed proposals (no RNG state) make the
+      // sample reproducible and oracle-replayable; the anti-join is the
+      // standard "proposed non-edge might actually exist" correction,
+      // done as ONE keyed join rather than per-sample lookups.
+      val ev = events(s, d)
+      val edges = ev.select(
+          (col("user_id") % 64).as("src"),
+          (col("event_id") % ((col("user_id") % 64) + 2)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      val nNodes = lit(65L) // id space of this construction: [0, 65)
+      val proposals = nodes
+        .select(col("node").as("src"),
+          explode(sequence(lit(1), lit(5))).as("j"))
+        .select(col("src"),
+          pmod(hash(col("src"), col("j")), nNodes).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val negatives = proposals
+        .join(edges, Seq("src", "dst"), "left_anti")
+        .select(col("src"), col("dst"), lit(0L).as("label"))
+      edges.select(col("src"), col("dst"), lit(1L).as("label"))
+        .unionByName(negatives)
+        .orderBy("src", "dst", "label")
+    },
+    None, // Spark's hash() (Murmur3 with Spark's seeding) is
+    // engine-specific — the PROPOSAL stream can't be replayed in DuckDB.
+    // Anchored by EventAnalyticsSpec: no negative is a real edge, every
+    // positive is, proposals are deterministic across runs.
+    "link-prediction training pairs: positives + hash-proposed negative " +
+      "candidates corrected by one anti-join — deterministic negative " +
+      "sampling with no RNG state")
+
   def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality,
-    qKcore, qTransitions)
+    qKcore, qTransitions, qNegativeEdges)
 }
