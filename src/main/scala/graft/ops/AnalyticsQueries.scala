@@ -929,10 +929,68 @@ object AnalyticsQueries {
     "null-safe equality join (<=>): NULL keys match each other — the " +
       "nullable-key reconciliation semantics, NULL bucket exercised")
 
+  // --------------------------------------------- MMR diversified top-k
+  /** Unrolled greedy replay of [[graft.ext.Mmr.diversifiedTopK]]: k−1
+    * rounds of penalty-max + argmax CTEs over the same integer-exact dot
+    * products.
+    */
+  private def mmrOracleSql(k: Int, poolSize: Int, dim: Int): String = {
+    val quant =
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"j -> CAST($a[j] AS DOUBLE)*$b[j])) AS BIGINT)"
+    val head =
+      s"""WITH qv AS (SELECT $quant AS v FROM embeddings WHERE vec_id = 0),
+         |pool AS (
+         |  SELECT vec_id, ev AS v, ${dot("ev", "q.v")} AS rel
+         |  FROM (SELECT vec_id, $quant AS ev FROM embeddings
+         |        WHERE vec_id <> 0) e
+         |  CROSS JOIN qv q
+         |  ORDER BY rel DESC, vec_id LIMIT $poolSize),
+         |sel1 AS (SELECT vec_id, v, rel, CAST(0 AS BIGINT) AS penalty,
+         |                CAST(1 AS BIGINT) AS rank
+         |         FROM pool ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { n =>
+      s""",
+         |p$n AS (
+         |  SELECT p.vec_id, p.v, p.rel, max(${dot("p.v", "s.v")}) AS pen
+         |  FROM pool p CROSS JOIN sel${n - 1} s
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+         |  GROUP BY p.vec_id, p.v, p.rel),
+         |s$n AS (SELECT vec_id, v, rel, pen AS penalty,
+         |               CAST($n AS BIGINT) AS rank
+         |        FROM p$n ORDER BY (rel - pen) DESC, vec_id LIMIT 1),
+         |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)""".stripMargin
+    }.mkString
+    s"$head$rounds\nSELECT rank, vec_id, rel, penalty FROM sel$k ORDER BY rank"
+  }
+
+  private val qSimMmr = Q(
+    "q_sim_mmr",
+    (s, d) => {
+      // MMR diversified retrieval: top-5 for the vec_id-0 query from a
+      // top-50 candidate pool, greedily penalizing similarity to what's
+      // already picked. Integer-exact quantized dot products (the
+      // fixed-point discipline) make the greedy path — including its
+      // ties — bit-identical to the unrolled DuckDB replay; the
+      // distributed stage is the corpus scoring + TakeOrdered pool, the
+      // greedy runs over the bounded rerank set.
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.ext.Mmr.diversifiedTopK(s, emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, k = 5, poolSize = 50)
+    },
+    Some(mmrOracleSql(k = 5, poolSize = 50, dim = 64)),
+    "MMR diversified top-k (relevance minus max-similarity-to-selected, " +
+      "λ=0.5) in exact integer arithmetic — greedy path hash-identical " +
+      "to the unrolled oracle; the serve-side counterpart of SemDeDup")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
     qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter,
-    qExceptAll, qIntersectAll, qNullSafeJoin)
+    qExceptAll, qIntersectAll, qNullSafeJoin, qSimMmr)
 }
