@@ -899,15 +899,18 @@ object AnalyticsQueries {
     (s, d) => {
       // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
       // MATCH each other — the semantics CDC reconciliation needs when
-      // the join key is nullable. Derived nullable keys on both sides
-      // (every 7th/5th key nulled) so the NULL bucket is exercised.
+      // the join key is nullable. Derived nullable keys on both sides so
+      // the NULL bucket is exercised — SPARSELY (every 97th order): NULL
+      // is one shared join key, so its bucket is a planted hot key whose
+      // cost is |nullA|×|nullB|; a production-nullable key wants exactly
+      // this guard (or the salted-join path) before a <=> join.
       val a = orders(s, d).select(
-        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
-          .otherwise(col("o_custkey") % 100).as("k"),
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey") % 1000).as("k"),
         col("o_orderkey"))
       val b = customer(s, d).select(
-        when(col("c_custkey") % 5 === 0, lit(null).cast("long"))
-          .otherwise(col("c_custkey") % 100).as("k2"),
+        when(col("c_custkey") % 101 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey") % 1000).as("k2"),
         col("c_custkey"))
       a.join(b, col("k") <=> col("k2"))
         .groupBy("k")
@@ -918,11 +921,11 @@ object AnalyticsQueries {
     },
     Some("""SELECT coalesce(k, -1) AS k, count(*) AS n_pairs,
                    count(DISTINCT c_custkey) AS n_cust
-            FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                              ELSE o_custkey % 100 END AS k, o_orderkey
+            FROM (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                              ELSE o_custkey % 1000 END AS k, o_orderkey
                   FROM orders) a
-            JOIN (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL
-                              ELSE c_custkey % 100 END AS k2, c_custkey
+            JOIN (SELECT CASE WHEN c_custkey % 101 = 0 THEN NULL
+                              ELSE c_custkey % 1000 END AS k2, c_custkey
                   FROM customer) b
               ON a.k IS NOT DISTINCT FROM b.k2
             GROUP BY a.k ORDER BY k"""),
