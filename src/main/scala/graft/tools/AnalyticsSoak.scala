@@ -87,6 +87,11 @@ object AnalyticsSoak {
       graft.ext.Cluster.clusterProfile(emb, "vec_id", "embedding",
         k = 32, iters = 2).count()
     }
+    timed("mmr_top10_pool100", nVecs) {
+      val q = Array.tabulate(64)(i => ((i * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+      graft.ext.Mmr.diversifiedTopK(spark, emb, "vec_id", "embedding", q,
+        k = 10, poolSize = 100).count()
+    }
 
     // ---- BFS over the GraphSoak power-law graph
     val gDir = s"/tmp/graft_graphsoak_$nEdges"

@@ -142,6 +142,18 @@ class GraphSpec extends SparkSpec {
         "chain edge) are gone")
   }
 
+  test("kCorePeel invariant: converged survivors all have in-subgraph degree >= k") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = Graph.kCorePeel(edges.toDF("src", "dst"), k = 5, rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 12 rounds is past convergence for 60 nodes: every survivor must
+    // have degree >= 5 within the surviving subgraph
+    assert(got.nonEmpty, "seeded graph is dense enough to have a 5-core")
+    assert(got.values.forall(_ >= 5L), s"non-core survivor in $got")
+  }
+
   test("kCorePeel: k above max degree empties the graph") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
     val got = Graph.kCorePeel(edges.toDF("src", "dst"), k = 3, rounds = 2)
