@@ -51,6 +51,36 @@ class ClusterSpec extends SparkSpec {
       a2.select("id", "cell").collect().toSet)
   }
 
+  test("assignments equal a driver-side reference Lloyd's on random data") {
+    val rnd = new scala.util.Random(5)
+    val data = (0L until 40L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 2 - 1)))
+    val got = Cluster.assignments(data.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4, iters = 3)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: same semantics, obvious sequential code
+    val q = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    var cents: Seq[(Long, Array[Long])] =
+      (0L until 4L).map(i => i -> q(i)).toSeq
+    def assign(): Map[Long, Long] =
+      q.map { case (id, v) =>
+        id -> cents.minBy { case (cid, c) => (d2(v, c), cid) }._1
+      }
+    for (_ <- 1 to 3) {
+      val a = assign()
+      cents = a.groupBy(_._2).toSeq.map { case (cell, members) =>
+        val vs = members.keys.map(q).toSeq
+        cell -> Array.tabulate(4)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+      }.sortBy(_._1)
+    }
+    assert(got == assign(), "distributed Lloyd's diverged from reference")
+  }
+
   test("a cell that loses all members drops out deterministically") {
     // seed 0 is an extreme outlier that immediately loses every point
     val pts = Seq(
