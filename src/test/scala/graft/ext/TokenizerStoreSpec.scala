@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The tokenizer write-once/reload lifecycle: a reloaded model must be
+  * EXACTLY the trained one (order included — BPE merge rank is apply
+  * order), and serving with the reloaded model must reproduce the same
+  * tokens.
+  */
+class TokenizerStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq("low lower lowest slow slower glow glowing")
+    .toDF("text")
+
+  test("BPE merges round-trip through the catalog, serve-identical") {
+    val merges = Bpe.train(corpus, "text", numMerges = 12)
+    TokenizerStore.writeBpe(spark, merges, "tok_store_bpe")
+    val reloaded = TokenizerStore.loadBpe(spark, "tok_store_bpe")
+    assert(reloaded == merges, "merge list (and its order) must survive")
+    val a = corpus.select(Bpe.tokens(col("text"), merges)).head().getSeq[String](0)
+    val b = corpus.select(Bpe.tokens(col("text"), reloaded)).head().getSeq[String](0)
+    assert(a == b)
+  }
+
+  test("WordPiece vocab round-trips, serve-identical") {
+    val vocab = WordPiece.train(corpus, "text", numMerges = 12)
+    TokenizerStore.writeWordPiece(spark, vocab, "tok_store_wp")
+    val reloaded = TokenizerStore.loadWordPiece(spark, "tok_store_wp")
+    assert(reloaded == vocab)
+    val st = graft.functions.WordPieceOps
+    assert(st.segment("lowest", vocab.toSet) == st.segment("lowest", reloaded.toSet))
+  }
+
+  test("Unigram piece table round-trips bit-exactly (log probs included)") {
+    val pieces = Unigram.train(corpus, "text", vocabSize = 24)
+    TokenizerStore.writeUnigram(spark, pieces, "tok_store_uni")
+    val reloaded = TokenizerStore.loadUnigram(spark, "tok_store_uni")
+    assert(reloaded.map(_._1) == pieces.map(_._1))
+    // doubles survive parquet bit-exactly
+    assert(reloaded.map(_._2.doubleValue) == pieces.map(_._2.doubleValue))
+  }
+}
