@@ -990,10 +990,44 @@ object AnalyticsQueries {
       "λ=0.5) in exact integer arithmetic — greedy path hash-identical " +
       "to the unrolled oracle; the serve-side counterpart of SemDeDup")
 
+  // ------------------------------------------------- recursive CTE
+  private val recursiveTreeSql =
+    """WITH RECURSIVE tree(custkey, level, chain_bal) AS (
+      |  SELECT c_custkey, CAST(0 AS BIGINT), CAST(c_acctbal AS DECIMAL(18,2))
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.level + 1,
+      |         CAST(t.chain_bal + CAST(c.c_acctbal AS DECIMAL(18,2))
+      |              AS DECIMAL(18,2))
+      |  FROM tree t JOIN customer c
+      |    ON c.c_custkey = 2*t.custkey OR c.c_custkey = 2*t.custkey + 1
+      |  WHERE t.level < 12)
+      |SELECT custkey, level, CAST(chain_bal AS DOUBLE) AS chain_bal
+      |FROM tree ORDER BY custkey""".stripMargin
+
+  private val qRecursiveCte = Q(
+    "q_recursive_cte",
+    (s, d) => {
+      // Spark 4's NATIVE recursive CTE (SPARK-24497): a hierarchy walk
+      // over the implicit binary tree parent(c)=c div 2, accumulating
+      // root-to-node decimal-exact balance chains. UNION ALL recursion
+      // is exact here because a tree reaches each node once (Spark does
+      // not yet support UNION-dedup recursion — cyclic fixpoints remain
+      // the iterative-DataFrame loops: shortestPaths/pageRank/kCore).
+      // The SAME SQL text runs in DuckDB — engine parity at the dialect
+      // level, not just the result level.
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql(recursiveTreeSql) // literally the oracle text
+    },
+    Some(recursiveTreeSql),
+    "native recursive CTE (Spark 4 WITH RECURSIVE): binary-tree " +
+      "hierarchy walk with decimal-exact chain accumulation — the " +
+      "identical SQL text runs in both engines")
+
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
     qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter,
-    qExceptAll, qIntersectAll, qNullSafeJoin, qSimMmr)
+    qExceptAll, qIntersectAll, qNullSafeJoin, qSimMmr, qRecursiveCte)
 }
