@@ -1029,5 +1029,70 @@ object AnalyticsQueries {
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
     qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter,
-    qExceptAll, qIntersectAll, qNullSafeJoin, qSimMmr, qRecursiveCte)
+    qExceptAll, qIntersectAll, qNullSafeJoin, qSimMmr, qRecursiveCte,
+    qVariant, qSqlUdf)
+
+  // --------------------------------------------------- VARIANT columns
+  private val qVariant = Q(
+    "q_variant",
+    (s, d) =>
+      // Spark 4's VARIANT type (open semi-structured storage): parse the
+      // JSON props column once into a variant, extract typed paths with
+      // variant_get, aggregate — the schema-on-read path for
+      // heterogeneous metadata columns at lake scale (binary variant
+      // encoding scans ~an order faster than re-parsing JSON text per
+      // access). The oracle replays the same paths with DuckDB's JSON
+      // extraction over the raw strings — value parity across the two
+      // representations.
+      events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    "VARIANT semi-structured column (Spark 4): parse_json → typed " +
+      "variant_get paths → aggregate; oracle replays via DuckDB JSON " +
+      "extraction — value parity across representations")
+
+  // ------------------------------------------------------- SQL UDFs
+  private val qSqlUdf = Q(
+    "q_sql_udf",
+    (s, d) => {
+      // Declarative SQL UDF (CREATE FUNCTION ... RETURN expr): the
+      // engine-native UDF surface that stays INSIDE Catalyst — the body
+      // inlines into the plan (codegen, pushdown-eligible), unlike
+      // black-box JVM lambdas. The oracle states the inlined expression
+      // directly, proving the UDF is pure plan sugar.
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(
+                 price DOUBLE, disc DOUBLE, tax DOUBLE)
+               RETURNS DOUBLE
+               RETURN CAST(CAST(price AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(disc AS DECIMAL(18,2)))
+                           * (CAST(1 AS DECIMAL(18,2)) + CAST(tax AS DECIMAL(18,2)))
+                           AS DOUBLE)""")
+      lineitem(s, d).createOrReplaceTempView("lineitem_udf")
+      s.sql("""SELECT l_returnflag,
+                      CAST(sum(CAST(graft_charge(l_extendedprice, l_discount, l_tax)
+                                    AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+                      count(*) AS n
+               FROM lineitem_udf
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(sum(CAST(
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                          * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+                          AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    "declarative SQL UDF (CREATE FUNCTION ... RETURN): body inlines into " +
+      "the Catalyst plan (codegen/pushdown-eligible); oracle states the " +
+      "inlined expression, proving the UDF is plan sugar, not a black box")
 }
