@@ -1030,7 +1030,7 @@ object AnalyticsQueries {
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
     qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter,
     qExceptAll, qIntersectAll, qNullSafeJoin, qSimMmr, qRecursiveCte,
-    qVariant, qSqlUdf)
+    qVariant, qSqlUdf, qSqlTableUdf)
 
   // --------------------------------------------------- VARIANT columns
   private val qVariant = Q(
@@ -1095,4 +1095,37 @@ object AnalyticsQueries {
     "declarative SQL UDF (CREATE FUNCTION ... RETURN): body inlines into " +
       "the Catalyst plan (codegen/pushdown-eligible); oracle states the " +
       "inlined expression, proving the UDF is plan sugar, not a black box")
+
+  // ------------------------------------------------ SQL table functions
+  private val qSqlTableUdf = Q(
+    "q_sql_table_udf",
+    (s, d) => {
+      // SQL TABLE function (RETURNS TABLE ... RETURN SELECT): a
+      // parameterized view invocable in FROM position — the declarative
+      // UDTF surface (module-stage analog), planned like any subquery.
+      // The oracle inlines the body with the same arguments.
+      customer(s, d).createOrReplaceTempView("customer_tf")
+      // a parameter cannot drive LIMIT (must be a constant expression),
+      // so top-k is a rank filter — which the group-limit optimization
+      // executes as the same bounded scan anyway
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_top_customers(
+                 seg STRING, k INT)
+               RETURNS TABLE(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+               RETURN SELECT c_custkey, c_name, c_acctbal FROM (
+                        SELECT c_custkey, c_name, c_acctbal,
+                               row_number() OVER (ORDER BY c_acctbal DESC,
+                                                  c_custkey) AS rn
+                        FROM customer_tf
+                        WHERE c_mktsegment = seg)
+                      WHERE rn <= k""")
+      s.sql("""SELECT * FROM graft_top_customers('BUILDING', 15)
+               ORDER BY c_acctbal DESC, c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 15"""),
+    "SQL TABLE function (parameterized view in FROM position) — the " +
+      "declarative UDTF surface; oracle inlines the body with the bound " +
+      "arguments")
 }
