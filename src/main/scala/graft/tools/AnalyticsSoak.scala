@@ -17,6 +17,12 @@ object AnalyticsSoak {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val nEdges = args.lift(2).map(_.toLong).getOrElse(8000000L)
+    // optional 4th arg: comma-separated substrings — only stages whose
+    // name contains one run (the ScaleSoak re-measurement loop)
+    val only: Seq[String] = args.lift(3)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -25,7 +31,7 @@ object AnalyticsSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(name: String, unit: Long)(body: => Long): Unit = {
+    def timed(name: String, unit: Long)(body: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val dt = (System.nanoTime() - t0) / 1e9
@@ -34,9 +40,14 @@ object AnalyticsSoak {
       graft.ops.CacheUtils.releaseAll(spark)
     }
 
-    // ---- text family over the ScaleSoak corpus
-    val docs = ScaleSoak.corpus(spark, nDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- text family over the ScaleSoak corpus, MATERIALIZED to parquet
+    // once: releaseAll between stages would otherwise drop an in-memory
+    // persist and every later stage would re-pay corpus generation inside
+    // its own timing (the round-7 wordpiece_stats artifact)
+    val docsDir = s"/tmp/graft_asoak_docs_$nDocs"
+    if (!new java.io.File(s"$docsDir/_SUCCESS").exists())
+      ScaleSoak.corpus(spark, nDocs).write.mode("overwrite").parquet(docsDir)
+    val docs = spark.read.parquet(docsDir)
     println(s"[asoak] docs=${docs.count()} vecs=$nVecs edges=$nEdges")
     timed("blocklist_gate", nDocs) {
       docs.select(col("doc_id"),
@@ -69,7 +80,6 @@ object AnalyticsSoak {
           (log(u) / (length(col("text")) + 1)).as("k"))
         .orderBy(col("k").desc).limit(1000).count()
     }
-    docs.unpersist(blocking = false)
 
     // ---- k-means over ScaleSoak-style synthetic vectors (32 latent
     // clusters planted by construction)
