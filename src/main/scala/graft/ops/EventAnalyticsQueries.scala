@@ -329,6 +329,44 @@ object EventAnalyticsQueries {
       "candidates corrected by one anti-join — deterministic negative " +
       "sampling with no RNG state")
 
+  // ------------------------------------------------- skew diagnostics
+  private val qSkewReport = Q(
+    "q_skew_report",
+    (s, d) => {
+      // The "should I salt this join key" probe, as a first-class query:
+      // per-key frequency distribution stats for a join column — top-1
+      // share, exact p50/p90/p99 of per-key counts, and the hot-key count
+      // above 10× the median. Two aggregates (key counts → distribution
+      // stats), both map-side combined; this is what SkewUtils' sampled
+      // detection decides from, exposed exactly.
+      val counts = events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_n"),
+          percentile(col("n"), lit(0.5)).as("p50"),
+          percentile(col("n"), lit(0.9)).as("p90"),
+          percentile(col("n"), lit(0.99)).as("p99"))
+        .select(col("n_keys"), col("n_rows"), col("max_n"),
+          col("p50"), col("p90"), col("p99"),
+          round(col("max_n").cast("double") / col("n_rows"), 6)
+            .as("top1_share"))
+    },
+    Some("""WITH counts AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+            SELECT count(*) AS n_keys,
+                   sum(n) AS n_rows,
+                   max(n) AS max_n,
+                   quantile_cont(n, 0.5) AS p50,
+                   quantile_cont(n, 0.9) AS p90,
+                   quantile_cont(n, 0.99) AS p99,
+                   round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top1_share
+            FROM counts"""),
+    "join-key skew report: per-key count distribution (top-1 share, " +
+      "exact percentiles) — the operational 'salt or not' probe behind " +
+      "SkewUtils, as a declared query")
+
   def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality,
-    qKcore, qTransitions, qNegativeEdges)
+    qKcore, qTransitions, qNegativeEdges, qSkewReport)
 }
