@@ -367,6 +367,27 @@ object EventAnalyticsQueries {
       "exact percentiles) — the operational 'salt or not' probe behind " +
       "SkewUtils, as a declared query")
 
+  // ----------------------------------------------- GROUP BY ALL parity
+  private val qGroupByAll = Q(
+    "q_group_by_all",
+    (s, d) => {
+      // GROUP BY ALL / ORDER BY ALL (the modern analyst dialect both
+      // engines now speak): grouping keys inferred from the
+      // non-aggregate select list. The SQL text passed to spark.sql IS
+      // the oracle string — dialect-level parity like q_recursive_cte.
+      events(s, d).createOrReplaceTempView("events_gba")
+      s.sql("""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                      count(*) AS n
+               FROM events_gba
+               GROUP BY ALL ORDER BY ALL""")
+    },
+    Some("""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   count(*) AS n
+            FROM events
+            GROUP BY ALL ORDER BY ALL"""),
+    "GROUP BY ALL / ORDER BY ALL dialect parity — grouping keys " +
+      "inferred from the select list; identical SQL text in both engines")
+
   def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality,
-    qKcore, qTransitions, qNegativeEdges, qSkewReport)
+    qKcore, qTransitions, qNegativeEdges, qSkewReport, qGroupByAll)
 }
