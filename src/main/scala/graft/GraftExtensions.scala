@@ -134,6 +134,9 @@ object GraftExtensions {
           if (elems.exists(_ == null))
             throw new IllegalArgumentException(
               "multi_match_count: terms array must not contain NULL")
+          if (elems.exists(_.toString.isEmpty))
+            throw new IllegalArgumentException(
+              "multi_match_count: terms array must not contain empty strings")
           elems.map(_.toString).toSeq
         case other => throw new IllegalArgumentException(
           s"multi_match_count: terms must be an array literal, got $other")

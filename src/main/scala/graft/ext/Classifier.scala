@@ -140,9 +140,10 @@ object Classifier {
     val gsq = Array.fill(dim + 1)(0.0)
     try {
       (0 until iters).foreach { _ =>
-        val wLit = typedlit(w.toSeq)
-        val z = aggregate(col("_f"), lit(0.0),
-          (acc, f) => acc + element_at(wLit, f("i") + 1) * f("x"))
+        // codegen sparse-dot kernel (same left-to-right double sum as the
+        // aggregate() HOF it replaces — bit-identical model, ~interpreter
+        // wall removed; weights ride as a plan reference object)
+        val z = graft.functions.SparseDot.sparse_dot_w(col("_f"), w.clone())
         val p = lit(1.0) / (lit(1.0) + exp(-z))
         // gradient histogram: dim+1 reducer keys, DECIMAL-exact so the
         // result (and therefore the trained model) is partitioning-stable

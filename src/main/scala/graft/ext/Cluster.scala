@@ -62,12 +62,16 @@ object Cluster {
     val points = embeddings.select(
       col(idCol).cast("long").as("id"), quantize(col(embCol)).as("v"))
     val dim = points.select(size(col("v"))).head().getInt(0)
-    // seed centroids: the k lowest-id vectors — k rows, a model artifact
-    var cents: Seq[(Long, Array[Long])] = points.filter(col("id") < k)
-      .orderBy("id").collect()
+    // seed centroids: the k lowest-id vectors — k rows, a model artifact.
+    // ORDER BY id LIMIT k (not `id < k`): correct for sparse, offset, or
+    // hashed id spaces, where a dense-id filter would under-seed or come
+    // back empty. Cell labels are the seed ids themselves.
+    var cents: Seq[(Long, Array[Long])] = points
+      .orderBy("id").limit(k).collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Long](1).toArray)
       .toSeq
+    require(cents.nonEmpty, "k-means needs at least one input vector")
     val sumCols = (0 until dim).map(i =>
       sum(element_at(col("v"), i + 1)).as(s"s$i"))
     for (_ <- 1 to iters) {

@@ -20,16 +20,33 @@ object TokenizerStore {
     * leave the table's warehouse DIRECTORY behind without its catalog
     * entry, and `mode("overwrite")` then fails with
     * LOCATION_ALREADY_EXISTS (Spark validates the location on CREATE).
-    * Drop the entry AND clear the stale location first.
+    * Drop the entry (resolving the real location from the catalog while
+    * it still exists) AND clear the stale location. Handles qualified
+    * `db.tbl` names — the managed path is `<wh>/<db>.db/<tbl>`, not
+    * `<wh>/<db>.tbl` — and surfaces (rather than swallows) a failed
+    * directory delete, since the overwrite would fail right after anyway.
     */
   private def reset(spark: SparkSession, table: String): Unit = {
+    // Prefer the catalog's own answer while the table entry still exists.
+    val catalogLoc: Option[String] =
+      if (spark.catalog.tableExists(table))
+        try Option(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .select("data_type").head().getString(0))
+        catch { case _: Exception => None }
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
-    if (loc.exists())
-      try org.apache.commons.io.FileUtils.deleteDirectory(loc)
-      catch { case _: Exception => () }
+    val path = catalogLoc.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val parts = table.toLowerCase(java.util.Locale.ROOT).split('.')
+      val rel = parts match {
+        case Array(db, tbl) => s"$db.db/$tbl"
+        case _              => parts.mkString("/")
+      }
+      s"$wh/$rel"
+    }
+    val loc = new java.io.File(path.stripPrefix("file:"))
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
   }
 
   def writeBpe(spark: SparkSession, merges: Seq[(String, String)],

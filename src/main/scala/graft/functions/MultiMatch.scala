@@ -112,6 +112,9 @@ object MultiMatch {
 case class MultiMatchCount(child: Expression, terms: Seq[String])
     extends UnaryExpression {
   require(terms.nonEmpty, "multi_match_count: empty term list")
+  // Fail at plan construction, not from the transient lazy automaton's
+  // first evaluation on an executor (a confusing mid-query error).
+  require(terms.forall(_.nonEmpty), "multi_match_count: empty term")
 
   @transient private lazy val ac = new AhoCorasick(terms)
 

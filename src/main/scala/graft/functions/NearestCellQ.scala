@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Nearest centroid by EXACT integer squared-L2 over quantized (long)
   * vectors — the assignment kernel of [[graft.ext.Cluster]].
@@ -61,6 +62,13 @@ case class NearestCellQExpr(
   require(cents.nonEmpty && cents.length == ids.length,
     "nearest_cell_q: empty or mismatched centroid set")
 
+  // Strict array<bigint> contract: compute() reads 8-byte slots via
+  // getLong — any other numeric array would reinterpret raw bytes.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell_q requires array<bigint> input, got ${other.sql}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_cell_q"
 

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Fused quantize-and-dot kernel: `Σ_i floor(x_i·1e6) · q_i` over a float
   * vector column and a pre-quantized literal query — the relevance scan of
@@ -35,6 +36,14 @@ case class QuantizedDotExpr(child: Expression, q: Array[Long])
     extends UnaryExpression {
   require(q.nonEmpty, "quantized_dot: empty query")
 
+  // Strict array<float> contract: compute() reads 4-byte slots via
+  // getFloat — an array<double> input would silently reinterpret half of
+  // each 8-byte slot as garbage. Fail at analysis time instead.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantized_dot requires array<float> input, got ${other.sql}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
 

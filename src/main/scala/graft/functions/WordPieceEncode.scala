@@ -42,6 +42,16 @@ object WordPieceOps {
     out.toSeq
   }
 
+  /** Exactly the train-time word boundary: the Java-regex default `\s`
+    * class used by `Bpe.wordHistogram`'s `split(text, "\\s+")`. NOT
+    * `Character.isWhitespace` — the two disagree on Unicode whitespace
+    * (U+2028/U+2029, U+001C–1F), and a word seen whole at train time must
+    * never split differently at serve time (it would emit spurious
+    * `[UNK]`s on non-ASCII corpora).
+    */
+  @inline def isWordBreak(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** (n_pieces, n_unk) over all whitespace words of `text`. */
   def computeStats(text: UTF8String, vocab: java.util.HashSet[String]): InternalRow = {
     val s = text.toString
@@ -51,7 +61,7 @@ object WordPieceOps {
     val len = s.length
     while (from <= len) {
       var to = from
-      while (to < len && !Character.isWhitespace(s.charAt(to))) to += 1
+      while (to < len && !isWordBreak(s.charAt(to))) to += 1
       if (to > from) {
         val word = s.substring(from, to)
         var start = 0

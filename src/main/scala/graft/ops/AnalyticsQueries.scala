@@ -40,7 +40,7 @@ object AnalyticsQueries {
          |           x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
          |  FROM embeddings),
          |pos AS (SELECT unnest(range(1, ${dim + 1})) AS pos),
-         |c0 AS (SELECT id AS cell, v AS cv FROM q WHERE id < $k)""".stripMargin
+         |c0 AS (SELECT id AS cell, v AS cv FROM q ORDER BY id LIMIT $k)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s""",
          |a$i AS (
@@ -55,20 +55,29 @@ object AnalyticsQueries {
     s"""$head$rounds,
        |afin AS (
        |  ${assignFrom(s"c$iters")})
-       |SELECT cell, n_members, centroid FROM (
-       |  SELECT cell, max(n) AS n_members, list(s ORDER BY pos) AS centroid FROM (
-       |    SELECT cell, pos, CAST(count(*) AS BIGINT) AS n,
-       |           CAST(floor(CAST(sum(v[pos]) AS DOUBLE)/count(*)) AS BIGINT) AS s
-       |    FROM afin CROSS JOIN pos GROUP BY cell, pos)
-       |  GROUP BY cell)
-       |ORDER BY cell""".stripMargin
+       |SELECT cell, n AS n_members, CAST(pos - 1 AS BIGINT) AS dim_idx,
+       |       s AS coord FROM (
+       |  SELECT cell, pos, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(floor(CAST(sum(v[pos]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+       |  FROM afin CROSS JOIN pos GROUP BY cell, pos)
+       |ORDER BY cell, dim_idx""".stripMargin
   }
 
   private val qKmeans = Q(
     "q_kmeans",
     (s, d) =>
+      // Scalarized output: the centroid array is exploded to one
+      // (cell, n_members, dim_idx, coord) row per component so every
+      // declared column is atomic (array cells are ungradeable by the
+      // oracle comparator). Cluster.clusterProfile stays the array-valued
+      // library API.
       Cluster.clusterProfile(embeddings(s, d), "vec_id", "embedding",
-        k = 8, iters = 2),
+        k = 8, iters = 2)
+        .select(col("cell"), col("n_members"),
+          posexplode(col("centroid")).as(Seq("p", "coord")))
+        .select(col("cell"), col("n_members"),
+          col("p").cast("long").as("dim_idx"), col("coord"))
+        .orderBy("cell", "dim_idx"),
     Some(kmeansOracleSql(k = 8, iters = 2, dim = 64)),
     "Lloyd's k-means (2 full rounds, deterministic lowest-id seeds) in " +
       "quantized integer space — the distributed broadcast-assign/keyed-" +
@@ -634,11 +643,17 @@ object AnalyticsQueries {
       // combined aggregate shipping kilobyte summaries. Rows-only
       // (approximate by definition); q_quantiles is the exact twin, and
       // accuracy=10000 bounds rank error at 1/10000.
+      // Scalarized: one (event_type, q_ppm, approx_value) row per
+      // quartile — array cells are ungradeable by the oracle comparator.
       events(s, d)
         .groupBy("event_type")
         .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)")
-          .as("approx_quartiles"))
-        .orderBy("event_type"),
+          .as("qs"))
+        .select(col("event_type"), posexplode(col("qs")).as(Seq("p", "approx_value")))
+        .select(col("event_type"),
+          ((col("p") + 1) * 250000L).cast("long").as("q_ppm"),
+          col("approx_value"))
+        .orderBy("event_type", "q_ppm"),
     None, // sketch estimate; exact anchor q_quantiles (same quartile set
     // computed exactly and oracle-checked)
     "mergeable approximate quantile sketch per group (approx_percentile " +
@@ -1052,7 +1067,7 @@ object AnalyticsQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type"),
     Some("""SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""),
@@ -1069,17 +1084,24 @@ object AnalyticsQueries {
       // inlines into the plan (codegen, pushdown-eligible), unlike
       // black-box JVM lambdas. The oracle states the inlined expression
       // directly, proving the UDF is pure plan sugar.
+      // Exact-decimal discipline: the product stays DECIMAL end-to-end
+      // (scale 2×2→4, ×2→6 — each step lossless), the sum is decimal,
+      // and DOUBLE appears exactly once at the very end. A
+      // decimal→double→decimal round-trip here would re-quantize
+      // 6th-decimal "…50" ties HALF_UP (Spark) vs half-even (DuckDB)
+      // and drift the sum.
       s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(
                  price DOUBLE, disc DOUBLE, tax DOUBLE)
-               RETURNS DOUBLE
-               RETURN CAST(CAST(price AS DECIMAL(18,2))
-                           * (CAST(1 AS DECIMAL(18,2)) - CAST(disc AS DECIMAL(18,2)))
+               RETURNS DECIMAL(18,6)
+               RETURN CAST(CAST(CAST(price AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(18,2)) - CAST(disc AS DECIMAL(18,2)))
+                                AS DECIMAL(18,4))
                            * (CAST(1 AS DECIMAL(18,2)) + CAST(tax AS DECIMAL(18,2)))
-                           AS DOUBLE)""")
+                           AS DECIMAL(18,6))""")
       lineitem(s, d).createOrReplaceTempView("lineitem_udf")
       s.sql("""SELECT l_returnflag,
-                      CAST(sum(CAST(graft_charge(l_extendedprice, l_discount, l_tax)
-                                    AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+                      CAST(sum(graft_charge(l_extendedprice, l_discount, l_tax))
+                           AS DOUBLE) AS total_charge,
                       count(*) AS n
                FROM lineitem_udf
                GROUP BY l_returnflag ORDER BY l_returnflag""")
@@ -1088,8 +1110,9 @@ object AnalyticsQueries {
                    CAST(sum(CAST(
                      CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                          * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
-                          AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS total_charge,
+                          AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+                     AS DECIMAL(18,6))) AS DOUBLE) AS total_charge,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     "declarative SQL UDF (CREATE FUNCTION ... RETURN): body inlines into " +

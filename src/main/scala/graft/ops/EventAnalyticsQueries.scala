@@ -341,27 +341,32 @@ object EventAnalyticsQueries {
       // detection decides from, exposed exactly.
       val counts = events(s, d)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      // Float discipline: the interpolated percentiles are quantized to
+      // ppm longs (exact below 2^53) and top-1 share is stated in exact
+      // integer ppm — no double cell ever reaches the comparator.
       counts.agg(
           count(lit(1)).as("n_keys"),
           sum(col("n")).as("n_rows"),
           max(col("n")).as("max_n"),
-          percentile(col("n"), lit(0.5)).as("p50"),
-          percentile(col("n"), lit(0.9)).as("p90"),
-          percentile(col("n"), lit(0.99)).as("p99"))
+          percentile(col("n"), lit(0.5)).as("p50d"),
+          percentile(col("n"), lit(0.9)).as("p90d"),
+          percentile(col("n"), lit(0.99)).as("p99d"))
         .select(col("n_keys"), col("n_rows"), col("max_n"),
-          col("p50"), col("p90"), col("p99"),
-          round(col("max_n").cast("double") / col("n_rows"), 6)
-            .as("top1_share"))
+          floor(col("p50d") * lit(1000000L)).cast("long").as("p50_ppm"),
+          floor(col("p90d") * lit(1000000L)).cast("long").as("p90_ppm"),
+          floor(col("p99d") * lit(1000000L)).cast("long").as("p99_ppm"),
+          expr("CAST((max_n * 1000000) DIV n_rows AS BIGINT)")
+            .as("top1_share_ppm"))
     },
     Some("""WITH counts AS (
               SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
             SELECT count(*) AS n_keys,
-                   sum(n) AS n_rows,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
                    max(n) AS max_n,
-                   quantile_cont(n, 0.5) AS p50,
-                   quantile_cont(n, 0.9) AS p90,
-                   quantile_cont(n, 0.99) AS p99,
-                   round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top1_share
+                   CAST(floor(quantile_cont(n, 0.5) * 1000000) AS BIGINT) AS p50_ppm,
+                   CAST(floor(quantile_cont(n, 0.9) * 1000000) AS BIGINT) AS p90_ppm,
+                   CAST(floor(quantile_cont(n, 0.99) * 1000000) AS BIGINT) AS p99_ppm,
+                   CAST((max(n) * 1000000) // sum(n) AS BIGINT) AS top1_share_ppm
             FROM counts"""),
     "join-key skew report: per-key count distribution (top-1 share, " +
       "exact percentiles) — the operational 'salt or not' probe behind " +

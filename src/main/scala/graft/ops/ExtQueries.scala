@@ -1279,8 +1279,15 @@ object ExtQueries {
   private val qQualityScore = Q(
     "q_quality_score",
     (s, d) =>
+      // Float discipline: the composite score is declared in integer
+      // TENTHS (4+3+3). The library's double `quality_score` sums 0.4+0.3
+      // to 0.7000000000000001 while DuckDB's DECIMAL literals sum to 0.7
+      // exactly — invisible at one SF, a hash-fail at another. The
+      // integer form is exact in both engines at any SF.
       TextAnalysis.qualityFeatures(documents(s, d), "text")
-        .select("doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "quality_score")
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("stopword_ratio"),
+          round(col("quality_score") * 10).cast("long").as("quality_x10"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1289,15 +1296,15 @@ object ExtQueries {
                    CAST(len(list_filter(string_split(text, ' '),
                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
                      / len(string_split(text, ' ')) AS stopword_ratio,
-                   (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END
+                   CAST(CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 4 ELSE 0 END
                     + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                             / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+                             / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END
                     + CASE WHEN CAST(len(list_filter(string_split(text, ' '),
                              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-                             / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END)
-                     AS quality_score
+                             / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6 THEN 3 ELSE 0 END
+                     AS BIGINT) AS quality_x10
             FROM documents ORDER BY doc_id"""),
-    "document quality features + composite score")
+    "document quality features + composite score (integer tenths)")
 
   private val qLangId = Q(
     "q_lang_id",

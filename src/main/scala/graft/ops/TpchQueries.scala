@@ -403,10 +403,10 @@ object TpchQueries {
         .orderBy("l_shipmode")
     },
     Some("""SELECT l_shipmode,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM (SELECT l_orderkey, 'MODE_' || (l_linenumber % 3) AS l_shipmode
                   FROM lineitem
                   WHERE l_shipdate >= TIMESTAMP '1997-01-01'

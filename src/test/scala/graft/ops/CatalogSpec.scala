@@ -32,4 +32,21 @@ class CatalogSpec extends SparkSpec {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("every declared query emits only atomic columns (driver sorts all results)") {
+    // The driver's comparator pandas-sorts EVERY result (rows-only ones
+    // included) on all columns before grading; an array/map/struct cell
+    // raises `unhashable type: numpy.ndarray` driver-side and the query
+    // records an err instead of a grade. Scalarize (explode) instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sfDir).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(bad.isEmpty,
+        s"$name emits non-atomic columns ${bad.map(_.name).mkString(",")} " +
+          "— the driver comparator cannot sort them; explode to scalar rows")
+    }
+  }
 }

@@ -5,9 +5,26 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 
 For each query dir under <verifyOutDir>: read the Spark parquet result,
 run the matching oracle SQL from oracle_sql.json in DuckDB (with views
-over <sfDir>/*.parquet), sort columns by name, and compare row count +
-values (hash of stringified cells, floats rounded to 9 significant
-digits to mimic a value-hash compare).
+over <sfDir>/*.parquet), and compare row count + schema + values.
+
+This mirrors the DRIVER comparator, which is stricter than a naive
+diff in two ways that have historically shipped hidden defects:
+
+1. Rows are SORTED on all columns (pandas sort_values) before
+   comparing — a non-atomic (array/list) cell makes that sort raise
+   `TypeError: unhashable type`, exactly as it does driver-side, so
+   declared queries must emit only atomic columns. The sort is applied
+   to rows-only results too (the driver sorts those as well).
+2. Cells keep their Python type in the repr: an int 975 and a float
+   975.0 are DIFFERENT values. DuckDB silently promotes `sum(int)` to
+   HUGEINT which lands in pandas as float64 — a bare `sum(...)` in
+   oracle SQL therefore fails the compare even when the numbers agree.
+   Floats use full repr (no significant-digit coercion), so
+   13th-digit drift is visible, not masked.
+
+The script also warns when an oracle column comes back HUGEINT /
+DECIMAL-typed from DuckDB (run `DESCRIBE`), pointing at the missing
+`CAST(... AS BIGINT/DOUBLE)`.
 """
 import sys, os, json, math
 import duckdb
@@ -19,24 +36,45 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    # Mirror the driver: keep int/float distinction, full float repr.
+    if v is None:
         return "NULL"
     if isinstance(v, float):
-        if v == 0:
-            return "0"
-        return f"{v:.9g}"
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "item") and type(v).__module__ == "numpy" \
+            and type(v).__name__ != "ndarray":
+        return norm_cell(v.item())
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
 def frame_repr(df):
+    """Column-sort, row-sort (driver-faithful: raises TypeError on
+    array cells), then normalize every cell."""
     df = df[sorted(df.columns)]
-    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return [tuple(norm_cell(v) for v in row)
+            for row in df.itertuples(index=False)]
+
+
+def oracle_type_warnings(con, sql):
+    """DESCRIBE the oracle SQL; flag HUGEINT/decimal columns that the
+    driver renders as floats (the bare-sum class)."""
+    try:
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+    except Exception:
+        return []
+    bad = [(c, t) for (c, t, *_rest) in desc
+           if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
+    return bad
 
 
 def main(sf_dir, out_dir):
@@ -52,7 +90,15 @@ def main(sf_dir, out_dir):
     for name in names:
         spark_df = pq.read_table(os.path.join(out_dir, name)).to_pandas()
         if name not in oracle:
-            status = f"ROWS-ONLY rows={len(spark_df)}" + (" !! EMPTY" if len(spark_df) == 0 else "")
+            try:
+                frame_repr(spark_df)  # driver sorts rows-only results too
+            except TypeError as e:
+                print(f"{name:24s} FAIL unsortable output (array/map column "
+                      f"crashes the driver comparator): {e}")
+                n_fail += 1
+                continue
+            status = f"ROWS-ONLY rows={len(spark_df)}" + \
+                (" !! EMPTY" if len(spark_df) == 0 else "")
             n_rowsonly += 1
             print(f"{name:24s} {status}")
             continue
@@ -62,7 +108,16 @@ def main(sf_dir, out_dir):
             print(f"{name:24s} FAIL oracle-sql-error: {e}")
             n_fail += 1
             continue
-        a, b = frame_repr(spark_df), frame_repr(duck_df)
+        for c, t in oracle_type_warnings(con, oracle[name]):
+            print(f"{name:24s} WARN oracle column `{c}` is {t} — driver "
+                  f"renders it float; CAST(... AS BIGINT/DOUBLE) in the SQL")
+        try:
+            a, b = frame_repr(spark_df), frame_repr(duck_df)
+        except TypeError as e:
+            print(f"{name:24s} FAIL unsortable output (array/map column "
+                  f"crashes the driver comparator): {e}")
+            n_fail += 1
+            continue
         if len(a) != len(b):
             print(f"{name:24s} FAIL rowcount spark={len(a)} duck={len(b)}")
             n_fail += 1
