@@ -656,9 +656,38 @@ object AdvancedQueries {
         .orderBy("doc_id")
     },
     None, // model-defined (trained vocabulary); q_token_count is the
-    // oracle-checked twin for the counting kernels
+    // oracle-checked counting twin and q_unigram_anchor is the
+    // driver-visible conservation certificate over the same trained vocab
     "unigram max-likelihood tokenization against the trained piece table " +
       "(map-only codegen'd Viterbi scan) — per-doc piece counts")
+
+  private val qUnigramAnchor = Q(
+    "q_unigram_anchor",
+    (s, d) => {
+      // Driver-visible certificate for the unigram encode path: the
+      // Viterbi segmentation is lossless by construction (pieces
+      // concatenate back to the word; unknown chars fall back to
+      // single-char pieces), so the per-doc sum of piece lengths computed
+      // THROUGH the real codegen encoder must equal the doc's
+      // non-whitespace character count, which DuckDB computes
+      // independently from the raw text — the q_bpe_anchor invariant for
+      // the unigram family.
+      val vocab = unigramVocab(s, d)
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(graft.ext.Unigram.tokens(col("text"), vocab),
+              p => length(p).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_piece_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
+                        AS BIGINT) AS n_piece_chars
+            FROM documents ORDER BY doc_id"""),
+    "unigram conservation anchor: per-doc piece-length sum through the " +
+      "real trained encoder equals the independent non-whitespace char " +
+      "count — segmentation-is-a-partition, driver-checked")
 
   // ------------------------------------------------------- triangles
   private val qTriangles = Q(
@@ -851,6 +880,6 @@ object AdvancedQueries {
     qTpchQ17, qTpchQ18, qTpchQ21, qTpchQ22, qTpchQ6,
     qPagerank, qFuzzyJoin, qDedupContainment,
     qHllShards, qHllExact, qJoinBloom, qSplitLeakage,
-    qIncrAgg, qLabelSpread, qUnigramVocab, qUnigramTokens,
+    qIncrAgg, qLabelSpread, qUnigramVocab, qUnigramTokens, qUnigramAnchor,
     qTriangles, qCooccur, qOutliers, qStreamIncrAgg)
 }

@@ -303,9 +303,46 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
     None, // model-defined (trained vocab); q_token_count is the
-    // oracle-checked counting twin
+    // oracle-checked counting twin and q_wordpiece_anchor drives the same
+    // greedy kernel under a driver-checkable vocabulary
     "WordPiece tokenization of the corpus (greedy longest-match, " +
       "map-only codegen'd scan) — per-doc piece/UNK counts")
+
+  private val qWordpieceAnchor = Q(
+    "q_wordpiece_anchor",
+    (s, d) => {
+      // Driver-visible certificate for the greedy WordPiece kernel: under
+      // a single-character vocabulary (every corpus char, in both start
+      // and `##`-continuation form — a bounded charset-sized model
+      // artifact), greedy longest-match MUST segment every word into
+      // exactly one piece per character with zero UNKs. So n_pieces
+      // equals the doc's non-whitespace char count, which DuckDB computes
+      // independently from raw text. This drives the real serve kernel —
+      // word-boundary walk, start-vs-## lookup, UNK accounting — through
+      // a hash-checked oracle; the trained-vocab run (q_wordpiece_tokens)
+      // shares every code path but the vocab content.
+      val chars = documents(s, d)
+        .select(explode(split(regexp_replace(col("text"), "\\s+", ""), "")).as("c"))
+        .filter(col("c") =!= "")
+        .distinct().collect().map(_.getString(0)).sorted
+      val vocab = chars.toSeq ++ chars.map("##" + _)
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WordPieceOps
+            .wordpiece_stats(col("text"), vocab).as("st"))
+        .select(col("doc_id"), col("st.n_pieces").as("n_pieces"),
+          col("st.n_unk").as("n_unk"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
+                        AS BIGINT) AS n_pieces,
+                   CAST(0 AS BIGINT) AS n_unk
+            FROM documents ORDER BY doc_id"""),
+    "WordPiece kernel anchor: single-char vocabulary forces one piece " +
+      "per character and zero UNKs — greedy walk, ##-continuation " +
+      "lookups and UNK accounting hash-checked against the independent " +
+      "char count")
 
   // ------------------------------------------------- weighted sampling
   private val qSampleWeighted = Q(
@@ -1041,6 +1078,7 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(qKmeans, qShortestPath, qScd2, qKAnonymity,
     qStreamEnrich, qBlocklist, qWordpieceVocab, qWordpieceTokens,
+    qWordpieceAnchor,
     qSampleWeighted, qCurriculum, qRegression, qMergeUpsert, qCorpusOverlap,
     qCorpusOverlapEst, qDivergence, qQuantilesApprox, qWindowRange,
     qLateralTopk, qUnpivot, qStreamStateful, qStreamAppend, qStreamJoinOuter,

@@ -323,11 +323,54 @@ object EventAnalyticsQueries {
     },
     None, // Spark's hash() (Murmur3 with Spark's seeding) is
     // engine-specific — the PROPOSAL stream can't be replayed in DuckDB.
-    // Anchored by EventAnalyticsSpec: no negative is a real edge, every
-    // positive is, proposals are deterministic across runs.
+    // Anchored by EventAnalyticsSpec AND the driver-checked
+    // q_negative_edges_anchor (the label/edge-set invariants, which are
+    // oracle-expressible even though the proposal stream is not).
     "link-prediction training pairs: positives + hash-proposed negative " +
       "candidates corrected by one anti-join — deterministic negative " +
       "sampling with no RNG state")
+
+  private val qNegativeEdgesAnchor = Q(
+    "q_negative_edges_anchor",
+    (s, d) => {
+      // Driver-visible certificate for q_negative_edges: the proposal
+      // hashes are engine-specific, but the output's CONTRACT is not —
+      // (a) the positives are exactly the edge set, (b) no emitted
+      // negative is a real edge, (c) nothing is a self-loop. DuckDB
+      // derives the edge set independently, so n_pos is a hash-checked
+      // exact count and the three violation counters must be zero. A bug
+      // in the anti-join, the labeling, or the self-loop filter breaks
+      // this row even though the sampled negatives themselves can't be
+      // replayed cross-engine.
+      val ev = events(s, d)
+      val edges = ev.select(
+          (col("user_id") % 64).as("src"),
+          (col("event_id") % ((col("user_id") % 64) + 2)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val out = qNegativeEdges.fn(s, d)
+      out.join(edges.withColumn("is_edge", lit(1L)), Seq("src", "dst"), "left")
+        .agg(
+          sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("label") === 1 && col("is_edge").isNull, 1L)
+            .otherwise(0L)).as("n_pos_nonedge"),
+          sum(when(col("label") === 0 && col("is_edge").isNotNull, 1L)
+            .otherwise(0L)).as("n_neg_real_edge"),
+          sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_self"))
+    },
+    Some("""WITH edges AS (
+              SELECT DISTINCT (user_id % 64) AS src,
+                              (event_id % ((user_id % 64) + 2)) AS dst
+              FROM events
+              WHERE (user_id % 64) <> (event_id % ((user_id % 64) + 2)))
+            SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(0 AS BIGINT) AS n_pos_nonedge,
+                   CAST(0 AS BIGINT) AS n_neg_real_edge,
+                   CAST(0 AS BIGINT) AS n_self
+            FROM edges"""),
+    "negative-sampling contract anchor: positives ≡ edge set (exact " +
+      "count), zero negatives that are real edges, zero self-loops — " +
+      "the oracle-expressible invariants of q_negative_edges")
 
   // ------------------------------------------------- skew diagnostics
   private val qSkewReport = Q(
@@ -394,5 +437,6 @@ object EventAnalyticsQueries {
       "inferred from the select list; identical SQL text in both engines")
 
   def all: Seq[Q] = Seq(qFunnel, qRetention, qResample, qSeasonality,
-    qKcore, qTransitions, qNegativeEdges, qSkewReport, qGroupByAll)
+    qKcore, qTransitions, qNegativeEdges, qNegativeEdgesAnchor,
+    qSkewReport, qGroupByAll)
 }

@@ -1062,9 +1062,37 @@ object ExtQueries {
         .orderBy("doc_id")
     },
     None, // model-defined (trained merges); q_token_count is the
-    // oracle-checked twin for the whitespace/subword counting kernels
+    // oracle-checked counting twin and q_bpe_anchor is the driver-visible
+    // conservation certificate over the same trained merges
     "BPE tokenization of the corpus against the trained merges " +
       "(map-only codegen'd scan) — per-doc piece counts")
+
+  private val qBpeAnchor = Q(
+    "q_bpe_anchor",
+    (s, d) => {
+      // Driver-visible certificate for the BPE encode path: BPE pieces
+      // PARTITION each word's characters (merges only ever concatenate
+      // adjacent symbols), so the per-doc sum of piece lengths computed
+      // THROUGH the real codegen encoder must equal the doc's
+      // non-whitespace character count — which DuckDB computes
+      // independently from the raw text. A dropped, duplicated, or
+      // mis-merged character anywhere in the kernel breaks the hash.
+      val merges = bpeMerges(s, d)
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(graft.ext.Bpe.tokens(col("text"), merges),
+              p => length(p).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_piece_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
+                        AS BIGINT) AS n_piece_chars
+            FROM documents ORDER BY doc_id"""),
+    "BPE conservation anchor: per-doc piece-length sum through the real " +
+      "trained encoder equals the independent non-whitespace char count " +
+      "— the segmentation-is-a-partition invariant, driver-checked")
 
   /** Trained SQ8 bounds memoized per corpus dir — same
     * train-once-serve-many rationale as [[ivfModels]].
@@ -1394,6 +1422,63 @@ object ExtQueries {
             ORDER BY n DESC, tok"""),
     "exact heavy hitters at relative support: one keyed agg + broadcast " +
       "scalar total (CMS sketch twin property-tested against it)")
+
+  private val qHeavyHittersCms = Q(
+    "q_heavy_hitters_cms",
+    (s, d) => {
+      // The 100 TB form of q_heavy_hitters (the q_hll_shards pattern for
+      // frequencies): sketch each SHARD independently in one pass
+      // (count_min_sketch partial agg → one binary blob per shard), merge
+      // the kilobyte blobs driver-side, and probe with CANDIDATES from
+      // per-shard exact local heavy hitters — any global φ-heavy token is
+      // φ-heavy in ≥1 shard (pigeonhole), so the candidate union is a
+      // superset of the answer and is bounded by shards/φ rows (a model
+      // artifact, never the counts table). Exact counts never exist
+      // anywhere: memory is sketch-width × shards regardless of
+      // cardinality. Deterministic (fixed seed 42) and, at width 2/ε =
+      // 20 000 ≫ vocab, collision-free here — so the estimates equal the
+      // exact counts and the row is HASH-CHECKED against the same oracle
+      // as the exact twin (the ANN recall=1 anchor discipline).
+      import org.apache.spark.util.sketch.CountMinSketch
+      val toks = documents(s, d)
+        .select((col("doc_id") % 8).as("shard"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      val total = toks.count()
+      val thresh = 0.002 * total
+      // per-shard one-pass sketches (kilobytes each)
+      val blobs = toks.groupBy("shard")
+        .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("cms"))
+        .collect()
+      val merged = blobs.map(r => CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))))
+        .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+      // candidate generation: exact LOCAL heavy hitters per shard
+      val shardTotals = toks.groupBy("shard").agg(count(lit(1)).as("n_shard"))
+      val candidates = toks.groupBy("shard", "tok")
+        .agg(count(lit(1)).as("n_local"))
+        .join(broadcast(shardTotals), "shard")
+        .filter(col("n_local") >= lit(0.002) * col("n_shard"))
+        .select("tok").distinct()
+        .collect().map(_.getString(0))
+      val rows = candidates
+        .map(t => (t, merged.estimateCount(t.getBytes("UTF-8"))))
+        .filter(_._2 >= thresh)
+      import s.implicits._
+      rows.toSeq.toDF("tok", "n")
+        .orderBy(col("n").desc, col("tok"))
+    },
+    Some("""WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+            total AS (SELECT count(*) AS n_total FROM t2)
+            SELECT tok, count(*) AS n
+            FROM t2 GROUP BY tok
+            HAVING CAST(count(*) AS DOUBLE) >= 0.002 * (SELECT n_total FROM total)
+            ORDER BY n DESC, tok"""),
+    "mergeable count-min heavy hitters: per-shard one-pass CMS blobs + " +
+      "pigeonhole local candidates, merged and probed driver-side — the " +
+      "bounded-memory 100 TB twin, hash-equal to the exact form at " +
+      "collision-free width")
 
   private val qOovRate = Q(
     "q_oov_rate",
@@ -2335,9 +2420,10 @@ object ExtQueries {
     qVecCentroid, qSimTopk, qSimFiltered, qSimAnn, qSimAnnFull, qSimIvf, qSimIvfFull,
     qSimIvfIndex, qSimIvfAppend, qSimPq, qSimPqFull, qSimPqIndex,
     qSimIvfPq, qSimIvfPqFull, qSimIvfPqIndex,
-    qSimSq, qSimSqFull, qSimSqIndex, qBpeMerges, qBpeTokens,
+    qSimSq, qSimSqFull, qSimSqIndex, qBpeMerges, qBpeTokens, qBpeAnchor,
     qTextStats, qTokenCount, qQualityScore, qLangId, qFingerprint,
-    qNgramFreq, qHeavyHitters, qOovRate, qTfidf, qRepetition, qRepetitionPrune,
+    qNgramFreq, qHeavyHitters, qHeavyHittersCms, qOovRate, qTfidf,
+    qRepetition, qRepetitionPrune,
     qTextNormalize, qSplitStable, qDedupParagraph, qCorpusDiff,
     qHardNegatives, qKnnJoin, qVocabBuild,
     qPackSequences, qChunkWindows, qMixture, qMixtureUpsample, qQualityGate,
