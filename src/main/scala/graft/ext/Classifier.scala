@@ -132,35 +132,92 @@ object Classifier {
       lr: Double = 1.0,
       indexOf: Column => Column = null): Model = {
     val idx = Option(indexOf).getOrElse(hashIndex(_: Column, dim))
+    // Cache width rides the INPUT's scan width (file-size derived), not
+    // the session shuffle width: the compact feature table is ~one row
+    // per document, and 20 iterations × 32 near-empty map tasks is pure
+    // scheduler overhead at small corpora while a large corpus keeps its
+    // parallelism (scan width grows with data).
+    val spark0 = df.sparkSession
+    val featWidth = math.max(1, math.min(
+      spark0.sparkContext.defaultParallelism, df.rdd.getNumPartitions))
     val feats = featurize(df, idCol, textCol, labelCol, dim, idx)
+      .coalesce(featWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = feats.count().toDouble // materializes the persist
     require(nDocs > 0, "no non-empty documents to train on")
     val w = Array.fill(dim + 1)(0.0)
     val gsq = Array.fill(dim + 1)(0.0)
+    // The iteration loop runs at the RDD layer (the MLlib treeAggregate
+    // discipline), not as a per-iteration SQL plan: a fresh Catalyst
+    // plan costs ~0.15 s of analysis/optimization per step (more than
+    // the step's work at moderate corpora), and a REUSED plan is wrong —
+    // the DAG scheduler skips the already-computed shuffle map stage, so
+    // the updated weights would never be re-scored. treeAggregate has
+    // neither problem: the closure (carrying the live weight array) is
+    // serialized fresh per job, there is no shuffle, and each partition
+    // ships one dim+1 gradient vector — bounded by model size, not data.
+    // The compact feature rows are decoded ONCE into primitive arrays.
+    val featRdd = feats
+      .select(col("_y"), col("_f"))
+      .rdd.map { r =>
+        val fs = r.getSeq[org.apache.spark.sql.Row](1)
+        val is = new Array[Int](fs.length)
+        val xs = new Array[Double](fs.length)
+        var j = 0
+        while (j < fs.length) { is(j) = fs(j).getInt(0); xs(j) = fs(j).getDouble(1); j += 1 }
+        (r.getDouble(0), is, xs)
+      }
+      // width rides the CORPUS (one partition per ~50 k compact feature
+      // rows): 20 iterations × near-empty tasks is pure scheduler
+      // overhead at small corpora, while a large corpus keeps—and a
+      // huge one grows—its parallelism
+      .coalesce(math.max(1, math.min(
+        spark0.sparkContext.defaultParallelism * 4, (nDocs / 50000).toInt + 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    featRdd.count() // materialize, then drop the row-form cache
+    feats.unpersist()
     try {
       (0 until iters).foreach { _ =>
-        // codegen sparse-dot kernel (same left-to-right double sum as the
-        // aggregate() HOF it replaces — bit-identical model, ~interpreter
-        // wall removed; weights ride as a plan reference object)
-        val z = graft.functions.SparseDot.sparse_dot_w(col("_f"), w.clone())
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
-        // gradient histogram: dim+1 reducer keys, DECIMAL-exact so the
-        // result (and therefore the trained model) is partitioning-stable
-        val grad = feats
-          .select(((p - col("_y"))).as("_r"), explode(col("_f")).as("f"))
-          .select(col("f.i").as("i"),
-            (col("_r") * col("f.x")).cast(DecimalType(28, 12)).as("g"))
-          .groupBy("i").agg(sum("g").as("g"))
-          .collect()
-        grad.foreach { row =>
-          val i = row.getInt(0)
-          val g = row.getDecimal(1).doubleValue() / nDocs
-          gsq(i) += g * g
-          if (gsq(i) > 0.0) w(i) -= lr * g / math.sqrt(gsq(i))
+        // Per-doc: margin (left-to-right double dot — the SparseDotW
+        // order), sigmoid, residual; per-coordinate gradient terms
+        // quantized to DECIMAL scale 12 (BigDecimal.valueOf = Spark's
+        // double→decimal cast path, HALF_UP) and summed EXACTLY — the
+        // sum is associative/commutative, so the trained model is
+        // bit-stable under any partitioning, as the SQL DECIMAL(28,12)
+        // aggregate it replaces was.
+        val wB = w // captured by the closure, serialized per job
+        val grad = featRdd.treeAggregate(
+          Array.fill[java.math.BigDecimal](dim + 1)(java.math.BigDecimal.ZERO))(
+          seqOp = { case (acc, (y, is, xs)) =>
+            var z = 0.0
+            var j = 0
+            while (j < is.length) { z += wB(is(j)) * xs(j); j += 1 }
+            val r = 1.0 / (1.0 + math.exp(-z)) - y
+            j = 0
+            while (j < is.length) {
+              acc(is(j)) = acc(is(j)).add(java.math.BigDecimal
+                .valueOf(r * xs(j))
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+              j += 1
+            }
+            acc
+          },
+          combOp = { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }
+            a
+          })
+        var i = 0
+        while (i < grad.length) {
+          if (grad(i).signum != 0) {
+            val g = grad(i).doubleValue() / nDocs
+            gsq(i) += g * g
+            if (gsq(i) > 0.0) w(i) -= lr * g / math.sqrt(gsq(i))
+          }
+          i += 1
         }
       }
-    } finally feats.unpersist()
+    } finally featRdd.unpersist()
     Model(w, dim)
   }
 }

@@ -613,9 +613,15 @@ object ExtQueries {
       // approx_percentile, which changes nothing downstream (labels are
       // an input to training, not a checked artifact)
       val med = lm.agg(expr("percentile(avg_nll, 0.5)").as("_m"))
+      // persisted: the labeled corpus (which embeds the two-shuffle
+      // lmScore pipeline over ~10 M exploded tokens at sf0.1) feeds
+      // training, scoring, AND the final label join — without the
+      // persist each consumer re-runs the token explode (~3× the whole
+      // query's scan cost; released by the harness' CacheUtils)
       val labeled = docs.join(lm, "doc_id")
         .crossJoin(broadcast(med))
         .withColumn("_y", (col("avg_nll") <= col("_m")).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dim = 1 << 10
       val m = Classifier.train(labeled, "doc_id", "text", "_y",
         dim = dim, iters = 10, lr = 2.0)

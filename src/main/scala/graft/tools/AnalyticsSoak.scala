@@ -62,6 +62,16 @@ object AnalyticsSoak {
           .wordpiece_stats(col("text"), vocab).as("st"))
         .agg(sum("st.n_pieces")).collect().length.toLong
     }
+    timed("classifier_train_5it", nDocs) {
+      // hashed-feature logistic training at corpus scale: featurize once
+      // (two keyed aggs), then 5 treeAggregate gradient steps — per-step
+      // cost is the map-only margin pass; the fan-in ships one dim+1
+      // vector per partition
+      val labeled = docs.withColumn("_y",
+        pmod(hash(col("doc_id")), lit(2)).cast("int"))
+      graft.ext.Classifier.train(labeled, "doc_id", "text", "_y",
+        dim = 1 << 12, iters = 5, lr = 1.0).weights.length.toLong
+    }
     timed("corpus_sketch_overlap", nDocs) {
       def sketch(f: org.apache.spark.sql.Column, name: String) =
         docs.filter(f)
