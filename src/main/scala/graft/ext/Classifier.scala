@@ -79,6 +79,24 @@ object Classifier {
         size(toks(col(textCol))).cast("long").as("n_toks"),
         scoreExpr(col(textCol), model, indexOf).as("score"))
 
+  /** Production scoring path: the fused [[graft.functions.ScoreHashed]]
+    * kernel — one codegen'd pass per document (split + xxhash64 + mean
+    * weight + sigmoid), no token array, no per-token interpreted lambda.
+    * Bit-equal to `score(df, …, hashIndex(_, dim))` (property-tested);
+    * use [[score]] with [[md5Index]] only for the cross-engine oracle.
+    */
+  def scoreFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Model): DataFrame =
+    df.select(col(idCol),
+        graft.functions.ScoreHashed
+          .score_hashed(col(textCol), model.weights, model.dim).as("st"))
+      .filter(col("st.n_toks") > 0)
+      .select(col(idCol), col("st.n_toks").as("n_toks"),
+        col("st.score").as("score"))
+
   /** One compact feature row per document:
     * (_id, _y, _f: array<struct<i:int, x:double>>) where x = count/n_toks
     * and the intercept feature (i=dim, x=1) is appended. Built with one
@@ -192,7 +210,9 @@ object Classifier {
             var z = 0.0
             var j = 0
             while (j < is.length) { z += wB(is(j)) * xs(j); j += 1 }
-            val r = 1.0 / (1.0 + math.exp(-z)) - y
+            // StrictMath = Spark SQL's exp(): platform-reproducible and
+            // bit-matching the DECIMAL-aggregate form this loop replaced
+            val r = 1.0 / (1.0 + java.lang.StrictMath.exp(-z)) - y
             j = 0
             while (j < is.length) {
               acc(is(j)) = acc(is(j)).add(java.math.BigDecimal

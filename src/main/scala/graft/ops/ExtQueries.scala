@@ -625,7 +625,9 @@ object ExtQueries {
       val dim = 1 << 10
       val m = Classifier.train(labeled, "doc_id", "text", "_y",
         dim = dim, iters = 10, lr = 2.0)
-      Classifier.score(labeled, "doc_id", "text", m, Classifier.hashIndex(_, dim))
+      // fused serve kernel — bit-equal to score(..., hashIndex(_, dim))
+      // (ClassifierSpec property), one codegen pass per document
+      Classifier.scoreFast(labeled, "doc_id", "text", m)
         .join(labeled.select(col("doc_id"), col("_y").as("label")), "doc_id")
         .select(col("doc_id"), col("label"),
           round(col("score"), 4).as("q_score"),

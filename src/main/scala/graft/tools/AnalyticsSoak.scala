@@ -72,6 +72,23 @@ object AnalyticsSoak {
       graft.ext.Classifier.train(labeled, "doc_id", "text", "_y",
         dim = 1 << 12, iters = 5, lr = 1.0).weights.length.toLong
     }
+    val gateW = Array.tabulate((1 << 12) + 1)(j =>
+      ((j * 2654435761L % 997).toDouble / 997.0) - 0.5)
+    val gateModel = graft.ext.Classifier.Model(gateW, 1 << 12)
+    timed("classifier_score_hof", nDocs) {
+      // baseline: the composable aggregate(transform(...)) form — an
+      // interpreted lambda per token (kept as the measured twin)
+      graft.ext.Classifier.score(docs, "doc_id", "text", gateModel,
+        graft.ext.Classifier.hashIndex(_, 1 << 12))
+        .filter(col("score") > 0.5).count()
+    }
+    timed("classifier_score_fast", nDocs) {
+      // the fused gate kernel over the whole corpus: one map-only pass,
+      // no token arrays — the shape that runs at 100 TB (bit-equal to
+      // the baseline above, ClassifierSpec property)
+      graft.ext.Classifier.scoreFast(docs, "doc_id", "text", gateModel)
+        .filter(col("score") > 0.5).count()
+    }
     timed("corpus_sketch_overlap", nDocs) {
       def sketch(f: org.apache.spark.sql.Column, name: String) =
         docs.filter(f)

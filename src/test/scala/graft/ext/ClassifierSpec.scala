@@ -85,4 +85,34 @@ class ClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
   }
+
+  test("scoreFast kernel is bit-equal to the declarative hashIndex score") {
+    val dim = 1 << 8
+    // deterministic pseudo-random weights incl. a nonzero bias
+    val w = Array.tabulate(dim + 1)(j =>
+      ((j * 2654435761L % 997).toDouble / 997.0) - 0.5)
+    val m = Classifier.Model(w, dim)
+    val docs = graft.ops.Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900001L, "solo"), (900002L, "  double  spaces  x "),
+        (900003L, "école Δδ émile")).toDF("doc_id", "text"))
+    val slow = Classifier.score(docs, "doc_id", "text", m,
+        Classifier.hashIndex(_, dim))
+      .orderBy("doc_id").collect()
+    val fast = Classifier.scoreFast(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect()
+    assert(slow.length == fast.length && slow.nonEmpty)
+    slow.zip(fast).foreach { case (a, b) =>
+      assert(a.getLong(1) == b.getLong(1), s"n_toks for ${a.get(0)}")
+      // bit-equal, not approximately equal: same split, same xxhash64,
+      // same sum order, same sigmoid
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(2)),
+        s"score for ${a.get(0)}: ${a.getDouble(2)} vs ${b.getDouble(2)}")
+    }
+    // kernel plan stays map-only too
+    val plan = Classifier.scoreFast(planted, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

@@ -34,6 +34,30 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(st.segment("lowest", vocab.toSet) == st.segment("lowest", reloaded.toSet))
   }
 
+  test("qualified db.tbl names resolve the real managed location on reset") {
+    // the managed path of db.tbl is <wh>/db.db/tbl, not <wh>/db.tbl — a
+    // naive name→path join would miss it, leave the stale directory, and
+    // the second write would die with LOCATION_ALREADY_EXISTS
+    spark.sql("CREATE DATABASE IF NOT EXISTS tokstore_db")
+    val merges = Bpe.train(corpus, "text", numMerges = 6)
+    TokenizerStore.writeBpe(spark, merges, "tokstore_db.bpe_q")
+    // overwrite again (exercises reset with an EXISTING catalog entry,
+    // catalog-resolved location)
+    TokenizerStore.writeBpe(spark, merges, "tokstore_db.bpe_q")
+    assert(TokenizerStore.loadBpe(spark, "tokstore_db.bpe_q") == merges)
+    // stale-location case: drop the entry but leave the directory, then
+    // write again — reset must clear the derived db.db/tbl path
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED tokstore_db.bpe_q")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    spark.sql("DROP TABLE tokstore_db.bpe_q")
+    val dir = new java.io.File(new java.net.URI(loc).getPath)
+    dir.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(dir, "stale")).close()
+    TokenizerStore.writeBpe(spark, merges, "tokstore_db.bpe_q")
+    assert(TokenizerStore.loadBpe(spark, "tokstore_db.bpe_q") == merges)
+  }
+
   test("Unigram piece table round-trips bit-exactly (log probs included)") {
     val pieces = Unigram.train(corpus, "text", vocabSize = 24)
     TokenizerStore.writeUnigram(spark, pieces, "tok_store_uni")

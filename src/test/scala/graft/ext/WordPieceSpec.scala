@@ -67,4 +67,21 @@ class WordPieceSpec extends SparkSpec {
     // every char of the corpus is in the base vocab → no UNK possible
     assert(stats.getLong(1) == 0L)
   }
+
+  test("serve-time word boundary is exactly the train-time \\s class") {
+    // U+2028 LINE SEPARATOR: Character.isWhitespace=true but Java-regex
+    // default \s=false. Training (split on \\s+) sees ONE word
+    // "foo<U+2028>bar"; the serve kernel must too — an isWhitespace-based
+    // splitter would cut it into foo|bar and (with this vocab) emit two
+    // pieces where training vocabulary assumed one.
+    assert(!WordPieceOps.isWordBreak('\u2028'))
+    assert(!WordPieceOps.isWordBreak('\u2029'))
+    assert(!WordPieceOps.isWordBreak('\u001C')) // FS: isWhitespace=true, \s=false
+    for (c <- " \t\n\u000B\f\r") assert(WordPieceOps.isWordBreak(c))
+    val vset = new java.util.HashSet[String]()
+    Seq("foo\u2028bar", "foo", "bar", "##bar").foreach(vset.add)
+    val r = WordPieceOps.computeStats(UTF8String.fromString("foo\u2028bar"), vset)
+    assert(r.getLong(0) == 1L, "one word, one whole-word piece")
+    assert(r.getLong(1) == 0L)
+  }
 }

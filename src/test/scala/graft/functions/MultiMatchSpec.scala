@@ -47,4 +47,16 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(new AhoCorasick(terms).matchedCount(UTF8String.fromString(text)) == 70L,
       "HashSet path (>64 terms) counts all")
   }
+
+  test("empty terms fail at plan construction, not at first executor eval") {
+    // the transient lazy automaton would otherwise surface this as a
+    // confusing mid-query task failure
+    import org.apache.spark.sql.functions.lit
+    intercept[IllegalArgumentException] {
+      MultiMatch.multi_match_count(lit("text"), Seq("ok", ""))
+    }
+    intercept[IllegalArgumentException] {
+      MultiMatch.multi_match_count(lit("text"), Seq.empty)
+    }
+  }
 }
