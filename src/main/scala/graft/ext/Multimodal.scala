@@ -8,15 +8,19 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct beside them.
   *
   * The Spark-side plumbing here is real and tested — schema contract,
-  * partition-sized batch iteration, deterministic outputs. The metadata
-  * decode is REAL for PNG/JPEG/GIF ([[ImageHeaders]]: pure-JVM header
-  * byte parsing — width/height/format, no media library needed); full
-  * pixel decode and other formats fall back to a deterministic stub
-  * (this container has no image/audio libraries). Swapping in a full
-  * codec changes only [[StubDecoders.decodeImageMeta]] — the operator
-  * shape (mapPartitions over binary batches, one decode per row,
-  * metadata struct out) is exactly what a production decode stage looks
-  * like.
+  * partition-sized batch iteration, deterministic outputs. The decode is
+  * REAL end-to-end for the formats a pure JVM can own: full PNG pixel
+  * decode/encode ([[Png]] — zlib + CRC via `java.util.zip`, all five
+  * 8-bit color types, every scanline filter, cross-validated against the
+  * JDK's independent ImageIO implementation), WAV PCM sample decode
+  * ([[AudioHeaders.pcm]]), and header metadata for JPEG/GIF
+  * ([[ImageHeaders]]). Resize, perceptual hashing, and feature
+  * extraction all run on real pixels when the payload decodes; payloads
+  * outside the supported envelope (JPEG entropy data, 16-bit/interlaced
+  * PNG, compressed audio) flow to a deterministic, clearly-marked stub —
+  * never a wrong decode — and swapping in a full codec changes only that
+  * fallback arm, not the operator shape (mapPartitions over binary
+  * batches, one decoder session per partition).
   */
 object Multimodal {
 
@@ -60,8 +64,16 @@ object Multimodal {
         // per-partition decoder init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val (w, h, fmt, sum) = StubDecoders.decodeImageMeta(bytes)
-          DecodedMeta(id, bytes.length.toLong, w, h, fmt, sum)
+          Png.decode(bytes) match {
+            // REAL pixel decode (pure-JVM codec): checksum is the
+            // pixel-layer content identity, stable across re-encodes
+            case Some(img) =>
+              DecodedMeta(id, bytes.length.toLong, img.width, img.height,
+                "png", Png.pixelChecksum(img))
+            case None =>
+              val (w, h, fmt, sum) = StubDecoders.decodeImageMeta(bytes)
+              DecodedMeta(id, bytes.length.toLong, w, h, fmt, sum)
+          }
         }
       }
   }
@@ -93,6 +105,35 @@ object Multimodal {
       }
   }
 
+  final case class AudioSampleStats(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      sum_samples: Long,
+      sum_squares: Long)
+
+  /** REAL PCM sample statistics ([[AudioHeaders.pcm]]): exact integer
+    * sum / sum-of-squares per payload — the loudness/energy features of
+    * an audio curation pass, SQL-replayable because every accumulator is
+    * an exact integer. Non-PCM payloads are dropped (the metadata path
+    * [[decodeAudio]] covers them).
+    */
+  def audioSampleStats(media: DataFrame): Dataset[AudioSampleStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          AudioHeaders.pcm(bytes).map { case (r, ch, bits, n, sum, sq) =>
+            AudioSampleStats(id, r, ch, bits, n, sum, sq)
+          }
+        }
+      }
+  }
+
   final case class ResizedImage(
       media_id: Long,
       width: Int,
@@ -116,8 +157,16 @@ object Multimodal {
         // per-partition resizer init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          ResizedImage(id, width, height,
-            StubDecoders.resizePayload(bytes, width, height))
+          Png.decode(bytes) match {
+            // REAL resize: deterministic box-average downscale (nearest
+            // on upscale) re-encoded as PNG by the pure-JVM codec
+            case Some(img) =>
+              ResizedImage(id, width, height,
+                Png.encode(Png.resize(img, width, height)))
+            case None =>
+              ResizedImage(id, width, height,
+                StubDecoders.resizePayload(bytes, width, height))
+          }
         }
       }
   }
@@ -138,7 +187,14 @@ object Multimodal {
         // per-partition encoder init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          (id, StubDecoders.embedPayload(bytes, dim))
+          val emb = Png.decode(bytes) match {
+            // REAL pixel features: channel histograms — re-encodes of
+            // the same raster embed identically (cosine 1), which the
+            // content-hash stub cannot do
+            case Some(img) => Png.features(img, dim)
+            case None      => StubDecoders.embedPayload(bytes, dim)
+          }
+          (id, emb)
         }
       }
       .toDF("media_id", "embedding")
@@ -163,8 +219,13 @@ object Multimodal {
         // per-partition decoder init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          MediaFingerprint(id, bytes.length.toLong,
-            StubDecoders.perceptualHash(bytes))
+          val ph = Png.decode(bytes) match {
+            // classic aHash over REAL 8×8 downscaled grayscale pixels —
+            // invariant to re-encoding, robust to small pixel edits
+            case Some(img) => Png.aHash(img)
+            case None      => StubDecoders.perceptualHash(bytes)
+          }
+          MediaFingerprint(id, bytes.length.toLong, ph)
         }
       }
   }
@@ -325,6 +386,54 @@ object AudioHeaders {
         if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
       Some((rate, channels, bits, dur))
     }
+  }
+
+  /** REAL PCM sample decode (format tag 1, 8-bit unsigned or 16-bit LE
+    * signed): (rate, channels, bits, nSamples, sumSamples, sumSquares) —
+    * exact integer accumulators (sum |s|≤32768·n, sumSq ≤ 2^30·n: both
+    * exact in Long for any realistic payload), so downstream RMS/peak
+    * stats are deterministic and SQL-replayable. None for compressed or
+    * float WAV (falls back like unsupported images).
+    */
+  def pcm(b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
+    if (b.length < 12 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+        !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var fmtTag = 0; var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val size = le32(b, i + 4)
+      if (size > Int.MaxValue - 9 || i + 8 + size > b.length.toLong) return None
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmtTag = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8; dataLen = size.toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmtTag != 1 || rate <= 0 || channels <= 0 || dataOff < 0) return None
+    if (bits != 8 && bits != 16) return None
+    val bytesPerSample = bits / 8
+    val n = dataLen / bytesPerSample
+    var sum = 0L; var sumSq = 0L
+    var s = 0
+    while (s < n) {
+      val v =
+        if (bits == 8) (b(dataOff + s) & 0xFF) - 128
+        else {
+          val raw = le16(b, dataOff + s * 2)
+          if (raw >= 0x8000) raw - 0x10000 else raw // sign-extend
+        }
+      sum += v
+      sumSq += v.toLong * v
+      s += 1
+    }
+    Some((rate, channels, bits, n.toLong, sum, sumSq))
   }
 }
 

@@ -1,0 +1,408 @@
+package graft.ext
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM PNG codec — REAL pixel decode/encode with zero external
+  * dependencies (zlib via `java.util.zip`, CRC via `java.util.zip.CRC32`
+  * — both core JDK).
+  *
+  * Coverage: the still-image subset a training-data lake actually stores
+  * — 8-bit-per-sample, non-interlaced PNGs in all five color types
+  * (grayscale, gray+alpha, RGB, RGBA, palette with optional tRNS).
+  * Everything else (16-bit, Adam7 interlace, sub-byte depths) returns
+  * None and flows to the documented fallback path — never a wrong
+  * decode. Chunk CRCs are verified; a corrupt payload is rejected, not
+  * half-read.
+  *
+  * Determinism: decoding is bit-exact by construction (zlib inflate +
+  * integer un-filtering). Encoding always emits filter-0 scanlines and a
+  * fixed-level deflate, so `decode(encode(img)) == img` exactly and the
+  * DECODED-PIXEL form of any payload is the stable content identity
+  * (re-encodes of the same pixels hash equal at the pixel layer even
+  * when their compressed bytes differ).
+  *
+  * Reference: the PNG byte layout is from the public W3C PNG
+  * specification (ISO/IEC 15948); the reference repo has no image
+  * support — this backs the multimodal column family
+  * (`/root/reference/index.js` pipes opaque bytes only).
+  */
+object Png {
+
+  /** Decoded raster: 8-bit samples, row-major, channel-interleaved.
+    * `channels`: 1 = gray, 2 = gray+alpha, 3 = RGB, 4 = RGBA.
+    */
+  final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte]) {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(channels >= 1 && channels <= 4, s"bad channels $channels")
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+  }
+
+  private val Magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  // ------------------------------------------------------------- decode
+
+  /** Decode an 8-bit non-interlaced PNG; None for anything else (other
+    * formats, unsupported PNG variants, corrupt chunks/CRCs).
+    */
+  def decode(bytes: Array[Byte]): Option[Image] = {
+    if (bytes.length < Magic.length + 25 || !bytes.startsWith(Magic)) return None
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
+    var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = Magic.length
+    var sawIhdr = false; var sawIend = false
+    val crc = new CRC32()
+    while (!sawIend && i + 12 <= bytes.length) {
+      val len = be32(bytes, i)
+      if (len < 0 || i + 12 + len > bytes.length) return None
+      val chunkType = new String(bytes, i + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(bytes, i + 4, 4 + len)
+      if (crc.getValue != (be32(bytes, i + 8 + len) & 0xFFFFFFFFL)) return None
+      chunkType match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(bytes, i + 8)
+          height = be32(bytes, i + 12)
+          bitDepth = bytes(i + 16) & 0xFF
+          colorType = bytes(i + 17) & 0xFF
+          val compression = bytes(i + 18) & 0xFF
+          val filter = bytes(i + 19) & 0xFF
+          val interlace = bytes(i + 20) & 0xFF
+          if (compression != 0 || filter != 0 || interlace != 0) return None
+          if (bitDepth != 8) return None // 16-bit / sub-byte → fallback
+          if (!Set(0, 2, 3, 4, 6).contains(colorType)) return None
+          if (width <= 0 || height <= 0) return None
+          // decoded-size guard: refuse absurd rasters (decompression bomb)
+          if (width.toLong * height * 4 > (1L << 28)) return None
+          sawIhdr = true
+        case "PLTE" =>
+          if (len % 3 != 0) return None
+          palette = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + len)
+        case "tRNS" =>
+          trns = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + len)
+        case "IDAT" =>
+          idat.write(bytes, i + 8, len)
+        case "IEND" =>
+          sawIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    if (!sawIhdr || !sawIend || idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None
+
+    val srcCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val stride = width * srcCh
+    val raw = inflate(idat.toByteArray, (stride + 1) * height).getOrElse(return None)
+    if (raw.length != (stride + 1) * height) return None
+
+    // reverse per-scanline filters in place into `px`
+    val px = new Array[Byte](stride * height)
+    val bpp = srcCh
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xFF
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      val prevOut = (y - 1) * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val a = if (x >= bpp) px(rowOut + x - bpp) & 0xFF else 0
+        val b = if (y > 0) px(prevOut + x) & 0xFF else 0
+        val c = if (y > 0 && x >= bpp) px(prevOut + x - bpp) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + ((a + b) >> 1)
+          case 4 => cur + paeth(a, b, c)
+          case _ => return None
+        }
+        px(rowOut + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    if (colorType != 3) Some(Image(width, height, srcCh, px))
+    else {
+      // palette expansion: RGB, or RGBA when a tRNS table is present
+      val nEntries = palette.length / 3
+      val outCh = if (trns != null) 4 else 3
+      val out = new Array[Byte](width * height * outCh)
+      var p = 0
+      while (p < width * height) {
+        val idx = px(p) & 0xFF
+        if (idx >= nEntries) return None
+        out(p * outCh) = palette(idx * 3)
+        out(p * outCh + 1) = palette(idx * 3 + 1)
+        out(p * outCh + 2) = palette(idx * 3 + 2)
+        if (outCh == 4)
+          out(p * outCh + 3) =
+            (if (idx < trns.length) trns(idx) else 0xFF.toByte)
+        p += 1
+      }
+      Some(Image(width, height, outCh, out))
+    }
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off == expected) Some(out) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Encode 8-bit samples as a non-interlaced PNG (filter 0, one IDAT).
+    * Color type from channel count: 1→gray, 2→gray+alpha, 3→RGB, 4→RGBA.
+    */
+  def encode(img: Image): Array[Byte] = {
+    val colorType = img.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }
+    val stride = img.width * img.channels
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      // filter byte 0 then the scanline verbatim
+      System.arraycopy(img.pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    val compressed =
+      try {
+        deflater.setInput(raw)
+        deflater.finish()
+        val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val chunk = new Array[Byte](8192)
+        while (!deflater.finished()) {
+          val n = deflater.deflate(chunk)
+          buf.write(chunk, 0, n)
+        }
+        buf.toByteArray
+      } finally deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream(compressed.length + 64)
+    out.write(Magic, 0, Magic.length)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, img.width)
+    putBe32(ihdr, 4, img.height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    // compression 0, filter 0, interlace 0 already zero
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", compressed)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
+      data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    putBe32(len, 0, data.length)
+    out.write(len, 0, 4)
+    val tb = chunkType.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new CRC32()
+    crc.update(tb)
+    crc.update(data)
+    val cb = new Array[Byte](4)
+    putBe32(cb, 0, crc.getValue.toInt)
+    out.write(cb, 0, 4)
+  }
+
+  // ------------------------------------------------- raster operations
+
+  /** Integer luma per pixel (ITU-R 601 weights in exact integer
+    * arithmetic: (299r + 587g + 114b) / 1000, floor) — alpha ignored,
+    * gray passthrough.
+    */
+  def toGray(img: Image): Array[Int] = {
+    val n = img.width * img.height
+    val out = new Array[Int](n)
+    var p = 0
+    img.channels match {
+      case 1 | 2 =>
+        while (p < n) { out(p) = img.pixels(p * img.channels) & 0xFF; p += 1 }
+      case _ =>
+        while (p < n) {
+          val r = img.pixels(p * img.channels) & 0xFF
+          val g = img.pixels(p * img.channels + 1) & 0xFF
+          val b = img.pixels(p * img.channels + 2) & 0xFF
+          out(p) = (299 * r + 587 * g + 114 * b) / 1000
+          p += 1
+        }
+    }
+    out
+  }
+
+  /** Deterministic box-average downscale of a single-channel raster to
+    * exactly tw×th: each target cell averages (floor) its source box —
+    * pure integer arithmetic, no resampling library.
+    */
+  def boxDownscale(src: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+    require(tw > 0 && th > 0 && tw <= w && th <= h,
+      s"target ${tw}x$th must fit in ${w}x$h")
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = (ty.toLong * h / th).toInt
+      val y1 = math.max(((ty + 1).toLong * h / th).toInt, y0 + 1)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = (tx.toLong * w / tw).toInt
+        val x1 = math.max(((tx + 1).toLong * w / tw).toInt, x0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += src(y * w + x); x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Box-downscale every channel of an image to tw×th (the real resize
+    * behind [[Multimodal.resizeImages]]).
+    */
+  def resize(img: Image, tw: Int, th: Int): Image = {
+    val ch = img.channels
+    val out = new Array[Byte](tw * th * ch)
+    val plane = new Array[Int](img.width * img.height)
+    var c = 0
+    while (c < ch) {
+      var p = 0
+      while (p < plane.length) { plane(p) = img.pixels(p * ch + c) & 0xFF; p += 1 }
+      val small =
+        if (tw <= img.width && th <= img.height)
+          boxDownscale(plane, img.width, img.height, tw, th)
+        else nearestUpscale(plane, img.width, img.height, tw, th)
+      var q = 0
+      while (q < small.length) { out(q * ch + c) = small(q).toByte; q += 1 }
+      c += 1
+    }
+    Image(tw, th, ch, out)
+  }
+
+  private def nearestUpscale(src: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val sy = math.min((ty.toLong * h / th).toInt, h - 1)
+      var tx = 0
+      while (tx < tw) {
+        out(ty * tw + tx) = src(sy * w + math.min((tx.toLong * w / tw).toInt, w - 1))
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Classic aHash over REAL pixels: 8×8 box-downscaled grayscale, bit b
+    * set when cell b exceeds the 64-cell mean — the pixel-layer twin of
+    * [[StubDecoders.perceptualHash]]'s byte-stream form, invariant to
+    * re-encoding (same pixels → same hash regardless of compression).
+    */
+  def aHash(img: Image): Long = {
+    val g = toGray(img)
+    val cells =
+      if (img.width >= 8 && img.height >= 8) boxDownscale(g, img.width, img.height, 8, 8)
+      else nearestUpscale(g, img.width, img.height, 8, 8)
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += cells(i); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i).toLong * 64 > total) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Pixel-layer content identity: CRC32 over dims + channels + raw
+    * samples. Invariant across re-encodes of the same raster (compressed
+    * bytes differ, pixel checksum doesn't) — the media twin of text
+    * content fingerprints.
+    */
+  def pixelChecksum(img: Image): Long = {
+    val crc = new CRC32()
+    val hdr = new Array[Byte](12)
+    putBe32(hdr, 0, img.width); putBe32(hdr, 4, img.height)
+    putBe32(hdr, 8, img.channels)
+    crc.update(hdr)
+    crc.update(img.pixels)
+    crc.getValue
+  }
+
+  /** Channel-statistics embedding from real pixels: per-channel 16-bin
+    * histograms (fractions) padded/truncated to `dim`, unit-normalized —
+    * deterministic, and near-duplicate IMAGES (same pixels, different
+    * compression) embed identically, which the content-hash stub cannot
+    * do.
+    */
+  def features(img: Image, dim: Int): Array[Float] = {
+    val ch = img.channels
+    val n = img.width * img.height
+    val hist = new Array[Float](ch * 16)
+    var p = 0
+    while (p < n) {
+      var c = 0
+      while (c < ch) {
+        hist(c * 16 + ((img.pixels(p * ch + c) & 0xFF) >> 4)) += 1f
+        c += 1
+      }
+      p += 1
+    }
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { out(i) = if (i < hist.length) hist(i) / n else 0f; i += 1 }
+    var norm = 0.0
+    i = 0
+    while (i < dim) { norm += out(i).toDouble * out(i); i += 1 }
+    val inv = if (norm > 0) (1.0 / math.sqrt(norm)).toFloat else 0f
+    i = 0
+    while (i < dim) { out(i) *= inv; i += 1 }
+    out
+  }
+}

@@ -2418,6 +2418,94 @@ object ExtQueries {
     None, // synthetic payloads take the stub path; WAV parsing unit-tested
     "audio metadata decode stage (real WAV header parse; stub fallback)")
 
+  private val qPngRoundtrip = Q(
+    "q_png_roundtrip",
+    (s, d) => {
+      // REAL codec, driver-checked: per doc, a 12×9 RGB raster whose flat
+      // sample i is (id·31 + i·7) mod 256 is ENCODED to PNG and DECODED
+      // back by the pure-JVM codec (ext/Png.scala — zlib + CRC via
+      // java.util.zip, nothing external); the emitted dims/channel count/
+      // pixel sum must hash-match DuckDB computing the same arithmetic
+      // directly. Any dropped/shifted/mis-filtered byte anywhere in the
+      // encode→deflate→inflate→unfilter chain breaks the row.
+      import s.implicits._
+      val (w, h, ch) = (12, 9, 3)
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val px = Array.tabulate(w * h * ch)(i =>
+            ((id * 31 + i.toLong * 7) % 256).toByte)
+          val bytes = graft.ext.Png.encode(graft.ext.Png.Image(w, h, ch, px))
+          val img = graft.ext.Png.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"roundtrip decode failed for $id"))
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xFF))
+          (id, img.width, img.height, img.channels, sum)
+        }
+        .toDF("media_id", "width", "height", "n_channels", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 12 AS width, 9 AS height,
+                   3 AS n_channels,
+                   CAST(sum((doc_id * 31 + i * 7) % 256) AS BIGINT) AS pixel_sum
+            FROM documents CROSS JOIN generate_series(0, 323) AS t(i)
+            GROUP BY doc_id ORDER BY media_id"""),
+    "PNG codec roundtrip certificate: encode→decode through the pure-JVM " +
+      "codec reproduces deterministic pixels, hash-checked against the " +
+      "oracle's direct arithmetic")
+
+  private val qWavPcm = Q(
+    "q_wav_pcm",
+    (s, d) => {
+      // REAL PCM decode, driver-checked: per doc, a 16-bit mono WAV whose
+      // sample i is ((id·7 + i·11) mod 2001) − 1000 is built byte-for-byte
+      // (RIFF/fmt/data) and decoded by AudioHeaders.pcm; the exact integer
+      // sample-sum and energy must hash-match DuckDB's direct arithmetic.
+      import s.implicits._
+      val n = 400
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = new Array[Byte](44 + n * 2)
+          def putAscii(off: Int, sVal: String): Unit = {
+            var k = 0
+            while (k < sVal.length) { bytes(off + k) = sVal.charAt(k).toByte; k += 1 }
+          }
+          def putLe32(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+            bytes(off + 2) = (v >>> 16).toByte; bytes(off + 3) = (v >>> 24).toByte
+          }
+          def putLe16(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+          }
+          putAscii(0, "RIFF"); putLe32(4, 36 + n * 2); putAscii(8, "WAVE")
+          putAscii(12, "fmt "); putLe32(16, 16)
+          putLe16(20, 1); putLe16(22, 1) // PCM, mono
+          putLe32(24, 8000); putLe32(28, 16000) // rate, byte rate
+          putLe16(32, 2); putLe16(34, 16) // block align, bits
+          putAscii(36, "data"); putLe32(40, n * 2)
+          var i = 0
+          while (i < n) {
+            putLe16(44 + i * 2, (((id * 7 + i.toLong * 11) % 2001) - 1000).toInt)
+            i += 1
+          }
+          (id, bytes)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.audioSampleStats(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+                   16 AS bits, CAST(400 AS BIGINT) AS n_samples,
+                   CAST(sum((doc_id * 7 + i * 11) % 2001 - 1000) AS BIGINT)
+                     AS sum_samples,
+                   CAST(sum(((doc_id * 7 + i * 11) % 2001 - 1000)
+                            * ((doc_id * 7 + i * 11) % 2001 - 1000)) AS BIGINT)
+                     AS sum_squares
+            FROM documents CROSS JOIN generate_series(0, 399) AS t(i)
+            GROUP BY doc_id ORDER BY media_id"""),
+    "WAV PCM decode certificate: byte-built 16-bit mono payloads through " +
+      "the real sample decoder — exact integer sample sum / energy " +
+      "hash-checked against the oracle's direct arithmetic")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -2438,5 +2526,5 @@ object ExtQueries {
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
-    qDedupImage, qMultimodal, qMultimodalAudio)
+    qDedupImage, qMultimodal, qMultimodalAudio, qPngRoundtrip, qWavPcm)
 }

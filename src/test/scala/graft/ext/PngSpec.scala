@@ -1,0 +1,264 @@
+package graft.ext
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{CRC32, Deflater}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JVM PNG codec, cross-validated against the JDK's own
+  * independent implementation (javax.imageio) in BOTH directions, plus
+  * hand-built streams covering every scanline filter type and the
+  * palette path, plus rejection tests for the unsupported/corrupt
+  * variants that must flow to the fallback, never half-decode.
+  */
+class PngSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  private def randomImage(seed: Long, w: Int, h: Int, ch: Int): Png.Image = {
+    val r = rng(seed)
+    val px = new Array[Byte](w * h * ch)
+    r.nextBytes(px)
+    Png.Image(w, h, ch, px)
+  }
+
+  test("encode→decode roundtrips exactly for all channel counts (fuzzed)") {
+    for (seed <- 1 to 8; ch <- 1 to 4) {
+      val r = rng(seed * 31 + ch)
+      val w = 1 + r.nextInt(40)
+      val h = 1 + r.nextInt(40)
+      val img = randomImage(seed * 1000 + ch, w, h, ch)
+      val back = Png.decode(Png.encode(img))
+      assert(back.isDefined, s"seed=$seed ch=$ch ${w}x$h")
+      assert(back.get.width == w && back.get.height == h && back.get.channels == ch)
+      assert(java.util.Arrays.equals(back.get.pixels, img.pixels),
+        s"pixel mismatch seed=$seed ch=$ch ${w}x$h")
+    }
+  }
+
+  test("our encodes are readable by the JDK's independent decoder (ImageIO)") {
+    System.setProperty("java.awt.headless", "true")
+    val img = randomImage(7, 13, 9, 3)
+    val jdk = javax.imageio.ImageIO.read(new ByteArrayInputStream(Png.encode(img)))
+    assert(jdk != null && jdk.getWidth == 13 && jdk.getHeight == 9)
+    for (y <- 0 until 9; x <- 0 until 13) {
+      val p = (y * 13 + x) * 3
+      val expected = 0xFF000000 |
+        ((img.pixels(p) & 0xFF) << 16) |
+        ((img.pixels(p + 1) & 0xFF) << 8) |
+        (img.pixels(p + 2) & 0xFF)
+      assert(jdk.getRGB(x, y) == expected, s"($x,$y)")
+    }
+  }
+
+  test("we decode the JDK encoder's output (independent filter choices)") {
+    System.setProperty("java.awt.headless", "true")
+    val w = 24; val h = 17
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r = rng(99)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, r.nextInt() & 0xFFFFFF)
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val ours = Png.decode(bos.toByteArray)
+    assert(ours.isDefined, "JDK PNG must decode")
+    val img = ours.get
+    assert(img.width == w && img.height == h && img.channels == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val got = ((img.pixels(p) & 0xFF) << 16) |
+        ((img.pixels(p + 1) & 0xFF) << 8) | (img.pixels(p + 2) & 0xFF)
+      assert(got == (bi.getRGB(x, y) & 0xFFFFFF), s"($x,$y)")
+    }
+  }
+
+  // -- hand-built streams: forward-filter each scanline with a chosen
+  //    filter type, deflate, wrap in chunks — exercises every unfilter arm
+
+  private def chunk(out: ByteArrayOutputStream, t: String, data: Array[Byte]): Unit = {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    out.write(be32(data.length))
+    val tb = t.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new CRC32(); crc.update(tb); crc.update(data)
+    out.write(be32(crc.getValue.toInt))
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end(); bos.toByteArray
+  }
+
+  private def buildPng(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+      plte: Option[Array[Byte]] = None, trns: Option[Array[Byte]] = None,
+      bitDepth: Int = 8, interlace: Int = 0): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    val ihdr = new Array[Byte](13)
+    def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+      b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+    }
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte; ihdr(12) = interlace.toByte
+    chunk(out, "IHDR", ihdr)
+    plte.foreach(chunk(out, "PLTE", _))
+    trns.foreach(chunk(out, "tRNS", _))
+    chunk(out, "IDAT", deflate(raw))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def forwardFilter(px: Array[Byte], w: Int, h: Int, bpp: Int,
+      filterOf: Int => Int): Array[Byte] = {
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (y <- 0 until h) {
+      val f = filterOf(y)
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = px(y * stride + x) & 0xFF
+        val a = if (x >= bpp) px(y * stride + x - bpp) & 0xFF else 0
+        val b = if (y > 0) px((y - 1) * stride + x) & 0xFF else 0
+        val c = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + x) = (v & 0xFF).toByte
+      }
+    }
+    raw
+  }
+
+  test("every scanline filter type (0–4) unfilters back to the pixels") {
+    val img = randomImage(1234, 9, 7, 3)
+    for (f <- 0 to 4) {
+      val raw = forwardFilter(img.pixels, 9, 7, 3, _ => f)
+      val got = Png.decode(buildPng(9, 7, colorType = 2, raw))
+      assert(got.isDefined, s"filter $f")
+      assert(java.util.Arrays.equals(got.get.pixels, img.pixels), s"filter $f")
+    }
+    // mixed filters per scanline (the real-world adaptive case)
+    val rawMixed = forwardFilter(img.pixels, 9, 7, 3, y => y % 5)
+    val got = Png.decode(buildPng(9, 7, colorType = 2, rawMixed))
+    assert(got.isDefined && java.util.Arrays.equals(got.get.pixels, img.pixels))
+  }
+
+  test("palette decode expands PLTE (and tRNS to alpha)") {
+    // 4 palette entries; 2x2 image of indices 0..3, filter 0
+    val plte = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val idx = Array[Byte](0, 0, 1, 0, 2, 3) // filter byte + 2 idx, twice
+    val noAlpha = Png.decode(buildPng(2, 2, colorType = 3, idx, plte = Some(plte)))
+    assert(noAlpha.isDefined && noAlpha.get.channels == 3)
+    assert(noAlpha.get.pixels.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    val withAlpha = Png.decode(buildPng(2, 2, colorType = 3, idx,
+      plte = Some(plte), trns = Some(Array[Byte](0x11, 0x22))))
+    assert(withAlpha.isDefined && withAlpha.get.channels == 4)
+    val px = withAlpha.get.pixels
+    assert(px(3) == 0x11 && px(7) == 0x22)
+    assert(px(11) == 0xFF.toByte && px(15) == 0xFF.toByte, "entries past tRNS are opaque")
+  }
+
+  test("unsupported and corrupt streams are rejected, never half-decoded") {
+    val img = randomImage(5, 6, 4, 3)
+    val good = Png.encode(img)
+    // corrupt a pixel byte inside IDAT → chunk CRC mismatch
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x5A).toByte
+    assert(Png.decode(bad).isEmpty, "CRC corruption must reject")
+    // truncation
+    assert(Png.decode(good.take(good.length - 6)).isEmpty)
+    // 16-bit depth and interlace flags → fallback
+    val raw = forwardFilter(img.pixels, 6, 4, 3, _ => 0)
+    assert(Png.decode(buildPng(6, 4, 2, raw, bitDepth = 16)).isEmpty)
+    assert(Png.decode(buildPng(6, 4, 2, raw, interlace = 1)).isEmpty)
+    // not a PNG at all
+    assert(Png.decode("just text".getBytes).isEmpty)
+    assert(Png.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("box downscale is the exact integer mean; resize preserves channels") {
+    val src = Array(0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, 130, 140, 150)
+    val out = Png.boxDownscale(src, 4, 4, 2, 2)
+    // each 2x2 box mean, floor
+    assert(out.toSeq == Seq((0 + 10 + 40 + 50) / 4, (20 + 30 + 60 + 70) / 4,
+      (80 + 90 + 120 + 130) / 4, (100 + 110 + 140 + 150) / 4))
+    val img = randomImage(77, 16, 12, 4)
+    val small = Png.resize(img, 4, 3)
+    assert(small.width == 4 && small.height == 3 && small.channels == 4)
+    // resize output re-encodes and roundtrips like any raster
+    assert(Png.decode(Png.encode(small)).get.pixels.toSeq == small.pixels.toSeq)
+  }
+
+  test("pixel checksum and aHash are re-encode invariant (JDK vs ours)") {
+    System.setProperty("java.awt.headless", "true")
+    // smooth gradient so the two encoders pick different filters/compression
+    val w = 32; val h = 32
+    val px = Array.tabulate(w * h * 3)(i => ((i / 3 % w) * 8 % 256).toByte)
+    val img = Png.Image(w, h, 3, px)
+    val oursBytes = Png.encode(img)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      bi.setRGB(x, y, ((px(p) & 0xFF) << 16) | ((px(p + 1) & 0xFF) << 8) | (px(p + 2) & 0xFF))
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val jdkBytes = bos.toByteArray
+    assert(!java.util.Arrays.equals(oursBytes, jdkBytes),
+      "encoders differ at the byte layer (that's the point)")
+    val a = Png.decode(oursBytes).get
+    val b = Png.decode(jdkBytes).get
+    assert(Png.pixelChecksum(a) == Png.pixelChecksum(b))
+    assert(Png.aHash(a) == Png.aHash(b))
+    val fa = Png.features(a, 48); val fb = Png.features(b, 48)
+    assert(fa.toSeq == fb.toSeq, "same raster embeds identically")
+  }
+
+  test("WAV PCM sample decode: exact integer stats, 8 and 16 bit") {
+    def wav(bits: Int, samples: Seq[Int]): Array[Byte] = {
+      val bytesPer = bits / 8
+      val out = new Array[Byte](44 + samples.length * bytesPer)
+      def asc(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, k) => out(o + k) = c.toByte }
+      def le32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte; out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte }
+      def le16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte }
+      asc(0, "RIFF"); le32(4, 36 + samples.length * bytesPer); asc(8, "WAVE")
+      asc(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, 8000); le32(28, 8000 * bytesPer); le16(32, bytesPer); le16(34, bits)
+      asc(36, "data"); le32(40, samples.length * bytesPer)
+      samples.zipWithIndex.foreach { case (s, k) =>
+        if (bits == 16) le16(44 + k * 2, s & 0xFFFF)
+        else out(44 + k) = ((s + 128) & 0xFF).toByte
+      }
+      out
+    }
+    val s16 = Seq(-1000, 0, 32767, -32768, 12345)
+    val Some((r1, c1, b1, n1, sum1, sq1)) = AudioHeaders.pcm(wav(16, s16))
+    assert((r1, c1, b1, n1) == (8000, 1, 16, 5L))
+    assert(sum1 == s16.map(_.toLong).sum)
+    assert(sq1 == s16.map(v => v.toLong * v).sum)
+    val s8 = Seq(-128, -1, 0, 1, 127)
+    val Some((_, _, b2, n2, sum2, sq2)) = AudioHeaders.pcm(wav(8, s8))
+    assert(b2 == 8 && n2 == 5L)
+    assert(sum2 == s8.map(_.toLong).sum && sq2 == s8.map(v => v.toLong * v).sum)
+    // float/compressed WAV (fmt tag != 1) falls back
+    val f = wav(16, s16); f(20) = 3 // IEEE float tag
+    assert(AudioHeaders.pcm(f).isEmpty)
+  }
+}
