@@ -64,12 +64,14 @@ object Multimodal {
         // per-partition decoder init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          Png.decode(bytes) match {
-            // REAL pixel decode (pure-JVM codec): checksum is the
-            // pixel-layer content identity, stable across re-encodes
+          Png.decodeAny(bytes) match {
+            // REAL pixel decode (own PNG codec, JDK ImageIO for the
+            // rest): checksum is the pixel-layer content identity,
+            // stable across re-encodes
             case Some(img) =>
+              val fmt = ImageHeaders.decode(bytes).map(_._3).getOrElse("img")
               DecodedMeta(id, bytes.length.toLong, img.width, img.height,
-                "png", Png.pixelChecksum(img))
+                fmt, Png.pixelChecksum(img))
             case None =>
               val (w, h, fmt, sum) = StubDecoders.decodeImageMeta(bytes)
               DecodedMeta(id, bytes.length.toLong, w, h, fmt, sum)
@@ -141,12 +143,11 @@ object Multimodal {
       payload: Array[Byte])
 
   /** Resize stage — same partition-batch shape as [[decodeImages]] (one
-    * partition = one codec session; a real resizer amortizes library init
-    * exactly here). The pixel transform is the clearly-marked stub
-    * ([[StubDecoders.resizePayload]] — no image libs in-container); the
-    * Spark-side contract is real: deterministic output, declared target
-    * dims, payload bytes proportional to w×h so downstream size
-    * accounting behaves like a real thumbnail pipeline.
+    * partition = one codec session). REAL for any payload
+    * [[Png.decodeAny]] can read: deterministic box-average downscale
+    * (nearest-neighbor on upscale) re-encoded as PNG by the pure-JVM
+    * codec. Undecodable payloads keep the size-faithful stub
+    * ([[StubDecoders.resizePayload]]) so downstream accounting behaves.
     */
   def resizeImages(media: DataFrame, width: Int, height: Int): Dataset[ResizedImage] = {
     require(width > 0 && height > 0, s"target dims must be positive: ${width}x$height")
@@ -157,7 +158,7 @@ object Multimodal {
         // per-partition resizer init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          Png.decode(bytes) match {
+          Png.decodeAny(bytes) match {
             // REAL resize: deterministic box-average downscale (nearest
             // on upscale) re-encoded as PNG by the pure-JVM codec
             case Some(img) =>
@@ -187,7 +188,7 @@ object Multimodal {
         // per-partition encoder init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val emb = Png.decode(bytes) match {
+          val emb = Png.decodeAny(bytes) match {
             // REAL pixel features: channel histograms — re-encodes of
             // the same raster embed identically (cosine 1), which the
             // content-hash stub cannot do
@@ -219,7 +220,7 @@ object Multimodal {
         // per-partition decoder init would go here
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val ph = Png.decode(bytes) match {
+          val ph = Png.decodeAny(bytes) match {
             // classic aHash over REAL 8×8 downscaled grayscale pixels —
             // invariant to re-encoding, robust to small pixel edits
             case Some(img) => Png.aHash(img)

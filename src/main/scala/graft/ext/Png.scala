@@ -360,6 +360,53 @@ object Png {
     h
   }
 
+  /** Real-pixel decode for the formats OUR codec doesn't own, via the
+    * JDK's built-in ImageIO (java.desktop — part of the JDK, still zero
+    * external dependencies): JPEG, GIF, BMP, and any PNG variant outside
+    * the 8-bit non-interlaced envelope. Headless-safe. Returns RGB or
+    * RGBA 8-bit rasters. Note the determinism scope: bit-exact within a
+    * JDK, not contractually bit-exact ACROSS JDK major versions for
+    * JPEG (color management) — which is why [[decode]] (fully
+    * deterministic by construction) is tried first and remains the
+    * canonical path for PNG.
+    */
+  def decodeViaJdk(bytes: Array[Byte]): Option[Image] = {
+    if (bytes.length < 4) return None
+    try {
+      System.setProperty("java.awt.headless", "true")
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (bi == null) return None
+      val w = bi.getWidth; val h = bi.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h * 4 > (1L << 28)) return None
+      val hasAlpha = bi.getColorModel.hasAlpha
+      val ch = if (hasAlpha) 4 else 3
+      val out = new Array[Byte](w * h * ch)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        bi.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val argb = row(x)
+          val p = (y * w + x) * ch
+          out(p) = ((argb >> 16) & 0xFF).toByte
+          out(p + 1) = ((argb >> 8) & 0xFF).toByte
+          out(p + 2) = (argb & 0xFF).toByte
+          if (hasAlpha) out(p + 3) = ((argb >>> 24) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Image(w, h, ch, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** Canonical pixel decode: our deterministic codec first, the JDK's
+    * ImageIO for everything else it can read.
+    */
+  def decodeAny(bytes: Array[Byte]): Option[Image] =
+    decode(bytes).orElse(decodeViaJdk(bytes))
+
   /** Pixel-layer content identity: CRC32 over dims + channels + raw
     * samples. Invariant across re-encodes of the same raster (compressed
     * bytes differ, pixel checksum doesn't) — the media twin of text

@@ -231,6 +231,36 @@ class PngSpec extends AnyFunSuite {
     assert(fa.toSeq == fb.toSeq, "same raster embeds identically")
   }
 
+  test("decodeAny reads JPEG/GIF real pixels via the JDK's ImageIO arm") {
+    System.setProperty("java.awt.headless", "true")
+    val w = 20; val h = 14
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 12) << 16) | ((y * 17) << 8) | 0x40)
+    for (fmt <- Seq("jpg", "gif")) {
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos), fmt)
+      val bytes = bos.toByteArray
+      assert(Png.decode(bytes).isEmpty, s"own codec must not claim $fmt")
+      val img = Png.decodeAny(bytes)
+      assert(img.isDefined, fmt)
+      assert(img.get.width == w && img.get.height == h, fmt)
+      // deterministic: decoding twice yields identical pixels
+      assert(java.util.Arrays.equals(img.get.pixels, Png.decodeAny(bytes).get.pixels))
+      // JPEG is lossy — compare approximately; GIF palette round-trips
+      // this smooth ramp closely too
+      val px = img.get.pixels
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * img.get.channels
+        maxErr = math.max(maxErr,
+          math.abs((px(p) & 0xFF) - x * 12).max(math.abs((px(p + 1) & 0xFF) - y * 17)))
+      }
+      assert(maxErr <= 48, s"$fmt maxErr=$maxErr")
+    }
+  }
+
   test("WAV PCM sample decode: exact integer stats, 8 and 16 bit") {
     def wav(bits: Int, samples: Seq[Int]): Array[Byte] = {
       val bytesPer = bits / 8
