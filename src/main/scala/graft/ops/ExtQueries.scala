@@ -2403,11 +2403,29 @@ object ExtQueries {
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
-      val media = Multimodal.asMedia(documents(s, d), "doc_id", "text", "image/fake")
+      // MIXED corpus so both decode arms run in the driver gate: even
+      // doc_ids carry a real PNG payload (deterministic 16×16 gray
+      // raster → the pure-JVM codec path: true dims + pixel checksum),
+      // odd ids carry raw text bytes (the documented stub fallback).
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload =
+            if (id % 2 == 0) {
+              val px = Array.tabulate(16 * 16)(i => ((id * 13 + i * 3) % 256).toByte)
+              graft.ext.Png.encode(graft.ext.Png.Image(16, 16, 1, px))
+            } else text.getBytes("UTF-8")
+          (id, payload, if (id % 2 == 0) "image/png" else "application/octet-stream")
+        }
+        .toDF("media_id", "payload", "media_type")
+        .withColumn("byte_len", length(col("payload")).cast("long"))
       Multimodal.decodeImages(media).toDF().orderBy("media_id")
     },
-    None, // decoder is stubbed (no media libs in-container)
-    "binary media columns + mapPartitions decode stage (stub codec)")
+    None, // checksum column is codec-defined; the real arm is
+    // hash-certified by q_png_roundtrip, the stub arm by MultimodalSpec
+    "binary media columns + mapPartitions decode stage (real PNG pixel " +
+      "codec for decodable payloads, deterministic stub fallback)")
 
   private val qMultimodalAudio = Q(
     "q_multimodal_audio",

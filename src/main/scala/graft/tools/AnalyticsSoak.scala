@@ -89,6 +89,22 @@ object AnalyticsSoak {
       graft.ext.Classifier.scoreFast(docs, "doc_id", "text", gateModel)
         .filter(col("score") > 0.5).count()
     }
+    timed("png_decode_hash_200k", 200000) {
+      // real-codec media path at scale: 200 k synthetic 32×32 RGB PNGs
+      // (encoded by the same codec) → full pixel decode + aHash +
+      // pixel checksum per image, one mapPartitions pass
+      import spark.implicits._
+      val media = spark.range(0, 200000, 1, 64).as[Long]
+        .map { id =>
+          val px = Array.tabulate(32 * 32 * 3)(i =>
+            ((id * 31 + i.toLong * 7) % 256).toByte)
+          (id, graft.ext.Png.encode(graft.ext.Png.Image(32, 32, 3, px)))
+        }.toDF("media_id", "payload")
+        .withColumn("media_type", lit("image/png"))
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+      graft.ext.Multimodal.perceptualHashes(media)
+        .toDF().agg(count(lit(1))).head().getLong(0)
+    }
     timed("corpus_sketch_overlap", nDocs) {
       def sketch(f: org.apache.spark.sql.Column, name: String) =
         docs.filter(f)
