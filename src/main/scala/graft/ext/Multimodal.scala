@@ -260,6 +260,94 @@ object Multimodal {
       .withColumn("frame_bytes",
         expr(s"substring(payload, frame_no * $chunkSize + 1, $chunkSize)"))
       .drop("payload")
+
+  final case class SampledFrame(
+      media_id: Long,
+      frame_no: Int,
+      width: Int,
+      height: Int,
+      frame_png: Array[Byte])
+
+  /** REAL frame sampling for multi-frame containers the JDK can read
+    * (animated GIF via `ImageReader.getNumImages/read(i)`): every
+    * `stride`-th frame decoded to pixels and re-encoded as PNG by the
+    * deterministic codec — the video→keyframe extraction shape with an
+    * actual decoder behind it. One reader per payload, reader disposed
+    * per row; single-frame/undecodable payloads yield frame 0 via
+    * [[Png.decodeAny]] when possible and are skipped otherwise (the
+    * byte-chunk [[sampleFrames]] covers opaque payloads).
+    */
+  def sampleFramesReal(media: DataFrame, stride: Int): Dataset[SampledFrame] = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        System.setProperty("java.awt.headless", "true")
+        batch.flatMap { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          gifFrames(bytes, stride) match {
+            case Some(frames) =>
+              frames.map { case (no, img) =>
+                SampledFrame(id, no, img.width, img.height, Png.encode(img))
+              }
+            case None =>
+              Png.decodeAny(bytes).map(img =>
+                SampledFrame(id, 0, img.width, img.height, Png.encode(img))).toSeq
+          }
+        }
+      }
+  }
+
+  /** Every `stride`-th frame of a multi-frame GIF as rasters; None when
+    * the payload isn't a GIF the JDK reader accepts.
+    */
+  private def gifFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] = {
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      return None
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(stream, false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Png.Image)]
+      var i = 0
+      while (i < n) {
+        val bi = reader.read(i)
+        val w = bi.getWidth; val h = bi.getHeight
+        val hasAlpha = bi.getColorModel.hasAlpha
+        val ch = if (hasAlpha) 4 else 3
+        val px = new Array[Byte](w * h * ch)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          bi.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val argb = row(x)
+            val p = (y * w + x) * ch
+            px(p) = ((argb >> 16) & 0xFF).toByte
+            px(p + 1) = ((argb >> 8) & 0xFF).toByte
+            px(p + 2) = (argb & 0xFF).toByte
+            if (hasAlpha) px(p + 3) = ((argb >>> 24) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out += ((i, Png.Image(w, h, ch, px)))
+        i += stride
+      }
+      Some(out.toSeq)
+    } catch { case _: Exception => None }
+    finally {
+      reader.dispose()
+      stream.close()
+    }
+  }
 }
 
 /** Image-header decoders: REAL dimension parsing for the formats whose

@@ -2524,6 +2524,63 @@ object ExtQueries {
       "the real sample decoder — exact integer sample sum / energy " +
       "hash-checked against the oracle's direct arithmetic")
 
+  private val qGifFrames = Q(
+    "q_gif_frames",
+    (s, d) => {
+      // REAL frame sampling, driver-checked: per doc, a genuine 4-frame
+      // animated GIF (written by the JDK's own encoder; frame f is the
+      // solid gray (id·7 + 40·f) mod 256 — solid colors survive GIF
+      // palette quantization exactly) is frame-sampled at stride 2
+      // through Multimodal.sampleFramesReal (JDK ImageReader → pure-JVM
+      // PNG re-encode), and the first pixel of each decoded frame must
+      // hash-match DuckDB computing the same arithmetic directly.
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          System.setProperty("java.awt.headless", "true")
+          ids.map { id =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("gif").next()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < 4) {
+              val v = ((id * 7 + 40 * f) % 256).toInt
+              val bi = new java.awt.image.BufferedImage(8, 6,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 6) {
+                var x = 0
+                while (x < 8) { bi.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(bi, null, null),
+                writer.getDefaultWriteParam)
+              f += 1
+            }
+            writer.endWriteSequence(); ios.close(); writer.dispose()
+            (id, bos.toByteArray)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ext.Multimodal.sampleFramesReal(media, stride = 2)
+        .map(fr => (fr.media_id, fr.frame_no, fr.width, fr.height,
+          (graft.ext.Png.decode(fr.frame_png).get.pixels(0) & 0xFF).toLong))
+        .toDF("media_id", "frame_no", "width", "height", "p0")
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""SELECT doc_id AS media_id, f AS frame_no, 8 AS width,
+                   6 AS height,
+                   CAST((doc_id * 7 + 40 * f) % 256 AS BIGINT) AS p0
+            FROM documents CROSS JOIN (VALUES (0), (2)) t(f)
+            ORDER BY media_id, frame_no"""),
+    "animated-GIF frame-sampling certificate: JDK-encoded multi-frame " +
+      "payloads through the real frame sampler — sampled frame pixels " +
+      "hash-checked against the oracle's direct arithmetic")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -2544,5 +2601,6 @@ object ExtQueries {
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
-    qDedupImage, qMultimodal, qMultimodalAudio, qPngRoundtrip, qWavPcm)
+    qDedupImage, qMultimodal, qMultimodalAudio, qPngRoundtrip, qWavPcm,
+    qGifFrames)
 }

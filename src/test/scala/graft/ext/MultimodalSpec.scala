@@ -204,4 +204,46 @@ class MultimodalSpec extends SparkSpec {
     val top = graft.ext.Similarity.bruteForceTopKLazy(emb, "media_id", "embedding", q, "embedding", 3)
     assert(top.count() == 3)
   }
+
+  test("sampleFramesReal extracts real animated-GIF frames, re-encoded as PNG") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    // a genuine 5-frame animated GIF written by the JDK's own encoder:
+    // frame f is a solid gray of value 40f+20 (exact in a GIF palette)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 5) {
+      val bi = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = 40 * f + 20
+      for (y <- 0 until 6; x <- 0 until 8) bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(bi, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    val media = Seq((1L, gif), (2L, "not media at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val frames = Multimodal.sampleFramesReal(media, stride = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_no))
+    // GIF: every 2nd frame; opaque text payload: skipped entirely
+    assert(frames.map(f => (f.media_id, f.frame_no)).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4)))
+    frames.foreach { fr =>
+      val img = Png.decode(fr.frame_png)
+      assert(img.isDefined && img.get.width == 8 && img.get.height == 6)
+      val v = 40 * fr.frame_no + 20
+      assert((img.get.pixels(0) & 0xFF) == v,
+        s"frame ${fr.frame_no}: ${img.get.pixels(0) & 0xFF} != $v")
+    }
+    // a single-frame PNG payload yields exactly frame 0 via the codec
+    val png = Png.encode(Png.Image(4, 4, 1, Array.fill(16)(7.toByte)))
+    val one = Multimodal.sampleFramesReal(
+      Seq((3L, png)).toDF("media_id", "payload"), stride = 1).collect()
+    assert(one.length == 1 && one(0).frame_no == 0 && one(0).width == 4)
+  }
 }
