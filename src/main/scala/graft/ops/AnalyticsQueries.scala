@@ -873,7 +873,7 @@ object AnalyticsQueries {
       val j2 = joined.select(col("l.user_id").as("user_id"), col("l_id"),
         coalesce(col("r_id"), lit(-1L)).as("r_id"))
       RelationalQueries.boundedReplay(s, name, j2, "append",
-        statePartitions = "4")
+        statePartitions = RelationalQueries.stateWidthFor(s, d, "events"))
         .orderBy("user_id", "l_id", "r_id")
     },
     Some("""WITH clicks AS (

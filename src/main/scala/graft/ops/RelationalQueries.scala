@@ -325,6 +325,63 @@ object RelationalQueries {
             ORDER BY o_orderpriority, l_returnflag"""),
     "fact⋈fact shuffle join — Catalyst/AQE picks SMJ or SHJ on l_orderkey")
 
+  /** Bucketed twins of the two fact tables, written once per corpus dir
+    * (write-once serve-many, the tokenizer/IVF model discipline applied
+    * to STORAGE LAYOUT). Both bucketed+sorted on the join key with the
+    * same bucket count, so the q_join_bucketed join needs neither
+    * Exchange nor Sort — the co-located-join layout that at 100 TB turns
+    * the recurring fact⋈fact shuffle (the single largest cost in
+    * q_join_sortmerge's plan) into a per-bucket merge.
+    */
+  private val bucketedJoinTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def ensureBucketedFacts(s: SparkSession, d: String): (String, String) =
+    bucketedJoinTables.getOrElseUpdate(d, {
+      val tag = math.abs(d.hashCode).toString
+      val lt = s"graft_bkt_lineitem_$tag"
+      val ot = s"graft_bkt_orders_$tag"
+      graft.sources.Sources.writeBucketedBy(
+        lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag"),
+        lt, Seq("l_orderkey"), numBuckets = 16, sortCol = Some("l_orderkey"),
+        basePath = Some(s"/tmp/graft_bkt_$tag/lineitem"))
+      graft.sources.Sources.writeBucketedBy(
+        orders(s, d).select("o_orderkey", "o_orderpriority"),
+        ot, Seq("o_orderkey"), numBuckets = 16, sortCol = Some("o_orderkey"),
+        basePath = Some(s"/tmp/graft_bkt_$tag/orders"))
+      (lt, ot)
+    })
+
+  private val qJoinBucketed = Q(
+    "q_join_bucketed",
+    (s, d) => {
+      // The co-located join: both sides read from bucketed+sorted tables
+      // that share the join key and bucket count, so the sort-merge join
+      // consumes bucket files directly — NO Exchange, NO Sort in the join
+      // subtree (plan-asserted in AdvancedQueriesSpec). Result is
+      // hash-identical to the shuffle form, which is exactly the point:
+      // bucketing changes the physical layout, never the answer.
+      val (lt, ot) = ensureBucketedFacts(s, d)
+      // merge hint for the same reason as q_join_sortmerge: at test SF
+      // the small side sneaks under the broadcast threshold and Catalyst
+      // would driver-broadcast a fact table — the hint keeps the plan
+      // the co-located SMJ that the bucketed layout exists for
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority", "l_returnflag")
+    },
+    Some("""SELECT o_orderpriority, l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority, l_returnflag
+            ORDER BY o_orderpriority, l_returnflag"""),
+    "co-located bucketed join: both facts bucketed+sorted on the join " +
+      "key (write-once layout) — exchange-free, sort-free join subtree, " +
+      "hash-identical to the shuffle form")
+
   private val qJoinOuter = Q(
     "q_join_outer",
     (s, d) =>
@@ -804,7 +861,7 @@ object RelationalQueries {
     * widens the state with the data, so the declared query is the scale
     * shape rather than a pinned toy width.
     */
-  private def stateWidthFor(s: SparkSession, d: String, table: String): String = {
+  private[ops] def stateWidthFor(s: SparkSession, d: String, table: String): String = {
     val width =
       try {
         val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
@@ -1612,7 +1669,7 @@ object RelationalQueries {
     qStatsMoments, qHistogram, qDateArith,
     qStringFns, qDateFns, qMathFns, qArrayFns, qJsonFns, qScanNdjson,
     qCsvRoundtrip, qOrcRoundtrip, qXmlRoundtrip, qSchemaEvolution,
-    qJoinBroadcast, qJoinSortmerge, qJoinOuter, qJoinSemi, qJoinAnti,
+    qJoinBroadcast, qJoinSortmerge, qJoinBucketed, qJoinOuter, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofGeneric, qJoinInterval,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,

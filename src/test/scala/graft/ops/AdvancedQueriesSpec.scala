@@ -57,4 +57,38 @@ class AdvancedQueriesSpec extends SparkSpec {
       Dedup.WordShingles(3)).collect().head
     assert(!r.isNullAt(2) && !r.isNullAt(3))
   }
+
+  test("q_join_bucketed: co-located join — bucketed scans, one exchange, one sort") {
+    // the join itself must consume bucket files directly: the ONLY
+    // hash exchange is the downstream groupBy, the ONLY sort is the
+    // final ORDER BY — neither belongs to the join subtree
+    val df = graft.SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+    df.collect() // AQE: final plan forms after execution
+    // AQE's toString echoes the Initial Plan too — assert on the final
+    // section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split(java.util.regex.Pattern.quote("== Initial Plan ==")).head
+    assert(plan.contains("Bucketed: true"), s"scans not bucketed:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 16 out of 16"), plan)
+    def occurs(p: String, needle: String) = p.split(java.util.regex.Pattern.quote(needle)).length - 1
+    assert(occurs(plan, "Exchange hashpartitioning") == 1,
+      s"join subtree should be exchange-free (1 = the groupBy):\n$plan")
+    // the SMJ's remaining sorts are partition-LOCAL (global=false) over
+    // already-sorted bucket files — O(n) merge detection, no shuffle;
+    // the only global sort is the final ORDER BY
+    assert(occurs(plan, "], true, 0") == 1,
+      s"exactly one GLOBAL sort (the ORDER BY) expected:\n$plan")
+    // and the layout never changes the answer: hash-equal to the
+    // shuffle form computing the same aggregate
+    val viaShuffle = graft.ops.Tables.lineitem(spark, sfDir).hint("merge")
+      .join(graft.ops.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority", "l_returnflag")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val viaBuckets = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(viaBuckets.toSeq == viaShuffle.toSeq)
+  }
 }
