@@ -62,23 +62,37 @@ object Graph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // one edge-side join, reused every round: (src, dst, deg)
     val fan = e.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    fan.count()
+    val m = fan.count()
     e.unpersist(blocking = false)
+    // Iteration shuffle width rides the EDGE COUNT (one reducer per ~1 M
+    // fan rows, floor 1): `iterations` rounds × 3 shuffle stages at the
+    // session width is pure task-scheduling overhead on small graphs,
+    // while a large graph keeps — and a huge one grows — its
+    // parallelism. Results are exact integers, partitioning-invariant.
+    // All rounds materialize INSIDE this scope (ranks.count below), so
+    // the scoped conf actually governs the loop's stages.
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth = math.max(1L,
+      math.min(prevParts.toInt.toLong * 4, m / 1000000L + 1L)).toString
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
-    for (_ <- 0 until iterations) {
-      val contrib = fan.join(ranks, fan("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
-        .groupBy("node")
-        .agg(sum("c").as("contrib"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"$damp * coalesce(contrib, 0L) div 100")).as("rank"))
-        .localCheckpoint(eager = false)
-    }
-    // materialize the final round (driver-orchestrated loop, like the CC
-    // loop) BEFORE releasing the cached edge fan — a lazy handoff would
-    // recompute the edge⋈outdeg join once per round at first use
-    ranks.count()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
+      for (_ <- 0 until iterations) {
+        val contrib = fan.join(ranks, fan("src") === ranks("node"))
+          .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          .groupBy("node")
+          .agg(sum("c").as("contrib"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"$damp * coalesce(contrib, 0L) div 100")).as("rank"))
+          .localCheckpoint(eager = false)
+      }
+      // materialize the final round (driver-orchestrated loop, like the CC
+      // loop) BEFORE releasing the cached edge fan — a lazy handoff would
+      // recompute the edge⋈outdeg join once per round at first use
+      ranks.count()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     nodes.unpersist(blocking = false)
     fan.unpersist(blocking = false)
     ranks
@@ -122,7 +136,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val fan = e.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    fan.count()
+    val mEdges = fan.count()
     e.unpersist(blocking = false)
     val seedMass = seeds
       .select(col("node").cast("long").as("node"), col("label").cast("long").as("label"),
@@ -130,22 +144,31 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var mass = seeds.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("label"), lit(scale).as("m"))
-    for (_ <- 0 until iterations) {
-      val inflow = fan.join(mass, fan("src") === mass("node"))
-        .select(col("dst").as("node"), col("label"), expr("m div deg").as("c"))
-        .groupBy("node", "label")
-        .agg(expr(s"${100 - keep} * sum(c) div 100").as("m"))
-      mass = seedMass.unionByName(inflow)
-        .groupBy("node", "label")
-        .agg(sum("m").as("m"))
-        // keep the table truly sparse: integer scale-down can strand
-        // zero-mass rows, which would then ride (and join) through every
-        // remaining round for free noise (0 contributes 0 — dropping is
-        // exact, and the oracle prunes identically)
-        .filter(col("m") > 0)
-        .localCheckpoint(eager = false)
-    }
-    mass.count()
+    // edge-count-derived loop width, exactly as in [[pageRank]]: the mass
+    // arithmetic is exact integers, so the result is width-invariant
+    val spark = edges.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth = math.max(1L,
+      math.min(prevParts.toInt.toLong * 4, mEdges / 1000000L + 1L)).toString
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
+      for (_ <- 0 until iterations) {
+        val inflow = fan.join(mass, fan("src") === mass("node"))
+          .select(col("dst").as("node"), col("label"), expr("m div deg").as("c"))
+          .groupBy("node", "label")
+          .agg(expr(s"${100 - keep} * sum(c) div 100").as("m"))
+        mass = seedMass.unionByName(inflow)
+          .groupBy("node", "label")
+          .agg(sum("m").as("m"))
+          // keep the table truly sparse: integer scale-down can strand
+          // zero-mass rows, which would then ride (and join) through every
+          // remaining round for free noise (0 contributes 0 — dropping is
+          // exact, and the oracle prunes identically)
+          .filter(col("m") > 0)
+          .localCheckpoint(eager = false)
+      }
+      mass.count()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     seedMass.unpersist(blocking = false)
     fan.unpersist(blocking = false)
     mass
