@@ -190,6 +190,11 @@ class PngSpec extends AnyFunSuite {
     // not a PNG at all
     assert(Png.decode("just text".getBytes).isEmpty)
     assert(Png.decode(Array.emptyByteArray).isEmpty)
+    // decompression-bomb guard: a valid-looking header claiming a raster
+    // past the 256 MB cap is rejected at IHDR, before any inflate work
+    val bomb = buildPng(20000, 20000, colorType = 6,
+      raw = Array[Byte](0, 0, 0, 0, 0)) // bogus tiny IDAT — never reached
+    assert(Png.decode(bomb).isEmpty, "oversized raster must be rejected")
   }
 
   test("box downscale is the exact integer mean; resize preserves channels") {

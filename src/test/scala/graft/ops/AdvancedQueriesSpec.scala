@@ -33,6 +33,33 @@ class AdvancedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("sharded count-min merge equals the monolithic sketch on every probe") {
+    // the mergeability claim behind q_heavy_hitters_cms, isolated: the
+    // driver-side mergeInPlace of per-shard blobs must estimate exactly
+    // what one monolithic sketch over the full data estimates
+    import org.apache.spark.util.sketch.CountMinSketch
+    val toks = Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 8).as("shard"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Array[Byte]] =
+      df.collect().map(_.getAs[Array[Byte]]("cms"))
+    val shardBlobs = sketchOf(toks.groupBy("shard")
+      .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("cms")))
+    val monoBlob = sketchOf(toks.groupBy()
+      .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("cms"))).head
+    val merged = shardBlobs.map(b => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val mono = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(monoBlob))
+    val vocab = toks.select("tok").distinct().collect().map(_.getString(0))
+    assert(vocab.nonEmpty)
+    vocab.foreach { t =>
+      val k = t.getBytes("UTF-8")
+      assert(merged.estimateCount(k) == mono.estimateCount(k), t)
+    }
+    assert(merged.totalCount() == mono.totalCount())
+  }
+
   test("containment is asymmetric: embedded doc scores 1 against its container") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
