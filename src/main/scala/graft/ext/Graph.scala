@@ -50,7 +50,14 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damp >= 0 && damp <= 100, s"damp must be a percentage, got $damp")
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // Conf isolation (the [[Dedup.connectedComponents]] pattern): the loop
+    // wants an edge-derived shuffle width, so it runs on a CLONED session
+    // of the same SparkContext (Bridge.rebind hand-off, shared cache) —
+    // concurrent queries on the caller's session never see the loop width.
+    val caller = edges.sparkSession
+    val clone = caller.newSession()
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, edges)
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -69,33 +76,33 @@ object Graph {
     // session width is pure task-scheduling overhead on small graphs,
     // while a large graph keeps — and a huge one grows — its
     // parallelism. Results are exact integers, partitioning-invariant.
-    // All rounds materialize INSIDE this scope (ranks.count below), so
-    // the scoped conf actually governs the loop's stages.
-    val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // The width is set on the CLONE only; all rounds materialize on the
+    // clone (ranks.count below), so the width governs the loop's stages
+    // without ever touching the caller's session conf.
+    val callerParts = scala.util.Try(
+      caller.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(caller.sparkContext.defaultParallelism)
     val loopWidth = math.max(1L,
-      math.min(prevParts.toInt.toLong * 4, m / 1000000L + 1L)).toString
+      math.min(callerParts.toLong * 4, m / 1000000L + 1L)).toString
+    clone.conf.set("spark.sql.shuffle.partitions", loopWidth)
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
-      for (_ <- 0 until iterations) {
-        val contrib = fan.join(ranks, fan("src") === ranks("node"))
-          .select(col("dst").as("node"), expr("rank div deg").as("c"))
-          .groupBy("node")
-          .agg(sum("c").as("contrib"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr(s"$damp * coalesce(contrib, 0L) div 100")).as("rank"))
-          .localCheckpoint(eager = false)
-      }
-      // materialize the final round (driver-orchestrated loop, like the CC
-      // loop) BEFORE releasing the cached edge fan — a lazy handoff would
-      // recompute the edge⋈outdeg join once per round at first use
-      ranks.count()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    for (_ <- 0 until iterations) {
+      val contrib = fan.join(ranks, fan("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"$damp * coalesce(contrib, 0L) div 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    // materialize the final round (driver-orchestrated loop, like the CC
+    // loop) BEFORE releasing the cached edge fan — a lazy handoff would
+    // recompute the edge⋈outdeg join once per round at first use
+    ranks.count()
     nodes.unpersist(blocking = false)
     fan.unpersist(blocking = false)
-    ranks
+    org.apache.spark.sql.graftbridge.Bridge.rebind(caller, ranks)
   }
 
   /** Semi-supervised label propagation by FIXED-POINT mass diffusion —
@@ -132,46 +139,50 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(keep >= 0 && keep <= 100, s"keep must be a percentage, got $keep")
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // conf-isolated clone, exactly as in [[pageRank]]
+    val caller = edges.sparkSession
+    val clone = caller.newSession()
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, edges)
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val fan = e.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val mEdges = fan.count()
     e.unpersist(blocking = false)
-    val seedMass = seeds
+    val seedsC = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, seeds)
+    val seedMass = seedsC
       .select(col("node").cast("long").as("node"), col("label").cast("long").as("label"),
         lit(scale * keep / 100L).as("m"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var mass = seeds.select(col("node").cast("long").as("node"),
+    var mass = seedsC.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("label"), lit(scale).as("m"))
     // edge-count-derived loop width, exactly as in [[pageRank]]: the mass
     // arithmetic is exact integers, so the result is width-invariant
-    val spark = edges.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val callerParts = scala.util.Try(
+      caller.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(caller.sparkContext.defaultParallelism)
     val loopWidth = math.max(1L,
-      math.min(prevParts.toInt.toLong * 4, mEdges / 1000000L + 1L)).toString
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
-      for (_ <- 0 until iterations) {
-        val inflow = fan.join(mass, fan("src") === mass("node"))
-          .select(col("dst").as("node"), col("label"), expr("m div deg").as("c"))
-          .groupBy("node", "label")
-          .agg(expr(s"${100 - keep} * sum(c) div 100").as("m"))
-        mass = seedMass.unionByName(inflow)
-          .groupBy("node", "label")
-          .agg(sum("m").as("m"))
-          // keep the table truly sparse: integer scale-down can strand
-          // zero-mass rows, which would then ride (and join) through every
-          // remaining round for free noise (0 contributes 0 — dropping is
-          // exact, and the oracle prunes identically)
-          .filter(col("m") > 0)
-          .localCheckpoint(eager = false)
-      }
-      mass.count()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      math.min(callerParts.toLong * 4, mEdges / 1000000L + 1L)).toString
+    clone.conf.set("spark.sql.shuffle.partitions", loopWidth)
+    for (_ <- 0 until iterations) {
+      val inflow = fan.join(mass, fan("src") === mass("node"))
+        .select(col("dst").as("node"), col("label"), expr("m div deg").as("c"))
+        .groupBy("node", "label")
+        .agg(expr(s"${100 - keep} * sum(c) div 100").as("m"))
+      mass = seedMass.unionByName(inflow)
+        .groupBy("node", "label")
+        .agg(sum("m").as("m"))
+        // keep the table truly sparse: integer scale-down can strand
+        // zero-mass rows, which would then ride (and join) through every
+        // remaining round for free noise (0 contributes 0 — dropping is
+        // exact, and the oracle prunes identically)
+        .filter(col("m") > 0)
+        .localCheckpoint(eager = false)
+    }
+    mass.count()
     seedMass.unpersist(blocking = false)
     fan.unpersist(blocking = false)
-    mass
+    org.apache.spark.sql.graftbridge.Bridge.rebind(caller, mass)
   }
 
   /** Single-source BFS shortest paths, frontier-style: per hop, only the

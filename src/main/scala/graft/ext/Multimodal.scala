@@ -308,8 +308,11 @@ object Multimodal {
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
     val reader = readers.next()
+    // createImageInputStream can return null (no cache dir / SPI); bail
+    // before the finally block would NPE on stream.close()
     val stream = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (stream == null) { reader.dispose(); return None }
     try {
       reader.setInput(stream, false, true)
       val n = reader.getNumImages(true)

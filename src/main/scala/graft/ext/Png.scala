@@ -47,9 +47,16 @@ object Png {
   // ------------------------------------------------------------- decode
 
   /** Decode an 8-bit non-interlaced PNG; None for anything else (other
-    * formats, unsupported PNG variants, corrupt chunks/CRCs).
+    * formats, unsupported PNG variants, corrupt chunks/CRCs). A corrupt
+    * payload is rejected (None), never half-read: any exception the
+    * structural guards miss is caught here so a malformed blob can't
+    * crash the task.
     */
-  def decode(bytes: Array[Byte]): Option[Image] = {
+  def decode(bytes: Array[Byte]): Option[Image] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < Magic.length + 25 || !bytes.startsWith(Magic)) return None
     var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
     var palette: Array[Byte] = null
@@ -60,7 +67,9 @@ object Png {
     val crc = new CRC32()
     while (!sawIend && i + 12 <= bytes.length) {
       val len = be32(bytes, i)
-      if (len < 0 || i + 12 + len > bytes.length) return None
+      // overflow-safe: loop guard ensures bytes.length - 12 - i >= 0, so the
+      // subtraction form can't wrap the way `i + 12 + len` would for huge len
+      if (len < 0 || len > bytes.length - 12 - i) return None
       val chunkType = new String(bytes, i + 4, 4, "US-ASCII")
       crc.reset()
       crc.update(bytes, i + 4, 4 + len)

@@ -1481,11 +1481,16 @@ object ExtQueries {
         .filter(col("n_local") >= lit(0.002) * col("n_shard"))
         .select("tok").distinct()
         .collect().map(_.getString(0))
-      val rows = candidates
-        .map(t => (t, merged.estimateCount(t.getBytes("UTF-8"))))
-        .filter(_._2 >= thresh)
-      import s.implicits._
-      rows.toSeq.toDF("tok", "n")
+      // CMS over-estimates only, so probing keeps every true heavy hitter;
+      // survivors are then CONFIRMED by one exact aggregation filtered to
+      // that bounded candidate set — the emitted counts are exact even if
+      // an unlucky collision inflates a sub-threshold candidate's estimate
+      // (sketch = discovery, exact filtered agg = certificate).
+      val survivors = candidates
+        .filter(t => merged.estimateCount(t.getBytes("UTF-8")) >= thresh)
+      toks.filter(col("tok").isin(survivors.toSeq: _*))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= lit(thresh))
         .orderBy(col("n").desc, col("tok"))
     },
     Some("""WITH toks AS (

@@ -195,6 +195,14 @@ class PngSpec extends AnyFunSuite {
     val bomb = buildPng(20000, 20000, colorType = 6,
       raw = Array[Byte](0, 0, 0, 0, 0)) // bogus tiny IDAT — never reached
     assert(Png.decode(bomb).isEmpty, "oversized raster must be rejected")
+    // adversarial chunk length near Int.MaxValue: `i + 12 + len` would
+    // overflow Int and sail past a naive bounds check — must reject, not
+    // throw out of the bounds-checked chunk walk
+    val hostile = good.clone()
+    val at = 8 // first chunk (IHDR) length field
+    hostile(at) = 0x7F.toByte; hostile(at + 1) = 0xFF.toByte
+    hostile(at + 2) = 0xFF.toByte; hostile(at + 3) = 0xF0.toByte
+    assert(Png.decode(hostile).isEmpty, "overflowing chunk len must reject")
   }
 
   test("box downscale is the exact integer mean; resize preserves channels") {
