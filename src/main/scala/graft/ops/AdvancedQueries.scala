@@ -526,7 +526,7 @@ object AdvancedQueries {
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_v"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
-      val histPath = s"/tmp/graft_incragg_${math.abs(d.hashCode)}"
+      val histPath = s"/tmp/graft_incragg_${Tables.corpusTag(d)}"
       partial(ev.filter(col("ts") < cut))
         .write.mode("overwrite").parquet(histPath)
       s.read.parquet(histPath)
@@ -835,7 +835,7 @@ object AdvancedQueries {
       // StreamIncrAggSpec drives the multi-batch path (maxFilesPerTrigger)
       // — the driver corpus is a single file, so this replay is 1 batch.
       val runId = streamIncrRuns.incrementAndGet()
-      val logPath = s"/tmp/graft_stream_incragg_${math.abs(d.hashCode)}_$runId"
+      val logPath = s"/tmp/graft_stream_incragg_${Tables.corpusTag(d)}_$runId"
       val ckDir = s"/dev/shm/graft_ck_incragg_$runId"
       for (p <- Seq(logPath, ckDir))
         try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))

@@ -140,17 +140,20 @@ object ExtQueries {
         .unionByName(corpus.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 50000).as("doc_id"),
             concat(col("text"), lit(" small appended tail")).as("text")))
-      val prefix = s"graft_bandidx_${math.abs(d.hashCode)}"
+      val prefix = s"graft_bandidx_${Tables.corpusTag(d)}"
       // write-once semantics made literal: the index is built one time
       // per corpus dir and probed thereafter (the ivfModels memoization
       // discipline — rebuilding a write-once index on every invocation
       // mis-states its serving cost)
-      bandIndexBuilt.getOrElseUpdate(d, {
+      // memo hit is only valid while the current catalog still serves the
+      // index tables (a new SparkContext in the same JVM starts empty)
+      if (!bandIndexBuilt.getOrElse(d, false) ||
+          !s.catalog.tableExists(s"${prefix}_bands")) {
         Dedup.writeBandIndex(corpus, "doc_id", "text", prefix,
           numHashes = 64, bands = 16, shingler = Dedup.WordShingles(3),
           numBuckets = 8, basePath = Some(s"/tmp/$prefix"))
-        true
-      })
+        bandIndexBuilt(d) = true
+      }
       // by-name probe: build parameters come from the index's _meta
       // table, so the probe cannot silently mis-hash
       Dedup.nearDupAgainstIndex(s, prefix, batch,
@@ -297,7 +300,7 @@ object ExtQueries {
       // batch×corpus bit_count(xor) is the oracle.
       val (base, near, far) = hammingFps(s, d)
       val batch = near.unionByName(far)
-      val prefix = s"graft_hamidx_${math.abs(d.hashCode)}"
+      val prefix = s"graft_hamidx_${Tables.corpusTag(d)}"
       Dedup.writeHammingIndex(base, "id", "fp", prefix,
         maxHamming = 3, nBlocks = 6, numBuckets = 4,
         basePath = Some(s"/tmp/$prefix"))
@@ -329,7 +332,7 @@ object ExtQueries {
       // like built rows.
       val (base, near, far) = hammingFps(s, d)
       val batch = near.unionByName(far)
-      val prefix = s"graft_hamabs_${math.abs(d.hashCode)}"
+      val prefix = s"graft_hamabs_${Tables.corpusTag(d)}"
       Dedup.writeHammingIndex(base.filter(pmod(col("id"), lit(2)) === 0),
         "id", "fp", prefix, maxHamming = 3, nBlocks = 6, numBuckets = 4,
         basePath = Some(s"/tmp/$prefix"))
@@ -469,7 +472,7 @@ object ExtQueries {
       val batch = corpus.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 40000L).as("doc_id"),
           concat(col("text"), lit(" zq1 zq2 zq3 zq4 zq5 zq6")).as("text"))
-      val prefix = s"graft_gramidx_${math.abs(d.hashCode)}"
+      val prefix = s"graft_gramidx_${Tables.corpusTag(d)}"
       Dedup.writeGramIndex(corpus, "doc_id", "text", n = 5, prefix,
         minDocs = 1, numBuckets = 4, basePath = Some(s"/tmp/$prefix"))
       Dedup.spanDuplicatesAgainstIndex(s, prefix, batch, "doc_id", "text")
@@ -961,7 +964,7 @@ object ExtQueries {
       // result exactly brute force, which DuckDB CAN check.
       val emb = embeddings(s, d)
       val corpus = emb.filter(col("vec_id") =!= 0)
-      val prefix = s"graft_pqidx_${math.abs(d.hashCode)}"
+      val prefix = s"graft_pqidx_${Tables.corpusTag(d)}"
       Pq.writePqIndex(corpus, "vec_id", "embedding", prefix, m = 8,
         codes = 16, iters = 2, basePath = Some(s"/tmp/$prefix"))
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -988,7 +991,7 @@ object ExtQueries {
       // brute force, which DuckDB CAN check: the recall=1 anchor for the
       // index path; pruned configurations are covered by q_sim_ivf.
       val emb = embeddings(s, d)
-      val prefix = s"graft_ivfidx_${math.abs(d.hashCode)}"
+      val prefix = s"graft_ivfidx_${Tables.corpusTag(d)}"
       Similarity.writeIvfIndex(emb.filter(col("vec_id") =!= 0), "embedding",
         prefix, k = 8, iters = 2, basePath = Some(s"/tmp/$prefix"))
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -1019,7 +1022,7 @@ object ExtQueries {
       // build-all-then-search (spec-proven row-identical); this query is
       // the cross-engine anchor of that equivalence.
       val emb = embeddings(s, d)
-      val prefix = s"graft_ivfapp_${math.abs(d.hashCode)}"
+      val prefix = s"graft_ivfapp_${Tables.corpusTag(d)}"
       val corpus = emb.filter(col("vec_id") =!= 0)
       Similarity.writeIvfIndex(corpus.filter(pmod(col("vec_id"), lit(2)) === 1),
         "embedding", prefix, k = 8, iters = 2,
@@ -1182,7 +1185,7 @@ object ExtQueries {
       // makes the result exactly brute force, which DuckDB CAN check.
       val emb = embeddings(s, d)
       val corpus = emb.filter(col("vec_id") =!= 0)
-      val prefix = s"graft_sqidx_${math.abs(d.hashCode)}"
+      val prefix = s"graft_sqidx_${Tables.corpusTag(d)}"
       graft.ext.Sq.writeSqIndex(corpus, "vec_id", "embedding", prefix,
         basePath = Some(s"/tmp/$prefix"), bounds = Some(sqBounds(s, d)))
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -1249,7 +1252,7 @@ object ExtQueries {
       // DuckDB CAN check.
       val emb = embeddings(s, d)
       val corpus = emb.filter(col("vec_id") =!= 0)
-      val prefix = s"graft_ivfpqidx_${math.abs(d.hashCode)}"
+      val prefix = s"graft_ivfpqidx_${Tables.corpusTag(d)}"
       graft.ext.IvfPq.writeIvfPqIndex(corpus, "vec_id", "embedding", prefix,
         cells = 4, m = 8, codes = 16, iters = 2,
         basePath = Some(s"/tmp/$prefix"),
@@ -2418,6 +2421,87 @@ object ExtQueries {
     "perceptual image dedup: byte-region aHash through the decoder seam, " +
       "pigeonhole Hamming blocking (never all-pairs)")
 
+  private val qDedupImageAnchor = Q(
+    "q_dedup_image_anchor",
+    (s, d) => {
+      // Driver-visible certificate for q_dedup_image (the
+      // q_negative_edges_anchor discipline): the aHash VALUES are
+      // codec-defined, but the planted-duplicate CONTRACT is
+      // oracle-expressible. Per doc, a 16×16 gray PNG (real codec) is
+      // built so its aHash equals a splitmix64-mixed target exactly (8×8
+      // bright/dark blocks aligned to the aHash grid; bit0/bit63 pinned
+      // so the raster is never uniform). Planted copies: a NEAR dup
+      // (id+90000, exactly 3 aHash bits flipped) for doc_id % 25 == 0 and
+      // an EXACT dup (id+180000, same raster) for doc_id % 40 == 0.
+      // nearDupImages at maxHamming 5 must then emit exactly the
+      // within-family pairs — near pairs at hamming 3, exact at 0, plus
+      // the near↔exact pair when both exist (% 200) — and nothing
+      // cross-family (random 64-bit hashes collide within 5 bits with
+      // probability ~5e-13 per pair; deterministic besides). Every count
+      // below is derivable by DuckDB from `documents` alone.
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          def png(h: Long): Array[Byte] = {
+            val px = new Array[Byte](16 * 16)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val bit = (y / 2) * 8 + (x / 2)
+                px(y * 16 + x) =
+                  if (((h >>> bit) & 1L) == 1L) 0xFF.toByte else 0x00.toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.ext.Png.encode(graft.ext.Png.Image(16, 16, 1, px))
+          }
+          val base = (mix(id) | 1L) & ~(1L << 63)
+          val near = base ^ 0xEL // flip bits 1,2,3 → aHash hamming exactly 3
+          Seq((id, png(base))) ++
+            (if (id % 25 == 0) Seq((id + 90000L, png(near))) else Nil) ++
+            (if (id % 40 == 0) Seq((id + 180000L, png(base))) else Nil)
+        }
+        .toDF("media_id", "payload")
+      Multimodal.nearDupImages(media, maxHamming = 5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("id1") % 90000 =!= col("id2") % 90000, 1L)
+            .otherwise(0L)).as("n_cross_family"),
+          sum(when(col("hamming") === 3, 1L).otherwise(0L)).as("n_near_pairs"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
+          sum(when(col("hamming") =!= 0 && col("hamming") =!= 3, 1L)
+            .otherwise(0L)).as("n_bad_hamming"))
+        .select(
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
+          coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
+          coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+          coalesce(col("n_bad_hamming"), lit(0L)).as("n_bad_hamming"))
+    },
+    Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                     AS BIGINT) AS n_pairs,
+                   CAST(0 AS BIGINT) AS n_cross_family,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                     AS BIGINT) AS n_near_pairs,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                     AS BIGINT) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_bad_hamming"""),
+    "image-dedup contract anchor: planted near/exact PNG duplicates with " +
+      "constructed aHashes — every planted pair found at its exact " +
+      "Hamming distance, zero cross-family pairs, all counts " +
+      "oracle-derived from documents alone")
+
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
@@ -2599,6 +2683,79 @@ object ExtQueries {
       "payloads through the real frame sampler — sampled frame pixels " +
       "hash-checked against the oracle's direct arithmetic")
 
+  private val qJpegStats = Q(
+    "q_jpeg_stats",
+    (s, d) => {
+      // REAL JPEG pixel decode, driver-checked — closes the one decode arm
+      // without a hash-green certificate (PNG/WAV/GIF have theirs): per
+      // doc, a 16×16 RGB JPEG of four solid 8×8 gray blocks (block b is
+      // (id·7 + 13 + 29·b) mod 256) is encoded by the JDK writer at
+      // quality 1.0 and decoded back through the production ImageIO arm
+      // (Png.decodeAny → decodeViaJdk, the same path Multimodal's decode
+      // stage takes for JPEG payloads). Solid blocks aligned to the 8×8
+      // DCT grid survive baseline JPEG exactly (constant block → DC-only,
+      // unit quant table at q=1.0; all-gray → flat chroma, so 4:2:0
+      // subsampling is lossless too — verified over 600 ids × all pixels),
+      // so block corner samples and the full pixel sum hash-match DuckDB's
+      // direct arithmetic.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          System.setProperty("java.awt.headless", "true")
+          ids.map { id =>
+            val bi = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val b = (y / 8) * 2 + (x / 8)
+                val g = ((id * 7 + 13 + 29 * b) % 256).toInt
+                bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpeg").next()
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            val p = writer.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(1.0f)
+            writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+            ios.close(); writer.dispose()
+            val img = graft.ext.Png.decodeAny(bos.toByteArray).getOrElse(
+              throw new IllegalStateException(s"jpeg decode failed for $id"))
+            def corner(bx: Int, by: Int): Long =
+              (img.pixels((by * 8 * img.width + bx * 8) * img.channels) & 0xFF).toLong
+            var sum = 0L
+            img.pixels.foreach(v => sum += (v & 0xFF))
+            (id, img.width, img.height, img.channels,
+              corner(0, 0), corner(1, 0), corner(0, 1), corner(1, 1), sum)
+          }
+        }
+        .toDF("media_id", "width", "height", "n_channels",
+          "b0", "b1", "b2", "b3", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+                   3 AS n_channels,
+                   CAST((doc_id * 7 + 13) % 256 AS BIGINT) AS b0,
+                   CAST((doc_id * 7 + 13 + 29) % 256 AS BIGINT) AS b1,
+                   CAST((doc_id * 7 + 13 + 58) % 256 AS BIGINT) AS b2,
+                   CAST((doc_id * 7 + 13 + 87) % 256 AS BIGINT) AS b3,
+                   CAST(192 * (((doc_id * 7 + 13) % 256)
+                             + ((doc_id * 7 + 13 + 29) % 256)
+                             + ((doc_id * 7 + 13 + 58) % 256)
+                             + ((doc_id * 7 + 13 + 87) % 256)) AS BIGINT)
+                     AS pixel_sum
+            FROM documents ORDER BY media_id"""),
+    "JPEG decode certificate: DCT-block-aligned solid rasters through " +
+      "the JDK encode → production ImageIO decode arm — block samples " +
+      "and pixel sum hash-checked against the oracle's direct arithmetic")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -2619,6 +2776,6 @@ object ExtQueries {
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
-    qDedupImage, qMultimodal, qMultimodalAudio, qPngRoundtrip, qWavPcm,
-    qGifFrames)
+    qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
+    qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats)
 }

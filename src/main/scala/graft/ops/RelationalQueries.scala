@@ -203,7 +203,7 @@ object RelationalQueries {
       // CSV sink and the CSV source. Free-text documents exercise quoting.
       val src = documents(s, d)
         .select("doc_id", "lang", "text", "n_chars")
-      val out = s"/tmp/graft_csv_${math.abs(d.hashCode)}"
+      val out = s"/tmp/graft_csv_${Tables.corpusTag(d)}"
       graft.sources.Sources.writeCsv(src, out)
       graft.sources.Sources.csv(s, out, header = true, schema = Some(src.schema))
         .orderBy("doc_id")
@@ -222,7 +222,7 @@ object RelationalQueries {
       val src = orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate") // timestamp column: the fidelity risk surface
-      val out = s"/tmp/graft_orc_${math.abs(d.hashCode)}"
+      val out = s"/tmp/graft_orc_${Tables.corpusTag(d)}"
       graft.sources.Sources.writeOrc(src, out)
       graft.sources.Sources.orc(s, out).orderBy("o_orderkey")
     },
@@ -239,7 +239,7 @@ object RelationalQueries {
       // and the read passes the write schema explicitly (no inference).
       val src = part(s, d)
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
-      val out = s"/tmp/graft_xml_${math.abs(d.hashCode)}"
+      val out = s"/tmp/graft_xml_${Tables.corpusTag(d)}"
       graft.sources.Sources.writeXml(src, out, rowTag = "part")
       graft.sources.Sources.xml(s, out, rowTag = "part", schema = Some(src.schema))
         .orderBy("p_partkey")
@@ -259,7 +259,7 @@ object RelationalQueries {
       // files are never rewritten. The oracle replays the union with
       // typed NULLs.
       val docs = documents(s, d)
-      val out = s"/tmp/graft_evolve_${math.abs(d.hashCode)}"
+      val out = s"/tmp/graft_evolve_${Tables.corpusTag(d)}"
       docs.select(col("doc_id"), lit(1L).as("batch"), col("text"))
         .write.mode("overwrite").parquet(s"$out/b1")
       docs.select(col("doc_id"), lit(2L).as("batch"), col("text"),
@@ -335,21 +335,31 @@ object RelationalQueries {
     */
   private val bucketedJoinTables =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def ensureBucketedFacts(s: SparkSession, d: String): (String, String) =
-    bucketedJoinTables.getOrElseUpdate(d, {
-      val tag = math.abs(d.hashCode).toString
-      val lt = s"graft_bkt_lineitem_$tag"
-      val ot = s"graft_bkt_orders_$tag"
-      graft.sources.Sources.writeBucketedBy(
-        lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag"),
-        lt, Seq("l_orderkey"), numBuckets = 16, sortCol = Some("l_orderkey"),
-        basePath = Some(s"/tmp/graft_bkt_$tag/lineitem"))
-      graft.sources.Sources.writeBucketedBy(
-        orders(s, d).select("o_orderkey", "o_orderpriority"),
-        ot, Seq("o_orderkey"), numBuckets = 16, sortCol = Some("o_orderkey"),
-        basePath = Some(s"/tmp/graft_bkt_$tag/orders"))
-      (lt, ot)
-    })
+  private[ops] def resetBucketedFactsMemo(): Unit = bucketedJoinTables.clear()
+  private[ops] def ensureBucketedFacts(s: SparkSession, d: String): (String, String) =
+    bucketedJoinTables.synchronized {
+      // memo hit is only valid while the CURRENT catalog still has the
+      // tables — a new SparkContext in the same JVM starts with an empty
+      // in-memory catalog, so a bare name memo would serve dangling names
+      bucketedJoinTables.get(d)
+        .filter { case (lt, ot) =>
+          s.catalog.tableExists(lt) && s.catalog.tableExists(ot) }
+        .getOrElse {
+          val tag = Tables.corpusTag(d)
+          val lt = s"graft_bkt_lineitem_$tag"
+          val ot = s"graft_bkt_orders_$tag"
+          graft.sources.Sources.writeBucketedBy(
+            lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag"),
+            lt, Seq("l_orderkey"), numBuckets = 16, sortCol = Some("l_orderkey"),
+            basePath = Some(s"/tmp/graft_bkt_$tag/lineitem"))
+          graft.sources.Sources.writeBucketedBy(
+            orders(s, d).select("o_orderkey", "o_orderpriority"),
+            ot, Seq("o_orderkey"), numBuckets = 16, sortCol = Some("o_orderkey"),
+            basePath = Some(s"/tmp/graft_bkt_$tag/orders"))
+          bucketedJoinTables(d) = (lt, ot)
+          (lt, ot)
+        }
+    }
 
   private val qJoinBucketed = Q(
     "q_join_bucketed",

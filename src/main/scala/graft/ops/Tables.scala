@@ -15,6 +15,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-safe per-corpus tag for write-once artifact names (bucketed
+    * twins, LSH/ANN index tables, scratch dirs): md5-hex of the corpus
+    * path. The previous `math.abs(dir.hashCode)` tag could collide across
+    * two corpus dirs (32-bit, and `abs(Int.MinValue)` stays negative),
+    * silently serving one corpus' write-once artifact to the other.
+    */
+  def corpusTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

@@ -118,4 +118,33 @@ class AdvancedQueriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(viaBuckets.toSeq == viaShuffle.toSeq)
   }
+
+  test("ensureBucketedFacts: per-corpus tags never collide; rebuild survives stale locations") {
+    val d1 = sfDir
+    val d2 = "/root/testdata/sf0.01"
+    RelationalQueries.resetBucketedFactsMemo()
+    val (lt1, ot1) = RelationalQueries.ensureBucketedFacts(spark, d1)
+    val (lt2, ot2) = RelationalQueries.ensureBucketedFacts(spark, d2)
+    // md5-hex tags: distinct per corpus dir (the old 32-bit hashCode tag
+    // could collide and silently serve the wrong corpus' bucketed twin)
+    assert(lt1 != lt2 && ot1 != ot2, "per-corpus table tags must differ")
+    val n1 = spark.table(lt1).count()
+    val n2 = spark.table(lt2).count()
+    assert(n1 == Tables.lineitem(spark, d1).count(),
+      s"$lt1 must serve $d1's lineitem")
+    assert(n2 == Tables.lineitem(spark, d2).count(),
+      s"$lt2 must serve $d2's lineitem")
+    assert(n1 != n2, "the two SFs differ, so the twins must too")
+    // fresh-JVM shape: memo gone, catalog entries gone, the external
+    // /tmp/graft_bkt_* location still on disk — the rebuild must
+    // overwrite the stale location, not fail (the TokenizerStore
+    // stale-location class applied to the bucketed twins)
+    RelationalQueries.resetBucketedFactsMemo()
+    Seq(lt1, ot1).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (lt1b, ot1b) = RelationalQueries.ensureBucketedFacts(spark, d1)
+    assert((lt1b, ot1b) == ((lt1, ot1)), "tag must be stable across rebuilds")
+    assert(spark.table(lt1b).count() == n1)
+    // memo hit with a live catalog serves without rebuilding (names equal)
+    assert(RelationalQueries.ensureBucketedFacts(spark, d1) == ((lt1, ot1)))
+  }
 }
