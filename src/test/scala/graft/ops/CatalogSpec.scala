@@ -49,4 +49,24 @@ class CatalogSpec extends SparkSpec {
           "— the driver comparator cannot sort them; explode to scalar rows")
     }
   }
+
+  test("COVERAGE.md certification block is generated and matches the catalog") {
+    // the header counts drifted by hand in round 8 (542/46 vs the tree's
+    // 543/45) — now they come from graft.tools.CoverageDoc, and this test
+    // fails the build if the committed block is stale against the catalog
+    val doc = java.nio.file.Files.readString(java.nio.file.Paths.get("COVERAGE.md"))
+    val begin = graft.tools.CoverageDoc.Begin
+    val end = graft.tools.CoverageDoc.End
+    assert(doc.contains(begin) && doc.contains(end),
+      "COVERAGE.md lost its generated-certification markers")
+    val block = doc.substring(doc.indexOf(begin) + begin.length, doc.indexOf(end))
+    val declared = Catalog.all.size
+    val oracle = Catalog.oracleSql.size
+    assert(block.contains(s"**$declared declared queries**"),
+      s"stale COVERAGE.md: expected $declared declared queries in the " +
+        "generated block — rerun `runMain graft.tools.CoverageDoc`")
+    assert(block.contains(s"$oracle DuckDB-oracle-checked"),
+      s"stale COVERAGE.md: expected $oracle oracle-checked — rerun " +
+        "`runMain graft.tools.CoverageDoc`")
+  }
 }
