@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * JDK's independent ImageIO implementation), WAV PCM sample decode
   * ([[AudioHeaders.pcm]]), and header metadata for JPEG/GIF
   * ([[ImageHeaders]]). Resize, perceptual hashing, and feature
-  * extraction all run on real pixels when the payload decodes; payloads
-  * outside the supported envelope (JPEG entropy data, 16-bit/interlaced
-  * PNG, compressed audio) flow to a deterministic, clearly-marked stub —
+  * extraction all run on real pixels when the payload decodes (the PNG
+  * envelope covers all five color types at 8- AND 16-bit depth,
+  * non-interlaced and Adam7); payloads outside the supported envelope
+  * (JPEG entropy data via the pure codec — the ImageIO arm covers it —
+  * sub-byte PNG depths, compressed audio) flow to a deterministic,
+  * clearly-marked stub —
   * never a wrong decode — and swapping in a full codec changes only that
   * fallback arm, not the operator shape (mapPartitions over binary
   * batches, one decoder session per partition).

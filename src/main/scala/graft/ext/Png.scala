@@ -46,11 +46,13 @@ object Png {
 
   // ------------------------------------------------------------- decode
 
-  /** Decode an 8-bit non-interlaced PNG; None for anything else (other
-    * formats, unsupported PNG variants, corrupt chunks/CRCs). A corrupt
-    * payload is rejected (None), never half-read: any exception the
-    * structural guards miss is caught here so a malformed blob can't
-    * crash the task.
+  /** Decode an 8- or 16-bit PNG, non-interlaced or Adam7-interlaced
+    * (16-bit samples take the standard high-byte scale-down into the
+    * 8-bit sample model); None for anything else (other formats,
+    * sub-byte depths, corrupt chunks/CRCs). A corrupt payload is
+    * rejected (None), never half-read: any exception the structural
+    * guards miss is caught here so a malformed blob can't crash the
+    * task.
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     try decodeImpl(bytes)
@@ -59,6 +61,7 @@ object Png {
   private def decodeImpl(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < Magic.length + 25 || !bytes.startsWith(Magic)) return None
     var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
+    var interlace = 0
     var palette: Array[Byte] = null
     var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -83,9 +86,13 @@ object Png {
           colorType = bytes(i + 17) & 0xFF
           val compression = bytes(i + 18) & 0xFF
           val filter = bytes(i + 19) & 0xFF
-          val interlace = bytes(i + 20) & 0xFF
-          if (compression != 0 || filter != 0 || interlace != 0) return None
-          if (bitDepth != 8) return None // 16-bit / sub-byte → fallback
+          interlace = bytes(i + 20) & 0xFF
+          if (compression != 0 || filter != 0) return None
+          if (interlace != 0 && interlace != 1) return None // 1 = Adam7
+          // 8-bit direct; 16-bit decoded with the standard high-byte
+          // scale-down to the 8-bit sample model; sub-byte → fallback
+          if (bitDepth != 8 && bitDepth != 16) return None
+          if (bitDepth == 16 && colorType == 3) return None // illegal combo
           if (!Set(0, 2, 3, 4, 6).contains(colorType)) return None
           if (width <= 0 || height <= 0) return None
           // decoded-size guard: refuse absurd rasters (decompression bomb)
@@ -110,37 +117,76 @@ object Png {
     val srcCh = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
-    val stride = width * srcCh
-    val raw = inflate(idat.toByteArray, (stride + 1) * height).getOrElse(return None)
-    if (raw.length != (stride + 1) * height) return None
+    val bps = bitDepth / 8 // bytes per sample (1 or 2)
+    val bpp = srcCh * bps  // filter unit per the spec
 
-    // reverse per-scanline filters in place into `px`
-    val px = new Array[Byte](stride * height)
-    val bpp = srcCh
-    var y = 0
-    while (y < height) {
-      val f = raw(y * (stride + 1)) & 0xFF
-      val rowIn = y * (stride + 1) + 1
-      val rowOut = y * stride
-      val prevOut = (y - 1) * stride
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowIn + x) & 0xFF
-        val a = if (x >= bpp) px(rowOut + x - bpp) & 0xFF else 0
-        val b = if (y > 0) px(prevOut + x) & 0xFF else 0
-        val c = if (y > 0 && x >= bpp) px(prevOut + x - bpp) & 0xFF else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + b
-          case 3 => cur + ((a + b) >> 1)
-          case 4 => cur + paeth(a, b, c)
-          case _ => return None
-        }
-        px(rowOut + x) = (v & 0xFF).toByte
-        x += 1
+    // Adam7 pass geometry; non-interlaced = one full-size pass
+    final case class Pass(x0: Int, y0: Int, dx: Int, dy: Int, w: Int, h: Int)
+    val passes: Seq[Pass] =
+      if (interlace == 0) Seq(Pass(0, 0, 1, 1, width, height))
+      else {
+        val xs = Array(0, 4, 0, 2, 0, 1, 0)
+        val ys = Array(0, 0, 4, 0, 2, 0, 1)
+        val dxs = Array(8, 8, 4, 4, 2, 2, 1)
+        val dys = Array(8, 8, 8, 4, 4, 2, 2)
+        (0 until 7).map { p =>
+          val w = if (width > xs(p)) (width - xs(p) + dxs(p) - 1) / dxs(p) else 0
+          val h = if (height > ys(p)) (height - ys(p) + dys(p) - 1) / dys(p) else 0
+          Pass(xs(p), ys(p), dxs(p), dys(p), w, h)
+        }.filter(p => p.w > 0 && p.h > 0)
       }
-      y += 1
+    val expectedRaw = passes.map(p => (p.w.toLong * bpp + 1) * p.h).sum
+    if (expectedRaw > Int.MaxValue) return None
+    val raw = inflate(idat.toByteArray, expectedRaw.toInt).getOrElse(return None)
+    if (raw.length != expectedRaw) return None
+
+    // unfilter each pass independently, scattering its samples (high byte
+    // only for 16-bit — the standard 8-bit scale-down) into the raster
+    val px = new Array[Byte](width * height * srcCh)
+    var rawOff = 0
+    passes.foreach { pass =>
+      val stride = pass.w * bpp
+      val un = new Array[Byte](stride * pass.h)
+      var y = 0
+      while (y < pass.h) {
+        val f = raw(rawOff + y * (stride + 1)) & 0xFF
+        val rowIn = rawOff + y * (stride + 1) + 1
+        val rowOut = y * stride
+        val prevOut = (y - 1) * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xFF
+          val a = if (x >= bpp) un(rowOut + x - bpp) & 0xFF else 0
+          val b = if (y > 0) un(prevOut + x) & 0xFF else 0
+          val c = if (y > 0 && x >= bpp) un(prevOut + x - bpp) & 0xFF else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + ((a + b) >> 1)
+            case 4 => cur + paeth(a, b, c)
+            case _ => return None
+          }
+          un(rowOut + x) = (v & 0xFF).toByte
+          x += 1
+        }
+        // scatter this scanline's samples to their raster positions
+        val iy = pass.y0 + y * pass.dy
+        var pxI = 0
+        while (pxI < pass.w) {
+          val ix = pass.x0 + pxI * pass.dx
+          val dst = (iy * width + ix) * srcCh
+          var ch = 0
+          while (ch < srcCh) {
+            // big-endian 16-bit: the high byte is the first of the pair
+            px(dst + ch) = un(rowOut + (pxI * srcCh + ch) * bps)
+            ch += 1
+          }
+          pxI += 1
+        }
+        y += 1
+      }
+      rawOff += (stride + 1) * pass.h
     }
 
     if (colorType != 3) Some(Image(width, height, srcCh, px))

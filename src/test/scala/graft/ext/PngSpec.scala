@@ -174,6 +174,101 @@ class PngSpec extends AnyFunSuite {
     assert(px(11) == 0xFF.toByte && px(15) == 0xFF.toByte, "entries past tRNS are opaque")
   }
 
+  test("16-bit samples decode with the high-byte scale-down, every filter") {
+    // 16-bit big-endian sample stream: high bytes are the expected 8-bit
+    // pixels, low bytes are noise the scale-down must discard
+    for (ch <- Seq(1, 3); f <- 0 to 4) {
+      val img = randomImage(500 + ch * 10 + f, 7, 5, ch)
+      val r = rng(900 + f)
+      val wide = new Array[Byte](img.pixels.length * 2)
+      img.pixels.zipWithIndex.foreach { case (b, i) =>
+        wide(i * 2) = b; wide(i * 2 + 1) = r.nextInt(256).toByte
+      }
+      val raw = forwardFilter(wide, 7, 5, ch * 2, _ => f)
+      val colorType = if (ch == 1) 0 else 2
+      val got = Png.decode(buildPng(7, 5, colorType, raw, bitDepth = 16))
+      assert(got.isDefined, s"ch=$ch filter=$f")
+      assert(got.get.width == 7 && got.get.height == 5 && got.get.channels == ch)
+      assert(java.util.Arrays.equals(got.get.pixels, img.pixels),
+        s"high-byte mismatch ch=$ch filter=$f")
+    }
+  }
+
+  /** Adam7 pass geometry, implemented independently of the decoder:
+    * returns (x0, y0, dx, dy, w, h) for each non-empty pass.
+    */
+  private def adam7Passes(w: Int, h: Int): Seq[(Int, Int, Int, Int, Int, Int)] = {
+    val xs = Seq(0, 4, 0, 2, 0, 1, 0); val ys = Seq(0, 0, 4, 0, 2, 0, 1)
+    val dxs = Seq(8, 8, 4, 4, 2, 2, 1); val dys = Seq(8, 8, 8, 4, 4, 2, 2)
+    (0 until 7).map { p =>
+      val pw = if (w > xs(p)) (w - xs(p) + dxs(p) - 1) / dxs(p) else 0
+      val ph = if (h > ys(p)) (h - ys(p) + dys(p) - 1) / dys(p) else 0
+      (xs(p), ys(p), dxs(p), dys(p), pw, ph)
+    }.filter(t => t._5 > 0 && t._6 > 0)
+  }
+
+  test("Adam7 interlaced streams deinterlace to the sequential pixels") {
+    // sizes straddling the 8x8 pass grid: tiny, exact multiple, ragged
+    for ((w, h) <- Seq((3, 2), (8, 8), (13, 11), (1, 9)); ch <- Seq(1, 3, 4)) {
+      val img = randomImage(w * 100 + h * 10 + ch, w, h, ch)
+      val bos = new ByteArrayOutputStream()
+      adam7Passes(w, h).foreach { case (x0, y0, dx, dy, pw, ph) =>
+        // gather this pass's pixels, filter each scanline with its index
+        // mod 5 (exercises every unfilter arm against pass-local geometry)
+        val passPx = new Array[Byte](pw * ph * ch)
+        for (py <- 0 until ph; px <- 0 until pw; c <- 0 until ch)
+          passPx((py * pw + px) * ch + c) =
+            img.pixels(((y0 + py * dy) * w + (x0 + px * dx)) * ch + c)
+        bos.write(forwardFilter(passPx, pw, ph, ch, y => y % 5))
+      }
+      val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6 }
+      val got = Png.decode(buildPng(w, h, colorType, bos.toByteArray, interlace = 1))
+      assert(got.isDefined, s"${w}x$h ch=$ch")
+      assert(java.util.Arrays.equals(got.get.pixels, img.pixels),
+        s"deinterlace mismatch ${w}x$h ch=$ch")
+    }
+  }
+
+  test("16-bit Adam7 combines both arms (scale-down + deinterlace)") {
+    val (w, h, ch) = (10, 6, 3)
+    val img = randomImage(777, w, h, ch)
+    val r = rng(778)
+    val bos = new ByteArrayOutputStream()
+    adam7Passes(w, h).foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val passPx = new Array[Byte](pw * ph * ch * 2)
+      for (py <- 0 until ph; px <- 0 until pw; c <- 0 until ch) {
+        val v = img.pixels(((y0 + py * dy) * w + (x0 + px * dx)) * ch + c)
+        passPx(((py * pw + px) * ch + c) * 2) = v
+        passPx(((py * pw + px) * ch + c) * 2 + 1) = r.nextInt(256).toByte
+      }
+      bos.write(forwardFilter(passPx, pw, ph, ch * 2, y => (y + 3) % 5))
+    }
+    val got = Png.decode(buildPng(w, h, 2, bos.toByteArray,
+      bitDepth = 16, interlace = 1))
+    assert(got.isDefined)
+    assert(java.util.Arrays.equals(got.get.pixels, img.pixels))
+  }
+
+  test("JDK-written 16-bit gray PNG decodes via the pure codec") {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = (9, 7)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val r = rng(4242)
+    val expected = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v16 = r.nextInt(65536)
+      bi.getRaster.setSample(x, y, 0, v16)
+      expected(y * w + x) = (v16 >>> 8).toByte
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val got = Png.decode(bos.toByteArray)
+    assert(got.isDefined, "JDK 16-bit gray PNG must decode in the pure codec")
+    assert(got.get.channels == 1 && got.get.width == w && got.get.height == h)
+    assert(java.util.Arrays.equals(got.get.pixels, expected))
+  }
+
   test("unsupported and corrupt streams are rejected, never half-decoded") {
     val img = randomImage(5, 6, 4, 3)
     val good = Png.encode(img)
@@ -183,10 +278,17 @@ class PngSpec extends AnyFunSuite {
     assert(Png.decode(bad).isEmpty, "CRC corruption must reject")
     // truncation
     assert(Png.decode(good.take(good.length - 6)).isEmpty)
-    // 16-bit depth and interlace flags → fallback
+    // sub-byte depths → fallback; 16-bit/interlace headers whose payload
+    // length doesn't match the declared geometry are malformed → rejected
     val raw = forwardFilter(img.pixels, 6, 4, 3, _ => 0)
-    assert(Png.decode(buildPng(6, 4, 2, raw, bitDepth = 16)).isEmpty)
-    assert(Png.decode(buildPng(6, 4, 2, raw, interlace = 1)).isEmpty)
+    assert(Png.decode(buildPng(6, 4, 2, raw, bitDepth = 4)).isEmpty)
+    assert(Png.decode(buildPng(6, 4, 2, raw, bitDepth = 16)).isEmpty,
+      "8-bit-sized payload under a 16-bit header must reject")
+    assert(Png.decode(buildPng(6, 4, 2, raw, interlace = 1)).isEmpty,
+      "sequential-sized payload under an Adam7 header must reject")
+    // 16-bit palette is an illegal spec combination
+    assert(Png.decode(buildPng(2, 2, 3, Array[Byte](0, 0, 0, 0, 0, 0),
+      plte = Some(Array[Byte](1, 2, 3)), bitDepth = 16)).isEmpty)
     // not a PNG at all
     assert(Png.decode("just text".getBytes).isEmpty)
     assert(Png.decode(Array.emptyByteArray).isEmpty)
