@@ -998,6 +998,51 @@ object RelationalQueries {
     "session windows executed by Structured Streaming (session_window + " +
       "watermark, bounded replay) — hash-equal to a lag/cumsum batch oracle")
 
+  private val qStreamSessionFast = Q(
+    "q_stream_session_fast",
+    (s, d) => {
+      // The fMGWS sessionizer (StreamOps.sessionCountsFast) against the
+      // SAME lag/cumsum batch oracle as q_stream_session — plus the
+      // append-mode emission rule made explicit: a session is final once
+      // the watermark (max event time, ms floor, minus the 30-minute
+      // delay) passes its end (last + gap), so the oracle applies exactly
+      // that cutoff. Hash equality here certifies the hand-rolled state
+      // machine end-to-end: gap merge, late-event absorption, timeout
+      // flush on the trailing no-data batch.
+      val name = s"graft_stream_session_fast_${streamRuns.incrementAndGet()}"
+      val agg = graft.streaming.StreamOps
+        .sessionCountsFast(streamEvents(s, d), "ts", "user_id",
+          "30 minutes", "30 minutes")
+      boundedReplay(s, name, agg, "append")
+        .select(col("user_id"), col("s_start"), col("n"))
+        .orderBy("user_id", "s_start")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked),
+            agg AS (
+              SELECT user_id, min(ts) AS s_start, max(ts) AS s_last, count(*) AS n
+              FROM sess GROUP BY user_id, sid),
+            wm AS (
+              SELECT (epoch_us(max(ts)) // 1000 - 1800000) * 1000 AS wm_us
+              FROM events)
+            SELECT user_id, s_start, n
+            FROM agg, wm
+            WHERE epoch_us(s_last) + 1800000000 <= wm_us
+            ORDER BY user_id, s_start"""),
+    "session windows via flatMapGroupsWithState (the built-in session_" +
+      "window's fast twin) — hash-equal to the lag/cumsum batch oracle " +
+      "under the exact append-mode watermark cutoff")
+
   private val qStreamDedup = Q(
     "q_stream_dedup",
     (s, d) => {
@@ -1683,7 +1728,7 @@ object RelationalQueries {
     qJoinRange, qJoinAsof, qJoinAsofGeneric, qJoinInterval,
     qAgg, qAggDistinct, qAggApprox, qRollup, qCube, qGroupingSets, qPivot,
     qWindowRank, qWindowFrame, qSessionize, qTumblingWindow, qStreamTumbling,
-    qStreamSliding, qStreamSession, qStreamJoin, qStreamDedup,
+    qStreamSliding, qStreamSession, qStreamSessionFast, qStreamJoin, qStreamDedup,
     qStreamDedupCorpus, qStreamClassify,
     qTpchQ3, qTpchQ5, qTpchQ10, qJoinSalted, qTopk,
     qUnionAll, qConcatOrdered, qIntersect, qExcept)

@@ -53,6 +53,19 @@ object StreamOps {
 
   /** Session windows: gap-closed per-key sessions (the streaming form of
     * the batch q_sessionize operator).
+    *
+    * Deployment note (tools/SessionTune, 40 M-event matrix, graded by
+    * executor CPU time — wall clock on the soak host swings 2× between
+    * identical runs): `spark.sql.streaming.sessionWindow.merge.sessions
+    * .in.local.partition` pre-merges each partition's sessions before
+    * the state-store shuffle. It is a KEY-DENSITY bet, not a free win:
+    * with high-cardinality keys (1 M users, ≲1 session per key per
+    * batch) the extra per-partition sort nearly DOUBLES CPU for no
+    * shuffle reduction; with dense keys (sessions per key per batch
+    * ≫ 1) the pre-merge collapses rows and pays off. Leave it off by
+    * default; enable it when the key space is small relative to the
+    * batch. RocksDB state store and narrower state widths measured no
+    * win for this stage either (PERF.md round-9 matrix).
     */
   def sessionCounts(
       events: DataFrame,
@@ -66,6 +79,47 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col(keyCol), col("n"))
+
+  /** [[sessionCounts]]' fast twin: the same gap-closed sessions computed
+    * by [[Stateful.gapSessions]] (flatMapGroupsWithState) instead of the
+    * built-in `session_window` operator — same output schema, same
+    * append-mode emission rule (a session emits once the watermark
+    * passes `last + gap`), an order of magnitude less CPU at high key
+    * cardinality (PERF.md round-9 session matrix). Key column must be
+    * integral (cast to long).
+    */
+  def sessionCountsFast(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      watermarkDelay: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = intervalUs(spark, gap)
+    // watermark AFTER the projection: a cast/rename upstream of the
+    // watermark column severs event-time tracking for the fMGWS operator
+    val ds = events
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[Stateful.SessEvent]
+    Stateful.gapSessions(ds, gapUs).toDF()
+      .select(col("s_start"), col("s_end"), col("key").as(keyCol), col("n"))
+  }
+
+  /** Interval string → microseconds (day-time intervals only). */
+  private def intervalUs(
+      spark: org.apache.spark.sql.SparkSession, s: String): Long =
+    spark.range(1).select(expr(s"INTERVAL $s")).head().get(0) match {
+      case d: java.time.Duration => d.toNanos / 1000L
+      case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+        require(ci.months == 0,
+          s"calendar-month intervals are not fixed-length: $s")
+        ci.days * 86400000000L + ci.microseconds
+      case other => throw new IllegalArgumentException(
+        s"not a day-time interval: $s ($other)")
+    }
 
   /** Stream-stream equi-join with an event-time interval bound. Both
     * sides carry watermarks and the range condition bounds the join

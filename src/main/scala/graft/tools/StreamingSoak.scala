@@ -21,22 +21,13 @@ import org.apache.spark.sql.streaming.Trigger
   *        (defaults 40M, 64, 8 → 8 micro-batches)
   */
 object StreamingSoak {
-  def main(args: Array[String]): Unit = {
-    val nEvents = args.headOption.map(_.toLong).getOrElse(40000000L)
-    val nFiles = args.lift(1).map(_.toInt).getOrElse(64)
-    val filesPerBatch = args.lift(2).map(_.toInt).getOrElse(8)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    // ---- ordered 30-day event corpus, nFiles contiguous time slices:
-    // file order == time order, so AvailableNow batches advance the
-    // watermark monotonically and old state becomes evictable.
+  /** Write-once ordered 30-day event corpus in `nFiles` contiguous time
+    * slices (file order == time order, so AvailableNow batches advance
+    * the watermark monotonically); returns the parquet dir. Shared with
+    * [[SessionTune]].
+    */
+  def corpus(spark: SparkSession, nEvents: Long, nFiles: Int): String = {
     val dir = s"/tmp/graft_streamsoak_$nEvents"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val spanUs = 30L * 24 * 3600 * 1000000
@@ -51,6 +42,23 @@ object StreamingSoak {
           (pmod(hash(col("id"), lit(7)), lit(10000)) / lit(100.0)).as("value"))
         .write.mode("overwrite").parquet(dir)
     }
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toLong).getOrElse(40000000L)
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(64)
+    val filesPerBatch = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = corpus(spark, nEvents, nFiles)
     val schema = spark.read.parquet(dir).schema
     println(s"[ssoak] events=$nEvents files=$nFiles filesPerBatch=$filesPerBatch")
 

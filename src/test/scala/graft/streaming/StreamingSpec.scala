@@ -55,6 +55,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCountsFast: gap merge, late-event absorption, watermark emission") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamOps.sessionCountsFast(mem.toDF(), "ts", "user_id",
+      "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessfast")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 session forming (00:00, 00:02), u2 (00:05), u3
+      // (00:12). Watermark after the batch = 00:12 − 10m = 00:02, behind
+      // every session end → nothing emits
+      mem.addData(
+        Ev(ts("2024-01-01 00:00:00"), 1, "a", 0),
+        Ev(ts("2024-01-01 00:02:00"), 1, "a", 0),
+        Ev(ts("2024-01-01 00:05:00"), 2, "a", 0),
+        Ev(ts("2024-01-01 00:12:00"), 3, "a", 0))
+      q.processAllAvailable()
+      assert(spark.table("sessfast").isEmpty,
+        "nothing can finalize while the watermark is behind every session end")
+      // batch 2: an out-of-order event at 00:04 (admissible: ≥ the 00:02
+      // watermark) must extend u1's PENDING session, not open a new one;
+      // 00:20 (u3) advances the watermark to 00:10, closing u1 (end
+      // 00:04+5m = 00:09) and u2 (end 00:10, boundary ≤) but not u3
+      mem.addData(
+        Ev(ts("2024-01-01 00:04:00"), 1, "a", 0),
+        Ev(ts("2024-01-01 00:20:00"), 3, "a", 0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessfast").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSet
+      assert(afterB2 == Set((1L, 3L), (2L, 1L)), s"got $afterB2")
+      // batch 3: far-future event → watermark 00:50 flushes u3's two
+      // sessions (00:12 and 00:20 split by the 8m > 5m gap) via timeouts
+      mem.addData(Ev(ts("2024-01-01 01:00:00"), 9, "a", 0))
+      q.processAllAvailable()
+      val rows = spark.table("sessfast").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("s_start").toString,
+          r.getAs[Timestamp]("s_end").toString, r.getAs[Long]("n"))).toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:09:00.0", 3L),
+        (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:10:00.0", 1L),
+        (3L, "2024-01-01 00:12:00.0", "2024-01-01 00:17:00.0", 1L),
+        (3L, "2024-01-01 00:20:00.0", "2024-01-01 00:25:00.0", 1L)),
+        s"got $rows")
+      // parity with the built-in session_window on the same replayed data
+      // is certified corpus-wide by q_stream_session_fast's oracle
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
