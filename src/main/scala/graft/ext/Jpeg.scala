@@ -1,0 +1,435 @@
+package graft.ext
+
+import graft.ext.Png.Image
+
+/** Pure-JVM baseline JPEG decoder, written against the public ITU-T T.81
+  * spec (the same discipline as [[Png]]: no ImageIO, no external codec —
+  * `java.util.zip` isn't even needed here since JPEG's entropy layer is
+  * Huffman, implemented below from the spec's canonical-code algorithm).
+  *
+  * Envelope: baseline and extended-sequential DCT (SOF0/SOF1), 8-bit
+  * precision, grayscale or 3-component YCbCr (JFIF), any H/V sampling
+  * factors 1-4, restart markers, 8- and 16-bit quantization tables.
+  * Progressive (SOF2), arithmetic coding, hierarchical, 12-bit,
+  * CMYK/Adobe-transformed payloads return None and flow to the ImageIO
+  * arm of [[Png.decodeAny]] — never a wrong decode. Structurally corrupt
+  * payloads (bad markers, bad lengths, bad Huffman tables, out-of-range
+  * coefficients, out-of-sequence restarts) are rejected (None), and any
+  * exception the guards miss is caught at the top; a stream truncated
+  * inside the entropy segment completes with T.81's zero-bit fill (the
+  * same convention every mainstream decoder uses), it does not crash.
+  *
+  * Reference behavior mirrored (gasket delegates decode to external
+  * stages; see /root/reference/index.js:30-69 for the stage contract):
+  * this codec exists so image dedup/stats operators run on real pixels
+  * inside the JVM task with no process hop.
+  *
+  * Determinism: IDCT is double-precision separable (exact to well below
+  * the final integer rounding for in-range coefficients), output is
+  * round-half-up then clamp — same every run, every JVM. DC-only blocks
+  * (solid rasters) reconstruct EXACTLY, which is what the certificate
+  * query relies on; arbitrary images are spec-accurate within ±1 of any
+  * compliant decoder (ImageIO cross-validation in JpegSpec).
+  */
+object Jpeg {
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+
+  def decode(bytes: Array[Byte]): Option[Image] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---------------------------------------------------------- tables
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) · C(u) for the separable IDCT, C(0)=1/√2
+  private val IdctCos: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        t(u * 8 + x) = c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table in the spec's mincode/maxcode/valptr form
+    * (T.81 F.2.2.3): decode walks code lengths 1..16, comparing the
+    * accumulated code against maxcode(len).
+    */
+  private final class Huff(counts: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + (code - minCode(len))) & 0xFF
+  }
+
+  // ---------------------------------------------------------- bit reader
+
+  /** MSB-first reader over the entropy-coded segment. 0xFF00 is a
+    * stuffed 0xFF data byte; a bare marker ends the segment (the reader
+    * then feeds zero bits, per F.2.2.5's left-over-bits handling —
+    * decode fails structurally later if the stream was truly short).
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var markerHit = 0 // the marker byte that terminated the segment, if any
+
+    def align(): Unit = { acc = 0; nBits = 0 }
+
+    private def fill(): Unit = {
+      if (markerHit != 0 || pos >= b.length) { acc = (acc << 8); nBits += 8; return }
+      var v = b(pos) & 0xFF
+      if (v == 0xFF) {
+        val nxt = if (pos + 1 < b.length) b(pos + 1) & 0xFF else 0xD9
+        if (nxt == 0x00) pos += 2            // stuffed data byte
+        else { markerHit = nxt; v = 0 }      // marker: stop consuming
+      } else pos += 1
+      acc = (acc << 8) | v
+      nBits += 8
+    }
+
+    def bit(): Int = {
+      if (nBits == 0) fill()
+      nBits -= 1
+      (acc >>> nBits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }
+      v
+    }
+
+    def huff(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l)) return h.value(l, code)
+        code = (code << 1) | bit()
+        l += 1
+      }
+      throw new IllegalStateException("bad huffman code")
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a magnitude-category value to its signed
+    * coefficient.
+    */
+  @inline private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0
+    else if (v < (1 << (t - 1))) v - (1 << t) + 1
+    else v
+
+  // ---------------------------------------------------------- decode
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTab = 0; var acTab = 0
+    var pred = 0
+    // padded plane at this component's sampling resolution
+    var planeW = 0; var planeH = 0
+    var plane: Array[Byte] = null
+  }
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  private def decodeImpl(b: Array[Byte]): Option[Image] = {
+    if (!isJpeg(b)) return None
+    val quant = Array.ofDim[Int](4, 64) // natural order
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var adobeTransform = -1 // APP14; -1 = absent (JFIF convention applies)
+    var i = 2
+
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xFF) { i += 1 } // optional fill byte before a marker
+      else if (marker == 0xD8 || marker == 0x01 ||
+        (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
+      else if (marker == 0xD9) return None // EOI before any scan
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        marker match {
+          case 0xDB => // DQT: one or more (precision|id, 64 entries)
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xF0) >> 4
+              val tq = b(p) & 0x0F
+              if (tq > 3 || pq > 1) return None
+              p += 1
+              var k = 0
+              while (k < 64) {
+                quant(tq)(Zigzag(k)) =
+                  if (pq == 0) b(p + k) & 0xFF else be16(b, p + 2 * k)
+                k += 1
+              }
+              p += (if (pq == 0) 64 else 128)
+            }
+          case 0xC4 => // DHT
+            var p = seg
+            while (p + 17 <= segEnd) {
+              val tc = (b(p) & 0xF0) >> 4
+              val th = b(p) & 0x0F
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xFF)
+              val total = counts.sum
+              if (p + 17 + total > segEnd) return None
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
+              val h = new Huff(counts, vals)
+              if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+              p += 17 + total
+            }
+          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+            if ((b(seg) & 0xFF) != 8) return None // 8-bit precision only
+            height = be16(b, seg + 1)
+            width = be16(b, seg + 3)
+            val nf = b(seg + 5) & 0xFF
+            if (width <= 0 || height <= 0) return None
+            if (nf != 1 && nf != 3) return None // gray or YCbCr
+            if (width.toLong * height * nf > 512L * 1024 * 1024)
+              return None // decompression-bomb guard (same cap as PNG)
+            comps = Array.tabulate(nf) { c =>
+              val o = seg + 6 + 3 * c
+              val comp = Comp(b(o) & 0xFF, (b(o + 1) & 0xF0) >> 4,
+                b(o + 1) & 0x0F, b(o + 2) & 0x0F)
+              if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4 ||
+                comp.tq > 3) return None
+              comp
+            }
+          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+               0xCD | 0xCE | 0xCF =>
+            return None // progressive / arithmetic / lossless / hierarchical
+          case 0xDD => restartInterval = be16(b, seg)
+          case 0xEE => // APP14 "Adobe": transform byte governs color model
+            if (len >= 14 && b(seg) == 'A' && b(seg + 1) == 'd' &&
+              b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
+              adobeTransform = b(seg + 11) & 0xFF
+          case 0xDA => // SOS: decode the single interleaved scan
+            if (comps == null) return None
+            val ns = b(seg) & 0xFF
+            if (ns != comps.length) return None // non-interleaved: not baseline-common
+            var p = seg + 1
+            var c = 0
+            while (c < ns) {
+              val cs = b(p) & 0xFF
+              val comp = comps.find(_.id == cs).getOrElse(return None)
+              comp.dcTab = (b(p + 1) & 0xF0) >> 4
+              comp.acTab = b(p + 1) & 0x0F
+              if (comp.dcTab > 3 || comp.acTab > 3) return None
+              p += 2; c += 1
+            }
+            // Ss/Se/AhAl at p..p+2 — baseline fixes them to 0/63/0; accept
+            // as written (extended-sequential uses the same values)
+            return decodeScan(b, segEnd, comps, quant, dcTabs, acTabs,
+              width, height, restartInterval, adobeTransform)
+          case _ => // APPn / COM / DNL etc.: skip
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], scanStart: Int, comps: Array[Comp],
+      quant: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
+      width: Int, height: Int, restartInterval: Int,
+      adobeTransform: Int): Option[Image] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      val cells = c.planeW.toLong * c.planeH
+      if (cells > 768L * 1024 * 1024) return None
+      c.plane = new Array[Byte](cells.toInt)
+      c.pred = 0
+      if (dcTabs(c.dcTab) == null || acTabs(c.acTab) == null) return None
+      if (quant(c.tq) == null) return None
+    }
+    val r = new BitReader(b, scanStart)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var restartCount = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // RSTn: discard pad bits; pos then sits at the byte-aligned marker
+        // (fill() never advances past a 0xFF marker byte). Optional 0xFF
+        // fill bytes may precede the code.
+        r.align()
+        r.markerHit = 0
+        while (r.pos + 1 < b.length && (b(r.pos) & 0xFF) == 0xFF &&
+          (b(r.pos + 1) & 0xFF) == 0xFF) r.pos += 1
+        val expected = 0xD0 + (restartCount % 8)
+        if (r.pos + 1 >= b.length || (b(r.pos) & 0xFF) != 0xFF ||
+          (b(r.pos + 1) & 0xFF) != expected) return None
+        r.pos += 2
+        restartCount += 1
+        comps.foreach(_.pred = 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qt = quant(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            // DC
+            val t = r.huff(dcTabs(c.dcTab))
+            if (t > 15) return None
+            c.pred += extend(r.bits(t), t)
+            coef(0) = c.pred * qt(0)
+            // AC
+            var k = 1
+            var done = false
+            while (!done && k < 64) {
+              val rs = r.huff(acTabs(c.acTab))
+              val run = (rs >> 4) & 0xF
+              val size = rs & 0xF
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else done = true       // EOB
+              } else {
+                k += run
+                if (k > 63) return None
+                val z = Zigzag(k)
+                coef(z) = extend(r.bits(size), size) * qt(z)
+                k += 1
+              }
+            }
+            idctBlock(coef, tmp, c.plane, c.planeW,
+              (my * c.v + by) * 8, (mx * c.h + bx) * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    Some(assemble(comps, width, height, hMax, vMax, adobeTransform))
+  }
+
+  /** Separable double-precision 2-D IDCT (T.81 A.3.3), then level shift
+    * +128, round-half-up, clamp — written into the component plane.
+    */
+  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], planeW: Int, y0: Int, x0: Int): Unit = {
+    // rows: for each y, tmp(y·8+x) = Σ_u C(u)·F(y,u)·cos-term(x,u)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(y * 8 + u) * IdctCos(u * 8 + x); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    // cols + output
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += tmp(v * 8 + x) * IdctCos(v * 8 + yy); v += 1 }
+        val px = (s / 4.0) + 128.0
+        val iv = math.floor(px + 0.5).toInt
+        val clamped = if (iv < 0) 0 else if (iv > 255) 255 else iv
+        plane((y0 + yy) * planeW + (x0 + x)) = clamped.toByte
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Upsample each component to full resolution by sample replication
+    * (box) and color-convert. The JFIF YCbCr→RGB formula with
+    * round-half-up matches any compliant decoder within ±1.
+    */
+  private def assemble(comps: Array[Comp], width: Int, height: Int,
+      hMax: Int, vMax: Int, adobeTransform: Int): Image = {
+    if (comps.length == 1) {
+      val c = comps(0)
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, out, y * width, width)
+        y += 1
+      }
+      Image(width, height, 1, out)
+    } else {
+      // Adobe transform 0 = RGB stored directly; JFIF / transform 1 = YCbCr
+      val isRgb = adobeTransform == 0
+      val out = new Array[Byte](width * height * 3)
+      val cY = comps(0); val cCb = comps(1); val cCr = comps(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val lum = cY.plane((y * cY.v / vMax) * cY.planeW + x * cY.h / hMax) & 0xFF
+          val cb = cCb.plane((y * cCb.v / vMax) * cCb.planeW + x * cCb.h / hMax) & 0xFF
+          val cr = cCr.plane((y * cCr.v / vMax) * cCr.planeW + x * cCr.h / hMax) & 0xFF
+          val o = (y * width + x) * 3
+          if (isRgb) {
+            out(o) = lum.toByte; out(o + 1) = cb.toByte; out(o + 2) = cr.toByte
+          } else {
+            out(o) = clamp8(lum + 1.402 * (cr - 128))
+            out(o + 1) = clamp8(lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+            out(o + 2) = clamp8(lum + 1.772 * (cb - 128))
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Image(width, height, 3, out)
+    }
+  }
+
+  @inline private def clamp8(v: Double): Byte = {
+    val iv = math.floor(v + 0.5).toInt
+    (if (iv < 0) 0 else if (iv > 255) 255 else iv).toByte
+  }
+}

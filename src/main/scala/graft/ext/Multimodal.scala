@@ -16,11 +16,11 @@ import org.apache.spark.sql.types._
   * ([[AudioHeaders.pcm]]), and header metadata for JPEG/GIF
   * ([[ImageHeaders]]). Resize, perceptual hashing, and feature
   * extraction all run on real pixels when the payload decodes (the PNG
-  * envelope covers all five color types at 8- AND 16-bit depth,
-  * non-interlaced and Adam7); payloads outside the supported envelope
-  * (JPEG entropy data via the pure codec — the ImageIO arm covers it —
-  * sub-byte PNG depths, compressed audio) flow to a deterministic,
-  * clearly-marked stub —
+  * envelope covers every spec-legal depth × color-type × interlace
+  * combination: 1/2/4/8/16-bit, all five color types, Adam7); payloads
+  * outside the supported envelope (JPEG entropy data via the pure
+  * codec — the ImageIO arm covers it — compressed audio) flow to a
+  * deterministic, clearly-marked stub —
   * never a wrong decode — and swapping in a full codec changes only that
   * fallback arm, not the operator shape (mapPartitions over binary
   * batches, one decoder session per partition).
@@ -483,12 +483,18 @@ object AudioHeaders {
     }
   }
 
-  /** REAL PCM sample decode (format tag 1, 8-bit unsigned or 16-bit LE
-    * signed): (rate, channels, bits, nSamples, sumSamples, sumSquares) —
-    * exact integer accumulators (sum |s|≤32768·n, sumSq ≤ 2^30·n: both
-    * exact in Long for any realistic payload), so downstream RMS/peak
-    * stats are deterministic and SQL-replayable. None for compressed or
-    * float WAV (falls back like unsupported images).
+  /** REAL sample decode for the uncompressed WAV family: format tag 1
+    * (integer PCM) at 8-bit unsigned / 16-bit / 24-bit LE signed, and
+    * format tag 3 (IEEE float32). Returns (rate, channels, bits,
+    * nSamples, sumSamples, sumSquares) with exact Long accumulators.
+    * Samples wider than 16 bits are DECODED at full width, then the
+    * stats are taken on the 16-bit-quantized value (24-bit: top 16 bits;
+    * float: floor(f·32768) clamped) so the accumulator bound stays
+    * sum |s| ≤ 32768·n, sumSq ≤ 2^30·n — exact in Long for any realistic
+    * payload, deterministic, SQL-replayable. G.711 A-law (tag 6) and
+    * μ-law (tag 7) expand through the exact ITU integer formulas (already
+    * 16-bit range, no quantization step). None for other compressed WAV
+    * (falls back like unsupported images).
     */
   def pcm(b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
     if (b.length < 12 ||
@@ -511,18 +517,51 @@ object AudioHeaders {
       }
       i += 8 + size.toInt + (size.toInt & 1)
     }
-    if (fmtTag != 1 || rate <= 0 || channels <= 0 || dataOff < 0) return None
-    if (bits != 8 && bits != 16) return None
+    if (rate <= 0 || channels <= 0 || dataOff < 0) return None
+    val ok = (fmtTag == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
+      (fmtTag == 3 && bits == 32) ||
+      ((fmtTag == 6 || fmtTag == 7) && bits == 8) // G.711 A-law / μ-law
+    if (!ok) return None
     val bytesPerSample = bits / 8
     val n = dataLen / bytesPerSample
     var sum = 0L; var sumSq = 0L
     var s = 0
     while (s < n) {
-      val v =
-        if (bits == 8) (b(dataOff + s) & 0xFF) - 128
-        else {
+      val v: Int =
+        if (fmtTag == 6) {
+          // ITU-T G.711 A-law expansion (exact integer LUT-free form):
+          // toggle the even bits, then rebuild the 13-bit segment/quantum
+          val a = (b(dataOff + s) & 0xFF) ^ 0x55
+          var t = (a & 0x0F) << 4
+          val seg = (a & 0x70) >> 4
+          if (seg == 0) t += 8
+          else { t = (t + 0x108) << (seg - 1) }
+          if ((a & 0x80) != 0) t else -t
+        } else if (fmtTag == 7) {
+          // ITU-T G.711 μ-law expansion: complement, then bias-shift the
+          // 14-bit magnitude back out of the segment encoding
+          val u = ~(b(dataOff + s)) & 0xFF
+          val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+          if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+        } else if (fmtTag == 3) {
+          // IEEE float32 LE in [-1, 1] → floor(f·32768), clamped
+          val f = java.lang.Float.intBitsToFloat(
+            le32(b, dataOff + s * 4).toInt)
+          if (f.isNaN) 0
+          else math.max(-32768, math.min(32767,
+            math.floor(f * 32768.0).toInt))
+        } else if (bits == 8) (b(dataOff + s) & 0xFF) - 128
+        else if (bits == 16) {
           val raw = le16(b, dataOff + s * 2)
           if (raw >= 0x8000) raw - 0x10000 else raw // sign-extend
+        } else {
+          // 24-bit LE signed, stats on the top 16 bits (floor division
+          // toward -inf = arithmetic shift, so quantization is monotone)
+          val raw = (b(dataOff + s * 3) & 0xFF) |
+            ((b(dataOff + s * 3 + 1) & 0xFF) << 8) |
+            ((b(dataOff + s * 3 + 2) & 0xFF) << 16)
+          val signed = if (raw >= 0x800000) raw - 0x1000000 else raw
+          signed >> 8
         }
       sum += v
       sumSq += v.toLong * v

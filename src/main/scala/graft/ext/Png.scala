@@ -46,13 +46,13 @@ object Png {
 
   // ------------------------------------------------------------- decode
 
-  /** Decode an 8- or 16-bit PNG, non-interlaced or Adam7-interlaced
-    * (16-bit samples take the standard high-byte scale-down into the
-    * 8-bit sample model); None for anything else (other formats,
-    * sub-byte depths, corrupt chunks/CRCs). A corrupt payload is
-    * rejected (None), never half-read: any exception the structural
-    * guards miss is caught here so a malformed blob can't crash the
-    * task.
+  /** Decode any spec-legal PNG depth/color/interlace combination:
+    * 8-bit direct, 16-bit with the standard high-byte scale-down,
+    * sub-byte (1/2/4) gray and palette with MSB-first unpacking,
+    * non-interlaced or Adam7. None for anything else (other formats,
+    * corrupt chunks/CRCs). A corrupt payload is rejected (None), never
+    * half-read: any exception the structural guards miss is caught
+    * here so a malformed blob can't crash the task.
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     try decodeImpl(bytes)
@@ -89,9 +89,11 @@ object Png {
           interlace = bytes(i + 20) & 0xFF
           if (compression != 0 || filter != 0) return None
           if (interlace != 0 && interlace != 1) return None // 1 = Adam7
-          // 8-bit direct; 16-bit decoded with the standard high-byte
-          // scale-down to the 8-bit sample model; sub-byte → fallback
-          if (bitDepth != 8 && bitDepth != 16) return None
+          // 8-bit direct; 16-bit with the standard high-byte scale-down;
+          // sub-byte (1/2/4) gray and palette with bit unpacking — the
+          // spec's legal depth × color-type matrix, nothing else
+          if (!Set(1, 2, 4, 8, 16).contains(bitDepth)) return None
+          if (bitDepth < 8 && colorType != 0 && colorType != 3) return None
           if (bitDepth == 16 && colorType == 3) return None // illegal combo
           if (!Set(0, 2, 3, 4, 6).contains(colorType)) return None
           if (width <= 0 || height <= 0) return None
@@ -117,8 +119,12 @@ object Png {
     val srcCh = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
-    val bps = bitDepth / 8 // bytes per sample (1 or 2)
-    val bpp = srcCh * bps  // filter unit per the spec
+    val bps = bitDepth / 8             // bytes per sample (0 for sub-byte)
+    val bpp = math.max(1, srcCh * bps) // filter unit per the spec (byte floor)
+    // packed scanline width in bytes for a pass of wPx pixels
+    def strideOf(wPx: Int): Int =
+      if (bitDepth >= 8) wPx * srcCh * bps
+      else (wPx * bitDepth + 7) / 8
 
     // Adam7 pass geometry; non-interlaced = one full-size pass
     final case class Pass(x0: Int, y0: Int, dx: Int, dy: Int, w: Int, h: Int)
@@ -135,17 +141,19 @@ object Png {
           Pass(xs(p), ys(p), dxs(p), dys(p), w, h)
         }.filter(p => p.w > 0 && p.h > 0)
       }
-    val expectedRaw = passes.map(p => (p.w.toLong * bpp + 1) * p.h).sum
+    val expectedRaw = passes.map(p => (strideOf(p.w).toLong + 1) * p.h).sum
     if (expectedRaw > Int.MaxValue) return None
     val raw = inflate(idat.toByteArray, expectedRaw.toInt).getOrElse(return None)
     if (raw.length != expectedRaw) return None
 
-    // unfilter each pass independently, scattering its samples (high byte
-    // only for 16-bit — the standard 8-bit scale-down) into the raster
+    // unfilter each pass independently, scattering its samples into the
+    // raster (16-bit: high-byte scale-down; sub-byte: MSB-first unpack,
+    // gray scaled to 8-bit by the standard max-value expansion)
     val px = new Array[Byte](width * height * srcCh)
+    val subMax = (1 << bitDepth) - 1
     var rawOff = 0
     passes.foreach { pass =>
-      val stride = pass.w * bpp
+      val stride = strideOf(pass.w)
       val un = new Array[Byte](stride * pass.h)
       var y = 0
       while (y < pass.h) {
@@ -176,11 +184,21 @@ object Png {
         while (pxI < pass.w) {
           val ix = pass.x0 + pxI * pass.dx
           val dst = (iy * width + ix) * srcCh
-          var ch = 0
-          while (ch < srcCh) {
-            // big-endian 16-bit: the high byte is the first of the pair
-            px(dst + ch) = un(rowOut + (pxI * srcCh + ch) * bps)
-            ch += 1
+          if (bitDepth >= 8) {
+            var ch = 0
+            while (ch < srcCh) {
+              // big-endian 16-bit: the high byte is the first of the pair
+              px(dst + ch) = un(rowOut + (pxI * srcCh + ch) * bps)
+              ch += 1
+            }
+          } else {
+            // MSB-first packed samples; gray expands v*255/max, palette
+            // indexes pass through raw
+            val bitPos = pxI * bitDepth
+            val v = ((un(rowOut + (bitPos >> 3)) & 0xFF)
+              >> (8 - bitDepth - (bitPos & 7))) & subMax
+            px(dst) =
+              (if (colorType == 0) v * 255 / subMax else v).toByte
           }
           pxI += 1
         }
@@ -460,7 +478,7 @@ object Png {
     * ImageIO for everything else it can read.
     */
   def decodeAny(bytes: Array[Byte]): Option[Image] =
-    decode(bytes).orElse(decodeViaJdk(bytes))
+    decode(bytes).orElse(Jpeg.decode(bytes)).orElse(decodeViaJdk(bytes))
 
   /** Pixel-layer content identity: CRC32 over dims + channels + raw
     * samples. Invariant across re-encodes of the same raster (compressed

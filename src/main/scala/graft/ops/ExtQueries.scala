@@ -2686,18 +2686,18 @@ object ExtQueries {
   private val qJpegStats = Q(
     "q_jpeg_stats",
     (s, d) => {
-      // REAL JPEG pixel decode, driver-checked — closes the one decode arm
-      // without a hash-green certificate (PNG/WAV/GIF have theirs): per
-      // doc, a 16×16 RGB JPEG of four solid 8×8 gray blocks (block b is
-      // (id·7 + 13 + 29·b) mod 256) is encoded by the JDK writer at
-      // quality 1.0 and decoded back through the production ImageIO arm
-      // (Png.decodeAny → decodeViaJdk, the same path Multimodal's decode
-      // stage takes for JPEG payloads). Solid blocks aligned to the 8×8
-      // DCT grid survive baseline JPEG exactly (constant block → DC-only,
-      // unit quant table at q=1.0; all-gray → flat chroma, so 4:2:0
-      // subsampling is lossless too — verified over 600 ids × all pixels),
-      // so block corner samples and the full pixel sum hash-match DuckDB's
-      // direct arithmetic.
+      // REAL JPEG pixel decode, driver-checked: per doc, a 16×16 RGB JPEG
+      // of four solid 8×8 gray blocks (block b is (id·7 + 13 + 29·b) mod
+      // 256) is encoded by the JDK writer at quality 1.0 and decoded back
+      // through Png.decodeAny — since round 9 that routes JPEG through
+      // the PURE T.81 codec (graft.ext.Jpeg), so this row now certifies
+      // the pure decoder on the production path (the ImageIO arm keeps
+      // its own certificate in q_jpeg_imageio). Solid blocks aligned to
+      // the 8×8 DCT grid survive baseline JPEG exactly (constant block →
+      // DC-only, unit quant table at q=1.0; all-gray → flat chroma, so
+      // 4:2:0 subsampling is lossless too — verified over 600 ids × all
+      // pixels), so block corner samples and the full pixel sum
+      // hash-match DuckDB's direct arithmetic.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { ids =>
@@ -2756,6 +2756,271 @@ object ExtQueries {
       "the JDK encode → production ImageIO decode arm — block samples " +
       "and pixel sum hash-checked against the oracle's direct arithmetic")
 
+  private val qPng4Stats = Q(
+    "q_png4_stats",
+    (s, d) => {
+      // Sub-byte decode certificate (the q_jpeg_stats discipline for the
+      // new 4-bit arm): per doc, a 4-bit PALETTE PNG is built BY HAND —
+      // MSB-first packed indexes with ragged row padding, deflate + CRC
+      // chunks, an independent construction from the codec under test —
+      // and decoded through Png.decode. Indexes and palette are modular
+      // arithmetic in doc_id, so the decoded-pixel sum is hash-checked
+      // against DuckDB computing the same arithmetic directly. Any bit
+      // slip in the unpacker (shift origin, padding, palette expansion)
+      // breaks the row.
+      import s.implicits._
+      val (w, h) = (9, 4) // 9 × 4 bits = 4.5 bytes → ragged pad per row
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val stride = (w * 4 + 7) / 8
+          val raw = new Array[Byte]((stride + 1) * h)
+          var y = 0
+          while (y < h) {
+            raw(y * (stride + 1)) = 0 // filter 0
+            var x = 0
+            while (x < w) {
+              val idx = ((id + y * w + x) % 16).toInt
+              val off = y * (stride + 1) + 1 + (x >> 1)
+              raw(off) = (raw(off) | (idx << (if ((x & 1) == 0) 4 else 0))).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val plte = new Array[Byte](48)
+          var k = 0
+          while (k < 16) {
+            plte(k * 3) = ((id * 3 + k * 7) % 256).toByte
+            plte(k * 3 + 1) = ((id * 5 + k * 11) % 256).toByte
+            plte(k * 3 + 2) = ((id * 7 + k * 13) % 256).toByte
+            k += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+          def chunk(t: String, data: Array[Byte]): Unit = {
+            def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+              (v >>> 8).toByte, v.toByte)
+            out.write(be32(data.length))
+            val tb = t.getBytes("US-ASCII")
+            out.write(tb); out.write(data)
+            val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+            out.write(be32(crc.getValue.toInt))
+          }
+          val ihdr = new Array[Byte](13)
+          ihdr(3) = w.toByte; ihdr(7) = h.toByte // widths < 256
+          ihdr(8) = 4; ihdr(9) = 3 // 4-bit, palette
+          chunk("IHDR", ihdr)
+          chunk("PLTE", plte)
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(raw); defl.finish()
+          val cbuf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](512)
+          while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          chunk("IDAT", cbuf.toByteArray)
+          chunk("IEND", Array.emptyByteArray)
+          val img = graft.ext.Png.decode(out.toByteArray).getOrElse(
+            throw new IllegalStateException(s"4-bit decode failed for $id"))
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xFF))
+          (id, img.width, img.height, img.channels, sum)
+        }
+        .toDF("media_id", "width", "height", "n_channels", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 9 AS width, 4 AS height,
+                   3 AS n_channels,
+                   CAST(sum((doc_id * 3 + ((doc_id + i) % 16) * 7) % 256
+                          + (doc_id * 5 + ((doc_id + i) % 16) * 11) % 256
+                          + (doc_id * 7 + ((doc_id + i) % 16) * 13) % 256)
+                        AS BIGINT) AS pixel_sum
+            FROM documents CROSS JOIN generate_series(0, 35) AS t(i)
+            GROUP BY doc_id ORDER BY media_id"""),
+    "4-bit palette PNG decode certificate: hand-packed sub-byte indexes " +
+      "with ragged padding through the pure codec — decoded-pixel sum " +
+      "hash-checked against the oracle's direct arithmetic")
+
+  private val qWavFloat = Q(
+    "q_wav_float",
+    (s, d) => {
+      // Float-WAV decode certificate: samples k/256 with k ∈ [-256, 255]
+      // are exactly representable in float32 and quantize exactly to
+      // floor(f·32768) = 128·k (k = 256 would hit the +1.0 clamp, so the
+      // range excludes it), making the decoder's documented 16-bit
+      // quantization hash-checkable as pure integer arithmetic.
+      import s.implicits._
+      val n = 200
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = new Array[Byte](44 + n * 4)
+          def putAscii(off: Int, sVal: String): Unit = {
+            var k = 0
+            while (k < sVal.length) { bytes(off + k) = sVal.charAt(k).toByte; k += 1 }
+          }
+          def putLe32(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+            bytes(off + 2) = (v >>> 16).toByte; bytes(off + 3) = (v >>> 24).toByte
+          }
+          def putLe16(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+          }
+          putAscii(0, "RIFF"); putLe32(4, 36 + n * 4); putAscii(8, "WAVE")
+          putAscii(12, "fmt "); putLe32(16, 16)
+          putLe16(20, 3); putLe16(22, 1) // IEEE float, mono
+          putLe32(24, 8000); putLe32(28, 32000)
+          putLe16(32, 4); putLe16(34, 32)
+          putAscii(36, "data"); putLe32(40, n * 4)
+          var i = 0
+          while (i < n) {
+            val k = ((id * 7 + i.toLong * 13) % 512L - 256L).toInt
+            putLe32(44 + i * 4, java.lang.Float.floatToIntBits(k / 256.0f))
+            i += 1
+          }
+          (id, bytes)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.audioSampleStats(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+                   32 AS bits, CAST(200 AS BIGINT) AS n_samples,
+                   CAST(sum(128 * ((doc_id * 7 + i * 13) % 512 - 256)) AS BIGINT)
+                     AS sum_samples,
+                   CAST(sum(16384 * ((doc_id * 7 + i * 13) % 512 - 256)
+                                  * ((doc_id * 7 + i * 13) % 512 - 256)) AS BIGINT)
+                     AS sum_squares
+            FROM documents CROSS JOIN generate_series(0, 199) AS t(i)
+            GROUP BY doc_id ORDER BY media_id"""),
+    "IEEE-float WAV decode certificate: exactly-representable k/256 " +
+      "samples quantize to 128·k — decoder stats hash-checked as pure " +
+      "integer arithmetic")
+
+  private val qWavG711 = Q(
+    "q_wav_g711",
+    (s, d) => {
+      // G.711 decode certificate: the ITU A-law/μ-law expansions are
+      // exact integer maps of the code byte, so the oracle replays the
+      // same formulas in SQL. Even doc_ids carry μ-law (tag 7), odd
+      // A-law (tag 6) — one row family certifies both decoder arms.
+      import s.implicits._
+      val n = 200
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = new Array[Byte](44 + n)
+          def putAscii(off: Int, sVal: String): Unit = {
+            var k = 0
+            while (k < sVal.length) { bytes(off + k) = sVal.charAt(k).toByte; k += 1 }
+          }
+          def putLe32(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+            bytes(off + 2) = (v >>> 16).toByte; bytes(off + 3) = (v >>> 24).toByte
+          }
+          def putLe16(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+          }
+          putAscii(0, "RIFF"); putLe32(4, 36 + n); putAscii(8, "WAVE")
+          putAscii(12, "fmt "); putLe32(16, 16)
+          putLe16(20, if (id % 2 == 0) 7 else 6); putLe16(22, 1)
+          putLe32(24, 8000); putLe32(28, 8000)
+          putLe16(32, 1); putLe16(34, 8)
+          putAscii(36, "data"); putLe32(40, n)
+          var i = 0
+          while (i < n) {
+            bytes(44 + i) = ((id * 7 + i * 13) % 256).toByte
+            i += 1
+          }
+          (id, bytes)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.audioSampleStats(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id, (doc_id * 7 + i * 13) % 256 AS c
+              FROM documents CROSS JOIN generate_series(0, 199) AS t(i)),
+            dec AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  CASE WHEN (255 - c) >= 128
+                       THEN 132 - (((255 - c) % 16) * 8 + 132)
+                              * (1 << (((255 - c) // 16) % 8))
+                       ELSE (((255 - c) % 16) * 8 + 132)
+                              * (1 << (((255 - c) // 16) % 8)) - 132 END
+                ELSE
+                  (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END) *
+                  (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                        THEN (xor(c, 85) % 16) * 16 + 8
+                        ELSE ((xor(c, 85) % 16) * 16 + 264)
+                               * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+                END AS v
+              FROM raw)
+            SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+                   8 AS bits, CAST(200 AS BIGINT) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS sum_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_squares
+            FROM dec GROUP BY doc_id ORDER BY media_id"""),
+    "G.711 A-law/mu-law decode certificate: the exact ITU integer " +
+      "expansions replayed in oracle SQL — both companded-audio arms " +
+      "hash-checked")
+
+  private val qJpegImageIo = Q(
+    "q_jpeg_imageio",
+    (s, d) => {
+      // The ImageIO decode arm's own certificate (q_jpeg_stats moved to
+      // the pure T.81 codec when decodeAny started routing JPEG there):
+      // same solid-block construction, decoded explicitly through
+      // Png.decodeViaJdk — the fallback arm progressive/exotic payloads
+      // still take. Keeping both rows green proves the two arms agree
+      // on the production contract.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          System.setProperty("java.awt.headless", "true")
+          ids.map { id =>
+            val bi = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val blk = (y / 8) * 2 + (x / 8)
+                val g = ((id * 7 + 13 + 29 * blk) % 256).toInt
+                bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpeg").next()
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            val p = writer.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(1.0f)
+            writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+            ios.close(); writer.dispose()
+            val img = graft.ext.Png.decodeViaJdk(bos.toByteArray).getOrElse(
+              throw new IllegalStateException(s"imageio decode failed for $id"))
+            var sum = 0L
+            img.pixels.foreach(v => sum += (v & 0xFF))
+            (id, img.width, img.height, img.channels, sum)
+          }
+        }
+        .toDF("media_id", "width", "height", "n_channels", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+                   3 AS n_channels,
+                   CAST(192 * (((doc_id * 7 + 13) % 256)
+                             + ((doc_id * 7 + 13 + 29) % 256)
+                             + ((doc_id * 7 + 13 + 58) % 256)
+                             + ((doc_id * 7 + 13 + 87) % 256)) AS BIGINT)
+                     AS pixel_sum
+            FROM documents ORDER BY media_id"""),
+    "ImageIO fallback-arm certificate: the q_jpeg_stats solid-block " +
+      "construction decoded explicitly via decodeViaJdk — both decode " +
+      "arms proven to agree on the same payloads")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -2777,5 +3042,6 @@ object ExtQueries {
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
-    qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats)
+    qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
+    qWavG711, qJpegImageIo)
 }

@@ -249,6 +249,91 @@ class PngSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got.get.pixels, img.pixels))
   }
 
+  /** Pack 8-bit sample values (< 2^bits) MSB-first into PNG scanbytes. */
+  private def packRows(samples: Array[Int], w: Int, h: Int, bits: Int): Array[Byte] = {
+    val stride = (w * bits + 7) / 8
+    val out = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bitPos = x * bits
+      val shift = 8 - bits - (bitPos & 7)
+      out(y * stride + (bitPos >> 3)) =
+        (out(y * stride + (bitPos >> 3)) | (samples(y * w + x) << shift)).toByte
+    }
+    out
+  }
+
+  test("sub-byte gray decodes with max-value expansion, every depth and filter") {
+    for (bits <- Seq(1, 2, 4); f <- 0 to 4) {
+      val (w, h) = (11, 5) // ragged: 11 samples never fill whole bytes
+      val r = rng(bits * 100 + f)
+      val samples = Array.fill(w * h)(r.nextInt(1 << bits))
+      val packed = packRows(samples, w, h, bits)
+      val stride = (w * bits + 7) / 8
+      // filters run over the PACKED bytes with bpp = 1
+      val raw = forwardFilter(packed, stride, h, 1, _ => f)
+      val got = Png.decode(buildPng(w, h, 0, raw, bitDepth = bits))
+      assert(got.isDefined, s"bits=$bits filter=$f")
+      val expect = samples.map(v => (v * 255 / ((1 << bits) - 1)).toByte)
+      assert(java.util.Arrays.equals(got.get.pixels, expect),
+        s"gray expansion mismatch bits=$bits filter=$f")
+    }
+  }
+
+  test("sub-byte palette decodes through PLTE (raw indexes, no scaling)") {
+    val plte = Array.tabulate(16 * 3)(i => (i * 5 + 3).toByte)
+    for (bits <- Seq(2, 4)) {
+      val (w, h) = (9, 4)
+      val r = rng(77 + bits)
+      val idx = Array.fill(w * h)(r.nextInt(1 << bits))
+      val stride = (w * bits + 7) / 8
+      val raw = forwardFilter(packRows(idx, w, h, bits), stride, h, 1, y => y % 5)
+      val got = Png.decode(buildPng(w, h, 3, raw, plte = Some(plte), bitDepth = bits))
+      assert(got.isDefined, s"bits=$bits")
+      assert(got.get.channels == 3)
+      for (p <- 0 until w * h; c <- 0 until 3)
+        assert(got.get.pixels(p * 3 + c) == plte(idx(p) * 3 + c),
+          s"palette bits=$bits p=$p c=$c")
+    }
+  }
+
+  test("JDK-written 1-bit and 4-bit indexed PNGs decode via the pure codec") {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = (19, 7)
+    // 1-bit: TYPE_BYTE_BINARY default black/white palette
+    val bw = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val r = rng(31337)
+    for (y <- 0 until h; x <- 0 until w)
+      bw.setRGB(x, y, if (r.nextBoolean()) 0xFFFFFF else 0)
+    val bos1 = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bw, "png", bos1))
+    val got1 = Png.decode(bos1.toByteArray)
+    assert(got1.isDefined, "JDK 1-bit PNG must decode in the pure codec")
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * got1.get.channels
+      assert((got1.get.pixels(p) & 0xFF) == (bw.getRGB(x, y) & 0xFF), s"1-bit ($x,$y)")
+    }
+    // 4-bit: 16-entry IndexColorModel
+    val cmap = Array.tabulate(16)(i => (i * 17) << 16 | (255 - i * 17) << 8 | i * 11)
+    val icm = new java.awt.image.IndexColorModel(4, 16, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val ix = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      ix.getRaster.setSample(x, y, 0, r.nextInt(16))
+    val bos4 = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(ix, "png", bos4))
+    val got4 = Png.decode(bos4.toByteArray)
+    assert(got4.isDefined, "JDK 4-bit indexed PNG must decode in the pure codec")
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * got4.get.channels
+      val rgb = ix.getRGB(x, y)
+      assert((got4.get.pixels(p) & 0xFF) == ((rgb >> 16) & 0xFF) &&
+        (got4.get.pixels(p + 1) & 0xFF) == ((rgb >> 8) & 0xFF) &&
+        (got4.get.pixels(p + 2) & 0xFF) == (rgb & 0xFF), s"4-bit ($x,$y)")
+    }
+  }
+
   test("JDK-written 16-bit gray PNG decodes via the pure codec") {
     System.setProperty("java.awt.headless", "true")
     val (w, h) = (9, 7)
@@ -278,8 +363,9 @@ class PngSpec extends AnyFunSuite {
     assert(Png.decode(bad).isEmpty, "CRC corruption must reject")
     // truncation
     assert(Png.decode(good.take(good.length - 6)).isEmpty)
-    // sub-byte depths → fallback; 16-bit/interlace headers whose payload
-    // length doesn't match the declared geometry are malformed → rejected
+    // sub-byte depth on a TRUECOLOR type is illegal per the spec matrix;
+    // 16-bit/interlace headers whose payload length doesn't match the
+    // declared geometry are malformed → rejected
     val raw = forwardFilter(img.pixels, 6, 4, 3, _ => 0)
     assert(Png.decode(buildPng(6, 4, 2, raw, bitDepth = 4)).isEmpty)
     assert(Png.decode(buildPng(6, 4, 2, raw, bitDepth = 16)).isEmpty,
@@ -402,8 +488,81 @@ class PngSpec extends AnyFunSuite {
     val Some((_, _, b2, n2, sum2, sq2)) = AudioHeaders.pcm(wav(8, s8))
     assert(b2 == 8 && n2 == 5L)
     assert(sum2 == s8.map(_.toLong).sum && sq2 == s8.map(v => v.toLong * v).sum)
-    // float/compressed WAV (fmt tag != 1) falls back
-    val f = wav(16, s16); f(20) = 3 // IEEE float tag
+    // float tag with integer width is malformed → rejected; MS-ADPCM
+    // (tag 2, genuinely compressed) falls back
+    val f = wav(16, s16); f(20) = 3 // IEEE float tag, 16-bit: invalid
     assert(AudioHeaders.pcm(f).isEmpty)
+    val ad = wav(8, s8); ad(20) = 2 // MS ADPCM
+    assert(AudioHeaders.pcm(ad).isEmpty)
+  }
+
+  test("G.711 A-law and mu-law expand through the exact ITU formulas") {
+    def wav8(fmtTag: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](44 + data.length)
+      def asc(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, k) => out(o + k) = c.toByte }
+      def le32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte; out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte }
+      def le16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte }
+      asc(0, "RIFF"); le32(4, 36 + data.length); asc(8, "WAVE")
+      asc(12, "fmt "); le32(16, 16); le16(20, fmtTag); le16(22, 1)
+      le32(24, 8000); le32(28, 8000); le16(32, 1); le16(34, 8)
+      asc(36, "data"); le32(40, data.length)
+      System.arraycopy(data, 0, out, 44, data.length)
+      out
+    }
+    // canonical endpoints from the ITU tables: mu-law 0xFF/0x7F are the
+    // two zeros, 0x80/0x00 the ±32124 extremes; A-law 0xD5/0x55 are ±8
+    // (the smallest magnitudes), 0xAA/0x2A the ±32256 extremes
+    val mu = Array[Byte](0xFF.toByte, 0x7F, 0x80.toByte, 0x00)
+    val Some((_, _, bm, nm, sumM, sqM)) = AudioHeaders.pcm(wav8(7, mu))
+    assert(bm == 8 && nm == 4L)
+    assert(sumM == 0L + 0 + 32124 - 32124)
+    assert(sqM == 2L * 32124 * 32124)
+    val al2 = Array[Byte](0xD5.toByte, 0x55, 0xAA.toByte, 0x2A)
+    val Some((_, _, ba, na, sumA, sqA)) = AudioHeaders.pcm(wav8(6, al2))
+    assert(ba == 8 && na == 4L)
+    assert(sumA == 8L - 8 + 32256 - 32256)
+    assert(sqA == 2L * 8 * 8 + 2L * 32256 * 32256)
+  }
+
+  test("WAV 24-bit PCM and float32 decode with documented 16-bit-quantized stats") {
+    def wavRaw(fmtTag: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](44 + data.length)
+      def asc(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, k) => out(o + k) = c.toByte }
+      def le32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte; out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte }
+      def le16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte }
+      val bytesPer = bits / 8
+      asc(0, "RIFF"); le32(4, 36 + data.length); asc(8, "WAVE")
+      asc(12, "fmt "); le32(16, 16); le16(20, fmtTag); le16(22, 1)
+      le32(24, 8000); le32(28, 8000 * bytesPer); le16(32, bytesPer); le16(34, bits)
+      asc(36, "data"); le32(40, data.length)
+      System.arraycopy(data, 0, out, 44, data.length)
+      out
+    }
+    // 24-bit: full-width sign-extended decode, stats on the top 16 bits
+    // (arithmetic >> 8 — floor toward -inf, monotone)
+    val s24 = Seq(-8388608, -65536, -1, 0, 255, 8388607)
+    val d24 = new Array[Byte](s24.length * 3)
+    s24.zipWithIndex.foreach { case (v, k) =>
+      d24(k * 3) = v.toByte; d24(k * 3 + 1) = (v >> 8).toByte
+      d24(k * 3 + 2) = (v >> 16).toByte
+    }
+    val Some((r3, _, b3, n3, sum3, sq3)) = AudioHeaders.pcm(wavRaw(1, 24, d24))
+    assert((r3, b3, n3) == (8000, 24, s24.length.toLong))
+    val q24 = s24.map(_ >> 8)
+    assert(sum3 == q24.map(_.toLong).sum, s"sum $sum3 vs ${q24.map(_.toLong).sum}")
+    assert(sq3 == q24.map(v => v.toLong * v).sum)
+    // float32: exactly-representable fractions → floor(f·32768), clamped
+    val fs = Seq(0.0f, 0.5f, -0.25f, 1.0f, -1.0f, 1.5f, -2.0f, 0.125f)
+    val df = new Array[Byte](fs.length * 4)
+    fs.zipWithIndex.foreach { case (v, k) =>
+      val bits32 = java.lang.Float.floatToIntBits(v)
+      df(k * 4) = bits32.toByte; df(k * 4 + 1) = (bits32 >> 8).toByte
+      df(k * 4 + 2) = (bits32 >> 16).toByte; df(k * 4 + 3) = (bits32 >> 24).toByte
+    }
+    val Some((_, _, bf, nf, sumF, sqF)) = AudioHeaders.pcm(wavRaw(3, 32, df))
+    assert(bf == 32 && nf == fs.length.toLong)
+    val qf = Seq(0, 16384, -8192, 32767, -32768, 32767, -32768, 4096)
+    assert(sumF == qf.map(_.toLong).sum, s"sum $sumF vs ${qf.map(_.toLong).sum}")
+    assert(sqF == qf.map(v => v.toLong * v).sum)
   }
 }
