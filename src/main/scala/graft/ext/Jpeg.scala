@@ -72,11 +72,26 @@ object Jpeg {
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17) // -1 = no codes at this length
     val valPtr = new Array[Int](17)
+    // fast path: first-8-bits LUT → (value << 8) | codeLen; 0 = code is
+    // longer than 8 bits (or invalid), take the canonical walk instead
+    val lut = new Array[Int](256)
     locally {
       var code = 0; var k = 0; var l = 1
       while (l <= 16) {
         valPtr(l) = k
         minCode(l) = code
+        var c = 0
+        while (c < counts(l - 1)) {
+          if (l <= 8) {
+            val base = (code + c) << (8 - l)
+            var f = 0
+            while (f < (1 << (8 - l))) {
+              lut(base + f) = ((vals(k + c) & 0xFF) << 8) | l
+              f += 1
+            }
+          }
+          c += 1
+        }
         code += counts(l - 1); k += counts(l - 1)
         maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
         code <<= 1
@@ -120,12 +135,17 @@ object Jpeg {
     }
 
     def bits(n: Int): Int = {
-      var v = 0; var k = 0
-      while (k < n) { v = (v << 1) | bit(); k += 1 }
-      v
+      if (n == 0) return 0
+      while (nBits < n) fill()
+      nBits -= n
+      (acc >>> nBits) & ((1 << n) - 1)
     }
 
     def huff(h: Huff): Int = {
+      while (nBits < 8) fill()
+      val e = h.lut((acc >>> (nBits - 8)) & 0xFF)
+      if (e != 0) { nBits -= e & 0xFF; return e >>> 8 }
+      // canonical walk for the rare >8-bit codes (T.81 F.16)
       var code = bit()
       var l = 1
       while (l <= 16) {
@@ -320,6 +340,7 @@ object Jpeg {
             coef(0) = c.pred * qt(0)
             // AC
             var k = 1
+            var lastK = 0
             var done = false
             while (!done && k < 64) {
               val rs = r.huff(acTabs(c.acTab))
@@ -333,11 +354,12 @@ object Jpeg {
                 if (k > 63) return None
                 val z = Zigzag(k)
                 coef(z) = extend(r.bits(size), size) * qt(z)
+                lastK = k
                 k += 1
               }
             }
             idctBlock(coef, tmp, c.plane, c.planeW,
-              (my * c.v + by) * 8, (mx * c.h + bx) * 8)
+              (my * c.v + by) * 8, (mx * c.h + bx) * 8, lastK)
             bx += 1
           }
           by += 1
@@ -351,32 +373,59 @@ object Jpeg {
 
   /** Separable double-precision 2-D IDCT (T.81 A.3.3), then level shift
     * +128, round-half-up, clamp — written into the component plane.
+    * Sparsity-aware: real blocks are mostly zeros, so all-zero coefficient
+    * rows are skipped (their contribution is identically 0 — bit-identical
+    * to the dense sum), and a DC-only block short-circuits to a flat fill
+    * (the exact same value the dense path rounds to).
     */
   private def idctBlock(coef: Array[Int], tmp: Array[Double],
-      plane: Array[Byte], planeW: Int, y0: Int, x0: Int): Unit = {
-    // rows: for each y, tmp(y·8+x) = Σ_u C(u)·F(y,u)·cos-term(x,u)
+      plane: Array[Byte], planeW: Int, y0: Int, x0: Int, lastK: Int): Unit = {
+    if (lastK == 0) {
+      // DC-only: f(x,y) = DC/8 everywhere
+      val iv = ((coef(0) / 8.0) + 128.5).toInt
+      val flat = (if (iv < 0) 0 else if (iv > 255) 255 else iv).toByte
+      var yy = 0
+      while (yy < 8) {
+        java.util.Arrays.fill(plane, (y0 + yy) * planeW + x0,
+          (y0 + yy) * planeW + x0 + 8, flat)
+        yy += 1
+      }
+      return
+    }
+    // rows: for each v (vertical freq), tmp(v·8+x) = Σ_u F(v,u)·C(u)·cos(x,u)
     var y = 0
     while (y < 8) {
-      var x = 0
-      while (x < 8) {
-        var s = 0.0
-        var u = 0
-        while (u < 8) { s += coef(y * 8 + u) * IdctCos(u * 8 + x); u += 1 }
-        tmp(y * 8 + x) = s
-        x += 1
-      }
+      val base = y * 8
+      var nz = false
+      var u = 0
+      while (!nz && u < 8) { nz = coef(base + u) != 0; u += 1 }
+      if (nz) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var uu = 0
+          while (uu < 8) { s += coef(base + uu) * IdctCos(uu * 8 + x); uu += 1 }
+          tmp(base + x) = s
+          x += 1
+        }
+      } else java.util.Arrays.fill(tmp, base, base + 8, 0.0)
       y += 1
     }
-    // cols + output
+    // cols + output; zero rows of tmp contribute nothing — cap the inner
+    // loop at the last nonzero vertical frequency
+    var vHi = 7
+    while (vHi > 0 && {
+      val b = vHi * 8; var allZ = true; var u = 0
+      while (allZ && u < 8) { allZ = tmp(b + u) == 0.0; u += 1 }; allZ
+    }) vHi -= 1
     var x = 0
     while (x < 8) {
       var yy = 0
       while (yy < 8) {
         var s = 0.0
         var v = 0
-        while (v < 8) { s += tmp(v * 8 + x) * IdctCos(v * 8 + yy); v += 1 }
-        val px = (s / 4.0) + 128.0
-        val iv = math.floor(px + 0.5).toInt
+        while (v <= vHi) { s += tmp(v * 8 + x) * IdctCos(v * 8 + yy); v += 1 }
+        val iv = ((s / 4.0) + 128.5).toInt
         val clamped = if (iv < 0) 0 else if (iv > 255) 255 else iv
         plane((y0 + yy) * planeW + (x0 + x)) = clamped.toByte
         yy += 1
@@ -405,14 +454,22 @@ object Jpeg {
       val isRgb = adobeTransform == 0
       val out = new Array[Byte](width * height * 3)
       val cY = comps(0); val cCb = comps(1); val cCr = comps(2)
+      // hoist the replication maps: per-component x-index table (once) and
+      // per-row plane base — removes all per-pixel division
+      def xMap(c: Comp): Array[Int] =
+        Array.tabulate(width)(x => x * c.h / hMax)
+      val xY = xMap(cY); val xCb = xMap(cCb); val xCr = xMap(cCr)
       var y = 0
       while (y < height) {
+        val rowY = (y * cY.v / vMax) * cY.planeW
+        val rowCb = (y * cCb.v / vMax) * cCb.planeW
+        val rowCr = (y * cCr.v / vMax) * cCr.planeW
         var x = 0
+        var o = y * width * 3
         while (x < width) {
-          val lum = cY.plane((y * cY.v / vMax) * cY.planeW + x * cY.h / hMax) & 0xFF
-          val cb = cCb.plane((y * cCb.v / vMax) * cCb.planeW + x * cCb.h / hMax) & 0xFF
-          val cr = cCr.plane((y * cCr.v / vMax) * cCr.planeW + x * cCr.h / hMax) & 0xFF
-          val o = (y * width + x) * 3
+          val lum = cY.plane(rowY + xY(x)) & 0xFF
+          val cb = cCb.plane(rowCb + xCb(x)) & 0xFF
+          val cr = cCr.plane(rowCr + xCr(x)) & 0xFF
           if (isRgb) {
             out(o) = lum.toByte; out(o + 1) = cb.toByte; out(o + 2) = cr.toByte
           } else {
@@ -421,6 +478,7 @@ object Jpeg {
             out(o + 2) = clamp8(lum + 1.772 * (cb - 128))
           }
           x += 1
+          o += 3
         }
         y += 1
       }
@@ -429,7 +487,9 @@ object Jpeg {
   }
 
   @inline private def clamp8(v: Double): Byte = {
-    val iv = math.floor(v + 0.5).toInt
+    // truncation of v+0.5 equals floor(v+0.5) for v ≥ -0.5, and every
+    // v < 0 clamps to 0 either way — round-half-up without the floor call
+    val iv = (v + 0.5).toInt
     (if (iv < 0) 0 else if (iv > 255) 255 else iv).toByte
   }
 }
