@@ -7,10 +7,11 @@ import graft.ext.Png.Image
   * `java.util.zip` isn't even needed here since JPEG's entropy layer is
   * Huffman, implemented below from the spec's canonical-code algorithm).
   *
-  * Envelope: baseline and extended-sequential DCT (SOF0/SOF1), 8-bit
-  * precision, grayscale or 3-component YCbCr (JFIF), any H/V sampling
-  * factors 1-4, restart markers, 8- and 16-bit quantization tables.
-  * Progressive (SOF2), arithmetic coding, hierarchical, 12-bit,
+  * Envelope: baseline, extended-sequential, and PROGRESSIVE DCT
+  * (SOF0/SOF1/SOF2 — spectral selection + successive approximation per
+  * T.81 Annex G), 8-bit precision, grayscale or 3-component YCbCr
+  * (JFIF), any H/V sampling factors 1-4, restart markers, 8- and 16-bit
+  * quantization tables. Arithmetic coding, hierarchical, 12-bit,
   * CMYK/Adobe-transformed payloads return None and flow to the ImageIO
   * arm of [[Png.decodeAny]] — never a wrong decode. Structurally corrupt
   * payloads (bad markers, bad lengths, bad Huffman tables, out-of-range
@@ -173,6 +174,12 @@ object Jpeg {
     // padded plane at this component's sampling resolution
     var planeW = 0; var planeH = 0
     var plane: Array[Byte] = null
+    // progressive: quantized coefficients for every block of the padded
+    // MCU grid (blocksPerRow × blocksRows blocks, 64 ints each),
+    // accumulated across scans and IDCT'd at EOI
+    var coefs: Array[Int] = null
+    var blocksPerRow = 0; var blocksRows = 0
+    var nbw = 0; var nbh = 0 // actual data-unit grid (non-interleaved scans)
   }
 
   private def be16(b: Array[Byte], i: Int): Int =
@@ -187,16 +194,24 @@ object Jpeg {
     var width = 0; var height = 0
     var restartInterval = 0
     var adobeTransform = -1 // APP14; -1 = absent (JFIF convention applies)
+    var progressive = false
+    var scansSeen = 0
+    var resumeAt = -1
     var i = 2
 
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if ((b(i) & 0xFF) != 0xFF) return None
       val marker = b(i + 1) & 0xFF
       if (marker == 0xFF) { i += 1 } // optional fill byte before a marker
       else if (marker == 0xD8 || marker == 0x01 ||
         (marker >= 0xD0 && marker <= 0xD7)) { i += 2 }
-      else if (marker == 0xD9) return None // EOI before any scan
+      else if (marker == 0xD9) { // EOI
+        return if (progressive && scansSeen > 0)
+          finishProgressive(comps, quant, width, height, adobeTransform)
+        else None // EOI before any scan
+      }
       else {
+        if (i + 4 > b.length) return None
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4
@@ -231,15 +246,20 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = h else acTabs(th) = h
               p += 17 + total
             }
-          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
             if ((b(seg) & 0xFF) != 8) return None // 8-bit precision only
+            progressive = marker == 0xC2
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
             val nf = b(seg + 5) & 0xFF
             if (width <= 0 || height <= 0) return None
             if (nf != 1 && nf != 3) return None // gray or YCbCr
-            if (width.toLong * height * nf > 512L * 1024 * 1024)
-              return None // decompression-bomb guard (same cap as PNG)
+            // decompression-bomb guard (same cap discipline as PNG);
+            // progressive holds full coefficient arrays (4 B per sample),
+            // so its cap is tighter
+            if (width.toLong * height * nf >
+              (if (progressive) 96L * 1024 * 1024 else 512L * 1024 * 1024))
+              return None
             comps = Array.tabulate(nf) { c =>
               val o = seg + 6 + 3 * c
               val comp = Comp(b(o) & 0xFF, (b(o + 1) & 0xF0) >> 4,
@@ -248,18 +268,19 @@ object Jpeg {
                 comp.tq > 3) return None
               comp
             }
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // progressive / arithmetic / lossless / hierarchical
+            return None // arithmetic / lossless / hierarchical
           case 0xDD => restartInterval = be16(b, seg)
           case 0xEE => // APP14 "Adobe": transform byte governs color model
             if (len >= 14 && b(seg) == 'A' && b(seg + 1) == 'd' &&
               b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
               adobeTransform = b(seg + 11) & 0xFF
-          case 0xDA => // SOS: decode the single interleaved scan
+          case 0xDA => // SOS
             if (comps == null) return None
             val ns = b(seg) & 0xFF
-            if (ns != comps.length) return None // non-interleaved: not baseline-common
+            if (ns < 1 || ns > comps.length) return None
+            val scanComps = new Array[Comp](ns)
             var p = seg + 1
             var c = 0
             while (c < ns) {
@@ -268,15 +289,28 @@ object Jpeg {
               comp.dcTab = (b(p + 1) & 0xF0) >> 4
               comp.acTab = b(p + 1) & 0x0F
               if (comp.dcTab > 3 || comp.acTab > 3) return None
+              scanComps(c) = comp
               p += 2; c += 1
             }
-            // Ss/Se/AhAl at p..p+2 — baseline fixes them to 0/63/0; accept
-            // as written (extended-sequential uses the same values)
-            return decodeScan(b, segEnd, comps, quant, dcTabs, acTabs,
-              width, height, restartInterval, adobeTransform)
+            val ss = b(p) & 0xFF
+            val se = b(p + 1) & 0xFF
+            val ah = (b(p + 2) & 0xF0) >> 4
+            val al = b(p + 2) & 0x0F
+            if (!progressive) {
+              if (ns != comps.length) return None // sequential = one interleaved scan
+              return decodeScan(b, segEnd, comps, quant, dcTabs, acTabs,
+                width, height, restartInterval, adobeTransform)
+            }
+            if (scansSeen >= 256) return None // adversarial scan-count cap
+            val next = decodeProgScan(b, segEnd, comps, scanComps,
+              dcTabs, acTabs, width, height, restartInterval,
+              ss, se, ah, al)
+            if (next < 0) return None
+            scansSeen += 1
+            resumeAt = next
           case _ => // APPn / COM / DNL etc.: skip
         }
-        i = segEnd
+        i = if (resumeAt >= 0) { val r = resumeAt; resumeAt = -1; r } else segEnd
       }
     }
     None
@@ -367,6 +401,241 @@ object Jpeg {
         ci += 1
       }
       mcu += 1
+    }
+    Some(assemble(comps, width, height, hMax, vMax, adobeTransform))
+  }
+
+  /** One progressive scan (T.81 Annex G): DC first/refine (interleaved or
+    * not), AC first/refine (single-component, spectral band Ss..Se,
+    * successive-approximation bit Al). Coefficients accumulate in each
+    * component's `coefs` array in the quantized domain; IDCT happens once
+    * at EOI in [[finishProgressive]]. Returns the byte offset of the next
+    * marker after the scan, or -1 on a malformed scan.
+    */
+  private def decodeProgScan(b: Array[Byte], scanStart: Int,
+      comps: Array[Comp], scanComps: Array[Comp],
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      width: Int, height: Int, restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val isDc = ss == 0
+    if (se > 63 || ss > se || al > 13 || ah > 13) return -1
+    if (isDc && se != 0) return -1
+    if (!isDc && scanComps.length != 1) return -1 // AC scans: one component
+    if (ah != 0 && ah != al + 1) return -1 // successive approx. steps by 1
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      if (c.coefs == null) {
+        c.blocksPerRow = mcusX * c.h
+        c.blocksRows = mcusY * c.v
+        c.coefs = new Array[Int](c.blocksPerRow * c.blocksRows * 64)
+        val compW = (width * c.h + hMax - 1) / hMax
+        val compH = (height * c.v + vMax - 1) / vMax
+        c.nbw = (compW + 7) / 8
+        c.nbh = (compH + 7) / 8
+      }
+    }
+    scanComps.foreach { c =>
+      c.pred = 0
+      if (isDc && ah == 0 && dcTabs(c.dcTab) == null) return -1
+      if (!isDc && ah == 0 && acTabs(c.acTab) == null) return -1
+      if (!isDc && ah != 0 && acTabs(c.acTab) == null) return -1
+    }
+    val r = new BitReader(b, scanStart)
+    var eobrun = 0
+
+    def dcFirst(c: Comp, off: Int): Boolean = {
+      val t = r.huff(dcTabs(c.dcTab))
+      if (t > 15) return false
+      c.pred += extend(r.bits(t), t)
+      c.coefs(off) = c.pred << al
+      true
+    }
+    def dcRefine(c: Comp, off: Int): Boolean = {
+      if (r.bit() == 1) c.coefs(off) |= (1 << al)
+      true
+    }
+    def acFirst(c: Comp, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = r.huff(acTabs(c.acTab))
+        val run = (rs >> 4) & 0xF
+        val size = rs & 0xF
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1 + (if (run > 0) r.bits(run) else 0)
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          c.coefs(off + Zigzag(k)) = extend(r.bits(size), size) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(c: Comp, off: Int): Boolean = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var loop = true
+        while (loop && k <= se) {
+          val rs = r.huff(acTabs(c.acTab))
+          var run = (rs >> 4) & 0xF
+          val size = rs & 0xF
+          var newVal = 0
+          if (size == 0) {
+            if (run != 15) {
+              // EOBn covers this block too; decremented after the band tail
+              eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+              loop = false
+            } // run == 15 → ZRL: pass 16 zero-history coefficients
+          } else {
+            if (size != 1) return false // refine appends single-bit values
+            newVal = if (r.bit() == 1) p1 else m1
+          }
+          if (loop) {
+            var placed = false
+            while (!placed && k <= se) {
+              val z = off + Zigzag(k)
+              if (c.coefs(z) != 0) {
+                // correction bit for every nonzero-history coefficient
+                if (r.bit() == 1 && (c.coefs(z) & p1) == 0)
+                  c.coefs(z) += (if (c.coefs(z) > 0) p1 else m1)
+              } else {
+                if (run == 0) {
+                  if (newVal != 0) c.coefs(z) = newVal
+                  placed = true
+                }
+                run -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // band ended mid-run
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB region still refines the band's existing nonzero coefficients
+        while (k <= se) {
+          val z = off + Zigzag(k)
+          if (c.coefs(z) != 0) {
+            if (r.bit() == 1 && (c.coefs(z) & p1) == 0)
+              c.coefs(z) += (if (c.coefs(z) > 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def decodeUnit(c: Comp, off: Int): Boolean =
+      if (isDc) { if (ah == 0) dcFirst(c, off) else dcRefine(c, off) }
+      else { if (ah == 0) acFirst(c, off) else acRefine(c, off) }
+
+    var restartCount = 0
+    def restart(unitIdx: Int): Boolean = {
+      if (restartInterval == 0 || unitIdx == 0 ||
+        unitIdx % restartInterval != 0) return true
+      r.align(); r.markerHit = 0
+      while (r.pos + 1 < b.length && (b(r.pos) & 0xFF) == 0xFF &&
+        (b(r.pos + 1) & 0xFF) == 0xFF) r.pos += 1
+      val expected = 0xD0 + (restartCount % 8)
+      if (r.pos + 1 >= b.length || (b(r.pos) & 0xFF) != 0xFF ||
+        (b(r.pos + 1) & 0xFF) != expected) return false
+      r.pos += 2
+      restartCount += 1
+      scanComps.foreach(_.pred = 0)
+      eobrun = 0
+      true
+    }
+
+    if (scanComps.length > 1) {
+      // interleaved (DC scans only, enforced above): full MCU grid
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (!restart(mcu)) return -1
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val blk = (my * c.v + by) * c.blocksPerRow + (mx * c.h + bx)
+              if (!decodeUnit(c, blk * 64)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: data units traverse the component's OWN block
+      // grid (ceil of its scaled dimensions), not the padded MCU grid
+      val c = scanComps(0)
+      val nUnits = c.nbw * c.nbh
+      var u = 0
+      while (u < nUnits) {
+        if (!restart(u)) return -1
+        val blk = (u / c.nbw) * c.blocksPerRow + (u % c.nbw)
+        if (!decodeUnit(c, blk * 64)) return -1
+        u += 1
+      }
+    }
+    // locate the next marker after the scan's entropy data
+    r.align()
+    var p = r.pos
+    while (p + 1 < b.length &&
+      !((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) != 0x00)) p += 1
+    if (p + 1 >= b.length) -1 else p
+  }
+
+  /** Dequantize + IDCT every accumulated progressive block into the
+    * component planes, then color-assemble — the single reconstruction
+    * pass at EOI.
+    */
+  private def finishProgressive(comps: Array[Comp],
+      quant: Array[Array[Int]], width: Int, height: Int,
+      adobeTransform: Int): Option[Image] = {
+    if (comps == null || comps.exists(_.coefs == null)) return None
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val coefBuf = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    comps.foreach { c =>
+      val qt = quant(c.tq)
+      c.planeW = c.blocksPerRow * 8
+      c.planeH = c.blocksRows * 8
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      val nBlk = c.blocksPerRow * c.blocksRows
+      var blk = 0
+      while (blk < nBlk) {
+        val off = blk * 64
+        var lastNz = 0
+        var j = 0
+        while (j < 64) {
+          val v = c.coefs(off + j)
+          coefBuf(j) = v * qt(j)
+          if (v != 0 && j > 0) lastNz = 1
+          j += 1
+        }
+        idctBlock(coefBuf, tmp, c.plane, c.planeW,
+          (blk / c.blocksPerRow) * 8, (blk % c.blocksPerRow) * 8, lastNz)
+        blk += 1
+      }
+      c.coefs = null // release before assembly
     }
     Some(assemble(comps, width, height, hMax, vMax, adobeTransform))
   }

@@ -3021,6 +3021,69 @@ object ExtQueries {
       "construction decoded explicitly via decodeViaJdk — both decode " +
       "arms proven to agree on the same payloads")
 
+  private val qJpegProgressive = Q(
+    "q_jpeg_progressive",
+    (s, d) => {
+      // Progressive-JPEG certificate (T.81 Annex G: spectral selection +
+      // successive approximation): the q_jpeg_stats solid-block raster
+      // encoded PROGRESSIVE by the JDK writer (multi-scan: DC first/
+      // refine + per-band AC first/refine) and decoded through the pure
+      // codec. Solid DCT-aligned blocks survive exactly for the same
+      // reason as baseline — all scans together reconstruct the same
+      // DC-only coefficient set — so the full pixel sum hash-checks
+      // against direct arithmetic, certifying the whole multi-scan
+      // coefficient-accumulation machinery.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          System.setProperty("java.awt.headless", "true")
+          ids.map { id =>
+            val bi = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val blk = (y / 8) * 2 + (x / 8)
+                val g = ((id * 7 + 13 + 29 * blk) % 256).toInt
+                bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpeg").next()
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            val p = writer.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(1.0f)
+            p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+            writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+            ios.close(); writer.dispose()
+            val img = graft.ext.Jpeg.decode(bos.toByteArray).getOrElse(
+              throw new IllegalStateException(s"progressive decode failed for $id"))
+            var sum = 0L
+            img.pixels.foreach(v => sum += (v & 0xFF))
+            (id, img.width, img.height, img.channels, sum)
+          }
+        }
+        .toDF("media_id", "width", "height", "n_channels", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+                   3 AS n_channels,
+                   CAST(192 * (((doc_id * 7 + 13) % 256)
+                             + ((doc_id * 7 + 13 + 29) % 256)
+                             + ((doc_id * 7 + 13 + 58) % 256)
+                             + ((doc_id * 7 + 13 + 87) % 256)) AS BIGINT)
+                     AS pixel_sum
+            FROM documents ORDER BY media_id"""),
+    "progressive-JPEG decode certificate: multi-scan Annex G streams " +
+      "through the pure codec — coefficient accumulation across DC/AC " +
+      "first+refine scans hash-checked against direct arithmetic")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3043,5 +3106,5 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
-    qWavG711, qJpegImageIo)
+    qWavG711, qJpegImageIo, qJpegProgressive)
 }

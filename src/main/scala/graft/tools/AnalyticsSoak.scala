@@ -105,6 +105,51 @@ object AnalyticsSoak {
       graft.ext.Multimodal.perceptualHashes(media)
         .toDF().agg(count(lit(1))).head().getLong(0)
     }
+    // the JPEG twin of the PNG stage: 100 k synthetic 32×32 RGB JPEGs,
+    // JDK-encoded ONCE to parquet (writer hoisted per partition — the
+    // encode is test-harness cost, not the serve path), then the timed
+    // stage is the production multimodal serve path alone: full pixel
+    // decode through the PURE T.81 codec (decodeAny routes JPEG there)
+    // + aHash + pixel checksum, one mapPartitions pass
+    val jpegDir = "/tmp/graft_asoak_jpeg_100k"
+    if (selected("jpeg_decode_hash_100k") &&
+      !new java.io.File(s"$jpegDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, 100000, 1, 64).as[Long]
+        .mapPartitions { ids =>
+          System.setProperty("java.awt.headless", "true")
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          ids.map { id =>
+            val bi = new java.awt.image.BufferedImage(32, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var p = 0
+            while (p < 32 * 32) {
+              val v = ((id * 31 + p.toLong * 7) % 256).toInt
+              bi.setRGB(p % 32, p / 32,
+                (v << 16) | (((v * 3) & 0xFF) << 8) | ((255 - v) & 0xFF))
+              p += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            val wp = writer.getDefaultWriteParam
+            wp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            wp.setCompressionQuality(0.85f)
+            writer.write(null, new javax.imageio.IIOImage(bi, null, null), wp)
+            ios.close()
+            (id, bos.toByteArray)
+          }
+        }.toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(jpegDir)
+    }
+    timed("jpeg_decode_hash_100k", 100000) {
+      val media = spark.read.parquet(jpegDir)
+        .withColumn("media_type", lit("image/jpeg"))
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+      graft.ext.Multimodal.perceptualHashes(media)
+        .toDF().agg(count(lit(1))).head().getLong(0)
+    }
     timed("corpus_sketch_overlap", nDocs) {
       def sketch(f: org.apache.spark.sql.Column, name: String) =
         docs.filter(f)

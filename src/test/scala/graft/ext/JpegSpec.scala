@@ -113,15 +113,63 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive JPEG flows to the ImageIO arm, not a wrong pure decode") {
-    val bi = new java.awt.image.BufferedImage(24, 24,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+  test("progressive grayscale decodes within ±1 of ImageIO (Annex G scans)") {
+    val (w, h) = (41, 27) // ragged: edge blocks + multi-scan bands
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val r = rng(99)
-    for (y <- 0 until 24; x <- 0 until 24) bi.setRGB(x, y, r.nextInt() & 0xFFFFFF)
-    val enc = jdkEncode(bi, 0.8f, progressive = true)
-    assert(Jpeg.decode(enc).isEmpty, "progressive must be rejected by the pure codec")
-    val any = Png.decodeAny(enc)
-    assert(any.isDefined && any.get.width == 24, "decodeAny must still read it via ImageIO")
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, r.nextInt(256))
+    val enc = jdkEncode(bi, 0.9f, progressive = true)
+    val got = Jpeg.decode(enc)
+    assert(got.isDefined, "progressive grayscale must decode in the pure codec")
+    val img = got.get
+    assert(img.width == w && img.height == h && img.channels == 1)
+    val ref = jdkDecode(enc)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs((img.pixels(y * w + x) & 0xFF) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 1, s"progressive disagreement: $maxDiff")
+  }
+
+  test("progressive color (luma-random flat-chroma) decodes within ±2 of ImageIO") {
+    val (w, h) = (40, 24)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r = rng(123)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = r.nextInt(256)
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val enc = jdkEncode(bi, 0.85f, progressive = true)
+    val got = Jpeg.decode(enc)
+    assert(got.isDefined, "progressive color must decode in the pure codec")
+    val img = got.get
+    assert(img.width == w && img.height == h && img.channels == 3)
+    val ref = jdkDecode(enc)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val a = img.pixels((y * w + x) * 3 + c) & 0xFF
+      val b2 = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xFF
+      maxDiff = math.max(maxDiff, math.abs(a - b2))
+    }
+    assert(maxDiff <= 2, s"progressive color disagreement: $maxDiff")
+  }
+
+  test("progressive solid DCT-aligned gray blocks roundtrip exactly") {
+    val bi = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val g = Seq(40, 130, 200, 250)((y / 8) * 2 + (x / 8))
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val enc = jdkEncode(bi, 1.0f, progressive = true)
+    val img = Jpeg.decode(enc).get
+    for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3) {
+      val want = Seq(40, 130, 200, 250)((y / 8) * 2 + (x / 8))
+      assert((img.pixels((y * 16 + x) * 3 + c) & 0xFF) == want, s"($x,$y,$c)")
+    }
   }
 
   test("corrupt and truncated payloads are rejected, never half-read") {
