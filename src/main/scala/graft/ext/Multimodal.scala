@@ -502,6 +502,7 @@ object AudioHeaders {
         !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var i = 12
     var fmtTag = 0; var rate = 0; var channels = 0; var bits = 0
+    var blockAlign = 0
     var dataOff = -1; var dataLen = 0
     while (i + 8 <= b.length) {
       val id = new String(b.slice(i, i + 4), "US-ASCII")
@@ -511,6 +512,7 @@ object AudioHeaders {
         fmtTag = le16(b, i + 8)
         channels = le16(b, i + 10)
         rate = le32(b, i + 12).toInt
+        blockAlign = le16(b, i + 20)
         bits = le16(b, i + 22)
       } else if (id == "data") {
         dataOff = i + 8; dataLen = size.toInt
@@ -518,6 +520,8 @@ object AudioHeaders {
       i += 8 + size.toInt + (size.toInt & 1)
     }
     if (rate <= 0 || channels <= 0 || dataOff < 0) return None
+    if (fmtTag == 0x11) // IMA ADPCM: block-structured, separate routine
+      return imaAdpcm(b, rate, channels, bits, blockAlign, dataOff, dataLen)
     val ok = (fmtTag == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
       (fmtTag == 3 && bits == 32) ||
       ((fmtTag == 6 || fmtTag == 7) && bits == 8) // G.711 A-law / μ-law
@@ -568,6 +572,71 @@ object AudioHeaders {
       s += 1
     }
     Some((rate, channels, bits, n.toLong, sum, sumSq))
+  }
+
+  // IMA/DVI ADPCM step-size table (89 entries) and index adjustments —
+  // public tables from the IMA ADPCM reference algorithm
+  private val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA ADPCM (WAV format tag 0x11) mono decode: block-structured — each
+    * `blockAlign`-byte block opens with a 4-byte header (predictor int16
+    * LE = the block's first output sample, step index, reserved) followed
+    * by 4-bit nibbles, LOW nibble first. Exact integer state machine from
+    * the public IMA reference: diff = Σ selected step shifts, predictor
+    * clamped to int16, index clamped to [0, 88]. Stats contract matches
+    * [[pcm]] (sum/sumSq of the decoded 16-bit samples, exact in Long).
+    */
+  private def imaAdpcm(b: Array[Byte], rate: Int, channels: Int, bits: Int,
+      blockAlign: Int, dataOff: Int, dataLen: Int):
+      Option[(Int, Int, Int, Long, Long, Long)] = {
+    if (channels != 1 || bits != 4 || blockAlign < 8) return None
+    if (dataOff + dataLen > b.length) return None
+    var sum = 0L; var sumSq = 0L; var n = 0L
+    var blk = dataOff
+    val end = dataOff + dataLen
+    while (blk + blockAlign <= end) {
+      var pred = {
+        val raw = le16(b, blk)
+        if (raw >= 0x8000) raw - 0x10000 else raw
+      }
+      var index = b(blk + 2) & 0xFF
+      if (index > 88) return None
+      // the header predictor is the block's first output sample
+      sum += pred; sumSq += pred.toLong * pred; n += 1
+      var p = blk + 4
+      while (p < blk + blockAlign) {
+        val byte = b(p) & 0xFF
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) byte & 0xF else byte >> 4 // low first
+          val step = AdpcmStep(index)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767
+          if (pred < -32768) pred = -32768
+          index += AdpcmIndexAdj(nib & 7)
+          if (index < 0) index = 0
+          if (index > 88) index = 88
+          sum += pred; sumSq += pred.toLong * pred; n += 1
+          half += 1
+        }
+        p += 1
+      }
+      blk += blockAlign
+    }
+    if (n == 0) return None
+    Some((rate, channels, bits, n, sum, sumSq))
   }
 }
 

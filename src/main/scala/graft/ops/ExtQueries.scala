@@ -3084,6 +3084,81 @@ object ExtQueries {
       "through the pure codec — coefficient accumulation across DC/AC " +
       "first+refine scans hash-checked against direct arithmetic")
 
+  private val qWavAdpcm = Q(
+    "q_wav_adpcm",
+    (s, d) => {
+      // IMA ADPCM decode certificate. The state machine is sequential, so
+      // the oracle can't replay it directly — instead the payload uses a
+      // CONSTANT nibble k = doc_id % 4 per stream (index-table entries for
+      // k < 4 are all -1, so the step trajectory from index0 = 16 decays
+      // deterministically and never clamps), making the cumulative-delta
+      // trajectory a per-k constant: sum = 505·pred0 + T1(k), sumSq =
+      // 505·pred0² + 2·pred0·T1(k) + T2(k). T1/T2 were computed by an
+      // INDEPENDENT Python implementation of the public IMA algorithm
+      // (not this decoder — a genuine cross-check) and are inlined in the
+      // oracle SQL below. pred0 ∈ [-1024, 1023] keeps |pred| ≤ ~3.3k:
+      // clamp-free, so the additive split is exact.
+      import s.implicits._
+      val blockAlign = 256 // 4-byte header + 252 nibble bytes = 505 samples
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val pred0 = ((id * 37) % 2048 - 1024).toInt
+          val k = (id % 4).toInt
+          val bytes = new Array[Byte](44 + 4 + blockAlign)
+          def putAscii(off: Int, sVal: String): Unit = {
+            var j = 0
+            while (j < sVal.length) { bytes(off + j) = sVal.charAt(j).toByte; j += 1 }
+          }
+          def putLe32(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+            bytes(off + 2) = (v >>> 16).toByte; bytes(off + 3) = (v >>> 24).toByte
+          }
+          def putLe16(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >>> 8).toByte
+          }
+          putAscii(0, "RIFF"); putLe32(4, 40 + blockAlign); putAscii(8, "WAVE")
+          putAscii(12, "fmt "); putLe32(16, 20) // 16 + cbSize(2) + ext(2)
+          putLe16(20, 0x11); putLe16(22, 1) // IMA ADPCM, mono
+          putLe32(24, 8000); putLe32(28, 8000 * blockAlign / 505)
+          putLe16(32, blockAlign); putLe16(34, 4)
+          putLe16(36, 2); putLe16(38, 505) // cbSize, samplesPerBlock
+          putAscii(40, "data"); putLe32(44, blockAlign)
+          val blk = 48
+          putLe16(blk, pred0 & 0xFFFF)
+          bytes(blk + 2) = 16 // index0
+          var j = blk + 4
+          while (j < blk + blockAlign) {
+            bytes(j) = (k | (k << 4)).toByte // constant nibble, low first
+            j += 1
+          }
+          (id, bytes)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.audioSampleStats(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, (doc_id * 37) % 2048 - 1024 AS pred0,
+                     doc_id % 4 AS k
+              FROM documents),
+            consts AS (
+              SELECT doc_id, pred0,
+                CASE k WHEN 0 THEN 14958 WHEN 1 THEN 167676
+                       WHEN 2 THEN 443193 ELSE 595911 END AS t1,
+                CASE k WHEN 0 THEN 446510 WHEN 1 THEN 66672326
+                       WHEN 2 THEN 486638031 ELSE 876991875 END AS t2
+              FROM base)
+            SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+                   4 AS bits, CAST(505 AS BIGINT) AS n_samples,
+                   CAST(505 * pred0 + t1 AS BIGINT) AS sum_samples,
+                   CAST(505 * pred0 * pred0 + 2 * pred0 * t1 + t2 AS BIGINT)
+                     AS sum_squares
+            FROM consts ORDER BY media_id"""),
+    "IMA ADPCM decode certificate: constant-nibble streams make the " +
+      "sequential state machine's trajectory a closed-form constant, " +
+      "cross-checked against an independent implementation of the " +
+      "public IMA algorithm")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3106,5 +3181,5 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
-    qWavG711, qJpegImageIo, qJpegProgressive)
+    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm)
 }

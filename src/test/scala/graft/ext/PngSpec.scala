@@ -565,4 +565,65 @@ class PngSpec extends AnyFunSuite {
     assert(sumF == qf.map(_.toLong).sum, s"sum $sumF vs ${qf.map(_.toLong).sum}")
     assert(sqF == qf.map(v => v.toLong * v).sum)
   }
+
+  test("IMA ADPCM decode matches an independent reference on random nibbles") {
+    // reference state machine written from the public IMA algorithm,
+    // independently of the production decoder (cross-validation, the
+    // buildPng discipline)
+    val stepTab = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+      544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+      5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxTab = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    def reference(pred0: Int, index0: Int, nibbles: Seq[Int]): Seq[Int] = {
+      var pred = pred0; var idx = index0
+      pred0 +: nibbles.map { nib =>
+        val st = stepTab(idx)
+        var d = st >> 3
+        if ((nib & 1) != 0) d += st >> 2
+        if ((nib & 2) != 0) d += st >> 1
+        if ((nib & 4) != 0) d += st
+        pred = math.max(-32768, math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
+        idx = math.max(0, math.min(88, idx + idxTab(nib & 7)))
+        pred
+      }
+    }
+    val r = rng(4242)
+    for (trial <- 0 until 4) {
+      val blockAlign = 64 // 4 header + 60 bytes = 121 samples/block
+      val nBlocks = 3
+      val states = Seq.fill(nBlocks)((r.nextInt(65536) - 32768, r.nextInt(89)))
+      val nibs = Seq.fill(nBlocks)(Seq.fill((blockAlign - 4) * 2)(r.nextInt(16)))
+      val data = new Array[Byte](nBlocks * blockAlign)
+      for (bI <- 0 until nBlocks) {
+        val off = bI * blockAlign
+        data(off) = states(bI)._1.toByte
+        data(off + 1) = (states(bI)._1 >> 8).toByte
+        data(off + 2) = states(bI)._2.toByte
+        for (j <- 0 until blockAlign - 4)
+          data(off + 4 + j) =
+            (nibs(bI)(2 * j) | (nibs(bI)(2 * j + 1) << 4)).toByte
+      }
+      val wav = new Array[Byte](48 + data.length)
+      def asc(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, k2) => wav(o + k2) = c.toByte }
+      def le32(o: Int, v: Int): Unit = { wav(o) = v.toByte; wav(o + 1) = (v >>> 8).toByte; wav(o + 2) = (v >>> 16).toByte; wav(o + 3) = (v >>> 24).toByte }
+      def le16(o: Int, v: Int): Unit = { wav(o) = v.toByte; wav(o + 1) = (v >>> 8).toByte }
+      asc(0, "RIFF"); le32(4, 40 + data.length); asc(8, "WAVE")
+      asc(12, "fmt "); le32(16, 20); le16(20, 0x11); le16(22, 1)
+      le32(24, 8000); le32(28, 4055); le16(32, blockAlign); le16(34, 4)
+      le16(36, 2); le16(38, 121)
+      asc(40, "data"); le32(44, data.length)
+      System.arraycopy(data, 0, wav, 48, data.length)
+      val want = (0 until nBlocks).flatMap(bI =>
+        reference(states(bI)._1, states(bI)._2, nibs(bI)))
+      val Some((ra, ca, ba, na, sumA, sqA)) = AudioHeaders.pcm(wav)
+      assert((ra, ca, ba) == (8000, 1, 4), s"trial $trial")
+      assert(na == want.length.toLong, s"trial $trial n")
+      assert(sumA == want.map(_.toLong).sum, s"trial $trial sum")
+      assert(sqA == want.map(v => v.toLong * v).sum, s"trial $trial sumSq")
+    }
+  }
 }
