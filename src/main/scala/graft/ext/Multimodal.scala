@@ -289,7 +289,7 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         batch.flatMap { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          gifFrames(bytes, stride) match {
+          gifFrames(bytes, stride).orElse(aviFrames(bytes, stride)) match {
             case Some(frames) =>
               frames.map { case (no, img) =>
                 SampledFrame(id, no, img.width, img.height, Png.encode(img))
@@ -353,6 +353,57 @@ object Multimodal {
       reader.dispose()
       stream.close()
     }
+  }
+
+  /** Every `stride`-th video frame of an AVI/MJPEG container as rasters —
+    * the real VIDEO arm of frame sampling. The RIFF walk is pure byte
+    * parsing (top-level chunks → `LIST movi` → `##dc`/`##db` stream
+    * chunks, `rec ` groups included); each frame payload is an MJPEG
+    * field, i.e. a standalone JPEG, decoded through the pure
+    * [[Jpeg]] codec ([[Png.decodeAny]] as fallback covers other
+    * per-frame encodings). None when the payload isn't a RIFF AVI;
+    * frames that fail to decode are skipped, never half-read.
+    */
+  private def aviFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] = {
+    if (bytes.length < 12 ||
+      !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+      !(bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '))
+      return None
+    try {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Png.Image)]
+      var frameNo = 0
+      def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+      // iterative chunk walk; `rec ` groups nest one level inside movi
+      def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+        if (depth > 4) return
+        var i = start
+        while (i + 8 <= end) {
+          val size = (bytes(i + 4) & 0xFF) | ((bytes(i + 5) & 0xFF) << 8) |
+            ((bytes(i + 6) & 0xFF) << 16) | ((bytes(i + 7) & 0xFF) << 24)
+          if (size < 0 || size > end - i - 8) return
+          val isList = bytes(i) == 'L' && bytes(i + 1) == 'I' &&
+            bytes(i + 2) == 'S' && bytes(i + 3) == 'T'
+          if (isList && size >= 4) {
+            val lt = new String(bytes, i + 8, 4, "US-ASCII")
+            if (lt == "movi" || (inMovi && lt == "rec "))
+              walk(i + 12, i + 8 + size, inMovi = true, depth + 1)
+          } else if (inMovi && isDigit(bytes(i)) && isDigit(bytes(i + 1)) &&
+            (bytes(i + 2) == 'd' && (bytes(i + 3) == 'c' || bytes(i + 3) == 'b'))) {
+            if (size > 0) {
+              if (frameNo % stride == 0) {
+                val payload = java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + size)
+                Jpeg.decode(payload).orElse(Png.decodeAny(payload))
+                  .foreach(img => frames += ((frameNo, img)))
+              }
+              frameNo += 1
+            }
+          }
+          i += 8 + size + (size & 1)
+        }
+      }
+      walk(12, bytes.length, inMovi = false, 0)
+      if (frameNo == 0) None else Some(frames.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }
 

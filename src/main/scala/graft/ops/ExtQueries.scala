@@ -3159,6 +3159,97 @@ object ExtQueries {
       "cross-checked against an independent implementation of the " +
       "public IMA algorithm")
 
+  private val qAviFrames = Q(
+    "q_avi_frames",
+    (s, d) => {
+      // VIDEO frame-sampling certificate: per doc, a hand-built RIFF AVI
+      // (no hdrl — a synthetic movi-only fixture; the parser walks real
+      // AVI structure) holding six MJPEG frames — 16×16 solid-block
+      // JPEGs (block value (id·7+13+29·blk+11·f) mod 256, JDK-encoded at
+      // q=1.0, exact roundtrip as in q_jpeg_stats) — flows through
+      // sampleFramesReal at stride 2: RIFF walk → per-frame pure-codec
+      // JPEG decode → PNG re-encode. Each sampled frame's PNG is decoded
+      // back and its pixel sum hash-checked against direct arithmetic,
+      // certifying the whole video→keyframe path end to end.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          System.setProperty("java.awt.headless", "true")
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          ids.map { id =>
+            def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+              (v >>> 16).toByte, (v >>> 24).toByte)
+            val movi = new java.io.ByteArrayOutputStream()
+            movi.write("movi".getBytes("US-ASCII"))
+            var f = 0
+            while (f < 6) {
+              val bi = new java.awt.image.BufferedImage(16, 16,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  val blk = (y / 8) * 2 + (x / 8)
+                  val g = ((id * 7 + 13 + 29 * blk + 11 * f) % 256).toInt
+                  bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              writer.setOutput(ios)
+              val p = writer.getDefaultWriteParam
+              p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+              p.setCompressionQuality(1.0f)
+              writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+              ios.close()
+              val jpg = bos.toByteArray
+              movi.write("00dc".getBytes("US-ASCII"))
+              movi.write(le32(jpg.length))
+              movi.write(jpg)
+              if ((jpg.length & 1) == 1) movi.write(0)
+              f += 1
+            }
+            val moviBytes = movi.toByteArray
+            val out = new java.io.ByteArrayOutputStream()
+            out.write("RIFF".getBytes("US-ASCII"))
+            out.write(le32(4 + 8 + moviBytes.length))
+            out.write("AVI ".getBytes("US-ASCII"))
+            out.write("LIST".getBytes("US-ASCII"))
+            out.write(le32(moviBytes.length))
+            out.write(moviBytes)
+            (id, out.toByteArray)
+          }
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.sampleFramesReal(m, stride = 2)
+          .map { sf =>
+            val img = graft.ext.Png.decode(sf.frame_png).getOrElse(
+              throw new IllegalStateException(
+                s"frame png decode failed for ${sf.media_id}/${sf.frame_no}"))
+            var sum = 0L
+            img.pixels.foreach(v => sum += (v & 0xFF))
+            (sf.media_id, sf.frame_no, sf.width, sf.height, sum)
+          }
+          .toDF("media_id", "frame_no", "width", "height", "pixel_sum"))
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""SELECT doc_id AS media_id, f AS frame_no, 16 AS width,
+                   16 AS height,
+                   CAST(192 * (((doc_id * 7 + 13 + 11 * f) % 256)
+                             + ((doc_id * 7 + 13 + 29 + 11 * f) % 256)
+                             + ((doc_id * 7 + 13 + 58 + 11 * f) % 256)
+                             + ((doc_id * 7 + 13 + 87 + 11 * f) % 256))
+                        AS BIGINT) AS pixel_sum
+            FROM documents CROSS JOIN (VALUES (0), (2), (4)) AS t(f)
+            ORDER BY media_id, frame_no"""),
+    "AVI/MJPEG video frame-sampling certificate: hand-built RIFF " +
+      "container → stride-2 frame walk → pure-codec JPEG decode → PNG " +
+      "re-encode, every sampled frame hash-checked against direct " +
+      "arithmetic")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3181,5 +3272,5 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
-    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm)
+    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames)
 }

@@ -246,4 +246,84 @@ class MultimodalSpec extends SparkSpec {
       Seq((3L, png)).toDF("media_id", "payload"), stride = 1).collect()
     assert(one.length == 1 && one(0).frame_no == 0 && one(0).width == 4)
   }
+
+  /** Minimal RIFF AVI writer for the video-arm tests: movi-only fixture
+    * with `00dc` MJPEG chunks (and optional `rec ` grouping) — an
+    * independent construction from the parser under test.
+    */
+  private def buildAvi(frames: Seq[Array[Byte]], recGroup: Boolean): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def chunks(fs: Seq[Array[Byte]]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      fs.foreach { j =>
+        o.write("00dc".getBytes("US-ASCII")); o.write(le32(j.length))
+        o.write(j); if ((j.length & 1) == 1) o.write(0)
+      }
+      o.toByteArray
+    }
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    if (recGroup) {
+      // first two frames wrapped in a LIST 'rec ' group, rest bare
+      val rec = "rec ".getBytes("US-ASCII") ++ chunks(frames.take(2))
+      movi.write("LIST".getBytes("US-ASCII")); movi.write(le32(rec.length))
+      movi.write(rec)
+      movi.write(chunks(frames.drop(2)))
+    } else movi.write(chunks(frames))
+    val m = movi.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(4 + 8 + m.length))
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write("LIST".getBytes("US-ASCII")); out.write(le32(m.length))
+    out.write(m)
+    out.toByteArray
+  }
+
+  private def solidJpeg(v: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("sampleFramesReal walks AVI/MJPEG containers, rec-grouped or flat") {
+    import spark.implicits._
+    // solid 8x8-aligned frames roundtrip JPEG exactly at q=1.0
+    val vals = Seq(30, 90, 150, 210, 250)
+    val flat = buildAvi(vals.map(solidJpeg(_)), recGroup = false)
+    val grouped = buildAvi(vals.map(solidJpeg(_)), recGroup = true)
+    for ((avi, tag) <- Seq((flat, "flat"), (grouped, "rec"))) {
+      val frames = Multimodal.sampleFramesReal(
+        Seq((1L, avi)).toDF("media_id", "payload"), stride = 2)
+        .collect().sortBy(_.frame_no)
+      assert(frames.map(_.frame_no).toSeq == Seq(0, 2, 4), s"$tag")
+      frames.foreach { fr =>
+        val img = Png.decode(fr.frame_png).get
+        assert(img.width == 16 && img.height == 16, s"$tag")
+        assert((img.pixels(0) & 0xFF) == vals(fr.frame_no),
+          s"$tag frame ${fr.frame_no}")
+      }
+    }
+    // truncated container: decodes the frames that fit, never crashes
+    val cut = flat.take(flat.length / 2)
+    Multimodal.sampleFramesReal(
+      Seq((2L, cut)).toDF("media_id", "payload"), stride = 1).collect()
+    // a RIFF WAVE (not AVI) is not treated as video
+    val wav = new Array[Byte](44)
+    "RIFF".getBytes.copyToArray(wav, 0); "WAVE".getBytes.copyToArray(wav, 8)
+    val res = Multimodal.sampleFramesReal(
+      Seq((3L, wav)).toDF("media_id", "payload"), stride = 1).collect()
+    assert(res.isEmpty)
+  }
 }
