@@ -749,4 +749,39 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, tok) => pmod(acc * lit(31L) + pmod(xxhash64(tok), m), m))
   }
+
+  /** Corpus-level line-frequency boilerplate removal (the CCNet /
+    * RefinedWeb pattern): a line appearing in more than `maxDf` distinct
+    * documents is boilerplate (nav bars, cookie banners, footers) and is
+    * dropped from every document; each document is reassembled from its
+    * surviving lines in order. Documents whose every line is boilerplate
+    * disappear from the output (the usual pipeline semantics — they were
+    * all chrome).
+    *
+    * Scale shape: one line explode (map-side), one distinct-count
+    * aggregation keyed by line hash (the count table is bounded by the
+    * number of DISTINCT lines, not the corpus), one keyed join back, and
+    * a per-document array_sort reassembly — no window functions, no
+    * driver state, every stage a plain keyed shuffle that partitions by
+    * content at any corpus size. Line identity uses the full line text;
+    * at 100 TB swap the join key for xxhash64(line) to shrink shuffle
+    * width (same plan shape).
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Long): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val docFreq = lines.groupBy("_line")
+      .agg(countDistinct(col(idCol)).as("_df"))
+    lines.join(docFreq, "_line")
+      .filter(col("_df") <= maxDf)
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line")), "\n").as("clean_text"),
+        count(lit(1)).cast("long").as("n_lines_kept"))
+  }
 }

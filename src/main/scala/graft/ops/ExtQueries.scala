@@ -3250,6 +3250,78 @@ object ExtQueries {
       "re-encode, every sampled frame hash-checked against direct " +
       "arithmetic")
 
+  private val qHtmlExtract = Q(
+    "q_html_extract",
+    (s, d) => {
+      // HTML→text extraction certificate: each doc's text is wrapped in a
+      // full synthetic page — head/title, a script whose body contains
+      // '<' and fake closing tags, a style block, a comment with markup
+      // inside, a quoted attribute containing '>', every word wrapped in
+      // inline <b> tags, and a tail div exercising named + decimal + hex
+      // entities. html_text (one codegen'd map-only pass) must recover a
+      // string the oracle rebuilds from the raw text column with plain
+      // SQL concatenation — any state-machine slip (raw-text mode, quote
+      // tracking, entity decode, block/inline separation, whitespace
+      // collapse) breaks the hash.
+      val html = concat(
+        lit("<html><head><title>T"), col("doc_id"),
+        lit("</title><script>if (1<2) { alert('</p>'); }</script>" +
+          "<style>p > b { color: red; }</style></head>" +
+          "<body><!-- noise <p>x</p> --><h1>Doc "), col("doc_id"),
+        lit("</h1><p class=\"x>y\"><b>"),
+        expr("replace(text, ' ', '</b> <b>')"),
+        lit("</b></p><div>&lt;tail&gt; &amp; &#65;&#x42;</div></body></html>"))
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.HtmlText.html_text(html).as("extracted"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'T' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10)
+                     || text || chr(10) || '<tail> & AB' AS extracted
+            FROM documents ORDER BY doc_id"""),
+    "HTML→text extraction certificate: a full synthetic page (raw-text " +
+      "script/style, quoted attrs, comments, entities, inline/block " +
+      "tags) must round-trip the document text exactly — WET-style " +
+      "web-corpus extraction as one codegen'd pass")
+
+  private val qBoilerplate = Q(
+    "q_boilerplate",
+    (s, d) => {
+      // Line-frequency boilerplate removal (CCNet/RefinedWeb): every doc
+      // gains a universal footer line (df = all docs) and a rotating
+      // copyright line (df ≈ N/3); at maxDf = 10 both are boilerplate and
+      // must vanish, while each doc's own text line survives unless the
+      // corpus genuinely repeats it past the threshold (the planted-dup
+      // families do — the oracle computes the identical distinct-count
+      // rule, so the judgments agree row by row).
+      val withChrome = documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\nSHARED FOOTER\nCopyright w"),
+          col("doc_id") % 3).as("page"))
+      graft.ext.TextAnalysis.stripBoilerplate(withChrome, "doc_id", "page", maxDf = 10)
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs2 AS (
+              SELECT doc_id, text || chr(10) || 'SHARED FOOTER' || chr(10)
+                       || 'Copyright w' || (doc_id % 3) AS t
+              FROM documents),
+            raw AS (
+              SELECT doc_id, unnest(list_transform(string_split(t, chr(10)),
+                       (x, i) -> {'line': x, 'pos': i})) AS u
+              FROM docs2),
+            lns AS (SELECT doc_id, u.line AS line, u.pos AS pos FROM raw),
+            freq AS (
+              SELECT line, count(DISTINCT doc_id) AS df FROM lns GROUP BY line)
+            SELECT l.doc_id,
+                   string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM lns l JOIN freq f ON l.line = f.line
+            WHERE f.df <= 10
+            GROUP BY l.doc_id ORDER BY l.doc_id"""),
+    "corpus-level line-frequency boilerplate removal: one distinct-count " +
+      "agg keyed by line + join-back + ordered reassembly — planted " +
+      "footer/copyright chrome must vanish, document lines survive")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3272,5 +3344,5 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
-    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames)
+    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate)
 }

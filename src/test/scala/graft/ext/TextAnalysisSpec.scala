@@ -391,4 +391,23 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+  test("stripBoilerplate drops high-df lines, keeps order, vanishes all-chrome docs") {
+    import spark.implicits._
+    // footer in every doc (df=4 > maxDf=2); 'rare' in 2 docs (kept);
+    // doc 4 is all chrome and must vanish; doc 1 has an intra-doc
+    // repeated line (df counts DISTINCT docs, so it survives, twice)
+    val docs = Seq(
+      (1L, "alpha\ndup\ndup\nFOOTER"),
+      (2L, "beta\nrare\nFOOTER"),
+      (3L, "gamma\nrare\nFOOTER"),
+      (4L, "FOOTER")
+    ).toDF("id", "page")
+    val out = TextAnalysis.stripBoilerplate(docs, "id", "page", maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "doc 4 must vanish")
+    assert(out(0)._2 == "alpha\ndup\ndup" && out(0)._3 == 3L)
+    assert(out(1)._2 == "beta\nrare" && out(1)._3 == 2L)
+    assert(out(2)._2 == "gamma\nrare")
+  }
 }
