@@ -750,6 +750,43 @@ object TextAnalysis {
       (acc, tok) => pmod(acc * lit(31L) + pmod(xxhash64(tok), m), m))
   }
 
+  /** URL canonicalization for web-corpus dedup — pure built-in column
+    * algebra (`parse_url` + array ops, fully codegen-composable, no UDF):
+    * lowercase scheme and authority, strip default ports (:80 http,
+    * :443 https) and a leading `www.`, drop the fragment, drop tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`), SORT the surviving query
+    * parameters (param order is not identity), and trim trailing
+    * slashes from the path. Percent-encoding is preserved as written
+    * (documented envelope: normalizing %-escapes needs a decode table;
+    * the canonical form is still deterministic, which is what dedup
+    * keys need).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(parse_url(url, lit("PROTOCOL")))
+    val auth0 = lower(parse_url(url, lit("AUTHORITY")))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val host = regexp_replace(auth, "^www\\.", "")
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/+$", "")
+    val params = filter(split(parse_url(url, lit("QUERY")), "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || p === ""))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(coalesce(q, lit("")) === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Registered-domain approximation (last two host labels after the
+    * `www.` strip) — the grouping key for per-site statistics and
+    * per-domain boilerplate scopes. A public-suffix list upgrade changes
+    * only this function.
+    */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    array_join(slice(split(host, "\\."), -2, 2), ".")
+  }
+
   /** Corpus-level line-frequency boilerplate removal (the CCNet /
     * RefinedWeb pattern): a line appearing in more than `maxDf` distinct
     * documents is boilerplate (nav bars, cookie banners, footers) and is

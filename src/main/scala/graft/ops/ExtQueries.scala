@@ -3322,6 +3322,31 @@ object ExtQueries {
       "agg keyed by line + join-back + ordered reassembly — planted " +
       "footer/copyright chrome must vanish, document lines survive")
 
+  private val qUrlNormalize = Q(
+    "q_url_normalize",
+    (s, d) => {
+      // URL canonicalization certificate: messy URLs (uppercase scheme/
+      // host, www, default port, tracking params, unsorted query,
+      // trailing slash, fragment) built from doc_id must canonicalize to
+      // the exact closed form the oracle rebuilds directly — plus the
+      // registered-domain key. parse_url + array algebra only, no UDF.
+      val url = concat(lit("HTTPS://WWW.Example"), col("doc_id") % 7,
+        lit(".COM:443/path"), col("doc_id") % 5,
+        lit("/?utm_source=x&b=2&a=1&gclid=z#frag"))
+      documents(s, d).select(col("doc_id"),
+          graft.ext.TextAnalysis.normalizeUrl(url).as("canonical_url"),
+          graft.ext.TextAnalysis.urlDomain(url).as("domain"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'https://example' || (doc_id % 7) || '.com/path'
+                     || (doc_id % 5) || '?a=1&b=2' AS canonical_url,
+                   'example' || (doc_id % 7) || '.com' AS domain
+            FROM documents ORDER BY doc_id"""),
+    "URL canonicalization certificate: scheme/host case, default port, " +
+      "www, tracking params, query order, trailing slash, fragment — " +
+      "all collapsed to the oracle's closed form")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3344,5 +3369,5 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
-    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate)
+    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize)
 }

@@ -410,4 +410,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._2 == "beta\nrare" && out(1)._3 == 2L)
     assert(out(2)._2 == "gamma\nrare")
   }
+  test("normalizeUrl canonicalizes ports, params, case, slashes; urlDomain keys sites") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Foo.COM:80/A/b/?z=1&a=2#x", "http://foo.com/A/b?a=2&z=1"),
+      ("https://foo.com:443/", "https://foo.com"),
+      ("https://foo.com:8443/p", "https://foo.com:8443/p"), // non-default port kept
+      ("http://a.b.foo.com/p/", "http://a.b.foo.com/p"),
+      ("https://foo.com/p?utm_source=x&utm_medium=y&gclid=1&fbclid=2", "https://foo.com/p"),
+      ("https://foo.com/p?only=1", "https://foo.com/p?only=1")
+    ).toDF("url", "want")
+    val got = cases.select(
+      TextAnalysis.normalizeUrl(col("url")).as("got"), col("want")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"${r.getString(0)} != ${r.getString(1)}"))
+    val dom = Seq("https://www.a.b.foo.co/x", "http://foo.co/y").toDF("url")
+      .select(TextAnalysis.urlDomain(col("url"))).collect().map(_.getString(0))
+    assert(dom.toSeq == Seq("foo.co", "foo.co"))
+  }
 }
