@@ -150,6 +150,30 @@ object AnalyticsSoak {
       graft.ext.Multimodal.perceptualHashes(media)
         .toDF().agg(count(lit(1))).head().getLong(0)
     }
+    timed("html_extract_2m", nDocs) {
+      // WET-style extraction over the whole corpus: wrap each doc in a
+      // full page (script raw-text, inline tags per word, entities) and
+      // run the codegen'd html_text kernel — map-only, no shuffle. The
+      // agg(sum(length)) action forces full materialization (bare count
+      // would let Catalyst prune the kernel).
+      val html = concat(
+        lit("<html><head><script>if (1<2) { alert('</p>'); }</script>" +
+          "</head><body><h1>D</h1><p><b>"),
+        expr("replace(text, ' ', '</b> <b>')"),
+        lit("</b></p><div>&amp;tail</div></body></html>"))
+      docs.select(graft.functions.HtmlText.html_text(html).as("t"))
+        .agg(sum(length(col("t")))).head().getLong(0)
+    }
+    timed("boilerplate_2m", nDocs) {
+      // line-df boilerplate removal at corpus scale: the distinct-count
+      // agg is keyed by line content (table bounded by DISTINCT lines),
+      // join-back + ordered reassembly — the 100 TB shape
+      val pages = docs.select(col("doc_id"),
+        concat(col("text"), lit("\nSHARED FOOTER\nCopyright w"),
+          col("doc_id") % 100).as("page"))
+      graft.ext.TextAnalysis.stripBoilerplate(pages, "doc_id", "page", maxDf = 1000)
+        .agg(sum(col("n_lines_kept"))).head().getLong(0)
+    }
     timed("corpus_sketch_overlap", nDocs) {
       def sketch(f: org.apache.spark.sql.Column, name: String) =
         docs.filter(f)
