@@ -2638,8 +2638,14 @@ object ExtQueries {
       // hash-match DuckDB computing the same arithmetic directly.
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long]
+        // small parquet inputs arrive as ONE split; the per-doc ImageIO
+        // encode is the cost here, so spread it across the executor
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
           System.setProperty("java.awt.headless", "true")
+          // memory-backed ImageIO streams: the default cache writes a
+          // temp FILE per image, which dominates small-payload encode
+          javax.imageio.ImageIO.setUseCache(false)
           ids.map { id =>
             val bos = new java.io.ByteArrayOutputStream()
             val writer = javax.imageio.ImageIO
@@ -2700,8 +2706,14 @@ object ExtQueries {
       // hash-match DuckDB's direct arithmetic.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
+        // small parquet inputs arrive as ONE split; the per-doc ImageIO
+        // encode is the cost here, so spread it across the executor
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
           System.setProperty("java.awt.headless", "true")
+          // memory-backed ImageIO streams: the default cache writes a
+          // temp FILE per image, which dominates small-payload encode
+          javax.imageio.ImageIO.setUseCache(false)
           ids.map { id =>
             val bi = new java.awt.image.BufferedImage(16, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -2973,8 +2985,14 @@ object ExtQueries {
       // on the production contract.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
+        // small parquet inputs arrive as ONE split; the per-doc ImageIO
+        // encode is the cost here, so spread it across the executor
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
           System.setProperty("java.awt.headless", "true")
+          // memory-backed ImageIO streams: the default cache writes a
+          // temp FILE per image, which dominates small-payload encode
+          javax.imageio.ImageIO.setUseCache(false)
           ids.map { id =>
             val bi = new java.awt.image.BufferedImage(16, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -3035,8 +3053,14 @@ object ExtQueries {
       // coefficient-accumulation machinery.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
+        // small parquet inputs arrive as ONE split; the per-doc ImageIO
+        // encode is the cost here, so spread it across the executor
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
           System.setProperty("java.awt.headless", "true")
+          // memory-backed ImageIO streams: the default cache writes a
+          // temp FILE per image, which dominates small-payload encode
+          javax.imageio.ImageIO.setUseCache(false)
           ids.map { id =>
             val bi = new java.awt.image.BufferedImage(16, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -3173,8 +3197,14 @@ object ExtQueries {
       // certifying the whole video→keyframe path end to end.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
+        // small parquet inputs arrive as ONE split; the per-doc ImageIO
+        // encode is the cost here, so spread it across the executor
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
           System.setProperty("java.awt.headless", "true")
+          // memory-backed ImageIO streams: the default cache writes a
+          // temp FILE per image, which dominates small-payload encode
+          javax.imageio.ImageIO.setUseCache(false)
           val writer = javax.imageio.ImageIO
             .getImageWritersByFormatName("jpeg").next()
           ids.map { id =>
