@@ -3377,6 +3377,48 @@ object ExtQueries {
       "www, tracking params, query order, trailing slash, fragment — " +
       "all collapsed to the oracle's closed form")
 
+  private val qWarcPipeline = Q(
+    "q_warc_pipeline",
+    (s, d) => {
+      // The full web-ingestion path in ONE certified query: a synthetic
+      // WARC blob per doc (warcinfo record + an HTTP response record
+      // whose body is an HTML page wrapping the doc text) → Warc.records
+      // (ISO 28500 forward scan) → response filter → html_text — the
+      // exact chain a Common Crawl pipeline runs. The oracle rebuilds
+      // the expected (uri, status, extracted-text) rows in closed form,
+      // so a slip anywhere (record framing, Content-Length accounting,
+      // HTTP header split, status parse, tag strip) breaks the hash.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val page = "<html><body><h1>Doc " + id + "</h1><p><b>" +
+            text.replace(" ", "</b> <b>") + "</b></p></body></html>"
+          val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page
+          val blob = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+            "Content-Length: 4\r\n\r\ninfo\r\n\r\n" +
+            "WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: https://example.com/doc/$id\r\n" +
+            s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+            http + "\r\n\r\n"
+          (id, blob.getBytes("UTF-8"))
+        }
+        .toDF("doc_id", "warc")
+        .transform(w => graft.ext.Warc.records(w, "doc_id", "warc"))
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("doc_id"), col("target_uri"), col("http_status"),
+          graft.functions.HtmlText.html_text(decode(col("body"), "UTF-8"))
+            .as("extracted"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'https://example.com/doc/' || doc_id AS target_uri,
+                   200 AS http_status,
+                   'Doc ' || doc_id || chr(10) || text AS extracted
+            FROM documents ORDER BY doc_id"""),
+    "WARC→HTTP→HTML→text ingestion certificate: ISO 28500 record " +
+      "framing, HTTP body split, status parse, and tag stripping chained " +
+      "in one query, hash-checked against the closed form")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3399,5 +3441,5 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
-    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize)
+    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline)
 }
