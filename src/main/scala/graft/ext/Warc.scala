@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   * dedup) pick up from the exploded records. Malformed input is cut
   * short, never thrown: parsing stops at the first structural violation
   * and returns the records before it.
+  *
+  * Compression envelope (the format real crawls distribute):
+  *   - `.warc.gz` blobs — one gzip MEMBER per record (ISO 28500 annex;
+  *     Common Crawl ships exactly this) — are detected by the `1f 8b`
+  *     magic and inflated member-by-member with a fresh
+  *     `Inflater(nowrap=true)` per member; a truncated or corrupt member
+  *     contributes nothing and parsing keeps every record from the
+  *     complete members before it.
+  *   - HTTP payloads with `Transfer-Encoding: chunked` (how origin
+  *     servers stream and how crawlers store them verbatim) are
+  *     de-chunked: size-line framing, chunk extensions, and trailing
+  *     headers are stripped so chunk metadata never leaks into
+  *     extracted text.
+  *   - HTTP payloads with `Content-Encoding: gzip` are inflated after
+  *     de-chunking (wire order: transfer-coding wraps content-coding);
+  *     undecodable bodies fall back to the raw bytes.
   */
 object Warc {
 
@@ -29,9 +45,116 @@ object Warc {
       http_status: Int,        // -1 when the payload is not an HTTP message
       body: Array[Byte])       // HTTP body for response records, else payload
 
-  /** Parse one WARC blob into its records (single forward scan). */
+  /** Is this blob gzip data (RFC 1952 magic)? */
+  private def isGzip(b: Array[Byte], at: Int = 0): Boolean =
+    b != null && at + 2 <= b.length &&
+      (b(at) & 0xff) == 0x1f && (b(at + 1) & 0xff) == 0x8b
+
+  /** Inflate a concatenation of gzip members (RFC 1952), one fresh
+    * `Inflater(nowrap=true)` per member — the `.warc.gz` layout where
+    * every record is its own member so readers can split on member
+    * boundaries. Damage containment: each member inflates into its own
+    * buffer and is appended only on a CLEAN finish, so a truncated or
+    * corrupt member (or trailing garbage) contributes zero bytes and
+    * every complete member before it survives — the same cut-short
+    * contract as the record parser.
+    */
+  private[ext] def gunzipMembers(blob: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, blob.length * 3))
+    val buf = new Array[Byte](64 * 1024)
+    var i = 0
+    while (isGzip(blob, i)) {
+      // --- member header: magic, CM=deflate, FLG, MTIME/XFL/OS, then
+      // optional FEXTRA / FNAME / FCOMMENT / FHCRC fields
+      if (i + 10 > blob.length) return out.toByteArray
+      if ((blob(i + 2) & 0xff) != 8) return out.toByteArray
+      val flg = blob(i + 3) & 0xff
+      var p = i + 10
+      if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (p + 2 > blob.length) return out.toByteArray
+        p += 2 + ((blob(p) & 0xff) | ((blob(p + 1) & 0xff) << 8))
+      }
+      var fields = List.empty[Int]
+      if ((flg & 0x08) != 0) fields ::= 0 // FNAME: zero-terminated
+      if ((flg & 0x10) != 0) fields ::= 0 // FCOMMENT: zero-terminated
+      fields.foreach { _ =>
+        while (p < blob.length && blob(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x02) != 0) p += 2 // FHCRC
+      if (p >= blob.length) return out.toByteArray
+      // --- raw deflate stream
+      val member = new java.io.ByteArrayOutputStream(buf.length)
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(blob, p, blob.length - p)
+        var ok = true
+        while (ok && !inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
+          if (n > 0) member.write(buf, 0, n)
+          else if (!inf.finished() && inf.needsInput()) ok = false // truncated
+        }
+        if (!ok || !inf.finished()) return out.toByteArray
+        val consumed = (blob.length - p) - inf.getRemaining
+        // CRC32 + ISIZE trailer must be present AND the CRC must match —
+        // deflate can inflate structurally through flipped bits, the CRC
+        // is what actually certifies the member
+        if (p + consumed + 8 > blob.length) return out.toByteArray
+        val bytes = member.toByteArray
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes)
+        val t = p + consumed
+        val stored = (blob(t) & 0xffL) | ((blob(t + 1) & 0xffL) << 8) |
+          ((blob(t + 2) & 0xffL) << 16) | ((blob(t + 3) & 0xffL) << 24)
+        if (crc.getValue != stored) return out.toByteArray
+        out.write(bytes, 0, bytes.length)
+        i = p + consumed + 8
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
+  /** Decode a `Transfer-Encoding: chunked` HTTP body (RFC 9112 §7.1):
+    * hex size line (chunk extensions after `;` ignored) + CRLF + data +
+    * CRLF, terminated by a zero chunk whose trailing headers are
+    * dropped. Malformed framing cuts short — the chunks decoded so far
+    * are returned, chunk metadata never leaks into the body.
+    */
+  private[ext] def dechunk(b: Array[Byte], start: Int, end: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, end - start))
+    var i = start
+    while (true) {
+      var j = i
+      while (j + 1 < end && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= end) return out.toByteArray
+      val line = new String(b, i, j - i, "ISO-8859-1")
+      val hex = line.indexOf(';') match {
+        case -1 => line.trim
+        case k  => line.substring(0, k).trim
+      }
+      val size =
+        try java.lang.Long.parseLong(hex, 16)
+        catch { case _: NumberFormatException => return out.toByteArray }
+      if (size == 0) return out.toByteArray // trailer section dropped
+      val dataStart = j + 2
+      val dataEnd = dataStart + size
+      if (size < 0 || dataEnd + 2 > end) return out.toByteArray
+      out.write(b, dataStart, size.toInt)
+      if (!(b(dataEnd.toInt) == '\r' && b(dataEnd.toInt + 1) == '\n'))
+        return out.toByteArray
+      i = dataEnd.toInt + 2
+    }
+    out.toByteArray // unreachable
+  }
+
+  /** Parse one WARC blob into its records (single forward scan).
+    * `.warc.gz` blobs (gzip magic) are inflated member-wise first.
+    */
   def parse(blob: Array[Byte]): Seq[WarcRecord] = {
     if (blob == null) return Nil
+    if (isGzip(blob)) return parse(gunzipMembers(blob))
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var i = 0
     var no = 0
@@ -71,6 +194,8 @@ object Warc {
       // HTTP payload? status line + headers + \r\n\r\n + body
       var status = -1
       var bodyStart = payloadStart
+      var chunked = false
+      var gzipBody = false
       if (clen >= 12 && blob(payloadStart) == 'H' && blob(payloadStart + 1) == 'T' &&
         blob(payloadStart + 2) == 'T' && blob(payloadStart + 3) == 'P') {
         val he = findCrlfCrlf(payloadStart, payloadEnd)
@@ -84,10 +209,31 @@ object Warc {
               case "" => -1
               case ds => ds.toInt
             } catch { case _: NumberFormatException => -1 }
+          // transfer/content codings from the stored response headers
+          new String(blob, payloadStart, he - payloadStart, "ISO-8859-1")
+            .split("\r\n").foreach { h =>
+              val c = h.indexOf(':')
+              if (c > 0) {
+                val k = h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+                val v = h.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
+                if (k == "transfer-encoding" && v.contains("chunked")) chunked = true
+                if (k == "content-encoding" && v.contains("gzip")) gzipBody = true
+              }
+            }
         }
       }
-      out += WarcRecord(no, wType, uri, clen,
-        status, java.util.Arrays.copyOfRange(blob, bodyStart, payloadEnd))
+      // wire order unwinds transfer-coding first, then content-coding;
+      // an undecodable gzip body falls back to its raw bytes (cut-short
+      // contract — ingestion must never throw on one stored response)
+      val rawBody =
+        if (chunked) dechunk(blob, bodyStart, payloadEnd)
+        else java.util.Arrays.copyOfRange(blob, bodyStart, payloadEnd)
+      val body =
+        if (gzipBody && isGzip(rawBody)) {
+          val inflated = gunzipMembers(rawBody)
+          if (inflated.nonEmpty) inflated else rawBody
+        } else rawBody
+      out += WarcRecord(no, wType, uri, clen, status, body)
       no += 1
       // each record payload is followed by two CRLFs
       i = payloadEnd

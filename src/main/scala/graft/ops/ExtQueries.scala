@@ -3419,6 +3419,72 @@ object ExtQueries {
       "framing, HTTP body split, status parse, and tag stripping chained " +
       "in one query, hash-checked against the closed form")
 
+  private val qWarcGzip = Q(
+    "q_warc_gzip",
+    (s, d) => {
+      // The compression layers real crawls actually ship: every record its
+      // own GZIP MEMBER (.warc.gz, the Common Crawl distribution layout),
+      // response bodies CHUNKED (size lines + an extension + trailing
+      // headers), and even docs additionally Content-Encoding: gzip under
+      // the chunking. Warc.parse must unwind member framing → record
+      // framing → chunk framing → content coding and recover the page
+      // byte-exact; the oracle rebuilds the expected text in closed form,
+      // so one leaked chunk-size line or trailer header breaks the hash.
+      import s.implicits._
+      def gzBytes(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(b); g.close(); bos.toByteArray
+      }
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val page = "<html><body><h1>Doc " + id + "</h1><p><b>" +
+            text.replace(" ", "</b> <b>") + "</b></p></body></html>"
+          val raw =
+            if (id % 2 == 0) gzBytes(page.getBytes("UTF-8"))
+            else page.getBytes("UTF-8")
+          // chunk the body at a doc-dependent stride (7..21 bytes)
+          val stride = 7 + (id % 15).toInt
+          val chunks = raw.grouped(stride).toSeq
+          val chunkedParts: Seq[Array[Byte]] =
+            chunks.zipWithIndex.map { case (c, ci) =>
+              val ext = if (ci == 0) ";graft=1" else ""
+              (c.length.toHexString + ext + "\r\n").getBytes("ISO-8859-1") ++
+                c ++ "\r\n".getBytes("ISO-8859-1")
+            } :+ "0\r\nX-Crawl-Trailer: t\r\n\r\n".getBytes("ISO-8859-1")
+          val body = chunkedParts.reduce(_ ++ _)
+          val hdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+            "Transfer-Encoding: chunked\r\n" +
+            (if (id % 2 == 0) "Content-Encoding: gzip\r\n" else "") + "\r\n"
+          val http = hdr.getBytes("ISO-8859-1") ++ body
+          val recHdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: https://example.com/doc/$id\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+          val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+            "Content-Length: 4\r\n\r\ninfo\r\n\r\n").getBytes("ISO-8859-1")
+          val blob = gzBytes(info) ++
+            gzBytes(recHdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+          (id, blob)
+        }
+        .toDF("doc_id", "warc")
+        .transform(w => graft.ext.Warc.records(w, "doc_id", "warc"))
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("doc_id"), col("target_uri"), col("http_status"),
+          graft.functions.HtmlText.html_text(decode(col("body"), "UTF-8"))
+            .as("extracted"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'https://example.com/doc/' || doc_id AS target_uri,
+                   200 AS http_status,
+                   'Doc ' || doc_id || chr(10) || text AS extracted
+            FROM documents ORDER BY doc_id"""),
+    "gzip WARC ingestion certificate: per-record gzip members (.warc.gz " +
+      "Common Crawl layout) wrapping chunked HTTP responses (extensions + " +
+      "trailers) with gzip content-coding on even docs — member inflate, " +
+      "de-chunk, content decode, and tag strip chained, hash-checked " +
+      "against the closed form")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3441,5 +3507,6 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
-    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline)
+    qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
+    qWarcGzip)
 }
