@@ -644,8 +644,9 @@ object Dedup {
     // would silently apply to any concurrent query on it. The edge plan is
     // re-bound into the clone zero-copy (Bridge.rebind — same logical
     // plan, re-planned under the clone's conf; no RDD row round-trip).
+    // memoized per (context, purpose) — see [[LoopSessions]]
     val caller = pairs.sparkSession
-    val spark = caller.newSession()
+    val spark = LoopSessions.forPurpose(caller, "dedup.cc")
     // materialize the edge cache BEFORE the loop: the rounds' joins spawn
     // AQE broadcast-stage jobs concurrently, and against a lazily-persisted
     // edge list each of them races to recompute the full upstream pairs

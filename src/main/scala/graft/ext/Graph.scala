@@ -54,8 +54,10 @@ object Graph {
     // wants an edge-derived shuffle width, so it runs on a CLONED session
     // of the same SparkContext (Bridge.rebind hand-off, shared cache) —
     // concurrent queries on the caller's session never see the loop width.
+    // The clone is memoized per (context, purpose) so repeated calls in a
+    // long-lived driver don't accumulate SessionStates ([[LoopSessions]]).
     val caller = edges.sparkSession
-    val clone = caller.newSession()
+    val clone = LoopSessions.forPurpose(caller, "graph.pagerank")
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, edges)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -139,9 +141,9 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(keep >= 0 && keep <= 100, s"keep must be a percentage, got $keep")
-    // conf-isolated clone, exactly as in [[pageRank]]
+    // conf-isolated memoized clone, exactly as in [[pageRank]]
     val caller = edges.sparkSession
-    val clone = caller.newSession()
+    val clone = LoopSessions.forPurpose(caller, "graph.labelspread")
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, edges)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -308,9 +308,7 @@ object Multimodal {
   private def gifFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] = {
     if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
       return None
-    // memory-backed streams: ImageIO's default cache writes a temp FILE
-    // per payload, which dominates small-image decode at corpus scale
-    javax.imageio.ImageIO.setUseCache(false)
+    Png.jdkImageIoInit // headless + memory-backed streams, once per JVM
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
     val reader = readers.next()

@@ -443,13 +443,24 @@ object Png {
     * deterministic by construction) is tried first and remains the
     * canonical path for PNG.
     */
+  /** Once-per-JVM ImageIO configuration for every JDK-arm codec path:
+    * headless mode plus memory-backed streams (the default ImageIO cache
+    * writes a temp FILE per payload — measured 3-5× on small-image
+    * corpora). `setUseCache` is a PROCESS-GLOBAL mutation — any other
+    * ImageIO user in the same JVM sees it; acceptable for this engine
+    * (executors are ours), and deliberately applied ONCE here rather
+    * than inside per-payload decode helpers. Referencing this lazy val
+    * from a task thread initializes it exactly once per executor JVM.
+    */
+  private[graft] lazy val jdkImageIoInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
   def decodeViaJdk(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < 4) return None
     try {
-      System.setProperty("java.awt.headless", "true")
-      // memory-backed streams: the default ImageIO cache writes a temp
-      // FILE per payload — measured 3-5× on small-image corpora
-      javax.imageio.ImageIO.setUseCache(false)
+      jdkImageIoInit
       val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (bi == null) return None
       val w = bi.getWidth; val h = bi.getHeight

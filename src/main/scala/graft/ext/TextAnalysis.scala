@@ -762,19 +762,24 @@ object TextAnalysis {
     * keys need).
     */
   def normalizeUrl(url: Column): Column = {
-    val scheme = lower(parse_url(url, lit("PROTOCOL")))
-    val auth0 = lower(parse_url(url, lit("AUTHORITY")))
+    val scheme = lower(try_parse_url(url, lit("PROTOCOL")))
+    val auth0 = lower(try_parse_url(url, lit("AUTHORITY")))
     val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
       .otherwise(auth0)
     val host = regexp_replace(auth, "^www\\.", "")
-    val path = regexp_replace(parse_url(url, lit("PATH")), "/+$", "")
-    val params = filter(split(parse_url(url, lit("QUERY")), "&"),
+    val path = regexp_replace(try_parse_url(url, lit("PATH")), "/+$", "")
+    val params = filter(split(try_parse_url(url, lit("QUERY")), "&"),
       p => !(p.startsWith("utm_") || p.startsWith("gclid=") ||
         p.startsWith("fbclid=") || p === ""))
     val q = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, path,
+    // Unparseable URLs (parse_url → NULL scheme/authority) must NOT
+    // collapse onto one NULL key — in a dedup pipeline that would merge
+    // every malformed URL into a single group (or silently drop them).
+    // They pass through verbatim: still a distinct deterministic key.
+    val canonical = concat(scheme, lit("://"), host, coalesce(path, lit("")),
       when(coalesce(q, lit("")) === "", lit("")).otherwise(concat(lit("?"), q)))
+    when(scheme.isNull || auth0.isNull, url).otherwise(canonical)
   }
 
   /** Registered-domain approximation (last two host labels after the
@@ -783,7 +788,7 @@ object TextAnalysis {
     * only this function.
     */
   def urlDomain(url: Column): Column = {
-    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    val host = regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
     array_join(slice(split(host, "\\."), -2, 2), ".")
   }
 

@@ -133,7 +133,11 @@ object HtmlText {
             if (body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
               Integer.parseInt(body.substring(2), 16)
             else Integer.parseInt(body.substring(1), 10)
-          if (Character.isValidCodePoint(cp) && cp >= 32)
+          // C0 controls are dropped EXCEPT tab/newline/CR — legal and
+          // common in scraped HTML (&#10; &#9;); they decode here and
+          // then flow into the normal whitespace collapse
+          if (Character.isValidCodePoint(cp) &&
+            (cp >= 32 || cp == '\t' || cp == '\n' || cp == '\r'))
             new String(Character.toChars(cp))
           else null
         } catch { case _: NumberFormatException => null }

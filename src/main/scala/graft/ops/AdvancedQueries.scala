@@ -416,7 +416,7 @@ object AdvancedQueries {
       // never leak into concurrent queries. The join itself stays
       // sort-merge (fact side never broadcast); JoinBloomSpec asserts the
       // might_contain filter is actually in the executed plan.
-      val s2 = s.newSession()
+      val s2 = graft.ext.LoopSessions.forPurpose(s, "join.bloom")
       s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
       s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")

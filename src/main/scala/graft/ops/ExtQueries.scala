@@ -2442,6 +2442,13 @@ object ExtQueries {
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long]
         .flatMap { id =>
+          // the family check (id % 90000) and planted offsets (+90000,
+          // +180000) assume real ids stay below the offset — fail LOUDLY
+          // on a bigger corpus instead of letting planted ids collide
+          // with real docs and the oracle counts silently diverge
+          require(id >= 0 && id < 90000,
+            s"q_dedup_image_anchor: doc_id $id outside [0, 90000) — raise " +
+              "the planted-id offsets for this corpus")
           def mix(z0: Long): Long = {
             var z = z0 + 0x9E3779B97F4A7C15L
             z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -2642,10 +2649,7 @@ object ExtQueries {
         // encode is the cost here, so spread it across the executor
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
-          System.setProperty("java.awt.headless", "true")
-          // memory-backed ImageIO streams: the default cache writes a
-          // temp FILE per image, which dominates small-payload encode
-          javax.imageio.ImageIO.setUseCache(false)
+          graft.ext.Png.jdkImageIoInit // headless + no disk cache, once per JVM
           ids.map { id =>
             val bos = new java.io.ByteArrayOutputStream()
             val writer = javax.imageio.ImageIO
@@ -2710,10 +2714,7 @@ object ExtQueries {
         // encode is the cost here, so spread it across the executor
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
-          System.setProperty("java.awt.headless", "true")
-          // memory-backed ImageIO streams: the default cache writes a
-          // temp FILE per image, which dominates small-payload encode
-          javax.imageio.ImageIO.setUseCache(false)
+          graft.ext.Png.jdkImageIoInit // headless + no disk cache, once per JVM
           ids.map { id =>
             val bi = new java.awt.image.BufferedImage(16, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -2989,10 +2990,7 @@ object ExtQueries {
         // encode is the cost here, so spread it across the executor
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
-          System.setProperty("java.awt.headless", "true")
-          // memory-backed ImageIO streams: the default cache writes a
-          // temp FILE per image, which dominates small-payload encode
-          javax.imageio.ImageIO.setUseCache(false)
+          graft.ext.Png.jdkImageIoInit // headless + no disk cache, once per JVM
           ids.map { id =>
             val bi = new java.awt.image.BufferedImage(16, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -3057,10 +3055,7 @@ object ExtQueries {
         // encode is the cost here, so spread it across the executor
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
-          System.setProperty("java.awt.headless", "true")
-          // memory-backed ImageIO streams: the default cache writes a
-          // temp FILE per image, which dominates small-payload encode
-          javax.imageio.ImageIO.setUseCache(false)
+          graft.ext.Png.jdkImageIoInit // headless + no disk cache, once per JVM
           ids.map { id =>
             val bi = new java.awt.image.BufferedImage(16, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -3201,10 +3196,7 @@ object ExtQueries {
         // encode is the cost here, so spread it across the executor
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
-          System.setProperty("java.awt.headless", "true")
-          // memory-backed ImageIO streams: the default cache writes a
-          // temp FILE per image, which dominates small-payload encode
-          javax.imageio.ImageIO.setUseCache(false)
+          graft.ext.Png.jdkImageIoInit // headless + no disk cache, once per JVM
           val writer = javax.imageio.ImageIO
             .getImageWritersByFormatName("jpeg").next()
           ids.map { id =>

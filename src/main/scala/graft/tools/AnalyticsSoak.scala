@@ -117,10 +117,7 @@ object AnalyticsSoak {
       import spark.implicits._
       spark.range(0, 100000, 1, 64).as[Long]
         .mapPartitions { ids =>
-          System.setProperty("java.awt.headless", "true")
-          // memory-backed ImageIO streams: the default cache writes a
-          // temp FILE per image, which dominates small-payload encode
-          javax.imageio.ImageIO.setUseCache(false)
+          graft.ext.Png.jdkImageIoInit // headless + no disk cache, once per JVM
           val writer = javax.imageio.ImageIO
             .getImageWritersByFormatName("jpeg").next()
           ids.map { id =>

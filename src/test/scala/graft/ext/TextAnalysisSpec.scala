@@ -428,4 +428,19 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.urlDomain(col("url"))).collect().map(_.getString(0))
     assert(dom.toSeq == Seq("foo.co", "foo.co"))
   }
+  test("normalizeUrl: unparseable URLs keep a distinct deterministic key") {
+    import spark.implicits._
+    // malformed URLs must NOT collapse onto one NULL key (a dedup
+    // pipeline would merge them all) — they pass through verbatim
+    val cases = Seq("not a url at all", "://missing-scheme", "x", "")
+      .toDF("url")
+    val got = cases.select(col("url"),
+      TextAnalysis.normalizeUrl(col("url")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"malformed '${r.getString(0)}' must pass through, got '${r.getString(1)}'"))
+    // bare-host URL (null/empty PATH) still canonicalizes
+    val bare = Seq("https://WWW.Foo.com").toDF("url")
+      .select(TextAnalysis.normalizeUrl(col("url"))).collect().head.getString(0)
+    assert(bare == "https://foo.com")
+  }
 }

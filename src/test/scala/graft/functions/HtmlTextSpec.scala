@@ -58,6 +58,12 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(x("&#128512;") == new String(Character.toChars(128512)))
     assert(x("&bogus; &#xZZ; &# ;") == "&bogus; &#xZZ; &# ;")
     assert(x("no semicolon &amp here") == "no semicolon &amp here")
+    // legal whitespace references (common in scraped HTML) decode and
+    // flow into the normal collapse: &#10; → newline, &#9;/&#13; → space
+    assert(x("a&#10;b") == "a\nb")
+    assert(x("a&#9;b&#13;c") == "a b c")
+    // other C0 controls stay dropped (entity passes through as text)
+    assert(x("a&#7;b") == "a&#7;b")
   }
 
   test("whitespace collapses: newline runs to one newline, others to one space") {
