@@ -50,6 +50,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1 && reps % 2 == 1,
       s"SPARK_GRAFT_BENCH_REPS must be a positive odd number, got $reps")
+    // Ambient host load (1-min loadavg), sampled before and after the
+    // run: the headline is already a median-of-reps, but cross-round
+    // comparisons on a shared host still need to see the weather — a
+    // 2× wall swing with load recorded is adjudicable without prose.
+    def loadAvg(): Double =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0)
+        math.rint(s.toDouble * 100) / 100
+      } catch { case _: Exception => -1.0 }
+    val loadBefore = loadAvg()
     SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn, warmup = true) }
     // MEDIAN of `reps` timed passes per query, interleaved ROUND-ROBIN
     // (pass 1 of every query, then pass 2, ...) rather than back-to-back:
@@ -76,15 +87,18 @@ object Bench {
       s"\"" + k + "\":{\"median\":" + median(xs) + ",\"runs\":" +
         xs.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
+    val loadAfter = loadAvg()
+    val loadJson =
+      s""""load":{"before":$loadBefore,"after":$loadAfter,"cpus":${Runtime.getRuntime.availableProcessors}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$detail,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$loadJson,"queries":$detail,"sf":"$sfDir"}""" + "\n")
     catch { case _: Exception => () } // cwd may not be writable under the harness
     // …but the stdout line must survive the harness's bounded (2000-char)
     // output-tail capture with sbt's footer behind it, or it never parses:
     // 2-decimal values, and if the query map alone would blow the budget,
     // the FASTEST queries are dropped (the slow ones are the audit surface)
     // with an "omitted" count so truncation is visible.
-    val budget = 1650
+    val budget = 1580 // was 1650; the load/reps fields joined the line
     def fmt(v: Double): String =
       if (v < 0) "-1"
       // Locale.ROOT: the default-locale f"" interpolator would emit a
@@ -102,7 +116,7 @@ object Bench {
       else omitted += 1
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"omitted":$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$loadJson,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
