@@ -17,6 +17,17 @@ import graft.stages.{CommandStage, ModuleRegistry, NdjsonBridge}
   * `partitions` is the Spark-native addition: None = keep the input's
   * partitioning (distributed; one process per partition for command
   * stages), Some(1) = strict single-process reference parity.
+  * `orderedConcat` is the scale escape hatch: true (default) reproduces
+  * the reference's sequential output order across segments and run-stages
+  * (`runStream(mainPipeline)`, index.js:164) at the price of ONE global
+  * sort over the unioned output; false skips that sort entirely — rows
+  * from different segments interleave freely (fork semantics for the
+  * whole pipeline). At 100 TB, order parity is usually chrome: any
+  * downstream aggregation/dedup/sink repartitions anyway, and the global
+  * sort is the only super-linear stage in an otherwise map-shaped
+  * pipeline — so a production run flips it off without restructuring
+  * the spec (EngineSpec asserts the plan carries no global Sort when
+  * off; EngineSoak measures the multi-segment per-doc cost flat).
   */
 final case class RunOptions(
     cwd: String = ".",
@@ -24,7 +35,8 @@ final case class RunOptions(
     params: Seq[String] = Nil,
     stderr: Boolean = false,
     partitions: Option[Int] = None,
-    debug: Boolean = false)
+    debug: Boolean = false,
+    orderedConcat: Boolean = true)
 
 /** The pipeline engine — registry + planner, the Spark-native rebuild of
   * `gasket(config, defaults)` (`/root/reference/index.js:117-212`).
@@ -144,11 +156,19 @@ final class Engine(
     // carry their stage ordinal in `_run` (buildSegment) — sorting only by
     // `_seg` would let Catalyst eliminate the inner `_run` sort as
     // redundant and lose stage order WITHIN a run segment.
+    def dropOrd(df: DataFrame): DataFrame =
+      if (df.columns.contains(RunOrdCol)) df.drop(RunOrdCol) else df
     val main = mains match {
       case Nil => empty
       case one :: Nil =>
-        if (one.columns.contains(RunOrdCol)) one.orderBy(RunOrdCol).drop(RunOrdCol)
+        if (!opts.orderedConcat) dropOrd(one)
+        else if (one.columns.contains(RunOrdCol))
+          one.orderBy(RunOrdCol).drop(RunOrdCol)
         else one
+      case many if !opts.orderedConcat =>
+        // opt-out: plain union, no ordinal columns, NO global sort — the
+        // whole pipeline stays map-shaped (fork semantics across segments)
+        many.map(dropOrd).reduce(_ unionByName _)
       case many =>
         many.zipWithIndex
           .map { case (df, i) =>

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Engine
+import graft.engine.{Engine, RunOptions}
 import graft.spec.{PipelineSpec, SegType, Stage}
 
 /** Engine-level scale soak: drives the gasket-parity pipeline engine
@@ -106,13 +106,14 @@ object EngineSoak {
 
     val engine = new Engine(spec)
 
-    def timed(name: String, expectRows: Long => Long): Unit = {
+    def timed(name: String, expectRows: Long => Long,
+        opts: RunOptions = RunOptions(), label: String = ""): Unit = {
       val t0 = System.nanoTime()
       // sum(length(value)) forces every branch's value column to actually
       // materialize — a bare count() lets Catalyst prune the inline
       // projections (cache/parquet count-star optimization) and would
       // time the engine's plumbing without the stages' work
-      val r = engine.run(name, spark, Some(input))
+      val r = engine.run(name, spark, Some(input), opts)
         .agg(count(lit(1)).as("rows"), sum(length(col("value"))).as("chars"))
         .head()
       val rows = r.getLong(0)
@@ -120,7 +121,8 @@ object EngineSoak {
       val dt = (System.nanoTime() - t0) / 1e9
       val exp = expectRows(n)
       val ok = if (rows == exp) "" else s"  ROWS MISMATCH (expected $exp)"
-      println(f"[engine-soak] $name%-14s $dt%8.2f s   rows=$rows%,d   " +
+      val shown = if (label.isEmpty) name else label
+      println(f"[engine-soak] $shown%-14s $dt%8.2f s   rows=$rows%,d   " +
         f"${mb / dt}%8.1f MB/s   (${dt * 1e9 / n}%.0f ns/doc)$ok")
       graft.ops.CacheUtils.releaseAll(spark)
     }
@@ -139,6 +141,11 @@ object EngineSoak {
     // reversed-token trailing digits (feed_b) — 0–9 both ways
     timed("reduce_fanin", _ => 10L)
     timed("multi_seg", _ + 2) // one tee branch + two echo source rows
+    // same pipeline with the parity sort opted out: the one superlinear
+    // stage disappears, so per-doc cost should be flat-to-falling at 4×
+    // data (the production setting for order-insensitive downstreams)
+    timed("multi_seg", _ + 2, RunOptions(orderedConcat = false),
+      label = "multi_seg_noord")
     if (!teeOk) sys.error(s"map-tee persist failed to mask recomputation: " +
       s"$computed source rows computed for $n-doc input")
     spark.stop()

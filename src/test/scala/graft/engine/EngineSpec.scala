@@ -103,6 +103,27 @@ class EngineSpec extends SparkSpec {
     assert(collectValues(out) == Seq("first", "second"))
   }
 
+  test("orderedConcat=false: same multiset, NO global sort in the plan") {
+    val spec = PipelineSpec(ListMap("main" -> Seq(
+      Stage.Command("echo first", SegType.Run),
+      Stage.Command("echo second", SegType.Run),
+      Stage.Command("echo third", SegType.Pipe))))
+    val ordered = new Engine(spec).run("main", spark)
+    assert(collectValues(ordered) == Seq("first", "second", "third"))
+    val unordered = new Engine(spec).run("main", spark,
+      opts = RunOptions(orderedConcat = false))
+    assert(collectValues(unordered).sorted == Seq("first", "second", "third"))
+    def globalSorts(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }
+    assert(globalSorts(unordered).isEmpty,
+      "orderedConcat=false must keep the pipeline free of global sorts")
+    assert(globalSorts(ordered).nonEmpty,
+      "sanity: the default parity path pays exactly the sort being opted out")
+    // ordinal bookkeeping columns must not leak into the opted-out output
+    assert(unordered.columns.toSeq == Seq(CommandStage.ValueCol))
+  }
+
   test("pipe composes stages serially over the input (pipeStream, index.js:52-56)") {
     val spec = PipelineSpec(ListMap("chain" -> Seq(
       Stage.Module("uppercase"),
