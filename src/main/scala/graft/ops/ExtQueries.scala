@@ -3477,6 +3477,77 @@ object ExtQueries {
       "de-chunk, content decode, and tag strip chained, hash-checked " +
       "against the closed form")
 
+  private val qWebCurateEngine = Q(
+    "q_web_curate_engine",
+    (s, d) => {
+      // The whole curation chain THROUGH THE ENGINE: WebCurate.spec is a
+      // declared gasket pipeline (six Inline pipe stages — WARC.gz →
+      // html_text → url_normalize → boilerplate → dedup → quality gate)
+      // planned by engine/Engine.scala into ONE lazy Catalyst query. The
+      // oracle replays every stage in closed form + the q_boilerplate
+      // distinct-count CTE, so a slip in ANY stage — or in the engine's
+      // segment planning around them — breaks the hash. orderedConcat is
+      // opted out (single pipe segment: order parity is vacuous, and the
+      // output is aggregated anyway). Near-dup fodder is PLANTED (the
+      // q_dedup_incremental pattern — the raw table has no duplicate
+      // texts): re-id'd copies of every %7 doc, served from a different
+      // URL, must collapse onto the original via the CLEANED content
+      // (their chrome differs — 10000 % 3 ≠ 0 shifts the copyright line —
+      // so only post-boilerplate dedup can pair them).
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val input = docs
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, graft.ext.WebCurate.warcGzBlob(id, text)) }
+        .toDF("doc_id", "warc")
+      new graft.engine.Engine(graft.ext.WebCurate.spec())
+        .run("web_curate", s, Some(input),
+          graft.engine.RunOptions(orderedConcat = false))
+        .orderBy("keep_id")
+    },
+    Some("""WITH batch AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0),
+            pages AS (
+              SELECT doc_id, text || chr(10) || 'SHARED FOOTER' || chr(10)
+                       || 'Copyright w' || (doc_id % 3) AS t
+              FROM batch),
+            raw AS (
+              SELECT doc_id, unnest(list_transform(string_split(t, chr(10)),
+                       (x, i) -> {'line': x, 'pos': i})) AS u
+              FROM pages),
+            lns AS (SELECT doc_id, u.line AS line, u.pos AS pos FROM raw),
+            freq AS (
+              SELECT line, count(DISTINCT doc_id) AS df FROM lns GROUP BY line),
+            cleaned AS (
+              SELECT l.doc_id,
+                     string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+                     count(*) AS n_lines_kept
+              FROM lns l JOIN freq f ON l.line = f.line
+              WHERE f.df <= 10 GROUP BY l.doc_id),
+            deduped AS (
+              SELECT min(doc_id) AS keep_id,
+                     CAST(count(*) AS BIGINT) AS n_copies,
+                     clean_text, min(n_lines_kept) AS n_lines_kept
+              FROM cleaned GROUP BY clean_text)
+            SELECT keep_id, n_copies, md5(clean_text) AS fp, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS n_chars,
+                   'https://example.com/doc/' || keep_id || '?a=1&b=2'
+                     AS canonical_url,
+                   'example.com' AS domain
+            FROM deduped
+            WHERE length(clean_text) >= 10 AND n_lines_kept >= 1
+            ORDER BY keep_id"""),
+    "end-to-end web curation THROUGH the gasket engine: a declared " +
+      "six-stage pipeline (WARC.gz ingest → HTML text → URL canon → " +
+      "line-frequency boilerplate → content dedup → quality gate) " +
+      "planned as one lazy query, hash-checked against a full closed-" +
+      "form replay of every stage")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3500,5 +3571,5 @@ object ExtQueries {
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
-    qWarcGzip)
+    qWarcGzip, qWebCurateEngine)
 }

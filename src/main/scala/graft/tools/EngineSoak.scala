@@ -146,6 +146,35 @@ object EngineSoak {
     // data (the production setting for order-insensitive downstreams)
     timed("multi_seg", _ + 2, RunOptions(orderedConcat = false),
       label = "multi_seg_noord")
+
+    // End-to-end curation THROUGH the engine (WebCurate spec): per-doc
+    // .warc.gz blobs (written once, read like a real crawl landing) →
+    // gzip-member WARC parse → html_text → url canon → corpus-level
+    // boilerplate → content dedup → quality gate, one declared pipeline.
+    // Expected survivors: the corpus's exact-dup families ({id-1, id} for
+    // id ≡ 0 mod 20, id > 0) collapse; near-dups (perturbed last token)
+    // stay distinct lines, so rows = n - (n/20 - 1).
+    val warcDir = s"/tmp/graft_soak_warc_g1_$n"
+    if (!new java.io.File(s"$warcDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, graft.ext.WebCurate.warcGzBlob(id, t)) }
+        .toDF("doc_id", "warc").write.mode("overwrite").parquet(warcDir)
+    }
+    val warcs = spark.read.parquet(warcDir)
+    val curate = new Engine(graft.ext.WebCurate.spec())
+    val tc0 = System.nanoTime()
+    val rc = curate
+      .run("web_curate", spark, Some(warcs), RunOptions(orderedConcat = false))
+      .agg(count(lit(1)).as("rows"), sum(col("n_chars")).as("chars"))
+      .head()
+    val curRows = rc.getLong(0)
+    val curDt = (System.nanoTime() - tc0) / 1e9
+    val curExp = n - (n / 20 - 1)
+    val curOk = if (curRows == curExp) "" else s"  ROWS MISMATCH (expected $curExp)"
+    println(f"[engine-soak] web_curate     $curDt%8.2f s   rows=$curRows%,d   " +
+      f"(${curDt * 1e9 / n}%.0f ns/doc)$curOk")
+    graft.ops.CacheUtils.releaseAll(spark)
     if (!teeOk) sys.error(s"map-tee persist failed to mask recomputation: " +
       s"$computed source rows computed for $n-doc input")
     spark.stop()
