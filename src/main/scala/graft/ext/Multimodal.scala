@@ -132,12 +132,36 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.flatMap { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          AudioHeaders.pcm(bytes).map { case (r, ch, bits, n, sum, sq) =>
+          // FLAC payloads (fLaC magic) go through the pure-JVM codec arm;
+          // everything else through the WAV/PCM family decoder
+          val stats =
+            if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+              bytes(2) == 'a' && bytes(3) == 'C') flacStats(bytes)
+            else AudioHeaders.pcm(bytes)
+          stats.map { case (r, ch, bits, n, sum, sq) =>
             AudioSampleStats(id, r, ch, bits, n, sum, sq)
           }
         }
       }
   }
+
+  /** FLAC sample stats with the same 16-bit quantization discipline as
+    * [[AudioHeaders.pcm]]: samples wider than 16 bits contribute their
+    * top 16 bits, so the Long accumulators stay exact for any realistic
+    * payload and the result is SQL-replayable.
+    */
+  private def flacStats(b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] =
+    Flac.decode(b).map { a =>
+      val shift = if (a.bps > 16) a.bps - 16 else 0
+      var sum = 0L; var sq = 0L
+      var i = 0
+      while (i < a.samples.length) {
+        val s = a.samples(i) >> shift
+        sum += s; sq += s.toLong * s
+        i += 1
+      }
+      (a.sampleRate, a.channels, a.bps, a.samples.length.toLong, sum, sq)
+    }
 
   final case class ResizedImage(
       media_id: Long,

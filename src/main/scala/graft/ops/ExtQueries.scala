@@ -3477,6 +3477,95 @@ object ExtQueries {
       "de-chunk, content decode, and tag strip chained, hash-checked " +
       "against the closed form")
 
+  private val qFlacStats = Q(
+    "q_flac_stats",
+    (s, d) => {
+      // FLAC decode certificate, the q_wav_adpcm discipline: every doc's
+      // sample trajectory is a CLOSED FORM the oracle replays with window
+      // sums, and the subframe family rotates by doc_id % 4 — CONSTANT,
+      // VERBATIM, FIXED order 2 (real rice residuals), LPC (coeff [2]
+      // shift 1, the delta predictor). The encoder emits spec-conformant
+      // bitstreams (FlacSpec pins it byte-identical to an independent
+      // Python assembly), the pure decoder reads them back through rice/
+      // zigzag/CRC machinery, and the stats must land exactly on the
+      // oracle's arithmetic. Trajectories are bounded (|s| < 4k) so
+      // nothing clips at bps 16 and the Long accumulators stay exact.
+      import s.implicits._
+      val n = 512
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val mode = (id % 4).toInt
+          val s0 = ((id * 37) % 2048 - 1024).toInt
+          val a0 = ((id % 512) - 256).toInt
+          val b0 = ((id % 7) - 3).toInt
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = mode match {
+              case 0 => s0
+              case 1 => (((id * 31 + i * 17) % 4096) - 2048).toInt
+              case 2 =>
+                if (i == 0) a0
+                else if (i == 1) a0 + b0
+                else 2 * samples(i - 1) - samples(i - 2) +
+                  (((id + i) % 5) - 2).toInt
+              case _ =>
+                if (i == 0) s0
+                else samples(i - 1) + (((id + i) % 7) - 3).toInt
+            }
+            i += 1
+          }
+          val sub: graft.ext.Flac.Sub = mode match {
+            case 0 => graft.ext.Flac.Constant
+            case 1 => graft.ext.Flac.Verbatim
+            case 2 => graft.ext.Flac.Fixed(2, 3)
+            case _ => graft.ext.Flac.Lpc(Array(2), 1, 3, 3)
+          }
+          (id, graft.ext.Flac.encode(Array(samples), 8000, 16, 256, sub))
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.audioSampleStats(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, doc_id % 4 AS mode,
+                     (doc_id * 37) % 2048 - 1024 AS s0,
+                     (doc_id % 512) - 256 AS a, (doc_id % 7) - 3 AS b
+              FROM documents),
+            idx AS (SELECT i FROM range(512) t(i)),
+            r AS (
+              SELECT doc_id, mode, s0, a, b, i,
+                     CASE WHEN i >= 2 THEN ((doc_id + i) % 5) - 2
+                          ELSE 0 END AS r2,
+                     CASE WHEN i >= 1 THEN ((doc_id + i) % 7) - 3
+                          ELSE 0 END AS dd
+              FROM base CROSS JOIN idx),
+            w AS (
+              SELECT *, sum(r2) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+                     sum(dd) OVER (PARTITION BY doc_id ORDER BY i) AS dsum
+              FROM r),
+            w2t AS (
+              SELECT *, sum(w1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM w),
+            samp AS (
+              SELECT doc_id,
+                     CASE mode
+                       WHEN 0 THEN s0
+                       WHEN 1 THEN ((doc_id * 31 + i * 17) % 4096) - 2048
+                       WHEN 2 THEN a + b * i + w2
+                       ELSE s0 + dsum
+                     END AS v
+              FROM w2t)
+            SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+                   16 AS bits, CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS sum_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_squares
+            FROM samp GROUP BY doc_id ORDER BY media_id"""),
+    "FLAC decode certificate: constant/verbatim/fixed-rice/LPC subframes " +
+      "rotating per doc, every bitstream spec-conformant (CRC-8/16, " +
+      "zigzag rice), decoded samples' stats land exactly on the oracle's " +
+      "window-sum replay of the closed-form trajectories")
+
   private val qWebCurateEngine = Q(
     "q_web_curate_engine",
     (s, d) => {
@@ -3571,5 +3660,5 @@ object ExtQueries {
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
-    qWarcGzip, qWebCurateEngine)
+    qWarcGzip, qWebCurateEngine, qFlacStats)
 }
