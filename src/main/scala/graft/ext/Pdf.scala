@@ -1,0 +1,405 @@
+package graft.ext
+
+/** Bounded-envelope PDF text extraction — after HTML, the second-largest
+  * text modality in web-scale training corpora. Built from the public
+  * PDF 1.7 spec (ISO 32000-1); the reference has no PDF path at all
+  * (it pipes bytes to external Unix stages), so this arm is the
+  * Spark-native capability a curation pipeline needs.
+  *
+  * Envelope (the codec-arm discipline — exact within it, documented
+  * fallbacks outside it):
+  *   - Indirect objects are found by a forward scan (`N G obj` …
+  *     `endobj`); the xref table is not required (machine-generated and
+  *     incrementally-updated PDFs frequently carry broken xrefs — the
+  *     scan reads what is actually there).
+  *   - Stream data is located by `stream`/`endstream` framing (the
+  *     /Length value may be an indirect reference; scanning avoids
+  *     resolving it). /FlateDecode streams inflate through
+  *     `java.util.zip.Inflater` (zlib); streams with any other filter,
+  *     or undecodable Flate data, are SKIPPED — never partial-decoded.
+  *   - Text comes from BT…ET blocks: `Tj`, `'`, `"` and `TJ` show
+  *     operators; `Td`/`TD`/`T*`/`'`/`"` start a new output line; in
+  *     `TJ` arrays a kern adjustment ≤ −180 (thousandths of an em —
+  *     over ~half a space width in common fonts) inserts a space, the
+  *     documented word-gap heuristic.
+  *   - Literal strings decode the full escape set (\n \r \t \b \f
+  *     \( \) \\ \ooo octal, line continuations); hex strings decode
+  *     per spec. String BYTES map through Latin-1 — exact for the
+  *     standard-encoding printable set; custom /Differences tables and
+  *     CID/Type0 two-byte fonts are outside the envelope (their bytes
+  *     come through uninterpreted rather than silently dropped).
+  *   - Encrypted documents (a /Encrypt entry outside stream data) →
+  *     None: nothing inside is readable without the crypt machinery.
+  *
+  * Scale shape: one forward scan per payload inside map-only stages, no
+  * process hops, no shuffle — identical to the HTML/WARC/codec arms.
+  */
+object Pdf {
+
+  /** Extract text, one string per document. None when the payload is not
+    * a PDF (`%PDF-` magic) or is encrypted. A PDF with no text yields
+    * Some("").
+    */
+  def extractText(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 8) return None
+    if (!(b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' &&
+      b(4) == '-')) return None
+    // locate stream extents first: /Encrypt must only match OUTSIDE them
+    val streams = findStreams(b)
+    if (hasTokenOutsideStreams(b, streams, "/Encrypt")) return None
+    val out = new java.lang.StringBuilder()
+    streams.foreach { case (from, until) =>
+      val flate = hasFilterBefore(b, from)
+      // Flate: hand the UNTRIMMED extent to the inflater — zlib carries
+      // its own terminator+adler32, so the optional EOL before
+      // `endstream` is simply unread input, and no guess about whether a
+      // trailing 0x0D byte is data or framing can truncate the stream.
+      // Raw: trim exactly one EOL (\r\n, \n, or \r) per the spec's
+      // optional end-of-data marker.
+      val data =
+        if (flate) inflate(b, from, until)
+        else {
+          var de = until
+          if (de > from && b(de - 1) == '\n') {
+            de -= 1
+            if (de > from && b(de - 1) == '\r') de -= 1
+          } else if (de > from && b(de - 1) == '\r') de -= 1
+          java.util.Arrays.copyOfRange(b, from, de)
+        }
+      if (data != null && data.length > 0) extractFromContent(data, out)
+    }
+    // also: text operators can live in un-streamed content only inside
+    // streams per spec, so the stream walk is complete
+    var n = out.length()
+    while (n > 0 && out.charAt(n - 1) == '\n') n -= 1
+    out.setLength(n)
+    Some(out.toString)
+  }
+
+  /** (dataStart, dataEnd) for every `stream` … `endstream` pair, in
+    * document order. Stream data begins after the CRLF/LF that follows
+    * the `stream` keyword and ends before `endstream` (a preceding EOL
+    * belongs to the framing, not the data).
+    */
+  private def findStreams(b: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i >= 0 && i < b.length) {
+      i = indexOf(b, "stream", i)
+      if (i >= 0) {
+        // must be the keyword, not part of "endstream"
+        val isEnd = i >= 3 && b(i - 3) == 'e' && b(i - 2) == 'n' && b(i - 1) == 'd'
+        var ds = i + 6
+        if (!isEnd) {
+          if (ds < b.length && b(ds) == '\r') ds += 1
+          if (ds < b.length && b(ds) == '\n') ds += 1
+          val e = indexOf(b, "endstream", ds)
+          if (e < 0) return out.toSeq // truncated: cut short
+          // extent runs to `endstream` exactly; EOL trimming is the
+          // CALLER's job (raw streams only — see extractText)
+          out += ((ds, e))
+          i = e + 9
+        } else i += 6
+      }
+    }
+    out.toSeq
+  }
+
+  private def indexOf(b: Array[Byte], s: String, from: Int): Int = {
+    val pat = s.getBytes("ISO-8859-1")
+    var i = math.max(0, from)
+    val limit = b.length - pat.length
+    while (i <= limit) {
+      var k = 0
+      while (k < pat.length && b(i + k) == pat(k)) k += 1
+      if (k == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def hasTokenOutsideStreams(
+      b: Array[Byte], streams: Seq[(Int, Int)], token: String): Boolean = {
+    var i = indexOf(b, token, 0)
+    while (i >= 0) {
+      if (!streams.exists { case (s, e) => i >= s && i < e }) return true
+      i = indexOf(b, token, i + 1)
+    }
+    false
+  }
+
+  /** Does the dictionary immediately before this stream carry
+    * /FlateDecode? Scans back from the stream keyword to the nearest
+    * `<<` … looks within that window (nested dicts included — filters
+    * apply to this stream either way).
+    */
+  private def hasFilterBefore(b: Array[Byte], dataStart: Int): Boolean = {
+    // dict window: back from dataStart to the previous "obj" keyword (or
+    // 512 bytes, whichever is nearer) — stream dicts are short
+    val lo = math.max(0, dataStart - 512)
+    val window = new String(b, lo, dataStart - lo, "ISO-8859-1")
+    val objAt = window.lastIndexOf(" obj")
+    val w = if (objAt >= 0) window.substring(objAt) else window
+    w.contains("/FlateDecode")
+  }
+
+  /** zlib inflate, damage-contained: null on any error (the stream is
+    * then skipped whole — never partially decoded into the text).
+    */
+  private def inflate(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, from, until - from)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, (until - from) * 4))
+      val buf = new Array[Byte](16 * 1024)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return null }
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) return null
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  // ------------------------------------------------- content-stream walk
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+
+  /** Walk one decoded content stream, appending shown text to `out`. */
+  private def extractFromContent(d: Array[Byte], out: java.lang.StringBuilder): Unit = {
+    val startLen = out.length()
+    var i = 0
+    var inText = false
+    // pending literal for the NEXT show operator
+    var pending = new java.lang.StringBuilder()
+    // TJ array state
+    var inArray = false
+    val arrayText = new java.lang.StringBuilder()
+    var lastNumber = 0.0
+    def newline(): Unit =
+      if (out.length() > 0 && out.charAt(out.length() - 1) != '\n')
+        out.append('\n')
+    def flushShow(): Unit = {
+      out.append(pending)
+      pending = new java.lang.StringBuilder()
+    }
+    while (i < d.length) {
+      val c = d(i) & 0xFF
+      if (c == '%') { // comment to EOL (outside strings)
+        while (i < d.length && d(i) != '\n' && d(i) != '\r') i += 1
+      } else if (c == '(') {
+        val (s, ni) = parseLiteral(d, i)
+        if (inText) { if (inArray) arrayText.append(s) else pending.append(s) }
+        i = ni
+      } else if (c == '<' && i + 1 < d.length && (d(i + 1) & 0xFF) == '<') {
+        i = skipDict(d, i)
+      } else if (c == '<') {
+        val (s, ni) = parseHex(d, i)
+        if (inText) { if (inArray) arrayText.append(s) else pending.append(s) }
+        i = ni
+      } else if (c == '[') {
+        inArray = true; arrayText.setLength(0); i += 1
+      } else if (c == ']') {
+        inArray = false
+        pending.setLength(0)
+        pending.append(arrayText)
+        i += 1
+      } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        val sb = new java.lang.StringBuilder()
+        while (i < d.length && { val x = d(i) & 0xFF
+          x == '-' || x == '+' || x == '.' || (x >= '0' && x <= '9') }) {
+          sb.append((d(i) & 0xFF).toChar); i += 1
+        }
+        lastNumber =
+          try java.lang.Double.parseDouble(sb.toString)
+          catch { case _: NumberFormatException => 0.0 }
+        // the documented word-gap heuristic: a big negative kern in a TJ
+        // array separates words
+        if (inArray && inText && lastNumber <= -180.0) arrayText.append(' ')
+      } else if (c == '/') {
+        i += 1
+        while (i < d.length && !isWs(d(i) & 0xFF) &&
+          !"()<>[]{}/%".contains((d(i) & 0xFF).toChar)) i += 1
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        c == '\'' || c == '"' || c == '*') {
+        val sb = new java.lang.StringBuilder()
+        while (i < d.length && { val x = d(i) & 0xFF
+          (x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z') ||
+            x == '\'' || x == '"' || x == '*' || (x >= '0' && x <= '9') }) {
+          sb.append((d(i) & 0xFF).toChar); i += 1
+        }
+        sb.toString match {
+          case "BT" => inText = true; pending.setLength(0)
+          case "ET" => if (inText) newline(); inText = false
+          case "Tj" => if (inText) flushShow()
+          case "TJ" => if (inText) flushShow()
+          case "'" | "\"" => if (inText) { newline(); flushShow() }
+          case "Td" | "TD" | "T*" => if (inText) newline()
+          case _ => pending.setLength(0) // other operators consume operands
+        }
+      } else i += 1
+    }
+    // defensive: a stream that opened BT without ET still terminates a line
+    if (inText && out.length() > startLen) newline()
+  }
+
+  /** Literal string at `d(i) == '('` → (decoded, next index). Handles
+    * nesting, the escape set, octal codes, and escaped line
+    * continuations.
+    */
+  private def parseLiteral(d: Array[Byte], i0: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder()
+    var i = i0 + 1
+    var depth = 1
+    while (i < d.length && depth > 0) {
+      val c = d(i) & 0xFF
+      if (c == '\\' && i + 1 < d.length) {
+        val e = d(i + 1) & 0xFF
+        e match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\r' => // line continuation: swallow CR(LF)
+            i += 2
+            if (i < d.length && d(i) == '\n') i += 1
+          case '\n' => i += 2
+          case o if o >= '0' && o <= '7' =>
+            var v = 0
+            var k = 0
+            i += 1
+            while (k < 3 && i < d.length && d(i) >= '0' && d(i) <= '7') {
+              v = v * 8 + (d(i) - '0'); i += 1; k += 1
+            }
+            sb.append((v & 0xFF).toChar)
+          case other => sb.append(other.toChar); i += 2
+        }
+      } else if (c == '(') { depth += 1; sb.append('('); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) sb.append(')')
+        i += 1
+      } else { sb.append(c.toChar); i += 1 }
+    }
+    (sb.toString, i)
+  }
+
+  /** Hex string at `d(i) == '<'` → (decoded, next index). An odd final
+    * digit implies a trailing 0 per spec.
+    */
+  private def parseHex(d: Array[Byte], i0: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder()
+    var i = i0 + 1
+    var hi = -1
+    while (i < d.length && (d(i) & 0xFF) != '>') {
+      val c = d(i) & 0xFF
+      val v =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      if (v >= 0) {
+        if (hi < 0) hi = v
+        else { sb.append(((hi << 4) | v).toChar); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) sb.append((hi << 4).toChar)
+    (sb.toString, if (i < d.length) i + 1 else i)
+  }
+
+  private def skipDict(d: Array[Byte], i0: Int): Int = {
+    var i = i0 + 2
+    var depth = 1
+    while (i < d.length && depth > 0) {
+      val c = d(i) & 0xFF
+      if (c == '<' && i + 1 < d.length && (d(i + 1) & 0xFF) == '<') {
+        depth += 1; i += 2
+      } else if (c == '>' && i + 1 < d.length && (d(i + 1) & 0xFF) == '>') {
+        depth -= 1; i += 2
+      } else if (c == '(') i = parseLiteral(d, i)._2
+      else i += 1
+    }
+    i
+  }
+
+  // ------------------------------------------------------ fixture builder
+
+  /** Minimal valid single-page PDF whose content stream shows
+    * `lines` — mixed `Tj` / `TJ` / `'` forms with escapes and hex
+    * strings so the extractor's full string machinery is exercised.
+    * `flate=true` compresses the content stream (zlib).
+    */
+  def buildSimple(lines: Seq[String], flate: Boolean): Array[Byte] = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    val content = new StringBuilder()
+    content.append("BT\n/F1 12 Tf\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (line, k) =>
+      if (k > 0) content.append("0 -14 Td\n")
+      k % 3 match {
+        case 0 => // plain Tj
+          content.append("(").append(esc(line)).append(") Tj\n")
+        case 1 => // TJ: word-gap kern at a real space, else a plain array
+          val cut = line.indexOf(' ', math.max(0, line.length / 2 - 8))
+          if (cut > 0)
+            content.append("[(").append(esc(line.substring(0, cut)))
+              .append(") -250 (").append(esc(line.substring(cut + 1)))
+              .append(")] TJ\n")
+          else
+            content.append("[(").append(esc(line)).append(")] TJ\n")
+        case _ => // hex string via Tj
+          val hex = line.getBytes("ISO-8859-1")
+            .map(b3 => f"${b3 & 0xFF}%02X").mkString
+          content.append("<").append(hex).append("> Tj\n")
+      }
+    }
+    content.append("ET\n")
+    val raw = content.toString.getBytes("ISO-8859-1")
+    val data =
+      if (flate) {
+        val def_ = new java.util.zip.Deflater()
+        def_.setInput(raw); def_.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+        def_.end()
+        out.toByteArray
+      } else raw
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    offsets += sb.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets += sb.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offsets += sb.size()
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    offsets += sb.size()
+    w(s"4 0 obj\n<< /Length ${data.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    sb.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    offsets += sb.size()
+    w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val xref = sb.size()
+    w(s"xref\n0 6\n0000000000 65535 f \n" +
+      offsets.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    sb.toByteArray
+  }
+}

@@ -3566,6 +3566,42 @@ object ExtQueries {
       "zigzag rice), decoded samples' stats land exactly on the oracle's " +
       "window-sum replay of the closed-form trajectories")
 
+  private val qPdfExtract = Q(
+    "q_pdf_extract",
+    (s, d) => {
+      // PDF text-extraction certificate (the q_html_extract pattern): each
+      // doc becomes a complete single-page PDF — catalog/pages/font
+      // objects, xref, trailer — whose content stream shows three lines
+      // through the three string mechanisms (literal Tj with escaping, TJ
+      // array with a −250 word-gap kern at a real space, hex string), and
+      // even docs Flate-compress the stream. Pdf.extractText must recover
+      // the exact closed form the oracle rebuilds — a slip in stream
+      // framing, zlib inflate, escape decode, hex decode, kern handling,
+      // or line-break operators breaks the hash.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val lines = Seq("Title " + id, text, "End mark " + (id % 5))
+          (id, graft.ext.Pdf.buildSimple(lines, flate = id % 2 == 0))
+        }
+        .toDF("doc_id", "pdf")
+        .as[(Long, Array[Byte])]
+        .map { case (id, pdf) =>
+          (id, graft.ext.Pdf.extractText(pdf).getOrElse(""))
+        }
+        .toDF("doc_id", "extracted")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Title ' || doc_id || chr(10) || text || chr(10)
+                     || 'End mark ' || (doc_id % 5) AS extracted
+            FROM documents ORDER BY doc_id"""),
+    "PDF text-extraction certificate: complete single-page PDFs (Flate " +
+      "on even docs) showing text via literal/TJ-kern/hex strings must " +
+      "round-trip the document text exactly through the bounded-envelope " +
+      "extractor")
+
   private val qWebCurateEngine = Q(
     "q_web_curate_engine",
     (s, d) => {
@@ -3660,5 +3696,5 @@ object ExtQueries {
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
-    qWarcGzip, qWebCurateEngine, qFlacStats)
+    qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract)
 }

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfSpec extends AnyFunSuite {
+
+  test("built PDF round-trips its lines, raw and Flate") {
+    val lines = Seq("Hello world", "second line here", "third one",
+      "a (parenthetical) \\ backslash", "fin")
+    for (flate <- Seq(false, true)) {
+      val pdf = Pdf.buildSimple(lines, flate)
+      assert(Pdf.extractText(pdf).get == lines.mkString("\n"),
+        s"flate=$flate")
+    }
+  }
+
+  test("hand-written content stream: operators, escapes, hex, kerns") {
+    val content =
+      """BT
+        |/F1 9 Tf
+        |10 700 Td
+        |(A\(b\)c \\ d) Tj
+        |( and ) Tj
+        |<48657821> Tj
+        |0 -12 Td
+        |[(wor) 30 (d) -300 (gap)] TJ
+        |(next via quote) '
+        |T*
+        |(oct \101\102\103 end) Tj
+        |ET""".stripMargin.replace("\r", "")
+    val pdf = ("%PDF-1.4\n4 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n" + content + "\nendstream\nendobj\n" +
+      "trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val got = Pdf.extractText(pdf).get
+    // small kerns (30, above -180) join "wor"+"d"; -300 inserts the gap
+    assert(got ==
+      "A(b)c \\ d and Hex!\nword gap\nnext via quote\noct ABC end")
+  }
+
+  test("escape edge cases: octal widths, line continuation, odd hex") {
+    val content = "BT (\\7a\\77b\\101) Tj (line\\\ncontinues) Tj " +
+      "<414> Tj ET"
+    val pdf = ("%PDF-1.4\nstream\n" + content + "\nendstream\n")
+      .getBytes("ISO-8859-1")
+    val got = Pdf.extractText(pdf).get
+    // \7 → 0x07, \77 → '?', \101 → 'A'; continuation vanishes; <414> →
+    // 'A' then 0x40 ('@', odd digit padded with 0)
+    assert(got == "a?bAlinecontinues" + "A@")
+  }
+
+  test("non-PDF, encrypted, broken-Flate, truncated → safe") {
+    assert(Pdf.extractText(null).isEmpty)
+    assert(Pdf.extractText("plain text".getBytes).isEmpty)
+    val enc = ("%PDF-1.4\ntrailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(enc).isEmpty, "encrypted → None")
+    // /Encrypt INSIDE stream data must not trigger the encrypted path
+    val sneaky = ("%PDF-1.4\nstream\nBT (/Encrypt is just text) Tj ET" +
+      "\nendstream\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(sneaky).get == "/Encrypt is just text")
+    // broken Flate stream skipped whole, good raw stream still read
+    val mixed = ("%PDF-1.4\n2 0 obj\n<< /Length 5 /Filter /FlateDecode " +
+      ">>\nstream\nnotfl\nendstream\nendobj\n3 0 obj\n<< /Length 14 >>" +
+      "\nstream\nBT (ok) Tj ET\nendstream\nendobj\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(mixed).get == "ok")
+    // truncated mid-stream: cut short, never thrown
+    val good = Pdf.buildSimple(Seq("abc", "def"), flate = true)
+    var cut = 8
+    while (cut < good.length) {
+      Pdf.extractText(java.util.Arrays.copyOf(good, cut)) // must not throw
+      cut += 23
+    }
+  }
+}
