@@ -1,0 +1,297 @@
+package graft.ext
+
+import scala.collection.mutable.ArrayBuffer
+
+/** ISO base-media (MP4/MOV, ISO/IEC 14496-12) container walk — pure byte
+  * parsing, no media library. MP4 is the dominant web *video* container
+  * (the AVI arm in [[Multimodal]] covers the legacy RIFF shape), so a
+  * crawl-curation pipeline needs two things from it BEFORE any expensive
+  * decode: per-track metadata triage (what codec, what dimensions, how
+  * long — the decide-whether-to-decode step over 100 TB of blobs), and
+  * keyframe extraction for the tracks whose per-sample encoding a pure
+  * JVM can own (MJPEG: each sample is a standalone JPEG → [[Jpeg]]).
+  *
+  * Structure parsed (reference: gasket treats media as opaque stdio
+  * bytes — /root/reference/index.js:118 pipes Buffers; the container
+  * semantics here are the Spark-native extension, from the public
+  * ISO/IEC 14496-12 box grammar):
+  *   - box = u32 size + 4cc type; size==1 → u64 largesize follows the
+  *     type; size==0 → box extends to the end of its container.
+  *   - `ftyp` major brand; `moov/mvhd` movie timescale + duration;
+  *     per `trak`: `tkhd` (track id, 16.16-fixed width/height),
+  *     `mdia/mdhd` (media timescale + duration), `mdia/hdlr` (handler
+  *     4cc: vide/soun/...), `stbl/stsd` (codec 4cc of the first sample
+  *     entry), `stts` (sample count), `stsz` (sample count + byte
+  *     total), `stsc`+`stco`/`co64` (sample→file-offset layout, used
+  *     only by the frame path).
+  *
+  * Every read is bounds-checked; a malformed box terminates the walk at
+  * its container rather than throwing — truncated trailing boxes (common
+  * in crawl-interrupted downloads) yield the metadata parsed so far.
+  */
+object Mp4 {
+
+  final case class Track(
+      track_id: Long,
+      handler: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      timescale: Long,
+      duration_ms: Long,
+      n_samples: Long,
+      total_bytes: Long)
+
+  final case class Meta(
+      brand: String,
+      timescale: Long,
+      duration_ms: Long,
+      tracks: Vector[Track])
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Iterate the boxes of a container span as (type, payloadStart,
+    * payloadEnd). Malformed sizes (smaller than the header, overflowing
+    * the container, or largesize beyond Int range) end the iteration —
+    * the walk never throws and never fails to advance.
+    */
+  private def boxes(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var i = start
+      private var nxt: (String, Int, Int) = _
+      private def advance(): Unit = {
+        nxt = null
+        if (i + 8 > end) return
+        val size32 = be32(b, i)
+        val tpe = fourcc(b, i + 4)
+        var header = 8L
+        var size = size32
+        if (size32 == 1L) {
+          if (i + 16 > end) return
+          size = be64(b, i + 8); header = 16L
+        } else if (size32 == 0L) size = (end - i).toLong // to end of container
+        if (size < header || i + size > end.toLong) return
+        nxt = (tpe, i + header.toInt, i + size.toInt)
+        i += size.toInt
+      }
+      advance()
+      override def hasNext: Boolean = nxt != null
+      override def next(): (String, Int, Int) = {
+        val r = nxt; advance(); r
+      }
+    }
+
+  private def child(b: Array[Byte], s: Int, e: Int, tpe: String): Option[(Int, Int)] =
+    boxes(b, s, e).collectFirst { case (`tpe`, cs, ce) => (cs, ce) }
+
+  /** Millisecond duration with u32-timescale guard; 0 when unknowable. */
+  private def ms(duration: Long, timescale: Long): Long =
+    if (timescale > 0 && duration >= 0) duration * 1000L / timescale else 0L
+
+  /** Container metadata. None unless the payload leads with an `ftyp`
+    * box (the MP4 signature for sniffing among mixed crawl payloads —
+    * bare `moov`-first QuickTime is deliberately outside the envelope).
+    */
+  def parse(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+    try {
+      var brand = ""
+      var mvTimescale = 0L
+      var mvDuration = 0L
+      val tracks = ArrayBuffer.empty[Track]
+      for ((t, s, e) <- boxes(b, 0, b.length)) t match {
+        case "ftyp" if e - s >= 4 => brand = fourcc(b, s)
+        case "moov" =>
+          for ((t2, s2, e2) <- boxes(b, s, e)) t2 match {
+            case "mvhd" if e2 - s2 >= 20 =>
+              val v = b(s2) & 0xFF
+              if (v == 1 && e2 - s2 >= 32) {
+                mvTimescale = be32(b, s2 + 20); mvDuration = be64(b, s2 + 24)
+              } else if (v == 0) {
+                mvTimescale = be32(b, s2 + 12); mvDuration = be32(b, s2 + 16)
+              }
+            case "trak" => parseTrak(b, s2, e2).foreach(tracks += _)
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (mvTimescale == 0 && tracks.isEmpty) None
+      else Some(Meta(brand, mvTimescale, ms(mvDuration, mvTimescale), tracks.toVector))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def parseTrak(b: Array[Byte], s: Int, e: Int): Option[Track] = {
+    var trackId = 0L; var width = 0; var height = 0
+    var mdTimescale = 0L; var mdDuration = 0L
+    var handler = ""; var codec = ""
+    var nSamples = 0L; var totalBytes = 0L
+    for ((t, ts, te) <- boxes(b, s, e)) t match {
+      case "tkhd" if te - ts >= 4 =>
+        val v = b(ts) & 0xFF
+        // width/height are 16.16 fixed at the end of the box: fullbox(4)
+        // + times/id/reserved/duration (v0: 20, v1: 32) + reserved(8)
+        // + layer(2) altgroup(2) volume(2) reserved(2) + matrix(36)
+        val base = ts + 4 + (if (v == 1) 32 else 20)
+        if (v == 1 && te - ts >= 16) trackId = be32(b, ts + 4 + 16)
+        else if (te - ts >= 16) trackId = be32(b, ts + 4 + 8)
+        if (te >= base + 60) {
+          width = (be32(b, base + 52) >>> 16).toInt
+          height = (be32(b, base + 56) >>> 16).toInt
+        }
+      case "mdia" =>
+        for ((t2, s2, e2) <- boxes(b, ts, te)) t2 match {
+          case "mdhd" if e2 - s2 >= 20 =>
+            val v = b(s2) & 0xFF
+            if (v == 1 && e2 - s2 >= 32) {
+              mdTimescale = be32(b, s2 + 20); mdDuration = be64(b, s2 + 24)
+            } else if (v == 0) {
+              mdTimescale = be32(b, s2 + 12); mdDuration = be32(b, s2 + 16)
+            }
+          case "hdlr" if e2 - s2 >= 12 => handler = fourcc(b, s2 + 8)
+          case "minf" =>
+            for {
+              (ss, se) <- child(b, s2, e2, "stbl")
+              (t3, s3, e3) <- boxes(b, ss, se)
+            } t3 match {
+              case "stsd" if e3 - s3 >= 16 =>
+                // fullbox(4) + entry_count(4), then the first sample
+                // entry: size(4) + format 4cc
+                codec = fourcc(b, s3 + 12)
+              case "stts" if e3 - s3 >= 8 =>
+                val n = be32(b, s3 + 4).toInt
+                var k = 0; var total = 0L
+                while (k < n && s3 + 8 + k * 8 + 8 <= e3) {
+                  total += be32(b, s3 + 8 + k * 8); k += 1
+                }
+                if (nSamples == 0) nSamples = total
+              case "stsz" if e3 - s3 >= 12 =>
+                val uniform = be32(b, s3 + 4)
+                val n = be32(b, s3 + 8)
+                nSamples = n // stsz is authoritative when present
+                if (uniform > 0) totalBytes = uniform * n
+                else {
+                  var k = 0; var total = 0L
+                  while (k < n && s3 + 12 + k * 4 + 4 <= e3) {
+                    total += be32(b, s3 + 12 + k * 4); k += 1
+                  }
+                  totalBytes = total
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (trackId == 0 && handler.isEmpty && mdTimescale == 0) None
+    else Some(Track(trackId, handler, codec, width, height, mdTimescale,
+      ms(mdDuration, mdTimescale), nSamples, totalBytes))
+  }
+
+  /** Per-sample (offset, size) layout of one track's `stbl`, resolved
+    * through stsc runs × stco/co64 chunk offsets × stsz sizes — the
+    * random-access map a real player seeks with. Returns samples in
+    * track order; layouts that reference bytes outside the payload are
+    * truncated at the first out-of-range sample (crawl-truncated mdat).
+    */
+  private[ext] def sampleLayout(b: Array[Byte], stblS: Int, stblE: Int): Array[(Int, Int)] = {
+    var sizesUniform = 0L
+    var sizes: Array[Long] = null
+    var nSamples = 0
+    var chunkOffsets: Array[Long] = Array.empty
+    var stscRuns: Array[(Long, Long)] = Array.empty // (firstChunk 1-based, samplesPerChunk)
+    for ((t, s, e) <- boxes(b, stblS, stblE)) t match {
+      case "stsz" if e - s >= 12 =>
+        sizesUniform = be32(b, s + 4)
+        nSamples = be32(b, s + 8).toInt
+        if (sizesUniform == 0) {
+          val n = math.min(nSamples.toLong, (e - s - 12) / 4).toInt
+          sizes = Array.tabulate(n)(k => be32(b, s + 12 + k * 4))
+          nSamples = n
+        }
+      case "stco" if e - s >= 8 =>
+        val n = math.min(be32(b, s + 4), (e - s - 8) / 4).toInt
+        chunkOffsets = Array.tabulate(n)(k => be32(b, s + 8 + k * 4))
+      case "co64" if e - s >= 8 =>
+        val n = math.min(be32(b, s + 4), (e - s - 8) / 8).toInt
+        chunkOffsets = Array.tabulate(n)(k => be64(b, s + 8 + k * 8))
+      case "stsc" if e - s >= 8 =>
+        val n = math.min(be32(b, s + 4), (e - s - 8) / 12).toInt
+        stscRuns = Array.tabulate(n)(k =>
+          (be32(b, s + 8 + k * 12), be32(b, s + 8 + k * 12 + 4)))
+      case _ => ()
+    }
+    if (nSamples == 0 || chunkOffsets.isEmpty || stscRuns.isEmpty)
+      return Array.empty
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var sample = 0
+    var run = 0
+    var chunk = 0 // 0-based
+    while (sample < nSamples && chunk < chunkOffsets.length) {
+      // samples-per-chunk of the run covering this chunk (runs carry
+      // 1-based first_chunk and apply until the next run starts)
+      while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk + 1L) run += 1
+      val spc = math.max(stscRuns(run)._2, 0L).toInt
+      var off = chunkOffsets(chunk)
+      var k = 0
+      while (k < spc && sample < nSamples) {
+        val sz = if (sizesUniform > 0) sizesUniform else sizes(sample)
+        if (off < 0 || sz <= 0 || sz > Int.MaxValue ||
+            off + sz > b.length.toLong) return out.toArray // truncated mdat
+        out += ((off.toInt, sz.toInt))
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    out.toArray
+  }
+
+  /** Every `stride`-th sample of the first VIDEO track decoded to
+    * pixels — the MP4 twin of the AVI/MJPEG arm. Samples decode through
+    * the pure [[Jpeg]] codec ([[Png.decodeAny]] fallback); per-sample
+    * encodings a pure JVM can't own (avc1/hev1) yield no frames here and
+    * stay on the metadata path. None when the payload isn't ISO-BMFF.
+    */
+  def frames(b: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] = {
+    require(stride > 0, s"stride must be positive: $stride")
+    if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+    try {
+      val spans = for {
+        (mvS, mvE) <- child(b, 0, b.length, "moov").toSeq
+        (t, ts, te) <- boxes(b, mvS, mvE) if t == "trak"
+        (ds, de) <- child(b, ts, te, "mdia")
+        (hs, _) <- child(b, ds, de, "hdlr") if fourcc(b, hs + 8) == "vide"
+        (fs, fe) <- child(b, ds, de, "minf")
+        (ss, se) <- child(b, fs, fe, "stbl")
+      } yield (ss, se)
+      val out = spans.headOption.map { case (ss, se) =>
+        val layout = sampleLayout(b, ss, se)
+        val frames = ArrayBuffer.empty[(Int, Png.Image)]
+        var i = 0
+        while (i < layout.length) {
+          if (i % stride == 0) {
+            val (off, sz) = layout(i)
+            val payload = java.util.Arrays.copyOfRange(b, off, off + sz)
+            Jpeg.decode(payload).orElse(Png.decodeAny(payload))
+              .foreach(img => frames += ((i, img)))
+          }
+          i += 1
+        }
+        frames.toSeq
+      }
+      out.filter(_ => spans.nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}

@@ -296,7 +296,9 @@ object Multimodal {
       frame_png: Array[Byte])
 
   /** REAL frame sampling for multi-frame containers the JDK can read
-    * (animated GIF via `ImageReader.getNumImages/read(i)`): every
+    * (animated GIF via `ImageReader.getNumImages/read(i)`), RIFF
+    * AVI/MJPEG ([[aviFrames]]), and ISO-BMFF MP4/MJPEG
+    * ([[Mp4.frames]] — stsc/stco/stsz sample layout): every
     * `stride`-th frame decoded to pixels and re-encoded as PNG by the
     * deterministic codec — the video→keyframe extraction shape with an
     * actual decoder behind it. One reader per payload, reader disposed
@@ -313,7 +315,8 @@ object Multimodal {
         System.setProperty("java.awt.headless", "true")
         batch.flatMap { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          gifFrames(bytes, stride).orElse(aviFrames(bytes, stride)) match {
+          gifFrames(bytes, stride).orElse(aviFrames(bytes, stride))
+            .orElse(Mp4.frames(bytes, stride)) match {
             case Some(frames) =>
               frames.map { case (no, img) =>
                 SampledFrame(id, no, img.width, img.height, Png.encode(img))
@@ -321,6 +324,46 @@ object Multimodal {
             case None =>
               Png.decodeAny(bytes).map(img =>
                 SampledFrame(id, 0, img.width, img.height, Png.encode(img))).toSeq
+          }
+        }
+      }
+  }
+
+  final case class ContainerTrackMeta(
+      media_id: Long,
+      brand: String,
+      timescale: Long,
+      duration_ms: Long,
+      track_id: Long,
+      handler: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      track_timescale: Long,
+      track_duration_ms: Long,
+      n_samples: Long,
+      total_bytes: Long)
+
+  /** Per-track ISO-BMFF (MP4/MOV) container metadata — the triage step a
+    * multimodal crawl pipeline runs over every video blob BEFORE deciding
+    * what to decode: codec 4cc, dimensions, duration, sample count and
+    * byte volume per track, all from a pure byte walk ([[Mp4.parse]]),
+    * no decoder touched. One row per track; non-MP4 payloads are dropped
+    * (the image/audio metadata paths cover them). Map-only — scales as a
+    * single pass over the payload bytes with nothing shuffled.
+    */
+  def mp4Meta(media: DataFrame): Dataset[ContainerTrackMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          Mp4.parse(bytes).toSeq.flatMap { m =>
+            m.tracks.map(t => ContainerTrackMeta(id, m.brand, m.timescale,
+              m.duration_ms, t.track_id, t.handler, t.codec, t.width,
+              t.height, t.timescale, t.duration_ms, t.n_samples,
+              t.total_bytes))
           }
         }
       }

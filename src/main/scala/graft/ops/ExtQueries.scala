@@ -3673,6 +3673,220 @@ object ExtQueries {
       "planned as one lazy query, hash-checked against a full closed-" +
       "form replay of every stage")
 
+  /** Shared ISO-BMFF box assembly for the MP4 certificates: big-endian
+    * size + 4cc + payload parts, the exact grammar [[graft.ext.Mp4]]
+    * walks. Kept tiny and local — the BUILDER is harness code; the
+    * operator under test is the parser.
+    */
+  private object Mp4Build {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val n = 8 + parts.map(_.length).sum
+      val bos = new java.io.ByteArrayOutputStream(n)
+      bos.write(be32(n)); bos.write(tpe.getBytes("US-ASCII"))
+      parts.foreach(bos.write)
+      bos.toByteArray
+    }
+    val full0: Array[Byte] = Array(0, 0, 0, 0) // version 0 + zero flags
+    def ftyp(brand: String): Array[Byte] =
+      box("ftyp", brand.getBytes("US-ASCII"), be32(0))
+    def mvhd(timescale: Long, duration: Long): Array[Byte] = {
+      val p = new Array[Byte](100) // v0 payload: times/scale/dur + rate/vol/matrix/next
+      System.arraycopy(be32(timescale), 0, p, 12, 4)
+      System.arraycopy(be32(duration), 0, p, 16, 4)
+      System.arraycopy(be32(0x00010000L), 0, p, 20, 4) // rate 1.0
+      p(96) = 0; p(97) = 0; p(98) = 0; p(99) = 3 // next_track_id
+      box("mvhd", p)
+    }
+    def tkhd(trackId: Long, w: Int, h: Int): Array[Byte] = {
+      val p = new Array[Byte](84)
+      p(3) = 7 // flags: enabled | in-movie | in-preview
+      System.arraycopy(be32(trackId), 0, p, 12, 4)
+      // unity matrix at offset 40 (after reserved/layer/volume block)
+      System.arraycopy(be32(0x00010000L), 0, p, 40, 4)
+      System.arraycopy(be32(0x00010000L), 0, p, 56, 4)
+      System.arraycopy(be32(0x40000000L), 0, p, 72, 4)
+      System.arraycopy(be32(w.toLong << 16), 0, p, 76, 4)
+      System.arraycopy(be32(h.toLong << 16), 0, p, 80, 4)
+      box("tkhd", p)
+    }
+    def mdhd(timescale: Long, duration: Long): Array[Byte] = {
+      val p = new Array[Byte](24)
+      System.arraycopy(be32(timescale), 0, p, 12, 4)
+      System.arraycopy(be32(duration), 0, p, 16, 4)
+      p(20) = 0x55; p(21) = 0xC4.toByte // language "und"
+      box("mdhd", p)
+    }
+    def hdlr(handler: String): Array[Byte] =
+      box("hdlr", full0, be32(0), handler.getBytes("US-ASCII"),
+        new Array[Byte](12), Array[Byte](0))
+    def stsd(codec: String): Array[Byte] =
+      // one bare 16-byte SampleEntry: size + format 4cc + 6 reserved + dri
+      box("stsd", full0, be32(1),
+        be32(16), codec.getBytes("US-ASCII"), new Array[Byte](6), be16(1))
+    def stts(n: Long, delta: Long): Array[Byte] =
+      box("stts", full0, be32(1), be32(n), be32(delta))
+    def stszUniform(size: Long, n: Long): Array[Byte] =
+      box("stsz", full0, be32(size), be32(n))
+    def stszSizes(sizes: Seq[Int]): Array[Byte] =
+      box("stsz", full0 ++ be32(0) ++ be32(sizes.length) ++
+        sizes.flatMap(sz => be32(sz)).toArray)
+    def stsc(samplesPerChunk: Long): Array[Byte] =
+      box("stsc", full0, be32(1), be32(1), be32(samplesPerChunk), be32(1))
+    def stco(offsets: Seq[Long]): Array[Byte] =
+      box("stco", full0 ++ be32(offsets.length) ++
+        offsets.flatMap(o => be32(o)).toArray)
+    def trak(tkhdBox: Array[Byte], mdhdBox: Array[Byte], hdlrBox: Array[Byte],
+        stblParts: Array[Byte]*): Array[Byte] =
+      box("trak", tkhdBox,
+        box("mdia", mdhdBox, hdlrBox, box("minf", box("stbl", stblParts: _*))))
+  }
+
+  private val qMp4Meta = Q(
+    "q_mp4_meta",
+    (s, d) => {
+      // ISO-BMFF metadata-triage certificate: per doc, a two-track MP4
+      // (video 'jpeg' + audio 'mp4a') whose every stbl/mvhd/mdhd number
+      // is a closed form of doc_id, assembled with the public box
+      // grammar and read back through the real container walk
+      // (Mp4.parse via Multimodal.mp4Meta). Any slip in box-size
+      // accounting, fullbox versioning, 16.16 fixed dimensions, or
+      // stts/stsz totals breaks the hash.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          import Mp4Build._
+          val w = (320 + (id % 16) * 16).toInt
+          val h = (240 + (id % 9) * 16).toInt
+          val nV = 25 + id % 100
+          val szV = 500 + id % 250
+          val nA = 100 + id % 50
+          val szA = 200 + id % 100
+          val moov = box("moov",
+            mvhd(1000, 30000 + (id % 100) * 40),
+            trak(tkhd(1, w, h), mdhd(90000, nV * 3600), hdlr("vide"),
+              stsd("jpeg"), stts(nV, 3600), stszUniform(szV, nV)),
+            trak(tkhd(2, 0, 0), mdhd(48000, nA * 960), hdlr("soun"),
+              stsd("mp4a"), stts(nA, 960), stszUniform(szA, nA)))
+          (id, ftyp("isom") ++ moov)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.mp4Meta(m).toDF())
+        .orderBy("media_id", "track_id")
+    },
+    Some("""SELECT doc_id AS media_id, 'isom' AS brand,
+                   CAST(1000 AS BIGINT) AS timescale,
+                   CAST(30000 + (doc_id % 100) * 40 AS BIGINT) AS duration_ms,
+                   CAST(t.track_id AS BIGINT) AS track_id,
+                   CASE t.track_id WHEN 1 THEN 'vide' ELSE 'soun' END AS handler,
+                   CASE t.track_id WHEN 1 THEN 'jpeg' ELSE 'mp4a' END AS codec,
+                   CASE t.track_id WHEN 1 THEN CAST(320 + (doc_id % 16) * 16 AS INT)
+                        ELSE 0 END AS width,
+                   CASE t.track_id WHEN 1 THEN CAST(240 + (doc_id % 9) * 16 AS INT)
+                        ELSE 0 END AS height,
+                   CAST(CASE t.track_id WHEN 1 THEN 90000 ELSE 48000 END
+                        AS BIGINT) AS track_timescale,
+                   CAST(CASE t.track_id WHEN 1 THEN (25 + doc_id % 100) * 40
+                        ELSE (100 + doc_id % 50) * 20 END
+                        AS BIGINT) AS track_duration_ms,
+                   CAST(CASE t.track_id WHEN 1 THEN 25 + doc_id % 100
+                        ELSE 100 + doc_id % 50 END AS BIGINT) AS n_samples,
+                   CAST(CASE t.track_id
+                        WHEN 1 THEN (25 + doc_id % 100) * (500 + doc_id % 250)
+                        ELSE (100 + doc_id % 50) * (200 + doc_id % 100) END
+                        AS BIGINT) AS total_bytes
+            FROM documents CROSS JOIN (VALUES (1), (2)) AS t(track_id)
+            ORDER BY media_id, track_id"""),
+    "MP4/ISO-BMFF metadata certificate: two-track container assembled " +
+      "from the public box grammar, read back through the pure byte " +
+      "walk — brand, durations, 16.16 dimensions, codec 4ccs, and " +
+      "stts/stsz totals all hash-checked against closed forms")
+
+  private val qMp4Frames = Q(
+    "q_mp4_frames",
+    (s, d) => {
+      // MP4/MJPEG frame-sampling certificate, the q_avi_frames twin on
+      // the ISO-BMFF layout: six JDK-encoded solid-block JPEGs in an
+      // mdat, a real stbl (per-sample stsz sizes, one stsc run, stco
+      // into the mdat), sampled at stride 2 through the stsc x stco x
+      // stsz random-access map and decoded by the pure JPEG codec. The
+      // decoded pixel sums must land on direct arithmetic — an
+      // off-by-one anywhere in the sample-offset resolution reads JPEG
+      // bytes at the wrong offset and fails loudly.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          graft.ext.Png.jdkImageIoInit
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          ids.map { id =>
+            import Mp4Build._
+            val jpgs = (0 until 6).map { f =>
+              val bi = new java.awt.image.BufferedImage(16, 16,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  val blk = (y / 8) * 2 + (x / 8)
+                  val g = ((id * 11 + 17 + 23 * blk + 7 * f) % 256).toInt
+                  bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              writer.setOutput(ios)
+              val p = writer.getDefaultWriteParam
+              p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+              p.setCompressionQuality(1.0f)
+              writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+              ios.close()
+              bos.toByteArray
+            }
+            val mdat = box("mdat", jpgs: _*)
+            val header = ftyp("isom")
+            val moov = box("moov",
+              mvhd(1000, 240),
+              trak(tkhd(1, 16, 16), mdhd(90000, 6 * 3600), hdlr("vide"),
+                stsd("jpeg"), stts(6, 3600), stszSizes(jpgs.map(_.length)),
+                stsc(6), stco(Seq(header.length + 8L))))
+            (id, header ++ mdat ++ moov)
+          }
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.sampleFramesReal(m, stride = 2)
+          .map { sf =>
+            val img = graft.ext.Png.decode(sf.frame_png).getOrElse(
+              throw new IllegalStateException(
+                s"frame png decode failed for ${sf.media_id}/${sf.frame_no}"))
+            var sum = 0L
+            img.pixels.foreach(v => sum += (v & 0xFF))
+            (sf.media_id, sf.frame_no, sf.width, sf.height, sum)
+          }
+          .toDF("media_id", "frame_no", "width", "height", "pixel_sum"))
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""SELECT doc_id AS media_id, f AS frame_no, 16 AS width,
+                   16 AS height,
+                   CAST(192 * (((doc_id * 11 + 17 + 7 * f) % 256)
+                             + ((doc_id * 11 + 17 + 23 + 7 * f) % 256)
+                             + ((doc_id * 11 + 17 + 46 + 7 * f) % 256)
+                             + ((doc_id * 11 + 17 + 69 + 7 * f) % 256))
+                        AS BIGINT) AS pixel_sum
+            FROM documents CROSS JOIN (VALUES (0), (2), (4)) AS t(f)
+            ORDER BY media_id, frame_no"""),
+    "MP4/MJPEG frame-sampling certificate: ISO-BMFF container with a " +
+      "real sample table, stride-2 walk through the stsc/stco/stsz " +
+      "random-access map, pure-codec JPEG decode, every sampled frame " +
+      "hash-checked against direct arithmetic")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3696,5 +3910,6 @@ object ExtQueries {
     qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
-    qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract)
+    qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
+    qMp4Meta, qMp4Frames)
 }
