@@ -369,6 +369,38 @@ object Multimodal {
       }
   }
 
+  final case class MpegAudioMeta(
+      media_id: Long,
+      version: String,
+      layer: Int,
+      sample_rate: Int,
+      channels: Int,
+      bitrate_kbps: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      is_vbr: Int)
+
+  /** MPEG audio (MP3/MP2/MP1) metadata triage — the audio twin of
+    * [[mp4Meta]]: frame-header scan ([[Mpeg.mp3Meta]]) recovers version,
+    * layer, bitrate, sample rate, channels, frame count, duration and
+    * VBR-ness without decoding a sample. Map-only; non-MPEG payloads are
+    * dropped (WAV/FLAC ride [[audioSampleStats]], full MPEG decode is
+    * outside the pure-JVM envelope by design).
+    */
+  def mpegMeta(media: DataFrame): Dataset[MpegAudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          Mpeg.mp3Meta(payload).map(m =>
+            MpegAudioMeta(id, m.version, m.layer, m.sample_rate, m.channels,
+              m.bitrate_kbps, m.n_frames, m.duration_ms,
+              if (m.is_vbr) 1 else 0))
+        }
+      }
+  }
+
   /** Every `stride`-th frame of a multi-frame GIF as rasters; None when
     * the payload isn't a GIF the JDK reader accepts.
     */

@@ -3887,6 +3887,100 @@ object ExtQueries {
       "random-access map, pure-codec JPEG decode, every sampled frame " +
       "hash-checked against direct arithmetic")
 
+  private val qMp3Meta = Q(
+    "q_mp3_meta",
+    (s, d) => {
+      // MPEG audio triage certificate: three header families rotate by
+      // doc_id % 3 — MPEG1 Layer III 44.1k CBR stereo behind an ID3v2
+      // prefix of doc-dependent syncsafe length; MPEG2 Layer III 22.05k
+      // CBR mono with an ID3v1 'TAG' trailer the scan must stop at; and
+      // an MPEG1/32k VBR stream whose frames alternate 160/112 kbps with
+      // a Xing tag in frame 0 declaring the frame count. Frame lengths
+      // follow the public ISO formula, so every field the scan reports
+      // (version, rate, channels, average bitrate, frame count, floor
+      // duration, VBR flag) is a closed form of doc_id.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val mode = (id % 3).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          def frame(b1: Int, b2: Int, b3: Int, len: Int,
+              tag: Option[(String, Long)]): Unit = {
+            val f = new Array[Byte](len)
+            f(0) = 0xFF.toByte; f(1) = b1.toByte; f(2) = b2.toByte; f(3) = b3.toByte
+            tag.foreach { case (magic, n) =>
+              // Xing after MPEG1-stereo side info (32 bytes)
+              val x = 4 + 32
+              System.arraycopy(magic.getBytes("US-ASCII"), 0, f, x, 4)
+              f(x + 7) = 1 // flags: frames present
+              f(x + 8) = ((n >>> 24) & 0xFF).toByte
+              f(x + 9) = ((n >>> 16) & 0xFF).toByte
+              f(x + 10) = ((n >>> 8) & 0xFF).toByte
+              f(x + 11) = (n & 0xFF).toByte
+            }
+            out.write(f)
+          }
+          mode match {
+            case 0 =>
+              val pad = (id % 64).toInt
+              out.write("ID3".getBytes("US-ASCII"))
+              out.write(Array[Byte](3, 0, 0))
+              out.write(Array[Byte](0, 0, ((pad >> 7) & 0x7F).toByte, (pad & 0x7F).toByte))
+              out.write(new Array[Byte](pad))
+              val n = (20 + id % 30).toInt
+              var i = 0
+              while (i < n) { frame(0xFB, 0x90, 0x00, 417, None); i += 1 }
+            case 1 =>
+              val n = (15 + id % 20).toInt
+              var i = 0
+              while (i < n) { frame(0xF3, 0x80, 0xC0, 208, None); i += 1 }
+              out.write("TAG".getBytes("US-ASCII"))
+              out.write(new Array[Byte](125))
+            case _ =>
+              val n = (2 * (10 + id % 15)).toInt
+              var i = 0
+              while (i < n) {
+                if (i % 2 == 0)
+                  frame(0xFB, 0xA8, 0x00, 720,
+                    if (i == 0) Some(("Xing", n.toLong)) else None)
+                else frame(0xFB, 0x88, 0x00, 504, None)
+                i += 1
+              }
+          }
+          (id, out.toByteArray)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.mpegMeta(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, doc_id % 3 AS mode,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 20 + doc_id % 30
+                       WHEN 1 THEN 15 + doc_id % 20
+                       ELSE 2 * (10 + doc_id % 15) END AS n
+              FROM documents)
+            SELECT doc_id AS media_id,
+                   CASE mode WHEN 1 THEN '2' ELSE '1' END AS version,
+                   3 AS layer,
+                   CASE mode WHEN 0 THEN 44100 WHEN 1 THEN 22050
+                        ELSE 32000 END AS sample_rate,
+                   CASE mode WHEN 1 THEN 1 ELSE 2 END AS channels,
+                   CASE mode WHEN 0 THEN 128 WHEN 1 THEN 64
+                        ELSE 136 END AS bitrate_kbps,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(CASE mode
+                     WHEN 0 THEN (n * 1152 * 1000) // 44100
+                     WHEN 1 THEN (n * 576 * 1000) // 22050
+                     ELSE n * 36 END AS BIGINT) AS duration_ms,
+                   CASE mode WHEN 2 THEN 1 ELSE 0 END AS is_vbr
+            FROM base ORDER BY media_id"""),
+    "MPEG audio metadata certificate: ID3v2-prefixed CBR, ID3v1-" +
+      "terminated MPEG2 mono, and Xing-tagged VBR streams assembled " +
+      "from the public header tables, scanned back frame by frame — " +
+      "average bitrate, frame counts, floor durations and the VBR flag " +
+      "all hash-checked against closed forms")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -3911,5 +4005,5 @@ object ExtQueries {
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
-    qMp4Meta, qMp4Frames)
+    qMp4Meta, qMp4Frames, qMp3Meta)
 }
