@@ -401,6 +401,33 @@ object Multimodal {
       }
   }
 
+  final case class OggContainerMeta(
+      media_id: Long,
+      codec: String,
+      channels: Int,
+      sample_rate: Int,
+      n_pages: Long,
+      duration_ms: Long)
+
+  /** Ogg (Vorbis/Opus/Theora) metadata triage — CRC-verified page walk
+    * ([[Ogg.meta]]), codec identification from the begin-of-stream
+    * header, duration from the final granule position. Map-only;
+    * non-Ogg payloads are dropped ([[mpegMeta]] owns MPEG audio,
+    * [[mp4Meta]] owns ISO-BMFF).
+    */
+  def oggMeta(media: DataFrame): Dataset[OggContainerMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          Ogg.meta(payload).map(m =>
+            OggContainerMeta(id, m.codec, m.channels, m.sample_rate,
+              m.n_pages, m.duration_ms))
+        }
+      }
+  }
+
   /** Every `stride`-th frame of a multi-frame GIF as rasters; None when
     * the payload isn't a GIF the JDK reader accepts.
     */

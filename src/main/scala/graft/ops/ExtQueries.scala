@@ -3981,6 +3981,60 @@ object ExtQueries {
       "average bitrate, frame counts, floor durations and the VBR flag " +
       "all hash-checked against closed forms")
 
+  private val qOggMeta = Q(
+    "q_ogg_meta",
+    (s, d) => {
+      // Ogg triage certificate: even docs carry a three-page Vorbis
+      // stream (BOS id header, data page, EOS page whose granule encodes
+      // a closed-form PCM duration), odd docs an Opus stream (OpusHead
+      // with pre-skip 312, final granule = 48·ms + 312 per RFC 7845).
+      // Every page gets a REAL Ogg CRC from the shared generator — a
+      // parser-side CRC slip discards pages and breaks the hash.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val durMs = (10 + id % 90) * 100
+          def le(v: Long, n: Int): Array[Byte] =
+            Array.tabulate(n)(k => ((v >>> (8 * k)) & 0xFF).toByte)
+          val (idPacket, granule) =
+            if (id % 2 == 0) {
+              val channels = 1 + ((id / 2) % 2).toInt
+              val rate = 8000 * (1 + id % 5)
+              val pkt = Array[Byte](1, 'v', 'o', 'r', 'b', 'i', 's') ++
+                le(0, 4) ++ Array(channels.toByte) ++ le(rate, 4) ++
+                new Array[Byte](12) ++ Array[Byte](0xB8.toByte, 1)
+              (pkt, rate * durMs / 1000L)
+            } else {
+              val pkt = "OpusHead".getBytes("US-ASCII") ++
+                Array[Byte](1, 2) ++ le(312, 2) ++ le(48000, 4) ++
+                le(0, 2) ++ Array[Byte](0)
+              (pkt, 48L * durMs + 312)
+            }
+          val serial = id
+          val bytes =
+            graft.ext.Ogg.page(2, 0L, serial, 0, idPacket) ++
+            graft.ext.Ogg.page(0, granule / 2, serial, 1, new Array[Byte](100)) ++
+            graft.ext.Ogg.page(4, granule, serial, 2, new Array[Byte](50))
+          (id, bytes)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.oggMeta(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE doc_id % 2 WHEN 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+                   CASE doc_id % 2 WHEN 0 THEN CAST(1 + (doc_id // 2) % 2 AS INT)
+                        ELSE 2 END AS channels,
+                   CASE doc_id % 2 WHEN 0 THEN CAST(8000 * (1 + doc_id % 5) AS INT)
+                        ELSE 48000 END AS sample_rate,
+                   CAST(3 AS BIGINT) AS n_pages,
+                   CAST((10 + doc_id % 90) * 100 AS BIGINT) AS duration_ms
+            FROM documents ORDER BY media_id"""),
+    "Ogg container certificate: CRC-correct Vorbis and Opus streams " +
+      "assembled page by page, read back through the verified page " +
+      "walk — codec id, channels, rates, page counts and granule " +
+      "durations (incl. Opus pre-skip) hash-checked against closed forms")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4005,5 +4059,5 @@ object ExtQueries {
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
-    qMp4Meta, qMp4Frames, qMp3Meta)
+    qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta)
 }
