@@ -149,6 +149,106 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Stupid-backoff n-gram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the backoff scheme DESIGNED
+    * for distributed count-based training: no discount normalization, so
+    * the model is just three count tables produced by map-side-combined
+    * groupBys, and scoring is three keyed joins; nothing touches the
+    * driver). The CCNet-style corpus-quality gate at 100 TB: train counts
+    * on a reference slice, score every document, drop the high-surprisal
+    * tail.
+    *
+    * Scheme (α = 0.4, the published constant; S is a score, not a
+    * normalized probability — exactly why it distributes):
+    *   - position 0 (no context):     S = (c(w)+1) / (N+1)   [add-one
+    *     against corpus size: out-of-vocabulary tokens get 1/(N+1),
+    *     never log 0]
+    *   - position 1 (bigram context): S = c(w1 w)/c(w1), else α·unigram
+    *   - position ≥2:  S = c(w2 w1 w)/c(w2 w1), else α·bigram chain
+    *
+    * Per-token surprisal is quantized ([[lmScore]] discipline: round 6 →
+    * DECIMAL sum → rounded mean) so the gate is partitioning- and
+    * engine-stable. `tri_hits`/`bi_hits` (exact integers) report
+    * coverage — the fraction of positions whose full-order n-gram was
+    * seen in training, itself a quality feature.
+    *
+    * Scale shape: counts are hash-partitioned aggregates of the TRAIN
+    * slice only; scoring joins shuffle on the n-gram keys. At 100 TB the
+    * join keys become xxhash64(n-gram) (the boilerplate-removal
+    * narrowing), and the unigram/total factors broadcast.
+    */
+  def lmScoreBackoff(
+      score: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      decimals: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    def toksWithId(df: DataFrame): DataFrame = {
+      val arr = afilter(split(col(textCol), " "), t => t =!= "")
+      df.select(col(idCol), arr.as("_arr"))
+        .select(col(idCol), col("_arr"), posexplode(col("_arr")))
+        .withColumnRenamed("col", "_w")
+        .withColumn("_w1", when(col("pos") >= 1, element_at(col("_arr"), col("pos"))))
+        .withColumn("_w2", when(col("pos") >= 2, element_at(col("_arr"), col("pos") - 1)))
+        .drop("_arr")
+    }
+    val trainToks = toksWithId(train)
+    val uni = trainToks.groupBy("_w").agg(count(lit(1)).as("_cw"))
+    val total = uni.agg(sum(col("_cw")).as("_n"))
+    val bi = trainToks.filter(col("_w1").isNotNull)
+      .groupBy("_w1", "_w").agg(count(lit(1)).as("_cb"))
+    val tri = trainToks.filter(col("_w2").isNotNull)
+      .groupBy("_w2", "_w1", "_w").agg(count(lit(1)).as("_ct"))
+
+    // count tables get disjoint key names before the probe joins: probe
+    // and counts share the same source scan, and Spark's self-join
+    // column resolution is ambiguous on same-name keys
+    val probe = toksWithId(score)
+    val uniW = uni.select(col("_w").as("_uw"), col("_cw"))
+    val uniW1 = uni.select(col("_w").as("_u1w"), col("_cw").as("_cw1"))
+    val triK = tri.select(col("_w2").as("_tw2"), col("_w1").as("_tw1"),
+      col("_w").as("_tw"), col("_ct"))
+    val biK = bi.select(col("_w1").as("_bw1"), col("_w").as("_bw"), col("_cb"))
+    val biCtx = bi.select(col("_w1").as("_bcw2"), col("_w").as("_bcw1"),
+      col("_cb").as("_cbctx"))
+    val joined = probe
+      .join(triK, col("_w2") === col("_tw2") && col("_w1") === col("_tw1") &&
+        col("_w") === col("_tw"), "left")
+      .drop("_tw2", "_tw1", "_tw")
+      .join(biK, col("_w1") === col("_bw1") && col("_w") === col("_bw"), "left")
+      .drop("_bw1", "_bw")
+      .join(biCtx, col("_w2") === col("_bcw2") &&
+        col("_w1") === col("_bcw1"), "left")
+      .drop("_bcw2", "_bcw1")
+      .join(uniW1, col("_w1") === col("_u1w"), "left").drop("_u1w")
+      .join(uniW, col("_w") === col("_uw"), "left").drop("_uw")
+      .crossJoin(broadcast(total))
+    val dbl = (c: String) => col(c).cast("double")
+    val addOneUni = (dbl("_cw") + lit(1.0)) / (dbl("_n") + lit(1.0))
+    val sScore =
+      when(col("_w1").isNull, coalesce(addOneUni, lit(1.0) / (dbl("_n") + lit(1.0))))
+        .when(col("_w2").isNull,
+          when(col("_cb").isNotNull, dbl("_cb") / dbl("_cw1"))
+            .otherwise(lit(0.4) * coalesce(addOneUni, lit(1.0) / (dbl("_n") + lit(1.0)))))
+        .otherwise(
+          when(col("_ct").isNotNull, dbl("_ct") / dbl("_cbctx"))
+            .when(col("_cb").isNotNull, lit(0.4) * dbl("_cb") / dbl("_cw1"))
+            .otherwise(lit(0.16) * coalesce(addOneUni, lit(1.0) / (dbl("_n") + lit(1.0)))))
+    joined
+      .select(col(idCol),
+        round(-log(sScore), decimals)
+          .cast(org.apache.spark.sql.types.DecimalType(18, decimals)).as("_nll"),
+        col("_ct"), col("_cb"), col("_w2"), col("_w1"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(col("_ct")).as("tri_hits"),
+        count(when(col("_w1").isNotNull, col("_cb"))).as("bi_hits"),
+        round(sum(col("_nll")).cast("double") / count(lit(1)), decimals)
+          .as("avg_nll"))
+  }
+
   /** 128-bit content fingerprint (md5 hex — portable across engines). */
   def fingerprintMd5(text: Column): Column = md5(text)
 

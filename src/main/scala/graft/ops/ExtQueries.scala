@@ -4035,6 +4035,96 @@ object ExtQueries {
       "walk — codec id, channels, rates, page counts and granule " +
       "durations (incl. Opus pre-skip) hash-checked against closed forms")
 
+  private val qLmBackoff = Q(
+    "q_lm_backoff",
+    (s, d) => {
+      // Stupid-backoff LM certificate: counts train on the %3!=0 slice,
+      // ALL docs are scored — held-out docs exercise the trigram-miss
+      // and bigram-miss arms naturally, and a planted doc-unique token
+      // (' zz<id>q', the q_dedup_incremental planting pattern) forces
+      // the out-of-vocabulary floor. Coverage counters are exact
+      // integers; surprisal follows the q_lm_score quantization.
+      val docs = documents(s, d).select("doc_id", "text")
+      val score = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" zz"), col("doc_id"), lit("q")))
+          .otherwise(col("text")))
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      TextAnalysis.lmScoreBackoff(score, train, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH score0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' zz' || doc_id || 'q'
+                          ELSE text END AS text
+              FROM documents),
+            tarr AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents WHERE doc_id % 3 <> 0),
+            ttok AS (
+              SELECT doc_id, unnest(arr) AS w,
+                     generate_subscripts(arr, 1) AS i, arr
+              FROM tarr),
+            ttok2 AS (
+              SELECT doc_id, w,
+                     CASE WHEN i >= 2 THEN arr[i - 1] END AS w1,
+                     CASE WHEN i >= 3 THEN arr[i - 2] END AS w2
+              FROM ttok),
+            uni AS (SELECT w, count(*) AS cw FROM ttok2 GROUP BY w),
+            tot AS (SELECT count(*) AS n FROM ttok2),
+            bi AS (SELECT w1, w, count(*) AS cb FROM ttok2
+                   WHERE w1 IS NOT NULL GROUP BY w1, w),
+            tri AS (SELECT w2, w1, w, count(*) AS ct FROM ttok2
+                    WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+            sarr AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM score0),
+            stok AS (
+              SELECT doc_id, unnest(arr) AS w,
+                     generate_subscripts(arr, 1) AS i, arr
+              FROM sarr),
+            stok2 AS (
+              SELECT doc_id, w,
+                     CASE WHEN i >= 2 THEN arr[i - 1] END AS w1,
+                     CASE WHEN i >= 3 THEN arr[i - 2] END AS w2
+              FROM stok),
+            j AS (
+              SELECT s.doc_id, s.w, s.w1, s.w2, t.ct, b.cb,
+                     bc.cb AS cbctx, u1.cw AS cw1, u.cw, tot.n
+              FROM stok2 s
+              LEFT JOIN tri t ON s.w2 = t.w2 AND s.w1 = t.w1 AND s.w = t.w
+              LEFT JOIN bi b ON s.w1 = b.w1 AND s.w = b.w
+              LEFT JOIN bi bc ON s.w2 = bc.w1 AND s.w1 = bc.w
+              LEFT JOIN uni u1 ON s.w1 = u1.w
+              LEFT JOIN uni u ON s.w = u.w
+              CROSS JOIN tot),
+            sc AS (
+              SELECT doc_id, ct, w1, cb,
+                CASE
+                  WHEN w1 IS NULL THEN (COALESCE(cw, 0) + 1.0) / (n + 1.0)
+                  WHEN w2 IS NULL THEN
+                    CASE WHEN cb IS NOT NULL THEN CAST(cb AS DOUBLE) / cw1
+                         ELSE 0.4 * (COALESCE(cw, 0) + 1.0) / (n + 1.0) END
+                  ELSE
+                    CASE WHEN ct IS NOT NULL THEN CAST(ct AS DOUBLE) / cbctx
+                         WHEN cb IS NOT NULL THEN 0.4 * CAST(cb AS DOUBLE) / cw1
+                         ELSE 0.16 * (COALESCE(cw, 0) + 1.0) / (n + 1.0) END
+                END AS s
+              FROM j)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(count(ct) AS BIGINT) AS tri_hits,
+                   CAST(count(CASE WHEN w1 IS NOT NULL THEN cb END) AS BIGINT)
+                     AS bi_hits,
+                   round(CAST(sum(CAST(round(-ln(s), 6) AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(*), 6) AS avg_nll
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+    "stupid-backoff n-gram LM (Brants et al. 2007): distributed count " +
+      "tables + three keyed joins, trigram→bigram→add-one-unigram " +
+      "chain with the published α=0.4, coverage counters exact and " +
+      "surprisal quantized — the CCNet-style corpus quality gate, " +
+      "hash-checked against a full SQL replay")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4059,5 +4149,5 @@ object ExtQueries {
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
-    qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta)
+    qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff)
 }

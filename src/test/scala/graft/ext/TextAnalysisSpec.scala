@@ -361,6 +361,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("lmScoreBackoff: every backoff arm lands on hand-computed scores") {
+    val train = Seq((10L, "a b c a b d")).toDF("doc_id", "text")
+    // N=6; uni a:2 b:2 c:1 d:1; bi (a,b):2 (b,c):1 (c,a):1 (b,d):1;
+    // tri (a,b,c):1 (b,c,a):1 (c,a,b):1 (a,b,d):1
+    val score = Seq(
+      (0L, "a b c"), // unigram start, exact bigram, trigram hit
+      (1L, "x b")    // OOV start, bigram miss → α·unigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreBackoff(score, train, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    def q(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 0: S = [3/7, c(a,b)/c(a)=1, ct/c(a,b)=1/2]
+    val want0 = q((q(-math.log(3.0 / 7)) + 0.0 + q(math.log(2.0))) / 3)
+    assert(out(0) == ((0L, 3L, 1L, 2L, want0)))
+    // doc 1: S = [1/7 (OOV add-one), 0.4·(2+1)/7 (bigram miss)]
+    val want1 = q((q(-math.log(1.0 / 7)) + q(-math.log(0.4 * 3 / 7))) / 2)
+    assert(out(1) == ((1L, 2L, 0L, 0L, want1)))
+    // partitioning-stable (the quantization contract)
+    val again = TextAnalysis.lmScoreBackoff(score.repartition(5), train, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("selfRepetitionPrune removes later occurrences of repeated windows") {
     val docs = Seq(
       (0L, "menu menu menu menu"),       // classic loop → one token survives
