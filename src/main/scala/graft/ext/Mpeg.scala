@@ -27,6 +27,11 @@ package graft.ext
   *     duration); `Xing` magic marks VBR, `Info` marks CBR.
   *   - Junk between frames (broken taggers, cut-off streams) triggers a
   *     forward resync scan to the next valid header rather than a bail.
+  *   - A payload qualifies as MPEG audio only when two frames CHAIN
+  *     (back-to-back per the length formula) or a Xing/Info tag is
+  *     present: a lone sync word fires by chance in roughly one binary
+  *     payload per few thousand (measured on the mixed-container triage
+  *     soak), so single-frame matches are rejected as noise.
   *
   * Every read is bounds-checked; malformed payloads yield None, never a
   * throw.
@@ -113,6 +118,13 @@ object Mpeg {
       var xingFrames = -1L
       var xingVbr = false
       var sawVariedBitrate = false
+      // anti-false-positive: a single sync word occurs by chance in ~1
+      // binary payload per few thousand (measured on the triage soak's
+      // Ogg/MP4 mix), so a payload only counts as MPEG audio if at least
+      // two frames CHAIN (the second parses exactly where the first's
+      // length says) or the first frame carries a Xing/Info tag
+      var chained = false
+      var prevEnd = -1L
       while (i >= 0 && i + 4 <= b.length) {
         // ID3v1 trailer ends the stream
         if (i + 3 <= b.length && b(i) == 'T' && b(i + 1) == 'A' && b(i + 2) == 'G' &&
@@ -138,8 +150,10 @@ object Mpeg {
                 }
               }
             } else if (kbps != first._3) sawVariedBitrate = true
+            if (i.toLong == prevEnd) chained = true
             nFrames += 1
             kbpsSum += kbps
+            prevEnd = (i + frameLen).toLong
             i += frameLen
           case None =>
             // resync: junk between frames — scan forward for the next
@@ -152,6 +166,7 @@ object Mpeg {
         }
       }
       if (first == null || nFrames == 0) return None
+      if (!chained && xingFrames <= 0) return None // lone sync word, not audio
       val (version, layer, _, rate, channels, spf, _) = first
       val frames = if (xingFrames > 0) xingFrames else nFrames
       val verStr = if (version == 1) "1" else if (version == 2) "2" else "2.5"

@@ -428,6 +428,49 @@ object Multimodal {
       }
   }
 
+  final case class ExifRow(
+      media_id: Long,
+      make: String,
+      model: String,
+      orientation: Int,
+      datetime: String,
+      exif_width: Int,
+      exif_height: Int,
+      has_gps: Int)
+
+  /** EXIF metadata triage for JPEG payloads ([[Exif.meta]]): camera
+    * identity, orientation, capture time, declared dimensions, and the
+    * PII-relevant `has_gps` flag. Map-only; payloads without an Exif
+    * segment are dropped.
+    */
+  def exifMeta(media: DataFrame): Dataset[ExifRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          Exif.meta(if (payload == null) Array.emptyByteArray else payload)
+            .map(m => ExifRow(id, m.make, m.model, m.orientation, m.datetime,
+              m.width, m.height, if (m.has_gps) 1 else 0))
+        }
+      }
+  }
+
+  /** Image-side PII redaction: every Exif APP1 segment removed from JPEG
+    * payloads ([[Exif.strip]]), pixels byte-identical — the binary twin
+    * of the text redaction path. Non-JPEG payloads pass through
+    * untouched.
+    */
+  def stripExif(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, Exif.strip(if (payload == null) Array.emptyByteArray else payload))
+      })
+      .toDF("media_id", "payload")
+  }
+
   /** Every `stride`-th frame of a multi-frame GIF as rasters; None when
     * the payload isn't a GIF the JDK reader accepts.
     */

@@ -4125,6 +4125,125 @@ object ExtQueries {
       "surprisal quantized — the CCNet-style corpus quality gate, " +
       "hash-checked against a full SQL replay")
 
+  private val qExifMeta = Q(
+    "q_exif_meta",
+    (s, d) => {
+      // EXIF certificate, both directions: per doc a real 16x16 JPEG
+      // (solid-block exact roundtrip, the q_mp4_frames discipline) gets
+      // a hand-assembled little-endian TIFF APP1 — Make via the offset
+      // heap, inline SHORT orientation, DateTime string, an Exif sub-IFD
+      // with pixel dimensions, and a GPS IFD pointer on even docs. The
+      // metadata walk must recover every closed-form field, and the
+      // strip pass must remove the segment (meta → None) while the
+      // decoded pixel sum stays exactly on direct arithmetic.
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          graft.ext.Png.jdkImageIoInit
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          ids.map { id =>
+            val bi = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val blk = (y / 8) * 2 + (x / 8)
+                val g = ((id * 13 + 29 + 17 * blk) % 256).toInt
+                bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            val p = writer.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(1.0f)
+            writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+            ios.close()
+            val jpg = bos.toByteArray
+
+            // hand-assembled Exif APP1 (little-endian TIFF)
+            val gps = id % 2 == 0
+            val make = s"Cam${id % 10}"
+            val dt = s"2026:01:15 10:0${id % 10}:00"
+            val n0 = 4 + (if (gps) 1 else 0)
+            val makeOff = 8 + 2 + n0 * 12 + 4
+            val dtOff = makeOff + 6
+            val exifOff = dtOff + 20
+            val gpsOff = exifOff + 30
+            val t = new Array[Byte](gpsOff + (if (gps) 6 else 0))
+            def w16(i: Int, v: Int): Unit = {
+              t(i) = v.toByte; t(i + 1) = (v >>> 8).toByte
+            }
+            def w32(i: Int, v: Long): Unit = {
+              t(i) = v.toByte; t(i + 1) = (v >>> 8).toByte
+              t(i + 2) = (v >>> 16).toByte; t(i + 3) = (v >>> 24).toByte
+            }
+            t(0) = 'I'; t(1) = 'I'; w16(2, 42); w32(4, 8)
+            w16(8, n0)
+            var e = 10
+            def entry(tag: Int, tpe: Int, cnt: Long, value: Long): Unit = {
+              w16(e, tag); w16(e + 2, tpe); w32(e + 4, cnt); w32(e + 8, value)
+              e += 12
+            }
+            entry(0x010F, 2, 5, makeOff)
+            entry(0x0112, 3, 1, 1 + id % 8)
+            entry(0x0132, 2, 20, dtOff)
+            entry(0x8769, 4, 1, exifOff)
+            if (gps) entry(0x8825, 4, 1, gpsOff)
+            w32(e, 0)
+            System.arraycopy(make.getBytes("US-ASCII"), 0, t, makeOff, 4)
+            System.arraycopy(dt.getBytes("US-ASCII"), 0, t, dtOff, 19)
+            w16(exifOff, 2)
+            e = exifOff + 2
+            entry(0xA002, 4, 1, 16)
+            entry(0xA003, 4, 1, 16)
+            w32(e, 0)
+            if (gps) { w16(gpsOff, 0); w32(gpsOff + 2, 0) }
+            val len = 2 + 6 + t.length
+            val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+              ((len >>> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++
+              "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ t
+            (id, jpg.take(2) ++ app1 ++ jpg.drop(2))
+          }
+        }
+        .toDF("media_id", "payload")
+      val metaDf = graft.ext.Multimodal.exifMeta(media).toDF()
+      val post = graft.ext.Multimodal.stripExif(media)
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          val img = graft.ext.Jpeg.decode(b).getOrElse(
+            throw new IllegalStateException(s"stripped decode failed for $id"))
+          var sum = 0L
+          img.pixels.foreach(v => sum += (v & 0xFF))
+          (id, sum, if (graft.ext.Exif.meta(b).isEmpty) 0 else 1)
+        }
+        .toDF("media_id", "pixel_sum", "exif_after_strip")
+      metaDf.join(post, "media_id").orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   'Cam' || (doc_id % 10) AS make, '' AS model,
+                   CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   '2026:01:15 10:0' || (doc_id % 10) || ':00' AS datetime,
+                   16 AS exif_width, 16 AS exif_height,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_gps,
+                   CAST(192 * (((doc_id * 13 + 29) % 256)
+                             + ((doc_id * 13 + 46) % 256)
+                             + ((doc_id * 13 + 63) % 256)
+                             + ((doc_id * 13 + 80) % 256))
+                        AS BIGINT) AS pixel_sum,
+                   0 AS exif_after_strip
+            FROM documents ORDER BY media_id"""),
+    "EXIF certificate, read and redact: hand-assembled TIFF APP1 " +
+      "(offset-heap strings, inline SHORT, Exif sub-IFD, GPS pointer) " +
+      "parsed back field-exact, then stripped — metadata gone, decoded " +
+      "pixels still exactly on direct arithmetic")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4149,5 +4268,5 @@ object ExtQueries {
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
-    qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff)
+    qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta)
 }

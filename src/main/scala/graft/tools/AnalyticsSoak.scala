@@ -150,6 +150,72 @@ object AnalyticsSoak {
       graft.ext.Multimodal.perceptualHashes(media)
         .toDF().agg(count(lit(1))).head().getLong(0)
     }
+    // ---- container-metadata triage (round 10): a mixed crawl-audio/video
+    // slice — MP3 frame chains, Ogg/Opus pages, two-track MP4 moov trees —
+    // scanned by all three triage arms (each sniffs its own magic and
+    // drops the rest, the realistic dispatch for an untyped blob column)
+    val mediaDir = "/tmp/graft_asoak_media_600k"
+    if (!new java.io.File(s"$mediaDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, 600000, 1, 64).as[Long]
+        .mapPartitions { ids =>
+          def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xFF).toByte,
+            ((v >>> 16) & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+          def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+            val n = 8 + parts.map(_.length).sum
+            be32(n) ++ tpe.getBytes("US-ASCII") ++ parts.flatten
+          }
+          ids.map { id =>
+            val payload = (id % 3) match {
+              case 0 => // MP3: 10-frame MPEG1 L3 CBR chain
+                val f = new Array[Byte](417)
+                f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+                Array.fill(10)(f).flatten
+              case 1 => // Ogg/Opus: BOS + EOS page
+                val head = "OpusHead".getBytes ++ Array[Byte](1, 2) ++
+                  Array[Byte](56, 1) ++ Array[Byte](0x80.toByte, 0xBB.toByte, 0, 0) ++
+                  Array[Byte](0, 0, 0)
+                graft.ext.Ogg.page(2, 0, id, 0, head) ++
+                  graft.ext.Ogg.page(4, 48000 + (id % 1000), id, 1,
+                    new Array[Byte](64))
+              case _ => // MP4: ftyp + two-track moov, metadata only
+                val mvhd = { val p = new Array[Byte](100)
+                  System.arraycopy(be32(1000), 0, p, 12, 4)
+                  System.arraycopy(be32(30000 + id % 1000), 0, p, 16, 4)
+                  box("mvhd", p) }
+                def track(tid: Int, handler: String, codec: String) = {
+                  val tk = { val p = new Array[Byte](84)
+                    System.arraycopy(be32(tid), 0, p, 12, 4); box("tkhd", p) }
+                  val md = { val p = new Array[Byte](24)
+                    System.arraycopy(be32(90000), 0, p, 12, 4)
+                    System.arraycopy(be32(90000 + id % 9000), 0, p, 16, 4)
+                    box("mdhd", p) }
+                  val hd = box("hdlr", new Array[Byte](8),
+                    handler.getBytes("US-ASCII"), new Array[Byte](13))
+                  val sd = box("stsd", new Array[Byte](4), be32(1), be32(16),
+                    codec.getBytes("US-ASCII"), new Array[Byte](8))
+                  val tt = box("stts", new Array[Byte](4), be32(1),
+                    be32(100 + id % 50), be32(3600))
+                  val sz = box("stsz", new Array[Byte](4), be32(512),
+                    be32(100 + id % 50))
+                  box("trak", tk, box("mdia", md, hd, box("minf",
+                    box("stbl", sd, tt, sz))))
+                }
+                box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+                  box("moov", mvhd, track(1, "vide", "avc1"),
+                    track(2, "soun", "mp4a"))
+            }
+            (id, payload)
+          }
+        }.toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(mediaDir)
+    }
+    timed("media_triage_600k", 600000) {
+      val media = spark.read.parquet(mediaDir)
+      graft.ext.Multimodal.mpegMeta(media).toDF().agg(count(lit(1))).head().getLong(0) +
+        graft.ext.Multimodal.oggMeta(media).toDF().agg(count(lit(1))).head().getLong(0) +
+        graft.ext.Multimodal.mp4Meta(media).toDF().agg(count(lit(1))).head().getLong(0)
+    }
     timed("html_extract_2m", nDocs) {
       // WET-style extraction over the whole corpus: wrap each doc in a
       // full page (script raw-text, inline tags per word, entities) and

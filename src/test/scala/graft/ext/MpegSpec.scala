@@ -82,6 +82,13 @@ class MpegSpec extends AnyFunSuite {
     assert(Mpeg.mp3Meta(frame(0xEB, 0x90, 0x00, 417)).isEmpty)
   }
 
+  test("a lone valid frame (chance sync in binary data) is rejected") {
+    assert(Mpeg.mp3Meta(v1l3).isEmpty)
+    // two chained frames qualify; two frames separated by junk do not
+    assert(Mpeg.mp3Meta((v1l3 ++ v1l3).toArray[Byte]).nonEmpty)
+    assert(Mpeg.mp3Meta(v1l3 ++ "junk".getBytes ++ v1l3).isEmpty)
+  }
+
   test("every truncation parses or bails, never throws") {
     val full = ("ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 10) ++
       new Array[Byte](10) ++ v1l3 ++ v1l3).toArray[Byte]
