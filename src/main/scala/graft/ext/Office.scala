@@ -1,0 +1,93 @@
+package graft.ext
+
+/** Office-document text extraction — the OOXML arm of the document
+  * family ([[graft.functions.HtmlText]] owns HTML, [[Pdf]] owns PDF):
+  * a `.docx` is a ZIP ([[Zip]]) whose `word/document.xml` carries the
+  * text in WordprocessingML runs. The envelope is the text layer:
+  *   - `<w:t>` element content, concatenated in document order
+  *     (`xml:space="preserve"` runs keep their whitespace — content is
+  *     taken verbatim either way);
+  *   - `</w:p>` (paragraph end) and `<w:br/>` emit a newline, `<w:tab/>`
+  *     a tab;
+  *   - the five XML named entities plus decimal/hex character
+  *     references decode; anything else markup-shaped is skipped.
+  * Headers, footnotes, comments and embedded objects live in other ZIP
+  * members and are deliberately out of scope — mirroring the
+  * line-oriented WET envelope of the HTML arm.
+  */
+object Office {
+
+  /** Extracted text of a `.docx` payload. None when the payload is not
+    * a ZIP or has no readable `word/document.xml` member.
+    */
+  def docxText(b: Array[Byte]): Option[String] =
+    Zip.read(b, "word/document.xml")
+      .map(xml => extractWml(new String(xml, java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** Text layer of a WordprocessingML document string. */
+  private[ext] def extractWml(xml: String): String = {
+    val out = new java.lang.StringBuilder(xml.length / 4)
+    val n = xml.length
+    var i = 0
+    while (i < n) {
+      val c = xml.charAt(i)
+      if (c != '<') i += 1 // inter-tag content outside w:t is ignored
+      else if (xml.startsWith("<w:t", i) && i + 4 < n &&
+          (xml.charAt(i + 4) == '>' || xml.charAt(i + 4) == ' ' ||
+            xml.charAt(i + 4) == '/')) {
+        val close = xml.indexOf('>', i)
+        if (close < 0) i = n
+        else if (xml.charAt(close - 1) == '/') i = close + 1 // <w:t/>
+        else {
+          val end = xml.indexOf("</w:t>", close + 1)
+          val until = if (end < 0) n else end
+          appendDecoded(out, xml, close + 1, until)
+          i = if (end < 0) n else end + 6
+        }
+      } else if (xml.startsWith("</w:p>", i)) { out.append('\n'); i += 6 }
+      else if (xml.startsWith("<w:br", i)) { out.append('\n'); i = skipTag(xml, i) }
+      else if (xml.startsWith("<w:tab", i) && i + 6 < n &&
+          (xml.charAt(i + 6) == '/' || xml.charAt(i + 6) == '>' ||
+            xml.charAt(i + 6) == ' ')) {
+        out.append('\t'); i = skipTag(xml, i)
+      } else i = skipTag(xml, i)
+    }
+    out.toString
+  }
+
+  private def skipTag(xml: String, i: Int): Int = {
+    val close = xml.indexOf('>', i)
+    if (close < 0) xml.length else close + 1
+  }
+
+  /** XML character data with entity decoding appended to `out`. */
+  private def appendDecoded(out: java.lang.StringBuilder, s: String, from: Int, until: Int): Unit = {
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c != '&') { out.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        if (semi < 0 || semi >= until || semi - i > 10) { out.append(c); i += 1 }
+        else {
+          val name = s.substring(i + 1, semi)
+          val decoded: Int = name match {
+            case "amp" => '&'
+            case "lt" => '<'
+            case "gt" => '>'
+            case "quot" => '"'
+            case "apos" => '\''
+            case _ if name.startsWith("#x") || name.startsWith("#X") =>
+              try Integer.parseInt(name.substring(2), 16) catch { case _: NumberFormatException => -1 }
+            case _ if name.startsWith("#") =>
+              try Integer.parseInt(name.substring(1)) catch { case _: NumberFormatException => -1 }
+            case _ => -1
+          }
+          if (decoded >= 0 && Character.isValidCodePoint(decoded)) {
+            out.appendCodePoint(decoded); i = semi + 1
+          } else { out.append(c); i += 1 } // unknown entity: literal
+        }
+      }
+    }
+  }
+}

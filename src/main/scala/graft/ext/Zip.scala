@@ -1,0 +1,182 @@
+package graft.ext
+
+/** ZIP container walk (PKWARE APPNOTE layout) — pure `java.util.zip`
+  * primitives, no filesystem: crawled archives and, more importantly,
+  * the OOXML/ODF office-document family (`.docx`/`.xlsx`/`.odt` are ZIP
+  * containers) arrive as in-row binary payloads, so the walk must work
+  * on byte arrays inside a map task, not on local files (the JDK's
+  * `ZipFile` wants a `File`; `ZipInputStream` trusts local headers,
+  * which real-world writers get wrong — the central directory is the
+  * authority, and that is what this walk reads).
+  *
+  * Structure parsed:
+  *   - End-of-central-directory (PK\x05\x06) found by backward scan
+  *     over the trailing 64 KiB + 22 (archive comments are legal).
+  *   - Central directory entries (PK\x01\x02): name, method, CRC,
+  *     compressed/uncompressed sizes, local-header offset.
+  *   - [[read]] seeks the LOCAL header (PK\x03\x04) and inflates method
+  *     8 (raw `Inflater(true)`) or copies method 0 (stored); the result
+  *     is CRC-verified against the central directory before it is
+  *     returned — a corrupt member yields None, never silent garbage.
+  *
+  * Out of envelope, by documented intent: ZIP64 (>4 GiB members — a
+  * crawl blob column caps far below), encrypted members, and
+  * split/spanned archives. All reads bounds-checked; malformed
+  * payloads yield Nil/None, never a throw.
+  */
+object Zip {
+
+  final case class Entry(
+      name: String,
+      method: Int,
+      comp_size: Long,
+      uncomp_size: Long,
+      crc: Long,
+      local_offset: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  /** Central-directory listing. Nil when no EOCD record is found. */
+  def entries(b: Array[Byte]): Seq[Entry] = {
+    if (b == null || b.length < 22) return Nil
+    try {
+      // EOCD: backward scan (trailing comment allowed, max 64 KiB)
+      var eocd = -1
+      var i = b.length - 22
+      val stop = math.max(0, b.length - 22 - 65535)
+      while (eocd < 0 && i >= stop) {
+        if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6)
+          eocd = i
+        i -= 1
+      }
+      if (eocd < 0) return Nil
+      val n = le16(b, eocd + 10)
+      val cdOff = le32(b, eocd + 16)
+      if (cdOff < 0 || cdOff >= b.length) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      var p = cdOff.toInt
+      var k = 0
+      while (k < n && p + 46 <= b.length &&
+          b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
+        val method = le16(b, p + 10)
+        val crc = le32(b, p + 16)
+        val compSize = le32(b, p + 20)
+        val uncompSize = le32(b, p + 24)
+        val nameLen = le16(b, p + 28)
+        val extraLen = le16(b, p + 30)
+        val commentLen = le16(b, p + 32)
+        val localOff = le32(b, p + 42)
+        if (p + 46 + nameLen > b.length) return out.toSeq
+        val name = new String(b, p + 46, nameLen, "UTF-8")
+        out += Entry(name, method, compSize, uncompSize, crc, localOff)
+        p += 46 + nameLen + extraLen + commentLen
+        k += 1
+      }
+      out.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** A member's decompressed bytes, CRC-verified. None for a missing
+    * name, unsupported method, or any corruption.
+    */
+  def read(b: Array[Byte], name: String): Option[Array[Byte]] =
+    entries(b).find(_.name == name).flatMap(readEntry(b, _))
+
+  def readEntry(b: Array[Byte], e: Entry): Option[Array[Byte]] = {
+    try {
+      val p = e.local_offset.toInt
+      if (p < 0 || p + 30 > b.length ||
+          !(b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 3 && b(p + 3) == 4))
+        return None
+      // local name/extra lengths are the authority for the data offset
+      val nameLen = le16(b, p + 26)
+      val extraLen = le16(b, p + 28)
+      val data = p + 30 + nameLen + extraLen
+      if (e.comp_size < 0 || e.comp_size > Int.MaxValue ||
+          data + e.comp_size > b.length) return None
+      val raw = e.method match {
+        case 0 =>
+          if (e.comp_size != e.uncomp_size) return None
+          java.util.Arrays.copyOfRange(b, data, data + e.comp_size.toInt)
+        case 8 =>
+          if (e.uncomp_size < 0 || e.uncomp_size > Int.MaxValue) return None
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          try {
+            inf.setInput(b, data, e.comp_size.toInt)
+            val out = new Array[Byte](e.uncomp_size.toInt)
+            var got = 0
+            while (got < out.length && !inf.finished()) {
+              val m = inf.inflate(out, got, out.length - got)
+              if (m == 0 && inf.needsInput()) return None // truncated
+              got += m
+            }
+            if (got != out.length) return None
+            out
+          } finally inf.end()
+        case _ => return None // unsupported method
+      }
+      val crc = new java.util.zip.CRC32
+      crc.update(raw)
+      if (crc.getValue != e.crc) None else Some(raw)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Assemble a ZIP from (name, bytes, deflate?) members — the
+    * spec/certificate builders' counterpart of the walk (local headers,
+    * central directory, EOCD; raw Deflater for method 8).
+    */
+  private[graft] def build(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >>> 8) & 0xFF).toInt)
+      out.write(((v >>> 16) & 0xFF).toInt); out.write(((v >>> 24) & 0xFF).toInt)
+    }
+    val cds = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long, Long, Long)]
+    for ((name, raw, deflate) <- members) {
+      val crc = new java.util.zip.CRC32
+      crc.update(raw)
+      val comp =
+        if (!deflate) raw
+        else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(raw); d.finish()
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+            buf.toByteArray
+          } finally d.end()
+        }
+      val off = out.size().toLong
+      val nameB = name.getBytes("UTF-8")
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      w16(20); w16(0); w16(if (deflate) 8 else 0); w16(0); w16(0)
+      w32(crc.getValue); w32(comp.length); w32(raw.length)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(comp)
+      cds += ((name, if (deflate) 8 else 0, crc.getValue,
+        comp.length.toLong, raw.length.toLong, off))
+    }
+    val cdStart = out.size().toLong
+    for ((name, method, crc, compLen, rawLen, off) <- cds) {
+      val nameB = name.getBytes("UTF-8")
+      out.write('P'); out.write('K'); out.write(1); out.write(2)
+      w16(20); w16(20); w16(0); w16(method); w16(0); w16(0)
+      w32(crc); w32(compLen); w32(rawLen)
+      w16(nameB.length); w16(0); w16(0); w16(0); w16(0)
+      w32(0); w32(off)
+      out.write(nameB)
+    }
+    val cdLen = out.size() - cdStart
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    w16(0); w16(0); w16(cds.length); w16(cds.length)
+    w32(cdLen); w32(cdStart); w16(0)
+    out.toByteArray
+  }
+}

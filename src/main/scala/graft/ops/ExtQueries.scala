@@ -4244,6 +4244,63 @@ object ExtQueries {
       "parsed back field-exact, then stripped — metadata gone, decoded " +
       "pixels still exactly on direct arithmetic")
 
+  private val qDocxExtract = Q(
+    "q_docx_extract",
+    (s, d) => {
+      // DOCX certificate (the q_pdf_extract pattern): each doc becomes a
+      // three-member ZIP — content types (stored), rels (deflated), and
+      // word/document.xml (deflated on even docs, stored on odd) whose
+      // WordprocessingML body carries the doc text escaped in a
+      // space-preserving run plus a paragraph of named/decimal/hex
+      // entities, a tab and a line break. The walk reads the central
+      // directory, inflates and CRC-checks the member, and the text
+      // layer must land exactly on the oracle's closed form.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val xml =
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+              "wordprocessingml/2006/main\"><w:body>" +
+              s"<w:p><w:r><w:t>Doc &amp; $id</w:t></w:r></w:p>" +
+              "<w:p><w:r><w:rPr><w:b/></w:rPr>" +
+              s"""<w:t xml:space="preserve">$esc</w:t></w:r></w:p>""" +
+              "<w:p><w:r><w:t>&lt;A&gt; &#169; &#x41;</w:t><w:tab/>" +
+              "<w:t>T</w:t><w:br/><w:t>B</w:t></w:r></w:p>" +
+              "</w:body></w:document>"
+          val zip = graft.ext.Zip.build(Seq(
+            ("[Content_Types].xml",
+              "<Types xmlns=\"urn:ct\"><Default/></Types>".getBytes("UTF-8"), false),
+            ("word/_rels/document.xml.rels",
+              "<Relationships/>".getBytes("UTF-8"), true),
+            ("word/document.xml", xml.getBytes("UTF-8"), id % 2 == 0)))
+          val extracted = graft.ext.Office.docxText(zip).getOrElse("")
+          val xmlEntry = graft.ext.Zip.entries(zip)
+            .find(_.name == "word/document.xml").get
+          (id, graft.ext.Zip.entries(zip).length, xmlEntry.method,
+            extracted, extracted.length.toLong)
+        }
+        .toDF("doc_id", "n_entries", "xml_method", "extracted", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 3 AS n_entries,
+                   CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 0 END AS xml_method,
+                   'Doc & ' || doc_id || chr(10) || text || chr(10) ||
+                     '<A> ' || chr(169) || ' A' || chr(9) || 'T' || chr(10) ||
+                     'B' || chr(10) AS extracted,
+                   CAST(length('Doc & ' || doc_id || chr(10) || text ||
+                     chr(10) || '<A> ' || chr(169) || ' A' || chr(9) ||
+                     'T' || chr(10) || 'B' || chr(10)) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id"""),
+    "DOCX text-extraction certificate: real ZIP walk (central directory " +
+      "authority, raw-deflate inflate, CRC verify) into the " +
+      "WordprocessingML text layer — runs, space preservation, " +
+      "entities, tabs, breaks and paragraph newlines all hash-checked " +
+      "against the closed form")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4268,5 +4325,6 @@ object ExtQueries {
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
-    qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta)
+    qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
+    qDocxExtract)
 }

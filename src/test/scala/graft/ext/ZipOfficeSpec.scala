@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZipOfficeSpec extends AnyFunSuite {
+
+  private def sample = Zip.build(Seq(
+    ("a.txt", "hello stored".getBytes, false),
+    ("dir/b.bin", Array.tabulate[Byte](4096)(i => (i % 251).toByte), true),
+    ("c", "x".getBytes, true)))
+
+  test("central directory lists names, methods and sizes") {
+    val es = Zip.entries(sample)
+    assert(es.map(_.name) == Seq("a.txt", "dir/b.bin", "c"))
+    assert(es.map(_.method) == Seq(0, 8, 8))
+    assert(es(0).uncomp_size == 12 && es(1).uncomp_size == 4096)
+  }
+
+  test("stored and deflated members read back byte-exact, CRC-verified") {
+    assert(new String(Zip.read(sample, "a.txt").get) == "hello stored")
+    assert(Zip.read(sample, "dir/b.bin").get.toSeq ==
+      Array.tabulate[Byte](4096)(i => (i % 251).toByte).toSeq)
+    assert(Zip.read(sample, "missing").isEmpty)
+  }
+
+  test("EOCD is found behind a trailing archive comment") {
+    val commented = sample ++ "trailing comment bytes".getBytes
+    assert(Zip.entries(commented).map(_.name) == Seq("a.txt", "dir/b.bin", "c"))
+    assert(new String(Zip.read(commented, "a.txt").get) == "hello stored")
+  }
+
+  test("corrupt member data fails the CRC check, not silently") {
+    val bad = sample.clone()
+    // flip a byte inside the first member's stored data
+    val dataStart = 30 + "a.txt".length
+    bad(dataStart + 3) = (bad(dataStart + 3) ^ 0x40).toByte
+    assert(Zip.read(bad, "a.txt").isEmpty)
+    assert(Zip.read(bad, "dir/b.bin").nonEmpty) // others unaffected
+  }
+
+  test("truncations and junk: Nil/None, never thrown") {
+    assert(Zip.entries(null).isEmpty)
+    assert(Zip.entries("PK but not really a zip file".getBytes).isEmpty)
+    val full = sample
+    var i = 0
+    while (i <= full.length) {
+      val cut = full.take(i)
+      Zip.entries(cut).foreach(e => Zip.readEntry(cut, e))
+      i += 13
+    }
+  }
+
+  test("WordprocessingML text layer: runs, entities, tabs, breaks") {
+    val xml = "<w:document><w:body>" +
+      "<w:p><w:r><w:t>a&amp;b</w:t><w:t/></w:r></w:p>" + // self-closing w:t
+      "<w:p><w:r><w:rPr><w:b/></w:rPr>" + // <w:b/> is not <w:br/>
+      "<w:t xml:space=\"preserve\"> s p </w:t><w:tab/><w:t>t</w:t>" +
+      "<w:br/><w:t>&#x21;&unknown;</w:t></w:r></w:p>" +
+      "<w:tbl><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p></w:tc></w:tbl>" +
+      "</w:body></w:document>"
+    assert(Office.extractWml(xml) == "a&b\n s p \tt\n!&unknown;\ncell\n")
+  }
+
+  test("docxText: end-to-end over a built container; non-zip → None") {
+    val zip = Zip.build(Seq(
+      ("word/document.xml",
+        "<w:document><w:body><w:p><w:r><w:t>hi</w:t></w:r></w:p></w:body></w:document>"
+          .getBytes("UTF-8"), true)))
+    assert(Office.docxText(zip).get == "hi\n")
+    assert(Office.docxText("not a zip".getBytes).isEmpty)
+    // zip without the member → None
+    assert(Office.docxText(Zip.build(Seq(("x", "y".getBytes, false)))).isEmpty)
+  }
+}
