@@ -471,6 +471,38 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  final case class WebmTrackMeta(
+      media_id: Long,
+      doc_type: String,
+      duration_ms: Long,
+      track_number: Long,
+      track_type: Int,
+      codec: String,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      channels: Int)
+
+  /** WebM/Matroska metadata triage ([[Webm.meta]]) — the EBML twin of
+    * [[mp4Meta]]: per-track codec ids, dimensions, audio parameters and
+    * the timecode-scaled duration, map-only. Non-EBML payloads are
+    * dropped.
+    */
+  def webmMeta(media: DataFrame): Dataset[WebmTrackMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          Webm.meta(payload).toSeq.flatMap { m =>
+            m.tracks.map(t => WebmTrackMeta(id, m.doc_type, m.duration_ms,
+              t.track_number, t.track_type, t.codec, t.width, t.height,
+              t.sample_rate, t.channels))
+          }
+        }
+      }
+  }
+
   /** Every `stride`-th frame of a multi-frame GIF as rasters; None when
     * the payload isn't a GIF the JDK reader accepts.
     */

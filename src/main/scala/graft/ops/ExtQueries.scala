@@ -4301,6 +4301,57 @@ object ExtQueries {
       "entities, tabs, breaks and paragraph newlines all hash-checked " +
       "against the closed form")
 
+  private val qWebmMeta = Q(
+    "q_webm_meta",
+    (s, d) => {
+      // WebM/EBML triage certificate: per doc a two-track Matroska tree
+      // (VP9 video + Opus audio) assembled from raw EBML varints —
+      // header DocType, Info with explicit TimecodeScale and a float
+      // Duration (whole-ms values, exact in f32), TrackEntries with
+      // Video/Audio sub-elements. The varint walk must recover every
+      // closed-form field; a slip in id/size decoding or the
+      // timecode-scale arithmetic breaks the hash.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          import graft.ext.Webm.{el, floatB, uintB}
+          val durMs = (10 + id % 90) * 100
+          val w = (320 + (id % 16) * 16).toInt
+          val h = (240 + (id % 9) * 16).toInt
+          val header = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("US-ASCII")))
+          val info = el(0x1549A966L,
+            el(0x2AD7B1L, uintB(1000000L)),
+            el(0x4489L, floatB(durMs.toFloat)))
+          val video = el(0xAEL, el(0xD7L, uintB(1)), el(0x83L, uintB(1)),
+            el(0x86L, "V_VP9".getBytes("US-ASCII")),
+            el(0xE0L, el(0xB0L, uintB(w)), el(0xBAL, uintB(h))))
+          val audio = el(0xAEL, el(0xD7L, uintB(2)), el(0x83L, uintB(2)),
+            el(0x86L, "A_OPUS".getBytes("US-ASCII")),
+            el(0xE1L, el(0xB5L, floatB(48000f)), el(0x9FL, uintB(2))))
+          (id, header ++ el(0x18538067L, info, el(0x1654AE6BL, video, audio)))
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.webmMeta(m).toDF())
+        .orderBy("media_id", "track_number")
+    },
+    Some("""SELECT doc_id AS media_id, 'webm' AS doc_type,
+                   CAST((10 + doc_id % 90) * 100 AS BIGINT) AS duration_ms,
+                   CAST(t.tn AS BIGINT) AS track_number,
+                   CAST(t.tn AS INT) AS track_type,
+                   CASE t.tn WHEN 1 THEN 'V_VP9' ELSE 'A_OPUS' END AS codec,
+                   CASE t.tn WHEN 1 THEN CAST(320 + (doc_id % 16) * 16 AS INT)
+                        ELSE 0 END AS width,
+                   CASE t.tn WHEN 1 THEN CAST(240 + (doc_id % 9) * 16 AS INT)
+                        ELSE 0 END AS height,
+                   CASE t.tn WHEN 1 THEN 0 ELSE 48000 END AS sample_rate,
+                   CASE t.tn WHEN 1 THEN 0 ELSE 2 END AS channels
+            FROM documents CROSS JOIN (VALUES (1), (2)) AS t(tn)
+            ORDER BY media_id, track_number"""),
+    "WebM/Matroska certificate: raw-EBML two-track tree (VP9 + Opus) " +
+      "read back through the varint walk — DocType, timecode-scaled " +
+      "float duration, codec ids, dimensions and audio parameters all " +
+      "hash-checked against closed forms")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4326,5 +4377,5 @@ object ExtQueries {
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
-    qDocxExtract)
+    qDocxExtract, qWebmMeta)
 }
