@@ -4352,6 +4352,108 @@ object ExtQueries {
       "float duration, codec ids, dimensions and audio parameters all " +
       "hash-checked against closed forms")
 
+  private val qMediaCurateEngine = Q(
+    "q_media_curate_engine",
+    (s, d) => {
+      // Image curation THROUGH THE ENGINE (the q_web_curate_engine twin
+      // on binary media): MediaCurate.spec — EXIF strip → fingerprint →
+      // metadata-robust dedup → dimension gate — planned by the engine
+      // as one lazy query. Duplicates are PLANTED the way real crawls
+      // make them: pixel content depends on doc_id % 250 only, while
+      // every copy carries DIFFERENT Exif (make, orientation, GPS on
+      // evens), so byte-dedup before stripping pairs nothing and the
+      // pipeline's strip-then-fingerprint order is what the oracle's
+      // group counts certify. (JPEG encode is deterministic for equal
+      // pixels, so post-strip copies are byte-identical.)
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          graft.ext.Png.jdkImageIoInit
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          ids.map { id =>
+            val gid = id % 250
+            val bi = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val blk = (y / 8) * 2 + (x / 8)
+                val g = ((gid * 3 + 37 + 19 * blk) % 256).toInt
+                bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            val p = writer.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(1.0f)
+            writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+            ios.close()
+            val jpg = bos.toByteArray
+            // per-COPY Exif: same pixels, different metadata
+            val gps = id % 2 == 0
+            val n0 = 2 + (if (gps) 1 else 0)
+            val makeOff = 8 + 2 + n0 * 12 + 4
+            val gpsOff = makeOff + 6
+            val t = new Array[Byte](gpsOff + (if (gps) 6 else 0))
+            def w16(i: Int, v: Int): Unit = {
+              t(i) = v.toByte; t(i + 1) = (v >>> 8).toByte
+            }
+            def w32(i: Int, v: Long): Unit = {
+              t(i) = v.toByte; t(i + 1) = (v >>> 8).toByte
+              t(i + 2) = (v >>> 16).toByte; t(i + 3) = (v >>> 24).toByte
+            }
+            t(0) = 'I'; t(1) = 'I'; w16(2, 42); w32(4, 8)
+            w16(8, n0)
+            var e = 10
+            def entry(tag: Int, tpe: Int, cnt: Long, value: Long): Unit = {
+              w16(e, tag); w16(e + 2, tpe); w32(e + 4, cnt); w32(e + 8, value)
+              e += 12
+            }
+            entry(0x010F, 2, 5, makeOff)
+            entry(0x0112, 3, 1, 1 + id % 8)
+            if (gps) entry(0x8825, 4, 1, gpsOff)
+            w32(e, 0)
+            System.arraycopy(s"Cam${id % 10}".getBytes("US-ASCII"), 0, t, makeOff, 4)
+            if (gps) { w16(gpsOff, 0); w32(gpsOff + 2, 0) }
+            val len = 2 + 6 + t.length
+            val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+              ((len >>> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++
+              "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ t
+            (id, jpg.take(2) ++ app1 ++ jpg.drop(2))
+          }
+        }
+        .toDF("media_id", "payload")
+      new graft.engine.Engine(graft.ext.MediaCurate.spec())
+        .run("media_curate", s, Some(media),
+          graft.engine.RunOptions(orderedConcat = false))
+        .orderBy("keep_id")
+    },
+    Some("""WITH g AS (
+              SELECT doc_id % 250 AS gid, min(doc_id) AS keep_id,
+                     count(*) AS n_copies
+              FROM documents GROUP BY doc_id % 250)
+            SELECT keep_id, n_copies, 16 AS width, 16 AS height,
+                   CAST(192 * (((gid * 3 + 37) % 256)
+                             + ((gid * 3 + 56) % 256)
+                             + ((gid * 3 + 75) % 256)
+                             + ((gid * 3 + 94) % 256))
+                        AS BIGINT) AS pixel_sum,
+                   0 AS exif_after
+            FROM g ORDER BY keep_id"""),
+    "image curation THROUGH the gasket engine: EXIF redaction → md5 " +
+      "fingerprint → metadata-robust exact dedup → dimension gate as a " +
+      "declared four-stage pipeline; planted re-tagged duplicates " +
+      "(same pixels, different Exif/GPS) collapse only because strip " +
+      "precedes fingerprint — group counts and decoded pixel sums " +
+      "hash-checked against closed forms")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4377,5 +4479,5 @@ object ExtQueries {
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
-    qDocxExtract, qWebmMeta)
+    qDocxExtract, qWebmMeta, qMediaCurateEngine)
 }
