@@ -55,6 +55,95 @@ object Office {
     out.toString
   }
 
+  /** Extracted cell text of a `.xlsx` payload — first worksheet, rows as
+    * lines, cells tab-separated: shared-string cells (`t="s"`) resolve
+    * through `xl/sharedStrings.xml` (each `<si>` the concatenation of
+    * its `<t>` runs, entity-decoded), other cells take their `<v>` value
+    * verbatim (numbers, formula results). None when the payload is not
+    * a ZIP or has no first worksheet.
+    */
+  def xlsxText(b: Array[Byte]): Option[String] =
+    Zip.read(b, "xl/worksheets/sheet1.xml").map { sheetB =>
+      val shared = Zip.read(b, "xl/sharedStrings.xml")
+        .map(sb => parseShared(new String(sb, java.nio.charset.StandardCharsets.UTF_8)))
+        .getOrElse(Vector.empty)
+      val xml = new String(sheetB, java.nio.charset.StandardCharsets.UTF_8)
+      val out = new java.lang.StringBuilder()
+      var i = xml.indexOf("<row")
+      while (i >= 0) {
+        val rowEnd = xml.indexOf("</row>", i) match {
+          case -1 => xml.length
+          case e => e
+        }
+        var c = xml.indexOf("<c", i)
+        var firstCell = true
+        while (c >= 0 && c < rowEnd) {
+          val tagEnd = xml.indexOf('>', c)
+          if (tagEnd < 0 || tagEnd > rowEnd) c = -1
+          else {
+            val attrs = xml.substring(c, tagEnd)
+            val isShared = attrs.contains("t=\"s\"")
+            if (!firstCell) out.append('\t')
+            firstCell = false
+            val v = xml.indexOf("<v>", c)
+            val cEnd = xml.indexOf("</c>", c) match {
+              case -1 => rowEnd
+              case e => e
+            }
+            if (v >= 0 && v < cEnd) {
+              val vEnd = xml.indexOf("</v>", v)
+              if (vEnd > 0 && vEnd <= cEnd) {
+                val raw = xml.substring(v + 3, vEnd)
+                if (isShared) {
+                  val idx = try raw.trim.toInt catch { case _: NumberFormatException => -1 }
+                  if (idx >= 0 && idx < shared.length) out.append(shared(idx))
+                } else appendDecoded(out, raw, 0, raw.length)
+              }
+            }
+            c = xml.indexOf("<c", math.max(cEnd, tagEnd))
+          }
+        }
+        out.append('\n')
+        i = xml.indexOf("<row", rowEnd)
+      }
+      out.toString
+    }
+
+  /** `<si>` entries of a sharedStrings document: each is the
+    * concatenation of its `<t>` run contents.
+    */
+  private def parseShared(xml: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = xml.indexOf("<si")
+    while (i >= 0) {
+      val end = xml.indexOf("</si>", i) match {
+        case -1 => xml.length
+        case e => e
+      }
+      val sb = new java.lang.StringBuilder()
+      var t = xml.indexOf("<t", i)
+      while (t >= 0 && t < end) {
+        val after = if (t + 2 < xml.length) xml.charAt(t + 2) else ' '
+        if (after == '>' || after == ' ' || after == '/') {
+          val close = xml.indexOf('>', t)
+          if (close < 0 || close >= end) t = -1
+          else if (xml.charAt(close - 1) == '/') t = xml.indexOf("<t", close)
+          else {
+            val tEnd = xml.indexOf("</t>", close) match {
+              case -1 => end
+              case e => math.min(e, end)
+            }
+            appendDecoded(sb, xml, close + 1, tEnd)
+            t = xml.indexOf("<t", tEnd)
+          }
+        } else t = xml.indexOf("<t", t + 2)
+      }
+      out += sb.toString
+      i = xml.indexOf("<si", end)
+    }
+    out.result()
+  }
+
   private def skipTag(xml: String, i: Int): Int = {
     val close = xml.indexOf('>', i)
     if (close < 0) xml.length else close + 1

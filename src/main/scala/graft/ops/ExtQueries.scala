@@ -4454,6 +4454,91 @@ object ExtQueries {
       "precedes fingerprint — group counts and decoded pixel sums " +
       "hash-checked against closed forms")
 
+  private val qTarExtract = Q(
+    "q_tar_extract",
+    (s, d) => {
+      // TAR certificate: per doc a three-member ustar archive (directory
+      // entry, the doc text, a closed-form binary member), gzipped on
+      // even docs. Real header checksums are written and verified; the
+      // walk must list all members, extract the text byte-exact, and the
+      // binary member's byte sum and the archive's member-size total
+      // must land on the oracle's arithmetic.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bin = Array.tabulate(64)(k => (((id * 7 + k) % 256) & 0xFF).toByte)
+          val textB = text.getBytes("UTF-8")
+          val tar = graft.ext.Tar.build(Seq(
+            ("docs/", Array.emptyByteArray, '5'),
+            ("docs/text.txt", textB, '0'),
+            ("meta/info.bin", bin, '0')), gzip = id % 2 == 0)
+          val es = graft.ext.Tar.entries(tar)
+          val extracted = graft.ext.Tar.read(tar, "docs/text.txt")
+            .map(new String(_, "UTF-8")).getOrElse("")
+          var binSum = 0L
+          graft.ext.Tar.read(tar, "meta/info.bin")
+            .foreach(_.foreach(b => binSum += (b & 0xFF)))
+          (id, es.length, extracted, binSum, es.map(_.size).sum)
+        }
+        .toDF("doc_id", "n_entries", "extracted", "bin_sum", "total_size")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, sum((doc_id * 7 + k) % 256) AS bin_sum
+              FROM documents CROSS JOIN range(64) t(k) GROUP BY doc_id)
+            SELECT d.doc_id, 3 AS n_entries, d.text AS extracted,
+                   CAST(b.bin_sum AS BIGINT) AS bin_sum,
+                   CAST(strlen(d.text) + 64 AS BIGINT) AS total_size
+            FROM documents d JOIN b USING (doc_id) ORDER BY doc_id"""),
+    "TAR/ustar certificate: checksum-verified header walk over plain " +
+      "and gzipped archives — member listing, byte-exact extraction, " +
+      "and size totals hash-checked against closed forms")
+
+  private val qXlsxExtract = Q(
+    "q_xlsx_extract",
+    (s, d) => {
+      // XLSX certificate: a real two-sheet-member workbook ZIP — shared
+      // strings carrying entity-escaped text, a worksheet mixing
+      // shared-string and literal-value cells — extracted to
+      // tab-separated rows that must equal the oracle's closed form.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val sharedXml =
+            "<?xml version=\"1.0\"?><sst count=\"2\" uniqueCount=\"2\">" +
+              s"<si><t>Doc &amp; $id</t></si>" +
+              s"""<si><r><t xml:space="preserve">$esc</t></r></si></sst>"""
+          val sheetXml =
+            "<?xml version=\"1.0\"?><worksheet><sheetData>" +
+              s"""<row r="1"><c r="A1" t="s"><v>0</v></c>""" +
+              s"""<c r="B1"><v>${id % 1000}</v></c></row>""" +
+              """<row r="2"><c r="A2" t="s"><v>1</v></c>""" +
+              """<c r="B2"><v>42</v></c></row>""" +
+              "</sheetData></worksheet>"
+          val zip = graft.ext.Zip.build(Seq(
+            ("xl/sharedStrings.xml", sharedXml.getBytes("UTF-8"), true),
+            ("xl/worksheets/sheet1.xml", sheetXml.getBytes("UTF-8"), id % 2 == 1)))
+          val extracted = graft.ext.Office.xlsxText(zip).getOrElse("")
+          (id, extracted, extracted.length.toLong)
+        }
+        .toDF("doc_id", "extracted", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Doc & ' || doc_id || chr(9) || (doc_id % 1000) ||
+                     chr(10) || text || chr(9) || '42' || chr(10) AS extracted,
+                   CAST(length('Doc & ' || doc_id || chr(9) ||
+                     (doc_id % 1000) || chr(10) || text || chr(9) || '42' ||
+                     chr(10)) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id"""),
+    "XLSX certificate: shared-string resolution (multi-run si entries, " +
+      "entity decode) and literal cells extracted from a real workbook " +
+      "ZIP into tab-separated rows, hash-checked against the closed form")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4479,5 +4564,5 @@ object ExtQueries {
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
-    qDocxExtract, qWebmMeta, qMediaCurateEngine)
+    qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qXlsxExtract)
 }

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TarSpec extends AnyFunSuite {
+
+  private def sample(gz: Boolean) = Tar.build(Seq(
+    ("d/", Array.emptyByteArray, '5'),
+    ("d/a.txt", "file contents here".getBytes, '0'),
+    ("b.bin", Array.tabulate[Byte](700)(i => (i % 127).toByte), '0')), gzip = gz)
+
+  test("member walk: names, types, sizes, data offsets (plain and gz)") {
+    for (gz <- Seq(false, true)) {
+      val es = Tar.entries(sample(gz))
+      assert(es.map(_.name) == Seq("d/", "d/a.txt", "b.bin"))
+      assert(es.map(_.typeflag) == Seq('5', '0', '0'))
+      assert(es.map(_.size) == Seq(0L, 18L, 700L))
+      assert(new String(Tar.read(sample(gz), "d/a.txt").get) == "file contents here")
+      assert(Tar.read(sample(gz), "b.bin").get.length == 700)
+      // directories and missing names read as None
+      assert(Tar.read(sample(gz), "d/").isEmpty)
+      assert(Tar.read(sample(gz), "nope").isEmpty)
+    }
+  }
+
+  test("ustar prefix field extends the name") {
+    val t = sample(false).clone()
+    // plant a prefix on the second member's header (offset 512)
+    System.arraycopy("deep/tree".getBytes, 0, t, 512 + 345, 9)
+    // checksum now wrong → walk stops after the first member
+    assert(Tar.entries(t).map(_.name) == Seq("d/"))
+  }
+
+  test("corrupt checksum ends the walk at the last good member") {
+    val t = sample(false).clone()
+    t(512 + 100) = '7' // mode byte of member 2 changes, checksum stale
+    assert(Tar.entries(t).map(_.name) == Seq("d/"))
+  }
+
+  test("junk, truncations and non-tar payloads: Nil/None, never thrown") {
+    assert(Tar.entries(null).isEmpty)
+    assert(Tar.entries("way too short".getBytes).isEmpty)
+    val full = sample(false)
+    var i = 0
+    while (i <= full.length) {
+      Tar.entries(full.take(i))
+      i += 97
+    }
+    val gzFull = sample(true)
+    i = 0
+    while (i <= gzFull.length) {
+      Tar.entries(gzFull.take(i)) // truncated gzip must not throw
+      i += 31
+    }
+  }
+
+  test("octal fields tolerate leading spaces and NUL terminators") {
+    val t = sample(false).clone()
+    // rewrite size field of member 2 ("  22\0...") and fix its checksum
+    val h = 512
+    java.util.Arrays.fill(t, h + 124, h + 136, 0.toByte)
+    t(h + 124) = ' '; t(h + 125) = ' '; t(h + 126) = '2'; t(h + 127) = '2'
+    java.util.Arrays.fill(t, h + 148, h + 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += (t(h + i) & 0xFF))
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy(("0" * (6 - cs.length) + cs).getBytes, 0, t, h + 148, 6)
+    t(h + 154) = 0; t(h + 155) = ' '
+    val e = Tar.entries(t)
+    assert(e(1).size == 18L) // octal "22" = 18
+  }
+}

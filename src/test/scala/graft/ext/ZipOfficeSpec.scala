@@ -61,6 +61,26 @@ class ZipOfficeSpec extends AnyFunSuite {
     assert(Office.extractWml(xml) == "a&b\n s p \tt\n!&unknown;\ncell\n")
   }
 
+  test("xlsxText: shared strings, multi-run si, literal cells, missing v") {
+    val shared = "<sst><si><t>one</t></si>" +
+      "<si><r><t>two </t></r><r><t xml:space=\"preserve\">parts</t></r></si></sst>"
+    val sheet = "<worksheet><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c><c r=\"B1\"><v>7</v></c></row>" +
+      "<row r=\"2\"><c r=\"A2\" t=\"s\"><v>1</v></c><c r=\"B2\"/></row>" +
+      "</sheetData></worksheet>"
+    val zip = Zip.build(Seq(
+      ("xl/sharedStrings.xml", shared.getBytes("UTF-8"), true),
+      ("xl/worksheets/sheet1.xml", sheet.getBytes("UTF-8"), false)))
+    assert(Office.xlsxText(zip).get == "one\t7\ntwo parts\t\n")
+    // out-of-range shared index → empty cell, not a crash
+    val badSheet = sheet.replace("<v>1</v>", "<v>99</v>")
+    val zip2 = Zip.build(Seq(
+      ("xl/sharedStrings.xml", shared.getBytes("UTF-8"), false),
+      ("xl/worksheets/sheet1.xml", badSheet.getBytes("UTF-8"), true)))
+    assert(Office.xlsxText(zip2).get == "one\t7\n\t\n")
+    assert(Office.xlsxText("not a zip".getBytes).isEmpty)
+  }
+
   test("docxText: end-to-end over a built container; non-zip → None") {
     val zip = Zip.build(Seq(
       ("word/document.xml",
