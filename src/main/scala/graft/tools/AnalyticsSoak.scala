@@ -216,6 +216,53 @@ object AnalyticsSoak {
         graft.ext.Multimodal.oggMeta(media).toDF().agg(count(lit(1))).head().getLong(0) +
         graft.ext.Multimodal.mp4Meta(media).toDF().agg(count(lit(1))).head().getLong(0)
     }
+    // ---- office/archive extraction (round 10): DOCX, XLSX and TAR
+    // blobs built once, extracted by the real container walks — the
+    // document-modality twin of media_triage (deflate members, CRC
+    // verify, shared-string resolution, checksum-verified tar headers)
+    val officeDir = "/tmp/graft_asoak_office_300k"
+    if (!new java.io.File(s"$officeDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, 300000, 1, 64).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val text = s"soak document $id body " + ("w" + id % 97 + " ") * 40
+            val payload = (id % 3) match {
+              case 0 =>
+                graft.ext.Zip.build(Seq(("word/document.xml",
+                  ("<w:document><w:body><w:p><w:r><w:t xml:space=\"preserve\">" +
+                    text + "</w:t></w:r></w:p></w:body></w:document>")
+                    .getBytes("UTF-8"), true)))
+              case 1 =>
+                graft.ext.Zip.build(Seq(
+                  ("xl/sharedStrings.xml",
+                    s"<sst><si><t>$text</t></si></sst>".getBytes("UTF-8"), true),
+                  ("xl/worksheets/sheet1.xml",
+                    ("<worksheet><sheetData><row r=\"1\">" +
+                      "<c r=\"A1\" t=\"s\"><v>0</v></c>" +
+                      s"""<c r="B1"><v>${id % 1000}</v></c></row>""" +
+                      "</sheetData></worksheet>").getBytes("UTF-8"), true)))
+              case _ =>
+                graft.ext.Tar.build(Seq(
+                  ("doc.txt", text.getBytes("UTF-8"), '0')), gzip = id % 2 == 0)
+            }
+            (id, payload)
+          }
+        }.toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(officeDir)
+    }
+    timed("office_extract_300k", 300000) {
+      import spark.implicits._
+      spark.read.parquet(officeDir).select("media_id", "payload")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (_, p) =>
+          graft.ext.Office.docxText(p)
+            .orElse(graft.ext.Office.xlsxText(p))
+            .orElse(graft.ext.Tar.read(p, "doc.txt").map(new String(_, "UTF-8")))
+            .map(_.length.toLong).getOrElse(0L)
+        })
+        .toDF("n").agg(sum("n")).head().getLong(0)
+    }
     timed("html_extract_2m", nDocs) {
       // WET-style extraction over the whole corpus: wrap each doc in a
       // full page (script raw-text, inline tags per word, entities) and
