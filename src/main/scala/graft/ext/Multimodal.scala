@@ -503,6 +503,60 @@ object Multimodal {
       }
   }
 
+  /** Format detection for one payload — the dispatch step a multimodal
+    * pipeline runs FIRST over every blob, routing each to its arm.
+    * Structural magics are checked in specificity order; MPEG audio
+    * comes last because its sync word is weak evidence (the
+    * chained-frame rule in [[Mpeg.mp3Meta]] is the arbiter). "unknown"
+    * rather than None: at triage time an unrecognized payload is a
+    * category, not an error.
+    */
+  def sniffFormat(b: Array[Byte]): String = {
+    def at(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+    if (b == null || b.length < 4) "unknown"
+    else if ((b(0) & 0xFF) == 0x89 && at(1, "PNG")) "png"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (at(0, "GIF8")) "gif"
+    else if (at(0, "BM")) "bmp"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
+    else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
+    else if (at(0, "fLaC")) "flac"
+    else if (at(0, "OggS")) "ogg"
+    else if (at(4, "ftyp")) "mp4"
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "webm"
+    else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"
+    else if (at(0, "PK")) "zip"
+    else if (at(0, "%PDF-")) "pdf"
+    else if (at(0, "WARC/")) "warc"
+    else if (at(257, "ustar")) "tar"
+    else if (Mpeg.mp3Meta(b).nonEmpty) "mpeg_audio"
+    else {
+      // leading-whitespace-tolerant HTML sniff (text modality marker)
+      var i = 0
+      while (i < b.length && i < 64 &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+      val head = new String(b, i, math.min(16, b.length - i), "US-ASCII").toLowerCase
+      if (head.startsWith("<html") || head.startsWith("<!doctype")) "html"
+      else "unknown"
+    }
+  }
+
+  /** [[sniffFormat]] over a media column — map-only, the first stage of
+    * the 100 TB multimodal pipeline.
+    */
+  def sniffMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, sniffFormat(if (p == null) Array.emptyByteArray else p),
+          if (p == null) 0L else p.length.toLong)
+      })
+      .toDF("media_id", "format", "byte_len")
+  }
+
   /** Every `stride`-th frame of a multi-frame GIF as rasters; None when
     * the payload isn't a GIF the JDK reader accepts.
     */

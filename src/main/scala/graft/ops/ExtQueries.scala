@@ -4539,6 +4539,78 @@ object ExtQueries {
       "entity decode) and literal cells extracted from a real workbook " +
       "ZIP into tab-separated rows, hash-checked against the closed form")
 
+  private val qMediaSniff = Q(
+    "q_media_sniff",
+    (s, d) => {
+      // Format-dispatch certificate: 18 payload families rotate by
+      // doc_id % 18 — every container/codec magic the engine owns an
+      // arm for (incl. the 257-offset ustar magic, a two-frame chained
+      // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
+      // and a plain-text "unknown"). The sniff must name each family
+      // and report exact byte lengths.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val p: Array[Byte] = (id % 18).toInt match {
+            case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+              new Array[Byte](8)
+            case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
+            case 2 => "GIF89a".getBytes("US-ASCII") ++ new Array[Byte](6)
+            case 3 => "BM".getBytes("US-ASCII") ++ new Array[Byte](10)
+            case 4 => "RIFF".getBytes("US-ASCII") ++ new Array[Byte](4) ++
+              "WAVE".getBytes("US-ASCII")
+            case 5 => "RIFF".getBytes("US-ASCII") ++ new Array[Byte](4) ++
+              "AVI ".getBytes("US-ASCII")
+            case 6 => "fLaC".getBytes("US-ASCII") ++ new Array[Byte](4)
+            case 7 => "OggS".getBytes("US-ASCII") ++ new Array[Byte](24)
+            case 8 => Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+              new Array[Byte](4)
+            case 9 => Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte) ++
+              new Array[Byte](4)
+            case 10 => Array[Byte](0x1F, 0x8B.toByte, 8, 0)
+            case 11 => Array[Byte]('P', 'K', 3, 4) ++ new Array[Byte](4)
+            case 12 => "%PDF-1.4\n".getBytes("US-ASCII")
+            case 13 => "WARC/1.0\r\n".getBytes("US-ASCII")
+            case 14 =>
+              val t = new Array[Byte](512)
+              System.arraycopy("ustar".getBytes("US-ASCII"), 0, t, 257, 5)
+              t
+            case 15 =>
+              val f = new Array[Byte](417)
+              f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+              f ++ f
+            case 16 => "  <!DOCTYPE html><body>x</body>".getBytes("US-ASCII")
+            case _ => "plain text payload".getBytes("US-ASCII")
+          }
+          (id, p)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.sniffMedia(m))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE doc_id % 18
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                     WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
+                     WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
+                     WHEN 9 THEN 'webm' WHEN 10 THEN 'gzip' WHEN 11 THEN 'zip'
+                     WHEN 12 THEN 'pdf' WHEN 13 THEN 'warc' WHEN 14 THEN 'tar'
+                     WHEN 15 THEN 'mpeg_audio' WHEN 16 THEN 'html'
+                     ELSE 'unknown' END AS format,
+                   CAST(CASE doc_id % 18
+                     WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
+                     WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
+                     WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
+                     WHEN 9 THEN 8 WHEN 10 THEN 4 WHEN 11 THEN 8
+                     WHEN 12 THEN 9 WHEN 13 THEN 10 WHEN 14 THEN 512
+                     WHEN 15 THEN 834 WHEN 16 THEN 31
+                     ELSE 18 END AS BIGINT) AS byte_len
+            FROM documents ORDER BY media_id"""),
+    "format-dispatch certificate: 18 payload families (every owned " +
+      "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
+      "whitespace-prefixed HTML and a plain-text unknown) named " +
+      "exactly by the sniff")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4564,5 +4636,6 @@ object ExtQueries {
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
-    qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qXlsxExtract)
+    qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qXlsxExtract,
+    qMediaSniff)
 }

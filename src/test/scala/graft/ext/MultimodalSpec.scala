@@ -326,4 +326,22 @@ class MultimodalSpec extends SparkSpec {
       Seq((3L, wav)).toDF("media_id", "payload"), stride = 1).collect()
     assert(res.isEmpty)
   }
+
+  test("sniffFormat edges: null, short, ambiguity order, weak MPEG sync") {
+    assert(Multimodal.sniffFormat(null) == "unknown")
+    assert(Multimodal.sniffFormat(Array[Byte](1, 2)) == "unknown")
+    // RIFF splits on the form type, not the container magic
+    val wavB = "RIFF????WAVE".getBytes
+    val aviB = "RIFF????AVI ".getBytes
+    assert(Multimodal.sniffFormat(wavB) == "wav")
+    assert(Multimodal.sniffFormat(aviB) == "avi")
+    // a lone MPEG sync word is NOT mpeg_audio (chained-frame rule)
+    val lone = new Array[Byte](417)
+    lone(0) = 0xFF.toByte; lone(1) = 0xFB.toByte; lone(2) = 0x90.toByte
+    assert(Multimodal.sniffFormat(lone) == "unknown")
+    assert(Multimodal.sniffFormat(lone ++ lone) == "mpeg_audio")
+    // gzip beats zip-like suffixes; PK alone is zip
+    assert(Multimodal.sniffFormat(Array[Byte](0x1F, 0x8B.toByte, 8, 0)) == "gzip")
+    assert(Multimodal.sniffFormat("PKrest".getBytes) == "zip")
+  }
 }
