@@ -26,10 +26,13 @@ import org.apache.spark.sql.SparkSession
   * are checkpoint-materialized before being rebound to the caller, so a
   * later conf change never alters an earlier result.
   *
-  * The map is weak-keyed by SparkContext; note the standard caveat that
-  * a cached session transitively references its context, so an entry for
-  * a STOPPED context is reclaimed only when the last external reference
-  * to that context dies — bounded by contexts-per-JVM (one, in practice).
+  * The map is weak-keyed by SparkContext, but weak keying alone cannot
+  * reclaim anything here — the cached sessions strongly reference their
+  * context, so the key stays strongly reachable through the value. The
+  * actual reclamation path is the application-end listener registered on
+  * first use: `sc.stop()` evicts the context's entry, making its clones
+  * and their SessionStates unreachable (JVMs that churn contexts — test
+  * suites, repeated jobs — don't accumulate stopped-session state).
   */
 private[graft] object LoopSessions {
   private val cache =
@@ -38,10 +41,16 @@ private[graft] object LoopSessions {
 
   def forPurpose(caller: SparkSession, purpose: String): SparkSession =
     cache.synchronized {
-      var byPurpose = cache.get(caller.sparkContext)
+      val sc = caller.sparkContext
+      var byPurpose = cache.get(sc)
       if (byPurpose == null) {
         byPurpose = scala.collection.mutable.Map.empty
-        cache.put(caller.sparkContext, byPurpose)
+        cache.put(sc, byPurpose)
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            cache.synchronized { cache.remove(sc) }
+        })
       }
       byPurpose.getOrElseUpdate(purpose, caller.newSession())
     }

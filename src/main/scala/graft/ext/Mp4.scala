@@ -104,7 +104,7 @@ object Mp4 {
     * bare `moov`-first QuickTime is deliberately outside the envelope).
     */
   def parse(b: Array[Byte]): Option[Meta] = {
-    if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+    if (b == null || b.length < 12 || fourcc(b, 4) != "ftyp") return None
     try {
       var brand = ""
       var mvTimescale = 0L
@@ -143,8 +143,9 @@ object Mp4 {
         // + times/id/reserved/duration (v0: 20, v1: 32) + reserved(8)
         // + layer(2) altgroup(2) volume(2) reserved(2) + matrix(36)
         val base = ts + 4 + (if (v == 1) 32 else 20)
-        if (v == 1 && te - ts >= 16) trackId = be32(b, ts + 4 + 16)
-        else if (te - ts >= 16) trackId = be32(b, ts + 4 + 8)
+        // v1 track id sits at payload offset 20 → needs 24 bytes present
+        if (v == 1 && te - ts >= 24) trackId = be32(b, ts + 4 + 16)
+        else if (v == 0 && te - ts >= 16) trackId = be32(b, ts + 4 + 8)
         if (te >= base + 60) {
           width = (be32(b, base + 52) >>> 16).toInt
           height = (be32(b, base + 56) >>> 16).toInt
@@ -266,7 +267,7 @@ object Mp4 {
     */
   def frames(b: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] = {
     require(stride > 0, s"stride must be positive: $stride")
-    if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+    if (b == null || b.length < 12 || fourcc(b, 4) != "ftyp") return None
     try {
       val spans = for {
         (mvS, mvE) <- child(b, 0, b.length, "moov").toSeq

@@ -62,20 +62,32 @@ object Office {
     * verbatim (numbers, formula results). None when the payload is not
     * a ZIP or has no first worksheet.
     */
-  def xlsxText(b: Array[Byte]): Option[String] =
-    Zip.read(b, "xl/worksheets/sheet1.xml").map { sheetB =>
-      val shared = Zip.read(b, "xl/sharedStrings.xml")
+  def xlsxText(b: Array[Byte]): Option[String] = {
+    // one central-directory walk for both members
+    val es = Zip.entries(b)
+    def member(name: String): Option[Array[Byte]] =
+      es.find(_.name == name).flatMap(Zip.readEntry(b, _))
+    member("xl/worksheets/sheet1.xml").map { sheetB =>
+      val shared = member("xl/sharedStrings.xml")
         .map(sb => parseShared(new String(sb, java.nio.charset.StandardCharsets.UTF_8)))
         .getOrElse(Vector.empty)
       val xml = new String(sheetB, java.nio.charset.StandardCharsets.UTF_8)
       val out = new java.lang.StringBuilder()
       var i = xml.indexOf("<row")
       while (i >= 0) {
-        val rowEnd = xml.indexOf("</row>", i) match {
+        val rowTagEnd = xml.indexOf('>', i)
+        if (rowTagEnd < 0) { out.append('\n'); i = -1 }
+        else if (xml.charAt(rowTagEnd - 1) == '/') {
+          // self-closing <row/> (sparse-sheet writers): an empty line,
+          // and the NEXT row's closer must not be mistaken for this one's
+          out.append('\n')
+          i = xml.indexOf("<row", rowTagEnd)
+        } else {
+        val rowEnd = xml.indexOf("</row>", rowTagEnd) match {
           case -1 => xml.length
           case e => e
         }
-        var c = xml.indexOf("<c", i)
+        var c = xml.indexOf("<c", rowTagEnd)
         var firstCell = true
         while (c >= 0 && c < rowEnd) {
           val tagEnd = xml.indexOf('>', c)
@@ -105,9 +117,11 @@ object Office {
         }
         out.append('\n')
         i = xml.indexOf("<row", rowEnd)
+        }
       }
       out.toString
     }
+  }
 
   /** `<si>` entries of a sharedStrings document: each is the
     * concatenation of its `<t>` run contents.

@@ -31,7 +31,10 @@ object Tar {
         (b(0) & 0xFF) != 0x1F || (b(1) & 0xFF) != 0x8B) return b
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    // size HINT only, capped: b.length*4 overflows Int past 512 MiB and
+    // a large up-front allocation is waste when the output is small
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(b.length.toLong * 4, 16L << 20).toInt))
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
     while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -69,11 +72,17 @@ object Tar {
   }
 
   /** Member listing over a `.tar` or `.tar.gz` payload. Offsets refer to
-    * the (inflated) archive bytes, usable with [[readAt]].
+    * the (inflated) archive bytes.
     */
-  def entries(raw: Array[Byte]): Seq[Entry] = {
+  def entries(raw: Array[Byte]): Seq[Entry] =
+    entriesInflated(try gunzipIfNeeded(raw)
+    catch { case scala.util.control.NonFatal(_) => null })
+
+  /** [[entries]] over already-inflated archive bytes — lets [[read]]
+    * inflate a `.tar.gz` exactly once.
+    */
+  private def entriesInflated(b: Array[Byte]): Seq[Entry] = {
     try {
-      val b = gunzipIfNeeded(raw)
       if (b == null || b.length < 512) return Nil
       val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
       var h = 0
@@ -98,11 +107,13 @@ object Tar {
     } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
-  /** One member's bytes by name ('.tar' or '.tar.gz' payload). */
+  /** One member's bytes by name ('.tar' or '.tar.gz' payload; the
+    * archive inflates exactly once).
+    */
   def read(raw: Array[Byte], name: String): Option[Array[Byte]] =
     try {
       val b = gunzipIfNeeded(raw)
-      entries(raw).find(e => e.name == name && e.typeflag == '0').flatMap { e =>
+      entriesInflated(b).find(e => e.name == name && e.typeflag == '0').flatMap { e =>
         if (e.data_offset + e.size > b.length || e.size > Int.MaxValue) None
         else Some(java.util.Arrays.copyOfRange(b, e.data_offset.toInt,
           (e.data_offset + e.size).toInt))

@@ -60,7 +60,11 @@ object Warc {
     * contract as the record parser.
     */
   private[ext] def gunzipMembers(blob: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(64, blob.length * 3))
+    // size HINT, capped: at the ~1 GB-per-row crawl scale an eager
+    // blob.length*3 array is a large allocation before any inflation
+    // happens (and the multiplication overflows Int past ~715 MB)
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(blob.length.toLong * 3, 16L << 20).toInt))
     val buf = new Array[Byte](64 * 1024)
     var i = 0
     while (isGzip(blob, i)) {
@@ -120,15 +124,21 @@ object Warc {
     * hex size line (chunk extensions after `;` ignored) + CRLF + data +
     * CRLF, terminated by a zero chunk whose trailing headers are
     * dropped. Malformed framing cuts short — the chunks decoded so far
-    * are returned, chunk metadata never leaks into the body.
+    * are returned, chunk metadata never leaks into the body. Returns
+    * NULL when the very first size line is not hex at all: that is the
+    * signature of a header that CLAIMS chunked over an already-decoded
+    * stored body (proxy rewrites), and the caller falls back to the raw
+    * bytes rather than erasing the record.
     */
   private[ext] def dechunk(b: Array[Byte], start: Int, end: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(16, end - start))
     var i = start
+    var first = true
     while (true) {
       var j = i
       while (j + 1 < end && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
-      if (j + 1 >= end) return out.toByteArray
+      // no size line at all on the FIRST chunk → not chunked data either
+      if (j + 1 >= end) return if (first) null else out.toByteArray
       val line = new String(b, i, j - i, "ISO-8859-1")
       val hex = line.indexOf(';') match {
         case -1 => line.trim
@@ -136,7 +146,11 @@ object Warc {
       }
       val size =
         try java.lang.Long.parseLong(hex, 16)
-        catch { case _: NumberFormatException => return out.toByteArray }
+        catch {
+          case _: NumberFormatException =>
+            return if (first) null else out.toByteArray
+        }
+      first = false
       if (size == 0) return out.toByteArray // trailer section dropped
       val dataStart = j + 2
       val dataEnd = dataStart + size
@@ -152,9 +166,15 @@ object Warc {
   /** Parse one WARC blob into its records (single forward scan).
     * `.warc.gz` blobs (gzip magic) are inflated member-wise first.
     */
-  def parse(blob: Array[Byte]): Seq[WarcRecord] = {
-    if (blob == null) return Nil
-    if (isGzip(blob)) return parse(gunzipMembers(blob))
+  def parse(blob0: Array[Byte]): Seq[WarcRecord] = {
+    if (blob0 == null) return Nil
+    // multiply-gzipped blobs unwrap in a LOOP with a depth cap — an
+    // adversarial gzip-of-gzip tower must neither recurse (stack death)
+    // nor spin (each level is a fresh allocation)
+    var blob = blob0
+    var depth = 0
+    while (isGzip(blob) && depth < 8) { blob = gunzipMembers(blob); depth += 1 }
+    if (isGzip(blob)) return Nil // still gzip after the cap: adversarial
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var i = 0
     var no = 0
@@ -226,8 +246,16 @@ object Warc {
       // an undecodable gzip body falls back to its raw bytes (cut-short
       // contract — ingestion must never throw on one stored response)
       val rawBody =
-        if (chunked) dechunk(blob, bodyStart, payloadEnd)
-        else java.util.Arrays.copyOfRange(blob, bodyStart, payloadEnd)
+        if (chunked) {
+          // same fallback contract as the gzip body path: a header that
+          // CLAIMS chunked over an already-dechunked stored body (proxy
+          // rewrites — dechunk signals it with null) must not erase the
+          // record; fall back to the raw bytes
+          val dechunked = dechunk(blob, bodyStart, payloadEnd)
+          if (dechunked == null)
+            java.util.Arrays.copyOfRange(blob, bodyStart, payloadEnd)
+          else dechunked
+        } else java.util.Arrays.copyOfRange(blob, bodyStart, payloadEnd)
       val body =
         if (gzipBody && isGzip(rawBody)) {
           val inflated = gunzipMembers(rawBody)

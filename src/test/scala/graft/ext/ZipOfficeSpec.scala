@@ -79,6 +79,12 @@ class ZipOfficeSpec extends AnyFunSuite {
       ("xl/worksheets/sheet1.xml", badSheet.getBytes("UTF-8"), true)))
     assert(Office.xlsxText(zip2).get == "one\t7\n\t\n")
     assert(Office.xlsxText("not a zip".getBytes).isEmpty)
+    // self-closing <row/> (sparse sheets): empty line, next row intact
+    val sparse = "<worksheet><sheetData><row r=\"1\"/>" +
+      "<row r=\"2\"><c r=\"A2\"><v>9</v></c></row></sheetData></worksheet>"
+    val zip3 = Zip.build(Seq(
+      ("xl/worksheets/sheet1.xml", sparse.getBytes("UTF-8"), false)))
+    assert(Office.xlsxText(zip3).get == "\n9\n")
   }
 
   test("docxText: end-to-end over a built container; non-zip → None") {
