@@ -103,6 +103,65 @@ object Mpeg {
     ((b(i) & 0x7F) << 21) | ((b(i + 1) & 0x7F) << 14) |
       ((b(i + 2) & 0x7F) << 7) | (b(i + 3) & 0x7F)
 
+  final case class Id3(title: String, artist: String, album: String, year: String)
+
+  /** ID3v2.3/2.4 text frames (informal standard, id3.org): TIT2/TPE1/
+    * TALB plus TYER (v2.3) or TDRC (v2.4) → (title, artist, album,
+    * year). Frame sizes are syncsafe in v2.4 and plain big-endian in
+    * v2.3; text payloads decode per their encoding byte (ISO-8859-1,
+    * UTF-16 with BOM, UTF-16BE, UTF-8) and trailing NULs are dropped.
+    * Absent tags come back as "" — triage wants a row per payload, not
+    * an option per field. None when there is no ID3v2 header at all.
+    */
+  def id3Tags(b: Array[Byte]): Option[Id3] = {
+    if (b == null || b.length < 10 ||
+        b(0) != 'I' || b(1) != 'D' || b(2) != '3') return None
+    try {
+      val major = b(3) & 0xFF
+      val tagEnd = math.min(b.length, 10 + syncsafe(b, 6))
+      var title = ""; var artist = ""; var album = ""; var year = ""
+      var i = 10
+      var ok = true
+      while (ok && i + 10 <= tagEnd) {
+        if (b(i) == 0) ok = false // padding reached
+        else {
+          val id = new String(b, i, 4, "US-ASCII")
+          val size =
+            if (major >= 4) syncsafe(b, i + 4)
+            else ((b(i + 4) & 0xFF) << 24) | ((b(i + 5) & 0xFF) << 16) |
+              ((b(i + 6) & 0xFF) << 8) | (b(i + 7) & 0xFF)
+          if (size <= 0 || i + 10 + size > tagEnd) ok = false
+          else {
+            if (id.startsWith("T") && size >= 1) {
+              val enc = b(i + 10) & 0xFF
+              val cs = enc match {
+                case 0 => "ISO-8859-1"
+                case 1 => "UTF-16" // BOM-led
+                case 2 => "UTF-16BE"
+                case _ => "UTF-8"
+              }
+              val text0 = new String(b, i + 11, size - 1, cs)
+              // NUL-terminated payloads: keep up to the first NUL
+              val text = text0.indexOf('\u0000') match {
+                case -1 => text0
+                case k => text0.substring(0, k)
+              }
+              id match {
+                case "TIT2" => title = text
+                case "TPE1" => artist = text
+                case "TALB" => album = text
+                case "TYER" | "TDRC" => year = text
+                case _ => ()
+              }
+            }
+            i += 10 + size
+          }
+        }
+      }
+      Some(Id3(title, artist, album, year))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Frame-header scan of an MPEG audio payload. None unless at least
     * one valid frame is found.
     */

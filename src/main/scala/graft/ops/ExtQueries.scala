@@ -4611,6 +4611,131 @@ object ExtQueries {
       "whitespace-prefixed HTML and a plain-text unknown) named " +
       "exactly by the sniff")
 
+  private val qId3Tags = Q(
+    "q_id3_tags",
+    (s, d) => {
+      // ID3v2 text-frame certificate: three tag families rotate by
+      // doc_id % 3 — v2.3 with ISO-8859-1 text and big-endian frame
+      // sizes, v2.3 with BOM-led UTF-16 (non-ASCII title), v2.4 with
+      // UTF-8 and SYNCSAFE frame sizes (plus a NUL terminator the
+      // parser must drop). Each tag fronts a real two-frame MPEG
+      // stream. Title/artist/album/year must land on closed forms.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val v4 = id % 3 == 2
+          def ss(v: Int): Array[Byte] = Array(
+            ((v >>> 21) & 0x7F).toByte, ((v >>> 14) & 0x7F).toByte,
+            ((v >>> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+          def frame(fid: String, enc: Int, text: String): Array[Byte] = {
+            val tb = enc match {
+              case 0 => text.getBytes("ISO-8859-1")
+              case 1 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+                text.getBytes("UTF-16LE")
+              case _ => text.getBytes("UTF-8") ++ Array[Byte](0) // NUL term
+            }
+            val payload = enc.toByte +: tb
+            val sizeB =
+              if (v4) ss(payload.length)
+              else Array(((payload.length >>> 24) & 0xFF).toByte,
+                ((payload.length >>> 16) & 0xFF).toByte,
+                ((payload.length >>> 8) & 0xFF).toByte,
+                (payload.length & 0xFF).toByte)
+            fid.getBytes("US-ASCII") ++ sizeB ++ Array[Byte](0, 0) ++ payload
+          }
+          val (title, enc) = (id % 3) match {
+            case 0 => (s"Title $id", 0)
+            case 1 => (s"Tïtle $id", 1)
+            case _ => (s"Tétle $id", 3)
+          }
+          val frames = frame("TIT2", enc, title) ++
+            frame("TPE1", enc, s"Artist ${id % 50}") ++
+            frame("TALB", enc, s"Album ${id % 20}") ++
+            (if (v4) frame("TDRC", enc, s"202${id % 10}")
+             else frame("TYER", enc, s"19${70 + id % 30}"))
+          val tag = "ID3".getBytes("US-ASCII") ++
+            Array[Byte](if (v4) 4 else 3, 0, 0) ++ ss(frames.length) ++ frames
+          val mp3 = new Array[Byte](417)
+          mp3(0) = 0xFF.toByte; mp3(1) = 0xFB.toByte; mp3(2) = 0x90.toByte
+          (id, tag ++ mp3 ++ mp3)
+        }
+        .toDF("media_id", "payload")
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val t = graft.ext.Mpeg.id3Tags(p).getOrElse(
+            graft.ext.Mpeg.Id3("", "", "", ""))
+          (id, t.title, t.artist, t.album, t.year)
+        }
+        .toDF("media_id", "title", "artist", "album", "year")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'Title ' || doc_id
+                     WHEN 1 THEN 'T' || chr(239) || 'tle ' || doc_id
+                     ELSE 'T' || chr(233) || 'tle ' || doc_id END AS title,
+                   'Artist ' || (doc_id % 50) AS artist,
+                   'Album ' || (doc_id % 20) AS album,
+                   CASE WHEN doc_id % 3 = 2 THEN '202' || (doc_id % 10)
+                        ELSE '19' || (70 + doc_id % 30) END AS year
+            FROM documents ORDER BY media_id"""),
+    "ID3v2 text-frame certificate: v2.3 big-endian and v2.4 syncsafe " +
+      "frame sizes, ISO-8859-1 / BOM-led UTF-16 / UTF-8 encodings with " +
+      "NUL-terminator handling — title, artist, album and TYER/TDRC " +
+      "year hash-checked against closed forms")
+
+  private val qSubtitleExtract = Q(
+    "q_subtitle_extract",
+    (s, d) => {
+      // Subtitle certificate: even docs carry SRT (indices, comma
+      // milliseconds), odd docs WebVTT (header, a NOTE block, cue
+      // identifiers, dot milliseconds, inline <i>/<c> markup the
+      // extractor must strip) — SAME cue content either way, so one
+      // closed form grades both grammars. Three cues per doc with
+      // doc-dependent offsets.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def fmt(ms: Long, sep: Char): String = {
+            val h = ms / 3600000; val m = (ms / 60000) % 60
+            val sec = (ms / 1000) % 60; val mm = ms % 1000
+            f"$h%02d:$m%02d:$sec%02d$sep$mm%03d"
+          }
+          val cues = (1 to 3).map { i =>
+            val start = (i - 1) * 2000L + id % 1000
+            (i, start, start + 1500, s"Cue $i w${id % 97}")
+          }
+          val content =
+            if (id % 2 == 0)
+              cues.map { case (i, st, en, tx) =>
+                s"$i\n${fmt(st, ',')} --> ${fmt(en, ',')}\n$tx\n"
+              }.mkString("\n")
+            else
+              "WEBVTT\n\nNOTE generated fixture\nsecond note line\n\n" +
+                cues.map { case (i, st, en, tx) =>
+                  val styled = tx.replace(s"w${id % 97}",
+                    s"<i>w${id % 97}</i>")
+                  s"cue-$i\n${fmt(st, '.')} --> ${fmt(en, '.')} align:start\n$styled\n"
+                }.mkString("\n")
+          val parsed =
+            if (id % 2 == 0) graft.ext.Subtitles.srt(content)
+            else graft.ext.Subtitles.vtt(content).getOrElse(Nil)
+          parsed.map(c => (id, c.cue_no, c.start_ms, c.end_ms, c.text))
+        }
+        .toDF("media_id", "cue_no", "start_ms", "end_ms", "cue_text")
+        .orderBy("media_id", "cue_no")
+    },
+    Some("""SELECT doc_id AS media_id, t.i AS cue_no,
+                   CAST((t.i - 1) * 2000 + doc_id % 1000 AS BIGINT) AS start_ms,
+                   CAST((t.i - 1) * 2000 + doc_id % 1000 + 1500 AS BIGINT) AS end_ms,
+                   'Cue ' || t.i || ' w' || (doc_id % 97) AS cue_text
+            FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS t(i)
+            ORDER BY media_id, cue_no"""),
+    "subtitle certificate: SRT (comma millis, numeric indices) and " +
+      "WebVTT (NOTE blocks, cue ids, settings after the end stamp, " +
+      "inline markup stripped) parse to identical cue rows, " +
+      "hash-checked against one closed form")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4637,5 +4762,5 @@ object ExtQueries {
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qXlsxExtract,
-    qMediaSniff)
+    qMediaSniff, qId3Tags, qSubtitleExtract)
 }
