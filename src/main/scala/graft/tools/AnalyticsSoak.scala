@@ -287,6 +287,17 @@ object AnalyticsSoak {
       graft.ext.TextAnalysis.stripBoilerplate(pages, "doc_id", "page", maxDf = 1000)
         .agg(sum(col("n_lines_kept"))).head().getLong(0)
     }
+    timed("lm_backoff_score", nDocs) {
+      // stupid-backoff LM gate at corpus scale: counts train on the
+      // %3!=0 slice, EVERY doc is scored — three count aggregations +
+      // five keyed joins over the exploded token stream, the heaviest
+      // plan in the round-10 set. The agg action forces full scoring.
+      graft.ext.TextAnalysis.lmScoreBackoff(
+          docs.select(col("doc_id"), col("text")),
+          docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .agg(count(lit(1)), avg(col("avg_nll"))).head().getLong(0)
+    }
     timed("corpus_sketch_overlap", nDocs) {
       def sketch(f: org.apache.spark.sql.Column, name: String) =
         docs.filter(f)
