@@ -116,6 +116,57 @@ object Exif {
         width, height, hasGps))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  final case class TiffMeta(
+      width: Int,
+      height: Int,
+      bits_per_sample: Int,
+      orientation: Int,
+      make: String)
+
+  /** Standalone TIFF image metadata — the same IFD grammar [[meta]]
+    * walks inside a JPEG APP1, anchored at byte 0 (both byte orders):
+    * ImageWidth (0x0100), ImageLength (0x0101), BitsPerSample (0x0102,
+    * first component), Orientation, Make. TIFF is the archival/document
+    * image format (scans, faxes, GeoTIFF), so triage needs it beside
+    * PNG/JPEG/GIF; pixel decode stays out of the pure-JVM envelope
+    * (LZW/CCITT codecs), mirroring the metadata-only MPEG arm.
+    */
+  def tiffMeta(b: Array[Byte]): Option[TiffMeta] =
+    try {
+      if (b == null || b.length < 8) return None
+      val le = b(0) == 'I' && b(1) == 'I'
+      val be = b(0) == 'M' && b(1) == 'M'
+      if (!le && !be) return None
+      val t = new Tiff(b, 0, b.length, le)
+      if (t.u16(2) != 42) return None
+      val ifd = t.u32(4).toInt
+      if (ifd < 8 || ifd + 2 > b.length) return None
+      val n = t.u16(ifd)
+      var width = 0; var height = 0; var bits = 0
+      var orientation = 0; var make = ""
+      var k = 0
+      while (k >= 0 && k < n) {
+        val e = ifd + 2 + k * 12
+        if (e + 12 > b.length) k = n
+        else {
+          val tag = t.u16(e)
+          val tpe = t.u16(e + 2)
+          val cnt = t.u32(e + 4)
+          tag match {
+            case 0x0100 => width = t.scalar(e, tpe, cnt).toInt
+            case 0x0101 => height = t.scalar(e, tpe, cnt).toInt
+            case 0x0102 => bits = t.scalar(e, tpe, cnt).toInt
+            case 0x0112 => orientation = t.scalar(e, tpe, cnt).toInt
+            case 0x010F if tpe == 2 => make = t.ascii(e, cnt)
+            case _ => ()
+          }
+          k += 1
+        }
+      }
+      if (width <= 0 && height <= 0) None
+      else Some(TiffMeta(width, height, bits, orientation, make))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** (payloadStart, payloadEnd) of the first Exif APP1 segment. */
   private def findExifSegment(b: Array[Byte]): Option[(Int, Int)] = {
     var found: Option[(Int, Int)] = None

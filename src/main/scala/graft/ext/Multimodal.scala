@@ -519,6 +519,8 @@ object Multimodal {
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
     else if (at(0, "GIF8")) "gif"
     else if (at(0, "BM")) "bmp"
+    else if ((at(0, "II") && b(2) == 42 && b(3) == 0) ||
+      (at(0, "MM") && b(2) == 0 && b(3) == 42)) "tiff"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
     else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
     else if (at(0, "fLaC")) "flac"

@@ -4542,8 +4542,8 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 18 payload families rotate by
-      // doc_id % 18 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 19 payload families rotate by
+      // doc_id % 19 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // and a plain-text "unknown"). The sniff must name each family
@@ -4551,7 +4551,7 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 18).toInt match {
+          val p: Array[Byte] = (id % 19).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4580,6 +4580,7 @@ object ExtQueries {
               f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
               f ++ f
             case 16 => "  <!DOCTYPE html><body>x</body>".getBytes("US-ASCII")
+            case 17 => Array[Byte]('I', 'I', 42, 0) ++ new Array[Byte](4)
             case _ => "plain text payload".getBytes("US-ASCII")
           }
           (id, p)
@@ -4589,21 +4590,22 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 18
+                   CASE doc_id % 19
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
                      WHEN 9 THEN 'webm' WHEN 10 THEN 'gzip' WHEN 11 THEN 'zip'
                      WHEN 12 THEN 'pdf' WHEN 13 THEN 'warc' WHEN 14 THEN 'tar'
                      WHEN 15 THEN 'mpeg_audio' WHEN 16 THEN 'html'
+                     WHEN 17 THEN 'tiff'
                      ELSE 'unknown' END AS format,
-                   CAST(CASE doc_id % 18
+                   CAST(CASE doc_id % 19
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
                      WHEN 9 THEN 8 WHEN 10 THEN 4 WHEN 11 THEN 8
                      WHEN 12 THEN 9 WHEN 13 THEN 10 WHEN 14 THEN 512
-                     WHEN 15 THEN 834 WHEN 16 THEN 31
+                     WHEN 15 THEN 834 WHEN 16 THEN 31 WHEN 17 THEN 8
                      ELSE 18 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
     "format-dispatch certificate: 18 payload families (every owned " +
@@ -4736,6 +4738,74 @@ object ExtQueries {
       "inline markup stripped) parse to identical cue rows, " +
       "hash-checked against one closed form")
 
+  private val qTiffMeta = Q(
+    "q_tiff_meta",
+    (s, d) => {
+      // Standalone-TIFF certificate: little-endian on even docs,
+      // BIG-endian on odd — same closed-form fields through both byte
+      // orders, with BitsPerSample exercising the offset heap (count 3)
+      // and Make the ASCII heap. Pixel codecs (LZW/CCITT) are out of
+      // envelope by design; this is the metadata-triage arm.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val le = id % 2 == 0
+          val w = (100 + id % 900).toInt
+          val h = (100 + id % 600).toInt
+          val t = new Array[Byte](86)
+          def w16(i: Int, v: Int): Unit =
+            if (le) { t(i) = v.toByte; t(i + 1) = (v >>> 8).toByte }
+            else { t(i) = (v >>> 8).toByte; t(i + 1) = v.toByte }
+          def w32(i: Int, v: Long): Unit =
+            if (le) {
+              t(i) = v.toByte; t(i + 1) = (v >>> 8).toByte
+              t(i + 2) = (v >>> 16).toByte; t(i + 3) = (v >>> 24).toByte
+            } else {
+              t(i) = (v >>> 24).toByte; t(i + 1) = (v >>> 16).toByte
+              t(i + 2) = (v >>> 8).toByte; t(i + 3) = v.toByte
+            }
+          if (le) { t(0) = 'I'; t(1) = 'I' } else { t(0) = 'M'; t(1) = 'M' }
+          w16(2, 42); w32(4, 8); w16(8, 5)
+          var e = 10
+          def entry(tag: Int, tpe: Int, cnt: Long, value: Long,
+              short: Boolean = false): Unit = {
+            w16(e, tag); w16(e + 2, tpe); w32(e + 4, cnt)
+            if (short) w16(e + 8, value.toInt) else w32(e + 8, value)
+            e += 12
+          }
+          entry(0x0100, 4, 1, w)
+          entry(0x0101, 4, 1, h)
+          entry(0x0102, 3, 3, 74) // SHORT x3 -> offset heap
+          entry(0x010F, 2, 6, 80)
+          entry(0x0112, 3, 1, 1 + id % 8, short = true)
+          w32(e, 0)
+          w16(74, 8); w16(76, 8); w16(78, 8)
+          System.arraycopy(s"Scan${id % 10}".getBytes("US-ASCII"), 0, t, 80, 5)
+          (id, t)
+        }
+        .toDF("media_id", "payload")
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val m = graft.ext.Exif.tiffMeta(p).getOrElse(
+            graft.ext.Exif.TiffMeta(0, 0, 0, 0, ""))
+          (id, m.width, m.height, m.bits_per_sample, m.orientation, m.make,
+            graft.ext.Multimodal.sniffFormat(p))
+        }
+        .toDF("media_id", "width", "height", "bits", "orientation", "make",
+          "sniffed")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CAST(100 + doc_id % 900 AS INT) AS width,
+                   CAST(100 + doc_id % 600 AS INT) AS height,
+                   8 AS bits, CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   'Scan' || (doc_id % 10) AS make,
+                   'tiff' AS sniffed
+            FROM documents ORDER BY media_id"""),
+    "standalone-TIFF certificate: IFD0 metadata through BOTH byte " +
+      "orders, offset-heap BitsPerSample and Make, inline SHORT " +
+      "orientation, plus the sniff naming the format — all closed form")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -4762,5 +4832,5 @@ object ExtQueries {
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qXlsxExtract,
-    qMediaSniff, qId3Tags, qSubtitleExtract)
+    qMediaSniff, qId3Tags, qSubtitleExtract, qTiffMeta)
 }
