@@ -118,6 +118,10 @@ object Mpeg {
         b(0) != 'I' || b(1) != 'D' || b(2) != '3') return None
     try {
       val major = b(3) & 0xFF
+      // unsynchronised tags (flag 0x80) stuff escape bytes into frame
+      // payloads; parsing them as-is would yield corrupt text — bail
+      // fail-safe rather than guess (documented envelope edge)
+      if ((b(5) & 0x80) != 0) return None
       val tagEnd = math.min(b.length, 10 + syncsafe(b, 6))
       var title = ""; var artist = ""; var album = ""; var year = ""
       var i = 10

@@ -62,6 +62,9 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(t.title == "hello" && t.artist == "" && t.year == "")
     assert(Mpeg.id3Tags("no tag here".getBytes).isEmpty)
     assert(Mpeg.id3Tags(null).isEmpty)
+    // unsynchronised tag (flag 0x80): fail-safe None, never corrupt text
+    val unsync = tag.clone(); unsync(5) = 0x80.toByte
+    assert(Mpeg.id3Tags(unsync).isEmpty)
     var i = 0
     while (i <= tag.length) { Mpeg.id3Tags(tag.take(i)); i += 1 }
     // UTF-16BE (encoding 2) with a NUL terminator
