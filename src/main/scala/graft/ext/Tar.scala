@@ -5,6 +5,17 @@ package graft.ext
   * members from in-row byte arrays the way [[Zip]] does for PKWARE
   * archives.
   *
+  * Memory contract: the walk is a SINGLE forward pass over an
+  * `InputStream` — a `.tar.gz` inflates through `GZIPInputStream` in
+  * 64 KiB windows and unwanted member data is SKIPPED, not buffered, so
+  * per-row heap is O(one wanted member), independent of how large the
+  * archive inflates in total (a ~1 GB-per-row crawl artifact that
+  * inflates past the ≤2 GiB single-array JVM cap still walks). [[read]]
+  * stops inflating at its match; [[entries]] never materializes member
+  * data at all. The only inherent cap is per MEMBER on extraction: one
+  * member's bytes are one `Array[Byte]`, so members past ~2 GiB list
+  * fine but read as None.
+  *
   * Envelope (POSIX.1-1988 ustar layout):
   *   - 512-byte headers: name(100) + octal size(12) + mtime(12) +
   *     checksum(8) + typeflag + ustar magic + prefix(155); data rounded
@@ -26,20 +37,9 @@ object Tar {
       mtime: Long,
       data_offset: Long)
 
-  private def gunzipIfNeeded(b: Array[Byte]): Array[Byte] = {
-    if (b == null || b.length < 2 ||
-        (b(0) & 0xFF) != 0x1F || (b(1) & 0xFF) != 0x8B) return b
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    // size HINT only, capped: b.length*4 overflows Int past 512 MiB and
-    // a large up-front allocation is waste when the output is small
-    val out = new java.io.ByteArrayOutputStream(
-      math.max(64, math.min(b.length.toLong * 4, 16L << 20).toInt))
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
+  private def isGzip(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 &&
+      (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
 
   private def octal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L
@@ -60,65 +60,157 @@ object Tar {
     new String(b, off, n, "UTF-8")
   }
 
-  private def checksumOk(b: Array[Byte], h: Int): Boolean = {
-    val stored = octal(b, h + 148, 8)
+  private def checksumOk(h: Array[Byte]): Boolean = {
+    val stored = octal(h, 148, 8)
     var sum = 0L
     var i = 0
     while (i < 512) {
-      sum += (if (i >= 148 && i < 156) ' '.toInt else b(h + i) & 0xFF)
+      sum += (if (i >= 148 && i < 156) ' '.toInt else h(i) & 0xFF)
       i += 1
     }
     sum == stored
   }
 
-  /** Member listing over a `.tar` or `.tar.gz` payload. Offsets refer to
-    * the (inflated) archive bytes.
-    */
-  def entries(raw: Array[Byte]): Seq[Entry] =
-    entriesInflated(try gunzipIfNeeded(raw)
-    catch { case scala.util.control.NonFatal(_) => null })
-
-  /** [[entries]] over already-inflated archive bytes — lets [[read]]
-    * inflate a `.tar.gz` exactly once.
-    */
-  private def entriesInflated(b: Array[Byte]): Seq[Entry] = {
-    try {
-      if (b == null || b.length < 512) return Nil
-      val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
-      var h = 0
-      var ok = true
-      while (ok && h + 512 <= b.length) {
-        if (b(h) == 0) ok = false // zero block: end of archive
-        else if (!checksumOk(b, h)) ok = false
-        else {
-          val prefix = str(b, h + 345, 155)
-          val name0 = str(b, h, 100)
-          val name = if (prefix.nonEmpty) prefix + "/" + name0 else name0
-          val size = octal(b, h + 124, 12)
-          val tf = { val c = b(h + 156).toChar; if (c == 0) '0' else c }
-          if (size < 0 || h + 512 + size > b.length.toLong) ok = false
-          else {
-            out += Entry(name, size, tf, octal(b, h + 136, 12), h + 512L)
-            h += 512 + (((size + 511) / 512) * 512).toInt
-          }
-        }
-      }
-      out.toSeq
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+  /** Read exactly `len` bytes into `buf`; false on EOF before that. */
+  private def readFully(in: java.io.InputStream, buf: Array[Byte], len: Int): Boolean = {
+    var got = 0
+    while (got < len) {
+      val n = in.read(buf, got, len - got)
+      if (n < 0) return false
+      got += n
+    }
+    true
   }
 
-  /** One member's bytes by name ('.tar' or '.tar.gz' payload; the
-    * archive inflates exactly once).
+  /** Skip exactly `n` bytes (decompress-and-discard on a gzip stream);
+    * false on EOF before that.
     */
-  def read(raw: Array[Byte], name: String): Option[Array[Byte]] =
-    try {
-      val b = gunzipIfNeeded(raw)
-      entriesInflated(b).find(e => e.name == name && e.typeflag == '0').flatMap { e =>
-        if (e.data_offset + e.size > b.length || e.size > Int.MaxValue) None
-        else Some(java.util.Arrays.copyOfRange(b, e.data_offset.toInt,
-          (e.data_offset + e.size).toInt))
+  private def skipFully(in: java.io.InputStream, n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) return false // skip() stalled: probe EOF
+      else left -= 1
+    }
+    true
+  }
+
+  /** Single-pass streaming member walk. Yields every structurally-valid
+    * member in order; `want` decides whether a member's bytes are
+    * materialized (at most one wanted member is in memory at a time) or
+    * skipped through the window. Unwanted / oversized (≥2 GiB) members
+    * yield an empty array. All malformation — bad checksum, zero block,
+    * truncation, corrupt gzip — cuts the walk short, never throws.
+    */
+  private[graft] def walk(raw: Array[Byte],
+      want: Entry => Boolean): Iterator[(Entry, Array[Byte])] =
+    new Iterator[(Entry, Array[Byte])] {
+      private val in: java.io.InputStream =
+        try {
+          if (raw == null) null
+          else if (isGzip(raw))
+            new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw), 64 * 1024)
+          else new java.io.ByteArrayInputStream(raw)
+        } catch { case scala.util.control.NonFatal(_) => null }
+      private val hdr = new Array[Byte](512)
+      private var off = 0L // running offset in the (inflated) archive
+      private var done = in == null
+      private var pending: (Entry, Array[Byte]) = null
+
+      private def advance(): Unit =
+        try {
+          if (!readFully(in, hdr, 512)) { done = true; return }
+          if (hdr(0) == 0) { done = true; return } // zero block: end
+          if (!checksumOk(hdr)) { done = true; return }
+          val prefix = str(hdr, 345, 155)
+          val name0 = str(hdr, 0, 100)
+          val name = if (prefix.nonEmpty) prefix + "/" + name0 else name0
+          val size = octal(hdr, 124, 12)
+          val tf = { val c = hdr(156).toChar; if (c == 0) '0' else c }
+          if (size < 0) { done = true; return }
+          val e = Entry(name, size, tf, octal(hdr, 136, 12), off + 512L)
+          val data: Array[Byte] =
+            if (size > 0 && size <= Int.MaxValue - 16L && want(e)) {
+              val d = new Array[Byte](size.toInt)
+              if (!readFully(in, d, d.length)) { done = true; return }
+              d
+            } else {
+              if (!skipFully(in, size)) { done = true; return }
+              Array.emptyByteArray
+            }
+          // the member is complete once its data is; short PADDING still
+          // emits it and the next header read ends the walk
+          val padded = ((size + 511) / 512) * 512
+          off += 512 + padded
+          pending = (e, data)
+          if (!skipFully(in, padded - size)) done = true
+        } catch { case scala.util.control.NonFatal(_) => done = true }
+
+      def hasNext: Boolean = {
+        if (pending == null && !done) advance()
+        pending != null
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+      def next(): (Entry, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException("tar member")
+        val r = pending; pending = null; r
+      }
+    }
+
+  /** Member listing over a `.tar` or `.tar.gz` payload — one streaming
+    * pass, no member data materialized. Offsets refer to the (inflated)
+    * archive bytes.
+    */
+  def entries(raw: Array[Byte]): Seq[Entry] =
+    walk(raw, _ => false).map(_._1).toSeq
+
+  /** One member's bytes by name ('.tar' or '.tar.gz' payload) — a
+    * streaming pass that stops inflating at the match, buffering only
+    * that member.
+    */
+  def read(raw: Array[Byte], name: String): Option[Array[Byte]] = {
+    val it = walk(raw, e => e.name == name && e.typeflag == '0')
+      .collectFirst {
+        case (e, d) if e.name == name && e.typeflag == '0' &&
+          d.length.toLong == e.size => d
+      }
+    it
+  }
+
+  /** One 512-byte ustar header with a valid checksum — shared by
+    * [[build]] and the spec/soak fixture writers.
+    */
+  private[graft] def header(name: String, size: Long, tf: Char,
+      mtime: Long = 1755000000L): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length <= 100, s"long names out of builder envelope: $name")
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    def oct(off: Int, len: Int, v: Long): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val pad = len - 1 - s.length
+      var i = 0
+      while (i < pad) { h(off + i) = '0'; i += 1 }
+      System.arraycopy(s.getBytes("US-ASCII"), 0, h, off + pad, s.length)
+    }
+    oct(100, 8, 420) // mode 0644
+    oct(108, 8, 0); oct(116, 8, 0)
+    oct(124, 12, size)
+    oct(136, 12, mtime)
+    h(156) = tf.toByte
+    System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0'
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    h.foreach(c => sum += (c & 0xFF))
+    val cs = java.lang.Long.toOctalString(sum)
+    var i = 0
+    while (i < 6 - cs.length) { h(148 + i) = '0'; i += 1 }
+    System.arraycopy(cs.getBytes("US-ASCII"), 0, h, 148 + (6 - cs.length), cs.length)
+    h(154) = 0; h(155) = ' '
+    h
+  }
 
   /** Assemble a tar (optionally gzipped) from (name, bytes, typeflag)
     * members — the spec/certificate builders' counterpart.
@@ -127,33 +219,7 @@ object Tar {
       gzip: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     for ((name, data, tf) <- members) {
-      val h = new Array[Byte](512)
-      val nameB = name.getBytes("UTF-8")
-      require(nameB.length <= 100, s"long names out of builder envelope: $name")
-      System.arraycopy(nameB, 0, h, 0, nameB.length)
-      def oct(off: Int, len: Int, v: Long): Unit = {
-        val s = java.lang.Long.toOctalString(v)
-        val pad = len - 1 - s.length
-        var i = 0
-        while (i < pad) { h(off + i) = '0'; i += 1 }
-        System.arraycopy(s.getBytes("US-ASCII"), 0, h, off + pad, s.length)
-      }
-      oct(100, 8, 420) // mode 0644
-      oct(108, 8, 0); oct(116, 8, 0)
-      oct(124, 12, data.length)
-      oct(136, 12, 1755000000L)
-      h(156) = tf.toByte
-      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
-      h(263) = '0'; h(264) = '0'
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      var sum = 0L
-      h.foreach(c => sum += (c & 0xFF))
-      val cs = java.lang.Long.toOctalString(sum)
-      var i = 0
-      while (i < 6 - cs.length) { h(148 + i) = '0'; i += 1 }
-      System.arraycopy(cs.getBytes("US-ASCII"), 0, h, 148 + (6 - cs.length), cs.length)
-      h(154) = 0; h(155) = ' '
-      out.write(h)
+      out.write(header(name, data.length, tf))
       out.write(data)
       val pad = (512 - (data.length % 512)) % 512
       out.write(new Array[Byte](pad))

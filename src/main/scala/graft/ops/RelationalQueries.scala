@@ -889,7 +889,11 @@ object RelationalQueries {
       agg: DataFrame,
       mode: String,
       statePartitions: String = "4"): DataFrame = {
-    val ckDir = s"/dev/shm/graft_ck_$name"
+    // keyed by PID: two JVMs replaying the same query concurrently (a
+    // bench run next to a test run) must not delete each other's
+    // checkpoint mid-stream; both ends of this function clean up, so a
+    // pid-suffixed dir only outlives a crash
+    val ckDir = s"/dev/shm/graft_ck_${name}_${ProcessHandle.current().pid()}"
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
     catch { case _: Exception => () }
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

@@ -54,6 +54,47 @@ class TarSpec extends AnyFunSuite {
     }
   }
 
+  test("tar.gz soak: >2 GiB inflated walks and extracts in bounded heap") {
+    // 40 members x 60 MiB zero-filled = ~2.35 GiB inflated, ~2.4 MB
+    // compressed — written straight through GZIPOutputStream so the
+    // inflated archive never exists as one array at build time either.
+    // The pre-round-11 whole-blob gunzipIfNeeded dies here with
+    // OutOfMemoryError("Requested array size exceeds VM limit"); the
+    // streaming walk lists all members and extracts one with at most a
+    // single 60 MiB member in flight.
+    val memberLen = 60 * 1024 * 1024
+    val zeros = new Array[Byte](memberLen)
+    val n = 40
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
+    (0 until n).foreach { k =>
+      g.write(Tar.header(s"m/$k.bin", memberLen, '0'))
+      g.write(zeros) // memberLen is 512-aligned: no padding needed
+    }
+    g.write(new Array[Byte](1024))
+    g.close()
+    val blob = bos.toByteArray
+    assert(blob.length < 8 * 1024 * 1024)
+    val es = Tar.entries(blob)
+    assert(es.length == n)
+    val total = es.map(_.size).sum
+    assert(total == n.toLong * memberLen)
+    assert(total > Int.MaxValue.toLong)
+    // read() stops inflating at its match — an early member is cheap
+    val d = Tar.read(blob, "m/2.bin").get
+    assert(d.length == memberLen)
+    assert(d.forall(_ == 0))
+  }
+
+  test("streaming walk materializes only wanted members") {
+    val blob = sample(true)
+    val walked = Tar.walk(blob, _.name == "b.bin").toSeq
+    assert(walked.map(_._1.name) == Seq("d/", "d/a.txt", "b.bin"))
+    assert(walked(1)._2.isEmpty) // d/a.txt not wanted: skipped, not buffered
+    assert(walked(2)._2.length == 700)
+    assert(walked(2)._2.zipWithIndex.forall { case (b, i) => b == (i % 127).toByte })
+  }
+
   test("octal fields tolerate leading spaces and NUL terminators") {
     val t = sample(false).clone()
     // rewrite size field of member 2 ("  22\0...") and fix its checksum
