@@ -503,6 +503,31 @@ object Multimodal {
       }
   }
 
+  final case class WebpRow(
+      media_id: Long,
+      variant: String,
+      width: Int,
+      height: Int,
+      has_alpha: Boolean,
+      has_animation: Boolean,
+      has_exif: Boolean,
+      has_icc: Boolean,
+      n_frames: Int)
+
+  /** [[Webp.meta]] over a media column — map-only triage for the web's
+    * third image format; rows that aren't structurally WebP are dropped
+    * (the sniff routes them elsewhere first).
+    */
+  def webpMeta(media: DataFrame): Dataset[WebpRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Webp.meta(p).map(m => WebpRow(id, m.variant, m.width, m.height,
+          m.has_alpha, m.has_animation, m.has_exif, m.has_icc, m.n_frames))
+      })
+  }
+
   /** Format detection for one payload — the dispatch step a multimodal
     * pipeline runs FIRST over every blob, routing each to its arm.
     * Structural magics are checked in specificity order; MPEG audio
@@ -523,9 +548,22 @@ object Multimodal {
       (at(0, "MM") && b(2) == 0 && b(3) == 42)) "tiff"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
     else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
+    else if (at(0, "RIFF") && at(8, "WEBP")) "webp"
     else if (at(0, "fLaC")) "flac"
     else if (at(0, "OggS")) "ogg"
-    else if (at(4, "ftyp")) "mp4"
+    else if (at(4, "ftyp")) {
+      // the ftyp MAJOR BRAND names the family — HEIF still images
+      // (modern phone imagery) and AVIF must route to the image arms,
+      // not the video one, or they skip image curation entirely
+      val brand =
+        if (b.length >= 12) new String(b, 8, 4, "US-ASCII") else ""
+      brand match {
+        case "heic" | "heix" | "hevc" | "hevx" | "heim" | "heis" |
+             "mif1" | "msf1" => "heic"
+        case "avif" | "avis" => "avif"
+        case _ => "mp4"
+      }
+    }
     else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
       (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "webm"
     else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"

@@ -1,0 +1,181 @@
+package graft.ext
+
+/** WebP container walk (RFC 9649) — the metadata-triage arm for the
+  * web's third image format, the sibling of [[Png]]/[[Jpeg]] (decode
+  * arms) on the triage side: variant, pixel dimensions, alpha /
+  * animation / metadata presence and frame count from pure byte reads,
+  * no decoder. A crawl pipeline that cannot name WebP routes a large
+  * slice of modern web imagery to "unknown" and silently drops it from
+  * image curation — this arm exists so the [[Multimodal.sniffFormat]]
+  * dispatch has somewhere real to send it.
+  *
+  * Structure parsed (all little-endian):
+  *   - RIFF header: "RIFF" + u32 size + "WEBP", then a chunk sequence of
+  *     FourCC + u32 size + payload (odd sizes padded to even).
+  *   - 'VP8 ' (lossy): 3-byte frame tag (LSB 0 = key frame) + the
+  *     0x9D 0x01 0x2A start code + 14-bit width/height (RFC 9649 §2.2,
+  *     the VP8 key-frame header of RFC 6386 §9.1).
+  *   - 'VP8L' (lossless): 0x2F signature + 28 bits of (width-1,
+  *     height-1) + alpha-is-used bit + 3-bit version (must be 0).
+  *   - 'VP8X' (extended): feature flags (ICC / alpha / EXIF / XMP /
+  *     animation) + u24 canvas (width-1, height-1); ANMF chunks are
+  *     counted as animation frames.
+  *
+  * Scale shape: one payload per row inside `mapPartitions` — map-only,
+  * a bounded forward chunk walk (first 1 MiB of chunk headers is ample
+  * for triage; payloads are skipped by size, never copied). Malformed
+  * input returns None / the chunks before the damage, never throws.
+  */
+object Webp {
+
+  final case class WebpMeta(
+      variant: String, // "lossy" | "lossless" | "extended"
+      width: Int,
+      height: Int,
+      has_alpha: Boolean,
+      has_animation: Boolean,
+      has_exif: Boolean,
+      has_icc: Boolean,
+      n_frames: Int) // ANMF count; 0 for still images
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def u24le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Dimensions from a 'VP8 ' (lossy) chunk payload: key-frame tag +
+    * start code + 14-bit dims. None for interframes / damaged headers.
+    */
+  private def lossyDims(b: Array[Byte], p: Int, end: Int): Option[(Int, Int)] = {
+    if (p + 10 > end) return None
+    val tag = u24le(b, p)
+    if ((tag & 1) != 0) return None // interframe can't open a still
+    if ((b(p + 3) & 0xFF) != 0x9D || (b(p + 4) & 0xFF) != 0x01 ||
+      (b(p + 5) & 0xFF) != 0x2A) return None
+    Some((u16le(b, p + 6) & 0x3FFF, u16le(b, p + 8) & 0x3FFF))
+  }
+
+  /** (width, height, alpha) from a 'VP8L' (lossless) chunk payload:
+    * 0x2F signature, 14+14 bit dims-minus-one, alpha bit, version 0.
+    */
+  private def losslessDims(b: Array[Byte], p: Int, end: Int): Option[(Int, Int, Boolean)] = {
+    if (p + 5 > end) return None
+    if ((b(p) & 0xFF) != 0x2F) return None
+    val v = u32le(b, p + 1)
+    if (((v >>> 29) & 0x7) != 0) return None // version must be 0
+    Some((((v & 0x3FFF) + 1).toInt, (((v >> 14) & 0x3FFF) + 1).toInt,
+      ((v >> 28) & 1) == 1))
+  }
+
+  /** Triage metadata for one WebP payload; None when the RIFF/WEBP
+    * framing or the first image chunk is not structurally valid.
+    */
+  def meta(b: Array[Byte]): Option[WebpMeta] = {
+    if (b == null || b.length < 20) return None
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP") return None
+    // chunk walk bound: the declared RIFF size, clamped to the payload
+    val end = math.min(b.length.toLong, 8L + u32le(b, 4)).toInt
+    var p = 12
+    if (p + 8 > end) return None
+    fourcc(b, p) match {
+      case "VP8 " =>
+        lossyDims(b, p + 8, math.min(end.toLong, p + 8L + u32le(b, p + 4)).toInt)
+          .map { case (w, h) =>
+            WebpMeta("lossy", w, h, has_alpha = false, has_animation = false,
+              has_exif = false, has_icc = false, n_frames = 0)
+          }
+      case "VP8L" =>
+        losslessDims(b, p + 8, math.min(end.toLong, p + 8L + u32le(b, p + 4)).toInt)
+          .map { case (w, h, a) =>
+            WebpMeta("lossless", w, h, has_alpha = a, has_animation = false,
+              has_exif = false, has_icc = false, n_frames = 0)
+          }
+      case "VP8X" =>
+        if (p + 8 + 10 > end) return None
+        val f = b(p + 8) & 0xFF
+        val icc = (f & 0x20) != 0
+        var alpha = (f & 0x10) != 0
+        var exif = (f & 0x08) != 0
+        val anim = (f & 0x02) != 0
+        val w = u24le(b, p + 12) + 1
+        val h = u24le(b, p + 15) + 1
+        // count animation frames / confirm feature chunks; headers only,
+        // payloads skipped by size — damage cuts the walk short with the
+        // chunks seen so far
+        var frames = 0
+        val sz0 = u32le(b, p + 4)
+        var q = math.min(end.toLong, p + 8L + sz0 + (sz0 & 1L)).toInt
+        while (q + 8 <= end) {
+          val cc = fourcc(b, q)
+          val sz = u32le(b, q + 4)
+          if (cc == "ANMF") frames += 1
+          else if (cc == "ALPH") alpha = true
+          else if (cc == "EXIF") exif = true
+          val next = q + 8L + sz + (sz & 1L)
+          q = if (next > end || next <= q) end else next.toInt
+        }
+        Some(WebpMeta("extended", w, h, alpha, anim, exif, icc, frames))
+      case _ => None
+    }
+  }
+
+  // ---- fixture builders (spec / certificate counterparts) ------------
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def le24(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte)
+
+  /** One padded chunk: FourCC + size + payload (+ pad byte if odd). */
+  private[graft] def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+    require(cc.length == 4, s"FourCC must be 4 chars: $cc")
+    val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+    cc.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload ++ pad
+  }
+
+  /** RIFF/WEBP container around pre-built chunks. */
+  private[graft] def container(chunks: Array[Byte]*): Array[Byte] = {
+    val body = "WEBP".getBytes("US-ASCII") ++ chunks.flatten
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** 'VP8 ' lossy key-frame header bytes for the given dimensions (the
+    * triage-relevant prefix; no coefficient data is claimed).
+    */
+  private[graft] def lossyChunk(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && w <= 0x3FFF && h >= 1 && h <= 0x3FFF, s"dims: ${w}x$h")
+    val hdr = Array[Byte](0, 0, 0, // key-frame tag (LSB 0)
+      0x9D.toByte, 0x01, 0x2A,
+      (w & 0xFF).toByte, ((w >> 8) & 0x3F).toByte,
+      (h & 0xFF).toByte, ((h >> 8) & 0x3F).toByte)
+    chunk("VP8 ", hdr)
+  }
+
+  /** 'VP8L' lossless header bytes: signature + packed dims + alpha. */
+  private[graft] def losslessChunk(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+    require(w >= 1 && w <= 0x4000 && h >= 1 && h <= 0x4000, s"dims: ${w}x$h")
+    val v = (w - 1).toLong | ((h - 1).toLong << 14) |
+      (if (alpha) 1L << 28 else 0L)
+    chunk("VP8L", Array(0x2F.toByte) ++ le32(v))
+  }
+
+  /** 'VP8X' extended file: feature flags + canvas, followed by the given
+    * feature chunks (ANMF frames, ALPH, EXIF, an image chunk).
+    */
+  private[graft] def extended(w: Int, h: Int, icc: Boolean, alpha: Boolean,
+      exif: Boolean, anim: Boolean, rest: Array[Byte]*): Array[Byte] = {
+    require(w >= 1 && w <= (1 << 24) && h >= 1 && h <= (1 << 24), s"dims: ${w}x$h")
+    val flags = (if (icc) 0x20 else 0) | (if (alpha) 0x10 else 0) |
+      (if (exif) 0x08 else 0) | (if (anim) 0x02 else 0)
+    val vp8x = chunk("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
+      le24(w - 1) ++ le24(h - 1))
+    container((vp8x +: rest): _*)
+  }
+}

@@ -4542,16 +4542,17 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 19 payload families rotate by
-      // doc_id % 19 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 22 payload families rotate by
+      // doc_id % 22 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
-      // and a plain-text "unknown"). The sniff must name each family
-      // and report exact byte lengths.
+      // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
+      // land on "mp4", and a plain-text "unknown"). The sniff must name
+      // each family and report exact byte lengths.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 19).toInt match {
+          val p: Array[Byte] = (id % 22).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4581,6 +4582,12 @@ object ExtQueries {
               f ++ f
             case 16 => "  <!DOCTYPE html><body>x</body>".getBytes("US-ASCII")
             case 17 => Array[Byte]('I', 'I', 42, 0) ++ new Array[Byte](4)
+            case 18 => "RIFF".getBytes("US-ASCII") ++ new Array[Byte](4) ++
+              "WEBP".getBytes("US-ASCII") ++ new Array[Byte](4)
+            case 19 => Array[Byte](0, 0, 0, 16) ++ "ftypheic".getBytes("US-ASCII") ++
+              new Array[Byte](4)
+            case 20 => Array[Byte](0, 0, 0, 16) ++ "ftypavif".getBytes("US-ASCII") ++
+              new Array[Byte](4)
             case _ => "plain text payload".getBytes("US-ASCII")
           }
           (id, p)
@@ -4590,28 +4597,100 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 19
+                   CASE doc_id % 22
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
                      WHEN 9 THEN 'webm' WHEN 10 THEN 'gzip' WHEN 11 THEN 'zip'
                      WHEN 12 THEN 'pdf' WHEN 13 THEN 'warc' WHEN 14 THEN 'tar'
                      WHEN 15 THEN 'mpeg_audio' WHEN 16 THEN 'html'
-                     WHEN 17 THEN 'tiff'
+                     WHEN 17 THEN 'tiff' WHEN 18 THEN 'webp'
+                     WHEN 19 THEN 'heic' WHEN 20 THEN 'avif'
                      ELSE 'unknown' END AS format,
-                   CAST(CASE doc_id % 19
+                   CAST(CASE doc_id % 22
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
                      WHEN 9 THEN 8 WHEN 10 THEN 4 WHEN 11 THEN 8
                      WHEN 12 THEN 9 WHEN 13 THEN 10 WHEN 14 THEN 512
                      WHEN 15 THEN 834 WHEN 16 THEN 31 WHEN 17 THEN 8
+                     WHEN 18 THEN 16 WHEN 19 THEN 16 WHEN 20 THEN 16
                      ELSE 18 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
-    "format-dispatch certificate: 18 payload families (every owned " +
+    "format-dispatch certificate: 21 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
-      "whitespace-prefixed HTML and a plain-text unknown) named " +
-      "exactly by the sniff")
+      "whitespace-prefixed HTML, RIFF/WEBP, the HEIC/AVIF ftyp major " +
+      "brands, and a plain-text unknown) named exactly by the sniff")
+
+  private val qWebpMeta = Q(
+    "q_webp_meta",
+    (s, d) => {
+      // WebP triage certificate: per doc a container whose variant
+      // rotates by doc_id % 3 — a 'VP8 ' lossy key-frame header, a
+      // 'VP8L' lossless header (14+14-bit packed dims + alpha bit), and
+      // a 'VP8X' extended file (feature flags, u24 canvas, ANMF frame
+      // chunks) — assembled from the public RIFF grammar (RFC 9649) and
+      // read back through Webp.meta. Any slip in chunk framing, the
+      // packed-dims bit layout, flag positions, or the ANMF walk breaks
+      // the hash. Booleans surface as INT 0/1 (comparator envelope).
+      import s.implicits._
+      import graft.ext.Webp
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val payload: Array[Byte] = (id % 3).toInt match {
+            case 0 =>
+              Webp.container(Webp.lossyChunk(
+                (16 + id % 100).toInt, (16 + id % 50).toInt))
+            case 1 =>
+              Webp.container(Webp.losslessChunk(
+                (1 + id % 3000).toInt, (1 + id % 2000).toInt,
+                alpha = id % 2 == 0))
+            case _ =>
+              val frames = (id % 4).toInt
+              Webp.extended(
+                (100 + id % 500).toInt, (50 + id % 300).toInt,
+                icc = id % 5 == 0, alpha = id % 2 == 0,
+                exif = id % 7 == 0, anim = frames > 0,
+                Seq.fill(frames)(Webp.chunk("ANMF",
+                  new Array[Byte](16))) :+
+                  Webp.losslessChunk(8, 8, alpha = false): _*)
+          }
+          (id, payload)
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.webpMeta(m).toDF())
+        .selectExpr("media_id", "variant", "width", "height",
+          "cast(has_alpha as int) as alpha",
+          "cast(has_animation as int) as animation",
+          "cast(has_exif as int) as exif",
+          "cast(has_icc as int) as icc", "n_frames")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+                        ELSE 'extended' END AS variant,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 100
+                        WHEN 1 THEN 1 + doc_id % 3000
+                        ELSE 100 + doc_id % 500 END AS INT) AS width,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 50
+                        WHEN 1 THEN 1 + doc_id % 2000
+                        ELSE 50 + doc_id % 300 END AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+                        THEN 1 ELSE 0 END AS INT) AS alpha,
+                   CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 4 > 0
+                        THEN 1 ELSE 0 END AS INT) AS animation,
+                   CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 0
+                        THEN 1 ELSE 0 END AS INT) AS exif,
+                   CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
+                        THEN 1 ELSE 0 END AS INT) AS icc,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 4
+                        ELSE 0 END AS INT) AS n_frames
+            FROM documents ORDER BY media_id"""),
+    "WebP triage certificate: lossy/lossless/extended containers " +
+      "assembled from the public RIFF grammar (RFC 9649), read back " +
+      "through the pure chunk walk — variant, packed 14-bit dims, " +
+      "feature flags and ANMF frame counts hash-checked against " +
+      "closed forms")
 
   private val qId3Tags = Q(
     "q_id3_tags",
@@ -4832,5 +4911,5 @@ object ExtQueries {
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qXlsxExtract,
-    qMediaSniff, qId3Tags, qSubtitleExtract, qTiffMeta)
+    qMediaSniff, qWebpMeta, qId3Tags, qSubtitleExtract, qTiffMeta)
 }

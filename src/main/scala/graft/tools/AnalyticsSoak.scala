@@ -216,6 +216,45 @@ object AnalyticsSoak {
         graft.ext.Multimodal.oggMeta(media).toDF().agg(count(lit(1))).head().getLong(0) +
         graft.ext.Multimodal.mp4Meta(media).toDF().agg(count(lit(1))).head().getLong(0)
     }
+    // ---- sniff dispatch + WebP triage (round 11): the modern-web image
+    // slice — WebP lossy/lossless/extended, HEIC and AVIF ftyp brands —
+    // through the format sniff (must NOT land on mp4/unknown) and the
+    // WebP chunk-walk arm
+    val webDir = "/tmp/graft_asoak_webimg_600k"
+    if (!new java.io.File(s"$webDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, 600000, 1, 64).as[Long]
+        .mapPartitions { ids =>
+          import graft.ext.Webp
+          ids.map { id =>
+            val payload = (id % 5) match {
+              case 0 => Webp.container(Webp.lossyChunk(
+                (16 + id % 1024).toInt, (16 + id % 512).toInt))
+              case 1 => Webp.container(Webp.losslessChunk(
+                (1 + id % 4096).toInt, (1 + id % 4096).toInt, id % 2 == 0))
+              case 2 => Webp.extended((100 + id % 4000).toInt,
+                (100 + id % 2000).toInt, icc = id % 5 == 0,
+                alpha = id % 2 == 0, exif = id % 7 == 0, anim = id % 3 == 0,
+                Webp.losslessChunk(8, 8, alpha = false))
+              case 3 => Array[Byte](0, 0, 0, 16) ++
+                "ftypheic".getBytes("US-ASCII") ++ new Array[Byte](8)
+              case _ => Array[Byte](0, 0, 0, 16) ++
+                "ftypavif".getBytes("US-ASCII") ++ new Array[Byte](8)
+            }
+            (id, payload)
+          }
+        }.toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(webDir)
+    }
+    timed("sniff_webp_600k", 600000) {
+      val media = spark.read.parquet(webDir)
+      val named = graft.ext.Multimodal.sniffMedia(media)
+        .filter(col("format").isin("webp", "heic", "avif"))
+        .agg(count(lit(1))).head().getLong(0)
+      require(named == 600000L, s"sniff misrouted: $named/600000")
+      named + graft.ext.Multimodal.webpMeta(media).toDF()
+        .agg(count(lit(1))).head().getLong(0)
+    }
     // ---- office/archive extraction (round 10): DOCX, XLSX and TAR
     // blobs built once, extracted by the real container walks — the
     // document-modality twin of media_triage (deflate members, CRC

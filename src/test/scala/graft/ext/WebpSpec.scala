@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebpSpec extends AnyFunSuite {
+
+  test("lossy: key-frame header round-trips dims, no features") {
+    val m = Webp.meta(Webp.container(Webp.lossyChunk(640, 480))).get
+    assert(m.variant == "lossy")
+    assert((m.width, m.height) == (640, 480))
+    assert(!m.has_alpha && !m.has_animation && !m.has_exif && !m.has_icc)
+    assert(m.n_frames == 0)
+    // 14-bit boundary dims survive the packing
+    val big = Webp.meta(Webp.container(Webp.lossyChunk(0x3FFF, 1))).get
+    assert((big.width, big.height) == (0x3FFF, 1))
+  }
+
+  test("lossless: packed 14+14-bit dims and the alpha bit") {
+    val m = Webp.meta(Webp.container(Webp.losslessChunk(16383, 1, alpha = false))).get
+    assert(m.variant == "lossless")
+    assert((m.width, m.height) == (16383, 1))
+    assert(!m.has_alpha)
+    val a = Webp.meta(Webp.container(Webp.losslessChunk(2, 16384, alpha = true))).get
+    assert((a.width, a.height) == (2, 16384))
+    assert(a.has_alpha)
+  }
+
+  test("extended: flags, u24 canvas, ANMF frame count, ALPH fallback") {
+    val anmf = Webp.chunk("ANMF", new Array[Byte](16))
+    val m = Webp.meta(Webp.extended(70000, 300, icc = true, alpha = false,
+      exif = true, anim = true, anmf, anmf, anmf,
+      Webp.losslessChunk(8, 8, alpha = false))).get
+    assert(m.variant == "extended")
+    assert((m.width, m.height) == (70000, 300)) // u24 canvas: >16383 fine
+    assert(m.has_icc && m.has_exif && m.has_animation && !m.has_alpha)
+    assert(m.n_frames == 3)
+    // an ALPH chunk implies alpha even when the VP8X flag forgot it
+    val withAlph = Webp.meta(Webp.extended(10, 10, icc = false, alpha = false,
+      exif = false, anim = false, Webp.chunk("ALPH", new Array[Byte](4)),
+      Webp.lossyChunk(10, 10))).get
+    assert(withAlph.has_alpha)
+  }
+
+  test("malformed input: None / cut short, never thrown") {
+    assert(Webp.meta(null).isEmpty)
+    assert(Webp.meta("RIFFxxxxWAVE".getBytes).isEmpty) // a WAV is not a WebP
+    assert(Webp.meta("not even riff at all".getBytes).isEmpty)
+    val good = Webp.container(Webp.lossyChunk(32, 32))
+    // truncations at every length must not throw
+    (0 to good.length).foreach(i => Webp.meta(good.take(i)))
+    assert(Webp.meta(good.take(19)).isEmpty) // shorter than any header
+    // interframe tag (LSB 1) cannot open a still image
+    val inter = good.clone()
+    inter(20) = 1 // frame-tag byte 0 of the VP8 payload
+    assert(Webp.meta(inter).isEmpty)
+    // wrong VP8L signature byte
+    val l = Webp.container(Webp.losslessChunk(4, 4, alpha = false))
+    l(20) = 0x30
+    assert(Webp.meta(l).isEmpty)
+    // a VP8X whose trailing chunk overruns the container cuts short with
+    // the frames counted so far
+    val trunc = Webp.extended(5, 5, icc = false, alpha = false,
+      exif = false, anim = true, Webp.chunk("ANMF", new Array[Byte](16)))
+    val cut = trunc.take(trunc.length - 4)
+    assert(Webp.meta(cut).exists(_.variant == "extended"))
+  }
+
+  test("sniff dispatch: webp named; heic/avif are NOT mp4") {
+    assert(Multimodal.sniffFormat(Webp.container(Webp.lossyChunk(8, 8))) == "webp")
+    def ftyp(brand: String): Array[Byte] =
+      Array[Byte](0, 0, 0, 16) ++ ("ftyp" + brand).getBytes("US-ASCII") ++
+        new Array[Byte](4)
+    assert(Multimodal.sniffFormat(ftyp("heic")) == "heic")
+    assert(Multimodal.sniffFormat(ftyp("mif1")) == "heic")
+    assert(Multimodal.sniffFormat(ftyp("avif")) == "avif")
+    assert(Multimodal.sniffFormat(ftyp("avis")) == "avif")
+    assert(Multimodal.sniffFormat(ftyp("isom")) == "mp4")
+    assert(Multimodal.sniffFormat(ftyp("mp42")) == "mp4")
+    // truncated right after 'ftyp' (no brand readable): still mp4 family
+    assert(Multimodal.sniffFormat(Array[Byte](0, 0, 0, 16) ++
+      "ftyp".getBytes("US-ASCII")) == "mp4")
+  }
+}
