@@ -19,10 +19,20 @@ package graft.ext
   *     is CRC-verified against the central directory before it is
   *     returned — a corrupt member yields None, never silent garbage.
   *
-  * Out of envelope, by documented intent: ZIP64 (>4 GiB members — a
-  * crawl blob column caps far below), encrypted members, and
-  * split/spanned archives. All reads bounds-checked; malformed
-  * payloads yield Nil/None, never a throw.
+  *   - ZIP64 (APPNOTE §4.3.14-15, routine at crawl scale and emitted by
+  *     many writers regardless of size): the EOCD64 locator (PK\x06\x07)
+  *     and record (PK\x06\x06) override masked EOCD fields (0xFFFF
+  *     entry counts, 0xFFFFFFFF central-directory offset), and masked
+  *     central-directory sizes/offsets resolve through the 0x0001 extra
+  *     field in APPNOTE order (uncompressed, compressed, local offset).
+  *
+  * Out of envelope, by documented intent: encrypted members and
+  * split/spanned archives; and since a blob column lands one archive
+  * per row as a single JVM array, the archive itself and any EXTRACTED
+  * member cap at ~2 GiB — Zip64 structures beyond that parse correctly
+  * (entries list with true 64-bit sizes) but such members read as None.
+  * All reads bounds-checked; malformed payloads yield Nil/None, never
+  * a throw.
   */
 object Zip {
 
@@ -41,6 +51,9 @@ object Zip {
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
+
   /** Central-directory listing. Nil when no EOCD record is found. */
   def entries(b: Array[Byte]): Seq[Entry] = {
     if (b == null || b.length < 22) return Nil
@@ -55,24 +68,65 @@ object Zip {
         i -= 1
       }
       if (eocd < 0) return Nil
-      val n = le16(b, eocd + 10)
-      val cdOff = le32(b, eocd + 16)
+      var n = le16(b, eocd + 10).toLong
+      var cdOff = le32(b, eocd + 16)
+      // ZIP64: masked EOCD fields resolve through the EOCD64 locator
+      // (immediately before the EOCD) and the EOCD64 record it points at
+      if (n == 0xFFFFL || cdOff == 0xFFFFFFFFL) {
+        val loc = eocd - 20
+        if (loc >= 0 && b(loc) == 'P' && b(loc + 1) == 'K' &&
+            b(loc + 2) == 6 && b(loc + 3) == 7) {
+          val e64 = le64(b, loc + 8)
+          if (e64 >= 0 && e64 + 56 <= b.length && e64 <= Int.MaxValue.toLong &&
+              b(e64.toInt) == 'P' && b(e64.toInt + 1) == 'K' &&
+              b(e64.toInt + 2) == 6 && b(e64.toInt + 3) == 6) {
+            val q = e64.toInt
+            n = le64(b, q + 32) // total entries
+            cdOff = le64(b, q + 48)
+          }
+        }
+      }
       if (cdOff < 0 || cdOff >= b.length) return Nil
       val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
       var p = cdOff.toInt
-      var k = 0
+      var k = 0L
       while (k < n && p + 46 <= b.length &&
           b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
         val method = le16(b, p + 10)
         val crc = le32(b, p + 16)
-        val compSize = le32(b, p + 20)
-        val uncompSize = le32(b, p + 24)
+        var compSize = le32(b, p + 20)
+        var uncompSize = le32(b, p + 24)
         val nameLen = le16(b, p + 28)
         val extraLen = le16(b, p + 30)
         val commentLen = le16(b, p + 32)
-        val localOff = le32(b, p + 42)
+        var localOff = le32(b, p + 42)
         if (p + 46 + nameLen > b.length) return out.toSeq
         val name = new String(b, p + 46, nameLen, "UTF-8")
+        // masked 32-bit fields resolve through the 0x0001 (ZIP64) extra
+        // field, values in APPNOTE order for the fields that are masked
+        if ((compSize == 0xFFFFFFFFL || uncompSize == 0xFFFFFFFFL ||
+            localOff == 0xFFFFFFFFL) && extraLen > 0) {
+          var x = p + 46 + nameLen
+          val xEnd = math.min(x + extraLen, b.length - 4)
+          var found = false
+          while (!found && x + 4 <= xEnd) {
+            val id = le16(b, x)
+            val sz = le16(b, x + 2)
+            if (id == 0x0001 && x + 4 + sz <= b.length) {
+              var v = x + 4
+              if (uncompSize == 0xFFFFFFFFL && v + 8 <= x + 4 + sz) {
+                uncompSize = le64(b, v); v += 8
+              }
+              if (compSize == 0xFFFFFFFFL && v + 8 <= x + 4 + sz) {
+                compSize = le64(b, v); v += 8
+              }
+              if (localOff == 0xFFFFFFFFL && v + 8 <= x + 4 + sz) {
+                localOff = le64(b, v); v += 8
+              }
+              found = true
+            } else x += 4 + sz
+          }
+        }
         out += Entry(name, method, compSize, uncompSize, crc, localOff)
         p += 46 + nameLen + extraLen + commentLen
         k += 1
@@ -89,6 +143,9 @@ object Zip {
 
   def readEntry(b: Array[Byte], e: Entry): Option[Array[Byte]] = {
     try {
+      // 64-bit offsets beyond the (≤2 GiB) array are unreadable by
+      // construction — guard BEFORE the narrowing, toInt wraps
+      if (e.local_offset < 0 || e.local_offset + 30 > b.length) return None
       val p = e.local_offset.toInt
       if (p < 0 || p + 30 > b.length ||
           !(b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 3 && b(p + 3) == 4))
@@ -128,15 +185,21 @@ object Zip {
 
   /** Assemble a ZIP from (name, bytes, deflate?) members — the
     * spec/certificate builders' counterpart of the walk (local headers,
-    * central directory, EOCD; raw Deflater for method 8).
+    * central directory, EOCD; raw Deflater for method 8). With
+    * `zip64 = true` the archive is written the way crawl-scale writers
+    * emit it regardless of size: central sizes/offsets masked to
+    * 0xFFFFFFFF with a 0x0001 extra field carrying the 64-bit values,
+    * a masked EOCD, and the EOCD64 record + locator (version 4.5).
     */
-  private[graft] def build(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+  private[graft] def build(members: Seq[(String, Array[Byte], Boolean)],
+      zip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
     def w32(v: Long): Unit = {
       out.write((v & 0xFF).toInt); out.write(((v >>> 8) & 0xFF).toInt)
       out.write(((v >>> 16) & 0xFF).toInt); out.write(((v >>> 24) & 0xFF).toInt)
     }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32(v >>> 32) }
     val cds = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long, Long, Long)]
     for ((name, raw, deflate) <- members) {
       val crc = new java.util.zip.CRC32
@@ -167,16 +230,42 @@ object Zip {
     for ((name, method, crc, compLen, rawLen, off) <- cds) {
       val nameB = name.getBytes("UTF-8")
       out.write('P'); out.write('K'); out.write(1); out.write(2)
-      w16(20); w16(20); w16(0); w16(method); w16(0); w16(0)
-      w32(crc); w32(compLen); w32(rawLen)
-      w16(nameB.length); w16(0); w16(0); w16(0); w16(0)
-      w32(0); w32(off)
-      out.write(nameB)
+      if (zip64) {
+        // version 4.5; sizes and local offset masked into the 0x0001
+        // extra field (APPNOTE order: uncompressed, compressed, offset)
+        w16(45); w16(45); w16(0); w16(method); w16(0); w16(0)
+        w32(crc); w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+        w16(nameB.length); w16(4 + 24); w16(0); w16(0); w16(0)
+        w32(0); w32(0xFFFFFFFFL)
+        out.write(nameB)
+        w16(0x0001); w16(24)
+        w64(rawLen); w64(compLen); w64(off)
+      } else {
+        w16(20); w16(20); w16(0); w16(method); w16(0); w16(0)
+        w32(crc); w32(compLen); w32(rawLen)
+        w16(nameB.length); w16(0); w16(0); w16(0); w16(0)
+        w32(0); w32(off)
+        out.write(nameB)
+      }
     }
     val cdLen = out.size() - cdStart
-    out.write('P'); out.write('K'); out.write(5); out.write(6)
-    w16(0); w16(0); w16(cds.length); w16(cds.length)
-    w32(cdLen); w32(cdStart); w16(0)
+    if (zip64) {
+      val e64 = out.size().toLong
+      out.write('P'); out.write('K'); out.write(6); out.write(6)
+      w64(44) // record size, not counting sig+this field
+      w16(45); w16(45); w32(0); w32(0)
+      w64(cds.length.toLong); w64(cds.length.toLong)
+      w64(cdLen.toLong); w64(cdStart)
+      out.write('P'); out.write('K'); out.write(6); out.write(7) // locator
+      w32(0); w64(e64); w32(1)
+      out.write('P'); out.write('K'); out.write(5); out.write(6) // masked EOCD
+      w16(0); w16(0); w16(0xFFFF); w16(0xFFFF)
+      w32(0xFFFFFFFFL); w32(0xFFFFFFFFL); w16(0)
+    } else {
+      out.write('P'); out.write('K'); out.write(5); out.write(6)
+      w16(0); w16(0); w16(cds.length); w16(cds.length)
+      w32(cdLen); w32(cdStart); w16(0)
+    }
     out.toByteArray
   }
 }

@@ -4495,6 +4495,47 @@ object ExtQueries {
       "and gzipped archives — member listing, byte-exact extraction, " +
       "and size totals hash-checked against closed forms")
 
+  private val qZip64Extract = Q(
+    "q_zip64_extract",
+    (s, d) => {
+      // ZIP64 certificate: per doc a two-member archive written the way
+      // crawl-scale writers emit it — masked EOCD (0xFFFF counts,
+      // 0xFFFFFFFF offsets), EOCD64 record + locator, central
+      // sizes/offsets in 0x0001 extra fields. The walk must resolve the
+      // 64-bit structures to list both members and extract them
+      // CRC-verified byte-exact; a reader without the ZIP64 path sees a
+      // fully-masked EOCD and returns nothing.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bin = Array.tabulate(48)(k => (((id * 11 + k) % 256) & 0xFF).toByte)
+          val z = graft.ext.Zip.build(Seq(
+            ("docs/text.txt", text.getBytes("UTF-8"), id % 2 == 0),
+            ("meta/info.bin", bin, false)), zip64 = true)
+          val es = graft.ext.Zip.entries(z)
+          val extracted = graft.ext.Zip.read(z, "docs/text.txt")
+            .map(new String(_, "UTF-8")).getOrElse("")
+          var binSum = 0L
+          graft.ext.Zip.read(z, "meta/info.bin")
+            .foreach(_.foreach(b => binSum += (b & 0xFF)))
+          (id, es.length, extracted, binSum, es.map(_.uncomp_size).sum)
+        }
+        .toDF("doc_id", "n_entries", "extracted", "bin_sum", "total_size")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, sum((doc_id * 11 + k) % 256) AS bin_sum
+              FROM documents CROSS JOIN range(48) t(k) GROUP BY doc_id)
+            SELECT d.doc_id, 2 AS n_entries, d.text AS extracted,
+                   CAST(b.bin_sum AS BIGINT) AS bin_sum,
+                   CAST(strlen(d.text) + 48 AS BIGINT) AS total_size
+            FROM documents d JOIN b USING (doc_id) ORDER BY doc_id"""),
+    "ZIP64 certificate: masked-EOCD archives (EOCD64 record + locator, " +
+      "0x0001 extra-field sizes/offsets) listed and extracted " +
+      "CRC-verified against closed forms — the structure crawl-scale " +
+      "writers emit regardless of size")
+
   private val qXlsxExtract = Q(
     "q_xlsx_extract",
     (s, d) => {
@@ -4910,6 +4951,7 @@ object ExtQueries {
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
-    qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qXlsxExtract,
+    qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qZip64Extract,
+    qXlsxExtract,
     qMediaSniff, qWebpMeta, qId3Tags, qSubtitleExtract, qTiffMeta)
 }

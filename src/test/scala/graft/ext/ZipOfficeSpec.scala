@@ -38,6 +38,54 @@ class ZipOfficeSpec extends AnyFunSuite {
     assert(Zip.read(bad, "dir/b.bin").nonEmpty) // others unaffected
   }
 
+  test("zip64: masked EOCD/CD resolve through EOCD64 + 0x0001 extras") {
+    val z = Zip.build(Seq(
+      ("a.txt", "hello zip64".getBytes, false),
+      ("dir/b.bin", Array.tabulate[Byte](4096)(i => (i % 251).toByte), true)),
+      zip64 = true)
+    // the plain EOCD is fully masked: without the EOCD64 path this walk
+    // sees 0xFFFF entries at offset 0xFFFFFFFF and returns Nil
+    val es = Zip.entries(z)
+    assert(es.map(_.name) == Seq("a.txt", "dir/b.bin"))
+    assert(es.map(_.uncomp_size) == Seq(11L, 4096L))
+    assert(es.map(_.method) == Seq(0, 8))
+    assert(new String(Zip.read(z, "a.txt").get) == "hello zip64")
+    assert(Zip.read(z, "dir/b.bin").get.toSeq ==
+      Array.tabulate[Byte](4096)(i => (i % 251).toByte).toSeq)
+    // trailing comment after the masked EOCD still resolves
+    assert(Zip.entries(z ++ "comment".getBytes).map(_.name).length == 2)
+  }
+
+  test("zip64: a forged >4 GiB member lists with true sizes, reads None") {
+    // hand-mask one member's central entry with a 0x0001 extra claiming
+    // a 5 GiB member at an offset past any JVM array — the listing must
+    // surface the REAL 64-bit sizes (triage truth) while read() refuses
+    // the unrepresentable extraction instead of wrapping the narrowing
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le64(v: Long) = le32(v & 0xFFFFFFFFL) ++ le32(v >>> 32)
+    val big = 5L * 1024 * 1024 * 1024
+    val name = "huge.bin".getBytes("US-ASCII")
+    // an UNRELATED extra field first: the 0x0001 scan must skip it
+    val extra = le16(0x7075) ++ le16(4) ++ Array[Byte](1, 2, 3, 4) ++
+      le16(0x0001) ++ le16(24) ++ le64(big) ++ le64(big) ++ le64(big)
+    val cd = Array[Byte]('P', 'K', 1, 2) ++ le16(45) ++ le16(45) ++
+      le16(0) ++ le16(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+      le32(0xFFFFFFFFL) ++ le32(0xFFFFFFFFL) ++
+      le16(name.length) ++ le16(extra.length) ++ le16(0) ++ le16(0) ++
+      le16(0) ++ le32(0) ++ le32(0xFFFFFFFFL) ++ name ++ extra
+    val eocd = Array[Byte]('P', 'K', 5, 6) ++ le16(0) ++ le16(0) ++
+      le16(1) ++ le16(1) ++ le32(cd.length.toLong) ++ le32(0) ++ le16(0)
+    val z = cd ++ eocd
+    val es = Zip.entries(z)
+    assert(es.length == 1)
+    assert(es.head.name == "huge.bin")
+    assert(es.head.uncomp_size == big && es.head.comp_size == big)
+    assert(es.head.local_offset == big)
+    assert(Zip.readEntry(z, es.head).isEmpty)
+  }
+
   test("truncations and junk: Nil/None, never thrown") {
     assert(Zip.entries(null).isEmpty)
     assert(Zip.entries("PK but not really a zip file".getBytes).isEmpty)
