@@ -25,9 +25,19 @@ package graft.ext
   *   - Literal strings decode the full escape set (\n \r \t \b \f
   *     \( \) \\ \ooo octal, line continuations); hex strings decode
   *     per spec. String BYTES map through Latin-1 — exact for the
-  *     standard-encoding printable set; custom /Differences tables and
-  *     CID/Type0 two-byte fonts are outside the envelope (their bytes
-  *     come through uninterpreted rather than silently dropped).
+  *     standard-encoding printable set.
+  *   - /Differences encoding tables (the most common cause of garbled
+  *     text in machine-generated PDFs) ARE honored: font resources
+  *     (`/Font << /F1 5 0 R >>`) resolve to their font objects, the
+  *     font's /Encoding (inline dict or indirect object) contributes
+  *     its /Differences array, and shown bytes map through the table of
+  *     the font selected by the last `Tf`. Glyph names resolve through
+  *     the AGL core set (single-letter names, named digits/punctuation,
+  *     typographic quotes/dashes, `uniXXXX`); a name outside that set
+  *     leaves its byte unmapped — uninterpreted, never dropped.
+  *     Resource names are resolved document-wide (page-scoped reuse of
+  *     one name for different fonts is outside the envelope, documented);
+  *     CID/Type0 two-byte fonts remain outside the envelope.
   *   - Encrypted documents (a /Encrypt entry outside stream data) →
   *     None: nothing inside is readable without the crypt machinery.
   *
@@ -47,6 +57,7 @@ object Pdf {
     // locate stream extents first: /Encrypt must only match OUTSIDE them
     val streams = findStreams(b)
     if (hasTokenOutsideStreams(b, streams, "/Encrypt")) return None
+    val fonts = fontMaps(b, streams)
     val out = new java.lang.StringBuilder()
     streams.foreach { case (from, until) =>
       val flate = hasFilterBefore(b, from)
@@ -66,7 +77,7 @@ object Pdf {
           } else if (de > from && b(de - 1) == '\r') de -= 1
           java.util.Arrays.copyOfRange(b, from, de)
         }
-      if (data != null && data.length > 0) extractFromContent(data, out)
+      if (data != null && data.length > 0) extractFromContent(data, out, fonts)
     }
     // also: text operators can live in un-streamed content only inside
     // streams per spec, so the stream walk is complete
@@ -163,13 +174,167 @@ object Pdf {
     } finally inf.end()
   }
 
+  // -------------------------------------------- /Differences font tables
+
+  /** AGL core subset: the names machine-generated simple-encoding fonts
+    * actually emit. Everything else falls back to the unmapped byte.
+    */
+  private val glyphNames: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "fi" -> "fi", "fl" -> "fl")
+
+  /** Glyph name → text: single-letter names are themselves per AGL,
+    * `uniXXXX` decodes its BMP code point, the rest through the table.
+    */
+  private def glyphToChar(name: String): Option[String] =
+    if (name.length == 1 && name.charAt(0).isLetter) Some(name)
+    else if (name.length == 7 && name.startsWith("uni") &&
+      name.substring(3).forall(c => Character.digit(c, 16) >= 0))
+      Some(Integer.parseInt(name.substring(3), 16).toChar.toString)
+    else glyphNames.get(name)
+
+  /** The document with stream extents blanked — object/dict scans must
+    * never match tokens inside compressed data.
+    */
+  private def maskedDoc(b: Array[Byte], streams: Seq[(Int, Int)]): String = {
+    val chars = new Array[Char](b.length)
+    var i = 0
+    while (i < b.length) { chars(i) = (b(i) & 0xFF).toChar; i += 1 }
+    streams.foreach { case (s, e) =>
+      var j = math.max(0, s)
+      val lim = math.min(e, b.length)
+      while (j < lim) { chars(j) = ' '; j += 1 }
+    }
+    new String(chars)
+  }
+
+  /** Body (dict text) of object `num gen`: from its `N G obj` header to
+    * `endobj`, in the masked document. "" when absent.
+    */
+  private def objBody(s: String, num: Int, gen: Int): String = {
+    val pat = s"$num $gen obj"
+    var i = s.indexOf(pat)
+    while (i >= 0) {
+      // token boundary: "15 0 obj" must not satisfy a lookup for "5 0 obj"
+      if (i == 0 || !s.charAt(i - 1).isDigit) {
+        val e = s.indexOf("endobj", i)
+        return if (e < 0) s.substring(i + pat.length)
+        else s.substring(i + pat.length, e)
+      }
+      i = s.indexOf(pat, i + 1)
+    }
+    ""
+  }
+
+  /** Parse a `/Differences [ ... ]` array (number sets the code, each
+    * following name assigns it and increments) into a 256-entry map;
+    * null where unset/unresolvable → the byte passes through unmapped.
+    */
+  private def parseDifferences(body: String): Array[String] = {
+    val at = body.indexOf("/Differences")
+    if (at < 0) return null
+    val open = body.indexOf('[', at)
+    if (open < 0) return null
+    val map = new Array[String](256)
+    var code = 0
+    var any = false
+    var i = open + 1
+    while (i < body.length && body.charAt(i) != ']') {
+      val c = body.charAt(i)
+      if (c.isDigit) {
+        var v = 0
+        while (i < body.length && body.charAt(i).isDigit) {
+          v = v * 10 + (body.charAt(i) - '0'); i += 1
+        }
+        code = v
+      } else if (c == '/') {
+        i += 1
+        val start = i
+        while (i < body.length && !isWs(body.charAt(i)) &&
+          !"()<>[]{}/%".contains(body.charAt(i))) i += 1
+        if (code >= 0 && code < 256) {
+          glyphToChar(body.substring(start, i)).foreach { g =>
+            map(code) = g; any = true
+          }
+          code += 1
+        }
+      } else i += 1
+    }
+    if (any) map else null
+  }
+
+  /** Resource-name → /Differences table for every font the document
+    * binds (`/Font << /F1 5 0 R ... >>`), resolving inline or indirect
+    * /Encoding dicts. Document-wide: machine-generated PDFs bind each
+    * name once; page-scoped reuse of one name is out of envelope.
+    */
+  private def fontMaps(b: Array[Byte],
+      streams: Seq[(Int, Int)]): Map[String, Array[String]] = {
+    // cheap pre-check: no /Differences anywhere → nothing to resolve,
+    // skip the masked-string allocation on the common path
+    if (indexOf(b, "/Differences", 0) < 0) return Map.empty
+    val s = maskedDoc(b, streams)
+    val out = scala.collection.mutable.Map.empty[String, Array[String]]
+    val ref = """/([A-Za-z0-9._-]+)\s+(\d+)\s+(\d+)\s+R""".r
+    var f = s.indexOf("/Font")
+    while (f >= 0) {
+      var p = f + 5
+      while (p < s.length && isWs(s.charAt(p))) p += 1
+      if (p + 1 < s.length && s.charAt(p) == '<' && s.charAt(p + 1) == '<') {
+        // matching >> with nesting
+        var depth = 1
+        var q = p + 2
+        while (q + 1 < s.length && depth > 0) {
+          if (s.charAt(q) == '<' && s.charAt(q + 1) == '<') { depth += 1; q += 2 }
+          else if (s.charAt(q) == '>' && s.charAt(q + 1) == '>') { depth -= 1; q += 2 }
+          else q += 1
+        }
+        ref.findAllMatchIn(s.substring(p + 2, math.max(p + 2, q - 2))).foreach { m =>
+          val name = m.group(1)
+          if (!out.contains(name)) {
+            val fontBody = objBody(s, m.group(2).toInt, m.group(3).toInt)
+            var diff = parseDifferences(fontBody)
+            if (diff == null) {
+              // /Encoding as an indirect object
+              """/Encoding\s+(\d+)\s+(\d+)\s+R""".r.findFirstMatchIn(fontBody)
+                .foreach { em =>
+                  diff = parseDifferences(
+                    objBody(s, em.group(1).toInt, em.group(2).toInt))
+                }
+            }
+            if (diff != null) out(name) = diff
+          }
+        }
+      }
+      f = s.indexOf("/Font", f + 5)
+    }
+    out.toMap
+  }
+
   // ------------------------------------------------- content-stream walk
 
   private def isWs(c: Int): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
 
-  /** Walk one decoded content stream, appending shown text to `out`. */
-  private def extractFromContent(d: Array[Byte], out: java.lang.StringBuilder): Unit = {
+  /** Walk one decoded content stream, appending shown text to `out`;
+    * shown bytes map through the /Differences table of the font the
+    * last `Tf` selected (identity when it has none).
+    */
+  private def extractFromContent(d: Array[Byte], out: java.lang.StringBuilder,
+      fonts: Map[String, Array[String]] = Map.empty): Unit = {
     val startLen = out.length()
     var i = 0
     var inText = false
@@ -179,11 +344,22 @@ object Pdf {
     var inArray = false
     val arrayText = new java.lang.StringBuilder()
     var lastNumber = 0.0
+    var lastName = "" // most recent name token: the `Tf` font operand
+    var curMap: Array[String] = null
     def newline(): Unit =
       if (out.length() > 0 && out.charAt(out.length() - 1) != '\n')
         out.append('\n')
     def flushShow(): Unit = {
-      out.append(pending)
+      if (curMap == null) out.append(pending)
+      else {
+        var k = 0
+        while (k < pending.length()) {
+          val c = pending.charAt(k)
+          if (c < 256 && curMap(c) != null) out.append(curMap(c))
+          else out.append(c)
+          k += 1
+        }
+      }
       pending = new java.lang.StringBuilder()
     }
     while (i < d.length) {
@@ -221,8 +397,10 @@ object Pdf {
         if (inArray && inText && lastNumber <= -180.0) arrayText.append(' ')
       } else if (c == '/') {
         i += 1
+        val nameStart = i
         while (i < d.length && !isWs(d(i) & 0xFF) &&
           !"()<>[]{}/%".contains((d(i) & 0xFF).toChar)) i += 1
+        lastName = new String(d, nameStart, i - nameStart, "ISO-8859-1")
       } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         c == '\'' || c == '"' || c == '*') {
         val sb = new java.lang.StringBuilder()
@@ -238,6 +416,9 @@ object Pdf {
           case "TJ" => if (inText) flushShow()
           case "'" | "\"" => if (inText) { newline(); flushShow() }
           case "Td" | "TD" | "T*" => if (inText) newline()
+          case "Tf" => // font select: /Name size Tf
+            curMap = fonts.getOrElse(lastName, null)
+            pending.setLength(0)
           case _ => pending.setLength(0) // other operators consume operands
         }
       } else i += 1
@@ -400,6 +581,101 @@ object Pdf {
     w(s"xref\n0 6\n0000000000 65535 f \n" +
       offsets.map(o => f"$o%010d 00000 n \n").mkString)
     w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  private def rot13(c: Char): Char =
+    if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + 13) % 26).toChar
+    else if (c >= 'A' && c <= 'Z') ('A' + (c - 'A' + 13) % 26).toChar
+    else c
+
+  /** Single-page PDF whose font carries a /Differences table remapping
+    * every LETTER code through rot13 (single-letter AGL names): the
+    * content stream stores rot13'd bytes, so extraction recovers `lines`
+    * exactly IFF the table is resolved and applied — a reader that
+    * ignores /Differences gets rot13 garbage, never a silent pass. The
+    * same three string mechanisms as [[buildSimple]] (literal Tj, TJ
+    * with word-gap kern, hex) exercise the mapping on every path;
+    * `indirectEnc` routes /Encoding through its own indirect object.
+    */
+  def buildWithDifferences(lines: Seq[String], flate: Boolean,
+      indirectEnc: Boolean): Array[Byte] = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    def enc(s: String): String = s.map(rot13)
+    val content = new StringBuilder()
+    content.append("BT\n/F1 12 Tf\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (line, k) =>
+      if (k > 0) content.append("0 -14 Td\n")
+      k % 3 match {
+        case 0 =>
+          content.append("(").append(esc(enc(line))).append(") Tj\n")
+        case 1 =>
+          val cut = line.indexOf(' ', math.max(0, line.length / 2 - 8))
+          if (cut > 0)
+            content.append("[(").append(esc(enc(line.substring(0, cut))))
+              .append(") -250 (").append(esc(enc(line.substring(cut + 1))))
+              .append(")] TJ\n")
+          else
+            content.append("[(").append(esc(enc(line))).append(")] TJ\n")
+        case _ =>
+          val hex = enc(line).getBytes("ISO-8859-1")
+            .map(b3 => f"${b3 & 0xFF}%02X").mkString
+          content.append("<").append(hex).append("> Tj\n")
+      }
+    }
+    content.append("ET\n")
+    val raw = content.toString.getBytes("ISO-8859-1")
+    val data =
+      if (flate) {
+        val def_ = new java.util.zip.Deflater()
+        def_.setInput(raw); def_.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+        def_.end()
+        out.toByteArray
+      } else raw
+    // Differences: map(code) = rot13(code) for both letter runs — the
+    // names are the single-letter AGL glyphs
+    val diffs = "/Differences [ 65 " +
+      ('A' to 'Z').map(c => "/" + rot13(c)).mkString(" ") + " 97 " +
+      ('a' to 'z').map(c => "/" + rot13(c)).mkString(" ") + " ]"
+    val encDict = s"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding $diffs >>"
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    offsets += sb.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offsets += sb.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    offsets += sb.size()
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    offsets += sb.size()
+    w(s"4 0 obj\n<< /Length ${data.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    sb.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    offsets += sb.size()
+    w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      s"/Encoding ${if (indirectEnc) "6 0 R" else encDict} >>\nendobj\n")
+    val n =
+      if (indirectEnc) {
+        offsets += sb.size()
+        w(s"6 0 obj\n$encDict\nendobj\n")
+        7
+      } else 6
+    val xref = sb.size()
+    w(s"xref\n0 $n\n0000000000 65535 f \n" +
+      offsets.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     sb.toByteArray
   }
 }

@@ -3574,16 +3574,26 @@ object ExtQueries {
       // objects, xref, trailer — whose content stream shows three lines
       // through the three string mechanisms (literal Tj with escaping, TJ
       // array with a −250 word-gap kern at a real space, hex string), and
-      // even docs Flate-compress the stream. Pdf.extractText must recover
-      // the exact closed form the oracle rebuilds — a slip in stream
+      // even docs Flate-compress the stream. Every third doc stores its
+      // letters rot13'd behind a /Differences encoding table (inline or
+      // indirect /Encoding object, alternating) — the extractor recovers
+      // the text IFF the table is resolved and applied; ignoring it
+      // yields rot13 garbage, never a silent pass. A slip in stream
       // framing, zlib inflate, escape decode, hex decode, kern handling,
-      // or line-break operators breaks the hash.
+      // line-break operators, or the Differences walk breaks the hash.
       import s.implicits._
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
           val lines = Seq("Title " + id, text, "End mark " + (id % 5))
-          (id, graft.ext.Pdf.buildSimple(lines, flate = id % 2 == 0))
+          val pdf = (id % 3).toInt match {
+            case 0 => graft.ext.Pdf.buildSimple(lines, flate = id % 2 == 0)
+            case 1 => graft.ext.Pdf.buildWithDifferences(lines,
+              flate = id % 2 == 0, indirectEnc = false)
+            case _ => graft.ext.Pdf.buildWithDifferences(lines,
+              flate = id % 2 == 0, indirectEnc = true)
+          }
+          (id, pdf)
         }
         .toDF("doc_id", "pdf")
         .as[(Long, Array[Byte])]
@@ -3598,9 +3608,10 @@ object ExtQueries {
                      || 'End mark ' || (doc_id % 5) AS extracted
             FROM documents ORDER BY doc_id"""),
     "PDF text-extraction certificate: complete single-page PDFs (Flate " +
-      "on even docs) showing text via literal/TJ-kern/hex strings must " +
-      "round-trip the document text exactly through the bounded-envelope " +
-      "extractor")
+      "on even docs; rot13 /Differences encoding tables, inline and " +
+      "indirect, on every third doc) showing text via literal/TJ-kern/" +
+      "hex strings must round-trip the document text exactly through " +
+      "the bounded-envelope extractor")
 
   private val qWebCurateEngine = Q(
     "q_web_curate_engine",

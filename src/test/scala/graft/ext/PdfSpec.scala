@@ -14,6 +14,40 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("/Differences: rot13 tables resolve, inline and indirect") {
+    val lines = Seq("Hello world", "second line here", "third one",
+      "Mixed CASE and (escapes) \\ too", "fin")
+    for (flate <- Seq(false, true); indirect <- Seq(false, true)) {
+      val pdf = Pdf.buildWithDifferences(lines, flate, indirect)
+      // the stored bytes are rot13 garbage: only the table recovers them
+      assert(Pdf.extractText(pdf).get == lines.mkString("\n"),
+        s"flate=$flate indirect=$indirect")
+      if (!flate) // compressed streams hide the raw bytes, check raw only
+        assert(new String(pdf, "ISO-8859-1").contains("Uryyb"), // rot13(Hello)
+          "fixture must actually store remapped bytes")
+    }
+  }
+
+  test("/Differences: named glyphs, uniXXXX, unknown names pass through") {
+    // hand-written doc: font F1 maps 65→/one 66→/uniloc 67→/quoteright
+    // 68→/bogusname (unknown: byte passes through) 69→/space
+    val content = "BT /F1 9 Tf (ABCDE) Tj ET"
+    val doc = ("%PDF-1.4\n" +
+      "3 0 obj\n<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Encoding << /Differences [ 65 /one /uni00E9 " +
+      "/quoteright /bogusname /space ] >> >>\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(doc).get == "1é’D ")
+    // without a Tf naming a mapped font, bytes stay unmapped
+    val content2 = "BT (ABCDE) Tj ET"
+    val doc2 = new String(doc, "ISO-8859-1")
+      .replace(content, content2 + " " * (content.length - content2.length))
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(doc2).get == "ABCDE")
+  }
+
   test("hand-written content stream: operators, escapes, hex, kerns") {
     val content =
       """BT
