@@ -1,0 +1,102 @@
+package graft.ext
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.spec.{PipelineSpec, SegType, Stage}
+
+/** Mixed-format curation THROUGH the sniff dispatcher — the realistic
+  * multimodal landing where format is NOT known per row: one untyped
+  * blob column, [[Multimodal.sniffFormat]] names each payload's family,
+  * and per-format arms (image dims, WebP chunk walk, MPEG audio triage,
+  * DOCX/XLSX and PDF text) produce one uniform curation row. Declared
+  * as a GASKET pipeline (`/root/reference/readme.md:83-111` stage
+  * forms), the sibling of [[WebCurate]] (typed WARC input) and
+  * [[MediaCurate]] (typed image input).
+  *
+  * Scale shape: sniff is map-only; the dispatch stage is the one
+  * multi-consumer point (five arms filter the same sniffed corpus —
+  * persisted there under the map-tee discipline); every arm is a
+  * filter + mapPartitions over that cache, so the whole plan is one
+  * InMemoryRelation fanned into map-only unions — no join, no shuffle
+  * before the caller's sink. Payloads an arm cannot parse produce
+  * defaults (dims 0, empty text), never a throw; unknown formats are
+  * carried to the gate and dropped there, so the gate owns the
+  * keep/drop policy, not the dispatch.
+  */
+object CurateDispatch {
+
+  /** Input contract: `(media_id long, payload binary)` — format unknown
+    * per row. Output: `(media_id, format, kind, width, height,
+    * duration_ms, text)` for every payload an arm claims.
+    */
+  def spec(): PipelineSpec = {
+    def stage(name: String)(fn: DataFrame => DataFrame): Stage =
+      Stage.Inline(name, fn, SegType.Pipe)
+    val cols = Seq("media_id", "format", "kind", "width", "height",
+      "duration_ms", "text")
+    PipelineSpec(ListMap("curate_dispatch" -> Seq(
+      stage("sniff") { df =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        df.select(col("media_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, p) =>
+            (id, p,
+              Multimodal.sniffFormat(if (p == null) Array.emptyByteArray else p))
+          })
+          .toDF("media_id", "payload", "format")
+      },
+      stage("dispatch") { df0 =>
+        val spark = df0.sparkSession
+        import spark.implicits._
+        // five arms read the sniffed corpus: persist once (map-tee
+        // discipline), every arm is filter + mapPartitions over it
+        val df = df0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def rows(formats: Seq[String]) = df
+          .filter(col("format").isin(formats: _*))
+          .select("media_id", "payload", "format")
+          .as[(Long, Array[Byte], String)]
+        val raster = rows(Seq("png", "jpeg", "gif", "bmp"))
+          .mapPartitions(_.map { case (id, p, f) =>
+            val (w, h) = Png.decodeAny(p)
+              .map(i => (i.width, i.height)).getOrElse((0, 0))
+            (id, f, "image", w, h, 0L, "")
+          }).toDF(cols: _*)
+        val webp = rows(Seq("webp"))
+          .mapPartitions(_.map { case (id, p, f) =>
+            val (w, h) = Webp.meta(p)
+              .map(m => (m.width, m.height)).getOrElse((0, 0))
+            (id, f, "image", w, h, 0L, "")
+          }).toDF(cols: _*)
+        val audio = rows(Seq("mpeg_audio"))
+          .mapPartitions(_.map { case (id, p, f) =>
+            val dur = Mpeg.mp3Meta(p).map(_.duration_ms).getOrElse(0L)
+            (id, f, "audio", 0, 0, dur, "")
+          }).toDF(cols: _*)
+        val docs = rows(Seq("zip", "pdf"))
+          .mapPartitions(_.map { case (id, p, f) =>
+            val text =
+              if (f == "pdf") Pdf.extractText(p).getOrElse("")
+              else Office.docxText(p).orElse(Office.xlsxText(p)).getOrElse("")
+            (id, f, "doc", 0, 0, 0L, text)
+          }).toDF(cols: _*)
+        // unclaimed formats ride to the gate labeled, so drop policy
+        // lives in ONE stage
+        val rest = df
+          .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
+            "mpeg_audio", "zip", "pdf"))
+          .select(col("media_id"), col("format"), lit("unknown").as("kind"),
+            lit(0).as("width"), lit(0).as("height"),
+            lit(0L).as("duration_ms"), lit("").as("text"))
+        raster.unionByName(webp).unionByName(audio).unionByName(docs)
+          .unionByName(rest)
+      },
+      stage("gate") { df =>
+        df.filter(col("kind") =!= "unknown")
+      })))
+  }
+}

@@ -4465,6 +4465,76 @@ object ExtQueries {
       "precedes fingerprint — group counts and decoded pixel sums " +
       "hash-checked against closed forms")
 
+  private val qCurateDispatch = Q(
+    "q_curate_dispatch",
+    (s, d) => {
+      // Mixed-format curation THROUGH THE ENGINE over one UNTYPED blob
+      // column — the realistic landing where format is not known per
+      // row: six payload families rotate by doc_id % 6 (PNG, WebP
+      // lossless, an MPEG1-L3 frame chain, DOCX, PDF, and plain text
+      // that must sniff unknown and be dropped by the gate). The sniff
+      // names each family, the per-format arms recover dims / duration /
+      // text, and every emitted value is a closed form of doc_id — a
+      // misrouted payload lands in the wrong arm and breaks the hash.
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload: Array[Byte] = (id % 6).toInt match {
+            case 0 =>
+              val w = (8 + id % 16).toInt
+              val h = (8 + id % 8).toInt
+              graft.ext.Png.encode(graft.ext.Png.Image(w, h, 1,
+                Array.fill(w * h)((id % 251).toByte)))
+            case 1 =>
+              graft.ext.Webp.container(graft.ext.Webp.losslessChunk(
+                (1 + id % 3000).toInt, (1 + id % 2000).toInt, alpha = false))
+            case 2 =>
+              val n = (20 + id % 30).toInt
+              val f = new Array[Byte](417)
+              f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+              Array.fill(n)(f).flatten
+            case 3 =>
+              graft.ext.Zip.build(Seq(("word/document.xml",
+                ("<w:document><w:body><w:p><w:r><w:t xml:space=\"preserve\">" +
+                  text.replace("&", "&amp;") +
+                  "</w:t></w:r></w:p></w:body></w:document>").getBytes("UTF-8"),
+                true)))
+            case 4 =>
+              graft.ext.Pdf.buildSimple(Seq(text), flate = id % 2 == 0)
+            case _ =>
+              ("plain text payload " + id).getBytes("UTF-8")
+          }
+          (id, payload)
+        }
+        .toDF("media_id", "payload")
+      new graft.engine.Engine(graft.ext.CurateDispatch.spec())
+        .run("curate_dispatch", s, Some(media),
+          graft.engine.RunOptions(orderedConcat = false))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                        WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'zip'
+                        ELSE 'pdf' END AS format,
+                   CASE doc_id % 6 WHEN 2 THEN 'audio'
+                        WHEN 3 THEN 'doc' WHEN 4 THEN 'doc'
+                        ELSE 'image' END AS kind,
+                   CAST(CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 16
+                        WHEN 1 THEN 1 + doc_id % 3000 ELSE 0 END AS INT) AS width,
+                   CAST(CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 8
+                        WHEN 1 THEN 1 + doc_id % 2000 ELSE 0 END AS INT) AS height,
+                   CAST(CASE doc_id % 6
+                        WHEN 2 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
+                        ELSE 0 END AS BIGINT) AS duration_ms,
+                   CASE doc_id % 6 WHEN 3 THEN text || chr(10)
+                        WHEN 4 THEN text ELSE '' END AS text
+            FROM documents WHERE doc_id % 6 <> 5 ORDER BY media_id"""),
+    "mixed-format curation through the sniff dispatcher AS an engine " +
+      "pipeline: six untyped payload families routed to per-format " +
+      "arms (PNG/WebP dims, MPEG duration, DOCX/PDF text), unknowns " +
+      "gated out — every value a closed form of doc_id")
+
   private val qTarExtract = Q(
     "q_tar_extract",
     (s, d) => {
@@ -4962,7 +5032,7 @@ object ExtQueries {
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
-    qDocxExtract, qWebmMeta, qMediaCurateEngine, qTarExtract, qZip64Extract,
-    qXlsxExtract,
+    qDocxExtract, qWebmMeta, qMediaCurateEngine, qCurateDispatch,
+    qTarExtract, qZip64Extract, qXlsxExtract,
     qMediaSniff, qWebpMeta, qId3Tags, qSubtitleExtract, qTiffMeta)
 }

@@ -255,6 +255,51 @@ object AnalyticsSoak {
       named + graft.ext.Multimodal.webpMeta(media).toDF()
         .agg(count(lit(1))).head().getLong(0)
     }
+    // ---- mixed-format dispatch curation (round 11): the realistic
+    // untyped-blob landing — six families sniffed and routed through the
+    // engine-declared CurateDispatch pipeline (sniff → five arms over one
+    // persisted corpus → gate), end to end at 600 k payloads
+    val dispDir = "/tmp/graft_asoak_dispatch_600k"
+    if (!new java.io.File(s"$dispDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, 600000, 1, 64).as[Long]
+        .mapPartitions { ids =>
+          import graft.ext.{Png, Webp, Zip, Pdf}
+          ids.map { id =>
+            val payload: Array[Byte] = (id % 6).toInt match {
+              case 0 =>
+                val w = (8 + id % 16).toInt; val h = (8 + id % 8).toInt
+                Png.encode(Png.Image(w, h, 1,
+                  Array.fill(w * h)((id % 251).toByte)))
+              case 1 => Webp.container(Webp.losslessChunk(
+                (1 + id % 3000).toInt, (1 + id % 2000).toInt, alpha = false))
+              case 2 =>
+                val f = new Array[Byte](417)
+                f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+                Array.fill((20 + id % 30).toInt)(f).flatten
+              case 3 => Zip.build(Seq(("word/document.xml",
+                ("<w:document><w:body><w:p><w:r><w:t>dispatch doc " + id +
+                  "</w:t></w:r></w:p></w:body></w:document>").getBytes("UTF-8"),
+                true)))
+              case 4 => Pdf.buildSimple(
+                Seq("dispatch pdf " + id, "line two " + id % 97),
+                flate = id % 2 == 0)
+              case _ => ("plain text payload " + id).getBytes("UTF-8")
+            }
+            (id, payload)
+          }
+        }.toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(dispDir)
+    }
+    timed("curate_dispatch_600k", 600000) {
+      val media = spark.read.parquet(dispDir)
+      val out = new graft.engine.Engine(graft.ext.CurateDispatch.spec())
+        .run("curate_dispatch", spark, Some(media),
+          graft.engine.RunOptions(orderedConcat = false))
+      val n = out.agg(count(lit(1))).head().getLong(0)
+      require(n == 500000L, s"dispatch gate kept $n/500000")
+      n
+    }
     // ---- office/archive extraction (round 10): DOCX, XLSX and TAR
     // blobs built once, extracted by the real container walks — the
     // document-modality twin of media_triage (deflate members, CRC
