@@ -644,9 +644,11 @@ object Dedup {
     // would silently apply to any concurrent query on it. The edge plan is
     // re-bound into the clone zero-copy (Bridge.rebind — same logical
     // plan, re-planned under the clone's conf; no RDD row round-trip).
-    // memoized per (context, purpose) — see [[LoopSessions]]
+    // pooled + leased per (context, purpose) — see [[LoopSessions]]: a
+    // concurrent CC call gets its own clone, so this call's measured
+    // width and AQE toggle are never observed mid-loop by another
     val caller = pairs.sparkSession
-    val spark = LoopSessions.forPurpose(caller, "dedup.cc")
+    LoopSessions.withLoopSession(caller, "dedup.cc") { spark =>
     // materialize the edge cache BEFORE the loop: the rounds' joins spawn
     // AQE broadcast-stage jobs concurrently, and against a lazily-persisted
     // edge list each of them races to recompute the full upstream pairs
@@ -761,6 +763,7 @@ object Dedup {
     // plans over it run under the caller's conf, not the clone's
     // loop-tuned one.
     org.apache.spark.sql.graftbridge.Bridge.rebind(caller, labels)
+    } // lease ends: labels are checkpoint-materialized, conf may be retuned
   }
 
   /** Near-dup clustering: MinHash-LSH pairs → connected components →

@@ -54,10 +54,12 @@ object Graph {
     // wants an edge-derived shuffle width, so it runs on a CLONED session
     // of the same SparkContext (Bridge.rebind hand-off, shared cache) —
     // concurrent queries on the caller's session never see the loop width.
-    // The clone is memoized per (context, purpose) so repeated calls in a
-    // long-lived driver don't accumulate SessionStates ([[LoopSessions]]).
+    // Clones are pooled per (context, purpose) and LEASED for the call
+    // ([[LoopSessions.withLoopSession]]): repeated calls in a long-lived
+    // driver don't accumulate SessionStates, and a concurrent pageRank
+    // never observes this call's data-derived width.
     val caller = edges.sparkSession
-    val clone = LoopSessions.forPurpose(caller, "graph.pagerank")
+    LoopSessions.withLoopSession(caller, "graph.pagerank") { clone =>
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, edges)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -105,6 +107,7 @@ object Graph {
     nodes.unpersist(blocking = false)
     fan.unpersist(blocking = false)
     org.apache.spark.sql.graftbridge.Bridge.rebind(caller, ranks)
+    } // lease ends: ranks are checkpoint-materialized, conf may be retuned
   }
 
   /** Semi-supervised label propagation by FIXED-POINT mass diffusion —
@@ -141,9 +144,9 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(keep >= 0 && keep <= 100, s"keep must be a percentage, got $keep")
-    // conf-isolated memoized clone, exactly as in [[pageRank]]
+    // conf-isolated leased clone, exactly as in [[pageRank]]
     val caller = edges.sparkSession
-    val clone = LoopSessions.forPurpose(caller, "graph.labelspread")
+    LoopSessions.withLoopSession(caller, "graph.labelspread") { clone =>
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(clone, edges)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -185,6 +188,7 @@ object Graph {
     seedMass.unpersist(blocking = false)
     fan.unpersist(blocking = false)
     org.apache.spark.sql.graftbridge.Bridge.rebind(caller, mass)
+    } // lease ends: mass is checkpoint-materialized, conf may be retuned
   }
 
   /** Single-source BFS shortest paths, frontier-style: per hop, only the

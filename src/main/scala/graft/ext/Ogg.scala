@@ -160,6 +160,11 @@ object Ogg {
     */
   private[graft] def page(headerType: Int, granule: Long, serial: Long,
       seq: Long, packet: Array[Byte]): Array[Byte] = {
+    // a page's segment table holds at most 255 lacing values: a packet
+    // needing more must span pages, which this builder doesn't do — fail
+    // loudly instead of emitting a wrapped (corrupt) segment count
+    require(packet.length < 255 * 255,
+      s"builder supports single-page packets < ${255 * 255} B: ${packet.length}")
     // lacing: 255-runs then the remainder (a multiple-of-255 packet gets
     // a trailing 0 lacing value, per RFC 3533)
     val lacing = {

@@ -36,7 +36,15 @@ object Subtitles {
       val secMs = parts.last.split("[,.]")
       if (secMs.length != 2) return -1L
       val sec = secMs(0).trim.toInt
-      val ms = secMs(1).trim.toInt
+      // the fraction scales by its digit count: WebVTT mandates 3 digits
+      // but real-world files carry 1-2 ("1.5" is 1500 ms, not 1005) and
+      // occasionally more (truncated to ms precision)
+      val frac = secMs(1).trim
+      if (frac.isEmpty || !frac.forall(_.isDigit)) return -1L
+      val ms =
+        if (frac.length <= 3)
+          frac.toInt * math.pow(10, 3 - frac.length).toInt
+        else frac.substring(0, 3).toInt
       val min = parts(parts.length - 2).trim.toInt
       val hr = if (parts.length == 3) parts(0).trim.toInt else 0
       if (sec < 0 || ms < 0 || min < 0 || hr < 0) -1L

@@ -179,7 +179,10 @@ object Webm {
     */
   private[graft] def el(id: Long, payload: Array[Byte]*): Array[Byte] = {
     val body = payload.flatten.toArray
-    require(body.length < 16384, s"builder supports <16 KiB elements: ${body.length}")
+    // strict: the 2-byte size varint encodes 0..16382 — 16383 would be
+    // the all-ones pattern EBML readers (including this parser) treat as
+    // "unknown size", silently swallowing the rest of the container
+    require(body.length < 16383, s"builder supports <16383 B elements: ${body.length}")
     val idLen = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
     val idB = Array.tabulate(idLen)(k => ((id >>> (8 * (idLen - 1 - k))) & 0xFF).toByte)
     val sizeB =

@@ -43,6 +43,14 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(Subtitles.timestampMs("01:02:03,456") == 3723456L)
     assert(Subtitles.timestampMs("01:02:03.456") == 3723456L)
     assert(Subtitles.timestampMs("02:03.456") == 123456L)
+    // fractional part scales by digit count: "1.5" is 1500 ms, not 1005
+    // (WebVTT mandates 3 digits; real-world files carry 1-2)
+    assert(Subtitles.timestampMs("00:00:01.5") == 1500L)
+    assert(Subtitles.timestampMs("00:00:01.50") == 1500L)
+    assert(Subtitles.timestampMs("00:00:01.05") == 1050L)
+    assert(Subtitles.timestampMs("00:00:01.5005") == 1500L) // truncated to ms
+    assert(Subtitles.timestampMs("00:00:01.") == -1L)
+    assert(Subtitles.timestampMs("00:00:01.5x") == -1L)
     assert(Subtitles.timestampMs("bad") == -1L)
     assert(Subtitles.timestampMs("1:2") == -1L)
   }
