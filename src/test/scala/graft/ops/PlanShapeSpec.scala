@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan REGRESSION gate for the headline queries: the audited
+  * plan shapes (shuffle-exchange count, broadcast vs sort-merge join,
+  * no cartesian products) are snapshotted here so a plan regression —
+  * a lost broadcast, an extra shuffle from a refactor, a join reorder
+  * gone wrong — fails in CI instead of surfacing as a bench-diff
+  * surprise a round later. Bounds are ≤ the audited counts (AQE and
+  * stats drift may only ever REMOVE work); join-strategy expectations
+  * are exact because they are structural, not statistical.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private final case class Shape(
+      shuffles: Int, bcast: Int, bhj: Int, smj: Int, cartesian: Int)
+
+  private def shape(name: String): Shape = {
+    val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.split("\n")
+    def c(s: String) = lines.count(_.contains(s))
+    val bcastX = c("BroadcastExchange")
+    Shape(c("Exchange ") - bcastX, bcastX, c("BroadcastHashJoin"),
+      c("SortMergeJoin"), c("CartesianProduct"))
+  }
+
+  // name → (max shuffle exchanges, min broadcast joins, max sort-merge joins)
+  private val audited: Seq[(String, Int, Int, Int)] = Seq(
+    ("q_scan", 1, 0, 0),             // orderBy only
+    ("q_filter", 1, 0, 0),           // pushdown + orderBy
+    ("q_topk", 0, 0, 0),             // TakeOrdered, never a full sort
+    ("q_agg", 2, 0, 0),              // partial+final agg, orderBy
+    ("q_dedup_exact", 2, 0, 0),      // one keyed agg + orderBy
+    ("q_join_broadcast", 2, 1, 0),   // dim side MUST broadcast
+    ("q_join_sortmerge", 4, 0, 1),   // fact-fact stays SMJ
+    ("q_sim_topk", 0, 0, 0),         // probes broadcast, corpus unshuffled
+    ("q_lm_backoff", 9, 5, 0),       // five count-table joins, all broadcast at sf
+    ("q_media_curate_engine", 4, 1, 0),
+    ("q_curate_dispatch", 1, 0, 0),  // five map arms + certificate sort
+    ("q_span_index", 4, 1, 1))
+
+  audited.foreach { case (name, maxShuffles, minBhj, maxSmj) =>
+    test(s"$name plan shape holds (≤$maxShuffles shuffles, ≥$minBhj bcast join, ≤$maxSmj SMJ)") {
+      val s = shape(name)
+      assert(s.cartesian == 0, s"cartesian product appeared: $s")
+      assert(s.shuffles <= maxShuffles,
+        s"shuffle count regressed: $s (audited ≤$maxShuffles)")
+      assert(s.bhj >= minBhj,
+        s"a broadcast join was lost: $s (audited ≥$minBhj)")
+      assert(s.smj <= maxSmj,
+        s"a join fell back to sort-merge: $s (audited ≤$maxSmj)")
+    }
+  }
+}
