@@ -24,9 +24,14 @@ package graft.ext
   *     checksum field read as spaces) — a corrupt header ends the walk
   *     at the last good member.
   *   - A leading gzip magic transparently inflates first (`.tar.gz`).
-  *   - GNU long-name ('L') extensions and sparse files are out of
-  *     envelope, documented; pax extended headers ('x'/'g') are skipped
-  *     as data, keeping the walk aligned.
+  *   - GNU long-name ('L') members and pax extended headers ('x') ARE
+  *     honored: the 'L' data names the next member; pax `path=` and
+  *     `size=` records override the next member's name and data length
+  *     (how archivers encode >8 GiB members past the 12-digit octal
+  *     field). Global pax headers ('g') are skipped as data, keeping the
+  *     walk aligned; sparse files stay out of envelope, documented. Meta
+  *     member data is capped at 1 MiB — a "name" past that is damage,
+  *     and the walk cuts short rather than buffering it.
   */
 object Tar {
 
@@ -118,34 +123,63 @@ object Tar {
       private var off = 0L // running offset in the (inflated) archive
       private var done = in == null
       private var pending: (Entry, Array[Byte]) = null
+      // overrides declared by a preceding 'L' / 'x' meta member
+      private var nextName: String = null
+      private var nextSize: Long = -1L
 
       private def advance(): Unit =
         try {
-          if (!readFully(in, hdr, 512)) { done = true; return }
-          if (hdr(0) == 0) { done = true; return } // zero block: end
-          if (!checksumOk(hdr)) { done = true; return }
-          val prefix = str(hdr, 345, 155)
-          val name0 = str(hdr, 0, 100)
-          val name = if (prefix.nonEmpty) prefix + "/" + name0 else name0
-          val size = octal(hdr, 124, 12)
-          val tf = { val c = hdr(156).toChar; if (c == 0) '0' else c }
-          if (size < 0) { done = true; return }
-          val e = Entry(name, size, tf, octal(hdr, 136, 12), off + 512L)
-          val data: Array[Byte] =
-            if (size > 0 && size <= Int.MaxValue - 16L && want(e)) {
-              val d = new Array[Byte](size.toInt)
+          while (pending == null && !done) {
+            if (!readFully(in, hdr, 512)) { done = true; return }
+            if (hdr(0) == 0) { done = true; return } // zero block: end
+            if (!checksumOk(hdr)) { done = true; return }
+            val prefix = str(hdr, 345, 155)
+            val name0 = str(hdr, 0, 100)
+            val hdrName = if (prefix.nonEmpty) prefix + "/" + name0 else name0
+            val hdrSize = octal(hdr, 124, 12)
+            val tf = { val c = hdr(156).toChar; if (c == 0) '0' else c }
+            if (hdrSize < 0) { done = true; return }
+            if (tf == 'L' || tf == 'x' || tf == 'g') {
+              // meta member: its data describes the NEXT member ('g'
+              // skipped — global defaults are out of envelope)
+              if (hdrSize > (1L << 20)) { done = true; return }
+              val d = new Array[Byte](hdrSize.toInt)
               if (!readFully(in, d, d.length)) { done = true; return }
-              d
+              if (tf == 'L') nextName = str(d, 0, d.length)
+              else if (tf == 'x') {
+                val pax = parsePax(d)
+                pax.get("path").foreach(nextName = _)
+                pax.get("size").foreach { v =>
+                  try nextSize = v.trim.toLong
+                  catch { case _: NumberFormatException => done = true; return }
+                }
+              }
+              val padded = ((hdrSize + 511) / 512) * 512
+              off += 512 + padded
+              if (!skipFully(in, padded - hdrSize)) { done = true; return }
             } else {
-              if (!skipFully(in, size)) { done = true; return }
-              Array.emptyByteArray
+              val name = if (nextName != null) nextName else hdrName
+              val size = if (nextSize >= 0) nextSize else hdrSize
+              nextName = null; nextSize = -1L
+              if (size < 0) { done = true; return }
+              val e = Entry(name, size, tf, octal(hdr, 136, 12), off + 512L)
+              val data: Array[Byte] =
+                if (size > 0 && size <= Int.MaxValue - 16L && want(e)) {
+                  val d = new Array[Byte](size.toInt)
+                  if (!readFully(in, d, d.length)) { done = true; return }
+                  d
+                } else {
+                  if (!skipFully(in, size)) { done = true; return }
+                  Array.emptyByteArray
+                }
+              // the member is complete once its data is; short PADDING
+              // still emits it and the next header read ends the walk
+              val padded = ((size + 511) / 512) * 512
+              off += 512 + padded
+              pending = (e, data)
+              if (!skipFully(in, padded - size)) done = true
             }
-          // the member is complete once its data is; short PADDING still
-          // emits it and the next header read ends the walk
-          val padded = ((size + 511) / 512) * 512
-          off += 512 + padded
-          pending = (e, data)
-          if (!skipFully(in, padded - size)) done = true
+          }
         } catch { case scala.util.control.NonFatal(_) => done = true }
 
       def hasNext: Boolean = {
@@ -157,6 +191,36 @@ object Tar {
         val r = pending; pending = null; r
       }
     }
+
+  /** pax extended-header records: `LEN key=value\n`, LEN the decimal
+    * byte length of the WHOLE record including itself and the newline
+    * (POSIX.1-2001). Malformed framing cuts short with the records
+    * parsed so far.
+    */
+  private def parsePax(d: Array[Byte]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    var ok = true
+    while (ok && i < d.length) {
+      var j = i
+      while (j < d.length && d(j) != ' ') j += 1
+      if (j >= d.length) ok = false
+      else {
+        val len =
+          try new String(d, i, j - i, "US-ASCII").toInt
+          catch { case _: NumberFormatException => ok = false; 0 }
+        if (!ok || len <= 0 || i + len > d.length || d(i + len - 1) != '\n')
+          ok = false
+        else {
+          val rec = new String(d, j + 1, i + len - 1 - (j + 1), "UTF-8")
+          val eq = rec.indexOf('=')
+          if (eq > 0) out(rec.substring(0, eq)) = rec.substring(eq + 1)
+          i += len
+        }
+      }
+    }
+    out.toMap
+  }
 
   /** Member listing over a `.tar` or `.tar.gz` payload — one streaming
     * pass, no member data materialized. Offsets refer to the (inflated)

@@ -95,6 +95,59 @@ class TarSpec extends AnyFunSuite {
     assert(walked(2)._2.zipWithIndex.forall { case (b, i) => b == (i % 127).toByte })
   }
 
+  test("GNU long-name ('L') members name the next member") {
+    val longName = "deeply/nested/" + ("d" * 120) + "/file.txt"
+    val nameData = (longName + "\u0000").getBytes("UTF-8")
+    val payload = "long-name payload".getBytes("UTF-8")
+    def pad(n: Int) = new Array[Byte]((512 - n % 512) % 512)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Tar.header("././@LongLink", nameData.length, 'L'))
+    bos.write(nameData); bos.write(pad(nameData.length))
+    bos.write(Tar.header("truncated-name.txt", payload.length, '0'))
+    bos.write(payload); bos.write(pad(payload.length))
+    bos.write(Tar.header("normal.txt", 2, '0'))
+    bos.write("ok".getBytes); bos.write(pad(2))
+    bos.write(new Array[Byte](1024))
+    val blob = bos.toByteArray
+    // the 'L' member is consumed, not listed; its name binds ONE member
+    assert(Tar.entries(blob).map(_.name) == Seq(longName, "normal.txt"))
+    assert(new String(Tar.read(blob, longName).get, "UTF-8") == "long-name payload")
+  }
+
+  test("pax ('x') path and size records override the next member") {
+    def paxRecord(k: String, v: String): Array[Byte] = {
+      val base = (" " + k + "=" + v + "\n").length
+      var n = base + 1
+      while (String.valueOf(n).length + base != n) n += 1
+      (n + " " + k + "=" + v + "\n").getBytes("UTF-8")
+    }
+    val paxPath = "pax/override/" + ("p" * 130) + ".bin"
+    val payload = Array.tabulate[Byte](700)(i => (i % 113).toByte)
+    // size declared ONLY via pax (octal field zeroed, as archivers do
+    // for members past the 12-digit octal range)
+    val recs = paxRecord("path", paxPath) ++
+      paxRecord("size", payload.length.toString) ++
+      paxRecord("mtime", "1700000000.5") // unrelated record: ignored
+    def pad(n: Int) = new Array[Byte]((512 - n % 512) % 512)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Tar.header("PaxHeaders/x", recs.length, 'x'))
+    bos.write(recs); bos.write(pad(recs.length))
+    bos.write(Tar.header("short.bin", 0, '0'))
+    bos.write(payload); bos.write(pad(payload.length))
+    bos.write(new Array[Byte](1024))
+    val blob = bos.toByteArray
+    val es = Tar.entries(blob)
+    assert(es.map(_.name) == Seq(paxPath))
+    assert(es.head.size == 700L)
+    assert(Tar.read(blob, paxPath).get.toSeq == payload.toSeq)
+    // malformed pax framing cuts short, never throws
+    val bad = Tar.header("PaxHeaders/x", 8, 'x') ++
+      "zz path=".getBytes ++ new Array[Byte](504) ++
+      Tar.header("after.txt", 2, '0') ++ "ok".getBytes ++ pad(2) ++
+      new Array[Byte](1024)
+    assert(Tar.entries(bad).map(_.name) == Seq("after.txt"))
+  }
+
   test("octal fields tolerate leading spaces and NUL terminators") {
     val t = sample(false).clone()
     // rewrite size field of member 2 ("  22\0...") and fix its checksum
