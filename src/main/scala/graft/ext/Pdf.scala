@@ -37,7 +37,10 @@ package graft.ext
   *     leaves its byte unmapped — uninterpreted, never dropped.
   *     Resource names are resolved document-wide (page-scoped reuse of
   *     one name for different fonts is outside the envelope, documented);
-  *     CID/Type0 two-byte fonts remain outside the envelope.
+  *     CID/Type0 two-byte fonts remain outside the envelope. Page, font
+  *     and encoding objects packed in /ObjStm OBJECT STREAMS (how PDF
+  *     1.5+ writers store all non-stream objects) are unpacked and
+  *     participate in the same resolution.
   *   - Encrypted documents (a /Encrypt entry outside stream data) →
   *     None: nothing inside is readable without the crypt machinery.
   *
@@ -276,50 +279,115 @@ object Pdf {
     if (any) map else null
   }
 
-  /** Resource-name → /Differences table for every font the document
-    * binds (`/Font << /F1 5 0 R ... >>`), resolving inline or indirect
-    * /Encoding dicts. Document-wide: machine-generated PDFs bind each
-    * name once; page-scoped reuse of one name is out of envelope.
+  /** Objects packed in /ObjStm object streams (PDF 1.5+, how modern
+    * writers store ALL non-stream objects — page dicts, fonts, encoding
+    * tables): objnum → serialized body text. The stream's /N pair table
+    * (`n1 o1 n2 o2 …` before /First) slices the decompressed text; a
+    * malformed table contributes the objects before the damage.
     */
-  private def fontMaps(b: Array[Byte],
-      streams: Seq[(Int, Int)]): Map[String, Array[String]] = {
-    // cheap pre-check: no /Differences anywhere → nothing to resolve,
-    // skip the masked-string allocation on the common path
-    if (indexOf(b, "/Differences", 0) < 0) return Map.empty
-    val s = maskedDoc(b, streams)
-    val out = scala.collection.mutable.Map.empty[String, Array[String]]
-    val ref = """/([A-Za-z0-9._-]+)\s+(\d+)\s+(\d+)\s+R""".r
-    var f = s.indexOf("/Font")
-    while (f >= 0) {
-      var p = f + 5
-      while (p < s.length && isWs(s.charAt(p))) p += 1
-      if (p + 1 < s.length && s.charAt(p) == '<' && s.charAt(p + 1) == '<') {
-        // matching >> with nesting
-        var depth = 1
-        var q = p + 2
-        while (q + 1 < s.length && depth > 0) {
-          if (s.charAt(q) == '<' && s.charAt(q + 1) == '<') { depth += 1; q += 2 }
-          else if (s.charAt(q) == '>' && s.charAt(q + 1) == '>') { depth -= 1; q += 2 }
-          else q += 1
-        }
-        ref.findAllMatchIn(s.substring(p + 2, math.max(p + 2, q - 2))).foreach { m =>
-          val name = m.group(1)
-          if (!out.contains(name)) {
-            val fontBody = objBody(s, m.group(2).toInt, m.group(3).toInt)
-            var diff = parseDifferences(fontBody)
-            if (diff == null) {
-              // /Encoding as an indirect object
-              """/Encoding\s+(\d+)\s+(\d+)\s+R""".r.findFirstMatchIn(fontBody)
-                .foreach { em =>
-                  diff = parseDifferences(
-                    objBody(s, em.group(1).toInt, em.group(2).toInt))
-                }
-            }
-            if (diff != null) out(name) = diff
+  private def objStmBodies(b: Array[Byte],
+      streams: Seq[(Int, Int)]): Map[Int, String] = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    val nRe = """/N\s+(\d+)""".r
+    val firstRe = """/First\s+(\d+)""".r
+    streams.foreach { case (from, until) =>
+      val lo = math.max(0, from - 512)
+      val window = new String(b, lo, from - lo, "ISO-8859-1")
+      val objAt = window.lastIndexOf(" obj")
+      val w = if (objAt >= 0) window.substring(objAt) else window
+      if (w.contains("/ObjStm")) {
+        val data =
+          if (w.contains("/FlateDecode")) inflate(b, from, until)
+          else {
+            var de = until
+            if (de > from && b(de - 1) == '\n') {
+              de -= 1
+              if (de > from && b(de - 1) == '\r') de -= 1
+            } else if (de > from && b(de - 1) == '\r') de -= 1
+            java.util.Arrays.copyOfRange(b, from, de)
+          }
+        for {
+          n <- nRe.findFirstMatchIn(w).map(_.group(1).toInt)
+          first <- firstRe.findFirstMatchIn(w).map(_.group(1).toInt)
+          if data != null && n > 0 && n <= 65536 &&
+            first > 0 && first <= data.length
+        } {
+          val text = new String(data, "ISO-8859-1")
+          val nums = text.substring(0, first).trim.split("\\s+")
+            .iterator.filter(_.nonEmpty)
+            .map(t => try t.toLong catch { case _: NumberFormatException => -1L })
+            .takeWhile(_ >= 0).toArray
+          val pairs = (0 until math.min(n, nums.length / 2)).map(k =>
+            (nums(2 * k).toInt, nums(2 * k + 1).toInt))
+          pairs.zipWithIndex.foreach { case ((num, o), k) =>
+            val start = first.toLong + o
+            val end =
+              if (k + 1 < pairs.length) first.toLong + pairs(k + 1)._2
+              else text.length.toLong
+            if (start >= first && start <= end && end <= text.length)
+              out(num) = text.substring(start.toInt, end.toInt)
           }
         }
       }
-      f = s.indexOf("/Font", f + 5)
+    }
+    out.toMap
+  }
+
+  /** Resource-name → /Differences table for every font the document
+    * binds (`/Font << /F1 5 0 R ... >>`), resolving inline or indirect
+    * /Encoding dicts — whether the binding/font/encoding objects live as
+    * top-level `N G obj` bodies or packed inside /ObjStm object streams.
+    * Document-wide: machine-generated PDFs bind each name once;
+    * page-scoped reuse of one name is out of envelope.
+    */
+  private def fontMaps(b: Array[Byte],
+      streams: Seq[(Int, Int)]): Map[String, Array[String]] = {
+    // cheap pre-check: a /Differences table can only exist in plain
+    // object text or inside an /ObjStm (whose dict token IS plain) —
+    // neither magic present means nothing to resolve, skip the
+    // masked-string allocation on the common path
+    if (indexOf(b, "/Differences", 0) < 0 && indexOf(b, "/ObjStm", 0) < 0)
+      return Map.empty
+    val s = maskedDoc(b, streams)
+    val packed = objStmBodies(b, streams)
+    def bodyOf(num: Int, gen: Int): String =
+      if (gen == 0 && packed.contains(num)) packed(num) else objBody(s, num, gen)
+    val out = scala.collection.mutable.Map.empty[String, Array[String]]
+    val ref = """/([A-Za-z0-9._-]+)\s+(\d+)\s+(\d+)\s+R""".r
+    // /Font binding dicts live in page objects — top-level or packed
+    (s +: packed.values.toSeq).foreach { text =>
+      var f = text.indexOf("/Font")
+      while (f >= 0) {
+        var p = f + 5
+        while (p < text.length && isWs(text.charAt(p))) p += 1
+        if (p + 1 < text.length && text.charAt(p) == '<' && text.charAt(p + 1) == '<') {
+          // matching >> with nesting
+          var depth = 1
+          var q = p + 2
+          while (q + 1 < text.length && depth > 0) {
+            if (text.charAt(q) == '<' && text.charAt(q + 1) == '<') { depth += 1; q += 2 }
+            else if (text.charAt(q) == '>' && text.charAt(q + 1) == '>') { depth -= 1; q += 2 }
+            else q += 1
+          }
+          ref.findAllMatchIn(text.substring(p + 2, math.max(p + 2, q - 2))).foreach { m =>
+            val name = m.group(1)
+            if (!out.contains(name)) {
+              val fontBody = bodyOf(m.group(2).toInt, m.group(3).toInt)
+              var diff = parseDifferences(fontBody)
+              if (diff == null) {
+                // /Encoding as an indirect object
+                """/Encoding\s+(\d+)\s+(\d+)\s+R""".r.findFirstMatchIn(fontBody)
+                  .foreach { em =>
+                    diff = parseDifferences(
+                      bodyOf(em.group(1).toInt, em.group(2).toInt))
+                  }
+              }
+              if (diff != null) out(name) = diff
+            }
+          }
+        }
+        f = text.indexOf("/Font", f + 5)
+      }
     }
     out.toMap
   }
@@ -676,6 +744,66 @@ object Pdf {
     w(s"xref\n0 $n\n0000000000 65535 f \n" +
       offsets.map(o => f"$o%010d 00000 n \n").mkString)
     w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  /** The [[buildWithDifferences]] document with its font AND encoding
+    * objects packed inside a Flate-compressed /ObjStm object stream —
+    * the PDF 1.5+ layout where no top-level `N G obj` body exists for
+    * either, so extraction is only correct if the object stream is
+    * unpacked during font resolution.
+    */
+  def buildWithDifferencesObjStm(lines: Seq[String], flate: Boolean): Array[Byte] = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    val content = new StringBuilder()
+    content.append("BT\n/F1 12 Tf\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (line, k) =>
+      if (k > 0) content.append("0 -14 Td\n")
+      content.append("(").append(esc(line.map(rot13))).append(") Tj\n")
+    }
+    content.append("ET\n")
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+      def_.end()
+      out.toByteArray
+    }
+    val raw = content.toString.getBytes("ISO-8859-1")
+    val data = if (flate) deflate(raw) else raw
+    val diffs = "/Differences [ 65 " +
+      ('A' to 'Z').map(c => "/" + rot13(c)).mkString(" ") + " 97 " +
+      ('a' to 'z').map(c => "/" + rot13(c)).mkString(" ") + " ]"
+    // objects 5 (font) and 6 (encoding) exist ONLY inside the ObjStm
+    val o5 = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding 6 0 R >>"
+    val o6 = s"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding $diffs >>"
+    val pairHdr = s"5 0 6 ${o5.length + 1} "
+    val stmRaw = (pairHdr + o5 + "\n" + o6).getBytes("ISO-8859-1")
+    val stmData = deflate(stmRaw)
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${data.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    sb.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    w(s"7 0 obj\n<< /Type /ObjStm /N 2 /First ${pairHdr.length} " +
+      s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+    sb.write(stmData, 0, stmData.length)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n")
     sb.toByteArray
   }
 }

@@ -3586,13 +3586,17 @@ object ExtQueries {
         .as[(Long, String)]
         .map { case (id, text) =>
           val lines = Seq("Title " + id, text, "End mark " + (id % 5))
-          val pdf = (id % 3).toInt match {
-            case 0 => graft.ext.Pdf.buildSimple(lines, flate = id % 2 == 0)
-            case 1 => graft.ext.Pdf.buildWithDifferences(lines,
-              flate = id % 2 == 0, indirectEnc = false)
-            case _ => graft.ext.Pdf.buildWithDifferences(lines,
-              flate = id % 2 == 0, indirectEnc = true)
-          }
+          val pdf =
+            // PDF 1.5+ layout: font + encoding packed in an /ObjStm
+            if (id % 6 == 5)
+              graft.ext.Pdf.buildWithDifferencesObjStm(lines, flate = id % 2 == 0)
+            else (id % 3).toInt match {
+              case 0 => graft.ext.Pdf.buildSimple(lines, flate = id % 2 == 0)
+              case 1 => graft.ext.Pdf.buildWithDifferences(lines,
+                flate = id % 2 == 0, indirectEnc = false)
+              case _ => graft.ext.Pdf.buildWithDifferences(lines,
+                flate = id % 2 == 0, indirectEnc = true)
+            }
           (id, pdf)
         }
         .toDF("doc_id", "pdf")
@@ -3608,10 +3612,11 @@ object ExtQueries {
                      || 'End mark ' || (doc_id % 5) AS extracted
             FROM documents ORDER BY doc_id"""),
     "PDF text-extraction certificate: complete single-page PDFs (Flate " +
-      "on even docs; rot13 /Differences encoding tables, inline and " +
-      "indirect, on every third doc) showing text via literal/TJ-kern/" +
-      "hex strings must round-trip the document text exactly through " +
-      "the bounded-envelope extractor")
+      "on even docs; rot13 /Differences encoding tables — inline, " +
+      "indirect, and packed in /ObjStm object streams — on every third " +
+      "doc) showing text via literal/TJ-kern/hex strings must " +
+      "round-trip the document text exactly through the " +
+      "bounded-envelope extractor")
 
   private val qWebCurateEngine = Q(
     "q_web_curate_engine",

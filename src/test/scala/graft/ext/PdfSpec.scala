@@ -28,6 +28,26 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("/Differences inside an /ObjStm object stream resolve") {
+    val lines = Seq("Hello object streams", "Second Line")
+    for (flate <- Seq(false, true)) {
+      val pdf = Pdf.buildWithDifferencesObjStm(lines, flate)
+      // font object 5 exists ONLY inside the compressed ObjStm: a reader
+      // that skips object streams sees no table and returns rot13 noise
+      assert(!new String(pdf, "ISO-8859-1").contains("5 0 obj"))
+      assert(Pdf.extractText(pdf).get == lines.mkString("\n"), s"flate=$flate")
+    }
+    // a damaged ObjStm degrades to no table (rot13 bytes pass through
+    // unmapped), never a throw
+    val pdf = Pdf.buildWithDifferencesObjStm(lines, flate = false)
+    val at = new String(pdf, "ISO-8859-1").indexOf("/ObjStm")
+    val bad = pdf.clone()
+    bad(at + 60) = (bad(at + 60) ^ 0x55).toByte // corrupt the deflate data
+    val got = Pdf.extractText(bad)
+    assert(got.isDefined)
+    assert(got.get.contains("Uryyb")) // rot13(Hello): unmapped fallback
+  }
+
   test("/Differences: named glyphs, uniXXXX, unknown names pass through") {
     // hand-written doc: font F1 maps 65→/one 66→/uniloc 67→/quoteright
     // 68→/bogusname (unknown: byte passes through) 69→/space
