@@ -10,14 +10,15 @@ import graft.spec.{PipelineSpec, SegType, Stage}
 /** Mixed-format curation THROUGH the sniff dispatcher — the realistic
   * multimodal landing where format is NOT known per row: one untyped
   * blob column, [[Multimodal.sniffFormat]] names each payload's family,
-  * and per-format arms (image dims, WebP chunk walk, MPEG audio triage,
-  * DOCX/XLSX and PDF text) produce one uniform curation row. Declared
+  * and per-format arms (image dims, WebP chunk walk, HEIF/AVIF ipma
+  * resolution, MPEG audio triage, DOCX/XLSX and PDF text) produce one
+  * uniform curation row. Declared
   * as a GASKET pipeline (`/root/reference/readme.md:83-111` stage
   * forms), the sibling of [[WebCurate]] (typed WARC input) and
   * [[MediaCurate]] (typed image input).
   *
   * Scale shape: sniff is map-only; the dispatch stage is the one
-  * multi-consumer point (five arms filter the same sniffed corpus —
+  * multi-consumer point (six arms filter the same sniffed corpus —
   * persisted there under the map-tee discipline); every arm is a
   * filter + mapPartitions over that cache, so the whole plan is one
   * InMemoryRelation fanned into map-only unions — no join, no shuffle
@@ -52,7 +53,7 @@ object CurateDispatch {
       stage("dispatch") { df0 =>
         val spark = df0.sparkSession
         import spark.implicits._
-        // five arms read the sniffed corpus: persist once (map-tee
+        // six arms read the sniffed corpus: persist once (map-tee
         // discipline), every arm is filter + mapPartitions over it
         val df = df0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -72,6 +73,12 @@ object CurateDispatch {
               .map(m => (m.width, m.height)).getOrElse((0, 0))
             (id, f, "image", w, h, 0L, "")
           }).toDF(cols: _*)
+        val heif = rows(Seq("heic", "avif"))
+          .mapPartitions(_.map { case (id, p, f) =>
+            val (w, h) = Mp4.heifMeta(p)
+              .map(m => (m.width, m.height)).getOrElse((0, 0))
+            (id, f, "image", w, h, 0L, "")
+          }).toDF(cols: _*)
         val audio = rows(Seq("mpeg_audio"))
           .mapPartitions(_.map { case (id, p, f) =>
             val dur = Mpeg.mp3Meta(p).map(_.duration_ms).getOrElse(0L)
@@ -88,12 +95,12 @@ object CurateDispatch {
         // lives in ONE stage
         val rest = df
           .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
-            "mpeg_audio", "zip", "pdf"))
+            "heic", "avif", "mpeg_audio", "zip", "pdf"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))
-        raster.unionByName(webp).unionByName(audio).unionByName(docs)
-          .unionByName(rest)
+        raster.unionByName(webp).unionByName(heif).unionByName(audio)
+          .unionByName(docs).unionByName(rest)
       },
       stage("gate") { df =>
         df.filter(col("kind") =!= "unknown")

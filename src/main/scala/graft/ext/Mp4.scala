@@ -295,4 +295,179 @@ object Mp4 {
       out.filter(_ => spans.nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  // --------------------------------------------- HEIF still images (heic/avif)
+
+  /** The ftyp major brands that mean "HEIF still image", not a movie —
+    * the same set [[Multimodal.sniffFormat]] routes to heic/avif.
+    */
+  private val HeifBrands = Set("heic", "heix", "hevc", "hevx", "heim",
+    "heis", "mif1", "msf1", "avif", "avis")
+
+  final case class HeifMeta(
+      brand: String,
+      primary_item: Long,
+      item_type: String, // the primary item's infe 4cc: hvc1 / av01 / grid
+      n_items: Int,
+      width: Int,
+      height: Int)
+
+  /** HEIF/AVIF still-image triage (ISO 23008-12) — the arm behind the
+    * heic/avif sniff routes, so modern phone imagery reaches image
+    * curation with real dimensions: `meta`→`pitm` names the primary
+    * item, `iinf`/`infe` its coded type, and dimensions come from the
+    * `ispe` property the `ipma` table associates with the primary item
+    * (NOT the first or largest `ispe` — thumbnails and aux images carry
+    * their own). When `ipma` is absent/unresolvable the largest `ispe`
+    * stands in ('grid' primaries derive dims from idat tile math —
+    * outside the envelope, documented). Malformed boxes cut short to
+    * whatever was readable; never a throw.
+    */
+  def heifMeta(b: Array[Byte]): Option[HeifMeta] = {
+    if (b == null || b.length < 16 || fourcc(b, 4) != "ftyp") return None
+    try {
+      val brand = fourcc(b, 8)
+      if (!HeifBrands.contains(brand)) return None
+      boxes(b, 0, b.length).collectFirst { case ("meta", ms0, me) =>
+        val s = ms0 + 4 // meta is a FULLBOX: version/flags before children
+        var primary = -1L
+        child(b, s, me, "pitm").foreach { case (ps, pe) =>
+          val v = b(ps) & 0xFF
+          if (v == 0 && ps + 6 <= pe) primary = be16(b, ps + 4).toLong
+          else if (v >= 1 && ps + 8 <= pe) primary = be32(b, ps + 4)
+        }
+        var nItems = 0
+        var primaryType = ""
+        child(b, s, me, "iinf").foreach { case (is0, ie) =>
+          val v = b(is0) & 0xFF
+          var p = is0 + 4
+          if (v == 0 && p + 2 <= ie) { nItems = be16(b, p); p += 2 }
+          else if (p + 4 <= ie) { nItems = be32(b, p).toInt; p += 4 }
+          boxes(b, p, ie).foreach { case (tpe, es, ee) =>
+            if (tpe == "infe" && ee - es >= 12) {
+              val ev = b(es) & 0xFF
+              val (iid, tOff) =
+                if (ev == 2) (be16(b, es + 4).toLong, es + 8)
+                else if (ev == 3) (be32(b, es + 4), es + 10)
+                else (-1L, -1)
+              if (iid == primary && tOff >= 0 && tOff + 4 <= ee)
+                primaryType = fourcc(b, tOff)
+            }
+          }
+        }
+        var width = 0
+        var height = 0
+        child(b, s, me, "iprp").foreach { case (rs, re) =>
+          // ipco children in order — ipma property indexes are 1-based
+          val props = child(b, rs, re, "ipco")
+            .map(pc => boxes(b, pc._1, pc._2).toVector)
+            .getOrElse(Vector.empty)
+          def ispeAt(idx: Int): Option[(Int, Int)] =
+            props.lift(idx - 1).collect {
+              case ("ispe", ps, pe) if pe - ps >= 12 =>
+                (be32(b, ps + 4).toInt, be32(b, ps + 8).toInt)
+            }
+          var resolved: Option[(Int, Int)] = None
+          child(b, rs, re, "ipma").foreach { case (as0, ae) =>
+            val v = b(as0) & 0xFF
+            val wideIdx = (be32(b, as0) & 1L) == 1L // fullbox flags bit 0
+            var p = as0 + 4
+            if (p + 4 <= ae) {
+              def walkAssoc(end: Int, iid: Long): Boolean = {
+                if (p >= end) return false
+                val ac = b(p) & 0xFF; p += 1
+                var a = 0
+                while (a < ac) {
+                  val idx =
+                    if (wideIdx) {
+                      if (p + 2 > end) return false
+                      val x = be16(b, p) & 0x7FFF; p += 2; x
+                    } else {
+                      if (p + 1 > end) return false
+                      val x = b(p) & 0x7F; p += 1; x
+                    }
+                  if (iid == primary && resolved.isEmpty) resolved = ispeAt(idx)
+                  a += 1
+                }
+                true
+              }
+              val cnt = be32(b, p); p += 4
+              var k = 0L
+              var ok = true
+              while (ok && resolved.isEmpty && k < cnt) {
+                if (v < 1 && p + 2 <= ae) { // item id width rides version
+                  val iid = be16(b, p).toLong; p += 2
+                  ok = walkAssoc(ae, iid)
+                } else if (v >= 1 && p + 4 <= ae) {
+                  val iid = be32(b, p); p += 4
+                  ok = walkAssoc(ae, iid)
+                } else ok = false
+                k += 1
+              }
+            }
+          }
+          val dims = resolved.getOrElse {
+            val all = props.collect {
+              case ("ispe", ps, pe) if pe - ps >= 12 =>
+                (be32(b, ps + 4).toInt, be32(b, ps + 8).toInt)
+            }
+            if (all.isEmpty) (0, 0)
+            else all.maxBy(d => d._1.toLong * d._2.toLong)
+          }
+          width = dims._1; height = dims._2
+        }
+        HeifMeta(brand, primary, primaryType, nItems, width, height)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** HEIF fixture assembly (spec/certificate counterpart of [[heifMeta]]):
+    * a two-item still — primary coded image + one auxiliary — whose ipco
+    * holds the AUX ispe first and a LARGER aux image, so the right answer
+    * can only come from ipma association (neither first-ispe nor
+    * largest-ispe shortcuts survive the oracle).
+    */
+  private[graft] object HeifBuild {
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val n = 8 + parts.map(_.length).sum
+      val bos = new java.io.ByteArrayOutputStream(n)
+      bos.write(be32(n)); bos.write(tpe.getBytes("US-ASCII"))
+      parts.foreach(bos.write)
+      bos.toByteArray
+    }
+    private val full0: Array[Byte] = Array(0, 0, 0, 0)
+    private def ispe(w: Int, h: Int): Array[Byte] =
+      box("ispe", full0, be32(w), be32(h))
+    private def infe(id: Int, tpe: String): Array[Byte] =
+      box("infe", Array[Byte](2, 0, 0, 0), be16(id), be16(0),
+        tpe.getBytes("US-ASCII"), Array[Byte](0))
+
+    /** One still image: primary item `itemType` at `w`×`h`, plus an aux
+      * item whose ispe is first in ipco and larger — with `withIpma =
+      * false` the association table is omitted and the largest-ispe
+      * fallback is the only path.
+      */
+    def still(brand: String, itemType: String, w: Int, h: Int,
+        withIpma: Boolean = true): Array[Byte] = {
+      val hdlr = box("hdlr", full0, be32(0), "pict".getBytes("US-ASCII"),
+        new Array[Byte](12), Array[Byte](0))
+      val pitm = box("pitm", full0, be16(1))
+      val iinf = box("iinf", full0, be16(2),
+        infe(1, itemType), infe(2, itemType))
+      // aux ispe FIRST and LARGER than the primary (ipma must pick idx 2);
+      // without ipma the largest fallback lands on the aux dims
+      val ipco = box("ipco", ispe(w * 2, h * 2), ispe(w, h))
+      val ipma = box("ipma", full0, be32(1),
+        be16(1), Array[Byte](1, 2)) // item 1: one association, index 2
+      val iprp =
+        if (withIpma) box("iprp", ipco, ipma) else box("iprp", ipco)
+      box("ftyp", brand.getBytes("US-ASCII"), be32(0)) ++
+        box("meta", full0, hdlr, pitm, iinf, iprp)
+    }
+  }
 }

@@ -503,6 +503,28 @@ object Multimodal {
       }
   }
 
+  final case class HeifRow(
+      media_id: Long,
+      brand: String,
+      primary_item: Long,
+      item_type: String,
+      n_items: Int,
+      width: Int,
+      height: Int)
+
+  /** [[Mp4.heifMeta]] over a media column — HEIF/AVIF still-image triage
+    * behind the heic/avif sniff routes; map-only, non-HEIF rows dropped.
+    */
+  def heifMeta(media: DataFrame): Dataset[HeifRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Mp4.heifMeta(p).map(m => HeifRow(id, m.brand, m.primary_item,
+          m.item_type, m.n_items, m.width, m.height))
+      })
+  }
+
   final case class WebpRow(
       media_id: Long,
       variant: String,

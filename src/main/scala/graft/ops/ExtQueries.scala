@@ -4475,17 +4475,18 @@ object ExtQueries {
     (s, d) => {
       // Mixed-format curation THROUGH THE ENGINE over one UNTYPED blob
       // column — the realistic landing where format is not known per
-      // row: six payload families rotate by doc_id % 6 (PNG, WebP
-      // lossless, an MPEG1-L3 frame chain, DOCX, PDF, and plain text
-      // that must sniff unknown and be dropped by the gate). The sniff
-      // names each family, the per-format arms recover dims / duration /
-      // text, and every emitted value is a closed form of doc_id — a
-      // misrouted payload lands in the wrong arm and breaks the hash.
+      // row: eight payload families rotate by doc_id % 8 (PNG, WebP
+      // lossless, an MPEG1-L3 frame chain, DOCX, PDF, plain text that
+      // must sniff unknown and be dropped by the gate, HEIC, and AVIF).
+      // The sniff names each family, the per-format arms recover dims /
+      // duration / text, and every emitted value is a closed form of
+      // doc_id — a misrouted payload lands in the wrong arm and breaks
+      // the hash.
       import s.implicits._
       val media = documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val payload: Array[Byte] = (id % 6).toInt match {
+          val payload: Array[Byte] = (id % 8).toInt match {
             case 0 =>
               val w = (8 + id % 16).toInt
               val h = (8 + id % 8).toInt
@@ -4507,8 +4508,14 @@ object ExtQueries {
                 true)))
             case 4 =>
               graft.ext.Pdf.buildSimple(Seq(text), flate = id % 2 == 0)
-            case _ =>
+            case 5 =>
               ("plain text payload " + id).getBytes("UTF-8")
+            case 6 =>
+              graft.ext.Mp4.HeifBuild.still("heic", "hvc1",
+                (640 + id % 2000).toInt, (480 + id % 1000).toInt)
+            case _ =>
+              graft.ext.Mp4.HeifBuild.still("avif", "av01",
+                (320 + id % 1000).toInt, (240 + id % 500).toInt)
           }
           (id, payload)
         }
@@ -4519,26 +4526,34 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                   CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
                         WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'zip'
-                        ELSE 'pdf' END AS format,
-                   CASE doc_id % 6 WHEN 2 THEN 'audio'
+                        WHEN 4 THEN 'pdf' WHEN 6 THEN 'heic'
+                        ELSE 'avif' END AS format,
+                   CASE doc_id % 8 WHEN 2 THEN 'audio'
                         WHEN 3 THEN 'doc' WHEN 4 THEN 'doc'
                         ELSE 'image' END AS kind,
-                   CAST(CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 16
-                        WHEN 1 THEN 1 + doc_id % 3000 ELSE 0 END AS INT) AS width,
-                   CAST(CASE doc_id % 6 WHEN 0 THEN 8 + doc_id % 8
-                        WHEN 1 THEN 1 + doc_id % 2000 ELSE 0 END AS INT) AS height,
-                   CAST(CASE doc_id % 6
+                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 16
+                        WHEN 1 THEN 1 + doc_id % 3000
+                        WHEN 6 THEN 640 + doc_id % 2000
+                        WHEN 7 THEN 320 + doc_id % 1000
+                        ELSE 0 END AS INT) AS width,
+                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 8
+                        WHEN 1 THEN 1 + doc_id % 2000
+                        WHEN 6 THEN 480 + doc_id % 1000
+                        WHEN 7 THEN 240 + doc_id % 500
+                        ELSE 0 END AS INT) AS height,
+                   CAST(CASE doc_id % 8
                         WHEN 2 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
                         ELSE 0 END AS BIGINT) AS duration_ms,
-                   CASE doc_id % 6 WHEN 3 THEN text || chr(10)
+                   CASE doc_id % 8 WHEN 3 THEN text || chr(10)
                         WHEN 4 THEN text ELSE '' END AS text
-            FROM documents WHERE doc_id % 6 <> 5 ORDER BY media_id"""),
+            FROM documents WHERE doc_id % 8 <> 5 ORDER BY media_id"""),
     "mixed-format curation through the sniff dispatcher AS an engine " +
-      "pipeline: six untyped payload families routed to per-format " +
-      "arms (PNG/WebP dims, MPEG duration, DOCX/PDF text), unknowns " +
-      "gated out — every value a closed form of doc_id")
+      "pipeline: eight untyped payload families routed to per-format " +
+      "arms (PNG/WebP dims, HEIF/AVIF ipma dims, MPEG duration, " +
+      "DOCX/PDF text), unknowns gated out — every value a closed form " +
+      "of doc_id")
 
   private val qTarExtract = Q(
     "q_tar_extract",
@@ -4748,6 +4763,46 @@ object ExtQueries {
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
       "whitespace-prefixed HTML, RIFF/WEBP, the HEIC/AVIF ftyp major " +
       "brands, and a plain-text unknown) named exactly by the sniff")
+
+  private val qHeifMeta = Q(
+    "q_heif_meta",
+    (s, d) => {
+      // HEIF/AVIF still-image triage certificate: per doc a two-item
+      // container (ISO 23008-12 meta/pitm/iinf/iprp grammar) whose AUX
+      // ispe is first in ipco AND larger than the primary's — correct
+      // dims require the ipma association walk, so neither a first-ispe
+      // nor a largest-ispe shortcut can pass. Every third doc omits
+      // ipma, certifying the documented largest-ispe fallback.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val brand = if (id % 2 == 0) "heic" else "avif"
+          val itemType = if (id % 2 == 0) "hvc1" else "av01"
+          val w = (640 + id % 2000).toInt
+          val h = (480 + id % 1000).toInt
+          (id, graft.ext.Mp4.HeifBuild.still(brand, itemType, w, h,
+            withIpma = id % 3 != 0))
+        }
+        .toDF("media_id", "payload")
+        .transform(m => graft.ext.Multimodal.heifMeta(m).toDF())
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE doc_id % 2 WHEN 0 THEN 'heic' ELSE 'avif' END AS brand,
+                   CAST(1 AS BIGINT) AS primary_item,
+                   CASE doc_id % 2 WHEN 0 THEN 'hvc1' ELSE 'av01' END AS item_type,
+                   2 AS n_items,
+                   CAST(CASE WHEN doc_id % 3 = 0
+                        THEN 2 * (640 + doc_id % 2000)
+                        ELSE 640 + doc_id % 2000 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 0
+                        THEN 2 * (480 + doc_id % 1000)
+                        ELSE 480 + doc_id % 1000 END AS INT) AS height
+            FROM documents ORDER BY media_id"""),
+    "HEIF/AVIF still-image certificate: meta/pitm/iinf/iprp containers " +
+      "whose primary dims resolve only through the ipma association " +
+      "(aux ispe first and larger), with the largest-ispe fallback " +
+      "certified on ipma-less docs — all closed forms of doc_id")
 
   private val qWebpMeta = Q(
     "q_webp_meta",
@@ -5039,5 +5094,5 @@ object ExtQueries {
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qCurateDispatch,
     qTarExtract, qZip64Extract, qXlsxExtract,
-    qMediaSniff, qWebpMeta, qId3Tags, qSubtitleExtract, qTiffMeta)
+    qMediaSniff, qWebpMeta, qHeifMeta, qId3Tags, qSubtitleExtract, qTiffMeta)
 }

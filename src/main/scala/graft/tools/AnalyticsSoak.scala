@@ -264,9 +264,9 @@ object AnalyticsSoak {
       import spark.implicits._
       spark.range(0, 600000, 1, 64).as[Long]
         .mapPartitions { ids =>
-          import graft.ext.{Png, Webp, Zip, Pdf}
+          import graft.ext.{Png, Webp, Zip, Pdf, Mp4}
           ids.map { id =>
-            val payload: Array[Byte] = (id % 6).toInt match {
+            val payload: Array[Byte] = (id % 8).toInt match {
               case 0 =>
                 val w = (8 + id % 16).toInt; val h = (8 + id % 8).toInt
                 Png.encode(Png.Image(w, h, 1,
@@ -284,7 +284,11 @@ object AnalyticsSoak {
               case 4 => Pdf.buildSimple(
                 Seq("dispatch pdf " + id, "line two " + id % 97),
                 flate = id % 2 == 0)
-              case _ => ("plain text payload " + id).getBytes("UTF-8")
+              case 5 => ("plain text payload " + id).getBytes("UTF-8")
+              case 6 => Mp4.HeifBuild.still("heic", "hvc1",
+                (640 + id % 2000).toInt, (480 + id % 1000).toInt)
+              case _ => Mp4.HeifBuild.still("avif", "av01",
+                (320 + id % 1000).toInt, (240 + id % 500).toInt)
             }
             (id, payload)
           }
@@ -297,7 +301,7 @@ object AnalyticsSoak {
         .run("curate_dispatch", spark, Some(media),
           graft.engine.RunOptions(orderedConcat = false))
       val n = out.agg(count(lit(1))).head().getLong(0)
-      require(n == 500000L, s"dispatch gate kept $n/500000")
+      require(n == 525000L, s"dispatch gate kept $n/525000") // 7 of 8 families
       n
     }
     // ---- office/archive extraction (round 10): DOCX, XLSX and TAR

@@ -18,8 +18,10 @@ class CurateDispatchSpec extends SparkSpec {
         .getBytes("UTF-8"), true)))
     val pdf = Pdf.buildSimple(Seq("pdf body"), flate = true)
     val junk = "no magic here".getBytes("UTF-8")
+    val heic = Mp4.HeifBuild.still("heic", "hvc1", 4032, 3024)
     val media = Seq(
-      (0L, png), (1L, webp), (2L, mp3), (3L, docx), (4L, pdf), (5L, junk))
+      (0L, png), (1L, webp), (2L, mp3), (3L, docx), (4L, pdf), (5L, junk),
+      (6L, heic))
       .toDF("media_id", "payload")
     val out = new graft.engine.Engine(CurateDispatch.spec())
       .run("curate_dispatch", spark, Some(media),
@@ -28,13 +30,14 @@ class CurateDispatchSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3),
         r.getInt(4), r.getLong(5), r.getString(6)))
-    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // junk gated out
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 6L)) // junk gated out
     assert(out(0) == ((0L, "png", "image", 9, 7, 0L, "")))
     assert(out(1) == ((1L, "webp", "image", 640, 360, 0L, "")))
     assert(out(2)._2 == "mpeg_audio" && out(2)._3 == "audio")
     assert(out(2)._6 == 25L * 1152 * 1000 / 44100)
     assert(out(3) == ((3L, "zip", "doc", 0, 0, 0L, "docx body\n")))
     assert(out(4) == ((4L, "pdf", "doc", 0, 0, 0L, "pdf body")))
+    assert(out(5) == ((6L, "heic", "image", 4032, 3024, 0L, "")))
   }
 
   test("damaged payloads produce defaults in their arm, never a throw") {

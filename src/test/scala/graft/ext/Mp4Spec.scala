@@ -159,6 +159,32 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.sampleLayout(b, 8, sb.length).length == 2)
   }
 
+  test("heif: primary dims resolve through ipma, not first/largest ispe") {
+    val h = Mp4.HeifBuild.still("heic", "hvc1", 4032, 3024)
+    val m = Mp4.heifMeta(h).get
+    assert(m.brand == "heic")
+    assert(m.primary_item == 1L)
+    assert(m.item_type == "hvc1")
+    assert(m.n_items == 2)
+    // the fixture's aux ispe is FIRST in ipco and LARGER: only the ipma
+    // association lands on the primary's true dims
+    assert((m.width, m.height) == (4032, 3024))
+    val a = Mp4.heifMeta(Mp4.HeifBuild.still("avif", "av01", 1280, 720)).get
+    assert(a.brand == "avif" && a.item_type == "av01")
+    assert((a.width, a.height) == (1280, 720))
+  }
+
+  test("heif: no ipma falls back to the largest ispe; movies stay None") {
+    val h = Mp4.HeifBuild.still("heic", "hvc1", 100, 50, withIpma = false)
+    val m = Mp4.heifMeta(h).get
+    assert((m.width, m.height) == (200, 100)) // largest (the aux) stands in
+    // a movie brand is mp4Meta's territory
+    assert(Mp4.heifMeta(ftyp ++ mvhd(1000, 5000)).isEmpty)
+    // truncations never throw
+    val full = Mp4.HeifBuild.still("heic", "hvc1", 64, 64)
+    (0 to full.length by 7).foreach(i => Mp4.heifMeta(full.take(i)))
+  }
+
   test("non-MP4 payloads: None, never thrown") {
     assert(Mp4.parse(Array.emptyByteArray).isEmpty)
     assert(Mp4.parse("RIFFxxxxAVI ".getBytes).isEmpty)
