@@ -304,6 +304,46 @@ object AnalyticsSoak {
       require(n == 525000L, s"dispatch gate kept $n/525000") // 7 of 8 families
       n
     }
+    // ---- crawl-landing WARC streaming (round 11): eight rows, each one
+    // .warc.gz whose INFLATED size exceeds the ≤2 GiB single-array JVM
+    // cap (40 × 60 MiB zero-body records per blob; compressed ~2.4 MB).
+    // The round-10 whole-blob concatenation dies here with
+    // OutOfMemoryError regardless of heap — the member-streaming walk
+    // flatMaps records through each task with one member in flight.
+    val warcGzDir = "/tmp/graft_asoak_warcgz_8"
+    if (!new java.io.File(s"$warcGzDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, 8, 1, 8).as[Long]
+        .map { id =>
+          val payloadLen = 60 * 1024 * 1024
+          val hdr = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+            s"WARC-Target-URI: https://soak.example/$id\r\n" +
+            s"Content-Length: $payloadLen\r\n\r\n").getBytes("ISO-8859-1")
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
+          g.write(hdr); g.write(new Array[Byte](payloadLen))
+          g.write("\r\n\r\n".getBytes); g.close()
+          val member = bos.toByteArray
+          val blob = new Array[Byte](member.length * 40)
+          (0 until 40).foreach(k =>
+            System.arraycopy(member, 0, blob, k * member.length, member.length))
+          (id, blob)
+        }
+        .toDF("doc_id", "warc")
+        .write.mode("overwrite").parquet(warcGzDir)
+    }
+    timed("warc_gz_2gib_rows", 8L * 40) {
+      import spark.implicits._
+      val recs = graft.ext.Warc.records(
+        spark.read.parquet(warcGzDir), "doc_id", "warc")
+      val row = recs.selectExpr("count(*) AS c",
+        "sum(content_length) AS cl", "sum(length(body)) AS bl").head()
+      val (c, cl, bl) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      require(c == 320L && cl == bl && cl == 320L * 60 * 1024 * 1024,
+        s"warc streaming mismatch: c=$c cl=$cl bl=$bl")
+      require(cl / 8 > Int.MaxValue.toLong, "per-row inflated must exceed 2 GiB")
+      c
+    }
     // ---- office/archive extraction (round 10): DOCX, XLSX and TAR
     // blobs built once, extracted by the real container walks — the
     // document-modality twin of media_triage (deflate members, CRC
