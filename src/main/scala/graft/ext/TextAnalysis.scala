@@ -145,7 +145,10 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_toks"),
-        round(sum(col("_nll")).cast("double") / count(lit(1)), decimals)
+        // coarser final quantum than the per-token surprisal — the
+        // [[lmScoreBackoff]] tie rationale
+        round(sum(col("_nll")).cast("double") / count(lit(1)),
+          math.max(0, decimals - 2))
           .as("avg_nll"))
   }
 
@@ -245,7 +248,14 @@ object TextAnalysis {
         count(lit(1)).as("n_toks"),
         count(col("_ct")).as("tri_hits"),
         count(when(col("_w1").isNotNull, col("_cb"))).as("bi_hits"),
-        round(sum(col("_nll")).cast("double") / count(lit(1)), decimals)
+        // the AVERAGE is quantized two decimals coarser than the
+        // per-token surprisal: a single per-token rounding tie (Spark's
+        // and an oracle engine's ln differing in the last ulp exactly on
+        // a .5 boundary — observed once in ~10M tokens at sf0.1) shifts
+        // the true average by ~1e-6/n_toks, far inside the coarser
+        // quantum, so it can no longer flip the reported value
+        round(sum(col("_nll")).cast("double") / count(lit(1)),
+          math.max(0, decimals - 2))
           .as("avg_nll"))
   }
 

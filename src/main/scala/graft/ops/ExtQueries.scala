@@ -664,7 +664,7 @@ object ExtQueries {
                    count(*) AS n_toks,
                    round(CAST(sum(CAST(round(-ln(CAST(v.c AS DOUBLE) / total.n), 6)
                                        AS DECIMAL(18,6))) AS DOUBLE)
-                              / count(*), 6) AS avg_nll
+                              / count(*), 4) AS avg_nll
             FROM toks2 t JOIN vocab v USING (tok) CROSS JOIN total
             GROUP BY t.doc_id
             ORDER BY t.doc_id"""),
@@ -4133,7 +4133,7 @@ object ExtQueries {
                    CAST(count(CASE WHEN w1 IS NOT NULL THEN cb END) AS BIGINT)
                      AS bi_hits,
                    round(CAST(sum(CAST(round(-ln(s), 6) AS DECIMAL(18,6)))
-                              AS DOUBLE) / count(*), 6) AS avg_nll
+                              AS DOUBLE) / count(*), 4) AS avg_nll
             FROM sc GROUP BY doc_id ORDER BY doc_id"""),
     "stupid-backoff n-gram LM (Brants et al. 2007): distributed count " +
       "tables + three keyed joins, trigram→bigram→add-one-unigram " +
