@@ -373,11 +373,14 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     def q(x: Double) = math.rint(x * 1e6) / 1e6
+    // the AVERAGE is quantized two decimals coarser than the per-token
+    // surprisal (cross-engine ln-tie hardening)
+    def qAvg(x: Double) = math.rint(x * 1e4) / 1e4
     // doc 0: S = [3/7, c(a,b)/c(a)=1, ct/c(a,b)=1/2]
-    val want0 = q((q(-math.log(3.0 / 7)) + 0.0 + q(math.log(2.0))) / 3)
+    val want0 = qAvg((q(-math.log(3.0 / 7)) + 0.0 + q(math.log(2.0))) / 3)
     assert(out(0) == ((0L, 3L, 1L, 2L, want0)))
     // doc 1: S = [1/7 (OOV add-one), 0.4·(2+1)/7 (bigram miss)]
-    val want1 = q((q(-math.log(1.0 / 7)) + q(-math.log(0.4 * 3 / 7))) / 2)
+    val want1 = qAvg((q(-math.log(1.0 / 7)) + q(-math.log(0.4 * 3 / 7))) / 2)
     assert(out(1) == ((1L, 2L, 0L, 0L, want1)))
     // partitioning-stable (the quantization contract)
     val again = TextAnalysis.lmScoreBackoff(score.repartition(5), train, "doc_id", "text")
