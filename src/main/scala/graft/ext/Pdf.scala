@@ -36,11 +36,19 @@ package graft.ext
   *     typographic quotes/dashes, `uniXXXX`); a name outside that set
   *     leaves its byte unmapped — uninterpreted, never dropped.
   *     Resource names are resolved document-wide (page-scoped reuse of
-  *     one name for different fonts is outside the envelope, documented);
-  *     CID/Type0 two-byte fonts remain outside the envelope. Page, font
-  *     and encoding objects packed in /ObjStm OBJECT STREAMS (how PDF
-  *     1.5+ writers store all non-stream objects) are unpacked and
-  *     participate in the same resolution.
+  *     one name for different fonts is outside the envelope, documented).
+  *     Page, font and encoding objects packed in /ObjStm OBJECT STREAMS
+  *     (how PDF 1.5+ writers store all non-stream objects) are unpacked
+  *     and participate in the same resolution.
+  *   - /Type0 (CID) fonts ARE handled through their /ToUnicode CMap —
+  *     the shape every headless-browser / office-suite exporter emits:
+  *     show-string bytes group into fixed-width codes (the CMap's
+  *     codespace width, 2 bytes under Identity-H) and map through
+  *     bfchar/bfrange entries (UTF-16BE targets, incrementing ranges,
+  *     array ranges). A Type0 font WITHOUT a readable ToUnicode has no
+  *     byte-level text meaning at all — its codes are glyph ids — so
+  *     unmapped codes contribute nothing, documented (there is nothing
+  *     to pass through).
   *   - Encrypted documents (a /Encrypt entry outside stream data) →
   *     None: nothing inside is readable without the crypt machinery.
   *
@@ -279,6 +287,150 @@ object Pdf {
     if (any) map else null
   }
 
+  /** How a font maps show-string bytes to text. */
+  private sealed trait FontMap
+  /** Simple (1-byte) font with a /Differences table: 256 entries, null =
+    * identity (the byte passes through). */
+  private final case class SimpleMap(table: Array[String]) extends FontMap
+  /** Composite (Type0/CID) font with a /ToUnicode CMap: fixed-width
+    * codes → UTF-16-decoded targets; unmapped codes contribute nothing
+    * (they are glyph ids, not characters). */
+  private final case class CidMap(codes: Map[Int, String], width: Int)
+      extends FontMap
+
+  /** Parse a ToUnicode CMap's bfchar/bfrange sections (Adobe CMap
+    * grammar, the subset every ToUnicode in the wild uses): hex tokens,
+    * UTF-16BE targets, incrementing ranges and array ranges. Returns the
+    * code map plus the source code WIDTH in bytes (from the hex digit
+    * count of source tokens; Identity-H emits 2). Malformed sections
+    * contribute the entries before the damage.
+    */
+  private[ext] def parseCMap(t: String): (Map[Int, String], Int) = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    var width = 2
+    def hexAt(i0: Int): Option[(String, Int)] = {
+      var i = i0
+      while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      if (i >= t.length || t.charAt(i) != '<') return None
+      val e = t.indexOf('>', i)
+      if (e < 0) None else Some((t.substring(i + 1, e).trim, e + 1))
+    }
+    def utf16(hex: String): String =
+      try {
+        val n = hex.length / 4
+        val sb = new java.lang.StringBuilder(n)
+        var k = 0
+        while (k < n) {
+          sb.append(Integer.parseInt(hex.substring(k * 4, k * 4 + 4), 16).toChar)
+          k += 1
+        }
+        sb.toString
+      } catch { case _: NumberFormatException => "" }
+    def code(hex: String): Int =
+      try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => -1 }
+    // bfchar: <src> <dst> pairs
+    var i = t.indexOf("beginbfchar")
+    while (i >= 0) {
+      var p = i + 11
+      val end = t.indexOf("endbfchar", p)
+      val lim = if (end < 0) t.length else end
+      var go = true
+      while (go && p < lim) {
+        (for { (src, p1) <- hexAt(p); (dst, p2) <- hexAt(p1) }
+          yield (src, dst, p2)) match {
+          case Some((src, dst, p2)) if p2 <= lim + 1 =>
+            val c = code(src)
+            if (c >= 0) { out(c) = utf16(dst); width = math.max(1, src.length / 2) }
+            p = p2
+          case _ => go = false
+        }
+      }
+      i = t.indexOf("beginbfchar", lim)
+    }
+    // bfrange: <lo> <hi> <dstStart>  |  <lo> <hi> [<d1> <d2> ...]
+    i = t.indexOf("beginbfrange")
+    while (i >= 0) {
+      var p = i + 12
+      val end = t.indexOf("endbfrange", p)
+      val lim = if (end < 0) t.length else end
+      var go = true
+      while (go && p < lim) {
+        (for { (lo, p1) <- hexAt(p); (hi, p2) <- hexAt(p1) } yield (lo, hi, p2)) match {
+          case Some((lo, hi, p2)) =>
+            val cLo = code(lo); val cHi = code(hi)
+            var q = p2
+            while (q < lim && t.charAt(q).isWhitespace) q += 1
+            if (cLo < 0 || cHi < cLo || cHi - cLo > 65535 || q >= lim) go = false
+            else if (t.charAt(q) == '[') {
+              // array form: one target per code
+              var c = cLo
+              var r = q + 1
+              var inner = true
+              while (inner && c <= cHi) {
+                hexAt(r) match {
+                  case Some((dst, r2)) => out(c) = utf16(dst); c += 1; r = r2
+                  case None => inner = false
+                }
+              }
+              val close = t.indexOf(']', r)
+              p = if (close < 0) lim else close + 1
+              width = math.max(1, lo.length / 2)
+            } else hexAt(q) match {
+              case Some((dst, p3)) =>
+                // incrementing range: the LAST UTF-16 unit advances
+                val base = utf16(dst)
+                if (base.nonEmpty) {
+                  var c = cLo
+                  while (c <= cHi) {
+                    val off = c - cLo
+                    out(c) = base.substring(0, base.length - 1) +
+                      (base.charAt(base.length - 1) + off).toChar
+                    c += 1
+                  }
+                }
+                width = math.max(1, lo.length / 2)
+                p = p3
+              case None => go = false
+            }
+          case _ => go = false
+        }
+      }
+      i = t.indexOf("beginbfrange", lim)
+    }
+    (out.toMap, width)
+  }
+
+  /** The decoded bytes of the stream belonging to object `num gen` —
+    * the masked document locates the object header and its `stream`
+    * keyword; the raw extent comes from `streams`; /FlateDecode
+    * inflates. null when absent/undecodable.
+    */
+  private def streamOfObject(b: Array[Byte], s: String,
+      streams: Seq[(Int, Int)], num: Int, gen: Int): Array[Byte] = {
+    val pat = s"$num $gen obj"
+    var at = s.indexOf(pat)
+    while (at >= 0 && at > 0 && s.charAt(at - 1).isDigit)
+      at = s.indexOf(pat, at + 1)
+    if (at < 0) return null
+    val objEnd = s.indexOf("endobj", at) match {
+      case -1 => s.length
+      case e  => e
+    }
+    streams.find { case (ds, _) => ds > at && ds < objEnd } match {
+      case None => null
+      case Some((from, until)) =>
+        if (hasFilterBefore(b, from)) inflate(b, from, until)
+        else {
+          var de = until
+          if (de > from && b(de - 1) == '\n') {
+            de -= 1
+            if (de > from && b(de - 1) == '\r') de -= 1
+          } else if (de > from && b(de - 1) == '\r') de -= 1
+          java.util.Arrays.copyOfRange(b, from, de)
+        }
+    }
+  }
+
   /** Objects packed in /ObjStm object streams (PDF 1.5+, how modern
     * writers store ALL non-stream objects — page dicts, fonts, encoding
     * tables): objnum → serialized body text. The stream's /N pair table
@@ -341,19 +493,22 @@ object Pdf {
     * page-scoped reuse of one name is out of envelope.
     */
   private def fontMaps(b: Array[Byte],
-      streams: Seq[(Int, Int)]): Map[String, Array[String]] = {
-    // cheap pre-check: a /Differences table can only exist in plain
-    // object text or inside an /ObjStm (whose dict token IS plain) —
-    // neither magic present means nothing to resolve, skip the
-    // masked-string allocation on the common path
-    if (indexOf(b, "/Differences", 0) < 0 && indexOf(b, "/ObjStm", 0) < 0)
+      streams: Seq[(Int, Int)]): Map[String, FontMap] = {
+    // cheap pre-check: a /Differences table, a /Type0 font (with or
+    // without its /ToUnicode), or an /ObjStm that could hide either all
+    // leave their token in PLAIN bytes — none present means nothing to
+    // resolve, skip the masked-string allocation on the common path
+    if (indexOf(b, "/Differences", 0) < 0 && indexOf(b, "/ObjStm", 0) < 0 &&
+      indexOf(b, "/Type0", 0) < 0)
       return Map.empty
     val s = maskedDoc(b, streams)
     val packed = objStmBodies(b, streams)
     def bodyOf(num: Int, gen: Int): String =
       if (gen == 0 && packed.contains(num)) packed(num) else objBody(s, num, gen)
-    val out = scala.collection.mutable.Map.empty[String, Array[String]]
+    val out = scala.collection.mutable.Map.empty[String, FontMap]
     val ref = """/([A-Za-z0-9._-]+)\s+(\d+)\s+(\d+)\s+R""".r
+    val type0Re = """/Subtype\s*/Type0""".r
+    val toUniRe = """/ToUnicode\s+(\d+)\s+(\d+)\s+R""".r
     // /Font binding dicts live in page objects — top-level or packed
     (s +: packed.values.toSeq).foreach { text =>
       var f = text.indexOf("/Font")
@@ -373,16 +528,34 @@ object Pdf {
             val name = m.group(1)
             if (!out.contains(name)) {
               val fontBody = bodyOf(m.group(2).toInt, m.group(3).toInt)
-              var diff = parseDifferences(fontBody)
-              if (diff == null) {
-                // /Encoding as an indirect object
-                """/Encoding\s+(\d+)\s+(\d+)\s+R""".r.findFirstMatchIn(fontBody)
-                  .foreach { em =>
-                    diff = parseDifferences(
-                      bodyOf(em.group(1).toInt, em.group(2).toInt))
+              if (type0Re.findFirstIn(fontBody).isDefined) {
+                // composite font: text meaning comes from its ToUnicode;
+                // without a readable one the codes are glyph ids with NO
+                // text meaning, so an empty map is registered and raw
+                // code bytes never leak into extracted text
+                val cid = toUniRe.findFirstMatchIn(fontBody).flatMap { tm =>
+                  val data = streamOfObject(b, s, streams,
+                    tm.group(1).toInt, tm.group(2).toInt)
+                  if (data == null || data.length == 0) None
+                  else {
+                    val (codes, width) =
+                      parseCMap(new String(data, "ISO-8859-1"))
+                    if (codes.nonEmpty) Some(CidMap(codes, width)) else None
                   }
+                }
+                out(name) = cid.getOrElse(CidMap(Map.empty, 2))
+              } else {
+                var diff = parseDifferences(fontBody)
+                if (diff == null) {
+                  // /Encoding as an indirect object
+                  """/Encoding\s+(\d+)\s+(\d+)\s+R""".r.findFirstMatchIn(fontBody)
+                    .foreach { em =>
+                      diff = parseDifferences(
+                        bodyOf(em.group(1).toInt, em.group(2).toInt))
+                    }
+                }
+                if (diff != null) out(name) = SimpleMap(diff)
               }
-              if (diff != null) out(name) = diff
             }
           }
         }
@@ -402,7 +575,7 @@ object Pdf {
     * last `Tf` selected (identity when it has none).
     */
   private def extractFromContent(d: Array[Byte], out: java.lang.StringBuilder,
-      fonts: Map[String, Array[String]] = Map.empty): Unit = {
+      fonts: Map[String, FontMap] = Map.empty): Unit = {
     val startLen = out.length()
     var i = 0
     var inText = false
@@ -413,20 +586,32 @@ object Pdf {
     val arrayText = new java.lang.StringBuilder()
     var lastNumber = 0.0
     var lastName = "" // most recent name token: the `Tf` font operand
-    var curMap: Array[String] = null
+    var curMap: FontMap = null
     def newline(): Unit =
       if (out.length() > 0 && out.charAt(out.length() - 1) != '\n')
         out.append('\n')
     def flushShow(): Unit = {
-      if (curMap == null) out.append(pending)
-      else {
-        var k = 0
-        while (k < pending.length()) {
-          val c = pending.charAt(k)
-          if (c < 256 && curMap(c) != null) out.append(curMap(c))
-          else out.append(c)
-          k += 1
-        }
+      curMap match {
+        case null => out.append(pending)
+        case SimpleMap(table) =>
+          var k = 0
+          while (k < pending.length()) {
+            val c = pending.charAt(k)
+            if (c < 256 && table(c) != null) out.append(table(c))
+            else out.append(c)
+            k += 1
+          }
+        case CidMap(codes, width) =>
+          // fixed-width code groups (big-endian); an unmapped code is a
+          // glyph id with no character meaning — contributes nothing
+          var k = 0
+          while (k + width <= pending.length()) {
+            var code = 0
+            var j = 0
+            while (j < width) { code = (code << 8) | (pending.charAt(k + j) & 0xFF); j += 1 }
+            codes.get(code).foreach(out.append)
+            k += width
+          }
       }
       pending = new java.lang.StringBuilder()
     }
@@ -744,6 +929,68 @@ object Pdf {
     w(s"xref\n0 $n\n0000000000 65535 f \n" +
       offsets.map(o => f"$o%010d 00000 n \n").mkString)
     w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  /** Single-page PDF whose text shows through a /Type0 (CID) font under
+    * Identity-H: every character c is stored as the TWO-BYTE code
+    * 0x0100+c in hex show strings, and the only way back to text is the
+    * font's /ToUnicode CMap (one incrementing bfrange). A reader without
+    * the CID path emits raw code bytes (garbage); one that ignores
+    * ToUnicode emits nothing. `flate` compresses both the content stream
+    * and the CMap stream.
+    */
+  def buildType0(lines: Seq[String], flate: Boolean): Array[Byte] = {
+    lines.foreach(l => l.foreach(c => require(c >= 0x20 && c <= 0xFE,
+      s"builder envelope: printable Latin-1 only, got ${c.toInt}")))
+    val content = new StringBuilder()
+    content.append("BT\n/F1 12 Tf\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (line, k) =>
+      if (k > 0) content.append("0 -14 Td\n")
+      content.append("<")
+      line.foreach(c => content.append(f"${0x0100 + c.toInt}%04X"))
+      content.append("> Tj\n")
+    }
+    content.append("ET\n")
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+      def_.end()
+      out.toByteArray
+    }
+    val raw = content.toString.getBytes("ISO-8859-1")
+    val data = if (flate) deflate(raw) else raw
+    val cmap = ("/CIDInit /ProcSet findresource begin\n12 dict begin\n" +
+      "begincmap\n/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfrange\n<0120> <01FE> <0020>\nendbfrange\n" +
+      "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+      .getBytes("ISO-8859-1")
+    val cmapData = if (flate) deflate(cmap) else cmap
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${data.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    sb.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H " +
+      "/Encoding /Identity-H /DescendantFonts [7 0 R] /ToUnicode 6 0 R >>\nendobj\n")
+    w(s"6 0 obj\n<< /Length ${cmapData.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    sb.write(cmapData, 0, cmapData.length)
+    w("\nendstream\nendobj\n")
+    w("7 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+      "/Supplement 0 >> >>\nendobj\n")
+    w("trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n")
     sb.toByteArray
   }
 

@@ -3586,17 +3586,18 @@ object ExtQueries {
         .as[(Long, String)]
         .map { case (id, text) =>
           val lines = Seq("Title " + id, text, "End mark " + (id % 5))
-          val pdf =
+          val pdf = (id % 6).toInt match {
+            case 0 | 4 => graft.ext.Pdf.buildSimple(lines, flate = id % 2 == 0)
+            case 1 => graft.ext.Pdf.buildWithDifferences(lines,
+              flate = id % 2 == 0, indirectEnc = false)
+            case 3 => graft.ext.Pdf.buildWithDifferences(lines,
+              flate = id % 2 == 0, indirectEnc = true)
+            // Type0/Identity-H: two-byte CID codes through ToUnicode
+            case 2 => graft.ext.Pdf.buildType0(lines, flate = id % 4 == 0)
             // PDF 1.5+ layout: font + encoding packed in an /ObjStm
-            if (id % 6 == 5)
+            case _ =>
               graft.ext.Pdf.buildWithDifferencesObjStm(lines, flate = id % 2 == 0)
-            else (id % 3).toInt match {
-              case 0 => graft.ext.Pdf.buildSimple(lines, flate = id % 2 == 0)
-              case 1 => graft.ext.Pdf.buildWithDifferences(lines,
-                flate = id % 2 == 0, indirectEnc = false)
-              case _ => graft.ext.Pdf.buildWithDifferences(lines,
-                flate = id % 2 == 0, indirectEnc = true)
-            }
+          }
           (id, pdf)
         }
         .toDF("doc_id", "pdf")
@@ -3611,12 +3612,13 @@ object ExtQueries {
                    'Title ' || doc_id || chr(10) || text || chr(10)
                      || 'End mark ' || (doc_id % 5) AS extracted
             FROM documents ORDER BY doc_id"""),
-    "PDF text-extraction certificate: complete single-page PDFs (Flate " +
-      "on even docs; rot13 /Differences encoding tables — inline, " +
-      "indirect, and packed in /ObjStm object streams — on every third " +
-      "doc) showing text via literal/TJ-kern/hex strings must " +
-      "round-trip the document text exactly through the " +
-      "bounded-envelope extractor")
+    "PDF text-extraction certificate: complete single-page PDFs " +
+      "rotating six layouts — plain, rot13 /Differences (inline, " +
+      "indirect, and packed in /ObjStm object streams), and " +
+      "Type0/Identity-H CID fonts whose two-byte codes resolve only " +
+      "through the ToUnicode CMap — showing text via literal/TJ-kern/" +
+      "hex strings must round-trip the document text exactly through " +
+      "the bounded-envelope extractor")
 
   private val qWebCurateEngine = Q(
     "q_web_curate_engine",

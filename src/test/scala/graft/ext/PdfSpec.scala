@@ -28,6 +28,43 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("Type0/CID fonts: two-byte codes resolve through the ToUnicode CMap") {
+    val lines = Seq("Hello CID world", "Second (line) \\ here", "fin")
+    for (flate <- Seq(false, true)) {
+      val pdf = Pdf.buildType0(lines, flate)
+      assert(Pdf.extractText(pdf).get == lines.mkString("\n"), s"flate=$flate")
+    }
+    // the raw bytes carry only 0x01xx code pairs — no plain text leaks
+    val rawDoc = Pdf.buildType0(Seq("XYZ"), flate = false)
+    assert(!new String(rawDoc, "ISO-8859-1").contains("XYZ"))
+    // a Type0 font whose ToUnicode is missing yields no text, not garbage
+    val noMap = new String(rawDoc, "ISO-8859-1")
+      .replace("/ToUnicode 6 0 R", "                 ").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(noMap).get == "")
+  }
+
+  test("parseCMap: bfchar pairs, array ranges, ligature targets") {
+    val (m, w) = Pdf.parseCMap(
+      """2 beginbfchar
+        |<0041> <0061>
+        |<0042> <006600660069>
+        |endbfchar
+        |1 beginbfrange
+        |<0050> <0052> [<0078> <0079> <007A>]
+        |endbfrange
+        |1 beginbfrange
+        |<0100> <0102> <0041>
+        |endbfrange""".stripMargin)
+    assert(w == 2)
+    assert(m(0x41) == "a")
+    assert(m(0x42) == "ffi") // multi-unit UTF-16 target (ligature)
+    assert(m(0x50) == "x" && m(0x51) == "y" && m(0x52) == "z")
+    assert(m(0x100) == "A" && m(0x101) == "B" && m(0x102) == "C")
+    // malformed sections keep the entries before the damage, never throw
+    val (m2, _) = Pdf.parseCMap("1 beginbfchar <0041> <0062> <zz oops")
+    assert(m2(0x41) == "b" && m2.size == 1)
+  }
+
   test("/Differences inside an /ObjStm object stream resolve") {
     val lines = Seq("Hello object streams", "Second Line")
     for (flate <- Seq(false, true)) {
