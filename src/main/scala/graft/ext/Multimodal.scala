@@ -589,6 +589,19 @@ object Multimodal {
     else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
       (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "webm"
     else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"
+    // the non-gzip compression families crawl datasets actually ship in:
+    // NAMED at triage (so a routing policy can see them) even though the
+    // decode arms are out of the pure-JVM envelope (no zstd/xz/bzip2
+    // codec in java.util.zip) — "unknown" would hide real, routable data
+    else if ((b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+      (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD) "zstd"
+    else if (b.length >= 6 && (b(0) & 0xFF) == 0xFD && at(1, "7zXZ") &&
+      b(5) == 0) "xz"
+    else if (at(0, "BZh") && b.length >= 4 &&
+      b(3) >= '1' && b(3) <= '9') "bzip2"
+    else if (b.length >= 6 && at(0, "7z") && (b(2) & 0xFF) == 0xBC &&
+      (b(3) & 0xFF) == 0xAF && (b(4) & 0xFF) == 0x27 &&
+      (b(5) & 0xFF) == 0x1C) "7z"
     else if (at(0, "PK")) "zip"
     else if (at(0, "%PDF-")) "pdf"
     else if (at(0, "WARC/")) "warc"

@@ -4557,6 +4557,114 @@ object ExtQueries {
       "DOCX/PDF text), unknowns gated out — every value a closed form " +
       "of doc_id")
 
+  private val streamDispatchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val qStreamDispatch = Q(
+    "q_stream_dispatch",
+    (s, d) => {
+      // The STREAMING half of q_curate_dispatch — how a crawler actually
+      // lands blobs: the same eight untyped payload families arrive as a
+      // bounded file-stream replay in FOUR micro-batches
+      // (maxFilesPerTrigger=1 over four files), each batch routed through
+      // the engine-declared sniff→arms→gate pipeline inside foreachBatch
+      // and appended to an output log (stateless map-only curation needs
+      // no read-modify-write). The merged log must hash-equal the batch
+      // oracle — continuous ingest ≡ batch truth, certified not claimed.
+      import s.implicits._
+      val runId = streamDispatchRuns.incrementAndGet()
+      val srcDir = s"/tmp/graft_stream_dispatch_src_${Tables.corpusTag(d)}_$runId"
+      val logDir = s"/tmp/graft_stream_dispatch_log_$runId"
+      val ckDir = s"/dev/shm/graft_ck_dispatch_${runId}_${ProcessHandle.current().pid()}"
+      for (p <- Seq(srcDir, logDir, ckDir))
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+        catch { case _: Exception => () }
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload: Array[Byte] = (id % 8).toInt match {
+            case 0 =>
+              val w = (8 + id % 16).toInt
+              val h = (8 + id % 8).toInt
+              graft.ext.Png.encode(graft.ext.Png.Image(w, h, 1,
+                Array.fill(w * h)((id % 251).toByte)))
+            case 1 =>
+              graft.ext.Webp.container(graft.ext.Webp.losslessChunk(
+                (1 + id % 3000).toInt, (1 + id % 2000).toInt, alpha = false))
+            case 2 =>
+              val n = (20 + id % 30).toInt
+              val f = new Array[Byte](417)
+              f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+              Array.fill(n)(f).flatten
+            case 3 =>
+              graft.ext.Zip.build(Seq(("word/document.xml",
+                ("<w:document><w:body><w:p><w:r><w:t xml:space=\"preserve\">" +
+                  text.replace("&", "&amp;") +
+                  "</w:t></w:r></w:p></w:body></w:document>").getBytes("UTF-8"),
+                true)))
+            case 4 =>
+              graft.ext.Pdf.buildSimple(Seq(text), flate = id % 2 == 0)
+            case 5 =>
+              ("plain text payload " + id).getBytes("UTF-8")
+            case 6 =>
+              graft.ext.Mp4.HeifBuild.still("heic", "hvc1",
+                (640 + id % 2000).toInt, (480 + id % 1000).toInt)
+            case _ =>
+              graft.ext.Mp4.HeifBuild.still("avif", "av01",
+                (320 + id % 1000).toInt, (240 + id % 500).toInt)
+          }
+          (id, payload)
+        }
+        .toDF("media_id", "payload")
+        .repartition(4) // four files → four micro-batches
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          new graft.engine.Engine(graft.ext.CurateDispatch.spec())
+            .run("curate_dispatch", s, Some(batch.toDF()),
+              graft.engine.RunOptions(orderedConcat = false))
+            .write.mode("append").parquet(logDir)
+          ()
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+      catch { case _: Exception => () }
+      s.read.parquet(logDir).orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                        WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'zip'
+                        WHEN 4 THEN 'pdf' WHEN 6 THEN 'heic'
+                        ELSE 'avif' END AS format,
+                   CASE doc_id % 8 WHEN 2 THEN 'audio'
+                        WHEN 3 THEN 'doc' WHEN 4 THEN 'doc'
+                        ELSE 'image' END AS kind,
+                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 16
+                        WHEN 1 THEN 1 + doc_id % 3000
+                        WHEN 6 THEN 640 + doc_id % 2000
+                        WHEN 7 THEN 320 + doc_id % 1000
+                        ELSE 0 END AS INT) AS width,
+                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 8
+                        WHEN 1 THEN 1 + doc_id % 2000
+                        WHEN 6 THEN 480 + doc_id % 1000
+                        WHEN 7 THEN 240 + doc_id % 500
+                        ELSE 0 END AS INT) AS height,
+                   CAST(CASE doc_id % 8
+                        WHEN 2 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
+                        ELSE 0 END AS BIGINT) AS duration_ms,
+                   CASE doc_id % 8 WHEN 3 THEN text || chr(10)
+                        WHEN 4 THEN text ELSE '' END AS text
+            FROM documents WHERE doc_id % 8 <> 5 ORDER BY media_id"""),
+    "streaming mixed-format curation: the q_curate_dispatch pipeline " +
+      "driven through a four-micro-batch bounded file-stream replay " +
+      "(foreachBatch, append-only output log) — continuous ingest " +
+      "hash-equals the batch truth")
+
   private val qTarExtract = Q(
     "q_tar_extract",
     (s, d) => {
@@ -4686,17 +4794,19 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 22 payload families rotate by
-      // doc_id % 22 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 26 payload families rotate by
+      // doc_id % 26 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
-      // land on "mp4", and a plain-text "unknown"). The sniff must name
-      // each family and report exact byte lengths.
+      // land on "mp4", the zstd/xz/bzip2/7z compression magics that a
+      // routing policy must SEE even without pure-JVM decode arms, and
+      // a plain-text "unknown"). The sniff must name each family and
+      // report exact byte lengths.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 22).toInt match {
+          val p: Array[Byte] = (id % 26).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4732,6 +4842,14 @@ object ExtQueries {
               new Array[Byte](4)
             case 20 => Array[Byte](0, 0, 0, 16) ++ "ftypavif".getBytes("US-ASCII") ++
               new Array[Byte](4)
+            case 21 => Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte) ++
+              new Array[Byte](4)
+            case 22 => Array[Byte](0xFD.toByte) ++ "7zXZ".getBytes("US-ASCII") ++
+              Array[Byte](0) ++ new Array[Byte](4)
+            case 23 => "BZh9".getBytes("US-ASCII") ++ new Array[Byte](6)
+            case 24 => "7z".getBytes("US-ASCII") ++
+              Array[Byte](0xBC.toByte, 0xAF.toByte, 0x27, 0x1C) ++
+              new Array[Byte](4)
             case _ => "plain text payload".getBytes("US-ASCII")
           }
           (id, p)
@@ -4741,7 +4859,7 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 22
+                   CASE doc_id % 26
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
@@ -4750,8 +4868,10 @@ object ExtQueries {
                      WHEN 15 THEN 'mpeg_audio' WHEN 16 THEN 'html'
                      WHEN 17 THEN 'tiff' WHEN 18 THEN 'webp'
                      WHEN 19 THEN 'heic' WHEN 20 THEN 'avif'
+                     WHEN 21 THEN 'zstd' WHEN 22 THEN 'xz'
+                     WHEN 23 THEN 'bzip2' WHEN 24 THEN '7z'
                      ELSE 'unknown' END AS format,
-                   CAST(CASE doc_id % 22
+                   CAST(CASE doc_id % 26
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
@@ -4759,12 +4879,15 @@ object ExtQueries {
                      WHEN 12 THEN 9 WHEN 13 THEN 10 WHEN 14 THEN 512
                      WHEN 15 THEN 834 WHEN 16 THEN 31 WHEN 17 THEN 8
                      WHEN 18 THEN 16 WHEN 19 THEN 16 WHEN 20 THEN 16
+                     WHEN 21 THEN 8 WHEN 22 THEN 10 WHEN 23 THEN 10
+                     WHEN 24 THEN 10
                      ELSE 18 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
-    "format-dispatch certificate: 21 payload families (every owned " +
+    "format-dispatch certificate: 25 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
       "whitespace-prefixed HTML, RIFF/WEBP, the HEIC/AVIF ftyp major " +
-      "brands, and a plain-text unknown) named exactly by the sniff")
+      "brands, the zstd/xz/bzip2/7z compression magics, and a " +
+      "plain-text unknown) named exactly by the sniff")
 
   private val qHeifMeta = Q(
     "q_heif_meta",
@@ -5095,6 +5218,6 @@ object ExtQueries {
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qCurateDispatch,
-    qTarExtract, qZip64Extract, qXlsxExtract,
+    qStreamDispatch, qTarExtract, qZip64Extract, qXlsxExtract,
     qMediaSniff, qWebpMeta, qHeifMeta, qId3Tags, qSubtitleExtract, qTiffMeta)
 }

@@ -343,5 +343,16 @@ class MultimodalSpec extends SparkSpec {
     // gzip beats zip-like suffixes; PK alone is zip
     assert(Multimodal.sniffFormat(Array[Byte](0x1F, 0x8B.toByte, 8, 0)) == "gzip")
     assert(Multimodal.sniffFormat("PKrest".getBytes) == "zip")
+    // compression families named at triage (no pure-JVM decode arms)
+    assert(Multimodal.sniffFormat(
+      Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, 0)) == "zstd")
+    assert(Multimodal.sniffFormat(
+      Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)) == "xz")
+    assert(Multimodal.sniffFormat("BZh91AY".getBytes) == "bzip2")
+    assert(Multimodal.sniffFormat("BZhX56789".getBytes) == "unknown") // bad level
+    assert(Multimodal.sniffFormat("7z".getBytes ++
+      Array[Byte](0xBC.toByte, 0xAF.toByte, 0x27, 0x1C)) == "7z")
+    // a bare '7z' prefix without the signature tail is not 7z
+    assert(Multimodal.sniffFormat("7zfakery".getBytes) == "unknown")
   }
 }
