@@ -72,7 +72,16 @@ object Exif {
     */
   def meta(jpeg: Array[Byte]): Option[ExifMeta] =
     try findExifSegment(jpeg).flatMap { case (segStart, segEnd) =>
-      val base = segStart + 6 // after "Exif\0\0"
+      metaFromTiff(jpeg, segStart + 6, segEnd) // after "Exif\0\0"
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The EXIF walk over a raw TIFF block at `[base, end)` — the form
+    * non-JPEG containers carry (WebP's EXIF chunk, HEIF's Exif item):
+    * byte order, IFD0 (Make/Model/Orientation/DateTime), the Exif
+    * sub-IFD (dimensions, DateTimeOriginal), and the GPS-IFD pointer.
+    */
+  def metaFromTiff(jpeg: Array[Byte], base: Int, segEnd: Int): Option[ExifMeta] =
+    try {
       if (base + 8 > segEnd) return None
       val le = jpeg(base) == 'I' && jpeg(base + 1) == 'I'
       val be = jpeg(base) == 'M' && jpeg(base + 1) == 'M'

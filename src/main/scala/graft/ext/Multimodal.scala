@@ -466,7 +466,14 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        (id, Exif.strip(if (payload == null) Array.emptyByteArray else payload))
+        val p = if (payload == null) Array.emptyByteArray else payload
+        // format-aware redaction: JPEG APP1 surgery ([[Exif.strip]]) or
+        // WebP chunk surgery ([[Webp.stripMeta]]); other formats ride
+        // through unchanged (both strips are reference-preserving no-ops
+        // on payloads without metadata)
+        val stripped =
+          if (sniffFormat(p) == "webp") Webp.stripMeta(p) else Exif.strip(p)
+        (id, stripped)
       })
       .toDF("media_id", "payload")
   }

@@ -124,6 +124,84 @@ object Webp {
     }
   }
 
+  /** The EXIF metadata of an extended WebP — the EXIF chunk carries a
+    * raw TIFF block (an optional "Exif\0\0" prefix, which some writers
+    * include, is skipped) walked by the shared [[Exif.metaFromTiff]].
+    */
+  def exif(b: Array[Byte]): Option[Exif.ExifMeta] = {
+    if (b == null || b.length < 20) return None
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP") return None
+    val end = math.min(b.length.toLong, 8L + u32le(b, 4)).toInt
+    var p = 12
+    while (p + 8 <= end) {
+      val cc = fourcc(b, p)
+      val sz = u32le(b, p + 4)
+      val ds = p + 8
+      val de = math.min(end.toLong, ds + sz).toInt
+      if (cc == "EXIF" && de - ds >= 8) {
+        val base =
+          if (de - ds >= 14 && b(ds) == 'E' && b(ds + 1) == 'x' &&
+            b(ds + 2) == 'i' && b(ds + 3) == 'f' && b(ds + 4) == 0 &&
+            b(ds + 5) == 0) ds + 6
+          else ds
+        return Exif.metaFromTiff(b, base, de)
+      }
+      val next = p + 8L + sz + (sz & 1L)
+      p = if (next > end || next <= p) end else next.toInt
+    }
+    None
+  }
+
+  /** Metadata redaction for WebP (the [[Exif.strip]] twin): EXIF and XMP
+    * chunks are dropped, their VP8X feature flags cleared, and the RIFF
+    * size rewritten — pure chunk surgery, the image data chunks ride
+    * through byte-identical (no decode, pixels untouched). Payloads
+    * without such chunks return the SAME array (reference-equal), so
+    * redaction over a mostly-clean corpus allocates nothing.
+    */
+  def stripMeta(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 20) return b
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP") return b
+    val end = math.min(b.length.toLong, 8L + u32le(b, 4)).toInt
+    // first pass: anything to strip?
+    var p = 12
+    var found = false
+    while (!found && p + 8 <= end) {
+      val cc = fourcc(b, p)
+      if (cc == "EXIF" || cc == "XMP ") found = true
+      else {
+        val sz = u32le(b, p + 4)
+        val next = p + 8L + sz + (sz & 1L)
+        p = if (next > end || next <= p) end else next.toInt
+      }
+    }
+    if (!found) return b
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    out.write("RIFF????WEBP".getBytes("US-ASCII"), 0, 12) // size patched below
+    p = 12
+    while (p + 8 <= end) {
+      val cc = fourcc(b, p)
+      val sz = u32le(b, p + 4)
+      val full = math.min(end.toLong, p + 8L + sz + (sz & 1L)).toInt
+      if (cc != "EXIF" && cc != "XMP ") {
+        if (cc == "VP8X" && full - p >= 9) {
+          // copy with the EXIF (0x08) and XMP (0x04) flags cleared
+          val vp8x = java.util.Arrays.copyOfRange(b, p, full)
+          vp8x(8) = (vp8x(8) & ~0x0C).toByte
+          out.write(vp8x, 0, vp8x.length)
+        } else out.write(b, p, full - p)
+      }
+      p = if (full <= p) end else full
+    }
+    val bytes = out.toByteArray
+    val size = bytes.length - 8L
+    bytes(4) = (size & 0xFF).toByte
+    bytes(5) = ((size >> 8) & 0xFF).toByte
+    bytes(6) = ((size >> 16) & 0xFF).toByte
+    bytes(7) = ((size >> 24) & 0xFF).toByte
+    bytes
+  }
+
   // ---- fixture builders (spec / certificate counterparts) ------------
 
   private def le32(v: Long): Array[Byte] =

@@ -4889,6 +4889,72 @@ object ExtQueries {
       "brands, the zstd/xz/bzip2/7z compression magics, and a " +
       "plain-text unknown) named exactly by the sniff")
 
+  private val qWebpExif = Q(
+    "q_webp_exif",
+    (s, d) => {
+      // WebP metadata-redaction certificate (the q_exif_meta twin on the
+      // RIFF layout): per doc an extended WebP whose EXIF chunk carries
+      // a little-endian TIFF with closed-form orientation and a GPS-IFD
+      // pointer on even docs ("Exif\0\0"-prefixed on every third doc,
+      // the writer variant). The shared TIFF walk must read the fields
+      // through the chunk, and stripMeta must remove the chunk AND clear
+      // the VP8X flag while the image dims ride through untouched.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val orientation = (1 + id % 8).toInt
+          val gps = id % 2 == 0
+          val n = if (gps) 2 else 1
+          val t = new Array[Byte](8 + 2 + n * 12 + 4)
+          t(0) = 'I'; t(1) = 'I'; t(2) = 42; t(4) = 8
+          def le16(i: Int, v: Int): Unit = {
+            t(i) = v.toByte; t(i + 1) = (v >> 8).toByte
+          }
+          def le32(i: Int, v: Long): Unit = {
+            t(i) = v.toByte; t(i + 1) = (v >> 8).toByte
+            t(i + 2) = (v >> 16).toByte; t(i + 3) = (v >> 24).toByte
+          }
+          le16(8, n)
+          le16(10, 0x0112); le16(12, 3); le32(14, 1); le16(18, orientation)
+          if (gps) { le16(22, 0x8825); le16(24, 4); le32(26, 1); le32(30, 0) }
+          val exifPayload =
+            if (id % 3 == 0) "Exif".getBytes("US-ASCII") ++
+              Array[Byte](0, 0) ++ t
+            else t
+          val w = (16 + id % 640).toInt
+          val h = (16 + id % 360).toInt
+          val webp = graft.ext.Webp.extended(w, h, icc = false,
+            alpha = false, exif = true, anim = false,
+            graft.ext.Webp.losslessChunk(w, h, alpha = false),
+            graft.ext.Webp.chunk("EXIF", exifPayload))
+          val m = graft.ext.Webp.exif(webp)
+          val stripped = graft.ext.Webp.stripMeta(webp)
+          val after = graft.ext.Webp.meta(stripped)
+          (id,
+            m.map(_.orientation).getOrElse(-1),
+            m.map(x => if (x.has_gps) 1 else 0).getOrElse(-1),
+            if (graft.ext.Webp.exif(stripped).isEmpty &&
+              !after.exists(_.has_exif)) 0 else 1,
+            after.map(_.width).getOrElse(-1),
+            after.map(_.height).getOrElse(-1))
+        }
+        .toDF("media_id", "orientation", "has_gps", "exif_after",
+          "width", "height")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS has_gps,
+                   0 AS exif_after,
+                   CAST(16 + doc_id % 640 AS INT) AS width,
+                   CAST(16 + doc_id % 360 AS INT) AS height
+            FROM documents ORDER BY media_id"""),
+    "WebP EXIF certificate: orientation/GPS read through the shared " +
+      "TIFF walk inside the EXIF chunk (with and without the Exif\\0\\0 " +
+      "writer prefix), and chunk-surgery redaction that clears the VP8X " +
+      "flag while dims ride through untouched — all closed forms")
+
   private val qHeifMeta = Q(
     "q_heif_meta",
     (s, d) => {
@@ -5219,5 +5285,6 @@ object ExtQueries {
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qCurateDispatch,
     qStreamDispatch, qTarExtract, qZip64Extract, qXlsxExtract,
-    qMediaSniff, qWebpMeta, qHeifMeta, qId3Tags, qSubtitleExtract, qTiffMeta)
+    qMediaSniff, qWebpMeta, qWebpExif, qHeifMeta, qId3Tags, qSubtitleExtract,
+    qTiffMeta)
 }

@@ -41,6 +41,47 @@ class WebpSpec extends AnyFunSuite {
     assert(withAlph.has_alpha)
   }
 
+  test("EXIF chunk reads through the shared TIFF walk; stripMeta redacts") {
+    def tiff(orientation: Int, gps: Boolean): Array[Byte] = {
+      val n = if (gps) 2 else 1
+      val b = new Array[Byte](8 + 2 + n * 12 + 4)
+      b(0) = 'I'; b(1) = 'I'; b(2) = 42; b(4) = 8 // LE, magic, IFD@8
+      def le16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+      def le32(i: Int, v: Long): Unit = {
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+        b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+      }
+      le16(8, n)
+      le16(10, 0x0112); le16(12, 3); le32(14, 1); le16(18, orientation)
+      if (gps) { le16(22, 0x8825); le16(24, 4); le32(26, 1); le32(30, 0) }
+      b
+    }
+    val img = Webp.losslessChunk(33, 17, alpha = false)
+    val withExif = Webp.extended(33, 17, icc = false, alpha = false,
+      exif = true, anim = false, img, Webp.chunk("EXIF", tiff(6, gps = true)))
+    val m = Webp.exif(withExif).get
+    assert(m.orientation == 6 && m.has_gps)
+    // the "Exif\0\0"-prefixed variant some writers emit also reads
+    val pref = Webp.extended(33, 17, icc = false, alpha = false,
+      exif = true, anim = false, img,
+      Webp.chunk("EXIF", "Exif".getBytes ++ Array[Byte](0, 0) ++
+        tiff(3, gps = false)))
+    val mp = Webp.exif(pref).get
+    assert(mp.orientation == 3 && !mp.has_gps)
+    // strip: EXIF chunk gone, VP8X flag cleared, dims untouched
+    val stripped = Webp.stripMeta(withExif)
+    assert(Webp.exif(stripped).isEmpty)
+    val sm = Webp.meta(stripped).get
+    assert(!sm.has_exif)
+    assert((sm.width, sm.height) == (33, 17))
+    // declared RIFF size stays consistent after the rewrite
+    assert(Webp.meta(stripped.take(stripped.length)).isDefined)
+    // metadata-free payloads come back reference-equal (no allocation)
+    val clean = Webp.container(img)
+    assert(Webp.stripMeta(clean) eq clean)
+    assert(Webp.exif(clean).isEmpty)
+  }
+
   test("malformed input: None / cut short, never thrown") {
     assert(Webp.meta(null).isEmpty)
     assert(Webp.meta("RIFFxxxxWAVE".getBytes).isEmpty) // a WAV is not a WebP
