@@ -421,6 +421,108 @@ object Mp4 {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** EXIF metadata of a HEIF/AVIF still (ISO 23008-12 §A.2.1): the
+    * `iinf` names an item of type 'Exif', `iloc` locates its bytes
+    * (version 0-2, file-absolute construction), and the item's
+    * ExifDataBlock — a u32 tiff-header offset, usually over an
+    * "Exif\0\0" identifier — hands the TIFF block to the shared
+    * [[Exif.metaFromTiff]] walk. None when the file has no Exif item or
+    * its location is outside the envelope (idat/item-relative
+    * construction, multi-extent items — rare in still images,
+    * documented). This is the phone-imagery PII surface: [[heifMeta]]
+    * says what the image is, this says what the camera leaked.
+    */
+  def heifExif(b: Array[Byte]): Option[Exif.ExifMeta] = {
+    if (b == null || b.length < 16 || fourcc(b, 4) != "ftyp") return None
+    try {
+      if (!HeifBrands.contains(fourcc(b, 8))) return None
+      boxes(b, 0, b.length).collectFirst { case ("meta", ms0, me) =>
+        val s = ms0 + 4
+        // the Exif item's id from iinf/infe
+        var exifId = -1L
+        child(b, s, me, "iinf").foreach { case (is0, ie) =>
+          val v = b(is0) & 0xFF
+          var p = is0 + 4
+          if (v == 0 && p + 2 <= ie) p += 2 else if (p + 4 <= ie) p += 4
+          boxes(b, p, ie).foreach { case (tpe, es, ee) =>
+            if (tpe == "infe" && ee - es >= 12) {
+              val ev = b(es) & 0xFF
+              val (iid, tOff) =
+                if (ev == 2) (be16(b, es + 4).toLong, es + 8)
+                else if (ev == 3) (be32(b, es + 4), es + 10)
+                else (-1L, -1)
+              if (tOff >= 0 && tOff + 4 <= ee && fourcc(b, tOff) == "Exif")
+                exifId = iid
+            }
+          }
+        }
+        if (exifId < 0) return None
+        // iloc: (offset, length) of that item's FIRST extent,
+        // file-absolute construction only
+        var loc: Option[(Long, Long)] = None
+        child(b, s, me, "iloc").foreach { case (ls0, le) =>
+          val v = b(ls0) & 0xFF
+          var p = ls0 + 4
+          if (p + 2 > le) return None
+          val offSize = (b(p) >> 4) & 0xF
+          val lenSize = b(p) & 0xF
+          val baseSize = (b(p + 1) >> 4) & 0xF
+          val idxSize = if (v == 1 || v == 2) b(p + 1) & 0xF else 0
+          p += 2
+          def readN(n: Int): Long = {
+            var x = 0L
+            var k = 0
+            while (k < n) { x = (x << 8) | (b(p) & 0xFFL); p += 1; k += 1 }
+            x
+          }
+          val count =
+            if (v < 2) { if (p + 2 > le) return None; val c = be16(b, p); p += 2; c }
+            else { if (p + 4 > le) return None; val c = be32(b, p).toInt; p += 4; c }
+          var k = 0
+          while (k < count && loc.isEmpty && p < le) {
+            val iid =
+              if (v < 2) { val x = be16(b, p).toLong; p += 2; x }
+              else { val x = be32(b, p); p += 4; x }
+            var method = 0
+            if (v == 1 || v == 2) {
+              if (p + 2 > le) return None
+              method = b(p + 1) & 0xF; p += 2
+            }
+            p += 2 // data_reference_index
+            if (p + baseSize > le) return None
+            val base = readN(baseSize)
+            if (p + 2 > le) return None
+            val extents = be16(b, p); p += 2
+            var e = 0
+            while (e < extents && p + idxSize + offSize + lenSize <= le) {
+              p += idxSize
+              val off = readN(offSize)
+              val len = readN(lenSize)
+              // envelope: file-absolute (method 0), first extent wins
+              if (iid == exifId && e == 0 && method == 0)
+                loc = Some((base + off, len))
+              e += 1
+            }
+            k += 1
+          }
+        }
+        loc.flatMap { case (off, len) =>
+          if (off < 0 || len < 8 || off + len > b.length) None
+          else {
+            val start = off.toInt
+            val end = (off + len).toInt
+            // ExifDataBlock: u32 offset to the TIFF header (counts the
+            // "Exif\0\0" identifier when present)
+            val skip = be32(b, start)
+            val base = start + 4 + skip
+            if (skip < 0 || base + 8 > end) None
+            else Exif.metaFromTiff(b, base.toInt, end)
+          }
+        }
+      }.flatten
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** HEIF fixture assembly (spec/certificate counterpart of [[heifMeta]]):
     * a two-item still — primary coded image + one auxiliary — whose ipco
     * holds the AUX ispe first and a LARGER aux image, so the right answer
@@ -450,15 +552,22 @@ object Mp4 {
     /** One still image: primary item `itemType` at `w`×`h`, plus an aux
       * item whose ispe is first in ipco and larger — with `withIpma =
       * false` the association table is omitted and the largest-ispe
-      * fallback is the only path.
+      * fallback is the only path. With `exifTiff` set, a third item of
+      * type 'Exif' is declared in iinf, located by an iloc v0
+      * (file-absolute) into an mdat holding the ExifDataBlock
+      * (u32 offset over the "Exif\0\0" identifier + the TIFF block).
       */
     def still(brand: String, itemType: String, w: Int, h: Int,
-        withIpma: Boolean = true): Array[Byte] = {
+        withIpma: Boolean = true, exifTiff: Array[Byte] = null): Array[Byte] = {
       val hdlr = box("hdlr", full0, be32(0), "pict".getBytes("US-ASCII"),
         new Array[Byte](12), Array[Byte](0))
       val pitm = box("pitm", full0, be16(1))
-      val iinf = box("iinf", full0, be16(2),
-        infe(1, itemType), infe(2, itemType))
+      val iinf =
+        if (exifTiff == null)
+          box("iinf", full0, be16(2), infe(1, itemType), infe(2, itemType))
+        else
+          box("iinf", full0, be16(3), infe(1, itemType), infe(2, itemType),
+            infe(3, "Exif"))
       // aux ispe FIRST and LARGER than the primary (ipma must pick idx 2);
       // without ipma the largest fallback lands on the aux dims
       val ipco = box("ipco", ispe(w * 2, h * 2), ispe(w, h))
@@ -466,8 +575,24 @@ object Mp4 {
         be16(1), Array[Byte](1, 2)) // item 1: one association, index 2
       val iprp =
         if (withIpma) box("iprp", ipco, ipma) else box("iprp", ipco)
-      box("ftyp", brand.getBytes("US-ASCII"), be32(0)) ++
-        box("meta", full0, hdlr, pitm, iinf, iprp)
+      val ftypB = box("ftyp", brand.getBytes("US-ASCII"), be32(0))
+      if (exifTiff == null)
+        ftypB ++ box("meta", full0, hdlr, pitm, iinf, iprp)
+      else {
+        // ExifDataBlock: u32 skip over "Exif\0\0", identifier, TIFF
+        val block = be32(6) ++ "Exif".getBytes("US-ASCII") ++
+          Array[Byte](0, 0) ++ exifTiff
+        def iloc(fileOff: Long): Array[Byte] =
+          box("iloc", full0, Array[Byte](0x44, 0x00), be16(1),
+            be16(3), be16(0), be16(1), be32(fileOff), be32(block.length))
+        // the iloc's field widths are fixed, so meta's LENGTH does not
+        // depend on the offset value: measure with 0, then rebuild
+        val metaLen =
+          box("meta", full0, hdlr, pitm, iinf, iprp, iloc(0)).length
+        val fileOff = ftypB.length + metaLen + 8L // into the mdat payload
+        ftypB ++ box("meta", full0, hdlr, pitm, iinf, iprp, iloc(fileOff)) ++
+          box("mdat", block)
+      }
     }
   }
 }

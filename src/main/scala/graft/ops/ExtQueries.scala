@@ -5065,6 +5065,66 @@ object ExtQueries {
       "feature flags and ANMF frame counts hash-checked against " +
       "closed forms")
 
+  private val qHeifExif = Q(
+    "q_heif_exif",
+    (s, d) => {
+      // HEIF Exif-item certificate (the q_webp_exif twin on ISO-BMFF —
+      // the phone-imagery PII surface): per doc a still whose iinf
+      // declares an 'Exif' item, iloc locates it file-absolute in an
+      // mdat, and the ExifDataBlock's u32 offset rides over the
+      // "Exif\0\0" identifier to a little-endian TIFF with closed-form
+      // orientation and a GPS pointer on even docs. Both walks must
+      // coexist: heifExif reads the metadata while heifMeta still
+      // resolves the primary dims through ipma.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val orientation = (1 + id % 8).toInt
+          val gps = id % 2 == 0
+          val n = if (gps) 2 else 1
+          val t = new Array[Byte](8 + 2 + n * 12 + 4)
+          t(0) = 'I'; t(1) = 'I'; t(2) = 42; t(4) = 8
+          def le16(i: Int, v: Int): Unit = {
+            t(i) = v.toByte; t(i + 1) = (v >> 8).toByte
+          }
+          def le32(i: Int, v: Long): Unit = {
+            t(i) = v.toByte; t(i + 1) = (v >> 8).toByte
+            t(i + 2) = (v >> 16).toByte; t(i + 3) = (v >> 24).toByte
+          }
+          le16(8, n)
+          le16(10, 0x0112); le16(12, 3); le32(14, 1); le16(18, orientation)
+          if (gps) { le16(22, 0x8825); le16(24, 4); le32(26, 1); le32(30, 0) }
+          val brand = if (id % 2 == 0) "heic" else "avif"
+          val w = (640 + id % 2000).toInt
+          val h = (480 + id % 1000).toInt
+          val still = graft.ext.Mp4.HeifBuild.still(brand,
+            if (id % 2 == 0) "hvc1" else "av01", w, h, exifTiff = t)
+          val ex = graft.ext.Mp4.heifExif(still)
+          val im = graft.ext.Mp4.heifMeta(still)
+          (id,
+            ex.map(_.orientation).getOrElse(-1),
+            ex.map(x => if (x.has_gps) 1 else 0).getOrElse(-1),
+            im.map(_.n_items).getOrElse(-1),
+            im.map(_.width).getOrElse(-1),
+            im.map(_.height).getOrElse(-1))
+        }
+        .toDF("media_id", "orientation", "has_gps", "n_items",
+          "width", "height")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+                     AS has_gps,
+                   3 AS n_items,
+                   CAST(640 + doc_id % 2000 AS INT) AS width,
+                   CAST(480 + doc_id % 1000 AS INT) AS height
+            FROM documents ORDER BY media_id"""),
+    "HEIF Exif-item certificate: iinf-declared 'Exif' item located " +
+      "file-absolute by iloc, ExifDataBlock offset over the Exif\\0\\0 " +
+      "identifier, read by the shared TIFF walk — orientation/GPS and " +
+      "the coexisting ipma-resolved dims all closed forms")
+
   private val qId3Tags = Q(
     "q_id3_tags",
     (s, d) => {
@@ -5285,6 +5345,6 @@ object ExtQueries {
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qCurateDispatch,
     qStreamDispatch, qTarExtract, qZip64Extract, qXlsxExtract,
-    qMediaSniff, qWebpMeta, qWebpExif, qHeifMeta, qId3Tags, qSubtitleExtract,
-    qTiffMeta)
+    qMediaSniff, qWebpMeta, qWebpExif, qHeifMeta, qHeifExif, qId3Tags,
+    qSubtitleExtract, qTiffMeta)
 }

@@ -185,6 +185,34 @@ class Mp4Spec extends AnyFunSuite {
     (0 to full.length by 7).foreach(i => Mp4.heifMeta(full.take(i)))
   }
 
+  test("heif: the Exif item resolves through iloc to the shared TIFF walk") {
+    def tiff(orientation: Int, gps: Boolean): Array[Byte] = {
+      val n = if (gps) 2 else 1
+      val t = new Array[Byte](8 + 2 + n * 12 + 4)
+      t(0) = 'I'; t(1) = 'I'; t(2) = 42; t(4) = 8
+      def le16(i: Int, v: Int): Unit = { t(i) = v.toByte; t(i + 1) = (v >> 8).toByte }
+      def le32(i: Int, v: Long): Unit = {
+        t(i) = v.toByte; t(i + 1) = (v >> 8).toByte
+        t(i + 2) = (v >> 16).toByte; t(i + 3) = (v >> 24).toByte
+      }
+      le16(8, n)
+      le16(10, 0x0112); le16(12, 3); le32(14, 1); le16(18, orientation)
+      if (gps) { le16(22, 0x8825); le16(24, 4); le32(26, 1); le32(30, 0) }
+      t
+    }
+    val h = Mp4.HeifBuild.still("heic", "hvc1", 4032, 3024,
+      exifTiff = tiff(8, gps = true))
+    val m = Mp4.heifExif(h).get
+    assert(m.orientation == 8 && m.has_gps)
+    // the image walk still resolves dims alongside the metadata item
+    val hm = Mp4.heifMeta(h).get
+    assert((hm.width, hm.height) == (4032, 3024))
+    assert(hm.n_items == 3)
+    // no Exif item → None; truncations never throw
+    assert(Mp4.heifExif(Mp4.HeifBuild.still("heic", "hvc1", 8, 8)).isEmpty)
+    (0 to h.length by 11).foreach(i => Mp4.heifExif(h.take(i)))
+  }
+
   test("non-MP4 payloads: None, never thrown") {
     assert(Mp4.parse(Array.emptyByteArray).isEmpty)
     assert(Mp4.parse("RIFFxxxxAVI ".getBytes).isEmpty)
