@@ -597,9 +597,9 @@ object Multimodal {
       (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) "webm"
     else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"
     // the non-gzip compression families crawl datasets actually ship in:
-    // NAMED at triage (so a routing policy can see them) even though the
-    // decode arms are out of the pure-JVM envelope (no zstd/xz/bzip2
-    // codec in java.util.zip) — "unknown" would hide real, routable data
+    // NAMED at triage so a routing policy can see them, and decoded by
+    // the matching [[Codecs]] arm (zstd-jni / tukaani-xz /
+    // commons-compress bzip2 — all on the Spark classpath)
     else if ((b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
       (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD) "zstd"
     else if (b.length >= 6 && (b(0) & 0xFF) == 0xFD && at(1, "7zXZ") &&

@@ -6,8 +6,9 @@ package graft.ext
   * archives.
   *
   * Memory contract: the walk is a SINGLE forward pass over an
-  * `InputStream` — a `.tar.gz` inflates through `GZIPInputStream` in
-  * 64 KiB windows and unwanted member data is SKIPPED, not buffered, so
+  * `InputStream` — a `.tar.gz`/`.tar.zst`/`.tar.xz`/`.tar.bz2`
+  * inflates through the matching [[Codecs]] decompressor in bounded
+  * windows and unwanted member data is SKIPPED, not buffered, so
   * per-row heap is O(one wanted member), independent of how large the
   * archive inflates in total (a ~1 GB-per-row crawl artifact that
   * inflates past the ≤2 GiB single-array JVM cap still walks). [[read]]
@@ -23,7 +24,9 @@ package graft.ext
   *   - Header CHECKSUMS are verified (sum of header bytes with the
   *     checksum field read as spaces) — a corrupt header ends the walk
   *     at the last good member.
-  *   - A leading gzip magic transparently inflates first (`.tar.gz`).
+  *   - A leading gzip/zstd/xz/bzip2 magic transparently inflates first
+  *     (`.tar.gz`, `.tar.zst`, `.tar.xz`, `.tar.bz2` — the compression
+  *     wrappers software and corpus tarballs actually ship in).
   *   - GNU long-name ('L') members and pax extended headers ('x') ARE
   *     honored: the 'L' data names the next member; pax `path=` and
   *     `size=` records override the next member's name and data length
@@ -113,11 +116,9 @@ object Tar {
     new Iterator[(Entry, Array[Byte])] {
       private val in: java.io.InputStream =
         try {
-          if (raw == null) null
-          else if (isGzip(raw))
-            new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(raw), 64 * 1024)
-          else new java.io.ByteArrayInputStream(raw)
+          // [[Codecs.stream]] routes by magic: gzip/zstd/xz/bzip2 inflate
+          // in bounded windows; anything else passes through untouched
+          if (raw == null) null else Codecs.stream(raw)
         } catch { case scala.util.control.NonFatal(_) => null }
       private val hdr = new Array[Byte](512)
       private var off = 0L // running offset in the (inflated) archive

@@ -45,9 +45,13 @@ import org.apache.spark.sql.functions._
   *     de-chunked: size-line framing, chunk extensions, and trailing
   *     headers are stripped so chunk metadata never leaks into
   *     extracted text.
-  *   - HTTP payloads with `Content-Encoding: gzip` are inflated after
-  *     de-chunking (wire order: transfer-coding wraps content-coding);
-  *     undecodable bodies fall back to the raw bytes.
+  *   - `.warc.zst` / `.warc.xz` / `.warc.bz2` blobs walk the inflated
+  *     stream as bounded slabs through [[Codecs.chunks]] — same carry
+  *     discipline, same heap bound, using the zstd-jni / tukaani-xz /
+  *     commons-compress decoders already on the Spark classpath.
+  *   - HTTP payloads with `Content-Encoding: gzip` (or `zstd`) are
+  *     inflated after de-chunking (wire order: transfer-coding wraps
+  *     content-coding); undecodable bodies fall back to the raw bytes.
   */
 object Warc {
 
@@ -313,7 +317,8 @@ object Warc {
               val k = h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
               val v = h.substring(c + 1).trim.toLowerCase(java.util.Locale.ROOT)
               if (k == "transfer-encoding" && v.contains("chunked")) chunked = true
-              if (k == "content-encoding" && v.contains("gzip")) gzipBody = true
+              if (k == "content-encoding" &&
+                (v.contains("gzip") || v.contains("zstd"))) gzipBody = true
             }
           }
       }
@@ -336,6 +341,11 @@ object Warc {
       if (gzipBody && isGzip(rawBody)) {
         val inflated = gunzipMembers(rawBody)
         if (inflated.nonEmpty) inflated else rawBody
+      } else if (gzipBody && Codecs.isCompressed(rawBody)) {
+        // `Content-Encoding: zstd` bodies (RFC 8878 §8; CDNs ship it) —
+        // record-scale, so the one-shot capped decode is in envelope
+        val inflated = Codecs.decompress(rawBody)
+        if (inflated.nonEmpty) inflated else rawBody
       } else rawBody
     ParsedRec(WarcRecord(no, wType, uri, clen, status, body), payloadEnd)
   }
@@ -352,6 +362,12 @@ object Warc {
     private val members: Iterator[Array[Byte]] =
       if (isGzip(blob0))
         new GzipMemberIterator(blob0).map(unwrapMember).filter(_.nonEmpty)
+      else if (Codecs.isCompressed(blob0))
+        // `.warc.zst` / `.warc.xz` / `.warc.bz2`: the inflated stream
+        // walks as bounded slabs ([[Codecs.chunks]]) — frame boundaries
+        // need not align with records; the carry handles the seams the
+        // same way it handles records spanning gzip members
+        Codecs.chunks(blob0)
       else Iterator.single(blob0)
     private var buf: Array[Byte] = Array.emptyByteArray
     private var pos = 0

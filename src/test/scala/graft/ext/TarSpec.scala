@@ -163,4 +163,18 @@ class TarSpec extends AnyFunSuite {
     val e = Tar.entries(t)
     assert(e(1).size == 18L) // octal "22" = 18
   }
+
+  test("tar.zst / tar.xz / tar.bz2 walk through the codec envelope") {
+    val plain = sample(false)
+    for (blob <- Seq(Codecs.zstd(plain), Codecs.xz(plain), Codecs.bzip2(plain))) {
+      val es = Tar.entries(blob)
+      assert(es.map(_.name) == Seq("d/", "d/a.txt", "b.bin"))
+      assert(new String(Tar.read(blob, "d/a.txt").get) == "file contents here")
+      assert(Tar.read(blob, "b.bin").get.length == 700)
+    }
+    // a truncated zstd tarball keeps the members before the damage
+    val z = Codecs.zstd(plain)
+    assert(Tar.entries(java.util.Arrays.copyOf(z, 20)).isEmpty ||
+      Tar.entries(java.util.Arrays.copyOf(z, 20)).map(_.name).forall(_.nonEmpty))
+  }
 }
