@@ -26,8 +26,16 @@ package graft.ext
   *     central-directory sizes/offsets resolve through the 0x0001 extra
   *     field in APPNOTE order (uncompressed, compressed, local offset).
   *
-  * Out of envelope, by documented intent: encrypted members and
-  * split/spanned archives; and since a blob column lands one archive
+  *   - Traditional PKWARE encryption ("ZipCrypto", APPNOTE §6.1 — the
+  *     12-byte header + three-register LCG/CRC keystream that password-
+  *     protected archives in scraped document dumps overwhelmingly
+  *     use): members flagged bit 0 decrypt through [[read]]'s password
+  *     overload, with the header's check byte vetting the password
+  *     BEFORE any inflate runs; without (or with a wrong) password the
+  *     member gates out as None while the listing still works.
+  *
+  * Out of envelope, by documented intent: AES-extra-field (0x9901)
+  * encryption and split/spanned archives; and since a blob column lands one archive
   * per row as a single JVM array, the archive itself and any EXTRACTED
   * member cap at ~2 GiB — Zip64 structures beyond that parse correctly
   * (entries list with true 64-bit sizes) but such members read as None.
@@ -42,7 +50,49 @@ object Zip {
       comp_size: Long,
       uncomp_size: Long,
       crc: Long,
-      local_offset: Long)
+      local_offset: Long,
+      encrypted: Boolean = false)
+
+  /** PKWARE traditional cipher (APPNOTE §6.1): three 32-bit key
+    * registers driven by a CRC32 table and the 134775813 LCG; one
+    * keystream byte per data byte. Symmetric — [[Keys.decrypt]] and
+    * [[Keys.encrypt]] share the register update on the PLAIN byte.
+    */
+  private object ZipCrypto {
+    val crcTab: Array[Int] = Array.tabulate(256) { n =>
+      var c = n
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) 0xEDB88320 ^ (c >>> 1) else c >>> 1
+        k += 1
+      }
+      c
+    }
+    final class Keys(password: Array[Byte]) {
+      private var k0 = 0x12345678
+      private var k1 = 0x23456789
+      private var k2 = 0x34567890
+      password.foreach(update)
+      private def crc1(c: Int, b: Byte): Int = (c >>> 8) ^ crcTab((c ^ b) & 0xFF)
+      private def update(p: Byte): Unit = {
+        k0 = crc1(k0, p)
+        k1 = (k1 + (k0 & 0xFF)) * 134775813 + 1
+        k2 = crc1(k2, (k1 >>> 24).toByte)
+      }
+      private def streamByte: Int = {
+        val t = (k2 | 2) & 0xFFFF
+        ((t * (t ^ 1)) >>> 8) & 0xFF
+      }
+      def decrypt(c: Byte): Byte = {
+        val p = ((c & 0xFF) ^ streamByte).toByte
+        update(p); p
+      }
+      def encrypt(p: Byte): Byte = {
+        val c = ((p & 0xFF) ^ streamByte).toByte
+        update(p); c
+      }
+    }
+  }
 
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
@@ -92,6 +142,7 @@ object Zip {
       var k = 0L
       while (k < n && p + 46 <= b.length &&
           b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2) {
+        val flags = le16(b, p + 8)
         val method = le16(b, p + 10)
         val crc = le32(b, p + 16)
         var compSize = le32(b, p + 20)
@@ -127,7 +178,8 @@ object Zip {
             } else x += 4 + sz
           }
         }
-        out += Entry(name, method, compSize, uncompSize, crc, localOff)
+        out += Entry(name, method, compSize, uncompSize, crc, localOff,
+          encrypted = (flags & 0x0001) != 0)
         p += 46 + nameLen + extraLen + commentLen
         k += 1
       }
@@ -136,12 +188,15 @@ object Zip {
   }
 
   /** A member's decompressed bytes, CRC-verified. None for a missing
-    * name, unsupported method, or any corruption.
+    * name, unsupported method, a ZipCrypto member without (or with a
+    * wrong) password, or any corruption.
     */
-  def read(b: Array[Byte], name: String): Option[Array[Byte]] =
-    entries(b).find(_.name == name).flatMap(readEntry(b, _))
+  def read(b: Array[Byte], name: String,
+      password: Option[String] = None): Option[Array[Byte]] =
+    entries(b).find(_.name == name).flatMap(readEntry(b, _, password))
 
-  def readEntry(b: Array[Byte], e: Entry): Option[Array[Byte]] = {
+  def readEntry(b: Array[Byte], e: Entry,
+      password: Option[String] = None): Option[Array[Byte]] = {
     try {
       // 64-bit offsets beyond the (≤2 GiB) array are unreadable by
       // construction — guard BEFORE the narrowing, toInt wraps
@@ -156,15 +211,35 @@ object Zip {
       val data = p + 30 + nameLen + extraLen
       if (e.comp_size < 0 || e.comp_size > Int.MaxValue ||
           data + e.comp_size > b.length) return None
+      // ZipCrypto: a 12-byte encryption header precedes the compressed
+      // data; its LAST decrypted byte must equal crc>>24 (the password
+      // check APPNOTE mandates) — vetted BEFORE any inflate touches the
+      // keystream output, so a wrong password is a cheap None
+      val (src, srcOff, srcLen) =
+        if (!e.encrypted) (b, data, e.comp_size.toInt)
+        else password match {
+          case None => return None // gate out: protected, no password
+          case Some(pw) =>
+            if (e.comp_size < 12) return None
+            val keys = new ZipCrypto.Keys(pw.getBytes("ISO-8859-1"))
+            var check = 0
+            var i = 0
+            while (i < 12) { check = keys.decrypt(b(data + i)) & 0xFF; i += 1 }
+            if (check != ((e.crc >>> 24) & 0xFF)) return None
+            val dec = new Array[Byte](e.comp_size.toInt - 12)
+            var j = 0
+            while (j < dec.length) { dec(j) = keys.decrypt(b(data + 12 + j)); j += 1 }
+            (dec, 0, dec.length)
+        }
       val raw = e.method match {
         case 0 =>
-          if (e.comp_size != e.uncomp_size) return None
-          java.util.Arrays.copyOfRange(b, data, data + e.comp_size.toInt)
+          if (srcLen.toLong != e.uncomp_size) return None
+          java.util.Arrays.copyOfRange(src, srcOff, srcOff + srcLen)
         case 8 =>
           if (e.uncomp_size < 0 || e.uncomp_size > Int.MaxValue) return None
           val inf = new java.util.zip.Inflater(true) // raw deflate
           try {
-            inf.setInput(b, data, e.comp_size.toInt)
+            inf.setInput(src, srcOff, srcLen)
             val out = new Array[Byte](e.uncomp_size.toInt)
             var got = 0
             while (got < out.length && !inf.finished()) {
@@ -192,7 +267,9 @@ object Zip {
     * a masked EOCD, and the EOCD64 record + locator (version 4.5).
     */
   private[graft] def build(members: Seq[(String, Array[Byte], Boolean)],
-      zip64: Boolean = false): Array[Byte] = {
+      zip64: Boolean = false,
+      password: Option[String] = None): Array[Byte] = {
+    val flagBits = if (password.isDefined) 0x0001 else 0
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
     def w32(v: Long): Unit = {
@@ -204,7 +281,7 @@ object Zip {
     for ((name, raw, deflate) <- members) {
       val crc = new java.util.zip.CRC32
       crc.update(raw)
-      val comp =
+      val comp0 =
         if (!deflate) raw
         else {
           val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
@@ -216,10 +293,30 @@ object Zip {
             buf.toByteArray
           } finally d.end()
         }
+      val comp = password match {
+        case None => comp0
+        case Some(pw) =>
+          // 12-byte encryption header: 11 filler bytes (deterministic
+          // here — certificates must hash-stably rebuild) + the crc>>24
+          // check byte, all encrypted, then the keystream continues over
+          // the compressed data
+          val keys = new ZipCrypto.Keys(pw.getBytes("ISO-8859-1"))
+          val enc = new Array[Byte](12 + comp0.length)
+          var i = 0
+          while (i < 11) {
+            enc(i) = keys.encrypt(
+              ((crc.getValue >>> ((i % 4) * 8)) + i * 97 + name.length).toByte)
+            i += 1
+          }
+          enc(11) = keys.encrypt(((crc.getValue >>> 24) & 0xFF).toByte)
+          var j = 0
+          while (j < comp0.length) { enc(12 + j) = keys.encrypt(comp0(j)); j += 1 }
+          enc
+      }
       val off = out.size().toLong
       val nameB = name.getBytes("UTF-8")
       out.write('P'); out.write('K'); out.write(3); out.write(4)
-      w16(20); w16(0); w16(if (deflate) 8 else 0); w16(0); w16(0)
+      w16(20); w16(flagBits); w16(if (deflate) 8 else 0); w16(0); w16(0)
       w32(crc.getValue); w32(comp.length); w32(raw.length)
       w16(nameB.length); w16(0)
       out.write(nameB); out.write(comp)
@@ -233,7 +330,7 @@ object Zip {
       if (zip64) {
         // version 4.5; sizes and local offset masked into the 0x0001
         // extra field (APPNOTE order: uncompressed, compressed, offset)
-        w16(45); w16(45); w16(0); w16(method); w16(0); w16(0)
+        w16(45); w16(45); w16(flagBits); w16(method); w16(0); w16(0)
         w32(crc); w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
         w16(nameB.length); w16(4 + 24); w16(0); w16(0); w16(0)
         w32(0); w32(0xFFFFFFFFL)
@@ -241,7 +338,7 @@ object Zip {
         w16(0x0001); w16(24)
         w64(rawLen); w64(compLen); w64(off)
       } else {
-        w16(20); w16(20); w16(0); w16(method); w16(0); w16(0)
+        w16(20); w16(20); w16(flagBits); w16(method); w16(0); w16(0)
         w32(crc); w32(compLen); w32(rawLen)
         w16(nameB.length); w16(0); w16(0); w16(0); w16(0)
         w32(0); w32(off)

@@ -5318,6 +5318,203 @@ object ExtQueries {
       "orders, offset-heap BitsPerSample and Make, inline SHORT " +
       "orientation, plus the sniff naming the format — all closed form")
 
+  private val qZstdExtract = Q(
+    "q_zstd_extract",
+    (s, d) => {
+      // `.jsonl.zst`-shape certificate (the distribution format of
+      // modern LLM corpora — RedPajama/Dolma/FineWeb ship zstd'd
+      // line-delimited shards): per doc a two-line TSV shard compressed
+      // as one zstd frame PER line (the appended-shard layout), decoded
+      // through the STREAMING slab walk in deliberately tiny 64-byte
+      // slabs so every row proves the walk stitches lines across both
+      // slab and frame seams. Line 1 round-trips the doc text byte-exact
+      // into the oracle's closed form.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val l1 = s"$id\t$text\n".getBytes("UTF-8")
+          val l2 = s"$id\tlen=${text.getBytes("UTF-8").length}\n".getBytes("UTF-8")
+          val blob = graft.ext.Codecs.zstdFrames(Seq(l1, l2))
+          val out = new java.io.ByteArrayOutputStream()
+          graft.ext.Codecs.chunks(blob, 64).foreach(c => out.write(c, 0, c.length))
+          val decoded = new String(out.toByteArray, "UTF-8")
+          val lines = decoded.split("\n").filter(_.nonEmpty)
+          val extracted = lines.head.substring(lines.head.indexOf('\t') + 1)
+          (id, lines.length, out.size().toLong, extracted)
+        }
+        .toDF("doc_id", "n_lines", "n_bytes", "extracted")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 2 AS n_lines,
+                   CAST(strlen(doc_id || chr(9) || text) + 1 +
+                        strlen(doc_id || chr(9) || 'len=' || strlen(text)) + 1
+                        AS BIGINT) AS n_bytes,
+                   text AS extracted
+            FROM documents ORDER BY doc_id"""),
+    "zstd certificate: multi-frame .jsonl.zst-shape shards decoded " +
+      "through the bounded streaming slab walk (64-byte slabs crossing " +
+      "frame seams), line content byte-exact against the closed form")
+
+  private val qTarCodecs = Q(
+    "q_tar_codecs",
+    (s, d) => {
+      // Compressed-tarball certificate: the q_tar_extract archive wrapped
+      // in the compression family software and corpus tarballs actually
+      // ship (rotating by doc_id: plain / .tar.zst / .tar.xz / .tar.bz2).
+      // The SAME streaming walk must list and extract through every
+      // codec — decode arms route by magic, not by filename.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val textB = text.getBytes("UTF-8")
+          val tar = graft.ext.Tar.build(Seq(
+            ("docs/", Array.emptyByteArray, '5'),
+            ("docs/text.txt", textB, '0')))
+          val (codec, blob) = (id % 4) match {
+            case 0 => ("none", tar)
+            case 1 => ("zstd", graft.ext.Codecs.zstd(tar))
+            case 2 => ("xz", graft.ext.Codecs.xz(tar))
+            case _ => ("bzip2", graft.ext.Codecs.bzip2(tar))
+          }
+          val es = graft.ext.Tar.entries(blob)
+          val extracted = graft.ext.Tar.read(blob, "docs/text.txt")
+            .map(new String(_, "UTF-8")).getOrElse("")
+          (id, codec, es.length, extracted, es.map(_.size).sum)
+        }
+        .toDF("doc_id", "codec", "n_entries", "extracted", "total_size")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'zstd'
+                        WHEN 2 THEN 'xz' ELSE 'bzip2' END AS codec,
+                   2 AS n_entries, text AS extracted,
+                   CAST(strlen(text) AS BIGINT) AS total_size
+            FROM documents ORDER BY doc_id"""),
+    "compressed-tarball certificate: one streaming ustar walk through " +
+      "plain/zstd/xz/bzip2 wrappers routed by magic — member listing " +
+      "and byte-exact extraction against closed forms")
+
+  private val qWarcZst = Q(
+    "q_warc_zst",
+    (s, d) => {
+      // `.warc.zst` certificate: a two-record WARC per doc, zstd-framed
+      // with the SPLIT deliberately mid-record so every row exercises
+      // the cross-frame carry (frame boundaries in the wild don't align
+      // with records). The response body round-trips the doc text.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          def rec(wType: String, uri: String, payload: String): Array[Byte] = {
+            val p = payload.getBytes("UTF-8")
+            (s"WARC/1.0\r\nWARC-Type: $wType\r\n" +
+              (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+              s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+              p ++ "\r\n\r\n".getBytes("UTF-8")
+          }
+          val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$text"
+          val whole = rec("warcinfo", "", "software: graft") ++
+            rec("response", s"https://example.test/$id", http)
+          val mid = whole.length / 2
+          val blob = graft.ext.Codecs.zstdFrames(
+            Seq(whole.take(mid), whole.drop(mid)))
+          val rs = graft.ext.Warc.parse(blob)
+          val resp = rs.find(_.warc_type == "response")
+          (id, rs.length,
+            resp.map(_.http_status).getOrElse(-1),
+            resp.map(r => new String(r.body, "UTF-8")).getOrElse(""))
+        }
+        .toDF("doc_id", "n_records", "http_status", "body_text")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 2 AS n_records, 200 AS http_status,
+                   text AS body_text
+            FROM documents ORDER BY doc_id"""),
+    "warc.zst certificate: zstd-framed WARC with record boundaries " +
+      "split mid-frame — the streaming slab walk + carry reassemble " +
+      "records and HTTP bodies byte-exact against the closed form")
+
+  private val qSevenZExtract = Q(
+    "q_7z_extract",
+    (s, d) => {
+      // 7z certificate: per doc a two-member LZMA2 archive (the last
+      // compression-family magic the sniff names), listed and extracted
+      // through the seekable in-memory channel — names, true sizes, the
+      // doc text byte-exact, and a closed-form binary member's byte sum.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bin = Array.tabulate(32)(k => (((id * 13 + k) % 256) & 0xFF).toByte)
+          val z = graft.ext.SevenZ.build(Seq(
+            ("docs/text.txt", text.getBytes("UTF-8")),
+            ("meta/info.bin", bin)))
+          val es = graft.ext.SevenZ.entries(z)
+          val extracted = graft.ext.SevenZ.read(z, "docs/text.txt")
+            .map(new String(_, "UTF-8")).getOrElse("")
+          var binSum = 0L
+          graft.ext.SevenZ.read(z, "meta/info.bin")
+            .foreach(_.foreach(b => binSum += (b & 0xFF)))
+          (id, es.length, extracted, binSum, es.map(_.size).sum)
+        }
+        .toDF("doc_id", "n_entries", "extracted", "bin_sum", "total_size")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, sum((doc_id * 13 + k) % 256) AS bin_sum
+              FROM documents CROSS JOIN range(32) t(k) GROUP BY doc_id)
+            SELECT d.doc_id, 2 AS n_entries, d.text AS extracted,
+                   CAST(b.bin_sum AS BIGINT) AS bin_sum,
+                   CAST(strlen(d.text) + 32 AS BIGINT) AS total_size
+            FROM documents d JOIN b USING (doc_id) ORDER BY doc_id"""),
+    "7z certificate: LZMA2 archives listed and extracted through the " +
+      "seekable in-memory channel — member names, sizes, byte-exact " +
+      "text and binary sums against closed forms")
+
+  private val qZipEncrypted = Q(
+    "q_zip_encrypted",
+    (s, d) => {
+      // ZipCrypto certificate: per doc a traditionally-encrypted PKWARE
+      // archive (12-byte header + LCG/CRC keystream, the password
+      // protection scraped document dumps actually carry) with a
+      // per-doc password. The walk must still LIST without the
+      // password, gate every read out as None without it (n_locked
+      // counts leaked reads — must be 0), and decrypt byte-exact with
+      // it (check-byte vetting, then CRC verification).
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val pw = s"pw-${id % 7}"
+          val bin = Array.tabulate(24)(k => (((id * 17 + k) % 256) & 0xFF).toByte)
+          val z = graft.ext.Zip.build(Seq(
+            ("docs/text.txt", text.getBytes("UTF-8"), true),
+            ("meta/info.bin", bin, false)), password = Some(pw))
+          val es = graft.ext.Zip.entries(z)
+          val locked = es.count(e => graft.ext.Zip.readEntry(z, e).nonEmpty) +
+            es.count(e => graft.ext.Zip.readEntry(z, e, Some("wrong")).nonEmpty)
+          val extracted = graft.ext.Zip.read(z, "docs/text.txt", Some(pw))
+            .map(new String(_, "UTF-8")).getOrElse("")
+          var binSum = 0L
+          graft.ext.Zip.read(z, "meta/info.bin", Some(pw))
+            .foreach(_.foreach(b => binSum += (b & 0xFF)))
+          (id, es.length, locked, extracted, binSum)
+        }
+        .toDF("doc_id", "n_entries", "n_locked", "extracted", "bin_sum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, sum((doc_id * 17 + k) % 256) AS bin_sum
+              FROM documents CROSS JOIN range(24) t(k) GROUP BY doc_id)
+            SELECT d.doc_id, 2 AS n_entries, 0 AS n_locked,
+                   d.text AS extracted, CAST(b.bin_sum AS BIGINT) AS bin_sum
+            FROM documents d JOIN b USING (doc_id) ORDER BY doc_id"""),
+    "ZipCrypto certificate: traditionally-encrypted archives list " +
+      "without the password, gate out every password-less read, and " +
+      "decrypt byte-exact (check byte + CRC) with the per-doc password")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -5346,5 +5543,6 @@ object ExtQueries {
     qDocxExtract, qWebmMeta, qMediaCurateEngine, qCurateDispatch,
     qStreamDispatch, qTarExtract, qZip64Extract, qXlsxExtract,
     qMediaSniff, qWebpMeta, qWebpExif, qHeifMeta, qHeifExif, qId3Tags,
-    qSubtitleExtract, qTiffMeta)
+    qSubtitleExtract, qTiffMeta,
+    qZstdExtract, qTarCodecs, qWarcZst, qSevenZExtract, qZipEncrypted)
 }

@@ -145,4 +145,37 @@ class ZipOfficeSpec extends AnyFunSuite {
     // zip without the member → None
     assert(Office.docxText(Zip.build(Seq(("x", "y".getBytes, false)))).isEmpty)
   }
+
+  test("ZipCrypto: encrypted members decrypt with the password, gate out without") {
+    val members = Seq(
+      ("a.txt", "classic pkware protected text".getBytes("UTF-8"), true),
+      ("b.bin", Array.tabulate[Byte](200)(i => (i * 5 + 1).toByte), false))
+    val z = Zip.build(members, password = Some("hunter2"))
+    val es = Zip.entries(z)
+    assert(es.map(_.name) == Seq("a.txt", "b.bin"))
+    assert(es.forall(_.encrypted))
+    // listing carries true sizes; reads gate on the password
+    assert(Zip.read(z, "a.txt").isEmpty)
+    assert(Zip.read(z, "a.txt", Some("wrong")).isEmpty)
+    assert(new String(Zip.read(z, "a.txt", Some("hunter2")).get, "UTF-8") ==
+      "classic pkware protected text")
+    assert(java.util.Arrays.equals(Zip.read(z, "b.bin", Some("hunter2")).get,
+      members(1)._2))
+    // unencrypted archives ignore a supplied password
+    val plain = Zip.build(members)
+    assert(plain.length < z.length + 64)
+    assert(Zip.entries(plain).forall(!_.encrypted))
+    assert(Zip.read(plain, "a.txt", Some("hunter2")).nonEmpty)
+  }
+
+  test("ZipCrypto: corrupt keystream data fails CRC, truncated header is None") {
+    val z = Zip.build(Seq(("x.txt", "abcdefgh".getBytes, true)),
+      password = Some("pw"))
+    val e = Zip.entries(z).head
+    // flip one byte of the encrypted payload (past the 12-byte header)
+    val bad = z.clone()
+    val dataOff = e.local_offset.toInt + 30 + "x.txt".length + 13
+    bad(dataOff) = (bad(dataOff) ^ 0x40).toByte
+    assert(Zip.read(bad, "x.txt", Some("pw")).isEmpty)
+  }
 }
