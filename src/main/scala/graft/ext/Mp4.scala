@@ -312,6 +312,87 @@ object Mp4 {
       width: Int,
       height: Int)
 
+  /** First extent of an item's `iloc` entry: (construction_method,
+    * absolute-or-idat-relative offset incl. base, length). Versions 0-2;
+    * method is 0 for version-0 boxes (file-absolute by definition).
+    */
+  private def ilocFirstExtent(b: Array[Byte], s: Int, me: Int,
+      target: Long): Option[(Int, Long, Long)] = {
+    var loc: Option[(Int, Long, Long)] = None
+    child(b, s, me, "iloc").foreach { case (ls0, le) =>
+      val v = b(ls0) & 0xFF
+      var p = ls0 + 4
+      if (p + 2 > le) return None
+      val offSize = (b(p) >> 4) & 0xF
+      val lenSize = b(p) & 0xF
+      val baseSize = (b(p + 1) >> 4) & 0xF
+      val idxSize = if (v == 1 || v == 2) b(p + 1) & 0xF else 0
+      p += 2
+      def readN(n: Int): Long = {
+        var x = 0L
+        var k = 0
+        while (k < n) { x = (x << 8) | (b(p) & 0xFFL); p += 1; k += 1 }
+        x
+      }
+      val count =
+        if (v < 2) { if (p + 2 > le) return None; val c = be16(b, p); p += 2; c }
+        else { if (p + 4 > le) return None; val c = be32(b, p).toInt; p += 4; c }
+      var k = 0
+      while (k < count && loc.isEmpty && p < le) {
+        val iid =
+          if (v < 2) { val x = be16(b, p).toLong; p += 2; x }
+          else { val x = be32(b, p); p += 4; x }
+        var method = 0
+        if (v == 1 || v == 2) {
+          if (p + 2 > le) return None
+          method = b(p + 1) & 0xF; p += 2
+        }
+        p += 2 // data_reference_index
+        if (p + baseSize > le) return None
+        val base = readN(baseSize)
+        if (p + 2 > le) return None
+        val extents = be16(b, p); p += 2
+        var e = 0
+        while (e < extents && p + idxSize + offSize + lenSize <= le) {
+          p += idxSize
+          val off = readN(offSize)
+          val len = readN(lenSize)
+          if (iid == target && e == 0) loc = Some((method, base + off, len))
+          e += 1
+        }
+        k += 1
+      }
+    }
+    loc
+  }
+
+  /** The `to_item_ID`s of the `dimg` (derived-image) reference whose
+    * from-item is `from` — a grid primary's tile list, in tile order.
+    */
+  private def dimgRefs(b: Array[Byte], s: Int, me: Int, from: Long): Seq[Long] =
+    child(b, s, me, "iref").map { case (rs, re) =>
+      val v = b(rs) & 0xFF
+      val out = Seq.newBuilder[Long]
+      boxes(b, rs + 4, re).foreach { case (tpe, cs, ce) =>
+        if (tpe == "dimg") {
+          if (v == 0 && ce - cs >= 4 && be16(b, cs).toLong == from) {
+            val n = be16(b, cs + 2)
+            var k = 0
+            while (k < n && cs + 4 + 2 * k + 2 <= ce) {
+              out += be16(b, cs + 4 + 2 * k).toLong; k += 1
+            }
+          } else if (v == 1 && ce - cs >= 6 && be32(b, cs) == from) {
+            val n = be16(b, cs + 4)
+            var k = 0
+            while (k < n && cs + 6 + 4 * k + 4 <= ce) {
+              out += be32(b, cs + 6 + 4 * k); k += 1
+            }
+          }
+        }
+      }
+      out.result()
+    }.getOrElse(Nil)
+
   /** HEIF/AVIF still-image triage (ISO 23008-12) — the arm behind the
     * heic/avif sniff routes, so modern phone imagery reaches image
     * curation with real dimensions: `meta`→`pitm` names the primary
@@ -319,9 +400,13 @@ object Mp4 {
     * `ispe` property the `ipma` table associates with the primary item
     * (NOT the first or largest `ispe` — thumbnails and aux images carry
     * their own). When `ipma` is absent/unresolvable the largest `ispe`
-    * stands in ('grid' primaries derive dims from idat tile math —
-    * outside the envelope, documented). Malformed boxes cut short to
-    * whatever was readable; never a throw.
+    * stands in. 'grid' primaries (how iPhones overwhelmingly store
+    * HEIC) additionally resolve the ImageGrid config through `iloc`
+    * (file-absolute or idat-relative) — ITS output dims are the canvas
+    * authority over the grid item's associated ispe, cross-checked
+    * against the `dimg` tile references, with cols×tile / rows×tile
+    * math from the first tile's ispe when the config omits dims.
+    * Malformed boxes cut short to whatever was readable; never a throw.
     */
   def heifMeta(b: Array[Byte]): Option[HeifMeta] = {
     if (b == null || b.length < 16 || fourcc(b, 4) != "ftyp") return None
@@ -357,6 +442,9 @@ object Mp4 {
         }
         var width = 0
         var height = 0
+        // every item's ipma-associated ispe — the primary reads out of
+        // it, and a grid primary's TILE dims resolve from it too
+        val ispeByItem = scala.collection.mutable.Map.empty[Long, (Int, Int)]
         child(b, s, me, "iprp").foreach { case (rs, re) =>
           // ipco children in order — ipma property indexes are 1-based
           val props = child(b, rs, re, "ipco")
@@ -367,7 +455,6 @@ object Mp4 {
               case ("ispe", ps, pe) if pe - ps >= 12 =>
                 (be32(b, ps + 4).toInt, be32(b, ps + 8).toInt)
             }
-          var resolved: Option[(Int, Int)] = None
           child(b, rs, re, "ipma").foreach { case (as0, ae) =>
             val v = b(as0) & 0xFF
             val wideIdx = (be32(b, as0) & 1L) == 1L // fullbox flags bit 0
@@ -386,7 +473,8 @@ object Mp4 {
                       if (p + 1 > end) return false
                       val x = b(p) & 0x7F; p += 1; x
                     }
-                  if (iid == primary && resolved.isEmpty) resolved = ispeAt(idx)
+                  if (!ispeByItem.contains(iid))
+                    ispeAt(idx).foreach(ispeByItem(iid) = _)
                   a += 1
                 }
                 true
@@ -394,7 +482,7 @@ object Mp4 {
               val cnt = be32(b, p); p += 4
               var k = 0L
               var ok = true
-              while (ok && resolved.isEmpty && k < cnt) {
+              while (ok && k < cnt) {
                 if (v < 1 && p + 2 <= ae) { // item id width rides version
                   val iid = be16(b, p).toLong; p += 2
                   ok = walkAssoc(ae, iid)
@@ -406,7 +494,7 @@ object Mp4 {
               }
             }
           }
-          val dims = resolved.getOrElse {
+          val dims = ispeByItem.get(primary).getOrElse {
             val all = props.collect {
               case ("ispe", ps, pe) if pe - ps >= 12 =>
                 (be32(b, ps + 4).toInt, be32(b, ps + 8).toInt)
@@ -415,6 +503,57 @@ object Mp4 {
             else all.maxBy(d => d._1.toLong * d._2.toLong)
           }
           width = dims._1; height = dims._2
+        }
+        // 'grid' primaries (how iPhones overwhelmingly store HEIC — the
+        // canvas is tiled from hvc1 items): the ImageGrid config body is
+        // the dimension AUTHORITY, not the grid item's associated ispe
+        // (writers disagree between the two in the wild). Resolve the
+        // payload through iloc (file-absolute or idat-relative
+        // construction), read rows/cols + output dims, cross-check the
+        // tile count against the dimg references, and fall back to
+        // cols×tile_w / rows×tile_h from the first tile's ispe when the
+        // config omits output dims; on any damage keep the ispe path.
+        if (primaryType == "grid") {
+          val bounds = ilocFirstExtent(b, s, me, primary).flatMap {
+            case (method, off, len) =>
+              if (len < 8 || len > 24) None
+              else method match {
+                case 0 =>
+                  if (off >= 0 && off + len <= b.length)
+                    Some((off.toInt, (off + len).toInt))
+                  else None
+                case 1 =>
+                  child(b, s, me, "idat").flatMap { case (ds, de) =>
+                    val st = ds + off
+                    if (off >= 0 && st + len <= de)
+                      Some((st.toInt, (st + len).toInt))
+                    else None
+                  }
+                case _ => None
+              }
+          }
+          bounds.foreach { case (gs, ge) =>
+            val flags = b(gs + 1) & 0xFF
+            val rows = (b(gs + 2) & 0xFF) + 1
+            val cols = (b(gs + 3) & 0xFF) + 1
+            val (ow, oh) =
+              if ((flags & 1) == 0 && ge - gs >= 8)
+                (be16(b, gs + 4), be16(b, gs + 6))
+              else if ((flags & 1) == 1 && ge - gs >= 12)
+                (be32(b, gs + 4).toInt, be32(b, gs + 8).toInt)
+              else (0, 0)
+            val tiles = dimgRefs(b, s, me, primary)
+            val consistent = tiles.isEmpty || tiles.length == rows * cols
+            if (ow > 0 && oh > 0 && consistent) {
+              width = ow; height = oh
+            } else if (tiles.nonEmpty && tiles.length == rows * cols) {
+              tiles.headOption.flatMap(ispeByItem.get).foreach {
+                case (tw, th) if tw > 0 && th > 0 =>
+                  width = cols * tw; height = rows * th
+                case _ =>
+              }
+            }
+          }
         }
         HeifMeta(brand, primary, primaryType, nItems, width, height)
       }
@@ -593,6 +732,44 @@ object Mp4 {
         ftypB ++ box("meta", full0, hdlr, pitm, iinf, iprp, iloc(fileOff)) ++
           box("mdat", block)
       }
+    }
+
+    /** A grid-tiled still (the iPhone HEIC layout): primary item 1 of
+      * type 'grid' whose ImageGrid config lives in `idat` (iloc v1,
+      * construction_method 1), `rows`×`cols` hvc1 tile items referenced
+      * by a `dimg` iref, tile ispe associated to every tile — and the
+      * grid item's OWN associated ispe deliberately WRONG (canvas+7),
+      * so the right canvas can only come from the grid config (or, with
+      * `zeroOutputDims = true`, from cols×tile_w / rows×tile_h math).
+      */
+    def grid(brand: String, canvasW: Int, canvasH: Int,
+        tileW: Int, tileH: Int, rows: Int = 2, cols: Int = 2,
+        zeroOutputDims: Boolean = false): Array[Byte] = {
+      val n = rows * cols
+      val hdlr = box("hdlr", full0, be32(0), "pict".getBytes("US-ASCII"),
+        new Array[Byte](12), Array[Byte](0))
+      val pitm = box("pitm", full0, be16(1))
+      val infes = infe(1, "grid") +: (2 to n + 1).map(infe(_, "hvc1"))
+      val iinf = box("iinf", (Seq(full0, be16(n + 1)) ++ infes): _*)
+      val dimg = box("dimg",
+        (Seq(be16(1), be16(n)) ++ (2 to n + 1).map(be16)): _*)
+      val iref = box("iref", full0, dimg)
+      // idx 1: the grid item's (wrong) ispe; idx 2: the tile ispe
+      val ipco = box("ipco", ispe(canvasW + 7, canvasH + 7), ispe(tileW, tileH))
+      val assoc = Array.concat(
+        (Seq(be16(1) ++ Array[Byte](1, 1)) ++
+          (2 to n + 1).map(i => be16(i) ++ Array[Byte](1, 2))): _*)
+      val ipma = box("ipma", full0, be32(n + 1), assoc)
+      val iprp = box("iprp", ipco, ipma)
+      val gridPayload = Array[Byte](0, 0, (rows - 1).toByte, (cols - 1).toByte) ++
+        (if (zeroOutputDims) be16(0) ++ be16(0)
+         else be16(canvasW) ++ be16(canvasH))
+      val iloc = box("iloc", Array[Byte](1, 0, 0, 0), Array[Byte](0x44, 0x00),
+        be16(1), be16(1), be16(1), be16(0), be16(1),
+        be32(0), be32(gridPayload.length))
+      val idat = box("idat", gridPayload)
+      box("ftyp", brand.getBytes("US-ASCII"), be32(0)) ++
+        box("meta", full0, hdlr, pitm, iinf, iref, iprp, iloc, idat)
     }
   }
 }

@@ -4963,16 +4963,30 @@ object ExtQueries {
       // ispe is first in ipco AND larger than the primary's — correct
       // dims require the ipma association walk, so neither a first-ispe
       // nor a largest-ispe shortcut can pass. Every third doc omits
-      // ipma, certifying the documented largest-ispe fallback.
+      // ipma, certifying the documented largest-ispe fallback. Docs at
+      // doc_id % 5 == 2 are GRID-tiled (the iPhone HEIC layout): 2×2
+      // hvc1 tiles behind a 'grid' primary whose associated ispe is
+      // deliberately wrong — the canvas resolves only from the
+      // idat-located ImageGrid config (and, on the % 10 == 2 half where
+      // the config omits output dims, from cols×tile / rows×tile math).
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
           val brand = if (id % 2 == 0) "heic" else "avif"
           val itemType = if (id % 2 == 0) "hvc1" else "av01"
-          val w = (640 + id % 2000).toInt
-          val h = (480 + id % 1000).toInt
-          (id, graft.ext.Mp4.HeifBuild.still(brand, itemType, w, h,
-            withIpma = id % 3 != 0))
+          val payload =
+            if (id % 5 == 2) {
+              val cw = (1024 + (id % 512) * 2).toInt
+              val ch = (768 + (id % 256) * 2).toInt
+              graft.ext.Mp4.HeifBuild.grid(brand, cw, ch, cw / 2, ch / 2,
+                zeroOutputDims = id % 10 == 2)
+            } else {
+              val w = (640 + id % 2000).toInt
+              val h = (480 + id % 1000).toInt
+              graft.ext.Mp4.HeifBuild.still(brand, itemType, w, h,
+                withIpma = id % 3 != 0)
+            }
+          (id, payload)
         }
         .toDF("media_id", "payload")
         .transform(m => graft.ext.Multimodal.heifMeta(m).toDF())
@@ -4981,19 +4995,27 @@ object ExtQueries {
     Some("""SELECT doc_id AS media_id,
                    CASE doc_id % 2 WHEN 0 THEN 'heic' ELSE 'avif' END AS brand,
                    CAST(1 AS BIGINT) AS primary_item,
-                   CASE doc_id % 2 WHEN 0 THEN 'hvc1' ELSE 'av01' END AS item_type,
-                   2 AS n_items,
-                   CAST(CASE WHEN doc_id % 3 = 0
+                   CASE WHEN doc_id % 5 = 2 THEN 'grid'
+                        WHEN doc_id % 2 = 0 THEN 'hvc1'
+                        ELSE 'av01' END AS item_type,
+                   CASE WHEN doc_id % 5 = 2 THEN 5 ELSE 2 END AS n_items,
+                   CAST(CASE WHEN doc_id % 5 = 2
+                        THEN 1024 + (doc_id % 512) * 2
+                        WHEN doc_id % 3 = 0
                         THEN 2 * (640 + doc_id % 2000)
                         ELSE 640 + doc_id % 2000 END AS INT) AS width,
-                   CAST(CASE WHEN doc_id % 3 = 0
+                   CAST(CASE WHEN doc_id % 5 = 2
+                        THEN 768 + (doc_id % 256) * 2
+                        WHEN doc_id % 3 = 0
                         THEN 2 * (480 + doc_id % 1000)
                         ELSE 480 + doc_id % 1000 END AS INT) AS height
             FROM documents ORDER BY media_id"""),
     "HEIF/AVIF still-image certificate: meta/pitm/iinf/iprp containers " +
       "whose primary dims resolve only through the ipma association " +
-      "(aux ispe first and larger), with the largest-ispe fallback " +
-      "certified on ipma-less docs — all closed forms of doc_id")
+      "(aux ispe first and larger), the largest-ispe fallback on " +
+      "ipma-less docs, and grid-tiled primaries (the iPhone layout) " +
+      "whose canvas comes from the idat ImageGrid config over a " +
+      "deliberately-wrong grid ispe — all closed forms of doc_id")
 
   private val qWebpMeta = Q(
     "q_webp_meta",

@@ -232,4 +232,36 @@ class Mp4Spec extends AnyFunSuite {
     val bad = ftyp ++ be32(3) ++ "moov".getBytes("US-ASCII")
     assert(Mp4.parse(bad).isEmpty || Mp4.parse(bad).get.tracks.isEmpty)
   }
+
+  test("heif grid: ImageGrid config dims beat the grid item's wrong ispe") {
+    val b = Mp4.HeifBuild.grid("heic", 4032, 3024, 2016, 1512)
+    val m = Mp4.heifMeta(b).get
+    assert(m.item_type == "grid")
+    assert(m.n_items == 5)
+    assert((m.width, m.height) == (4032, 3024)) // NOT the ispe's 4039x3031
+  }
+
+  test("heif grid: zero output dims fall back to cols*tile / rows*tile math") {
+    val b = Mp4.HeifBuild.grid("heic", 4032, 3024, 2016, 1512,
+      zeroOutputDims = true)
+    val m = Mp4.heifMeta(b).get
+    assert((m.width, m.height) == (4032, 3024))
+  }
+
+  test("heif grid: damaged config keeps the ispe path (cut-short)") {
+    val good = Mp4.HeifBuild.grid("heic", 4032, 3024, 2016, 1512)
+    // corrupt rows_minus_one inside the idat payload (idat is the last
+    // box: 8-byte header + 8-byte ImageGrid): rows*cols no longer
+    // matches the 4 dimg tile refs, so the config is untrusted and the
+    // grid item's associated ispe stands
+    val bad = good.clone()
+    bad(good.length - 8 + 2) = 4 // rows = 5
+    val m = Mp4.heifMeta(bad).get
+    assert(m.item_type == "grid")
+    assert((m.width, m.height) == (4039, 3031)) // the associated ispe stands
+    // every truncation parses or bails, never throws
+    (1 to good.length by 7).foreach { k =>
+      Mp4.heifMeta(java.util.Arrays.copyOf(good, good.length - k))
+    }
+  }
 }
