@@ -5537,6 +5537,63 @@ object ExtQueries {
       "without the password, gate out every password-less read, and " +
       "decrypt byte-exact (check byte + CRC) with the per-doc password")
 
+  private val qTarSparse = Q(
+    "q_tar_sparse",
+    (s, d) => {
+      // Sparse-tar certificate: per doc a sparse member (two fragments
+      // at offsets 100 and 1000, real size 2000, zero holes) written in
+      // the dialect rotating by doc_id — old-GNU 'S' headers, pax 0.0
+      // record pairs, pax 0.1 map strings, pax 1.0 data-front maps. The
+      // walk must list the REAL size, expand the holes to zeros, and
+      // land both fragments byte-exact.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val textB = text.getBytes("UTF-8")
+          val bin = Array.tabulate(48)(k => (((id * 7 + k) % 256) & 0xFF).toByte)
+          val frags = Seq((100L, textB), (1000L, bin))
+          val (dialect, tar) = (id % 4) match {
+            case 0 => ("oldgnu", graft.ext.Tar.buildSparseOldGnu("sp.raw", frags, 2000L))
+            case 1 => ("pax00", graft.ext.Tar.buildSparsePax("sp.raw", frags, 2000L, "0.0"))
+            case 2 => ("pax01", graft.ext.Tar.buildSparsePax("sp.raw", frags, 2000L, "0.1"))
+            case _ => ("pax10", graft.ext.Tar.buildSparsePax("sp.raw", frags, 2000L, "1.0"))
+          }
+          val es = graft.ext.Tar.entries(tar)
+          val data = graft.ext.Tar.read(tar, "sp.raw").getOrElse(Array.emptyByteArray)
+          val extracted =
+            if (data.length >= 100 + textB.length)
+              new String(data, 100, textB.length, "UTF-8")
+            else ""
+          var binSum = 0L
+          if (data.length >= 1048)
+            (1000 until 1048).foreach(i => binSum += (data(i) & 0xFF))
+          var holeNonzero = 0
+          if (data.length == 2000) {
+            (0 until 100).foreach(i => if (data(i) != 0) holeNonzero += 1)
+            ((100 + textB.length) until 1000)
+              .foreach(i => if (data(i) != 0) holeNonzero += 1)
+            (1048 until 2000).foreach(i => if (data(i) != 0) holeNonzero += 1)
+          } else holeNonzero = -1
+          (id, dialect, es.map(_.size).sum, extracted, binSum, holeNonzero)
+        }
+        .toDF("doc_id", "dialect", "real_size", "extracted", "bin_sum",
+          "n_hole_nonzero")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, sum((doc_id * 7 + k) % 256) AS bin_sum
+              FROM documents CROSS JOIN range(48) t(k) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE d.doc_id % 4 WHEN 0 THEN 'oldgnu' WHEN 1 THEN 'pax00'
+                        WHEN 2 THEN 'pax01' ELSE 'pax10' END AS dialect,
+                   CAST(2000 AS BIGINT) AS real_size, d.text AS extracted,
+                   CAST(b.bin_sum AS BIGINT) AS bin_sum, 0 AS n_hole_nonzero
+            FROM documents d JOIN b USING (doc_id) ORDER BY doc_id"""),
+    "sparse-tar certificate: old-GNU 'S' maps and all three pax sparse " +
+      "dialects expand to real size with zero holes, fragments " +
+      "byte-exact against closed forms")
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qDedupKeepBest, qDedupNear,
     qDedupNearIncremental, qDedupClusters,
@@ -5566,5 +5623,6 @@ object ExtQueries {
     qStreamDispatch, qTarExtract, qZip64Extract, qXlsxExtract,
     qMediaSniff, qWebpMeta, qWebpExif, qHeifMeta, qHeifExif, qId3Tags,
     qSubtitleExtract, qTiffMeta,
-    qZstdExtract, qTarCodecs, qWarcZst, qSevenZExtract, qZipEncrypted)
+    qZstdExtract, qTarCodecs, qWarcZst, qSevenZExtract, qZipEncrypted,
+    qTarSparse)
 }

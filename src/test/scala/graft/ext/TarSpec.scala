@@ -177,4 +177,88 @@ class TarSpec extends AnyFunSuite {
     assert(Tar.entries(java.util.Arrays.copyOf(z, 20)).isEmpty ||
       Tar.entries(java.util.Arrays.copyOf(z, 20)).map(_.name).forall(_.nonEmpty))
   }
+
+  private def sparseFrags: Seq[(Long, Array[Byte])] = Seq(
+    (100L, "first fragment text".getBytes("UTF-8")),
+    (1000L, Array.tabulate[Byte](64)(i => (i + 1).toByte)))
+
+  private def checkSparse(data: Array[Byte], realSize: Long): Unit = {
+    assert(data.length.toLong == realSize)
+    assert(new String(data.slice(100, 119), "UTF-8") == "first fragment text")
+    assert(data.slice(1000, 1064).toSeq ==
+      Array.tabulate[Byte](64)(i => (i + 1).toByte).toSeq)
+    // holes are zero
+    assert(data.slice(0, 100).forall(_ == 0))
+    assert(data.slice(119, 1000).forall(_ == 0))
+    assert(data.slice(1064, data.length).forall(_ == 0))
+  }
+
+  test("old-GNU 'S' sparse members expand with zero holes, real size listed") {
+    val t = Tar.buildSparseOldGnu("img.raw", sparseFrags, 2000L)
+    val es = Tar.entries(t)
+    assert(es.map(e => (e.name, e.size, e.typeflag)) == Seq(("img.raw", 2000L, 'S')))
+    checkSparse(Tar.read(t, "img.raw").get, 2000L)
+  }
+
+  test("old-GNU extended sparse map blocks (>4 fragments)") {
+    // 8 fragments of 8 bytes at 512-spaced offsets -> 4 in-header + 1 ext block
+    val frags = (0 until 8).map(k =>
+      (k * 512L, Array.fill[Byte](8)((k + 1).toByte)))
+    val t = Tar.buildSparseOldGnu("many.raw", frags, 4608L)
+    val d = Tar.read(t, "many.raw").get
+    assert(d.length == 4608)
+    (0 until 8).foreach { k =>
+      assert(d.slice(k * 512, k * 512 + 8).forall(_ == (k + 1).toByte))
+      assert(d.slice(k * 512 + 8, (k + 1) * 512).forall(_ == 0))
+    }
+  }
+
+  test("pax sparse dialects 0.0 / 0.1 / 1.0 expand identically") {
+    for (dialect <- Seq("0.0", "0.1", "1.0")) {
+      val t = Tar.buildSparsePax("img.raw", sparseFrags, 2000L, dialect)
+      val es = Tar.entries(t)
+      assert(es.map(e => (e.name, e.size)) == Seq(("img.raw", 2000L)), dialect)
+      checkSparse(Tar.read(t, "img.raw").get, 2000L)
+    }
+  }
+
+  test("pax sparse inside a zstd-wrapped tar") {
+    val t = Codecs.zstd(Tar.buildSparsePax("img.raw", sparseFrags, 2000L, "1.0"))
+    checkSparse(Tar.read(t, "img.raw").get, 2000L)
+  }
+
+  test("'g' global pax records apply as defaults, per-member 'x' overrides") {
+    def paxRec(k: String, v: String): Array[Byte] = {
+      val body = s" $k=$v\n".getBytes("UTF-8")
+      var len = body.length + 1
+      while (len.toString.length + body.length != len)
+        len = len.toString.length + body.length
+      len.toString.getBytes("US-ASCII") ++ body
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def member(h: Array[Byte], d: Array[Byte]): Unit = {
+      out.write(h); out.write(d)
+      val r = out.size() % 512
+      if (r != 0) out.write(new Array[Byte](512 - r))
+    }
+    val g = paxRec("path", "global/name.txt") ++ paxRec("ignored.key", "zz")
+    member(Tar.header("./PaxHeaders/g", g.length, 'g'), g)
+    member(Tar.header("hdr-a.txt", 5, '0'), "aaaaa".getBytes)
+    val x = paxRec("path", "local/name.txt")
+    member(Tar.header("./PaxHeaders/x", x.length, 'x'), x)
+    member(Tar.header("hdr-b.txt", 5, '0'), "bbbbb".getBytes)
+    member(Tar.header("hdr-c.txt", 5, '0'), "ccccc".getBytes)
+    out.write(new Array[Byte](1024))
+    val names = Tar.entries(out.toByteArray).map(_.name)
+    // global path applies to members 1 and 3; the 'x' override wins on 2
+    assert(names == Seq("global/name.txt", "local/name.txt", "global/name.txt"))
+  }
+
+  test("duplicate names: read returns the LAST complete occurrence") {
+    val t = Tar.build(Seq(
+      ("dup.txt", "old contents".getBytes, '0'),
+      ("other.txt", "x".getBytes, '0'),
+      ("dup.txt", "new contents!".getBytes, '0')))
+    assert(new String(Tar.read(t, "dup.txt").get) == "new contents!")
+  }
 }
