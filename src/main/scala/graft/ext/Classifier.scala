@@ -30,8 +30,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Classifier {
 
-  /** Trained model artifact: `weights(dim)` is the intercept. */
-  final case class Model(weights: Array[Double], dim: Int) {
+  /** Trained model artifact: `weights(dim)` is the intercept.
+    * `itersRun` records how many full-batch steps [[train]] actually
+    * took (< the cap when the convergence gate fired).
+    */
+  final case class Model(weights: Array[Double], dim: Int, itersRun: Int = 0) {
     require(weights.length == dim + 1, s"weights must be dim+1 (${dim + 1})")
     def bias: Double = weights(dim)
   }
@@ -136,9 +139,16 @@ object Classifier {
     *
     * @param labelCol 0/1 (castable to double) target column
     * @param dim      hashed feature dimension (weight vector is dim+1)
-    * @param iters    full-batch gradient steps
+    * @param iters    CAP on full-batch gradient steps
     * @param lr       Adagrad base step (first update per touched
     *                 coordinate is ±lr; total movement is O(lr·iters))
+    * @param tol      convergence gate: stop once the L2 norm of the
+    *                 mean gradient falls to/under this. The norm is
+    *                 computed from the EXACT decimal gradient sum, so
+    *                 the stopping step is a pure function of the data —
+    *                 same corpus, same stop, same artifact — while a
+    *                 converged 100 TB training run stops paying for
+    *                 passes that no longer move the weights. 0 disables.
     */
   def train(
       df: DataFrame,
@@ -148,7 +158,8 @@ object Classifier {
       dim: Int = 1 << 12,
       iters: Int = 20,
       lr: Double = 1.0,
-      indexOf: Column => Column = null): Model = {
+      indexOf: Column => Column = null,
+      tol: Double = 1e-6): Model = {
     val idx = Option(indexOf).getOrElse(hashIndex(_: Column, dim))
     // Cache width rides the INPUT's scan width (file-size derived), not
     // the session shuffle width: the compact feature table is ~one row
@@ -194,8 +205,10 @@ object Classifier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     featRdd.count() // materialize, then drop the row-form cache
     feats.unpersist()
+    var itersRun = 0
     try {
-      (0 until iters).foreach { _ =>
+      var converged = false
+      while (!converged && itersRun < iters) {
         // Per-doc: margin (left-to-right double dot — the SparseDotW
         // order), sigmoid, residual; per-coordinate gradient terms
         // quantized to DECIMAL scale 12 (BigDecimal.valueOf = Spark's
@@ -227,17 +240,25 @@ object Classifier {
             while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }
             a
           })
+        var normSq = 0.0
         var i = 0
         while (i < grad.length) {
           if (grad(i).signum != 0) {
             val g = grad(i).doubleValue() / nDocs
+            normSq += g * g
             gsq(i) += g * g
             if (gsq(i) > 0.0) w(i) -= lr * g / math.sqrt(gsq(i))
           }
           i += 1
         }
+        itersRun += 1
+        // convergence gate: the exact-decimal gradient makes the norm —
+        // and therefore the stopping iteration — deterministic for a
+        // given corpus; the update above is still applied, so a gated
+        // run equals the same run truncated at this step
+        if (tol > 0.0 && math.sqrt(normSq) <= tol) converged = true
       }
     } finally featRdd.unpersist()
-    Model(w, dim)
+    Model(w, dim, itersRun)
   }
 }

@@ -115,4 +115,26 @@ class ClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("convergence gate stops early on a separable fixture, deterministically") {
+    // generous cap, loose tol: the planted corpus separates and the mean
+    // gradient collapses well before 400 passes
+    val m = Classifier.train(planted, "doc_id", "text", "label",
+      dim = dim, iters = 400, lr = 5.0, tol = 1e-3)
+    assert(m.itersRun < 400, s"gate never fired (ran ${m.itersRun})")
+    assert(m.itersRun > 1)
+    // deterministic: same data -> same stopping step and same weights
+    val m2 = Classifier.train(planted.repartition(5), "doc_id", "text", "label",
+      dim = dim, iters = 400, lr = 5.0, tol = 1e-3)
+    assert(m2.itersRun == m.itersRun)
+    assert(m2.weights.toSeq == m.weights.toSeq)
+    // a gated run equals the ungated run truncated at the same step
+    val trunc = Classifier.train(planted, "doc_id", "text", "label",
+      dim = dim, iters = m.itersRun, lr = 5.0, tol = 0.0)
+    assert(trunc.weights.toSeq == m.weights.toSeq)
+    // tol = 0 disables the gate entirely
+    val full = Classifier.train(planted, "doc_id", "text", "label",
+      dim = dim, iters = 25, lr = 5.0, tol = 0.0)
+    assert(full.itersRun == 25)
+  }
 }
