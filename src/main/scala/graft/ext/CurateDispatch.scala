@@ -29,6 +29,28 @@ import graft.spec.{PipelineSpec, SegType, Stage}
   */
 object CurateDispatch {
 
+  // every corpus the dispatch stage persists, so a driver can release
+  // them deterministically after its sink action instead of leaning on
+  // the ContextCleaner: a long-running stream that runs one engine
+  // pipeline per micro-batch would otherwise accumulate a cached
+  // relation per batch in the block manager until GC notices
+  private val cached =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every corpus cached by [[spec]]'s dispatch stage since
+    * the last call. Call AFTER the pipeline's sink action has
+    * materialized (foreachBatch write, Verify dump) — the cache is
+    * useless once the union is computed. Safe to call any time:
+    * unpersisting is lazy-correct (recompute, not wrong answers).
+    */
+  def releaseCached(): Unit = {
+    var d = cached.poll()
+    while (d != null) {
+      try d.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+      d = cached.poll()
+    }
+  }
+
   /** Input contract: `(media_id long, payload binary)` — format unknown
     * per row. Output: `(media_id, format, kind, width, height,
     * duration_ms, text)` for every payload an arm claims.
@@ -54,9 +76,11 @@ object CurateDispatch {
         val spark = df0.sparkSession
         import spark.implicits._
         // six arms read the sniffed corpus: persist once (map-tee
-        // discipline), every arm is filter + mapPartitions over it
+        // discipline), every arm is filter + mapPartitions over it;
+        // registered for deterministic post-action release
         val df = df0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.add(df)
         def rows(formats: Seq[String]) = df
           .filter(col("format").isin(formats: _*))
           .select("media_id", "payload", "format")

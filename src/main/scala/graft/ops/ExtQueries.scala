@@ -4571,13 +4571,19 @@ object ExtQueries {
       // no read-modify-write). The merged log must hash-equal the batch
       // oracle — continuous ingest ≡ batch truth, certified not claimed.
       import s.implicits._
+      // per-run AND per-JVM dirs (PID suffix): two concurrent JVMs (the
+      // bench-next-to-test scenario) must not delete/overwrite each
+      // other's source or output-log mid-stream
       val runId = streamDispatchRuns.incrementAndGet()
-      val srcDir = s"/tmp/graft_stream_dispatch_src_${Tables.corpusTag(d)}_$runId"
-      val logDir = s"/tmp/graft_stream_dispatch_log_$runId"
-      val ckDir = s"/dev/shm/graft_ck_dispatch_${runId}_${ProcessHandle.current().pid()}"
-      for (p <- Seq(srcDir, logDir, ckDir))
-        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
-        catch { case _: Exception => () }
+      val pid = ProcessHandle.current().pid()
+      val srcDir = s"/tmp/graft_stream_dispatch_src_${Tables.corpusTag(d)}_${runId}_$pid"
+      val logDir = s"/tmp/graft_stream_dispatch_log_${runId}_$pid"
+      val ckDir = s"/dev/shm/graft_ck_dispatch_${runId}_$pid"
+      def rmAll(): Unit =
+        for (p <- Seq(srcDir, logDir, ckDir))
+          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+          catch { case _: Exception => () }
+      rmAll()
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
@@ -4626,15 +4632,20 @@ object ExtQueries {
             .run("curate_dispatch", s, Some(batch.toDF()),
               graft.engine.RunOptions(orderedConcat = false))
             .write.mode("append").parquet(logDir)
-          ()
+          // release THIS batch's dispatch cache now that the log append
+          // materialized it — a long stream must not accumulate one
+          // cached relation per micro-batch until the ContextCleaner GCs
+          graft.ext.CurateDispatch.releaseCached()
         }
         .option("checkpointLocation", ckDir)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
-      catch { case _: Exception => () }
-      s.read.parquet(logDir).orderBy("media_id")
+      try {
+        q.awaitTermination()
+        // materialize off the files (localCheckpoint) so every per-run
+        // directory can be deleted NOW instead of accumulating in /tmp
+        s.read.parquet(logDir).orderBy("media_id").localCheckpoint()
+      } finally rmAll()
     },
     Some("""SELECT doc_id AS media_id,
                    CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
