@@ -3,11 +3,14 @@ package graft.ext
 /** Unified general-purpose compression envelope — the non-gzip stream
   * codecs modern LLM corpus distributions actually ship (RedPajama,
   * Dolma, FineWeb publish `.jsonl.zst`; software/source dumps ship
-  * `.tar.xz`/`.tar.bz2`). The decoders are the ones ALREADY on the
-  * Spark classpath (`/opt/spark/jars`): zstd-jni for zstd, org.tukaani
-  * xz for XZ/LZMA2, commons-compress for bzip2 — no new dependencies,
-  * just routing (this replaces the older, incorrect "no JVM codec in
-  * the sandbox" rationale that kept these families sniff-only).
+  * `.tar.xz`/`.tar.bz2`; fast-path shards ship `.tar.lz4` and framed
+  * snappy; legacy dumps still carry `.lzma` and Unix-compress `.Z`).
+  * The decoders are the ones ALREADY on the Spark classpath
+  * (`/opt/spark/jars`): zstd-jni for zstd, org.tukaani xz for XZ/LZMA2
+  * and lzma-alone, commons-compress for bzip2 / framed-lz4 /
+  * framed-snappy / .Z — no new dependencies, just routing (this
+  * replaces the older, incorrect "no JVM codec in the sandbox"
+  * rationale that kept these families sniff-only).
   *
   * Reference analog: the byte-stream stage contract
   * (`/root/reference/index.js:14-27`) — any compressed stdin a shell
@@ -31,18 +34,37 @@ object Codecs {
 
   /** Compression family by magic: "gzip" (RFC 1952 `1f 8b`), "zstd"
     * (RFC 8878 `28 b5 2f fd`), "xz" (`fd 37 7a 58 5a 00`), "bzip2"
-    * (`BZh1`..`BZh9`), else "none". Specificity mirrors
-    * [[Multimodal.sniffFormat]] so triage and decode route identically.
+    * (`BZh1`..`BZh9`), "lz4" (frame format `04 22 4d 18`), "snappy"
+    * (framing-format stream identifier `ff 06 00 00 sNaPpY`), "z"
+    * (Unix compress `1f 9d`), "lzma" (lzma-alone: props byte then
+    * little-endian dict size — a WEAK magic, so it is checked LAST and
+    * only with the 13-byte fixed header present, props < 9·5·5 = 225,
+    * and a dict size that is a plausible power-of-two multiple of 64 KiB
+    * — i.e. low two dict bytes zero, which every real encoder emits),
+    * else "none". Specificity mirrors [[Multimodal.sniffFormat]] so
+    * triage and decode route identically.
     */
   def detect(b: Array[Byte]): String = {
-    if (b == null || b.length < 4) "none"
+    if (b == null || b.length < 3) "none"
     else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"
+    // .Z needs only its 2-byte magic + mode byte (a header-only stream
+    // is the legal encoding of empty input)
+    else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x9D) "z"
+    else if (b.length < 4) "none"
     else if ((b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
       (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD) "zstd"
     else if (b.length >= 6 && (b(0) & 0xFF) == 0xFD && b(1) == '7' &&
       b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' && b(5) == 0) "xz"
     else if (b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
       b(3) >= '1' && b(3) <= '9') "bzip2"
+    else if ((b(0) & 0xFF) == 0x04 && (b(1) & 0xFF) == 0x22 &&
+      (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18) "lz4"
+    else if (b.length >= 10 && (b(0) & 0xFF) == 0xFF && b(1) == 0x06 &&
+      b(2) == 0 && b(3) == 0 && b(4) == 's' && b(5) == 'N' &&
+      b(6) == 'a' && b(7) == 'P' && b(8) == 'p' && b(9) == 'Y') "snappy"
+    else if (b.length >= 13 && (b(0) & 0xFF) < 225 && b(1) == 0 &&
+      b(2) == 0 && (b(3) != 0 || b(4) != 0) && (b(4) & 0xFF) < 0x40 &&
+      (b(12) == 0 || (b(12) & 0xFF) == 0xFF)) "lzma"
     else "none"
   }
 
@@ -50,11 +72,15 @@ object Codecs {
   def isCompressed(b: Array[Byte]): Boolean = detect(b) != "none"
 
   /** A decompressor `InputStream` over the blob, routed by magic; the
-    * identity stream when the blob is not compressed. All four arms
-    * decode CONCATENATED streams/frames/members (how corpus shards are
-    * appended in practice): multi-member gzip, multi-frame zstd
+    * identity stream when the blob is not compressed. The append-style
+    * arms decode CONCATENATED streams/frames/members (how corpus shards
+    * are appended in practice): multi-member gzip, multi-frame zstd
     * (including skippable frames — the seekable-zstd seek table),
-    * concatenated xz streams with padding, concatenated bzip2 streams.
+    * concatenated xz streams with padding, concatenated bzip2 streams,
+    * concatenated lz4 frames, and framed snappy (whose repeated
+    * stream-identifier chunks are legal mid-stream, so appended shards
+    * are one valid stream by construction). lzma-alone and .Z are
+    * single-stream formats by spec — no concatenation to honor.
     * Construction failures (e.g. a truncated fixed header) yield an
     * empty stream — the caller's walk just ends.
     */
@@ -69,6 +95,18 @@ object Codecs {
         case "bzip2" =>
           new org.apache.commons.compress.compressors.bzip2
             .BZip2CompressorInputStream(raw, true)
+        case "lz4" =>
+          new org.apache.commons.compress.compressors.lz4
+            .FramedLZ4CompressorInputStream(raw, true)
+        case "snappy" =>
+          new org.apache.commons.compress.compressors.snappy
+            .FramedSnappyCompressorInputStream(raw)
+        case "lzma" =>
+          new org.apache.commons.compress.compressors.lzma
+            .LZMACompressorInputStream(raw)
+        case "z" =>
+          new org.apache.commons.compress.compressors.z
+            .ZCompressorInputStream(raw)
         case _ => raw
       }
     } catch {
@@ -173,5 +211,81 @@ object Codecs {
     val o = new java.util.zip.GZIPOutputStream(bos)
     o.write(b); o.close()
     bos.toByteArray
+  }
+
+  /** lz4-frame-compress one frame (commons-compress framed writer). */
+  def lz4(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorOutputStream(bos)
+    o.write(b); o.close()
+    bos.toByteArray
+  }
+
+  /** framed-snappy-compress one stream (commons-compress framed writer). */
+  def snappy(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new org.apache.commons.compress.compressors.snappy
+      .FramedSnappyCompressorOutputStream(bos)
+    o.write(b); o.close()
+    bos.toByteArray
+  }
+
+  /** lzma-alone-compress one stream (tukaani writer via commons-compress). */
+  def lzma(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new org.apache.commons.compress.compressors.lzma
+      .LZMACompressorOutputStream(bos)
+    o.write(b); o.close()
+    bos.toByteArray
+  }
+
+  /** Unix-compress (.Z) one stream — a minimal LZW encoder, because the
+    * classpath carries only the DECODER (commons-compress
+    * `ZCompressorInputStream`); this builder exists so the .Z arm has
+    * self-built round-trip fixtures like every other family. Encodes in
+    * BLOCK mode (header byte 3 = 0x80|maxbits) pinned at maxbits = 9:
+    * code width never grows past the initial 9 bits, so the encoder
+    * sidesteps the historical compress(1) bit-buffer alignment quirk at
+    * width changes entirely — once the table fills at 511 the encoder
+    * simply stops adding entries and keeps emitting from the frozen
+    * table, which is a valid (if unambitious) LZW stream every decoder
+    * accepts. Correctness, not ratio, is the point of a fixture.
+    */
+  def zCompress(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 16)
+    out.write(0x1F); out.write(0x9D); out.write(0x80 | 9)
+    // dictionary over (prefixCode << 8 | nextByte); 256 = CLEAR (block
+    // mode reserves it even when never emitted), first free code = 257
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = 257
+    var bitBuf = 0L
+    var bitCnt = 0
+    def emit(code: Int): Unit = { // 9-bit codes, LSB-first packing
+      bitBuf |= (code.toLong & 0x1FF) << bitCnt
+      bitCnt += 9
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    if (b.nonEmpty) {
+      var w = b(0) & 0xFF
+      var i = 1
+      while (i < b.length) {
+        val c = b(i) & 0xFF
+        val key = Integer.valueOf((w << 8) | c)
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          emit(w)
+          if (nextCode < 512) { dict.put(key, Integer.valueOf(nextCode)); nextCode += 1 }
+          w = c
+        }
+        i += 1
+      }
+      emit(w)
+    }
+    if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+    out.toByteArray
   }
 }

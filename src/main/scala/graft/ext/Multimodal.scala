@@ -598,14 +598,20 @@ object Multimodal {
     else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) "gzip"
     // the non-gzip compression families crawl datasets actually ship in:
     // NAMED at triage so a routing policy can see them, and decoded by
-    // the matching [[Codecs]] arm (zstd-jni / tukaani-xz /
-    // commons-compress bzip2 — all on the Spark classpath)
+    // the matching [[Codecs]] arm (zstd-jni / tukaani-xz / commons-
+    // compress bzip2, framed-lz4, framed-snappy, .Z, lzma — all on the
+    // Spark classpath)
     else if ((b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
       (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD) "zstd"
     else if (b.length >= 6 && (b(0) & 0xFF) == 0xFD && at(1, "7zXZ") &&
       b(5) == 0) "xz"
     else if (at(0, "BZh") && b.length >= 4 &&
       b(3) >= '1' && b(3) <= '9') "bzip2"
+    else if (b.length >= 4 && (b(0) & 0xFF) == 0x04 && (b(1) & 0xFF) == 0x22 &&
+      (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18) "lz4"
+    else if (b.length >= 10 && (b(0) & 0xFF) == 0xFF && b(1) == 0x06 &&
+      b(2) == 0 && b(3) == 0 && at(4, "sNaPpY")) "snappy"
+    else if ((b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x9D) "z"
     else if (b.length >= 6 && at(0, "7z") && (b(2) & 0xFF) == 0xBC &&
       (b(3) & 0xFF) == 0xAF && (b(4) & 0xFF) == 0x27 &&
       (b(5) & 0xFF) == 0x1C) "7z"
@@ -621,6 +627,11 @@ object Multimodal {
         (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
       val head = new String(b, i, math.min(16, b.length - i), "US-ASCII").toLowerCase
       if (head.startsWith("<html") || head.startsWith("<!doctype")) "html"
+      // lzma-alone is a WEAK magic (props byte + LE dict size) — checked
+      // dead last, with the same sanity gates as [[Codecs.detect]]
+      else if (b.length >= 13 && (b(0) & 0xFF) < 225 && b(1) == 0 &&
+        b(2) == 0 && (b(3) != 0 || b(4) != 0) && (b(4) & 0xFF) < 0x40 &&
+        (b(12) == 0 || (b(12) & 0xFF) == 0xFF)) "lzma"
       else "unknown"
     }
   }

@@ -4805,19 +4805,19 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 26 payload families rotate by
-      // doc_id % 26 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 30 payload families rotate by
+      // doc_id % 30 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
-      // land on "mp4", the zstd/xz/bzip2/7z compression magics that a
-      // routing policy must SEE even without pure-JVM decode arms, and
-      // a plain-text "unknown"). The sniff must name each family and
-      // report exact byte lengths.
+      // land on "mp4", the zstd/xz/bzip2/7z/lz4/snappy/.Z/lzma
+      // compression magics a routing policy must SEE, and a plain-text
+      // "unknown"). The sniff must name each family and report exact
+      // byte lengths.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 26).toInt match {
+          val p: Array[Byte] = (id % 30).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4861,6 +4861,11 @@ object ExtQueries {
             case 24 => "7z".getBytes("US-ASCII") ++
               Array[Byte](0xBC.toByte, 0xAF.toByte, 0x27, 0x1C) ++
               new Array[Byte](4)
+            case 25 => Array[Byte](0x04, 0x22, 0x4D, 0x18) ++ new Array[Byte](4)
+            case 26 => Array[Byte](0xFF.toByte, 0x06, 0, 0) ++
+              "sNaPpY".getBytes("US-ASCII")
+            case 27 => Array[Byte](0x1F, 0x9D.toByte, 0x89.toByte, 0)
+            case 28 => Array[Byte](0x5D, 0, 0, 0x00, 0x01) ++ new Array[Byte](8)
             case _ => "plain text payload".getBytes("US-ASCII")
           }
           (id, p)
@@ -4870,7 +4875,7 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 26
+                   CASE doc_id % 30
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
@@ -4881,8 +4886,10 @@ object ExtQueries {
                      WHEN 19 THEN 'heic' WHEN 20 THEN 'avif'
                      WHEN 21 THEN 'zstd' WHEN 22 THEN 'xz'
                      WHEN 23 THEN 'bzip2' WHEN 24 THEN '7z'
+                     WHEN 25 THEN 'lz4' WHEN 26 THEN 'snappy'
+                     WHEN 27 THEN 'z' WHEN 28 THEN 'lzma'
                      ELSE 'unknown' END AS format,
-                   CAST(CASE doc_id % 26
+                   CAST(CASE doc_id % 30
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
@@ -4891,14 +4898,15 @@ object ExtQueries {
                      WHEN 15 THEN 834 WHEN 16 THEN 31 WHEN 17 THEN 8
                      WHEN 18 THEN 16 WHEN 19 THEN 16 WHEN 20 THEN 16
                      WHEN 21 THEN 8 WHEN 22 THEN 10 WHEN 23 THEN 10
-                     WHEN 24 THEN 10
+                     WHEN 24 THEN 10 WHEN 25 THEN 8 WHEN 26 THEN 10
+                     WHEN 27 THEN 4 WHEN 28 THEN 13
                      ELSE 18 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
-    "format-dispatch certificate: 25 payload families (every owned " +
+    "format-dispatch certificate: 29 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
       "whitespace-prefixed HTML, RIFF/WEBP, the HEIC/AVIF ftyp major " +
-      "brands, the zstd/xz/bzip2/7z compression magics, and a " +
-      "plain-text unknown) named exactly by the sniff")
+      "brands, the zstd/xz/bzip2/7z/lz4/snappy/.Z/lzma compression " +
+      "magics, and a plain-text unknown) named exactly by the sniff")
 
   private val qWebpExif = Q(
     "q_webp_exif",
@@ -5394,7 +5402,8 @@ object ExtQueries {
     (s, d) => {
       // Compressed-tarball certificate: the q_tar_extract archive wrapped
       // in the compression family software and corpus tarballs actually
-      // ship (rotating by doc_id: plain / .tar.zst / .tar.xz / .tar.bz2).
+      // ship (rotating by doc_id: plain / .tar.zst / .tar.xz / .tar.bz2 /
+      // .tar.lz4 / framed snappy / .tar.lzma / Unix-compress .tar.Z).
       // The SAME streaming walk must list and extract through every
       // codec — decode arms route by magic, not by filename.
       import s.implicits._
@@ -5405,11 +5414,15 @@ object ExtQueries {
           val tar = graft.ext.Tar.build(Seq(
             ("docs/", Array.emptyByteArray, '5'),
             ("docs/text.txt", textB, '0')))
-          val (codec, blob) = (id % 4) match {
+          val (codec, blob) = (id % 8) match {
             case 0 => ("none", tar)
             case 1 => ("zstd", graft.ext.Codecs.zstd(tar))
             case 2 => ("xz", graft.ext.Codecs.xz(tar))
-            case _ => ("bzip2", graft.ext.Codecs.bzip2(tar))
+            case 3 => ("bzip2", graft.ext.Codecs.bzip2(tar))
+            case 4 => ("lz4", graft.ext.Codecs.lz4(tar))
+            case 5 => ("snappy", graft.ext.Codecs.snappy(tar))
+            case 6 => ("lzma", graft.ext.Codecs.lzma(tar))
+            case _ => ("z", graft.ext.Codecs.zCompress(tar))
           }
           val es = graft.ext.Tar.entries(blob)
           val extracted = graft.ext.Tar.read(blob, "docs/text.txt")
@@ -5420,14 +5433,16 @@ object ExtQueries {
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-                   CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'zstd'
-                        WHEN 2 THEN 'xz' ELSE 'bzip2' END AS codec,
+                   CASE doc_id % 8 WHEN 0 THEN 'none' WHEN 1 THEN 'zstd'
+                        WHEN 2 THEN 'xz' WHEN 3 THEN 'bzip2'
+                        WHEN 4 THEN 'lz4' WHEN 5 THEN 'snappy'
+                        WHEN 6 THEN 'lzma' ELSE 'z' END AS codec,
                    2 AS n_entries, text AS extracted,
                    CAST(strlen(text) AS BIGINT) AS total_size
             FROM documents ORDER BY doc_id"""),
     "compressed-tarball certificate: one streaming ustar walk through " +
-      "plain/zstd/xz/bzip2 wrappers routed by magic — member listing " +
-      "and byte-exact extraction against closed forms")
+      "plain/zstd/xz/bzip2/lz4/snappy/lzma/.Z wrappers routed by magic " +
+      "— member listing and byte-exact extraction against closed forms")
 
   private val qWarcZst = Q(
     "q_warc_zst",

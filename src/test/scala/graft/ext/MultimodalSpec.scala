@@ -354,5 +354,19 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0xBC.toByte, 0xAF.toByte, 0x27, 0x1C)) == "7z")
     // a bare '7z' prefix without the signature tail is not 7z
     assert(Multimodal.sniffFormat("7zfakery".getBytes) == "unknown")
+    // round-12 codec families: lz4 frame, framed snappy, Unix .Z, and
+    // the weak lzma-alone magic (checked dead last, sanity-gated)
+    assert(Multimodal.sniffFormat(
+      Array[Byte](0x04, 0x22, 0x4D, 0x18, 0)) == "lz4")
+    assert(Multimodal.sniffFormat(Array[Byte](0xFF.toByte, 0x06, 0, 0) ++
+      "sNaPpY".getBytes) == "snappy")
+    assert(Multimodal.sniffFormat(
+      Array[Byte](0x1F, 0x9D.toByte, 0x89.toByte, 0)) == "z")
+    assert(Multimodal.sniffFormat(graft.ext.Codecs.lzma("x".getBytes)) == "lzma")
+    // lzma must NOT fire on zero/oversized dict or bad size high byte
+    assert(Multimodal.sniffFormat(
+      Array[Byte](93, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8)) == "unknown")
+    assert(Multimodal.sniffFormat(
+      Array[Byte](93, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 9)) == "unknown")
   }
 }
