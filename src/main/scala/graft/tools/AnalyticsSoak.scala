@@ -344,6 +344,45 @@ object AnalyticsSoak {
       require(cl / 8 > Int.MaxValue.toLong, "per-row inflated must exceed 2 GiB")
       c
     }
+    // ---- the SAME crawl-landing shape over zstd (round 12): modern
+    // corpus distributions (.warc.zst / .jsonl.zst) frame per append, and
+    // the inflated stream walks as bounded slabs (Codecs.chunks) rather
+    // than gzip's member iterator — the heap bound must hold identically
+    // past the 2 GiB single-array cap.
+    val warcZstDir = "/tmp/graft_asoak_warczst_8"
+    if (!new java.io.File(s"$warcZstDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, 8, 1, 8).as[Long]
+        .map { id =>
+          val payloadLen = 60 * 1024 * 1024
+          val hdr = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+            s"WARC-Target-URI: https://soak.example/zst/$id\r\n" +
+            s"Content-Length: $payloadLen\r\n\r\n").getBytes("ISO-8859-1")
+          val rec = new Array[Byte](hdr.length + payloadLen + 4)
+          System.arraycopy(hdr, 0, rec, 0, hdr.length)
+          System.arraycopy("\r\n\r\n".getBytes, 0, rec, hdr.length + payloadLen, 4)
+          // one frame per record × 40 — the appended-shard framing
+          val frame = graft.ext.Codecs.zstd(rec, 3)
+          val blob = new Array[Byte](frame.length * 40)
+          (0 until 40).foreach(k =>
+            System.arraycopy(frame, 0, blob, k * frame.length, frame.length))
+          (id, blob)
+        }
+        .toDF("doc_id", "warc")
+        .write.mode("overwrite").parquet(warcZstDir)
+    }
+    timed("warc_zst_2gib_rows", 8L * 40) {
+      import spark.implicits._
+      val recs = graft.ext.Warc.records(
+        spark.read.parquet(warcZstDir), "doc_id", "warc")
+      val row = recs.selectExpr("count(*) AS c",
+        "sum(content_length) AS cl", "sum(length(body)) AS bl").head()
+      val (c, cl, bl) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      require(c == 320L && cl == bl && cl == 320L * 60 * 1024 * 1024,
+        s"warc zst streaming mismatch: c=$c cl=$cl bl=$bl")
+      require(cl / 8 > Int.MaxValue.toLong, "per-row inflated must exceed 2 GiB")
+      c
+    }
     // ---- office/archive extraction (round 10): DOCX, XLSX and TAR
     // blobs built once, extracted by the real container walks — the
     // document-modality twin of media_triage (deflate members, CRC
