@@ -188,19 +188,45 @@ object Codecs {
     out.toByteArray
   }
 
-  /** xz-compress one stream (LZMA2, default preset). */
+  /** LZMA/LZMA2 options with the dictionary sized to the PAYLOAD, not
+    * the preset: a dictionary larger than the input buys zero ratio but
+    * the encoder allocates ~11× the dict size per call — preset 6's
+    * 8 MiB dict is ~90 MB of encoder state, which at one
+    * fixture-archive-per-row turned the lzma/xz/7z certificate queries
+    * into the TOP of the whole bench profile (q_zip_methods 14.0 s,
+    * q_7z_extract 13.5 s at sf0.01 — allocation churn, not compression
+    * work). Every decoder reads the dict size from the stream props, so
+    * output stays universally decodable.
+    */
+  def lzmaOpts(payloadLen: Int): org.tukaani.xz.LZMA2Options = {
+    val o = new org.tukaani.xz.LZMA2Options()
+    // floor at 64 KiB, not DICT_SIZE_MIN: [[detect]]'s lzma-alone
+    // heuristic (and every real-world writer's) relies on the dict-size
+    // field being a 64 KiB multiple — bytes 1-2 zero — and a 4 KiB dict
+    // would sniff as "none" (the q_tar_codecs lzma members went empty)
+    val want = math.max(1 << 16,
+      Integer.highestOneBit(math.max(1, payloadLen)) * 2)
+    o.setDictSize(math.min(o.getDictSize, want))
+    o
+  }
+
+  /** xz-compress one stream (LZMA2, payload-sized dictionary). */
   def xz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val o = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options())
+    val o = new org.tukaani.xz.XZOutputStream(bos, lzmaOpts(b.length))
     o.write(b); o.close()
     bos.toByteArray
   }
 
-  /** bzip2-compress one stream. */
+  /** bzip2-compress one stream (block size chosen from the payload —
+    * the default 900 KiB block allocates ~7 MB of work arrays per call).
+    */
   def bzip2(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val o = new org.apache.commons.compress.compressors.bzip2
-      .BZip2CompressorOutputStream(bos)
+      .BZip2CompressorOutputStream(bos,
+        org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorOutputStream.chooseBlockSize(b.length.toLong))
     o.write(b); o.close()
     bos.toByteArray
   }
@@ -231,11 +257,13 @@ object Codecs {
     bos.toByteArray
   }
 
-  /** lzma-alone-compress one stream (tukaani writer via commons-compress). */
+  /** lzma-alone-compress one stream (tukaani writer, unknown-size
+    * header + EOS marker — what the commons-compress facade also emits —
+    * but with the payload-sized dictionary, see [[lzmaOpts]]).
+    */
   def lzma(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val o = new org.apache.commons.compress.compressors.lzma
-      .LZMACompressorOutputStream(bos)
+    val o = new org.tukaani.xz.LZMAOutputStream(bos, lzmaOpts(b.length), -1L)
     o.write(b); o.close()
     bos.toByteArray
   }

@@ -91,6 +91,23 @@ object SevenZ {
       case Some(p) => new SevenZOutputFile(ch, p.toCharArray)
       case None    => new SevenZOutputFile(ch)
     }
+    // LZMA2 with the dictionary sized to the largest member instead of
+    // the 8 MiB default — ~90 MB of encoder state per fixture archive
+    // otherwise (the q_7z_extract 13.5 s bench spike; see Codecs.lzmaOpts).
+    // The password path must keep AES256SHA256 in the method CHAIN, or
+    // overriding would silently ship the "encrypted" fixture in plaintext.
+    val maxLen = members.foldLeft(1) { case (m, (_, d)) => math.max(m, d.length) }
+    val lzma2 =
+      new org.apache.commons.compress.archivers.sevenz.SevenZMethodConfiguration(
+        org.apache.commons.compress.archivers.sevenz.SevenZMethod.LZMA2,
+        graft.ext.Codecs.lzmaOpts(maxLen))
+    // encrypted archives keep the password constructor's default chain:
+    // the AES coder's AES256Options (which carries the key material) is
+    // package-private, so a replacement chain cannot re-attach it — and
+    // a bare AES method constant NPEs in the encoder. Only the
+    // unencrypted fixture path (the per-row certificate query) needs
+    // the allocation fix.
+    if (password.isEmpty) out.setContentMethods(java.util.Arrays.asList(lzma2))
     try {
       for ((name, data) <- members) {
         val e = new SevenZArchiveEntry()

@@ -5563,6 +5563,94 @@ object ExtQueries {
       "without the password, gate out every password-less read, and " +
       "decrypt byte-exact (check byte + CRC) with the per-doc password")
 
+  private val qZipMethods = Q(
+    "q_zip_methods",
+    (s, d) => {
+      // Modern-method ZIP certificate: one archive per doc carrying the
+      // SAME text compressed seven ways — stored (0), deflate (8),
+      // Deflate64 (9, the method Windows' built-in zipper switches to
+      // past 2 GiB), bzip2 (12), zip-LZMA (14, 7-Zip's -mm=LZMA), zstd
+      // (93) and xz (95, the current APPNOTE assignments) — every
+      // member must LIST with its method id and extract byte-exact
+      // (CRC-verified) through the classpath decoder the method routes
+      // to. One row per (doc, method) so a single broken arm fails the
+      // hash, not an aggregate.
+      import s.implicits._
+      val methods = Seq(0, 8, 9, 12, 14, 93, 95)
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val z = graft.ext.Zip.buildMethods(
+            methods.map(m => (s"m$m.txt", raw, m)))
+          val es = graft.ext.Zip.entries(z)
+          methods.map { m =>
+            val listedOk = es.exists(e => e.name == s"m$m.txt" && e.method == m)
+            val extracted = graft.ext.Zip.read(z, s"m$m.txt")
+              .map(new String(_, "UTF-8")).getOrElse("")
+            (id, m, if (listedOk) extracted else "")
+          }
+        }
+        .toDF("doc_id", "method", "extracted")
+        .orderBy("doc_id", "method")
+    },
+    Some("""SELECT d.doc_id, m.method, d.text AS extracted
+            FROM documents d
+            CROSS JOIN (VALUES (0),(8),(9),(12),(14),(93),(95)) m(method)
+            ORDER BY doc_id, method"""),
+    "modern-method ZIP certificate: stored/deflate/Deflate64/bzip2/" +
+      "LZMA/zstd/xz members list with their method ids and extract " +
+      "byte-exact through the classpath decoders")
+
+  private val qZipAes = Q(
+    "q_zip_aes",
+    (s, d) => {
+      // WinZip AES certificate: per doc an AES-encrypted archive with a
+      // per-doc password, rotating strength (AES-128/192/256 by doc_id)
+      // and AE version (AE-1 keeps the CRC, AE-2 zeroes it), the text
+      // member deflated and a binary member stored. The walk must LIST
+      // with method 99 + the 0x9901 envelope, gate every read out
+      // without the password (and with a wrong one — the 2-byte
+      // verifier), and decrypt byte-exact with it (HMAC authenticated
+      // before decode; AE-1 additionally CRC-checked).
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val pw = s"aespw-${id % 5}"
+          val strength = (id % 3).toInt + 1
+          val ae = (id % 2).toInt + 1
+          val bin = Array.tabulate(24)(k => (((id * 29 + k) % 256) & 0xFF).toByte)
+          val z = graft.ext.Zip.buildMethods(Seq(
+            ("docs/text.txt", text.getBytes("UTF-8"), 8),
+            ("meta/info.bin", bin, 0)), aes = Some((pw, strength, ae)))
+          val es = graft.ext.Zip.entries(z)
+          val envelopeOk = es.length == 2 && es.forall(e =>
+            e.encrypted && e.method == 99 &&
+              e.aes.exists(a => a.strength == strength && a.vendor == ae))
+          val locked = es.count(e => graft.ext.Zip.readEntry(z, e).nonEmpty) +
+            es.count(e => graft.ext.Zip.readEntry(z, e, Some("wrong")).nonEmpty)
+          val extracted = graft.ext.Zip.read(z, "docs/text.txt", Some(pw))
+            .map(new String(_, "UTF-8")).getOrElse("")
+          var binSum = 0L
+          graft.ext.Zip.read(z, "meta/info.bin", Some(pw))
+            .foreach(_.foreach(b => binSum += (b & 0xFF)))
+          (id, envelopeOk, locked, if (envelopeOk) extracted else "", binSum)
+        }
+        .toDF("doc_id", "envelope_ok", "n_locked", "extracted", "bin_sum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, sum((doc_id * 29 + k) % 256) AS bin_sum
+              FROM documents CROSS JOIN range(24) t(k) GROUP BY doc_id)
+            SELECT d.doc_id, TRUE AS envelope_ok, 0 AS n_locked,
+                   d.text AS extracted, CAST(b.bin_sum AS BIGINT) AS bin_sum
+            FROM documents d JOIN b USING (doc_id) ORDER BY doc_id"""),
+    "WinZip AES certificate: AE-1/AE-2 archives at all three strengths " +
+      "list with the 0x9901 envelope, gate out password-less and " +
+      "wrong-password reads, and decrypt byte-exact (verifier + HMAC + " +
+      "CTR + per-AE CRC discipline)")
+
   private val qTarSparse = Q(
     "q_tar_sparse",
     (s, d) => {
@@ -5650,5 +5738,5 @@ object ExtQueries {
     qMediaSniff, qWebpMeta, qWebpExif, qHeifMeta, qHeifExif, qId3Tags,
     qSubtitleExtract, qTiffMeta,
     qZstdExtract, qTarCodecs, qWarcZst, qSevenZExtract, qZipEncrypted,
-    qTarSparse)
+    qTarSparse, qZipMethods, qZipAes)
 }

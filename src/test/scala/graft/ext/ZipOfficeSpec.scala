@@ -178,4 +178,95 @@ class ZipOfficeSpec extends AnyFunSuite {
     bad(dataOff) = (bad(dataOff) ^ 0x40).toByte
     assert(Zip.read(bad, "x.txt", Some("pw")).isEmpty)
   }
+
+  private val methodIds = Seq(0, 8, 9, 12, 14, 93, 95)
+
+  test("modern methods: Deflate64/bzip2/LZMA/zstd/xz members round-trip") {
+    val text = ("method envelope payload " * 40).getBytes("UTF-8")
+    val bin = Array.tabulate[Byte](3000)(i => ((i * 31 + 7) % 251).toByte)
+    val z = Zip.buildMethods(
+      methodIds.map(m => (s"t$m.txt", text, m)) ++
+        methodIds.map(m => (s"b$m.bin", bin, m)))
+    val es = Zip.entries(z)
+    assert(es.map(_.method) == methodIds ++ methodIds)
+    methodIds.foreach { m =>
+      assert(Zip.read(z, s"t$m.txt").map(_.toSeq).contains(text.toSeq),
+        s"text member method $m")
+      assert(Zip.read(z, s"b$m.bin").map(_.toSeq).contains(bin.toSeq),
+        s"binary member method $m")
+    }
+    // the compressed arms actually compressed (stored is the size
+    // ceiling; 9 is excluded — its fixture encoding is stored blocks,
+    // the only deflate64-valid stream a JVM can emit)
+    val bySize = es.map(e => e.name -> e.comp_size).toMap
+    Seq(8, 12, 14, 93, 95).foreach(m =>
+      assert(bySize(s"t$m.txt") < bySize("t0.txt"), s"method $m ratio"))
+  }
+
+  test("modern methods: ZipCrypto layers over any compression method") {
+    val raw = "encrypted modern-method member".getBytes("UTF-8")
+    val z = Zip.buildMethods(
+      Seq(("z.txt", raw, 93), ("x.txt", raw, 95)), password = Some("pw"))
+    assert(Zip.read(z, "z.txt").isEmpty) // gated without password
+    assert(Zip.read(z, "z.txt", Some("pw")).map(_.toSeq).contains(raw.toSeq))
+    assert(Zip.read(z, "x.txt", Some("pw")).map(_.toSeq).contains(raw.toSeq))
+  }
+
+  test("modern methods: truncated or corrupt streams yield None, not garbage") {
+    val raw = ("corruption probe " * 50).getBytes("UTF-8")
+    Seq(12, 14, 93, 95).foreach { m =>
+      val z = Zip.buildMethods(Seq(("v.txt", raw, m)))
+      val e = Zip.entries(z).head
+      val dataOff = e.local_offset.toInt + 30 + "v.txt".length
+      // flip a byte mid-stream: CRC (or the decoder itself) must reject
+      val bad = z.clone()
+      bad(dataOff + e.comp_size.toInt / 2) =
+        (bad(dataOff + e.comp_size.toInt / 2) ^ 0x55).toByte
+      assert(Zip.read(bad, "v.txt").isEmpty, s"corrupt method $m")
+    }
+    // a method id nothing decodes gates out as unsupported
+    val z = Zip.buildMethods(Seq(("p.txt", raw, 8)))
+    val e = Zip.entries(z).head
+    val bad = z.clone()
+    // central-directory method field → 98 (PPMd, out of envelope)
+    val p = bad.length - 22 // EOCD (no trailing comment in built archives)
+    val cdOff = (bad(p + 16) & 0xFF) | ((bad(p + 17) & 0xFF) << 8) |
+      ((bad(p + 18) & 0xFF) << 16) | ((bad(p + 19) & 0xFF) << 24)
+    bad(cdOff + 10) = 98.toByte; bad(cdOff + 11) = 0
+    assert(Zip.entries(bad).head.method == 98)
+    assert(Zip.read(bad, "p.txt").isEmpty)
+  }
+
+  test("WinZip AES: all strengths and both AE versions round-trip") {
+    val text = ("winzip aes protected payload " * 20).getBytes("UTF-8")
+    for (strength <- 1 to 3; ae <- 1 to 2) {
+      val z = Zip.buildMethods(Seq(("s.txt", text, 8)),
+        aes = Some(("s3cret", strength, ae)))
+      val e = Zip.entries(z).head
+      assert(e.method == 99 && e.encrypted, s"strength=$strength ae=$ae")
+      assert(e.aes.contains(Zip.AesInfo(ae, strength, 8)))
+      assert(if (ae == 2) e.crc == 0 else e.crc != 0) // AE-2 zeroes CRC
+      assert(Zip.read(z, "s.txt").isEmpty) // gated without password
+      assert(Zip.read(z, "s.txt", Some("nope")).isEmpty) // verifier rejects
+      assert(Zip.read(z, "s.txt", Some("s3cret")).map(_.toSeq)
+        .contains(text.toSeq), s"strength=$strength ae=$ae")
+    }
+  }
+
+  test("WinZip AES: HMAC rejects ciphertext tampering before decode") {
+    val text = "authenticate before inflate".getBytes("UTF-8")
+    val z = Zip.buildMethods(Seq(("a.txt", text, 8)),
+      aes = Some(("pw", 3, 2)))
+    val e = Zip.entries(z).head
+    val dataOff = e.local_offset.toInt + 30 + "a.txt".length + 11 // + extra
+    // flip a byte in the encrypted body (past salt 16 + verifier 2)
+    val bad = z.clone()
+    bad(dataOff + 20) = (bad(dataOff + 20) ^ 0x01).toByte
+    assert(Zip.read(bad, "a.txt", Some("pw")).isEmpty)
+    // and AES layers over the widened method envelope too
+    val zz = Zip.buildMethods(Seq(("m.txt", text, 93)),
+      aes = Some(("pw", 2, 1)))
+    assert(Zip.entries(zz).head.aes.map(_.method).contains(93))
+    assert(Zip.read(zz, "m.txt", Some("pw")).map(_.toSeq).contains(text.toSeq))
+  }
 }
