@@ -5409,6 +5409,8 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
+        // single-split input serializes the per-doc codec encodes
+        .repartition(s.sparkContext.defaultParallelism)
         .map { case (id, text) =>
           val textB = text.getBytes("UTF-8")
           val tar = graft.ext.Tar.build(Seq(
@@ -5494,6 +5496,8 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
+        // single-split input serializes the per-doc LZMA2 encode
+        .repartition(s.sparkContext.defaultParallelism)
         .map { case (id, text) =>
           val bin = Array.tabulate(32)(k => (((id * 13 + k) % 256) & 0xFF).toByte)
           val z = graft.ext.SevenZ.build(Seq(
@@ -5579,6 +5583,9 @@ object ExtQueries {
       val methods = Seq(0, 8, 9, 12, 14, 93, 95)
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
+        // small parquet inputs arrive as ONE split; the 6 compressors
+        // per doc are the cost — spread them across the executor
+        .repartition(s.sparkContext.defaultParallelism)
         .flatMap { case (id, text) =>
           val raw = text.getBytes("UTF-8")
           val z = graft.ext.Zip.buildMethods(
@@ -5616,6 +5623,10 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
+        // ~7 PBKDF2 derivations (1000 HMAC-SHA1 iterations each) per
+        // doc between the build and the gate probes — single-split
+        // input would serialize ~5 ms/doc onto one core
+        .repartition(s.sparkContext.defaultParallelism)
         .map { case (id, text) =>
           val pw = s"aespw-${id % 5}"
           val strength = (id % 3).toInt + 1
