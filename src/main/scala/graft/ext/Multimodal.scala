@@ -616,6 +616,11 @@ object Multimodal {
       (b(3) & 0xFF) == 0xAF && (b(4) & 0xFF) == 0x27 &&
       (b(5) & 0xFF) == 0x1C) "7z"
     else if (at(0, "PK")) "zip"
+    // software-distribution containers (a code/package crawl's rows):
+    // ar is the .deb / static-library outer shell, ASCII cpio dialects
+    // are RPM payloads and initramfs images — both decoded by [[Pkg]]
+    else if (at(0, "!<arch>\n")) "ar"
+    else if (at(0, "070701") || at(0, "070702") || at(0, "070707")) "cpio"
     else if (at(0, "%PDF-")) "pdf"
     else if (at(0, "WARC/")) "warc"
     else if (at(257, "ustar")) "tar"

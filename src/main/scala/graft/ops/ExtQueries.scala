@@ -5669,6 +5669,96 @@ object ExtQueries {
       "wrong-password reads, and decrypt byte-exact (verifier + HMAC + " +
       "CTR + per-AE CRC discipline)")
 
+  private val qDebExtract = Q(
+    "q_deb_extract",
+    (s, d) => {
+      // .deb certificate: per doc a real Debian package shape —
+      // ar("debian-binary", control.tar.gz, data.tar.<codec>) with the
+      // data codec rotating by doc_id across what the archive pools
+      // actually ship (xz the Debian default, gzip, zstd the Ubuntu
+      // 21.10+ default, bzip2). The walk must list the ar members,
+      // parse a control field, route the data tar by MAGIC through the
+      // codec layer, and extract the payload byte-exact.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        // single-split input serializes the per-doc encodes
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { case (id, text) =>
+          val codec = (id % 4) match {
+            case 0 => "xz"; case 1 => "gzip"; case 2 => "zstd"; case _ => "bzip2"
+          }
+          val ctrl = s"Package: doc-$id\nVersion: 1.0-$id\nArchitecture: all\n"
+          val deb = graft.ext.Pkg.debBuild(ctrl, Seq(
+            (s"./usr/share/doc/doc-$id/readme", text.getBytes("UTF-8"))),
+            dataCodec = codec)
+          val arNames = graft.ext.Pkg.arEntries(deb).map(_.name)
+          val pkgField = graft.ext.Pkg.debControl(deb)
+            .flatMap(_.linesIterator.find(_.startsWith("Package: ")))
+            .map(_.stripPrefix("Package: ")).getOrElse("")
+          val extracted = graft.ext.Pkg
+            .debDataRead(deb, s"./usr/share/doc/doc-$id/readme")
+            .map(new String(_, "UTF-8")).getOrElse("")
+          (id, codec, arNames.mkString(","), pkgField, extracted)
+        }
+        .toDF("doc_id", "codec", "ar_members", "package", "extracted")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'xz' WHEN 1 THEN 'gzip'
+                        WHEN 2 THEN 'zstd' ELSE 'bzip2' END AS codec,
+                   'debian-binary,control.tar.gz,data.tar.' ||
+                   CASE doc_id % 4 WHEN 0 THEN 'xz' WHEN 1 THEN 'gz'
+                        WHEN 2 THEN 'zst' ELSE 'bz2' END AS ar_members,
+                   'doc-' || CAST(doc_id AS VARCHAR) AS package,
+                   text AS extracted
+            FROM documents ORDER BY doc_id"""),
+    ".deb certificate: ar outer walk, control-field parse, data tar " +
+      "routed by magic through the rotating gzip/xz/zstd/bzip2 codec " +
+      "layer, payload byte-exact")
+
+  private val qCpioExtract = Q(
+    "q_cpio_extract",
+    (s, d) => {
+      // cpio certificate (RPM payloads / initramfs): per doc an archive
+      // in the ASCII dialect rotating by doc_id — newc (070701), CRC
+      // (070702, per-entry checksums the reader verifies), odc
+      // (070707) — with the doc text and a closed-form binary member.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { case (id, text) =>
+          val dialect = (id % 3) match {
+            case 0 => "newc"; case 1 => "crc"; case _ => "odc"
+          }
+          val bin = Array.tabulate(40)(k => (((id * 11 + k) % 256) & 0xFF).toByte)
+          val cp = graft.ext.Pkg.cpioBuild(Seq(
+            ("docs/text.txt", text.getBytes("UTF-8")),
+            ("meta/info.bin", bin)), dialect)
+          val es = graft.ext.Pkg.cpioEntries(cp)
+          val extracted = graft.ext.Pkg.cpioRead(cp, "docs/text.txt")
+            .map(new String(_, "UTF-8")).getOrElse("")
+          var binSum = 0L
+          graft.ext.Pkg.cpioRead(cp, "meta/info.bin")
+            .foreach(_.foreach(x => binSum += (x & 0xFF)))
+          (id, dialect, es.length, extracted, binSum)
+        }
+        .toDF("doc_id", "dialect", "n_entries", "extracted", "bin_sum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, sum((doc_id * 11 + k) % 256) AS bin_sum
+              FROM documents CROSS JOIN range(40) t(k) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE d.doc_id % 3 WHEN 0 THEN 'newc' WHEN 1 THEN 'crc'
+                        ELSE 'odc' END AS dialect,
+                   2 AS n_entries, d.text AS extracted,
+                   CAST(b.bin_sum AS BIGINT) AS bin_sum
+            FROM documents d JOIN b USING (doc_id) ORDER BY doc_id"""),
+    "cpio certificate: newc/CRC/odc ASCII dialects list and extract " +
+      "byte-exact (CRC dialect checksum-verified by the reader)")
+
   private val qTarSparse = Q(
     "q_tar_sparse",
     (s, d) => {
@@ -5756,5 +5846,5 @@ object ExtQueries {
     qMediaSniff, qWebpMeta, qWebpExif, qHeifMeta, qHeifExif, qId3Tags,
     qSubtitleExtract, qTiffMeta,
     qZstdExtract, qTarCodecs, qWarcZst, qSevenZExtract, qZipEncrypted,
-    qTarSparse, qZipMethods, qZipAes)
+    qTarSparse, qZipMethods, qZipAes, qDebExtract, qCpioExtract)
 }
