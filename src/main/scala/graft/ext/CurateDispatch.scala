@@ -18,7 +18,7 @@ import graft.spec.{PipelineSpec, SegType, Stage}
   * [[MediaCurate]] (typed image input).
   *
   * Scale shape: sniff is map-only; the dispatch stage is the one
-  * multi-consumer point (six arms filter the same sniffed corpus —
+  * multi-consumer point (seven arms filter the same sniffed corpus —
   * persisted there under the map-tee discipline); every arm is a
   * filter + mapPartitions over that cache, so the whole plan is one
   * InMemoryRelation fanned into map-only unions — no join, no shuffle
@@ -115,16 +115,32 @@ object CurateDispatch {
               else Office.docxText(p).orElse(Office.xlsxText(p)).getOrElse("")
             (id, f, "doc", 0, 0, 0L, text)
           }).toDF(cols: _*)
+        // text-document formats (round 12b): EPUB spine text, RTF
+        // tokenizer, MIME mail bodies — same uniform curation row
+        val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods", "odp"))
+          .mapPartitions(_.map { case (id, p, f) =>
+            val text = f match {
+              case "epub" => Epub.extract(p)
+                .map(_._2.map(_.text).mkString("\n")).getOrElse("")
+              case "rtf" => Rtf.text(p).getOrElse("")
+              case "eml" => Mail.parseEml(p).text
+              case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
+              case "ods" => Odf.odsText(p).getOrElse("")
+              case _     => Odf.odtText(p).getOrElse("") // odt + odp share the walk
+            }
+            (id, f, "doc", 0, 0, 0L, text)
+          }).toDF(cols: _*)
         // unclaimed formats ride to the gate labeled, so drop policy
         // lives in ONE stage
         val rest = df
           .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
-            "heic", "avif", "mpeg_audio", "zip", "pdf"))
+            "heic", "avif", "mpeg_audio", "zip", "pdf",
+            "epub", "rtf", "eml", "mbox", "odt", "ods", "odp"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))
         raster.unionByName(webp).unionByName(heif).unionByName(audio)
-          .unionByName(docs).unionByName(rest)
+          .unionByName(docs).unionByName(textdocs).unionByName(rest)
       },
       stage("gate") { df =>
         df.filter(col("kind") =!= "unknown")

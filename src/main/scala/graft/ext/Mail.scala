@@ -1,0 +1,311 @@
+package graft.ext
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.Base64
+
+import scala.collection.mutable.ArrayBuffer
+
+/** RFC 5322 / MIME mail extraction — .eml messages and mbox mailboxes.
+  *
+  * Mail archives are a first-class text-corpus source (mailing-list
+  * dumps, support corpora, the classic Enron-style datasets all ship as
+  * mbox/eml), and none of it is readable without the MIME stack: folded
+  * headers, RFC 2047 encoded-words, nested multipart trees, base64 and
+  * quoted-printable transfer encodings, per-part charsets. This arm
+  * implements exactly that envelope in pure JVM code so a mail corpus
+  * rides the same map-only triage path as HTML/PDF/DOCX
+  * (`/root/reference/index.js:14-27` — any byte stream a shell stage
+  * could emit, the engine decodes natively).
+  *
+  * Scale shape: parsing is per-row and allocation-bounded by the message
+  * size; mbox splitting is a single forward scan. Nothing here touches
+  * the driver — both entry points are called from executor-side maps.
+  */
+object Mail {
+
+  /** One MIME leaf part: media type, optional filename, decoded bytes. */
+  final case class Part(contentType: String, charset: String,
+                        filename: Option[String], body: Array[Byte])
+
+  /** One parsed message. `text` is the best text body: the first
+    * text/plain leaf in tree order, else the first text/html leaf run
+    * through the [[graft.functions.HtmlText]] extractor, else "".
+    */
+  final case class Message(headers: Map[String, String], subject: String,
+                           from: String, date: String, text: String,
+                           parts: Vector[Part])
+
+  /** Parse one RFC 5322 message (an .eml file's bytes). */
+  def parseEml(bytes: Array[Byte]): Message = {
+    val (rawHeaders, body) = splitHead(bytes)
+    val headers = foldHeaders(rawHeaders)
+    val parts = Vector.newBuilder[Part]
+    walkPart(headers, body, parts)
+    val ps = parts.result()
+    val text = ps.find(_.contentType == "text/plain")
+      .map(p => new String(p.body, cs(p.charset)))
+      .orElse(ps.find(_.contentType == "text/html").map { p =>
+        graft.functions.HtmlText.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(p.body, cs(p.charset)))).toString
+      })
+      .getOrElse("")
+    Message(headers,
+      decodeWords(headers.getOrElse("subject", "")),
+      decodeWords(headers.getOrElse("from", "")),
+      headers.getOrElse("date", ""), text, ps)
+  }
+
+  /** Split an mbox mailbox into its messages (mboxrd quoting honored:
+    * a body line matching `>+From ` loses one `>`). Message boundaries
+    * are lines starting exactly `From ` at the top level.
+    */
+  def parseMbox(bytes: Array[Byte]): Vector[Message] = {
+    val s = bytes
+    val starts = ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < s.length) {
+      val atLineStart = i == 0 || s(i - 1) == '\n'
+      if (atLineStart && matchesAt(s, i, "From ")) starts += i
+      // skip to end of line
+      while (i < s.length && s(i) != '\n') i += 1
+      i += 1
+    }
+    starts.toVector.zipWithIndex.map { case (st, k) =>
+      val en = if (k + 1 < starts.length) starts(k + 1) else s.length
+      // drop the "From ..." envelope line itself
+      var b = st
+      while (b < en && s(b) != '\n') b += 1
+      b += 1
+      parseEml(unquoteMboxrd(java.util.Arrays.copyOfRange(s, math.min(b, en), en)))
+    }
+  }
+
+  // ---------------------------------------------------------------- internals
+
+  private def matchesAt(s: Array[Byte], i: Int, lit: String): Boolean =
+    s.length >= i + lit.length && lit.indices.forall(k => s(i + k) == lit.charAt(k).toByte)
+
+  private def unquoteMboxrd(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (i < body.length) {
+      val atLineStart = i == 0 || body(i - 1) == '\n'
+      if (atLineStart) {
+        var j = i
+        while (j < body.length && body(j) == '>') j += 1
+        if (j > i && matchesAt(body, j, "From ")) i += 1 // drop ONE '>'
+      }
+      out.write(body(i)); i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Head/body split at the first blank line; returns (headerLines, body). */
+  private def splitHead(bytes: Array[Byte]): (Vector[String], Array[Byte]) = {
+    var i = 0
+    var split = -1
+    while (split < 0 && i < bytes.length) {
+      if (bytes(i) == '\n') {
+        if (i + 1 < bytes.length && bytes(i + 1) == '\n') split = i + 2
+        else if (i + 2 < bytes.length && bytes(i + 1) == '\r' && bytes(i + 2) == '\n') split = i + 3
+      }
+      i += 1
+    }
+    if (split < 0) split = bytes.length
+    val head = new String(bytes, 0, split, StandardCharsets.ISO_8859_1)
+    val body = java.util.Arrays.copyOfRange(bytes, split, bytes.length)
+    (head.split("\r?\n").toVector.filter(_.nonEmpty), body)
+  }
+
+  /** Unfold continuation lines, lowercase keys, first-occurrence wins. */
+  private def foldHeaders(lines: Vector[String]): Map[String, String] = {
+    val unfolded = ArrayBuffer.empty[String]
+    lines.foreach { l =>
+      if ((l.startsWith(" ") || l.startsWith("\t")) && unfolded.nonEmpty)
+        unfolded(unfolded.length - 1) = unfolded.last + " " + l.trim
+      else unfolded += l
+    }
+    unfolded.iterator.flatMap { l =>
+      val c = l.indexOf(':')
+      if (c <= 0) None
+      else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+    }.toList.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+  }
+
+  /** Recursive MIME walk: multipart containers recurse on the boundary,
+    * leaves decode their transfer encoding and land in `out`.
+    */
+  private def walkPart(headers: Map[String, String], body: Array[Byte],
+                       out: scala.collection.mutable.Builder[Part, Vector[Part]]): Unit = {
+    val ct = headers.getOrElse("content-type", "text/plain; charset=us-ascii")
+    val media = ct.split(";")(0).trim.toLowerCase
+    if (media.startsWith("multipart/")) {
+      param(ct, "boundary") match {
+        case Some(b) =>
+          splitMultipart(body, b).foreach { sub =>
+            val (h, bd) = splitHead(sub)
+            walkPart(foldHeaders(h), bd, out)
+          }
+        case None => // malformed: treat as an opaque leaf
+          out += Part(media, "us-ascii", None, body)
+      }
+    } else {
+      val decoded = headers.getOrElse("content-transfer-encoding", "7bit")
+        .trim.toLowerCase match {
+        case "base64" => Base64.getMimeDecoder.decode(
+          new String(body, StandardCharsets.ISO_8859_1).trim)
+        case "quoted-printable" => decodeQp(body)
+        case _ => trimTrailingCrlf(body)
+      }
+      val charset = param(ct, "charset").getOrElse("us-ascii").toLowerCase
+      val filename = param(headers.getOrElse("content-disposition", ""), "filename")
+        .orElse(param(ct, "name"))
+      out += Part(media, charset, filename, decoded)
+    }
+  }
+
+  /** Bodies of each `--boundary` section (terminated by `--boundary--`). */
+  private def splitMultipart(body: Array[Byte], boundary: String): Vector[Array[Byte]] = {
+    val text = new String(body, StandardCharsets.ISO_8859_1)
+    val open = s"--$boundary"
+    val sections = Vector.newBuilder[Array[Byte]]
+    var idx = 0
+    var current = -1 // start offset of the in-progress section
+    while (idx >= 0 && idx <= text.length) {
+      val hit = text.indexOf(open, idx)
+      if (hit < 0 || (hit != 0 && text.charAt(hit - 1) != '\n')) {
+        if (hit < 0) idx = -1 else idx = hit + open.length
+      } else {
+        val afterTag = hit + open.length
+        val closing = text.startsWith("--", afterTag)
+        if (current >= 0) {
+          // section body ends just before the boundary line's newline
+          var e = hit
+          if (e > 0 && text.charAt(e - 1) == '\n') e -= 1
+          if (e > 0 && text.charAt(e - 1) == '\r') e -= 1
+          sections += java.util.Arrays.copyOfRange(body, current, e)
+        }
+        if (closing) idx = -1
+        else {
+          var b = afterTag
+          while (b < text.length && text.charAt(b) != '\n') b += 1
+          current = b + 1
+          idx = current
+        }
+      }
+    }
+    sections.result()
+  }
+
+  private def trimTrailingCrlf(b: Array[Byte]): Array[Byte] = {
+    var e = b.length
+    while (e > 0 && (b(e - 1) == '\n' || b(e - 1) == '\r')) e -= 1
+    if (e == b.length) b else java.util.Arrays.copyOfRange(b, 0, e)
+  }
+
+  /** RFC 2045 quoted-printable: `=HH` escapes, `=\r?\n` soft breaks. */
+  private[ext] def decodeQp(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    val stop = trimTrailingCrlf(b).length
+    while (i < stop) {
+      val c = b(i)
+      if (c == '=' && i + 1 < b.length) {
+        if (b(i + 1) == '\n') i += 2
+        else if (b(i + 1) == '\r' && i + 2 < b.length && b(i + 2) == '\n') i += 3
+        else if (i + 2 < b.length) {
+          out.write(Integer.parseInt(
+            new String(Array(b(i + 1), b(i + 2)), StandardCharsets.US_ASCII), 16))
+          i += 3
+        } else { out.write(c); i += 1 }
+      } else { out.write(c); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** RFC 2045 quoted-printable ENCODE (deterministic: escapes `=` and all
+    * non-printable/non-ASCII bytes, soft-breaks at 72 columns) — used by
+    * the certificate fixtures so the decode path is exercised against a
+    * closed form. Soft breaks are bare `=\n` — fixture callers build
+    * LF messages and CRLF-normalize the whole message once (decode
+    * accepts both line conventions).
+    */
+  private[graft] def encodeQp(s: String, charset: String = "UTF-8"): String = {
+    val bytes = s.getBytes(charset)
+    val sb = new java.lang.StringBuilder
+    var col = 0
+    bytes.foreach { b =>
+      val u = b & 0xFF
+      val tok =
+        if (u == '=' || u < 32 || u > 126) f"=${u}%02X"
+        else String.valueOf(u.toChar)
+      if (col + tok.length > 72) { sb.append("=\n"); col = 0 }
+      sb.append(tok); col += tok.length
+    }
+    sb.toString
+  }
+
+  /** RFC 2047 encoded-words in a header value: `=?cs?B|Q?payload?=`. */
+  private[ext] def decodeWords(v: String): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var lastWasWord = false
+    while (i < v.length) {
+      val st = v.indexOf("=?", i)
+      if (st < 0) { sb.append(v.substring(i)); i = v.length }
+      else {
+        val q1 = v.indexOf('?', st + 2)
+        val q2 = if (q1 < 0) -1 else v.indexOf('?', q1 + 1)
+        val en = if (q2 < 0) -1 else v.indexOf("?=", q2 + 1)
+        if (q1 < 0 || q2 < 0 || en < 0) { sb.append(v.substring(i)); i = v.length }
+        else {
+          val between = v.substring(i, st)
+          // whitespace BETWEEN adjacent encoded words is transparent
+          if (!(lastWasWord && between.trim.isEmpty)) sb.append(between)
+          val charset = v.substring(st + 2, q1)
+          val enc = v.substring(q1 + 1, q2).toUpperCase
+          val payload = v.substring(q2 + 1, en)
+          val bytes = enc match {
+            case "B" => Base64.getMimeDecoder.decode(payload)
+            case "Q" => decodeQp(payload.replace('_', ' ')
+              .getBytes(StandardCharsets.ISO_8859_1))
+            case _   => payload.getBytes(StandardCharsets.ISO_8859_1)
+          }
+          sb.append(new String(bytes, cs(charset)))
+          i = en + 2
+          lastWasWord = true
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** `key=value` parameter from a structured header value (quoted or bare). */
+  private[ext] def param(headerValue: String, key: String): Option[String] = {
+    val lower = headerValue.toLowerCase
+    var from = 0
+    while (from >= 0 && from < lower.length) {
+      val hit = lower.indexOf(key.toLowerCase + "=", from)
+      if (hit < 0) return None
+      val before = if (hit == 0) ';' else lower.charAt(hit - 1)
+      if (before == ';' || before == ' ' || before == '\t') {
+        var p = hit + key.length + 1
+        if (p < headerValue.length && headerValue.charAt(p) == '"') {
+          val e = headerValue.indexOf('"', p + 1)
+          return Some(headerValue.substring(p + 1, if (e < 0) headerValue.length else e))
+        }
+        var e = p
+        while (e < headerValue.length && headerValue.charAt(e) != ';' &&
+          !headerValue.charAt(e).isWhitespace) e += 1
+        return Some(headerValue.substring(p, e))
+      }
+      from = hit + 1
+    }
+    None
+  }
+
+  private def cs(name: String): Charset =
+    try Charset.forName(name)
+    catch { case _: Exception => StandardCharsets.UTF_8 }
+}

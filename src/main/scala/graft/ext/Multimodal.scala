@@ -615,15 +615,39 @@ object Multimodal {
     else if (b.length >= 6 && at(0, "7z") && (b(2) & 0xFF) == 0xBC &&
       (b(3) & 0xFF) == 0xAF && (b(4) & 0xFF) == 0x27 &&
       (b(5) & 0xFF) == 0x1C) "7z"
-    else if (at(0, "PK")) "zip"
+    // Avro OCF: 'O','b','j',1 — the row-interchange format [[Avro]] reads
+    // sync-split parallel
+    else if (at(0, "Obj") && b(3) == 1) "avro"
+    else if (at(0, "PK")) {
+      // EPUB and ODF both REQUIRE a STORED first member named `mimetype`
+      // (no extra field) carrying exactly their media type — when the
+      // local header matches, route to the book ([[Epub]]) or
+      // OpenDocument ([[Odf]]) arm; anything else degrades gracefully
+      // to the generic zip arm
+      if (at(30, "mimetype")) {
+        if (at(38, "application/epub+zip")) "epub"
+        else if (at(38, Odf.MimeText)) "odt"
+        else if (at(38, Odf.MimeSpreadsheet)) "ods"
+        else if (at(38, Odf.MimePresentation)) "odp"
+        else "zip"
+      } else "zip"
+    }
     // software-distribution containers (a code/package crawl's rows):
     // ar is the .deb / static-library outer shell, ASCII cpio dialects
     // are RPM payloads and initramfs images — both decoded by [[Pkg]]
     else if (at(0, "!<arch>\n")) "ar"
     else if (at(0, "070701") || at(0, "070702") || at(0, "070707")) "cpio"
     else if (at(0, "%PDF-")) "pdf"
+    else if (at(0, "{\\rtf")) "rtf"
     else if (at(0, "WARC/")) "warc"
     else if (at(257, "ustar")) "tar"
+    // mail corpora: an mbox opens with its first envelope line; a bare
+    // .eml leads with a trace header (the conservative set — From:/
+    // Subject: alone are too common in plain text to be magic)
+    else if (at(0, "From ")) "mbox"
+    else if (at(0, "Return-Path:") || at(0, "Received:") ||
+      at(0, "Delivered-To:") || at(0, "MIME-Version:") ||
+      at(0, "Message-ID:")) "eml"
     else if (Mpeg.mp3Meta(b).nonEmpty) "mpeg_audio"
     else {
       // leading-whitespace-tolerant HTML sniff (text modality marker)

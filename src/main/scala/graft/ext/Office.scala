@@ -158,13 +158,13 @@ object Office {
     out.result()
   }
 
-  private def skipTag(xml: String, i: Int): Int = {
+  private[ext] def skipTag(xml: String, i: Int): Int = {
     val close = xml.indexOf('>', i)
     if (close < 0) xml.length else close + 1
   }
 
   /** XML character data with entity decoding appended to `out`. */
-  private def appendDecoded(out: java.lang.StringBuilder, s: String, from: Int, until: Int): Unit = {
+  private[ext] def appendDecoded(out: java.lang.StringBuilder, s: String, from: Int, until: Int): Unit = {
     var i = from
     while (i < until) {
       val c = s.charAt(i)

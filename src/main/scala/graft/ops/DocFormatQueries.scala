@@ -1,0 +1,324 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Document/interchange-format arms added round 12b: Avro OCF (the
+  * row-format peer of parquet/ORC — read sync-split parallel through
+  * avro-mapred), MIME mail (.eml + mbox), EPUB books, and RTF — each a
+  * self-built-fixture certificate in the q_docx_extract/q_pdf_extract
+  * mold: the fixture is assembled from the documents table with the real
+  * container writer, pushed through the real parser on executors, and
+  * the extraction must land byte-exact on a DuckDB closed form.
+  */
+object DocFormatQueries {
+
+  private val qAvroRoundtrip = Q(
+    "q_avro_roundtrip",
+    (s, d) => {
+      // Avro OCF round-trip (the q_orc_roundtrip contract for the
+      // row-interchange format Spark's classpath supports but its
+      // datasource registry doesn't): written per-partition with
+      // DataFileWriter (snappy blocks, 1 MiB sync interval), read back
+      // through AvroKeyInputFormat — Hadoop splits + sync-marker seek,
+      // the 100 TB path where ONE big file fans out across executors.
+      // Covers long/string/double/timestamp-micros and the
+      // union(null,T) nullability idiom via a planted nullable column.
+      val src = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("prio_opt"))
+      val out = s"/tmp/graft_avro_${Tables.corpusTag(d)}"
+      graft.ext.Avro.write(src, out)
+      graft.ext.Avro.read(s, out).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderpriority END AS prio_opt
+            FROM orders ORDER BY o_orderkey"""),
+    "Avro OCF sink -> source round-trip (snappy blocks, timestamp-micros " +
+      "+ union-null fidelity), read sync-split parallel through " +
+      "AvroKeyInputFormat and hash-checked against the parquet original")
+
+  private val qEmlExtract = Q(
+    "q_eml_extract",
+    (s, d) => {
+      // MIME certificate: each doc becomes a full multipart/mixed message
+      // — a folded Subject carrying TWO adjacent RFC 2047 encoded words
+      // (B then Q, whitespace-transparent join), a Q-encoded ISO-8859-1
+      // display name in From, a multipart/alternative body whose
+      // text/plain leaf is quoted-printable (every '=', newline and
+      // non-ASCII byte escaped, 72-col soft breaks) and whose text/html
+      // leaf is base64, plus a base64 binary attachment. The parser must
+      // unfold, decode words, walk the nested boundaries, pick the plain
+      // leaf, and hand the attachment bytes back exactly.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b64 = java.util.Base64.getEncoder
+          val subjB = b64.encodeToString("Résumé ✓ ".getBytes("UTF-8"))
+          val att = Array.tabulate(64)(k => ((id * 7 + k * 13) % 256).toByte)
+          val html = "<html><body><p>Doc " + id + "</p></body></html>"
+          val qp = graft.ext.Mail.encodeQp(text)
+          val eml =
+            s"""Return-Path: <j@example.org>
+               |Subject: =?UTF-8?B?$subjB?=
+               | =?UTF-8?Q?doc_$id?=
+               |From: =?ISO-8859-1?Q?J=F8rgen?= <j@example.org>
+               |Date: Thu, 15 Jan 2026 10:00:00 +0000
+               |MIME-Version: 1.0
+               |Content-Type: multipart/mixed; boundary="outer$id"
+               |
+               |preamble is ignored
+               |--outer$id
+               |Content-Type: multipart/alternative; boundary="inner$id"
+               |
+               |--inner$id
+               |Content-Type: text/plain; charset="utf-8"
+               |Content-Transfer-Encoding: quoted-printable
+               |
+               |$qp
+               |--inner$id
+               |Content-Type: text/html; charset="utf-8"
+               |Content-Transfer-Encoding: base64
+               |
+               |${b64.encodeToString(html.getBytes("UTF-8"))}
+               |--inner$id--
+               |--outer$id
+               |Content-Type: application/octet-stream; name="blob.bin"
+               |Content-Disposition: attachment; filename="blob.bin"
+               |Content-Transfer-Encoding: base64
+               |
+               |${b64.encodeToString(att)}
+               |--outer$id--
+               |""".stripMargin.replace("\n", "\r\n")
+          val m = graft.ext.Mail.parseEml(eml.getBytes("ISO-8859-1"))
+          val attSum = m.parts.find(_.filename.contains("blob.bin"))
+            .map(_.body.foldLeft(0L)((a, x) => a + (x & 0xFF))).getOrElse(-1L)
+          (id, m.subject, m.from, m.text, m.parts.length, attSum)
+        }
+        .toDF("doc_id", "subject", "from_hdr", "body", "n_parts", "att_sum")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Résumé ✓ doc ' || doc_id AS subject,
+                   'Jørgen <j@example.org>' AS from_hdr,
+                   text AS body,
+                   3 AS n_parts,
+                   CAST(list_aggregate(list_transform(range(64),
+                        k -> (doc_id * 7 + k * 13) % 256), 'sum') AS BIGINT) AS att_sum
+            FROM documents ORDER BY doc_id"""),
+    "MIME mail certificate: folded RFC 2047 subject (B+Q adjacent words), " +
+      "nested multipart walk, quoted-printable and base64 transfer " +
+      "decodes, attachment bytes — all byte-exact on the closed form")
+
+  private val qMboxExtract = Q(
+    "q_mbox_extract",
+    (s, d) => {
+      // mbox certificate: each doc becomes a 3-message mailbox whose
+      // middle message's body contains lines starting 'From ' and
+      // '>From ' — stored mboxrd-quoted ('>>From ' / '>From ') so the
+      // splitter must NOT break on them and the unquoter must strip
+      // exactly one '>'. flatMap explodes messages to rows.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          def msg(k: Int, body: String) =
+            s"From sender$k@example.org Thu Jan 15 10:0$k:00 2026\n" +
+              s"Subject: m$k doc $id\n" +
+              "Content-Type: text/plain; charset=\"utf-8\"\n\n" +
+              body.split("\n", -1).map { l =>
+                if (l.matches(">*From .*")) ">" + l else l
+              }.mkString("\n") + "\n\n"
+          val bodies = Seq(
+            text,
+            s"From the start $id\n>From quoted $id\nplain line",
+            s"tail message $id")
+          val mbox = bodies.zipWithIndex
+            .map { case (b, k) => msg(k, b) }.mkString.getBytes("UTF-8")
+          graft.ext.Mail.parseMbox(mbox).zipWithIndex.map { case (m, k) =>
+            (id, k, m.subject, m.text)
+          }
+        }
+        .toDF("doc_id", "msg_idx", "subject", "body")
+        .orderBy("doc_id", "msg_idx")
+    },
+    Some("""SELECT doc_id, msg_idx, 'm' || msg_idx || ' doc ' || doc_id AS subject,
+                   CASE msg_idx
+                     WHEN 0 THEN text
+                     WHEN 1 THEN 'From the start ' || doc_id || chr(10) ||
+                                 '>From quoted ' || doc_id || chr(10) || 'plain line'
+                     ELSE 'tail message ' || doc_id END AS body
+            FROM documents, (VALUES (0), (1), (2)) AS m(msg_idx)
+            ORDER BY doc_id, msg_idx"""),
+    "mbox certificate: 3-message mailboxes split on envelope lines with " +
+      "mboxrd '>From' quoting round-tripped — message count, subjects " +
+      "and bodies exact on the closed form")
+
+  private val qEpubExtract = Q(
+    "q_epub_extract",
+    (s, d) => {
+      // EPUB certificate: a 2-chapter book per doc built with the real
+      // ZIP writer (stored mimetype first, deflated container/OPF/XHTML),
+      // walked back through container.xml -> OPF manifest+spine ->
+      // per-chapter HtmlText extraction. Chapter order comes from the
+      // SPINE, which deliberately reverses the manifest order — an
+      // extractor that reads manifest order breaks the hash.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val ch1 =
+            s"<html><head><title>x</title></head><body><h1>Chapter One</h1>" +
+              s"""<p>$esc</p></body></html>"""
+          val ch2 =
+            "<html><body><h1>Chapter Two</h1><p>&lt;end&gt; &amp; &#65;" +
+              s"</p><p>fin $id</p></body></html>"
+          // spine order c2-then-c1 vs manifest order c1-then-c2 is fixed
+          // inside build (spine follows the chapters arg): pass ch2 first
+          val epub = graft.ext.Epub.build(s"Book $id",
+            Seq(("ch2.xhtml", ch2), ("ch1.xhtml", ch1)))
+          val (title, chapters) = graft.ext.Epub.extract(epub)
+            .getOrElse(throw new IllegalStateException(s"epub walk failed for $id"))
+          (id, title, chapters.length,
+            chapters.map(_.text).mkString("\u0001"))
+        }
+        .toDF("doc_id", "title", "n_chapters", "book_text")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'Book ' || doc_id AS title, 2 AS n_chapters,
+                   'Chapter Two' || chr(10) || '<end> & A' ||
+                     chr(10) || 'fin ' || doc_id ||
+                     chr(1) ||
+                   'x' || chr(10) || 'Chapter One' || chr(10) || text AS book_text
+            FROM documents ORDER BY doc_id"""),
+    "EPUB certificate: container.xml -> OPF -> spine-ordered XHTML " +
+      "chapters through the real ZIP walk and the HtmlText state " +
+      "machine — title, chapter count and concatenated text exact")
+
+  private val qRtfExtract = Q(
+    "q_rtf_extract",
+    (s, d) => {
+      // RTF certificate: the document text plus planted hazards — escaped
+      // braces/backslash, \tab, \u Unicode with \'3f fallbacks, an
+      // \emdash, and a {\*\generator} destination plus font/color tables
+      // that MUST vanish — built deterministically and tokenized back.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val body = s"Doc $id\n" + text +
+            "\n{a\\b}\té✓ end"
+          val rtf = graft.ext.Rtf.build(body).getBytes("US-ASCII")
+          val extracted = graft.ext.Rtf.text(rtf).getOrElse("")
+          (id, extracted, extracted.length.toLong)
+        }
+        .toDF("doc_id", "extracted", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Doc ' || doc_id || chr(10) || text || chr(10) ||
+                     '{a\b}' || chr(9) || chr(233) || chr(10003) || ' end' AS extracted,
+                   CAST(length('Doc ' || doc_id || chr(10) || text || chr(10) ||
+                     '{a\b}' || chr(9) || chr(233) || chr(10003) || ' end')
+                     AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id"""),
+    "RTF certificate: brace-grouped tokenizer over escapes, Unicode " +
+      "\\uN+fallback, destination skipping (generator/fonttbl/colortbl) " +
+      "— extracted text byte-exact on the closed form")
+
+  private val qOdtExtract = Q(
+    "q_odt_extract",
+    (s, d) => {
+      // ODT certificate: per doc a real ODF package (stored mimetype
+      // magic, manifest, content.xml with a style prolog that MUST be
+      // skipped) whose body plants every whitespace carrier the format
+      // has — heading, <text:tab/>, <text:s text:c="3"/>, line-break —
+      // plus entity refs and an <office:annotation> subtree whose nested
+      // paragraph must NOT leak into the text layer.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val odt = graft.ext.Odf.buildOdt(Seq(
+            s"""<text:h text:outline-level="1">Doc $id</text:h>""",
+            s"<text:p>$esc</text:p>",
+            """<text:p>a<text:tab/>b<text:s text:c="3"/>c<text:line-break/>""" +
+              "d &amp; &#65;<office:annotation><text:p>IGNORED</text:p>" +
+              "</office:annotation> end</text:p>"))
+          val extracted = graft.ext.Odf.odtText(odt).getOrElse("")
+          (id, extracted, extracted.length.toLong)
+        }
+        .toDF("doc_id", "extracted", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Doc ' || doc_id || chr(10) || text || chr(10) ||
+                     'a' || chr(9) || 'b   c' || chr(10) || 'd & A end' || chr(10)
+                     AS extracted,
+                   CAST(length('Doc ' || doc_id || chr(10) || text || chr(10) ||
+                     'a' || chr(9) || 'b   c' || chr(10) || 'd & A end' || chr(10))
+                     AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id"""),
+    "ODT certificate: ODF package walk (stored-mimetype magic, styles " +
+      "prolog skipped) with tab/space-run/line-break whitespace " +
+      "carriers, entity decodes and annotation-subtree exclusion — " +
+      "text layer byte-exact on the closed form")
+
+  private val qOdsExtract = Q(
+    "q_ods_extract",
+    (s, d) => {
+      // ODS certificate: a 3-row sheet per doc — a header row, a row
+      // with a number-columns-repeated run + an entity-bearing cell +
+      // a repeated trailing-empty pad that must be trimmed, and an
+      // all-empty row that must survive as a bare line.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val content =
+            """<office:body><office:spreadsheet><table:table table:name="S">""" +
+              s"<table:table-row><table:table-cell office:value-type=\"string\">" +
+              s"<text:p>doc</text:p></table:table-cell>" +
+              s"<table:table-cell office:value-type=\"string\"><text:p>$id</text:p>" +
+              "</table:table-cell></table:table-row>" +
+              "<table:table-row>" +
+              s"<table:table-cell office:value-type=\"string\"><text:p>$esc</text:p>" +
+              "</table:table-cell>" +
+              """<table:table-cell table:number-columns-repeated="3" office:value-type="string"><text:p>x</text:p></table:table-cell>""" +
+              "<table:table-cell office:value-type=\"string\"><text:p>&lt;v&gt;</text:p></table:table-cell>" +
+              """<table:table-cell table:number-columns-repeated="2"/>""" +
+              "</table:table-row>" +
+              "<table:table-row><table:table-cell/></table:table-row>" +
+              "</table:table></office:spreadsheet></office:body>"
+          val ods = graft.ext.Odf.buildOdsRaw(content)
+          val extracted = graft.ext.Odf.odsText(ods).getOrElse("")
+          (id, extracted)
+        }
+        .toDF("doc_id", "sheet")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'doc' || chr(9) || doc_id || chr(10) ||
+                   replace(text, chr(10), ' ') || chr(9) || 'x' || chr(9) || 'x' ||
+                     chr(9) || 'x' || chr(9) || '<v>' || chr(10) ||
+                   chr(10) AS sheet
+            FROM documents ORDER BY doc_id"""),
+    "ODS certificate: first-table cell grid with repeated-column " +
+      "expansion, trailing-empty trim, entity decode and multi-line " +
+      "cell flattening — tab-separated rows exact on the closed form")
+
+  def all: Seq[Q] = Seq(
+    qAvroRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
+    qOdtExtract, qOdsExtract)
+}

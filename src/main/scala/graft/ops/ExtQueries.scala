@@ -4488,38 +4488,7 @@ object ExtQueries {
       val media = documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val payload: Array[Byte] = (id % 8).toInt match {
-            case 0 =>
-              val w = (8 + id % 16).toInt
-              val h = (8 + id % 8).toInt
-              graft.ext.Png.encode(graft.ext.Png.Image(w, h, 1,
-                Array.fill(w * h)((id % 251).toByte)))
-            case 1 =>
-              graft.ext.Webp.container(graft.ext.Webp.losslessChunk(
-                (1 + id % 3000).toInt, (1 + id % 2000).toInt, alpha = false))
-            case 2 =>
-              val n = (20 + id % 30).toInt
-              val f = new Array[Byte](417)
-              f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
-              Array.fill(n)(f).flatten
-            case 3 =>
-              graft.ext.Zip.build(Seq(("word/document.xml",
-                ("<w:document><w:body><w:p><w:r><w:t xml:space=\"preserve\">" +
-                  text.replace("&", "&amp;") +
-                  "</w:t></w:r></w:p></w:body></w:document>").getBytes("UTF-8"),
-                true)))
-            case 4 =>
-              graft.ext.Pdf.buildSimple(Seq(text), flate = id % 2 == 0)
-            case 5 =>
-              ("plain text payload " + id).getBytes("UTF-8")
-            case 6 =>
-              graft.ext.Mp4.HeifBuild.still("heic", "hvc1",
-                (640 + id % 2000).toInt, (480 + id % 1000).toInt)
-            case _ =>
-              graft.ext.Mp4.HeifBuild.still("avif", "av01",
-                (320 + id % 1000).toInt, (240 + id % 500).toInt)
-          }
-          (id, payload)
+          (id, dispatchPayload(id, text))
         }
         .toDF("media_id", "payload")
       new graft.engine.Engine(graft.ext.CurateDispatch.spec())
@@ -4528,34 +4497,96 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                   CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
                         WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'zip'
                         WHEN 4 THEN 'pdf' WHEN 6 THEN 'heic'
-                        ELSE 'avif' END AS format,
-                   CASE doc_id % 8 WHEN 2 THEN 'audio'
-                        WHEN 3 THEN 'doc' WHEN 4 THEN 'doc'
+                        WHEN 7 THEN 'avif' WHEN 8 THEN 'epub'
+                        WHEN 9 THEN 'rtf' WHEN 10 THEN 'eml'
+                        ELSE 'mbox' END AS format,
+                   CASE WHEN doc_id % 12 = 2 THEN 'audio'
+                        WHEN doc_id % 12 IN (3, 4, 8, 9, 10, 11) THEN 'doc'
                         ELSE 'image' END AS kind,
-                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 16
+                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 16
                         WHEN 1 THEN 1 + doc_id % 3000
                         WHEN 6 THEN 640 + doc_id % 2000
                         WHEN 7 THEN 320 + doc_id % 1000
                         ELSE 0 END AS INT) AS width,
-                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 8
+                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 8
                         WHEN 1 THEN 1 + doc_id % 2000
                         WHEN 6 THEN 480 + doc_id % 1000
                         WHEN 7 THEN 240 + doc_id % 500
                         ELSE 0 END AS INT) AS height,
-                   CAST(CASE doc_id % 8
+                   CAST(CASE doc_id % 12
                         WHEN 2 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
                         ELSE 0 END AS BIGINT) AS duration_ms,
-                   CASE doc_id % 8 WHEN 3 THEN text || chr(10)
-                        WHEN 4 THEN text ELSE '' END AS text
-            FROM documents WHERE doc_id % 8 <> 5 ORDER BY media_id"""),
+                   CASE doc_id % 12 WHEN 3 THEN text || chr(10)
+                        WHEN 0 THEN '' WHEN 1 THEN '' WHEN 2 THEN ''
+                        WHEN 6 THEN '' WHEN 7 THEN ''
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 12 <> 5 ORDER BY media_id"""),
     "mixed-format curation through the sniff dispatcher AS an engine " +
       "pipeline: eight untyped payload families routed to per-format " +
       "arms (PNG/WebP dims, HEIF/AVIF ipma dims, MPEG duration, " +
       "DOCX/PDF text), unknowns gated out — every value a closed form " +
       "of doc_id")
+
+  /** The twelve rotating payload families behind q_curate_dispatch and
+    * its streaming twin — every emitted curation value is a closed form
+    * of doc_id/text so a misrouted payload breaks the hash: PNG, WebP
+    * lossless, an MPEG1-L3 frame chain, DOCX, PDF, plain text (sniffs
+    * unknown, gate-dropped), HEIC, AVIF, and the round-12b text-doc
+    * formats EPUB, RTF, EML, mbox.
+    */
+  private def dispatchPayload(id: Long, text: String): Array[Byte] =
+    (id % 12).toInt match {
+      case 0 =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        graft.ext.Png.encode(graft.ext.Png.Image(w, h, 1,
+          Array.fill(w * h)((id % 251).toByte)))
+      case 1 =>
+        graft.ext.Webp.container(graft.ext.Webp.losslessChunk(
+          (1 + id % 3000).toInt, (1 + id % 2000).toInt, alpha = false))
+      case 2 =>
+        val n = (20 + id % 30).toInt
+        val f = new Array[Byte](417)
+        f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+        Array.fill(n)(f).flatten
+      case 3 =>
+        graft.ext.Zip.build(Seq(("word/document.xml",
+          ("<w:document><w:body><w:p><w:r><w:t xml:space=\"preserve\">" +
+            text.replace("&", "&amp;") +
+            "</w:t></w:r></w:p></w:body></w:document>").getBytes("UTF-8"),
+          true)))
+      case 4 =>
+        graft.ext.Pdf.buildSimple(Seq(text), flate = id % 2 == 0)
+      case 5 =>
+        ("plain text payload " + id).getBytes("UTF-8")
+      case 6 =>
+        graft.ext.Mp4.HeifBuild.still("heic", "hvc1",
+          (640 + id % 2000).toInt, (480 + id % 1000).toInt)
+      case 7 =>
+        graft.ext.Mp4.HeifBuild.still("avif", "av01",
+          (320 + id % 1000).toInt, (240 + id % 500).toInt)
+      case 8 =>
+        val esc = text.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
+        graft.ext.Epub.build(s"Book $id",
+          Seq(("c1.xhtml", s"<html><body><p>$esc</p></body></html>")))
+      case 9 =>
+        graft.ext.Rtf.build(text).getBytes("US-ASCII")
+      case 10 =>
+        ("Message-ID: <m" + id + "@example.org>\r\n" +
+          "Subject: doc " + id + "\r\n" +
+          "Content-Type: text/plain; charset=\"utf-8\"\r\n\r\n" +
+          text).getBytes("UTF-8")
+      case _ =>
+        // mboxrd: body lines that look like envelope starts are quoted
+        val quoted = text.split("\n", -1)
+          .map(l => if (l.matches(">*From .*")) ">" + l else l).mkString("\n")
+        ("From a@example.org Thu Jan 15 10:00:00 2026\n" +
+          "Subject: doc " + id + "\n\n" + quoted + "\n").getBytes("UTF-8")
+    }
 
   private val streamDispatchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -4587,38 +4618,7 @@ object ExtQueries {
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val payload: Array[Byte] = (id % 8).toInt match {
-            case 0 =>
-              val w = (8 + id % 16).toInt
-              val h = (8 + id % 8).toInt
-              graft.ext.Png.encode(graft.ext.Png.Image(w, h, 1,
-                Array.fill(w * h)((id % 251).toByte)))
-            case 1 =>
-              graft.ext.Webp.container(graft.ext.Webp.losslessChunk(
-                (1 + id % 3000).toInt, (1 + id % 2000).toInt, alpha = false))
-            case 2 =>
-              val n = (20 + id % 30).toInt
-              val f = new Array[Byte](417)
-              f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
-              Array.fill(n)(f).flatten
-            case 3 =>
-              graft.ext.Zip.build(Seq(("word/document.xml",
-                ("<w:document><w:body><w:p><w:r><w:t xml:space=\"preserve\">" +
-                  text.replace("&", "&amp;") +
-                  "</w:t></w:r></w:p></w:body></w:document>").getBytes("UTF-8"),
-                true)))
-            case 4 =>
-              graft.ext.Pdf.buildSimple(Seq(text), flate = id % 2 == 0)
-            case 5 =>
-              ("plain text payload " + id).getBytes("UTF-8")
-            case 6 =>
-              graft.ext.Mp4.HeifBuild.still("heic", "hvc1",
-                (640 + id % 2000).toInt, (480 + id % 1000).toInt)
-            case _ =>
-              graft.ext.Mp4.HeifBuild.still("avif", "av01",
-                (320 + id % 1000).toInt, (240 + id % 500).toInt)
-          }
-          (id, payload)
+          (id, dispatchPayload(id, text))
         }
         .toDF("media_id", "payload")
         .repartition(4) // four files → four micro-batches
@@ -4648,29 +4648,33 @@ object ExtQueries {
       } finally rmAll()
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                   CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
                         WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'zip'
                         WHEN 4 THEN 'pdf' WHEN 6 THEN 'heic'
-                        ELSE 'avif' END AS format,
-                   CASE doc_id % 8 WHEN 2 THEN 'audio'
-                        WHEN 3 THEN 'doc' WHEN 4 THEN 'doc'
+                        WHEN 7 THEN 'avif' WHEN 8 THEN 'epub'
+                        WHEN 9 THEN 'rtf' WHEN 10 THEN 'eml'
+                        ELSE 'mbox' END AS format,
+                   CASE WHEN doc_id % 12 = 2 THEN 'audio'
+                        WHEN doc_id % 12 IN (3, 4, 8, 9, 10, 11) THEN 'doc'
                         ELSE 'image' END AS kind,
-                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 16
+                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 16
                         WHEN 1 THEN 1 + doc_id % 3000
                         WHEN 6 THEN 640 + doc_id % 2000
                         WHEN 7 THEN 320 + doc_id % 1000
                         ELSE 0 END AS INT) AS width,
-                   CAST(CASE doc_id % 8 WHEN 0 THEN 8 + doc_id % 8
+                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 8
                         WHEN 1 THEN 1 + doc_id % 2000
                         WHEN 6 THEN 480 + doc_id % 1000
                         WHEN 7 THEN 240 + doc_id % 500
                         ELSE 0 END AS INT) AS height,
-                   CAST(CASE doc_id % 8
+                   CAST(CASE doc_id % 12
                         WHEN 2 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
                         ELSE 0 END AS BIGINT) AS duration_ms,
-                   CASE doc_id % 8 WHEN 3 THEN text || chr(10)
-                        WHEN 4 THEN text ELSE '' END AS text
-            FROM documents WHERE doc_id % 8 <> 5 ORDER BY media_id"""),
+                   CASE doc_id % 12 WHEN 3 THEN text || chr(10)
+                        WHEN 0 THEN '' WHEN 1 THEN '' WHEN 2 THEN ''
+                        WHEN 6 THEN '' WHEN 7 THEN ''
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 12 <> 5 ORDER BY media_id"""),
     "streaming mixed-format curation: the q_curate_dispatch pipeline " +
       "driven through a four-micro-batch bounded file-stream replay " +
       "(foreachBatch, append-only output log) — continuous ingest " +

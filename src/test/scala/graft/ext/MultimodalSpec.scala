@@ -368,5 +368,18 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](93, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8)) == "unknown")
     assert(Multimodal.sniffFormat(
       Array[Byte](93, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 9)) == "unknown")
+    // round-12b document/interchange families
+    assert(Multimodal.sniffFormat("Obj".getBytes ++ Array[Byte](1, 0)) == "avro")
+    assert(Multimodal.sniffFormat("Objx".getBytes) == "unknown") // bad version
+    assert(Multimodal.sniffFormat("{\\rtf1\\ansi hello}".getBytes) == "rtf")
+    assert(Multimodal.sniffFormat("From x@y Thu Jan 15\nSubject: s\n\nb".getBytes) == "mbox")
+    assert(Multimodal.sniffFormat("Return-Path: <x@y>\n\nbody".getBytes) == "eml")
+    assert(Multimodal.sniffFormat("MIME-Version: 1.0\n\nbody".getBytes) == "eml")
+    // an EPUB's stored-first-member mimetype refines the zip family; a
+    // plain office zip stays zip
+    val epub = Epub.build("T", Seq(("c.xhtml", "<html><body><p>x</p></body></html>")))
+    assert(Multimodal.sniffFormat(epub) == "epub")
+    val docx = Zip.build(Seq(("word/document.xml", "<w/>".getBytes, true)))
+    assert(Multimodal.sniffFormat(docx) == "zip")
   }
 }
