@@ -117,7 +117,8 @@ object CurateDispatch {
           }).toDF(cols: _*)
         // text-document formats (round 12b): EPUB spine text, RTF
         // tokenizer, MIME mail bodies — same uniform curation row
-        val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods", "odp"))
+        val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods",
+            "odp", "sqlite"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text = f match {
               case "epub" => Epub.extract(p)
@@ -126,6 +127,14 @@ object CurateDispatch {
               case "eml" => Mail.parseEml(p).text
               case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
               case "ods" => Odf.odsText(p).getOrElse("")
+              case "sqlite" =>
+                // the text layer of an app dump: every TEXT cell of
+                // every table, rows as tab-joined lines
+                Sqlite.tables(p).map(_.flatMap(t =>
+                  Sqlite.readTable(p, t.name).map(_.rows.map(_._2.collect {
+                    case s: String => s
+                  }.mkString("\t")).mkString("\n")))
+                  .mkString("\n")).getOrElse("")
               case _     => Odf.odtText(p).getOrElse("") // odt + odp share the walk
             }
             (id, f, "doc", 0, 0, 0L, text)
@@ -135,7 +144,7 @@ object CurateDispatch {
         val rest = df
           .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
             "heic", "avif", "mpeg_audio", "zip", "pdf",
-            "epub", "rtf", "eml", "mbox", "odt", "ods", "odp"))
+            "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))

@@ -618,6 +618,9 @@ object Multimodal {
     // Avro OCF: 'O','b','j',1 — the row-interchange format [[Avro]] reads
     // sync-split parallel
     else if (at(0, "Obj") && b(3) == 1) "avro"
+    // SQLite database: 16-byte header string (fileformat2.html §1.3),
+    // decoded by [[Sqlite]]
+    else if (at(0, "SQLite format 3")) "sqlite"
     else if (at(0, "PK")) {
       // EPUB and ODF both REQUIRE a STORED first member named `mimetype`
       // (no extra field) carrying exactly their media type — when the

@@ -318,7 +318,61 @@ object DocFormatQueries {
       "expansion, trailing-empty trim, entity decode and multi-line " +
       "cell flattening — tab-separated rows exact on the closed form")
 
+  private val qSqliteExtract = Q(
+    "q_sqlite_extract",
+    (s, d) => {
+      // SQLite certificate: per doc a 512-byte-page database whose one
+      // table plants every read path — a 30-row tree that spans leaves
+      // under an interior page, a 600-char overflow payload, INTEGER
+      // PRIMARY KEY rowid aliasing, REAL-affinity float-back of
+      // integral values (stored as INTEGER serials, exactly as real
+      // SQLite writes them), negative ints, NULLs and a BLOB — decoded
+      // back through the b-tree walk and reduced to closed forms.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val blob = Array.tabulate(16)(k => ((id * 3 + k) % 256).toByte)
+          val rows: Seq[Seq[Any]] =
+            Seq[Any](null, text, id.toDouble, 1L, blob) +:
+            Seq[Any](null, "pad-" + ("y" * 600) + id, id + 0.5, 0L, null) +:
+            Seq[Any](null, "end " + id, -2.0, -5L, null) +:
+            (4 to 30).map(k => Seq[Any](null, "row " + k, k * 1.0, k.toLong, null))
+          val db = graft.ext.Sqlite.build(512, Seq(
+            ("t", Seq("id INTEGER PRIMARY KEY", "txt TEXT", "val REAL",
+              "n INTEGER", "b BLOB"), rows)))
+          val td = graft.ext.Sqlite.readTable(db, "t")
+            .getOrElse(throw new IllegalStateException(s"sqlite walk failed for $id"))
+          val r = td.rows
+          (id, r.length.toLong, r.map(_._2.head.asInstanceOf[Long]).sum,
+            r(0)._2(1).asInstanceOf[String],
+            r(1)._2(1).asInstanceOf[String].length.toLong,
+            r(0)._2(2).asInstanceOf[Double],
+            r(1)._2(2).asInstanceOf[Double],
+            r(0)._2(4).asInstanceOf[Array[Byte]]
+              .foldLeft(0L)((a, x) => a + (x & 0xFF)),
+            r(2)._2(3).asInstanceOf[Long])
+        }
+        .toDF("doc_id", "n_rows", "rowid_sum", "first_txt", "over_len",
+          "v1", "v2", "blob_sum", "n3")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(30 AS BIGINT) AS n_rows,
+                   CAST(465 AS BIGINT) AS rowid_sum,
+                   text AS first_txt,
+                   CAST(604 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS over_len,
+                   CAST(doc_id AS DOUBLE) AS v1,
+                   CAST(doc_id + 0.5 AS DOUBLE) AS v2,
+                   CAST(list_aggregate(list_transform(range(16),
+                        k -> (doc_id * 3 + k) % 256), 'sum') AS BIGINT) AS blob_sum,
+                   CAST(-5 AS BIGINT) AS n3
+            FROM documents ORDER BY doc_id"""),
+    "SQLite certificate: b-tree walk over a multi-leaf 512B-page " +
+      "database with overflow chains, rowid aliasing and REAL-affinity " +
+      "integer float-back — every decoded value a closed form of doc_id")
+
   def all: Seq[Q] = Seq(
     qAvroRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
-    qOdtExtract, qOdsExtract)
+    qOdtExtract, qOdsExtract, qSqliteExtract)
 }
