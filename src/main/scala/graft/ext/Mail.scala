@@ -23,9 +23,13 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Mail {
 
-  /** One MIME leaf part: media type, optional filename, decoded bytes. */
+  /** One MIME leaf part: media type, optional filename, decoded bytes,
+    * and the Content-Location URL when present (the resource identity
+    * MHTML web archives key on).
+    */
   final case class Part(contentType: String, charset: String,
-                        filename: Option[String], body: Array[Byte])
+                        filename: Option[String], body: Array[Byte],
+                        location: Option[String] = None)
 
   /** One parsed message. `text` is the best text body: the first
     * text/plain leaf in tree order, else the first text/html leaf run
@@ -161,7 +165,8 @@ object Mail {
       val charset = param(ct, "charset").getOrElse("us-ascii").toLowerCase
       val filename = param(headers.getOrElse("content-disposition", ""), "filename")
         .orElse(param(ct, "name"))
-      out += Part(media, charset, filename, decoded)
+      out += Part(media, charset, filename, decoded,
+        headers.get("content-location").map(_.trim))
     }
   }
 

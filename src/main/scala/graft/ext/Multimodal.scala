@@ -646,11 +646,18 @@ object Multimodal {
     else if (at(257, "ustar")) "tar"
     // mail corpora: an mbox opens with its first envelope line; a bare
     // .eml leads with a trace header (the conservative set — From:/
-    // Subject: alone are too common in plain text to be magic)
+    // Subject: alone are too common in plain text to be magic). An
+    // MHTML web archive is structurally an eml whose top-level type is
+    // multipart/related — split on that within the header block.
     else if (at(0, "From ")) "mbox"
     else if (at(0, "Return-Path:") || at(0, "Received:") ||
       at(0, "Delivered-To:") || at(0, "MIME-Version:") ||
-      at(0, "Message-ID:")) "eml"
+      at(0, "Message-ID:") || at(0, "From: <Saved by ") ||
+      at(0, "Snapshot-Content-Location:")) {
+      val head = new String(b, 0, math.min(b.length, 2048),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (head.contains("multipart/related")) "mhtml" else "eml"
+    }
     else if (Mpeg.mp3Meta(b).nonEmpty) "mpeg_audio"
     else {
       // leading-whitespace-tolerant HTML sniff (text modality marker)

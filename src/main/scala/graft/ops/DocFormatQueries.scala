@@ -372,7 +372,54 @@ object DocFormatQueries {
       "database with overflow chains, rowid aliasing and REAL-affinity " +
       "integer float-back — every decoded value a closed form of doc_id")
 
+  private val qMhtmlExtract = Q(
+    "q_mhtml_extract",
+    (s, d) => {
+      // MHTML certificate: a Chrome-shaped page snapshot per doc — the
+      // root HTML quoted-printable under multipart/related, two base64
+      // resources keyed by Content-Location — walked back through the
+      // MIME machinery and the HtmlText pass.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val html = s"<html><head><title>Page $id</title></head>" +
+            s"<body><h1>Page $id</h1><p>$esc</p></body></html>"
+          val blob = Array.tabulate(32)(k => ((id * 5 + k) % 256).toByte)
+          val mht = graft.ext.Mhtml.build(s"Page $id",
+            s"https://example.org/p/$id", html, Seq(
+              (s"https://example.org/s/$id.css", "text/css",
+                "body{margin:0}".getBytes("US-ASCII")),
+              (s"https://example.org/b/$id.bin", "application/octet-stream",
+                blob)))
+          val doc = graft.ext.Mhtml.parse(mht)
+            .getOrElse(throw new IllegalStateException(s"mhtml walk failed for $id"))
+          (id, doc.title, doc.rootLocation, doc.text,
+            doc.resources.length.toLong,
+            doc.resources.map(_.location).mkString(","),
+            doc.resources.map(_.size.toLong).sum)
+        }
+        .toDF("doc_id", "title", "root_loc", "page_text", "n_res",
+          "res_locs", "res_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Page ' || doc_id AS title,
+                   'https://example.org/p/' || doc_id AS root_loc,
+                   'Page ' || doc_id || chr(10) || 'Page ' || doc_id ||
+                     chr(10) || text AS page_text,
+                   CAST(2 AS BIGINT) AS n_res,
+                   'https://example.org/s/' || doc_id || '.css,' ||
+                     'https://example.org/b/' || doc_id || '.bin' AS res_locs,
+                   CAST(46 AS BIGINT) AS res_bytes
+            FROM documents ORDER BY doc_id"""),
+    "MHTML certificate: multipart/related walk with quoted-printable " +
+      "root and base64 resources inventoried by Content-Location — " +
+      "title, root URL, extracted page text and resource bytes exact")
+
   def all: Seq[Q] = Seq(
     qAvroRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
-    qOdtExtract, qOdsExtract, qSqliteExtract)
+    qOdtExtract, qOdsExtract, qSqliteExtract, qMhtmlExtract)
 }
