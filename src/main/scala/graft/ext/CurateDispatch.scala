@@ -118,7 +118,7 @@ object CurateDispatch {
         // text-document formats (round 12b): EPUB spine text, RTF
         // tokenizer, MIME mail bodies — same uniform curation row
         val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods",
-            "odp", "sqlite", "mhtml"))
+            "odp", "sqlite", "mhtml", "doc", "xls"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text = f match {
               case "epub" => Epub.extract(p)
@@ -126,6 +126,8 @@ object CurateDispatch {
               case "rtf" => Rtf.text(p).getOrElse("")
               case "eml" => Mail.parseEml(p).text
               case "mhtml" => Mhtml.parse(p).map(_.text).getOrElse("")
+              case "doc" => MsDoc.text(p).getOrElse("")
+              case "xls" => Xls.text(p).getOrElse("")
               case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
               case "ods" => Odf.odsText(p).getOrElse("")
               case "sqlite" =>
@@ -146,7 +148,7 @@ object CurateDispatch {
           .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
-            "mhtml"))
+            "mhtml", "doc", "xls"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))

@@ -621,6 +621,12 @@ object Multimodal {
     // SQLite database: 16-byte header string (fileformat2.html §1.3),
     // decoded by [[Sqlite]]
     else if (at(0, "SQLite format 3")) "sqlite"
+    // OLE2/CFB compound file (legacy Office, MSI, .msg): discriminate
+    // the family by signature stream, like the ZIP mimetype split
+    else if (b.length >= 8 && (b(0) & 0xFF) == 0xD0 && (b(1) & 0xFF) == 0xCF &&
+      (b(2) & 0xFF) == 0x11 && (b(3) & 0xFF) == 0xE0 && (b(4) & 0xFF) == 0xA1 &&
+      (b(5) & 0xFF) == 0xB1 && (b(6) & 0xFF) == 0x1A && (b(7) & 0xFF) == 0xE1)
+      Cfb.family(b)
     else if (at(0, "PK")) {
       // EPUB and ODF both REQUIRE a STORED first member named `mimetype`
       // (no extra field) carrying exactly their media type — when the

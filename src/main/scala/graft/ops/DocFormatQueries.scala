@@ -419,7 +419,90 @@ object DocFormatQueries {
       "root and base64 resources inventoried by Content-Location — " +
       "title, root URL, extracted page text and resource bytes exact")
 
+  private val qDocExtract = Q(
+    "q_doc_extract",
+    (s, d) => {
+      // Legacy Word certificate: a fast-saved-shaped .doc per document
+      // — CFB container (FAT + mini-stream + directory), FIB, and a
+      // four-piece piece table whose pieces are PHYSICALLY REVERSED in
+      // the WordDocument stream and mix windows-1252 with UTF-16LE; a
+      // reader that scans the stream instead of following the PlcPcd,
+      // or decodes cp1252 bytes as Latin-1, breaks the hash.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val doc = graft.ext.MsDoc.build(Seq(
+            (s"Doc $id\r", true),
+            ("café — résumé…\r", false),
+            (text + "\r", true),
+            ("end\u0007" + id + "\r", false)))
+          val extracted = graft.ext.MsDoc.text(doc).getOrElse("")
+          (id, extracted, extracted.length.toLong,
+            graft.ext.Multimodal.sniffFormat(doc))
+        }
+        .toDF("doc_id", "extracted", "n_chars", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Doc ' || doc_id || chr(10) || 'café — résumé…' || chr(10) ||
+                     text || chr(10) || 'end' || chr(9) || doc_id || chr(10)
+                     AS extracted,
+                   CAST(length('Doc ' || doc_id || chr(10) || 'café — résumé…' ||
+                     chr(10) || text || chr(10) || 'end' || chr(9) || doc_id ||
+                     chr(10)) AS BIGINT) AS n_chars,
+                   'doc' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "legacy Word (.doc) certificate: CFB walk + FIB + piece table with " +
+      "physically-reversed cp1252/UTF-16 pieces, control-char " +
+      "normalization — text layer byte-exact on the closed form")
+
+  private val qXlsExtract = Q(
+    "q_xls_extract",
+    (s, d) => {
+      // Legacy Excel certificate: a BIFF8 workbook per doc whose SST is
+      // FORCED to split into a CONTINUE record mid-character-data (the
+      // classic .xls parser trap — the string resumes under a fresh
+      // option byte and may switch 8/16-bit width), plus RK int/double
+      // encodings, NUMBER and BOOLERR cells — all read back through the
+      // CFB + BIFF walk to closed forms.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val xls = graft.ext.Xls.build(Seq(
+            graft.ext.Xls.Cell(0, 0, text),
+            graft.ext.Xls.Cell(0, 1, "πΩ✓"),
+            graft.ext.Xls.Cell(1, 0, id.toDouble),
+            graft.ext.Xls.Cell(1, 1, id + 0.25),
+            graft.ext.Xls.Cell(2, 0, true),
+            graft.ext.Xls.Cell(2, 1, -3.0 * id)), sstSplitAt = 40)
+          val cs = graft.ext.Xls.cells(xls)
+            .getOrElse(throw new IllegalStateException(s"xls walk failed for $id"))
+          val m = cs.map(c => (c.row, c.col) -> c.value).toMap
+          (id, m((0, 0)).asInstanceOf[String], m((0, 1)).asInstanceOf[String],
+            m((1, 0)).asInstanceOf[Double], m((1, 1)).asInstanceOf[Double],
+            m((2, 0)).asInstanceOf[Boolean], m((2, 1)).asInstanceOf[Double],
+            graft.ext.Multimodal.sniffFormat(xls))
+        }
+        .toDF("doc_id", "s1", "s2", "n1", "n2", "b1", "n3", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   text AS s1,
+                   'πΩ✓' AS s2,
+                   CAST(doc_id AS DOUBLE) AS n1,
+                   CAST(doc_id + 0.25 AS DOUBLE) AS n2,
+                   TRUE AS b1,
+                   CAST(-3 * doc_id AS DOUBLE) AS n3,
+                   'xls' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "legacy Excel (.xls) certificate: BIFF8 walk with an SST CONTINUE " +
+      "split forced mid-string, RK int/double + NUMBER + BOOLERR cells " +
+      "— every value a closed form of doc_id")
+
   def all: Seq[Q] = Seq(
     qAvroRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
-    qOdtExtract, qOdsExtract, qSqliteExtract, qMhtmlExtract)
+    qOdtExtract, qOdsExtract, qSqliteExtract, qMhtmlExtract, qDocExtract,
+    qXlsExtract)
 }
