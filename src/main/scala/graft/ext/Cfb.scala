@@ -186,6 +186,8 @@ object Cfb {
       if (names.contains("WordDocument")) "doc"
       else if (names.contains("Workbook") || names.contains("Book")) "xls"
       else if (names.contains("PowerPoint Document")) "ppt"
+      else if (names.exists(_.startsWith("__substg1.0_")) ||
+        names.contains("__properties_version1.0")) "msg"
       else "cfb"
     }.getOrElse("cfb")
 
@@ -201,12 +203,36 @@ object Cfb {
 
   // ----- deterministic builder (fixtures/certificates) ------------------
 
-  /** Minimal v3 CFB writer: flat namespace (streams under root), FAT in
-    * header DIFAT slots (plenty for fixtures), mini stream for payloads
-    * under the cutoff — exercising both size classes of the reader.
+  /** Minimal v3 CFB writer: FAT in header DIFAT slots (plenty for
+    * fixtures), mini stream for payloads under the cutoff — exercising
+    * both size classes of the reader. Stream names may contain '/' —
+    * intermediate storages are created (the .msg attachment shape).
     */
+  private final class BNode(val name: String) {
+    val children = scala.collection.mutable.LinkedHashMap.empty[String, BNode]
+    var data: Option[(String, Array[Byte])] = None // (full path, bytes)
+    var id: Int = -1
+  }
+
   private[graft] def build(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
     val S = 512
+    // ---- namespace tree ('/' in names creates storages)
+    val tree = new BNode("")
+    for ((path, data) <- streams) {
+      var node = tree
+      val segs = path.split('/')
+      for (seg <- segs.dropRight(1))
+        node = node.children.getOrElseUpdate(seg, new BNode(seg))
+      val leaf = node.children.getOrElseUpdate(segs.last, new BNode(segs.last))
+      leaf.data = Some((path, data))
+    }
+    // preorder id assignment (root is 0)
+    var nextId = 1
+    def assign(n: BNode): Unit = {
+      n.children.values.foreach { c => c.id = nextId; nextId += 1; assign(c) }
+    }
+    assign(tree)
+    val nNodes = nextId // including root
     // ---- split payloads by size class
     val mini = streams.filter(_._2.length < 4096)
     val big = streams.filter(_._2.length >= 4096)
@@ -232,7 +258,7 @@ object Cfb {
 
     // ---- lay out the sector space:
     // [FAT sectors][dir sectors][miniFAT sectors][mini-stream sectors][big-stream sectors]
-    val nDirEntries = 1 + streams.length
+    val nDirEntries = nNodes
     val nDirSec = math.max(1, (nDirEntries * 128 + S - 1) / S)
     val nMiniFatSec = if (miniFat.isEmpty) 0 else (miniFat.length * 4 + S - 1) / S
     val nMiniSec = (miniBytes.length + S - 1) / S
@@ -297,16 +323,29 @@ object Cfb {
     // free entries carry -1 siblings
     for (id <- 0 until nDirSec * S / 128)
       putEntry(id, "", 0, -1, -1, -1, EndOfChain, 0)
-    putEntry(0, "Root Entry", 5, -1, -1, if (streams.isEmpty) -1 else 1,
+    putEntry(0, "Root Entry", 5, -1, -1, if (tree.children.isEmpty) -1 else 1,
       if (nMiniSec == 0) EndOfChain else miniAt, miniBytes.length.toLong)
-    streams.zipWithIndex.foreach { case ((name, data), i) =>
-      val id = i + 1
-      val start =
-        if (data.length < 4096) miniStart(name)
-        else bigStart(name)
-      putEntry(id, name, 2, -1,
-        if (i == streams.length - 1) -1 else id + 1, -1, start,
-        data.length.toLong)
+    // preorder ids were assigned when the tree was built; write each
+    // node with right-sibling chains and first-child pointers
+    def writeNode(n: BNode, right: Int): Unit = {
+      val (start, size) = n.data match {
+        case Some((path, d)) =>
+          (if (d.length < 4096) miniStart(path) else bigStart(path),
+            d.length.toLong)
+        case None => (EndOfChain, 0L)
+      }
+      val kids = n.children.values.toSeq
+      putEntry(n.id, n.name, if (n.data.isEmpty) 1 else 2, -1, right,
+        kids.headOption.map(_.id).getOrElse(-1), start, size)
+      kids.zipWithIndex.foreach { case (k, i) =>
+        writeNode(k, if (i == kids.length - 1) -1 else kids(i + 1).id)
+      }
+    }
+    tree.children.values.toSeq match {
+      case kids =>
+        kids.zipWithIndex.foreach { case (k, i) =>
+          writeNode(k, if (i == kids.length - 1) -1 else kids(i + 1).id)
+        }
     }
 
     // ---- header

@@ -118,7 +118,7 @@ object CurateDispatch {
         // text-document formats (round 12b): EPUB spine text, RTF
         // tokenizer, MIME mail bodies — same uniform curation row
         val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods",
-            "odp", "sqlite", "mhtml", "doc", "xls"))
+            "odp", "sqlite", "mhtml", "doc", "xls", "msg", "ppt"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text = f match {
               case "epub" => Epub.extract(p)
@@ -128,6 +128,8 @@ object CurateDispatch {
               case "mhtml" => Mhtml.parse(p).map(_.text).getOrElse("")
               case "doc" => MsDoc.text(p).getOrElse("")
               case "xls" => Xls.text(p).getOrElse("")
+              case "msg" => Msg.parse(p).map(_.body).getOrElse("")
+              case "ppt" => Ppt.text(p).getOrElse("")
               case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
               case "ods" => Odf.odsText(p).getOrElse("")
               case "sqlite" =>
@@ -148,7 +150,7 @@ object CurateDispatch {
           .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
-            "mhtml", "doc", "xls"))
+            "mhtml", "doc", "xls", "msg", "ppt"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))

@@ -501,8 +501,80 @@ object DocFormatQueries {
       "split forced mid-string, RK int/double + NUMBER + BOOLERR cells " +
       "— every value a closed form of doc_id")
 
+  private val qMsgExtract = Q(
+    "q_msg_extract",
+    (s, d) => {
+      // Outlook .msg certificate: the MAPI property walk — top-level
+      // subject/sender/body streams, a recipient sub-storage, an
+      // attachment sub-storage with long-filename + binary-data
+      // properties — laid out with the real CFB writer (storages
+      // exercise the directory tree path) and read back to closed forms.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val att = Array.tabulate(24)(k => ((id * 11 + k) % 256).toByte)
+          val msg = graft.ext.Msg.build(
+            s"Msg $id ✓", s"Sender $id", text,
+            Seq((s"Rcpt $id", s"r$id@example.org")),
+            Seq((s"att$id.bin", att)))
+          val m = graft.ext.Msg.parse(msg)
+            .getOrElse(throw new IllegalStateException(s"msg walk failed for $id"))
+          (id, m.subject, m.senderName, m.body,
+            m.recipients.map(r => r._1 + "<" + r._2 + ">").mkString(";"),
+            m.attachments.map(_.filename).mkString(";"),
+            m.attachments.map(_.bytes.foldLeft(0L)((a, x) => a + (x & 0xFF))).sum,
+            graft.ext.Multimodal.sniffFormat(msg))
+        }
+        .toDF("doc_id", "subject", "sender", "body", "rcpts", "att_names",
+          "att_sum", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Msg ' || doc_id || ' ✓' AS subject,
+                   'Sender ' || doc_id AS sender,
+                   text AS body,
+                   'Rcpt ' || doc_id || '<r' || doc_id || '@example.org>' AS rcpts,
+                   'att' || doc_id || '.bin' AS att_names,
+                   CAST(list_aggregate(list_transform(range(24),
+                        k -> (doc_id * 11 + k) % 256), 'sum') AS BIGINT) AS att_sum,
+                   'msg' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "Outlook .msg certificate: MAPI property streams through the CFB " +
+      "storage tree — subject/sender/body, recipient and attachment " +
+      "sub-storages, attachment bytes — closed forms of doc_id")
+
+  private val qPptExtract = Q(
+    "q_ppt_extract",
+    (s, d) => {
+      // Legacy PowerPoint certificate: a three-slide record tree mixing
+      // TextBytesAtom (Latin-1) and TextCharsAtom (UTF-16) with \r and
+      // 0x0B marks normalized — the deck text layer on a closed form.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ppt = graft.ext.Ppt.build(Seq(
+            s"Deck $id\rsubtitle",
+            text,
+            s"fin ✓ $id"))
+          val extracted = graft.ext.Ppt.text(ppt).getOrElse("")
+          (id, extracted, graft.ext.Multimodal.sniffFormat(ppt))
+        }
+        .toDF("doc_id", "deck_text", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Deck ' || doc_id || chr(10) || 'subtitle' || chr(10) ||
+                     text || chr(10) || 'fin ✓ ' || doc_id AS deck_text,
+                   'ppt' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "legacy PowerPoint (.ppt) certificate: record-tree walk collecting " +
+      "TextBytesAtom/TextCharsAtom in stream order with paragraph-mark " +
+      "normalization — deck text exact on the closed form")
+
   def all: Seq[Q] = Seq(
     qAvroRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
     qOdtExtract, qOdsExtract, qSqliteExtract, qMhtmlExtract, qDocExtract,
-    qXlsExtract)
+    qXlsExtract, qMsgExtract, qPptExtract)
 }

@@ -45,6 +45,26 @@ class CfbSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("Other", new Array[Byte](64))))) == "cfb")
   }
 
+  test("storages: '/' paths create nested trees the walk flattens back") {
+    val cfb = Cfb.build(Seq(
+      ("top", "t".getBytes),
+      ("__attach_version1.0_#00000000/__substg1.0_3704001F",
+        "file.txt".getBytes("UTF-16LE")),
+      ("__attach_version1.0_#00000000/__substg1.0_37010102",
+        Array.tabulate(20)(_.toByte)),
+      ("__attach_version1.0_#00000001/__substg1.0_37010102",
+        "second".getBytes)))
+    val Some(es) = Cfb.entries(cfb)
+    assert(es.count(_.objType == 1) == 2) // two storages
+    assert(es.exists(e => e.objType == 2 &&
+      e.path == "__attach_version1.0_#00000000/__substg1.0_3704001F"))
+    assert(new String(Cfb.read(cfb,
+      "__attach_version1.0_#00000000/__substg1.0_3704001F").get,
+      "UTF-16LE") == "file.txt")
+    assert(new String(Cfb.read(cfb,
+      "__attach_version1.0_#00000001/__substg1.0_37010102").get) == "second")
+  }
+
   test("broken payloads are None, not crashes") {
     assert(Cfb.entries("not cfb".getBytes).isEmpty)
     assert(Cfb.entries(new Array[Byte](600)).isEmpty)
