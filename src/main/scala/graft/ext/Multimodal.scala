@@ -621,6 +621,9 @@ object Multimodal {
     // SQLite database: 16-byte header string (fileformat2.html §1.3),
     // decoded by [[Sqlite]]
     else if (at(0, "SQLite format 3")) "sqlite"
+    // ISO 9660 disc image: 'CD001' at byte 1 of sector 16 (ECMA-119),
+    // walked by [[Iso]]
+    else if (Iso.isIso(b)) "iso"
     // OLE2/CFB compound file (legacy Office, MSI, .msg): discriminate
     // the family by signature stream, like the ZIP mimetype split
     else if (b.length >= 8 && (b(0) & 0xFF) == 0xD0 && (b(1) & 0xFF) == 0xCF &&

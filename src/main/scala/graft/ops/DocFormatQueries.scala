@@ -573,8 +573,53 @@ object DocFormatQueries {
       "TextBytesAtom/TextCharsAtom in stream order with paragraph-mark " +
       "normalization — deck text exact on the closed form")
 
+  private val qIsoExtract = Q(
+    "q_iso_extract",
+    (s, d) => {
+      // ISO 9660 certificate: a hybrid PVD+Joliet image per doc with a
+      // nested directory, spaced/unicode filenames (Joliet UCS-2BE),
+      // and file extents read back byte-exact. The walk must prefer
+      // the Joliet tree — primary names are 8.3-mangled.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val blob = Array.tabulate(40)(k => ((id * 13 + k) % 256).toByte)
+          val iso = graft.ext.Iso.build(Seq(
+            ("doc text.txt", text.getBytes("UTF-8")),
+            (s"data/blob $id.bin", blob),
+            ("data/nöte.txt", ("note " + id).getBytes("UTF-8"))))
+          val es = graft.ext.Iso.entries(iso)
+            .getOrElse(throw new IllegalStateException(s"iso walk failed for $id"))
+          val back = new String(
+            graft.ext.Iso.read(iso, "doc text.txt").get, "UTF-8")
+          val blobSum = graft.ext.Iso.read(iso, s"data/blob $id.bin").get
+            .foldLeft(0L)((a, x) => a + (x & 0xFF))
+          (id, es.map(_.path).sorted.mkString(";"), es.count(_.isDir).toLong,
+            back, blobSum,
+            new String(graft.ext.Iso.read(iso, "data/nöte.txt").get, "UTF-8"),
+            graft.ext.Multimodal.sniffFormat(iso))
+        }
+        .toDF("doc_id", "paths", "n_dirs", "text_back", "blob_sum", "note",
+          "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'data;data/blob ' || doc_id || '.bin;data/nöte.txt;doc text.txt'
+                     AS paths,
+                   CAST(1 AS BIGINT) AS n_dirs,
+                   text AS text_back,
+                   CAST(list_aggregate(list_transform(range(40),
+                        k -> (doc_id * 13 + k) % 256), 'sum') AS BIGINT) AS blob_sum,
+                   'note ' || doc_id AS note,
+                   'iso' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "ISO 9660 certificate: PVD+Joliet hybrid image walk with nested " +
+      "directories, UCS-2 names and byte-exact file extents — closed " +
+      "forms of doc_id")
+
   def all: Seq[Q] = Seq(
     qAvroRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
     qOdtExtract, qOdsExtract, qSqliteExtract, qMhtmlExtract, qDocExtract,
-    qXlsExtract, qMsgExtract, qPptExtract)
+    qXlsExtract, qMsgExtract, qPptExtract, qIsoExtract)
 }
