@@ -118,7 +118,8 @@ object CurateDispatch {
         // text-document formats (round 12b): EPUB spine text, RTF
         // tokenizer, MIME mail bodies — same uniform curation row
         val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods",
-            "odp", "sqlite", "mhtml", "doc", "xls", "msg", "ppt"))
+            "odp", "sqlite", "mhtml", "doc", "xls", "msg", "ppt",
+            "rss", "atom", "ics", "vcf"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text = f match {
               case "epub" => Epub.extract(p)
@@ -130,6 +131,12 @@ object CurateDispatch {
               case "xls" => Xls.text(p).getOrElse("")
               case "msg" => Msg.parse(p).map(_.body).getOrElse("")
               case "ppt" => Ppt.text(p).getOrElse("")
+              case "rss" | "atom" => Feed.parse(p)
+                .map(_.items.map(_.body).mkString("\n")).getOrElse("")
+              case "ics" => VObject.events(p)
+                .map(_.map(_.summary).mkString("\n")).getOrElse("")
+              case "vcf" => VObject.cards(p)
+                .map(_.map(_.fn).mkString("\n")).getOrElse("")
               case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
               case "ods" => Odf.odsText(p).getOrElse("")
               case "sqlite" =>
@@ -150,7 +157,8 @@ object CurateDispatch {
           .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
-            "mhtml", "doc", "xls", "msg", "ppt"))
+            "mhtml", "doc", "xls", "msg", "ppt", "rss", "atom", "ics",
+            "vcf"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))

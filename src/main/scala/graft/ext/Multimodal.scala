@@ -669,12 +669,25 @@ object Multimodal {
     }
     else if (Mpeg.mp3Meta(b).nonEmpty) "mpeg_audio"
     else {
-      // leading-whitespace-tolerant HTML sniff (text modality marker)
+      // leading-whitespace-tolerant HTML/feed sniff (text modality
+      // markers); feeds may hide behind an XML prolog, so the RSS/Atom
+      // roots are checked within the first KB after a '<?xml' head
       var i = 0
       while (i < b.length && i < 64 &&
         (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
       val head = new String(b, i, math.min(16, b.length - i), "US-ASCII").toLowerCase
       if (head.startsWith("<html") || head.startsWith("<!doctype")) "html"
+      else if (at(0, "BEGIN:VCALENDAR")) "ics"
+      else if (at(0, "BEGIN:VCARD")) "vcf"
+      else if (at(0, "d8:announce")) "torrent"
+      else if (head.startsWith("<rss") || head.startsWith("<feed") ||
+        (head.startsWith("<?xml") && {
+          val k = new String(b, i, math.min(1024, b.length - i), "US-ASCII")
+          k.contains("<rss") || k.contains("<feed")
+        })) {
+        val k = new String(b, i, math.min(1024, b.length - i), "US-ASCII")
+        if (k.contains("<rss") || !k.contains("<feed")) "rss" else "atom"
+      }
       // lzma-alone is a WEAK magic (props byte + LE dict size) — checked
       // dead last, with the same sanity gates as [[Codecs.detect]]
       else if (b.length >= 13 && (b(0) & 0xFF) < 225 && b(1) == 0 &&

@@ -31,7 +31,7 @@ object Catalog {
   def all: Seq[Q] =
     RelationalQueries.all ++ PipelineQueries.all ++ ExtQueries.all ++
       AdvancedQueries.all ++ TpchQueries.all ++ AnalyticsQueries.all ++
-      EventAnalyticsQueries.all ++ DocFormatQueries.all
+      EventAnalyticsQueries.all ++ DocFormatQueries.all ++ SidecarQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

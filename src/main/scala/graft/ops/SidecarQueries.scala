@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Sidecar/metadata formats a crawl collects alongside content: RSS and
+  * Atom feeds, BitTorrent metainfo, iCalendar events and vCards — each
+  * a self-built-fixture certificate in the DocFormatQueries mold.
+  */
+object SidecarQueries {
+
+  private val qFeedExtract = Q(
+    "q_feed_extract",
+    (s, d) => {
+      // RSS certificate: a 2-item channel per doc — item 0 carries the
+      // document text in a CDATA section (with the ]]> escape split
+      // when the text contains one), item 1 entity-encoded markup; the
+      // parse explodes to item rows.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val cdata = text.replace("]]>", "]]]]><![CDATA[>")
+          val rss =
+            s"""<?xml version="1.0"?><rss version="2.0"><channel>
+               |<title>Feed $id</title><link>https://e.example/$id</link>
+               |<item><title>Post &amp; $id</title>
+               |<link>https://e.example/$id/0</link><pubDate>d0</pubDate>
+               |<description><![CDATA[$cdata]]></description></item>
+               |<item><title>Second</title>
+               |<link>https://e.example/$id/1</link><pubDate>d1</pubDate>
+               |<description>plain &lt;x&gt;</description></item>
+               |</channel></rss>""".stripMargin
+          val f = graft.ext.Feed.parse(rss.getBytes("UTF-8"))
+            .getOrElse(throw new IllegalStateException(s"feed parse failed for $id"))
+          f.items.zipWithIndex.map { case (it, k) =>
+            (id, k, f.title, it.title, it.link, it.body)
+          }
+        }
+        .toDF("doc_id", "item_idx", "feed_title", "title", "link", "body")
+        .orderBy("doc_id", "item_idx")
+    },
+    Some("""SELECT doc_id, item_idx,
+                   'Feed ' || doc_id AS feed_title,
+                   CASE item_idx WHEN 0 THEN 'Post & ' || doc_id
+                        ELSE 'Second' END AS title,
+                   'https://e.example/' || doc_id || '/' || item_idx AS link,
+                   CASE item_idx WHEN 0 THEN text ELSE 'plain <x>' END AS body
+            FROM documents, (VALUES (0), (1)) AS i(item_idx)
+            ORDER BY doc_id, item_idx"""),
+    "RSS feed certificate: channel/item scrape with CDATA-verbatim " +
+      "descriptions (]]> split escape) and entity decodes — item rows " +
+      "exact on the closed form")
+
+  private val qTorrentExtract = Q(
+    "q_torrent_extract",
+    (s, d) => {
+      // BitTorrent metainfo certificate: multi-file info dict per doc;
+      // the infohash is SHA-1 over the EXACT bencoded info span (length
+      // asserted — hex digest itself has no DuckDB twin).
+      import s.implicits._
+      documents(s, d).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val meta = graft.ext.Bencode.encode(Map(
+            "announce" -> s"http://tr.example/$id",
+            "info" -> Map(
+              "name" -> s"doc-$id",
+              "piece length" -> 16384L,
+              "files" -> Seq(
+                Map("length" -> id, "path" -> Seq("a", "part1.bin")),
+                Map("length" -> (2 * id + 1), "path" -> Seq("part2.bin"))))))
+          val t = graft.ext.Bencode.torrent(meta)
+            .getOrElse(throw new IllegalStateException(s"torrent parse failed for $id"))
+          (id, t.announce, t.name, t.pieceLength, t.totalLength,
+            t.files.map { case (p, l) => s"$p=$l" }.mkString(";"),
+            t.infoHashHex.length.toLong,
+            graft.ext.Multimodal.sniffFormat(meta))
+        }
+        .toDF("doc_id", "announce", "name", "piece_len", "total_len",
+          "files", "hash_len", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'http://tr.example/' || doc_id AS announce,
+                   'doc-' || doc_id AS name,
+                   CAST(16384 AS BIGINT) AS piece_len,
+                   CAST(3 * doc_id + 1 AS BIGINT) AS total_len,
+                   'a/part1.bin=' || doc_id || ';part2.bin=' || (2 * doc_id + 1)
+                     AS files,
+                   CAST(40 AS BIGINT) AS hash_len,
+                   'torrent' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "BitTorrent metainfo certificate: bencode walk with byte-span " +
+      "tracking, multi-file paths, SHA-1 infohash over the exact info " +
+      "dict bytes — closed forms of doc_id")
+
+  private val qIcsExtract = Q(
+    "q_ics_extract",
+    (s, d) => {
+      // iCalendar certificate: two VEVENTs per doc — the first carries
+      // the document text RFC 5545 TEXT-escaped AND folded at 60
+      // octets, plus a VALARM that must be skipped; round-trips to the
+      // original text.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val esc = text.replace("\\", "\\\\").replace("\n", "\\n")
+            .replace(",", "\\,").replace(";", "\\;")
+          val folded = esc.grouped(60).mkString("\r\n ")
+          val ics = ("BEGIN:VCALENDAR\r\nVERSION:2.0\r\n" +
+            "BEGIN:VEVENT\r\n" +
+            s"SUMMARY:$folded\r\n" +
+            s"LOCATION:Room $id\r\n" +
+            s"DTSTART;TZID=UTC:20260115T100000\r\n" +
+            "BEGIN:VALARM\r\nSUMMARY:ALARM NOISE\r\nEND:VALARM\r\n" +
+            "END:VEVENT\r\n" +
+            "BEGIN:VEVENT\r\n" +
+            s"SUMMARY:Standup $id\r\nDTSTART:20260116T090000\r\n" +
+            "END:VEVENT\r\nEND:VCALENDAR\r\n").getBytes("UTF-8")
+          val es = graft.ext.VObject.events(ics)
+            .getOrElse(throw new IllegalStateException(s"ics parse failed for $id"))
+          es.zipWithIndex.map { case (e, k) =>
+            (id, k, e.summary, e.location, e.dtStart)
+          }
+        }
+        .toDF("doc_id", "ev_idx", "summary", "location", "dtstart")
+        .orderBy("doc_id", "ev_idx")
+    },
+    Some("""SELECT doc_id, ev_idx,
+                   CASE ev_idx WHEN 0 THEN text
+                        ELSE 'Standup ' || doc_id END AS summary,
+                   CASE ev_idx WHEN 0 THEN 'Room ' || doc_id
+                        ELSE '' END AS location,
+                   CASE ev_idx WHEN 0 THEN '20260115T100000'
+                        ELSE '20260116T090000' END AS dtstart
+            FROM documents, (VALUES (0), (1)) AS e(ev_idx)
+            ORDER BY doc_id, ev_idx"""),
+    "iCalendar certificate: unfolding at 60-octet folds, RFC 5545 TEXT " +
+      "unescape round-trip of the document text, VALARM sub-component " +
+      "skip — event rows exact on the closed form")
+
+  private val qVcfExtract = Q(
+    "q_vcf_extract",
+    (s, d) => {
+      // vCard certificate: a 2-card file per doc with typed EMAIL
+      // params and multiple TELs.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val vcf = ("BEGIN:VCARD\r\nVERSION:3.0\r\n" +
+            s"FN:Person $id\r\n" +
+            s"EMAIL;TYPE=work:p$id@example.org\r\n" +
+            s"TEL:+1-555-$id\r\nTEL:+2-555-$id\r\n" +
+            "END:VCARD\r\n" +
+            s"BEGIN:VCARD\r\nFN:Alt $id\r\nEMAIL:alt$id@example.org\r\n" +
+            "END:VCARD\r\n").getBytes("UTF-8")
+          val cs = graft.ext.VObject.cards(vcf)
+            .getOrElse(throw new IllegalStateException(s"vcf parse failed for $id"))
+          (id, cs.map(_.fn).mkString(";"),
+            cs.flatMap(_.emails).mkString(";"),
+            cs.head.tels.mkString(";"),
+            graft.ext.Multimodal.sniffFormat(vcf))
+        }
+        .toDF("doc_id", "names", "emails", "tels", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Person ' || doc_id || ';Alt ' || doc_id AS names,
+                   'p' || doc_id || '@example.org;alt' || doc_id ||
+                     '@example.org' AS emails,
+                   '+1-555-' || doc_id || ';+2-555-' || doc_id AS tels,
+                   'vcf' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "vCard certificate: multi-card split, FN/EMAIL/TEL collection with " +
+      "params — closed forms of doc_id")
+
+  def all: Seq[Q] = Seq(
+    qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract)
+}

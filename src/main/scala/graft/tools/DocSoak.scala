@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-12b scale soak: the document/sidecar format arms at 100×+ the
+  * bench corpus — per-format build+parse throughput (the certificate
+  * shape: the real writer feeds the real parser inside one task) and
+  * the mixed-format dispatch pipeline end-to-end. Prints per-unit costs
+  * for PERF.md.
+  *
+  * Every stage is map-only over a generated corpus — the numbers to
+  * watch are µs/doc flatness as nDocs grows (any superlinearity means a
+  * parser allocates beyond the row).
+  *
+  * Usage: runMain graft.tools.DocSoak [nDocs] (default 200000)
+  */
+object DocSoak {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docsDir = s"/tmp/graft_docsoak_$nDocs"
+    if (!new java.io.File(s"$docsDir/_SUCCESS").exists())
+      ScaleSoak.corpus(spark, nDocs).write.mode("overwrite").parquet(docsDir)
+    val docs = spark.read.parquet(docsDir).select("doc_id", "text")
+    println(s"[docsoak] docs=${docs.count()}")
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[docsoak] $name%-18s $dt%8.2f s   rows=$rows%,d   " +
+        f"(${dt * 1e6 / nDocs}%.2f µs/doc)")
+    }
+
+    val ds = docs.as[(Long, String)]
+
+    timed("msdoc") {
+      ds.map { case (id, text) =>
+        val d = graft.ext.MsDoc.build(Seq((s"Doc $id\r", true),
+          (text + "\r", false)))
+        graft.ext.MsDoc.text(d).map(_.length).getOrElse(-1)
+      }.filter(_ >= 0).count()
+    }
+    timed("xls") {
+      ds.map { case (id, text) =>
+        val x = graft.ext.Xls.build(Seq(
+          graft.ext.Xls.Cell(0, 0, text), graft.ext.Xls.Cell(1, 0, id.toDouble)),
+          sstSplitAt = 40)
+        graft.ext.Xls.cells(x).map(_.length).getOrElse(-1)
+      }.filter(_ == 2).count()
+    }
+    timed("sqlite") {
+      ds.map { case (id, text) =>
+        val rows: Seq[Seq[Any]] =
+          (1 to 8).map(k => Seq[Any](null, text, k * 1.0))
+        val db = graft.ext.Sqlite.build(512,
+          Seq(("t", Seq("id INTEGER PRIMARY KEY", "txt TEXT", "v REAL"), rows)))
+        graft.ext.Sqlite.readTable(db, "t").map(_.rows.length).getOrElse(-1)
+      }.filter(_ == 8).count()
+    }
+    timed("mhtml") {
+      ds.map { case (id, text) =>
+        val m = graft.ext.Mhtml.build(s"P$id", s"https://e/$id",
+          s"<html><body><p>$text</p></body></html>", Seq.empty)
+        graft.ext.Mhtml.parse(m).map(_.text.length).getOrElse(-1)
+      }.filter(_ >= 0).count()
+    }
+    timed("msg") {
+      ds.map { case (id, text) =>
+        val m = graft.ext.Msg.build(s"S$id", "sender", text, Seq.empty, Seq.empty)
+        graft.ext.Msg.parse(m).map(_.body.length).getOrElse(-1)
+      }.filter(_ >= 0).count()
+    }
+    timed("epub") {
+      ds.map { case (id, text) =>
+        val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+        val e = graft.ext.Epub.build(s"B$id",
+          Seq(("c.xhtml", s"<html><body><p>$esc</p></body></html>")))
+        graft.ext.Epub.extract(e).map(_._2.length).getOrElse(-1)
+      }.filter(_ == 1).count()
+    }
+
+    // mixed-format dispatch end-to-end: 6 rotating families through the
+    // engine pipeline (sniff -> arms -> gate)
+    timed("dispatch_mixed") {
+      val media = ds.map { case (id, text) =>
+        val payload = (id % 6).toInt match {
+          case 0 => graft.ext.MsDoc.build(Seq((text + "\r", false)))
+          case 1 => graft.ext.Rtf.build(text).getBytes("US-ASCII")
+          case 2 => graft.ext.Mhtml.build(s"P$id", "https://e",
+            s"<html><body><p>$text</p></body></html>", Seq.empty)
+          case 3 => graft.ext.Ppt.build(Seq(text))
+          case 4 =>
+            ("BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:x\r\n" +
+              "END:VEVENT\r\nEND:VCALENDAR\r\n").getBytes("UTF-8")
+          case _ => graft.ext.Png.encode(graft.ext.Png.Image(
+            (8 + id % 16).toInt, 8, 1, Array.fill((8 + id % 16).toInt * 8)(1.toByte)))
+        }
+        (id, payload)
+      }.toDF("media_id", "payload")
+      val n = new graft.engine.Engine(graft.ext.CurateDispatch.spec())
+        .run("curate_dispatch", spark, Some(media),
+          graft.engine.RunOptions(orderedConcat = false))
+        .count()
+      graft.ext.CurateDispatch.releaseCached()
+      n
+    }
+
+    spark.stop()
+  }
+}
