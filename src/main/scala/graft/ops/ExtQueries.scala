@@ -4809,19 +4809,23 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 30 payload families rotate by
-      // doc_id % 30 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 51 payload families rotate by
+      // doc_id % 51 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
       // land on "mp4", the zstd/xz/bzip2/7z/lz4/snappy/.Z/lzma
-      // compression magics a routing policy must SEE, and a plain-text
-      // "unknown"). The sniff must name each family and report exact
-      // byte lengths.
+      // compression magics a routing policy must SEE, a plain-text
+      // "unknown", and the round-12b set: the stored-mimetype ZIP
+      // split (epub/odt/ods/odp), the CFB signature-stream split
+      // (doc/xls/ppt/msg/cfb — REAL containers, the walk runs),
+      // sqlite/avro/iso magics, mail (eml/mbox/mhtml), and the
+      // feed/sidecar text magics (rss/atom/ics/vcf/torrent)). The
+      // sniff must name each family and report exact byte lengths.
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 30).toInt match {
+          val p: Array[Byte] = (id % 51).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4870,7 +4874,43 @@ object ExtQueries {
               "sNaPpY".getBytes("US-ASCII")
             case 27 => Array[Byte](0x1F, 0x9D.toByte, 0x89.toByte, 0)
             case 28 => Array[Byte](0x5D, 0, 0, 0x00, 0x01) ++ new Array[Byte](8)
-            case _ => "plain text payload".getBytes("US-ASCII")
+            case 29 => "plain text payload".getBytes("US-ASCII")
+            // round-12b document/sidecar families
+            case 30 => Array[Byte]('O', 'b', 'j', 1) ++ new Array[Byte](4)
+            case 31 => ("SQLite format 3" + " ").getBytes("ISO-8859-1")
+            case 32 => Array[Byte]('P', 'K', 3, 4) ++ new Array[Byte](26) ++
+              "mimetypeapplication/epub+zip".getBytes("US-ASCII")
+            case 33 => Array[Byte]('P', 'K', 3, 4) ++ new Array[Byte](26) ++
+              ("mimetype" + graft.ext.Odf.MimeText).getBytes("US-ASCII")
+            case 34 => Array[Byte]('P', 'K', 3, 4) ++ new Array[Byte](26) ++
+              ("mimetype" + graft.ext.Odf.MimeSpreadsheet).getBytes("US-ASCII")
+            case 35 => Array[Byte]('P', 'K', 3, 4) ++ new Array[Byte](26) ++
+              ("mimetype" + graft.ext.Odf.MimePresentation).getBytes("US-ASCII")
+            case 36 => "{\\rtf1 x}".getBytes("US-ASCII")
+            case 37 => "Received: from a\r\n\r\nb".getBytes("US-ASCII")
+            case 38 => "From a@b Thu Jan 15 10:00:00 2026\n\nx".getBytes("US-ASCII")
+            case 39 => ("MIME-Version: 1.0\r\n" +
+              "Content-Type: multipart/related\r\n\r\n").getBytes("US-ASCII")
+            case 40 => graft.ext.Cfb.build(Seq(
+              ("WordDocument", new Array[Byte](8)), ("1Table", new Array[Byte](8))))
+            case 41 => graft.ext.Cfb.build(Seq(("Workbook", new Array[Byte](8))))
+            case 42 => graft.ext.Cfb.build(Seq(
+              ("PowerPoint Document", new Array[Byte](8))))
+            case 43 => graft.ext.Cfb.build(Seq(
+              ("__substg1.0_0037001F", new Array[Byte](8))))
+            case 44 => graft.ext.Cfb.build(Seq(("Data", new Array[Byte](8))))
+            case 45 =>
+              val iso = new Array[Byte](17 * 2048)
+              System.arraycopy("CD001".getBytes("US-ASCII"), 0, iso,
+                16 * 2048 + 1, 5)
+              iso
+            case 46 => "BEGIN:VCALENDAR\r\n".getBytes("US-ASCII")
+            case 47 => "BEGIN:VCARD\r\n".getBytes("US-ASCII")
+            case 48 => "d8:announce3:urle".getBytes("US-ASCII")
+            case 49 => "<rss version=\"2.0\"></rss>".getBytes("US-ASCII")
+            case _ => ("<?xml version=\"1.0\"?>" +
+              "<feed xmlns=\"http://www.w3.org/2005/Atom\"></feed>")
+              .getBytes("US-ASCII")
           }
           (id, p)
         }
@@ -4879,7 +4919,7 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 30
+                   CASE doc_id % 51
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
@@ -4892,8 +4932,19 @@ object ExtQueries {
                      WHEN 23 THEN 'bzip2' WHEN 24 THEN '7z'
                      WHEN 25 THEN 'lz4' WHEN 26 THEN 'snappy'
                      WHEN 27 THEN 'z' WHEN 28 THEN 'lzma'
-                     ELSE 'unknown' END AS format,
-                   CAST(CASE doc_id % 30
+                     WHEN 29 THEN 'unknown'
+                     WHEN 30 THEN 'avro' WHEN 31 THEN 'sqlite'
+                     WHEN 32 THEN 'epub' WHEN 33 THEN 'odt'
+                     WHEN 34 THEN 'ods' WHEN 35 THEN 'odp'
+                     WHEN 36 THEN 'rtf' WHEN 37 THEN 'eml'
+                     WHEN 38 THEN 'mbox' WHEN 39 THEN 'mhtml'
+                     WHEN 40 THEN 'doc' WHEN 41 THEN 'xls'
+                     WHEN 42 THEN 'ppt' WHEN 43 THEN 'msg'
+                     WHEN 44 THEN 'cfb' WHEN 45 THEN 'iso'
+                     WHEN 46 THEN 'ics' WHEN 47 THEN 'vcf'
+                     WHEN 48 THEN 'torrent' WHEN 49 THEN 'rss'
+                     ELSE 'atom' END AS format,
+                   CAST(CASE doc_id % 51
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
@@ -4903,14 +4954,26 @@ object ExtQueries {
                      WHEN 18 THEN 16 WHEN 19 THEN 16 WHEN 20 THEN 16
                      WHEN 21 THEN 8 WHEN 22 THEN 10 WHEN 23 THEN 10
                      WHEN 24 THEN 10 WHEN 25 THEN 8 WHEN 26 THEN 10
-                     WHEN 27 THEN 4 WHEN 28 THEN 13
-                     ELSE 18 END AS BIGINT) AS byte_len
+                     WHEN 27 THEN 4 WHEN 28 THEN 13 WHEN 29 THEN 18
+                     WHEN 30 THEN 8 WHEN 31 THEN 16
+                     WHEN 32 THEN 58 WHEN 33 THEN 77
+                     WHEN 34 THEN 84 WHEN 35 THEN 85
+                     WHEN 36 THEN 9 WHEN 37 THEN 21
+                     WHEN 38 THEN 36 WHEN 39 THEN 54
+                     WHEN 40 THEN 2560 WHEN 41 THEN 2560
+                     WHEN 42 THEN 2560 WHEN 43 THEN 2560
+                     WHEN 44 THEN 2560 WHEN 45 THEN 34816
+                     WHEN 46 THEN 17 WHEN 47 THEN 13
+                     WHEN 48 THEN 17 WHEN 49 THEN 25
+                     ELSE 70 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
-    "format-dispatch certificate: 29 payload families (every owned " +
+    "format-dispatch certificate: 50 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
       "whitespace-prefixed HTML, RIFF/WEBP, the HEIC/AVIF ftyp major " +
-      "brands, the zstd/xz/bzip2/7z/lz4/snappy/.Z/lzma compression " +
-      "magics, and a plain-text unknown) named exactly by the sniff")
+      "brands, compression magics, the stored-mimetype ZIP split " +
+      "epub/odt/ods/odp, the CFB signature-stream split doc/xls/ppt/" +
+      "msg/cfb, sqlite/avro/iso/mail/feed/sidecar magics, and a " +
+      "plain-text unknown) named exactly by the sniff")
 
   private val qWebpExif = Q(
     "q_webp_exif",
