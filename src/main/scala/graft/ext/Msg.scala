@@ -59,7 +59,18 @@ object Msg {
       }
     }
 
-    Some(MsgData(str("", "0037"), str("", "0C1A"), str("", "1000"),
+    // body resolution: the plain-text property when present, else the
+    // compressed-RTF body (PR_RTF_COMPRESSED — what real Outlook
+    // stores) through [[Lzfu]] + the RTF tokenizer
+    val body = {
+      val plain = str("", "1000")
+      if (plain.nonEmpty) plain
+      else Cfb.read(b, "__substg1.0_10090102")
+        .flatMap(Lzfu.decompress)
+        .flatMap(Rtf.text)
+        .getOrElse("")
+    }
+    Some(MsgData(str("", "0037"), str("", "0C1A"), body,
       recips, attachments))
   }
 
@@ -68,12 +79,18 @@ object Msg {
     */
   private[graft] def build(subject: String, sender: String, body: String,
       recipients: Seq[(String, String)],
-      attachments: Seq[(String, Array[Byte])]): Array[Byte] = {
+      attachments: Seq[(String, Array[Byte])],
+      rtfBodyOnly: Boolean = false): Array[Byte] = {
     def u(s: String) = s.getBytes("UTF-16LE")
+    val bodyStream =
+      if (rtfBodyOnly)
+        ("__substg1.0_10090102",
+          Lzfu.compress(Rtf.build(body).getBytes("US-ASCII")))
+      else ("__substg1.0_1000001F", u(body))
     val base = Seq(
       ("__substg1.0_0037001F", u(subject)),
       ("__substg1.0_0C1A001F", u(sender)),
-      ("__substg1.0_1000001F", u(body)))
+      bodyStream)
     val rs = recipients.zipWithIndex.flatMap { case ((name, email), k) =>
       val pre = f"__recip_version1.0_#$k%08X/"
       Seq((pre + "__substg1.0_3001001F", u(name)),

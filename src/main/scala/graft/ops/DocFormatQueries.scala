@@ -514,10 +514,14 @@ object DocFormatQueries {
         .as[(Long, String)]
         .map { case (id, text) =>
           val att = Array.tabulate(24)(k => ((id * 11 + k) % 256).toByte)
+          // even docs store the body ONLY as compressed RTF (the real
+          // Outlook shape) — the LZFu + RTF-tokenizer fallback must
+          // land on the same closed form as the plain-text property
           val msg = graft.ext.Msg.build(
             s"Msg $id ✓", s"Sender $id", text,
             Seq((s"Rcpt $id", s"r$id@example.org")),
-            Seq((s"att$id.bin", att)))
+            Seq((s"att$id.bin", att)),
+            rtfBodyOnly = id % 2 == 0)
           val m = graft.ext.Msg.parse(msg)
             .getOrElse(throw new IllegalStateException(s"msg walk failed for $id"))
           (id, m.subject, m.senderName, m.body,

@@ -29,6 +29,35 @@ class MsgPptSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m.recipients.isEmpty && m.attachments.isEmpty)
   }
 
+  test("lzfu: round-trip with dictionary references, stored form, bad magic") {
+    val rtf = "{\\rtf1\\ansi\\ansicpg1252\\pard hello world " +
+      "hello world hello world}\r\n"
+    val raw = rtf.getBytes("US-ASCII")
+    val comp = Lzfu.compress(raw)
+    // the init dictionary covers the {\rtf1\ansi prefix and the
+    // repeated phrase self-references: compression must actually shrink
+    assert(comp.length < raw.length + 16)
+    assert(Lzfu.decompress(comp).map(_.toSeq).contains(raw.toSeq))
+    // stored (MELA) form passes through
+    val stored = new Array[Byte](16 + raw.length)
+    stored(4) = (raw.length & 0xFF).toByte
+    stored(5) = ((raw.length >> 8) & 0xFF).toByte
+    stored(8) = 'M'; stored(9) = 'E'; stored(10) = 'L'; stored(11) = 'A'
+    System.arraycopy(raw, 0, stored, 16, raw.length)
+    assert(Lzfu.decompress(stored).map(_.toSeq).contains(raw.toSeq))
+    assert(Lzfu.decompress("garbage!!".getBytes).isEmpty)
+    // long bodies wrap the 4096 dictionary and still round-trip
+    val big = ("lorem ipsum dolor sit amet " * 400).getBytes("US-ASCII")
+    assert(Lzfu.decompress(Lzfu.compress(big)).map(_.toSeq).contains(big.toSeq))
+  }
+
+  test("msg: compressed-RTF body fallback when the plain property is absent") {
+    val msg = Msg.build("S", "from", "Fallback body ✓ text",
+      Seq.empty, Seq.empty, rtfBodyOnly = true)
+    val Some(m) = Msg.parse(msg)
+    assert(m.body == "Fallback body ✓ text")
+  }
+
   test("msg: non-msg CFB and non-CFB payloads are None") {
     assert(Msg.parse(Cfb.build(Seq(("Other", "x".getBytes)))).isEmpty)
     assert(Msg.parse("nope".getBytes).isEmpty)
