@@ -459,8 +459,9 @@ object Sqlite {
     }
   }
 
-  /** Pack cells into leaves; one interior above when they overflow a
-    * single page. Returns the root page number.
+  /** Pack cells into leaves, then stack interior levels until one root
+    * remains — real SQLite shape for large tables (depth grows with
+    * log_fanout(n)). Returns the root page number.
     */
   private def placeTree(g: Geometry, cells: Seq[(Long, Array[Byte])],
       alloc: () => Int, pages: ArrayBuffer[Array[Byte]], pageSize: Int,
@@ -479,35 +480,41 @@ object Sqlite {
     }
     if (cur.nonEmpty) groups += cur.toSeq
     if (groups.isEmpty) groups += Seq.empty
-    val leafPages = groups.map { grp =>
+    var level: Seq[(Int, Long)] = groups.map { grp =>
       val pg = alloc()
       writeLeaf(pages(pg - 1), 0, grp, pageSize)
       (pg, grp.lastOption.map(_._1).getOrElse(0L))
+    }.toSeq
+    // stack interiors: each holds at most `fanout` children
+    // (2-byte pointer + 4-byte child + ≤9-byte rowid varint per cell,
+    // 12-byte header, one right-most child free)
+    val fanout = math.max(2, (g.usable - 12) / 15)
+    while (level.length > 1) {
+      level = level.grouped(fanout).map { kids =>
+        val pg = alloc()
+        val p = pages(pg - 1)
+        p(0) = 0x05
+        val n = kids.length - 1
+        p(3) = ((n >> 8) & 0xFF).toByte; p(4) = (n & 0xFF).toByte
+        putBe32(p, 8, kids.last._1) // right-most pointer
+        var contentEnd = pageSize
+        var k = 0
+        while (k < n) {
+          val (child, maxRowid) = kids(k)
+          val cell = new Array[Byte](4) ++ putVarint(maxRowid)
+          contentEnd -= cell.length
+          putBe32(cell, 0, child)
+          System.arraycopy(cell, 0, p, contentEnd, cell.length)
+          p(12 + 2 * k) = ((contentEnd >> 8) & 0xFF).toByte
+          p(12 + 2 * k + 1) = (contentEnd & 0xFF).toByte
+          k += 1
+        }
+        p(5) = ((contentEnd >> 8) & 0xFF).toByte
+        p(6) = (contentEnd & 0xFF).toByte
+        (pg, kids.last._2)
+      }.toSeq
     }
-    if (leafPages.length == 1) leafPages.head._1
-    else {
-      val pg = alloc()
-      val p = pages(pg - 1)
-      p(0) = 0x05
-      val n = leafPages.length - 1
-      p(3) = ((n >> 8) & 0xFF).toByte; p(4) = (n & 0xFF).toByte
-      putBe32(p, 8, leafPages.last._1) // right-most pointer
-      var contentEnd = pageSize
-      var k = 0
-      while (k < n) {
-        val (child, maxRowid) = leafPages(k)
-        val cell = new Array[Byte](4) ++ putVarint(maxRowid)
-        contentEnd -= cell.length
-        putBe32(cell, 0, child)
-        System.arraycopy(cell, 0, p, contentEnd, cell.length)
-        p(12 + 2 * k) = ((contentEnd >> 8) & 0xFF).toByte
-        p(12 + 2 * k + 1) = (contentEnd & 0xFF).toByte
-        k += 1
-      }
-      p(5) = ((contentEnd >> 8) & 0xFF).toByte
-      p(6) = (contentEnd & 0xFF).toByte
-      pg
-    }
+    level.head._1
   }
 
   private def writeLeaf(p: Array[Byte], hdrAt: Int,
