@@ -624,6 +624,8 @@ object Multimodal {
     // ISO 9660 disc image: 'CD001' at byte 1 of sector 16 (ECMA-119),
     // walked by [[Iso]]
     else if (Iso.isIso(b)) "iso"
+    // TNEF winmail.dat: LE signature 0x223E9F78, walked by [[Tnef]]
+    else if (Tnef.isTnef(b)) "tnef"
     // OLE2/CFB compound file (legacy Office, MSI, .msg): discriminate
     // the family by signature stream, like the ZIP mimetype split
     else if (b.length >= 8 && (b(0) & 0xFF) == 0xD0 && (b(1) & 0xFF) == 0xCF &&

@@ -178,6 +178,42 @@ object SidecarQueries {
     "vCard certificate: multi-card split, FN/EMAIL/TEL collection with " +
       "params — closed forms of doc_id")
 
+  private val qTnefExtract = Q(
+    "q_tnef_extract",
+    (s, d) => {
+      // TNEF certificate: per doc a winmail.dat whose body alternates
+      // between plain attBody and PR_RTF_COMPRESSED-inside-attMsgProps
+      // (LZFu + RTF tokenizer — the real Outlook shape), plus an
+      // attachment triple; attribute checksums verified on every read.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val att = Array.tabulate(20)(k => ((id * 17 + k) % 256).toByte)
+          val t = graft.ext.Tnef.build(s"Subj $id", text,
+            rtfBody = id % 2 == 0, Seq((s"f$id.bin", att)))
+          val p = graft.ext.Tnef.parse(t)
+            .getOrElse(throw new IllegalStateException(s"tnef parse failed for $id"))
+          (id, p.subject, p.body,
+            p.attachments.map(_.title).mkString(";"),
+            p.attachments.map(_.data.foldLeft(0L)((a, x) => a + (x & 0xFF))).sum,
+            graft.ext.Multimodal.sniffFormat(t))
+        }
+        .toDF("doc_id", "subject", "body", "att_names", "att_sum", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Subj ' || doc_id AS subject,
+                   text AS body,
+                   'f' || doc_id || '.bin' AS att_names,
+                   CAST(list_aggregate(list_transform(range(20),
+                        k -> (doc_id * 17 + k) % 256), 'sum') AS BIGINT) AS att_sum,
+                   'tnef' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "TNEF (winmail.dat) certificate: checksummed attribute walk with " +
+      "body alternating plain attBody vs LZFu-compressed RTF inside " +
+      "the MAPI property block, attachment triples — closed forms")
+
   def all: Seq[Q] = Seq(
-    qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract)
+    qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract, qTnefExtract)
 }
