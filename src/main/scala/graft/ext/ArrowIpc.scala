@@ -1,0 +1,278 @@
+package graft.ext
+
+import java.nio.channels.Channels
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, SeekableReadChannel}
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ATimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC *file* (a.k.a. Feather v2) source + sink on the
+  * arrow-vector jars Spark already ships — the shard format modern ML
+  * dataset tooling (HuggingFace `datasets`, polars, DuckDB exports)
+  * hands around, and the natural zero-copy interchange for a training
+  * pipeline.
+  *
+  * Why this matters at 100 TB: the IPC file layout is a sequence of
+  * self-contained record batches indexed by a footer — the batch, not
+  * the file, is the unit of work, so memory per task is bounded by ONE
+  * batch regardless of file size (this reader streams batches inside a
+  * per-file task; the writer emits one file per input partition with a
+  * bounded batch size so downstream file-level parallelism matches the
+  * write parallelism). Remote/non-file URIs fall back to an in-memory
+  * seekable channel over the fetched bytes.
+  *
+  * Type envelope (both directions): long/int/double/float/boolean/
+  * string/binary + timestamp-micros (UTC and NTZ), all nullable — every column
+  * the test corpus carries; anything outside fails loudly rather than
+  * silently coercing.
+  */
+object ArrowIpc {
+
+  /** Spark → Arrow schema. */
+  def arrowSchemaFor(st: StructType): ASchema = {
+    val fields = st.fields.map { f =>
+      val at: ArrowType = f.dataType match {
+        case LongType      => new ArrowType.Int(64, true)
+        case IntegerType   => new ArrowType.Int(32, true)
+        case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case BooleanType   => ArrowType.Bool.INSTANCE
+        case StringType    => ArrowType.Utf8.INSTANCE
+        case BinaryType    => ArrowType.Binary.INSTANCE
+        case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+        case TimestampNTZType =>
+          new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported Spark type for Arrow sink: $other")
+      }
+      new Field(f.name, new FieldType(f.nullable, at, null), null)
+    }
+    new ASchema(fields.toSeq.asJava)
+  }
+
+  /** Arrow → Spark schema (the inverse envelope). */
+  def structFor(s: ASchema): StructType =
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val dt = f.getType match {
+        case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+        case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+        case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE =>
+          DoubleType
+        case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE =>
+          FloatType
+        case _: ArrowType.Bool      => BooleanType
+        case _: ArrowType.Utf8      => StringType
+        case _: ArrowType.Binary    => BinaryType
+        case t: ArrowType.Timestamp if t.getUnit == ATimeUnit.MICROSECOND =>
+          if (t.getTimezone == null) TimestampNTZType else TimestampType
+        case other =>
+          throw new IllegalArgumentException(s"unsupported Arrow type: $other")
+      }
+      StructField(f.getName, dt, f.isNullable)
+    })
+
+  /** Write `df` as one .arrow IPC file per partition under `path`
+    * (overwrites). `batchRows` bounds record-batch size — the read-side
+    * memory unit.
+    */
+  def write(df: DataFrame, path: String, batchRows: Int = 4096): Unit = {
+    val st = df.schema
+    val types: Array[DataType] = st.fields.map(_.dataType)
+    val out = new Path(path)
+    val fs = out.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    val schemaDdl = st.toDDL
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val struct = StructType.fromDDL(schemaDdl)
+      val aschema = arrowSchemaFor(struct)
+      val p = new Path(path, f"part-$idx%05d.arrow")
+      val pfs = p.getFileSystem(new Configuration())
+      val alloc = new RootAllocator()
+      val root = VectorSchemaRoot.create(aschema, alloc)
+      val os = pfs.create(p, true)
+      val w = new ArrowFileWriter(root, null, Channels.newChannel(os))
+      try {
+        w.start()
+        var total = 0L
+        while (rows.hasNext) {
+          var n = 0
+          while (n < batchRows && rows.hasNext) {
+            setRow(root, n, rows.next(), types)
+            n += 1
+          }
+          root.setRowCount(n)
+          w.writeBatch()
+          root.clear()
+          total += n
+        }
+        w.end()
+        Iterator.single(total)
+      } finally {
+        w.close(); root.close(); alloc.close(); os.close()
+      }
+    }.count(): Unit
+  }
+
+  private def setRow(root: VectorSchemaRoot, i: Int, r: Row,
+      types: Array[DataType]): Unit = {
+    var c = 0
+    while (c < types.length) {
+      val v = root.getVector(c)
+      if (r.isNullAt(c)) v.asInstanceOf[FieldVector] match {
+        case x: BigIntVector => x.setNull(i)
+        case x: IntVector => x.setNull(i)
+        case x: Float8Vector => x.setNull(i)
+        case x: Float4Vector => x.setNull(i)
+        case x: BitVector => x.setNull(i)
+        case x: VarCharVector => x.setNull(i)
+        case x: VarBinaryVector => x.setNull(i)
+        case x: TimeStampMicroTZVector => x.setNull(i)
+        case x: TimeStampMicroVector => x.setNull(i)
+        case other => throw new IllegalArgumentException(other.getClass.getName)
+      } else types(c) match {
+        case LongType => v.asInstanceOf[BigIntVector].setSafe(i, r.getLong(c))
+        case IntegerType => v.asInstanceOf[IntVector].setSafe(i, r.getInt(c))
+        case DoubleType => v.asInstanceOf[Float8Vector].setSafe(i, r.getDouble(c))
+        case FloatType => v.asInstanceOf[Float4Vector].setSafe(i, r.getFloat(c))
+        case BooleanType =>
+          v.asInstanceOf[BitVector].setSafe(i, if (r.getBoolean(c)) 1 else 0)
+        case StringType => v.asInstanceOf[VarCharVector]
+          .setSafe(i, r.getString(c).getBytes("UTF-8"))
+        case BinaryType => v.asInstanceOf[VarBinaryVector]
+          .setSafe(i, r.getAs[Array[Byte]](c))
+        case TimestampType =>
+          val ts = r.getAs[java.sql.Timestamp](c)
+          v.asInstanceOf[TimeStampMicroTZVector].setSafe(i,
+            Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+        case TimestampNTZType =>
+          val ldt = r.getAs[java.time.LocalDateTime](c)
+          v.asInstanceOf[TimeStampMicroVector].setSafe(i,
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L)
+        case other => throw new IllegalArgumentException(s"$other")
+      }
+      c += 1
+    }
+  }
+
+  /** The Arrow schema of the first .arrow file under `path`
+    * (driver-side footer peek).
+    */
+  def readSchema(spark: SparkSession, path: String): ASchema = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val first = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+      .headOption.getOrElse(throw new IllegalArgumentException(s"no .arrow files under $path"))
+    val alloc = new RootAllocator()
+    val ch = seekable(first)
+    val rd = new ArrowFileReader(ch, alloc)
+    try rd.getVectorSchemaRoot.getSchema
+    finally { rd.close(); alloc.close() }
+  }
+
+  /** Read every .arrow file under `path`: one task per file, record
+    * batches streamed inside the task (memory bounded by one batch).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val aschema = readSchema(spark, path)
+    val st = structFor(aschema)
+    val types: Array[DataType] = st.fields.map(_.dataType)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(dir).map(_.getPath.toString)
+      .filter(_.endsWith(".arrow")).sorted
+    val rdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, math.max(1, files.length))
+      .flatMap { f =>
+        val alloc = new RootAllocator()
+        val rd = new ArrowFileReader(seekable(new Path(f)), alloc)
+        val root = rd.getVectorSchemaRoot
+        // release arrow buffers even when the task ends early (limit)
+        var closed = false
+        def closeAll(): Unit = if (!closed) {
+          closed = true; rd.close(); alloc.close()
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+        new Iterator[Row] {
+          private var inBatch = 0
+          private var batchRows = 0
+          private var done = false
+          private def advance(): Unit =
+            while (!done && inBatch >= batchRows) {
+              if (rd.loadNextBatch()) { batchRows = root.getRowCount; inBatch = 0 }
+              else { done = true; closeAll() }
+            }
+          def hasNext: Boolean = { advance(); !done }
+          def next(): Row = {
+            advance()
+            val vals = new Array[Any](types.length)
+            var c = 0
+            while (c < types.length) {
+              vals(c) = getValue(root.getVector(c), inBatch, types(c))
+              c += 1
+            }
+            inBatch += 1
+            Row.fromSeq(vals.toIndexedSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, st)
+  }
+
+  private def getValue(v: FieldVector, i: Int, dt: DataType): Any =
+    if (v.isNull(i)) null
+    else dt match {
+      case LongType => v.asInstanceOf[BigIntVector].get(i)
+      case IntegerType => v.asInstanceOf[IntVector].get(i)
+      case DoubleType => v.asInstanceOf[Float8Vector].get(i)
+      case FloatType => v.asInstanceOf[Float4Vector].get(i)
+      case BooleanType => v.asInstanceOf[BitVector].get(i) == 1
+      case StringType =>
+        new String(v.asInstanceOf[VarCharVector].get(i), "UTF-8")
+      case BinaryType => v.asInstanceOf[VarBinaryVector].get(i)
+      case TimestampType =>
+        val micros = v.asInstanceOf[TimeStampMicroTZVector].get(i)
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case TimestampNTZType =>
+        val micros = v.asInstanceOf[TimeStampMicroVector].get(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+
+  /** Seekable channel for an IPC file: FileChannel for local paths,
+    * an in-memory channel over the fetched bytes otherwise (the footer
+    * protocol needs random access).
+    */
+  private def seekable(p: Path): SeekableReadChannel = {
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      new SeekableReadChannel(java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(uri.getPath)))
+    else {
+      val fs = p.getFileSystem(new Configuration())
+      val in = fs.open(p)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      in.close()
+      new SeekableReadChannel(
+        new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(buf))
+    }
+  }
+}

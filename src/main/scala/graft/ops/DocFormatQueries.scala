@@ -42,6 +42,30 @@ object DocFormatQueries {
       "+ union-null fidelity), read sync-split parallel through " +
       "AvroKeyInputFormat and hash-checked against the parquet original")
 
+  private val qArrowRoundtrip = Q(
+    "q_arrow_roundtrip",
+    (s, d) => {
+      // Arrow IPC / Feather v2 round-trip — the ML-dataset shard format
+      // (HuggingFace datasets, polars) as a first-class sink + source:
+      // one file per partition, 4096-row record batches (the read-side
+      // memory unit), timestamp-micros and null fidelity.
+      val src = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("prio_opt"))
+      val out = s"/tmp/graft_arrow_${Tables.corpusTag(d)}"
+      graft.ext.ArrowIpc.write(src, out)
+      graft.ext.ArrowIpc.read(s, out).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_orderpriority END AS prio_opt
+            FROM orders ORDER BY o_orderkey"""),
+    "Arrow IPC (Feather v2) sink -> source round-trip: per-partition " +
+      "files of bounded record batches, timestamp-micros + null " +
+      "fidelity, hash-checked against the parquet original")
+
   private val qEmlExtract = Q(
     "q_eml_extract",
     (s, d) => {
@@ -623,7 +647,7 @@ object DocFormatQueries {
       "forms of doc_id")
 
   def all: Seq[Q] = Seq(
-    qAvroRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
+    qAvroRoundtrip, qArrowRoundtrip, qEmlExtract, qMboxExtract, qEpubExtract, qRtfExtract,
     qOdtExtract, qOdsExtract, qSqliteExtract, qMhtmlExtract, qDocExtract,
     qXlsExtract, qMsgExtract, qPptExtract, qIsoExtract)
 }
