@@ -119,7 +119,7 @@ object CurateDispatch {
         // tokenizer, MIME mail bodies — same uniform curation row
         val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods",
             "odp", "sqlite", "mhtml", "doc", "xls", "msg", "ppt",
-            "rss", "atom", "ics", "vcf", "tnef"))
+            "rss", "atom", "ics", "vcf", "tnef", "tex", "bib", "ipynb"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text = f match {
               case "epub" => Epub.extract(p)
@@ -138,6 +138,11 @@ object CurateDispatch {
               case "vcf" => VObject.cards(p)
                 .map(_.map(_.fn).mkString("\n")).getOrElse("")
               case "tnef" => Tnef.parse(p).map(_.body).getOrElse("")
+              case "tex" => Tex.text(p)
+              case "bib" => Bib.entries(p)
+                .map(e => e.fields.getOrElse("title", e.key)).mkString("\n")
+              case "ipynb" => Ipynb.cells(p)
+                .map(_.map(_.source).mkString("\n")).getOrElse("")
               case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
               case "ods" => Odf.odsText(p).getOrElse("")
               case "sqlite" =>
@@ -159,7 +164,7 @@ object CurateDispatch {
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
             "mhtml", "doc", "xls", "msg", "ppt", "rss", "atom", "ics",
-            "vcf", "tnef"))
+            "vcf", "tnef", "tex", "bib", "ipynb"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))

@@ -682,6 +682,27 @@ object Multimodal {
       else if (at(0, "BEGIN:VCALENDAR")) "ics"
       else if (at(0, "BEGIN:VCARD")) "vcf"
       else if (at(0, "d8:announce")) "torrent"
+      // research-corpus text formats: LaTeX sources open with the class
+      // declaration (comment-prefixed preambles checked in the head),
+      // BibTeX with an entry/macro marker, notebooks are JSON carrying
+      // nbformat + cells
+      else if (at(i, "\\documentclass") ||
+        (b(i) == '%' && new String(b, i, math.min(1024, b.length - i),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+          .contains("\\documentclass"))) "tex"
+      else if (b(i) == '@' && {
+        val k = new String(b, i, math.min(64, b.length - i),
+          java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+        Seq("@article", "@book", "@inproceedings", "@misc", "@string",
+          "@techreport", "@phdthesis", "@incollection")
+          .exists(t => k.startsWith(t))
+      }) "bib"
+      else if (b(i) == '{' && {
+        val k = new String(b, i, math.min(2048, b.length - i),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        k.contains("\"nbformat\"") &&
+          (k.contains("\"cells\"") || k.contains("\"worksheets\""))
+      }) "ipynb"
       else if (head.startsWith("<rss") || head.startsWith("<feed") ||
         (head.startsWith("<?xml") && {
           val k = new String(b, i, math.min(1024, b.length - i), "US-ASCII")

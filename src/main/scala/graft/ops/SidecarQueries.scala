@@ -214,6 +214,140 @@ object SidecarQueries {
       "body alternating plain attBody vs LZFu-compressed RTF inside " +
       "the MAPI property block, attachment triples — closed forms")
 
+  private val qTexExtract = Q(
+    "q_tex_extract",
+    (s, d) => {
+      // LaTeX certificate: an arXiv-shaped source per doc — preamble
+      // commands dropped, comment lines dropped, sectioning unwrapped,
+      // inline + display math dropped, itemize rendered, cite/ref
+      // dropped with arguments, emphasis unwrapped — the detex envelope
+      // against a DuckDB closed form.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val src = "\\documentclass{article}\n" +
+            "\\" + "usepackage{amsmath}\n" +
+            "% generated fixture, not kept\n" +
+            "\\begin{document}\n" +
+            s"\\section{Doc $id \\textbf{bold}}\n" +
+            text + "\n" +
+            s"Inline $$x_$id$$ math and \\cite{ref$id} vanish.\n" +
+            "\\begin{equation}\nE=mc^2\n\\end{equation}\n" +
+            s"\\begin{itemize}\n\\item alpha $id\n\\item beta~b\n\\end{itemize}\n" +
+            s"\\emph{end $id}\\\\\ntail\n" +
+            "\\end{document}\n"
+          val extracted = graft.ext.Tex.text(src)
+          (id, extracted, extracted.length.toLong)
+        }
+        .toDF("doc_id", "extracted", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'Doc ' || doc_id || ' bold' || chr(10) || chr(10) ||
+                     text || chr(10) ||
+                     'Inline math and vanish.' || chr(10) || chr(10) ||
+                     '- alpha ' || doc_id || chr(10) || '- beta b' ||
+                     chr(10) || chr(10) ||
+                     'end ' || doc_id || chr(10) || chr(10) || 'tail'
+                     AS extracted,
+                   CAST(length('Doc ' || doc_id || ' bold' || chr(10) ||
+                     chr(10) || text || chr(10) ||
+                     'Inline math and vanish.' || chr(10) || chr(10) ||
+                     '- alpha ' || doc_id || chr(10) || '- beta b' ||
+                     chr(10) || chr(10) ||
+                     'end ' || doc_id || chr(10) || chr(10) || 'tail')
+                     AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id"""),
+    "LaTeX (arXiv) certificate: deterministic detex envelope — " +
+      "sectioning/emphasis unwraps, math + cite/ref + preamble drops, " +
+      "itemize rendering — byte-exact on the closed form")
+
+  private val qBibExtract = Q(
+    "q_bib_extract",
+    (s, d) => {
+      // BibTeX certificate: @string resolution, # concatenation,
+      // brace/quote/bare values, @comment skip, wrapped-field
+      // whitespace collapse — one entry per doc with the abstract
+      // carrying the document text.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bib = "@string{conf = {Proc. of GRAFT}}\n" +
+            "free text between entries is ignored\n" +
+            s"@article{doc$id,\n" +
+            s"  title = {Title {$id}},\n" +
+            "  author = \"A. Author and B. Author\",\n" +
+            s"  year = ${1990 + id % 30},\n" +
+            s"  booktitle = conf # { vol $id},\n" +
+            s"  abstract = {$text}\n" +
+            "}\n@comment{skipped}\n"
+          val es = graft.ext.Bib.entries(bib)
+          val e = es.headOption
+            .getOrElse(throw new IllegalStateException(s"bib parse failed for $id"))
+          (id, es.length.toLong, e.entryType, e.key,
+            e.fields("title"), e.fields("author"), e.fields("year"),
+            e.fields("booktitle"), e.fields("abstract"))
+        }
+        .toDF("doc_id", "n_entries", "etype", "key", "title", "author",
+          "year", "booktitle", "abstract")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(1 AS BIGINT) AS n_entries,
+                   'article' AS etype,
+                   'doc' || doc_id AS key,
+                   'Title ' || doc_id AS title,
+                   'A. Author and B. Author' AS author,
+                   CAST(1990 + doc_id % 30 AS VARCHAR) AS year,
+                   'Proc. of GRAFT vol ' || doc_id AS booktitle,
+                   replace(text, chr(10), ' ') AS abstract
+            FROM documents ORDER BY doc_id"""),
+    "BibTeX certificate: entry walk with @string resolution, # " +
+      "concatenation, nested-brace stripping, wrapped-field whitespace " +
+      "collapse — fields exact on closed forms of doc_id")
+
+  private val qIpynbExtract = Q(
+    "q_ipynb_extract",
+    (s, d) => {
+      // Jupyter certificate: nbformat-4 notebooks with line-list
+      // sources, stream + execute_result outputs and a rich mimetype
+      // that must be counted, not decoded; cells explode to rows.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val nb = graft.ext.Ipynb.build(Seq(
+            ("markdown", s"# Doc $id\n" + text, None),
+            ("code", s"x = $id\nprint(x)\n", Some(s"$id\n")),
+            ("code", "y", None)))
+          val cs = graft.ext.Ipynb.cells(nb)
+            .getOrElse(throw new IllegalStateException(s"ipynb parse failed for $id"))
+          cs.map(c => (id, c.idx, c.cellType, c.source, c.output,
+            c.richOutputs.toLong))
+        }
+        .toDF("doc_id", "cell_idx", "cell_type", "source", "output", "rich")
+        .orderBy("doc_id", "cell_idx")
+    },
+    Some("""SELECT doc_id, cell_idx,
+                   CASE cell_idx WHEN 0 THEN 'markdown' ELSE 'code' END
+                     AS cell_type,
+                   CASE cell_idx
+                     WHEN 0 THEN '# Doc ' || doc_id || chr(10) || text
+                     WHEN 1 THEN 'x = ' || doc_id || chr(10) || 'print(x)' || chr(10)
+                     ELSE 'y' END AS source,
+                   CASE cell_idx
+                     WHEN 1 THEN doc_id || chr(10) || chr(10) || 'res'
+                     ELSE '' END AS output,
+                   CAST(CASE cell_idx WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS rich
+            FROM documents, (VALUES (0), (1), (2)) AS c(cell_idx)
+            ORDER BY doc_id, cell_idx"""),
+    "Jupyter notebook certificate: nbformat-4 cell walk with line-list " +
+      "source joins, stream/execute_result output extraction and rich-" +
+      "mimetype counting — cell rows exact on closed forms")
+
   def all: Seq[Q] = Seq(
-    qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract, qTnefExtract)
+    qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract, qTnefExtract,
+    qTexExtract, qBibExtract, qIpynbExtract)
 }
