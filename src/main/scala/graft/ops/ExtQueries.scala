@@ -4809,8 +4809,8 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 51 payload families rotate by
-      // doc_id % 51 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 55 payload families rotate by
+      // doc_id % 55 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
@@ -4825,7 +4825,7 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 51).toInt match {
+          val p: Array[Byte] = (id % 55).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4877,7 +4877,7 @@ object ExtQueries {
             case 29 => "plain text payload".getBytes("US-ASCII")
             // round-12b document/sidecar families
             case 30 => Array[Byte]('O', 'b', 'j', 1) ++ new Array[Byte](4)
-            case 31 => ("SQLite format 3" + " ").getBytes("ISO-8859-1")
+            case 31 => ("SQLite format 3" + "\u0000").getBytes("ISO-8859-1")
             case 32 => Array[Byte]('P', 'K', 3, 4) ++ new Array[Byte](26) ++
               "mimetypeapplication/epub+zip".getBytes("US-ASCII")
             case 33 => Array[Byte]('P', 'K', 3, 4) ++ new Array[Byte](26) ++
@@ -4908,9 +4908,13 @@ object ExtQueries {
             case 47 => "BEGIN:VCARD\r\n".getBytes("US-ASCII")
             case 48 => "d8:announce3:urle".getBytes("US-ASCII")
             case 49 => "<rss version=\"2.0\"></rss>".getBytes("US-ASCII")
-            case _ => ("<?xml version=\"1.0\"?>" +
+            case 50 => ("<?xml version=\"1.0\"?>" +
               "<feed xmlns=\"http://www.w3.org/2005/Atom\"></feed>")
               .getBytes("US-ASCII")
+            case 51 => Array[Byte](0x78, 0x9F.toByte, 0x3E, 0x22, 0x12, 0x34)
+            case 52 => "\\documentclass{article}".getBytes("US-ASCII")
+            case 53 => "@article{k, year = 2026}".getBytes("US-ASCII")
+            case _ => ("{\"nbformat\":4,\"cells\":[]}").getBytes("US-ASCII")
           }
           (id, p)
         }
@@ -4919,7 +4923,7 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 51
+                   CASE doc_id % 55
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
@@ -4943,8 +4947,10 @@ object ExtQueries {
                      WHEN 44 THEN 'cfb' WHEN 45 THEN 'iso'
                      WHEN 46 THEN 'ics' WHEN 47 THEN 'vcf'
                      WHEN 48 THEN 'torrent' WHEN 49 THEN 'rss'
-                     ELSE 'atom' END AS format,
-                   CAST(CASE doc_id % 51
+                     WHEN 50 THEN 'atom' WHEN 51 THEN 'tnef'
+                     WHEN 52 THEN 'tex' WHEN 53 THEN 'bib'
+                     ELSE 'ipynb' END AS format,
+                   CAST(CASE doc_id % 55
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
@@ -4965,7 +4971,9 @@ object ExtQueries {
                      WHEN 44 THEN 2560 WHEN 45 THEN 34816
                      WHEN 46 THEN 17 WHEN 47 THEN 13
                      WHEN 48 THEN 17 WHEN 49 THEN 25
-                     ELSE 70 END AS BIGINT) AS byte_len
+                     WHEN 50 THEN 70 WHEN 51 THEN 6
+                     WHEN 52 THEN 23 WHEN 53 THEN 24
+                     ELSE 25 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
     "format-dispatch certificate: 50 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
