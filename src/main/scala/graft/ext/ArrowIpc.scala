@@ -180,10 +180,15 @@ object ArrowIpc {
     finally { rd.close(); alloc.close() }
   }
 
-  /** Read every .arrow file under `path`: one task per file, record
-    * batches streamed inside the task (memory bounded by one batch).
+  /** Read every .arrow file under `path`, RECORD-BATCH parallel: the
+    * driver peeks each footer for its batch blocks (metadata only) and
+    * fans `batchesPerTask` consecutive batches out as one task — ONE
+    * multi-gigabyte .arrow file becomes many tasks, the Avro-sync-split
+    * story for the IPC format. Memory per task stays bounded by one
+    * batch (batches are loaded sequentially by block offset).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+      batchesPerTask: Int = 16): DataFrame = {
     val aschema = readSchema(spark, path)
     val st = structFor(aschema)
     val types: Array[DataType] = st.fields.map(_.dataType)
@@ -191,9 +196,19 @@ object ArrowIpc {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(dir).map(_.getPath.toString)
       .filter(_.endsWith(".arrow")).sorted
+    // footer peek per file: number of record blocks
+    val splits: Seq[(String, Int, Int)] = files.toIndexedSeq.flatMap { f =>
+      val alloc = new RootAllocator()
+      val rd = new ArrowFileReader(seekable(new Path(f)), alloc)
+      val nBlocks =
+        try { rd.getVectorSchemaRoot; rd.getRecordBlocks.size }
+        finally { rd.close(); alloc.close() }
+      (0 until nBlocks by math.max(1, batchesPerTask))
+        .map(st0 => (f, st0, math.min(st0 + batchesPerTask, nBlocks)))
+    }
     val rdd = spark.sparkContext
-      .parallelize(files.toIndexedSeq, math.max(1, files.length))
-      .flatMap { f =>
+      .parallelize(splits, math.max(1, splits.length))
+      .flatMap { case (f, blockFrom, blockUntil) =>
         val alloc = new RootAllocator()
         val rd = new ArrowFileReader(seekable(new Path(f)), alloc)
         val root = rd.getVectorSchemaRoot
@@ -204,14 +219,20 @@ object ArrowIpc {
         }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+        val blocks = rd.getRecordBlocks
         new Iterator[Row] {
+          private var nextBlock = blockFrom
           private var inBatch = 0
           private var batchRows = 0
           private var done = false
           private def advance(): Unit =
             while (!done && inBatch >= batchRows) {
-              if (rd.loadNextBatch()) { batchRows = root.getRowCount; inBatch = 0 }
-              else { done = true; closeAll() }
+              if (nextBlock < blockUntil &&
+                rd.loadRecordBatch(blocks.get(nextBlock))) {
+                nextBlock += 1
+                batchRows = root.getRowCount
+                inBatch = 0
+              } else { done = true; closeAll() }
             }
           def hasNext: Boolean = { advance(); !done }
           def next(): Row = {

@@ -35,6 +35,17 @@ class ArrowIpcSpec extends graft.SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("one file fans out batch-parallel: many tasks, same rows") {
+    val df = spark.range(0, 20000, 1, 1) // ONE partition -> ONE file
+      .select(col("id"), (col("id") * 2).as("v"))
+    val out = "/tmp/graft_arrow_fan"
+    ArrowIpc.write(df, out, batchRows = 1000) // 20 batches in one file
+    val back = ArrowIpc.read(spark, out, batchesPerTask = 4)
+    assert(back.rdd.getNumPartitions == 5) // 20 blocks / 4 per task
+    assert(back.count() == 20000)
+    assert(back.agg(sum("v")).head.getLong(0) == (0L until 20000L).map(_ * 2).sum)
+  }
+
   test("binary columns round-trip byte-exact") {
     val sqlc = spark
     import sqlc.implicits._
