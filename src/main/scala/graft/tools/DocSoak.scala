@@ -88,6 +88,33 @@ object DocSoak {
       }.filter(_ == 1).count()
     }
 
+    timed("tex") {
+      ds.map { case (id, text) =>
+        graft.ext.Tex.text(
+          s"\\section{Doc $id}\n" + text + s"\n$$x_$id$$ \\emph{end}\n").length
+      }.filter(_ > 0).count()
+    }
+    timed("tnef_rtf") {
+      ds.map { case (id, text) =>
+        val t = graft.ext.Tnef.build(s"S$id", text, rtfBody = true, Seq.empty)
+        graft.ext.Tnef.parse(t).map(_.body.length).getOrElse(-1)
+      }.filter(_ >= 0).count()
+    }
+    timed("ipynb") {
+      ds.map { case (id, text) =>
+        val nb = graft.ext.Ipynb.build(Seq(
+          ("markdown", text, None), ("code", s"x=$id", Some("1\n"))))
+        graft.ext.Ipynb.cells(nb).map(_.length).getOrElse(-1)
+      }.filter(_ == 2).count()
+    }
+    timed("iso") {
+      ds.map { case (id, text) =>
+        val iso = graft.ext.Iso.build(Seq(
+          ("doc.txt", text.getBytes("UTF-8"))))
+        graft.ext.Iso.read(iso, "doc.txt").map(_.length).getOrElse(-1)
+      }.filter(_ >= 0).count()
+    }
+
     // mixed-format dispatch end-to-end: 6 rotating families through the
     // engine pipeline (sniff -> arms -> gate)
     timed("dispatch_mixed") {
