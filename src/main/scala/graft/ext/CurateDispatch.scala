@@ -119,7 +119,8 @@ object CurateDispatch {
         // tokenizer, MIME mail bodies — same uniform curation row
         val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods",
             "odp", "sqlite", "mhtml", "doc", "xls", "msg", "ppt",
-            "rss", "atom", "ics", "vcf", "tnef", "tex", "bib", "ipynb"))
+            "rss", "atom", "ics", "vcf", "tnef", "tex", "bib", "ipynb",
+            "dbf"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text = f match {
               case "epub" => Epub.extract(p)
@@ -143,6 +144,10 @@ object CurateDispatch {
                 .map(e => e.fields.getOrElse("title", e.key)).mkString("\n")
               case "ipynb" => Ipynb.cells(p)
                 .map(_.map(_.source).mkString("\n")).getOrElse("")
+              case "dbf" => Dbf.read(p).map(_.rows.map(_.map {
+                  case null => ""
+                  case v => v.toString
+                }.mkString("\t")).mkString("\n")).getOrElse("")
               case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
               case "ods" => Odf.odsText(p).getOrElse("")
               case "sqlite" =>
@@ -164,7 +169,7 @@ object CurateDispatch {
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
             "mhtml", "doc", "xls", "msg", "ppt", "rss", "atom", "ics",
-            "vcf", "tnef", "tex", "bib", "ipynb"))
+            "vcf", "tnef", "tex", "bib", "ipynb", "dbf"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))

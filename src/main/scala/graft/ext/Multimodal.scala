@@ -711,6 +711,10 @@ object Multimodal {
         val k = new String(b, i, math.min(1024, b.length - i), "US-ASCII")
         if (k.contains("<rss") || !k.contains("<feed")) "rss" else "atom"
       }
+      // dBase .dbf has no magic string — a structural gate chain
+      // (version nibble, date plausibility, header/record arithmetic,
+      // 0x0D descriptor terminator) decided by [[Dbf.isDbf]]
+      else if (Dbf.isDbf(b)) "dbf"
       // lzma-alone is a WEAK magic (props byte + LE dict size) — checked
       // dead last, with the same sanity gates as [[Codecs.detect]]
       else if (b.length >= 13 && (b(0) & 0xFF) < 225 && b(1) == 0 &&

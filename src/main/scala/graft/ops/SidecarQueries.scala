@@ -347,7 +347,59 @@ object SidecarQueries {
       "source joins, stream/execute_result output extraction and rich-" +
       "mimetype counting — cell rows exact on closed forms")
 
+  private val qDbfExtract = Q(
+    "q_dbf_extract",
+    (s, d) => {
+      // dBase certificate: a 3-record table per doc (middle record
+      // DELETED — must vanish) across the C/N/D/L type set with
+      // padding trims and blank-as-null.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val tag = text.substring(0, math.min(40, text.length))
+          val fields = Seq(
+            graft.ext.Dbf.DbfField("NUM", 'N', 12, 0),
+            graft.ext.Dbf.DbfField("VAL", 'N', 10, 3),
+            graft.ext.Dbf.DbfField("TAG", 'C', 40, 0),
+            graft.ext.Dbf.DbfField("FLAG", 'L', 1, 0),
+            graft.ext.Dbf.DbfField("WHEN", 'D', 8, 0))
+          val dbf = graft.ext.Dbf.build(fields, Seq(
+            (false, Seq(id, id + 0.25, tag, true, "20260815")),
+            (true, Seq(0L, 0.0, "DELETED ROW", false, "19700101")),
+            (false, Seq(-3 * id, 0.5, "tail " + id, false, null))))
+          val t = graft.ext.Dbf.read(dbf)
+            .getOrElse(throw new IllegalStateException(s"dbf read failed for $id"))
+          val r0 = t.rows(0); val r2 = t.rows(1)
+          (id, t.rows.length.toLong,
+            r0(0).asInstanceOf[Long], r0(1).asInstanceOf[Double],
+            r0(2).asInstanceOf[String],
+            r0(3).asInstanceOf[Boolean], r0(4).asInstanceOf[String],
+            r2(0).asInstanceOf[Long], r2(2).asInstanceOf[String],
+            r2(4) == null,
+            graft.ext.Multimodal.sniffFormat(dbf))
+        }
+        .toDF("doc_id", "n_rows", "num0", "val0", "tag0", "flag0",
+          "when0", "num2", "tag2", "when2_null", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_rows,
+                   doc_id AS num0,
+                   CAST(doc_id + 0.25 AS DOUBLE) AS val0,
+                   rtrim(substring(text, 1, 40), ' ' || chr(10)) AS tag0,
+                   TRUE AS flag0,
+                   '20260815' AS when0,
+                   -3 * doc_id AS num2,
+                   'tail ' || doc_id AS tag2,
+                   TRUE AS when2_null,
+                   'dbf' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "dBase .dbf certificate: fixed-width record walk over C/N/D/L " +
+      "types with deleted-record skip, padding trims and blank-null " +
+      "decode — closed forms of doc_id")
+
   def all: Seq[Q] = Seq(
     qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract, qTnefExtract,
-    qTexExtract, qBibExtract, qIpynbExtract)
+    qTexExtract, qBibExtract, qIpynbExtract, qDbfExtract)
 }

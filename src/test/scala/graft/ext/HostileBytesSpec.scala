@@ -46,7 +46,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("bib", b => Bib.entries(b)),
     ("lzfu", b => Lzfu.decompress(b)),
     ("odt", b => Odf.odtText(b)),
-    ("ods", b => Odf.odsText(b)))
+    ("ods", b => Odf.odsText(b)),
+    ("dbf", b => Dbf.read(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -81,7 +82,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("ipynb", Ipynb.build(Seq(("code", "x=1\n", Some("1\n"))))),
     ("lzfu", Lzfu.compress("{\\rtf1 body}".getBytes("US-ASCII"))),
     ("odt", Odf.buildOdt(Seq("<text:p>t</text:p>"))),
-    ("ods", Odf.buildOds(Seq(Seq("a", "b")))))
+    ("ods", Odf.buildOds(Seq(Seq("a", "b")))),
+    ("dbf", Dbf.build(Seq(Dbf.DbfField("A", 'C', 5, 0),
+      Dbf.DbfField("N", 'N', 6, 0)),
+      Seq((false, Seq("x", 1L)), (true, Seq("y", 2L))))))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {
