@@ -626,6 +626,9 @@ object Multimodal {
     else if (Iso.isIso(b)) "iso"
     // TNEF winmail.dat: LE signature 0x223E9F78, walked by [[Tnef]]
     else if (Tnef.isTnef(b)) "tnef"
+    // Android binary XML: RES_XML chunk header whose declared size is
+    // the file length, walked by [[Axml]]
+    else if (Axml.isAxml(b)) "axml"
     // OLE2/CFB compound file (legacy Office, MSI, .msg): discriminate
     // the family by signature stream, like the ZIP mimetype split
     else if (b.length >= 8 && (b(0) & 0xFF) == 0xD0 && (b(1) & 0xFF) == 0xCF &&

@@ -399,7 +399,55 @@ object SidecarQueries {
       "types with deleted-record skip, padding trims and blank-null " +
       "decode — closed forms of doc_id")
 
+  private val qAxmlExtract = Q(
+    "q_axml_extract",
+    (s, d) => {
+      // AXML certificate: an AndroidManifest per doc — string pool
+      // alternating UTF-16/UTF-8 by parity (both length-extension
+      // codecs), typed attributes (string/int/bool/float), permission
+      // collection, the application label carrying the document text.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val axml = graft.ext.Axml.build(Seq(
+            (0, "manifest", Seq(
+              ("package", s"org.example.app$id"),
+              ("versionCode", (id % 1000).toInt),
+              ("versionName", s"1.$id"))),
+            (1, "uses-permission", Seq(("name", "android.permission.INTERNET"))),
+            (1, "uses-permission", Seq(("name", s"org.example.PERM_$id"))),
+            (1, "application", Seq(
+              ("label", text), ("debuggable", id % 3 == 0)))),
+            utf8Pool = id % 2 == 0)
+          val es = graft.ext.Axml.elements(axml)
+            .getOrElse(throw new IllegalStateException(s"axml walk failed for $id"))
+          val (pkg, ver, perms) = graft.ext.Axml.manifest(axml).get
+          val app = es.find(_.name == "application").get.attrs.toMap
+          val mattrs: Map[String, String] = es.head.attrs.toMap
+          (id, pkg, ver,
+            mattrs("versionCode"),
+            perms.mkString(";"), app("label"), app("debuggable"),
+            graft.ext.Multimodal.sniffFormat(axml))
+        }
+        .toDF("doc_id", "pkg", "ver", "vcode", "perms", "label", "dbg", "fmt")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'org.example.app' || doc_id AS pkg,
+                   '1.' || doc_id AS ver,
+                   CAST(doc_id % 1000 AS VARCHAR) AS vcode,
+                   'android.permission.INTERNET;org.example.PERM_' || doc_id
+                     AS perms,
+                   text AS label,
+                   CASE WHEN doc_id % 3 = 0 THEN 'true' ELSE 'false' END AS dbg,
+                   'axml' AS fmt
+            FROM documents ORDER BY doc_id"""),
+    "Android binary XML certificate: chunk walk with UTF-16/UTF-8 pool " +
+      "alternation, typed attribute decode and manifest envelope — " +
+      "closed forms of doc_id")
+
   def all: Seq[Q] = Seq(
     qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract, qTnefExtract,
-    qTexExtract, qBibExtract, qIpynbExtract, qDbfExtract)
+    qTexExtract, qBibExtract, qIpynbExtract, qDbfExtract, qAxmlExtract)
 }

@@ -47,7 +47,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("lzfu", b => Lzfu.decompress(b)),
     ("odt", b => Odf.odtText(b)),
     ("ods", b => Odf.odsText(b)),
-    ("dbf", b => Dbf.read(b)))
+    ("dbf", b => Dbf.read(b)),
+    ("axml", b => Axml.elements(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -85,7 +86,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("ods", Odf.buildOds(Seq(Seq("a", "b")))),
     ("dbf", Dbf.build(Seq(Dbf.DbfField("A", 'C', 5, 0),
       Dbf.DbfField("N", 'N', 6, 0)),
-      Seq((false, Seq("x", 1L)), (true, Seq("y", 2L))))))
+      Seq((false, Seq("x", 1L)), (true, Seq("y", 2L))))),
+    ("axml", Axml.build(Seq(
+      (0, "manifest", Seq(("package", "a.b"), ("v", 1))),
+      (1, "application", Seq(("debuggable", true)))))))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {
