@@ -4809,8 +4809,8 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 55 payload families rotate by
-      // doc_id % 55 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 57 payload families rotate by
+      // doc_id % 57 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
@@ -4825,7 +4825,7 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 55).toInt match {
+          val p: Array[Byte] = (id % 57).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4914,7 +4914,12 @@ object ExtQueries {
             case 51 => Array[Byte](0x78, 0x9F.toByte, 0x3E, 0x22, 0x12, 0x34)
             case 52 => "\\documentclass{article}".getBytes("US-ASCII")
             case 53 => "@article{k, year = 2026}".getBytes("US-ASCII")
-            case _ => ("{\"nbformat\":4,\"cells\":[]}").getBytes("US-ASCII")
+            case 54 => ("{\"nbformat\":4,\"cells\":[]}").getBytes("US-ASCII")
+            case 55 => graft.ext.Dbf.build(
+              Seq(graft.ext.Dbf.DbfField("A", 'C', 4, 0)),
+              Seq((false, Seq("x"))))
+            case _ => graft.ext.Axml.build(Seq(
+              (0, "manifest", Seq(("package", "a.b")))))
           }
           (id, p)
         }
@@ -4923,7 +4928,7 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 55
+                   CASE doc_id % 57
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
@@ -4949,8 +4954,9 @@ object ExtQueries {
                      WHEN 48 THEN 'torrent' WHEN 49 THEN 'rss'
                      WHEN 50 THEN 'atom' WHEN 51 THEN 'tnef'
                      WHEN 52 THEN 'tex' WHEN 53 THEN 'bib'
-                     ELSE 'ipynb' END AS format,
-                   CAST(CASE doc_id % 55
+                     WHEN 54 THEN 'ipynb' WHEN 55 THEN 'dbf'
+                     ELSE 'axml' END AS format,
+                   CAST(CASE doc_id % 57
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
@@ -4973,7 +4979,8 @@ object ExtQueries {
                      WHEN 48 THEN 17 WHEN 49 THEN 25
                      WHEN 50 THEN 70 WHEN 51 THEN 6
                      WHEN 52 THEN 23 WHEN 53 THEN 24
-                     ELSE 25 END AS BIGINT) AS byte_len
+                     WHEN 54 THEN 25 WHEN 55 THEN 71
+                     ELSE 176 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
     "format-dispatch certificate: 50 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
