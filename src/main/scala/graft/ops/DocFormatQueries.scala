@@ -4,13 +4,16 @@ import org.apache.spark.sql.functions._
 
 import Tables._
 
-/** Document/interchange-format arms added round 12b: Avro OCF (the
-  * row-format peer of parquet/ORC — read sync-split parallel through
-  * avro-mapred), MIME mail (.eml + mbox), EPUB books, and RTF — each a
-  * self-built-fixture certificate in the q_docx_extract/q_pdf_extract
-  * mold: the fixture is assembled from the documents table with the real
-  * container writer, pushed through the real parser on executors, and
-  * the extraction must land byte-exact on a DuckDB closed form.
+/** Document/interchange-format arms added round 12b: the Avro OCF and
+  * Arrow IPC row-interchange round-trips, MIME mail (.eml + mbox),
+  * EPUB, RTF, ODF (odt/ods), SQLite, MHTML, and the legacy-Office set
+  * over the CFB container (.doc piece table, .xls BIFF8, Outlook .msg,
+  * .ppt record tree) plus ISO 9660 — each a self-built-fixture
+  * certificate in the q_docx_extract/q_pdf_extract mold: the fixture is
+  * assembled from the documents table with the real container writer,
+  * pushed through the real parser on executors, and the extraction must
+  * land byte-exact on a DuckDB closed form. (Feed/calendar/research
+  * sidecars live in [[SidecarQueries]].)
   */
 object DocFormatQueries {
 
