@@ -120,7 +120,7 @@ object CurateDispatch {
         val textdocs = rows(Seq("epub", "rtf", "eml", "mbox", "odt", "ods",
             "odp", "sqlite", "mhtml", "doc", "xls", "msg", "ppt",
             "rss", "atom", "ics", "vcf", "tnef", "tex", "bib", "ipynb",
-            "dbf"))
+            "dbf", "po", "xliff", "axml"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text = f match {
               case "epub" => Epub.extract(p)
@@ -148,6 +148,14 @@ object CurateDispatch {
                   case null => ""
                   case v => v.toString
                 }.mkString("\t")).mkString("\n")).getOrElse("")
+              case "po" => Gettext.pairs(p)
+                .map { case (a, b2) => a + "\t" + b2 }.mkString("\n")
+              case "xliff" => Xliff.parse(p).map(_.units
+                .map(u => u.source + "\t" + u.target).mkString("\n"))
+                .getOrElse("")
+              case "axml" => Axml.manifest(p)
+                .map { case (pkg, ver, perms) =>
+                  (pkg +: ver +: perms).mkString("\n") }.getOrElse("")
               case "mbox" => Mail.parseMbox(p).map(_.text).mkString("\n")
               case "ods" => Odf.odsText(p).getOrElse("")
               case "sqlite" =>
@@ -169,7 +177,8 @@ object CurateDispatch {
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
             "mhtml", "doc", "xls", "msg", "ppt", "rss", "atom", "ics",
-            "vcf", "tnef", "tex", "bib", "ipynb", "dbf"))
+            "vcf", "tnef", "tex", "bib", "ipynb", "dbf", "po", "xliff",
+            "axml"))
           .select(col("media_id"), col("format"), lit("unknown").as("kind"),
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))

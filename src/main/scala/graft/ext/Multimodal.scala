@@ -706,6 +706,19 @@ object Multimodal {
         k.contains("\"nbformat\"") &&
           (k.contains("\"cells\"") || k.contains("\"worksheets\""))
       }) "ipynb"
+      // localization corpora: a .po catalog leads with comments or its
+      // header entry (msgid + msgstr both within the head); XLIFF is
+      // XML with the <xliff> root
+      else if ((b(i) == '#' || at(i, "msgid")) && {
+        val k = new String(b, i, math.min(1024, b.length - i),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        k.contains("msgid") && k.contains("msgstr")
+      }) "po"
+      else if (head.startsWith("<xliff") ||
+        (head.startsWith("<?xml") && new String(b, i,
+          math.min(1024, b.length - i),
+          java.nio.charset.StandardCharsets.ISO_8859_1).contains("<xliff")))
+        "xliff"
       else if (head.startsWith("<rss") || head.startsWith("<feed") ||
         (head.startsWith("<?xml") && {
           val k = new String(b, i, math.min(1024, b.length - i), "US-ASCII")

@@ -447,7 +447,82 @@ object SidecarQueries {
       "alternation, typed attribute decode and manifest envelope — " +
       "closed forms of doc_id")
 
+  private val qPoExtract = Q(
+    "q_po_extract",
+    (s, d) => {
+      // gettext certificate: a catalog per doc whose long msgid (the
+      // document text) wraps across continuation strings, plus a
+      // context entry, a plural pair, a fuzzy entry and the header —
+      // the MT-pairs view must keep exactly the clean pairs.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val po = graft.ext.Gettext.build(Seq(
+            ("", text, Seq(s"übersetzt $id"), false),
+            ("ctx", s"key $id", Seq(s"wert $id"), false),
+            ("", s"plural $id", Seq("eins", "%d viele"), false),
+            ("", s"fuzzy $id", Seq("unsicher"), true)))
+          val es = graft.ext.Gettext.entries(po)
+          val ps = graft.ext.Gettext.pairs(po)
+          (id, es.length.toLong, ps.length.toLong,
+            ps(0)._1, ps(0)._2, es(1).ctxt,
+            es(2).strs.mkString(";"),
+            es.count(_.fuzzy).toLong)
+        }
+        .toDF("doc_id", "n_entries", "n_pairs", "src0", "tgt0", "ctxt1",
+          "plural2", "n_fuzzy")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(4 AS BIGINT) AS n_entries,
+                   CAST(3 AS BIGINT) AS n_pairs,
+                   text AS src0,
+                   'übersetzt ' || doc_id AS tgt0,
+                   'ctx' AS ctxt1,
+                   'eins;%d viele' AS plural2,
+                   CAST(1 AS BIGINT) AS n_fuzzy
+            FROM documents ORDER BY doc_id"""),
+    "gettext .po certificate: continuation-string concatenation, C " +
+      "escapes, msgctxt/plural forms, fuzzy gating, header exclusion — " +
+      "aligned pairs exact on closed forms")
+
+  private val qXliffExtract = Q(
+    "q_xliff_extract",
+    (s, d) => {
+      // XLIFF certificate: 1.2 trans-units with entity-bearing text,
+      // state attributes and language metadata.
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val x = graft.ext.Xliff.build("en", "de", Seq(
+            (s"u$id-1", text, s"Ziel & $id", "translated"),
+            (s"u$id-2", s"src <$id>", "", "new")))
+          val doc = graft.ext.Xliff.parse(x)
+            .getOrElse(throw new IllegalStateException(s"xliff parse failed for $id"))
+          (id, doc.srcLang, doc.trgLang, doc.units.length.toLong,
+            doc.units(0).source, doc.units(0).target, doc.units(0).state,
+            doc.units(1).source, doc.units(1).state)
+        }
+        .toDF("doc_id", "src_lang", "trg_lang", "n_units", "source0",
+          "target0", "state0", "source1", "state1")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'en' AS src_lang, 'de' AS trg_lang,
+                   CAST(2 AS BIGINT) AS n_units,
+                   text AS source0,
+                   'Ziel & ' || doc_id AS target0,
+                   'translated' AS state0,
+                   'src <' || doc_id || '>' AS source1,
+                   'new' AS state1
+            FROM documents ORDER BY doc_id"""),
+    "XLIFF certificate: trans-unit walk with entity decode, state " +
+      "attributes and language metadata — closed forms of doc_id")
+
   def all: Seq[Q] = Seq(
     qFeedExtract, qTorrentExtract, qIcsExtract, qVcfExtract, qTnefExtract,
-    qTexExtract, qBibExtract, qIpynbExtract, qDbfExtract, qAxmlExtract)
+    qTexExtract, qBibExtract, qIpynbExtract, qDbfExtract, qAxmlExtract,
+    qPoExtract, qXliffExtract)
 }

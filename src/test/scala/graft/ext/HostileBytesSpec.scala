@@ -48,7 +48,9 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("odt", b => Odf.odtText(b)),
     ("ods", b => Odf.odsText(b)),
     ("dbf", b => Dbf.read(b)),
-    ("axml", b => Axml.elements(b)))
+    ("axml", b => Axml.elements(b)),
+    ("po", b => Gettext.entries(b)),
+    ("xliff", b => Xliff.parse(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -89,7 +91,9 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq((false, Seq("x", 1L)), (true, Seq("y", 2L))))),
     ("axml", Axml.build(Seq(
       (0, "manifest", Seq(("package", "a.b"), ("v", 1))),
-      (1, "application", Seq(("debuggable", true)))))))
+      (1, "application", Seq(("debuggable", true)))))),
+    ("po", Gettext.build(Seq(("c", "id", Seq("str"), false)))),
+    ("xliff", Xliff.build("en", "de", Seq(("u", "s", "t", "new")))))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {
