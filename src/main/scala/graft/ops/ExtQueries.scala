@@ -4809,8 +4809,8 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 57 payload families rotate by
-      // doc_id % 57 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 59 payload families rotate by
+      // doc_id % 59 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
@@ -4825,7 +4825,7 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 57).toInt match {
+          val p: Array[Byte] = (id % 59).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -4918,8 +4918,10 @@ object ExtQueries {
             case 55 => graft.ext.Dbf.build(
               Seq(graft.ext.Dbf.DbfField("A", 'C', 4, 0)),
               Seq((false, Seq("x"))))
-            case _ => graft.ext.Axml.build(Seq(
+            case 56 => graft.ext.Axml.build(Seq(
               (0, "manifest", Seq(("package", "a.b")))))
+            case 57 => "msgid \"a\"\nmsgstr \"b\"\n".getBytes("US-ASCII")
+            case _ => "<xliff version=\"1.2\"></xliff>".getBytes("US-ASCII")
           }
           (id, p)
         }
@@ -4928,7 +4930,7 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 57
+                   CASE doc_id % 59
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
@@ -4955,8 +4957,9 @@ object ExtQueries {
                      WHEN 50 THEN 'atom' WHEN 51 THEN 'tnef'
                      WHEN 52 THEN 'tex' WHEN 53 THEN 'bib'
                      WHEN 54 THEN 'ipynb' WHEN 55 THEN 'dbf'
-                     ELSE 'axml' END AS format,
-                   CAST(CASE doc_id % 57
+                     WHEN 56 THEN 'axml' WHEN 57 THEN 'po'
+                     ELSE 'xliff' END AS format,
+                   CAST(CASE doc_id % 59
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
@@ -4980,7 +4983,8 @@ object ExtQueries {
                      WHEN 50 THEN 70 WHEN 51 THEN 6
                      WHEN 52 THEN 23 WHEN 53 THEN 24
                      WHEN 54 THEN 25 WHEN 55 THEN 71
-                     ELSE 176 END AS BIGINT) AS byte_len
+                     WHEN 56 THEN 176 WHEN 57 THEN 21
+                     ELSE 29 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
     "format-dispatch certificate: 50 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
