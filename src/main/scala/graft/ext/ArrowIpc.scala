@@ -186,6 +186,11 @@ object ArrowIpc {
     * multi-gigabyte .arrow file becomes many tasks, the Avro-sync-split
     * story for the IPC format. Memory per task stays bounded by one
     * batch (batches are loaded sequentially by block offset).
+    *
+    * `batchesPerTask <= 0` skips the driver-side footer peeks and maps
+    * one task per file streaming every batch — the right mode for a
+    * MANY-small-files corpus where per-file peeks would serialize the
+    * driver (the batch fan-out only pays off for big files).
     */
   def read(spark: SparkSession, path: String,
       batchesPerTask: Int = 16): DataFrame = {
@@ -196,16 +201,20 @@ object ArrowIpc {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(dir).map(_.getPath.toString)
       .filter(_.endsWith(".arrow")).sorted
-    // footer peek per file: number of record blocks
-    val splits: Seq[(String, Int, Int)] = files.toIndexedSeq.flatMap { f =>
-      val alloc = new RootAllocator()
-      val rd = new ArrowFileReader(seekable(new Path(f)), alloc)
-      val nBlocks =
-        try { rd.getVectorSchemaRoot; rd.getRecordBlocks.size }
-        finally { rd.close(); alloc.close() }
-      (0 until nBlocks by math.max(1, batchesPerTask))
-        .map(st0 => (f, st0, math.min(st0 + batchesPerTask, nBlocks)))
-    }
+    // footer peek per file: number of record blocks (skipped in
+    // per-file mode — Int.MaxValue means "all blocks")
+    val splits: Seq[(String, Int, Int)] =
+      if (batchesPerTask <= 0)
+        files.toIndexedSeq.map(f => (f, 0, Int.MaxValue))
+      else files.toIndexedSeq.flatMap { f =>
+        val alloc = new RootAllocator()
+        val rd = new ArrowFileReader(seekable(new Path(f)), alloc)
+        val nBlocks =
+          try { rd.getVectorSchemaRoot; rd.getRecordBlocks.size }
+          finally { rd.close(); alloc.close() }
+        (0 until nBlocks by math.max(1, batchesPerTask))
+          .map(st0 => (f, st0, math.min(st0 + batchesPerTask, nBlocks)))
+      }
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(1, splits.length))
       .flatMap { case (f, blockFrom, blockUntil) =>
@@ -220,6 +229,7 @@ object ArrowIpc {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         val blocks = rd.getRecordBlocks
+        val until = math.min(blockUntil, blocks.size)
         new Iterator[Row] {
           private var nextBlock = blockFrom
           private var inBatch = 0
@@ -227,7 +237,7 @@ object ArrowIpc {
           private var done = false
           private def advance(): Unit =
             while (!done && inBatch >= batchRows) {
-              if (nextBlock < blockUntil &&
+              if (nextBlock < until &&
                 rd.loadRecordBatch(blocks.get(nextBlock))) {
                 nextBlock += 1
                 batchRows = root.getRowCount

@@ -18,7 +18,9 @@ import graft.spec.{PipelineSpec, SegType, Stage}
   * [[MediaCurate]] (typed image input).
   *
   * Scale shape: sniff is map-only; the dispatch stage is the one
-  * multi-consumer point (seven arms filter the same sniffed corpus —
+  * multi-consumer point (seven arm blocks — raster/WebP/HEIF/audio/
+  * office-zip/text-documents/rest, the text arm routing 20+ formats —
+  * filter the same sniffed corpus,
   * persisted there under the map-tee discipline); every arm is a
   * filter + mapPartitions over that cache, so the whole plan is one
   * InMemoryRelation fanned into map-only unions — no join, no shuffle

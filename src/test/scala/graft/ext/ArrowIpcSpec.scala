@@ -44,6 +44,10 @@ class ArrowIpcSpec extends graft.SparkSpec {
     assert(back.rdd.getNumPartitions == 5) // 20 blocks / 4 per task
     assert(back.count() == 20000)
     assert(back.agg(sum("v")).head.getLong(0) == (0L until 20000L).map(_ * 2).sum)
+    // per-file fast path (no footer peeks): same rows, one task
+    val whole = ArrowIpc.read(spark, out, batchesPerTask = 0)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(whole.count() == 20000)
   }
 
   test("binary columns round-trip byte-exact") {
