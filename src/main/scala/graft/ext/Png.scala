@@ -28,6 +28,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   */
 object Png {
 
+  private[ext] val pooledDeflater: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater(Deflater.DEFAULT_COMPRESSION))
+
   /** Decoded raster: 8-bit samples, row-major, channel-interleaved.
     * `channels`: 1 = gray, 2 = gray+alpha, 3 = RGB, 4 = RGBA.
     */
@@ -269,19 +272,22 @@ object Png {
       System.arraycopy(img.pixels, y * stride, raw, y * (stride + 1) + 1, stride)
       y += 1
     }
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
-    val compressed =
-      try {
-        deflater.setInput(raw)
-        deflater.finish()
-        val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-        val chunk = new Array[Byte](8192)
-        while (!deflater.finished()) {
-          val n = deflater.deflate(chunk)
-          buf.write(chunk, 0, n)
-        }
-        buf.toByteArray
-      } finally deflater.end()
+    // per-thread zlib Deflater (codec-pool pattern — a fresh native
+    // buffer per image dominates at millions of rows; see the Zip
+    // sibling): reset between uses, never end()'d
+    val deflater = Png.pooledDeflater.get()
+    deflater.reset()
+    val compressed = {
+      deflater.setInput(raw)
+      deflater.finish()
+      val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val chunk = new Array[Byte](8192)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(chunk)
+        buf.write(chunk, 0, n)
+      }
+      buf.toByteArray
+    }
 
     val out = new java.io.ByteArrayOutputStream(compressed.length + 64)
     out.write(Magic, 0, Magic.length)

@@ -55,6 +55,13 @@ package graft.ext
   */
 object Zip {
 
+  /** Per-thread raw Deflater (codec-pool pattern): reset between uses,
+    * never end()'d — one native buffer per executor thread, bounded.
+    */
+  private[ext] val pooledDeflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
   /** WinZip AES extra field (0x9901): AE-1 keeps the real CRC, AE-2
     * zeroes it (the HMAC is the integrity check); strength 1/2/3 =
     * AES-128/192/256; `method` is the REAL compression method the
@@ -506,14 +513,17 @@ object Zip {
       w16(realMethod)
     }
     def rawDeflate(raw: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-      try {
-        d.setInput(raw); d.finish()
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
-        buf.toByteArray
-      } finally d.end()
+      // per-thread Deflater reuse: a fresh instance per member costs a
+      // native-buffer alloc/free that dominates small-archive builds at
+      // millions of rows (DocSoak 6.4M diagnosis) — the codec-pool
+      // pattern; the pooled instance is reset, never end()'d
+      val d = Zip.pooledDeflater.get()
+      d.reset()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      buf.toByteArray
     }
     for ((name, raw, method) <- members) {
       val crc = new java.util.zip.CRC32
