@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature}
@@ -106,7 +106,10 @@ object GraftExtensions {
       if (exprs.length != 2)
         throw new IllegalArgumentException(
           s"might_contain expects (sketch, hashed), got ${exprs.length} arguments")
-      BloomFilterMightContain(exprs(0), exprs(1))
+      // graft's BloomProbe, not Spark's BloomFilterMightContain: identical
+      // semantics, but codegen-clean on constant-folded negative probes
+      // (Spark's (Long)-literal cast trips Janino → interpreter fallback)
+      graft.functions.BloomProbe(exprs(0), exprs(1))
     }),
     "stopword_count" -> ((exprs: Seq[Expression]) => {
       if (exprs.length != 2 || !exprs(1).foldable)

@@ -21,8 +21,15 @@ object Bencode {
     */
   final case class Val(value: Any, start: Int, end: Int)
 
-  /** Parse the value at `at`. Throws on malformed input (callers wrap). */
-  private[ext] def parse(b: Array[Byte], at: Int): Val = {
+  /** Parse the value at `at`. Throws on malformed input (callers wrap).
+    * `depth` bounds nesting: a run of 'l'/'d' bytes recurses once per
+    * level, so without the bound a few hundred KB of 'l's reaches
+    * StackOverflowError — an Error that escapes the callers' Exception
+    * catch. Real torrents nest <10 deep; 256 is generous.
+    */
+  private[ext] def parse(b: Array[Byte], at: Int, depth: Int = 0): Val = {
+    if (depth > 256)
+      throw new IllegalArgumentException("bencode nested deeper than 256")
     (b(at) & 0xFF).toChar match {
       case 'i' =>
         val e = indexOf(b, 'e', at + 1)
@@ -31,15 +38,15 @@ object Bencode {
         var i = at + 1
         val out = Vector.newBuilder[Any]
         while ((b(i) & 0xFF) != 'e') {
-          val v = parse(b, i); out += v.value; i = v.end
+          val v = parse(b, i, depth + 1); out += v.value; i = v.end
         }
         Val(out.result(), at, i + 1)
       case 'd' =>
         var i = at + 1
         val out = scala.collection.immutable.VectorMap.newBuilder[String, Val]
         while ((b(i) & 0xFF) != 'e') {
-          val k = parse(b, i)
-          val v = parse(b, k.end)
+          val k = parse(b, i, depth + 1)
+          val v = parse(b, k.end, depth + 1)
           out += new String(k.value.asInstanceOf[Array[Byte]], "UTF-8") -> v
           i = v.end
         }

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.BinaryType
@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.BinaryType
   * the probe are definitely clean and the two-branch result is EXACT
   * (oracle-checked by q_decontaminate_bloom).
   *
-  * Built on Spark's own `BloomFilterAggregate` / `BloomFilterMightContain`
-  * (the expressions behind AQE's runtime join filters — not registered for
-  * end users; [[graft.GraftExtensions]] exposes them as `bloom_filter_agg`
+  * Built on Spark's own `BloomFilterAggregate` for the build side and
+  * [[graft.functions.BloomProbe]] (same semantics as Spark's
+  * `BloomFilterMightContain`, minus its Janino constant-cast quirk) for
+  * the probe (not registered for end users; [[graft.GraftExtensions]] exposes them as `bloom_filter_agg`
   * / `might_contain` SQL functions).
   */
 object Bloom {
@@ -62,7 +63,7 @@ object Bloom {
     * negatives; false positives at the sketch's configured rate).
     */
   def mightContain(sketch: Array[Byte], hashed: Column): Column =
-    Bridge.column(BloomFilterMightContain(
+    Bridge.column(graft.functions.BloomProbe(
       Literal(sketch, BinaryType), Bridge.expression(hashed)))
 
   /** EXACT decontamination via the two-branch plan: rows failing the

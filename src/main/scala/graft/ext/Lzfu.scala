@@ -36,15 +36,20 @@ object Lzfu {
     if (b == null || b.length < 16) return None
     val rawSize = le32(b, 4)
     val magic = le32(b, 8)
+    if (rawSize < 0) return None // hostile header; checked before BOTH arms
     if (magic == MagicStored)
       return Some(java.util.Arrays.copyOfRange(b, 16,
-        math.min(b.length, 16 + rawSize)))
-    if (magic != MagicCompressed || rawSize < 0) return None
+        math.max(16, math.min(b.length, 16 + rawSize))))
+    if (magic != MagicCompressed) return None
     try {
       val dict = new Array[Byte](4096)
       System.arraycopy(InitDict, 0, dict, 0, InitDict.length)
       var wp = InitDict.length
-      val out = new java.io.ByteArrayOutputStream(rawSize)
+      // a 16-byte header cannot legitimately announce gigabytes: LZFu's
+      // max expansion is ~2 orders of magnitude, so bound the preallocation
+      // by input size (the stream loop still stops at i >= b.length)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(rawSize, math.max(4096, b.length * 32)))
       var i = 16
       var done = false
       while (!done && out.size < rawSize && i < b.length) {

@@ -157,8 +157,12 @@ object Mail {
     } else {
       val decoded = headers.getOrElse("content-transfer-encoding", "7bit")
         .trim.toLowerCase match {
-        case "base64" => Base64.getMimeDecoder.decode(
-          new String(body, StandardCharsets.ISO_8859_1).trim)
+        case "base64" =>
+          // tolerate a truncated final unit (raw-bytes fallback) so one
+          // malformed message cannot fail the whole stage
+          try Base64.getMimeDecoder.decode(
+            new String(body, StandardCharsets.ISO_8859_1).trim)
+          catch { case _: IllegalArgumentException => body }
         case "quoted-printable" => decodeQp(body)
         case _ => trimTrailingCrlf(body)
       }
@@ -209,9 +213,19 @@ object Mail {
     if (e == b.length) b else java.util.Arrays.copyOfRange(b, 0, e)
   }
 
-  /** RFC 2045 quoted-printable: `=HH` escapes, `=\r?\n` soft breaks. */
+  /** RFC 2045 quoted-printable: `=HH` escapes, `=\r?\n` soft breaks.
+    * Malformed escapes (`=` not followed by two hex digits — common in
+    * real mail that was never QP-encoded despite its header) are emitted
+    * literally per the RFC 2045 robustness rule, keeping this total.
+    */
   private[ext] def decodeQp(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length)
+    def hex(x: Byte): Int = x match {
+      case d if d >= '0' && d <= '9' => d - '0'
+      case d if d >= 'A' && d <= 'F' => d - 'A' + 10
+      case d if d >= 'a' && d <= 'f' => d - 'a' + 10
+      case _                         => -1
+    }
     var i = 0
     val stop = trimTrailingCrlf(b).length
     while (i < stop) {
@@ -219,9 +233,8 @@ object Mail {
       if (c == '=' && i + 1 < b.length) {
         if (b(i + 1) == '\n') i += 2
         else if (b(i + 1) == '\r' && i + 2 < b.length && b(i + 2) == '\n') i += 3
-        else if (i + 2 < b.length) {
-          out.write(Integer.parseInt(
-            new String(Array(b(i + 1), b(i + 2)), StandardCharsets.US_ASCII), 16))
+        else if (i + 2 < b.length && hex(b(i + 1)) >= 0 && hex(b(i + 2)) >= 0) {
+          out.write((hex(b(i + 1)) << 4) | hex(b(i + 2)))
           i += 3
         } else { out.write(c); i += 1 }
       } else { out.write(c); i += 1 }
@@ -272,7 +285,10 @@ object Mail {
           val enc = v.substring(q1 + 1, q2).toUpperCase
           val payload = v.substring(q2 + 1, en)
           val bytes = enc match {
-            case "B" => Base64.getMimeDecoder.decode(payload)
+            case "B" =>
+              try Base64.getMimeDecoder.decode(payload)
+              catch { case _: IllegalArgumentException =>
+                payload.getBytes(StandardCharsets.ISO_8859_1) }
             case "Q" => decodeQp(payload.replace('_', ' ')
               .getBytes(StandardCharsets.ISO_8859_1))
             case _   => payload.getBytes(StandardCharsets.ISO_8859_1)
@@ -310,7 +326,10 @@ object Mail {
     None
   }
 
-  private def cs(name: String): Charset =
+  /** Charset lookup that degrades to UTF-8 on illegal/unknown names
+    * (untrusted Content-Type parameters) — shared with Mhtml.
+    */
+  private[ext] def cs(name: String): Charset =
     try Charset.forName(name)
     catch { case _: Exception => StandardCharsets.UTF_8 }
 }

@@ -36,8 +36,7 @@ object Mhtml {
     val root = m.parts.find(_.contentType == "text/html")
       .getOrElse(return None)
     val html = new String(root.body,
-      java.nio.charset.Charset.forName(
-        if (root.charset == "us-ascii") "UTF-8" else root.charset))
+      Mail.cs(if (root.charset == "us-ascii") "UTF-8" else root.charset))
     val text = graft.functions.HtmlText.compute(
       UTF8String.fromString(html)).toString
     val resources = m.parts.filter(_ ne root).flatMap { p =>

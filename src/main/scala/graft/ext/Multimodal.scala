@@ -273,6 +273,40 @@ object Multimodal {
       perceptualHashes(media).toDF(), "media_id", "phash", maxHamming,
       nBlocks = nBlocks)
 
+  /** Perceptual AUDIO fingerprints ([[AudioFp]] band-energy signs over
+    * the real WAV/FLAC decode; gain-invariant, codec-invariant across
+    * lossless encodings of the same capture). Payloads no audio arm
+    * decodes fall back to the deterministic byte hash — exact-byte
+    * duplicates still pair at Hamming 0, and a random byte hash lands
+    * within a small Hamming budget of anything else with probability
+    * ~1e-13 per pair. Map-only, embarrassingly parallel.
+    */
+  def audioFingerprints(media: DataFrame): Dataset[MediaFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val fp = AudioFp.fingerprint(bytes)
+            .getOrElse(StubDecoders.perceptualHash(bytes))
+          MediaFingerprint(id, bytes.length.toLong, fp)
+        }
+      }
+  }
+
+  /** Perceptual near-dup audio pairs: [[audioFingerprints]] through the
+    * same [[Dedup.hammingPairs64]] pigeonhole blocking as images — the
+    * candidate set exists only inside shared blocks, never all-pairs.
+    * Returns (id1, id2, hamming ≤ maxHamming); size `nBlocks` to the
+    * corpus exactly as for text/image fingerprints.
+    */
+  def nearDupAudio(media: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 0): DataFrame =
+    Dedup.hammingPairs64(
+      audioFingerprints(media).toDF(), "media_id", "phash", maxHamming,
+      nBlocks = nBlocks)
+
   /** Frame sampling plumbing: every `stride`-th chunk of the payload as a
     * (media_id, frame_no, frame_bytes) row — the shape of video
     * frame-extraction output. Chunking is deterministic.
@@ -1001,6 +1035,18 @@ object AudioHeaders {
     * (falls back like unsupported images).
     */
   def pcm(b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
+    var sum = 0L; var sumSq = 0L
+    foreachSample(b) { v => sum += v; sumSq += v.toLong * v }
+      .map { case (rate, channels, bits, n) => (rate, channels, bits, n, sum, sumSq) }
+  }
+
+  /** Streams every decoded 16-bit-equivalent sample (channel-interleaved,
+    * file order) to `f`, returning (rate, channels, bits, count) for a
+    * decodable WAV — the shared engine of [[pcm]] (exact stats contract)
+    * and [[AudioFp]] (band-energy fingerprints), so the two can never
+    * disagree on a payload's decode.
+    */
+  private[ext] def foreachSample(b: Array[Byte])(f: Int => Unit): Option[(Int, Int, Int, Long)] = {
     if (b.length < 12 ||
         !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
         !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -1025,14 +1071,13 @@ object AudioHeaders {
     }
     if (rate <= 0 || channels <= 0 || dataOff < 0) return None
     if (fmtTag == 0x11) // IMA ADPCM: block-structured, separate routine
-      return imaAdpcm(b, rate, channels, bits, blockAlign, dataOff, dataLen)
+      return imaAdpcm(b, rate, channels, bits, blockAlign, dataOff, dataLen)(f)
     val ok = (fmtTag == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
       (fmtTag == 3 && bits == 32) ||
       ((fmtTag == 6 || fmtTag == 7) && bits == 8) // G.711 A-law / μ-law
     if (!ok) return None
     val bytesPerSample = bits / 8
     val n = dataLen / bytesPerSample
-    var sum = 0L; var sumSq = 0L
     var s = 0
     while (s < n) {
       val v: Int =
@@ -1071,11 +1116,10 @@ object AudioHeaders {
           val signed = if (raw >= 0x800000) raw - 0x1000000 else raw
           signed >> 8
         }
-      sum += v
-      sumSq += v.toLong * v
+      f(v)
       s += 1
     }
-    Some((rate, channels, bits, n.toLong, sum, sumSq))
+    Some((rate, channels, bits, n.toLong))
   }
 
   // IMA/DVI ADPCM step-size table (89 entries) and index adjustments —
@@ -1099,11 +1143,11 @@ object AudioHeaders {
     * [[pcm]] (sum/sumSq of the decoded 16-bit samples, exact in Long).
     */
   private def imaAdpcm(b: Array[Byte], rate: Int, channels: Int, bits: Int,
-      blockAlign: Int, dataOff: Int, dataLen: Int):
-      Option[(Int, Int, Int, Long, Long, Long)] = {
+      blockAlign: Int, dataOff: Int, dataLen: Int)(f: Int => Unit):
+      Option[(Int, Int, Int, Long)] = {
     if (channels != 1 || bits != 4 || blockAlign < 8) return None
     if (dataOff + dataLen > b.length) return None
-    var sum = 0L; var sumSq = 0L; var n = 0L
+    var n = 0L
     var blk = dataOff
     val end = dataOff + dataLen
     while (blk + blockAlign <= end) {
@@ -1114,7 +1158,7 @@ object AudioHeaders {
       var index = b(blk + 2) & 0xFF
       if (index > 88) return None
       // the header predictor is the block's first output sample
-      sum += pred; sumSq += pred.toLong * pred; n += 1
+      f(pred); n += 1
       var p = blk + 4
       while (p < blk + blockAlign) {
         val byte = b(p) & 0xFF
@@ -1132,7 +1176,7 @@ object AudioHeaders {
           index += AdpcmIndexAdj(nib & 7)
           if (index < 0) index = 0
           if (index > 88) index = 88
-          sum += pred; sumSq += pred.toLong * pred; n += 1
+          f(pred); n += 1
           half += 1
         }
         p += 1
@@ -1140,7 +1184,7 @@ object AudioHeaders {
       blk += blockAlign
     }
     if (n == 0) return None
-    Some((rate, channels, bits, n, sum, sumSq))
+    Some((rate, channels, bits, n))
   }
 }
 

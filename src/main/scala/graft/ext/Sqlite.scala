@@ -132,10 +132,17 @@ object Sqlite {
 
   /** Depth-first walk of a table b-tree rooted at `page`, invoking `f`
     * with each leaf cell's (rowid, decoded record values) in rowid
-    * order.
+    * order. `depth` bounds recursion: a well-formed b-tree over a file
+    * this reader can even hold (<2 GiB of 512-byte pages) is <40 levels
+    * deep, so a crafted file whose interior page points at itself or an
+    * ancestor throws (caught by the Option entry points) instead of
+    * recursing to StackOverflowError, which is an Error and would escape
+    * them and kill the executor task.
     */
-  private def walkTable(b: Array[Byte], g: Geometry, page: Int)
+  private def walkTable(b: Array[Byte], g: Geometry, page: Int, depth: Int = 0)
       (f: (Long, Vector[Value]) => Unit): Unit = {
+    if (depth > 64)
+      throw new IllegalArgumentException("b-tree deeper than 64 levels (cycle?)")
     val base = pageStart(g, page)
     val hdr = base + (if (page == 1) 100 else 0)
     val typ = b(hdr) & 0xFF
@@ -147,10 +154,10 @@ object Sqlite {
         while (k < nCells) {
           val off = base + (((b(ptrs + 2 * k) & 0xFF) << 8) |
             (b(ptrs + 2 * k + 1) & 0xFF))
-          walkTable(b, g, be32(b, off))(f)
+          walkTable(b, g, be32(b, off), depth + 1)(f)
           k += 1
         }
-        walkTable(b, g, be32(b, hdr + 8))(f)
+        walkTable(b, g, be32(b, hdr + 8), depth + 1)(f)
       case 0x0D => // leaf
         val ptrs = hdr + 8
         var k = 0

@@ -5542,6 +5542,8 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
+        // single-split input serializes the per-doc zstd encode+decode
+        .repartition(s.sparkContext.defaultParallelism)
         .map { case (id, text) =>
           def rec(wType: String, uri: String, payload: String): Array[Byte] = {
             val p = payload.getBytes("UTF-8")

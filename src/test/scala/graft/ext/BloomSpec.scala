@@ -60,12 +60,10 @@ class BloomSpec extends SparkSpec {
   }
 
   test("registered SQL functions build and probe the sketch") {
-    // note: probing a CONSTANT (as here) constant-folds the hash and
-    // trips a Janino cast quirk in Spark's BloomFilterMightContain
-    // codegen — Spark logs a CompileException and falls back to
-    // interpreted eval (correct results). Column probes — the only shape
-    // that matters at scale — codegen cleanly (no such log lines in the
-    // other tests of this suite).
+    // constant probes constant-fold the hash to a (often negative) long
+    // literal; graft's BloomProbe codegens that shape cleanly, where
+    // Spark's own BloomFilterMightContain trips a Janino cast quirk and
+    // falls back to interpreted eval (CodegenOnlySpec pins this).
     graft.GraftSql.registerFunctions(spark)
     bench.createOrReplaceTempView("bloom_bench_spec")
     val row = spark.sql("""
