@@ -2509,6 +2509,128 @@ object ExtQueries {
       "Hamming distance, zero cross-family pairs, all counts " +
       "oracle-derived from documents alone")
 
+  private val qDedupAudio = Q(
+    "q_dedup_audio",
+    (s, d) => {
+      // perceptual AUDIO dedup (the q_dedup_image shape, WAV/FLAC arms):
+      // per doc a real 16-bit WAV; planted near-dups (id+90000) are the
+      // SAME capture re-gained to 3/4 amplitude with small additive
+      // noise — byte-exact dedup is blind to them, the band-energy-sign
+      // fingerprint is gain-invariant so they land within a small
+      // Hamming distance; planted FLAC re-encodes (id+180000) of the
+      // identical capture pair at Hamming 0 ACROSS codecs (lossless →
+      // identical decode → identical fingerprint). Model-defined
+      // fingerprint → rows-only; the exact-distance contract is the
+      // anchor's (q_dedup_audio_anchor).
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val base = graft.ext.AudioFp.synthSamples(mix(id))
+          val regained = Array.tabulate(base.length) { i =>
+            base(i) * 3 / 4 + ((id * 31 + i * 17) % 7).toInt - 3
+          }
+          Seq((id, graft.ext.AudioFp.wavPcm16(base))) ++
+            (if (id % 25 == 0)
+              Seq((id + 90000L, graft.ext.AudioFp.wavPcm16(regained)))
+             else Nil) ++
+            (if (id % 40 == 0)
+              Seq((id + 180000L, graft.ext.Flac.encode(
+                Array(base), 8000, 16, 256, graft.ext.Flac.Verbatim)))
+             else Nil)
+        }
+        .toDF("media_id", "payload")
+      Multimodal.nearDupAudio(media, maxHamming = 5)
+        .orderBy("id1", "id2")
+    },
+    None, // model-defined (perceptual fingerprint); contract anchored below
+    "perceptual audio dedup: band-energy-sign fingerprint over the real " +
+      "WAV/FLAC decode, pigeonhole Hamming blocking (never all-pairs); " +
+      "gain-shifted and cross-codec copies pair, byte-dedup sees nothing")
+
+  private val qDedupAudioAnchor = Q(
+    "q_dedup_audio_anchor",
+    (s, d) => {
+      // Driver-visible certificate for q_dedup_audio (the
+      // q_dedup_image_anchor discipline): fingerprint VALUES are
+      // model-defined, but the planted-duplicate contract is
+      // oracle-expressible because AudioFp.synthSamples is the exact
+      // fingerprint inverse — per doc, real audio is synthesized so its
+      // band-energy fingerprint EQUALS a splitmix64-mixed target.
+      // Planted copies: a NEAR dup (id+90000, target ^ 0xE — exactly 3
+      // fingerprint bits) for doc_id % 25 == 0, and an EXACT dup
+      // (id+180000) that is the SAME samples re-encoded as FLAC — the
+      // cross-codec pair MUST land at Hamming 0 (lossless decode ≡
+      // identical fingerprint). nearDupAudio at maxHamming 5 must emit
+      // exactly the within-family pairs — near at hamming 3, exact at 0,
+      // the near↔exact pair at 3 when both exist (% 200) — and nothing
+      // cross-family (random 64-bit targets collide within 5 bits with
+      // probability ~5e-13 per pair). All counts DuckDB-derivable from
+      // `documents` alone.
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          require(id >= 0 && id < 90000,
+            s"q_dedup_audio_anchor: doc_id $id outside [0, 90000) — raise " +
+              "the planted-id offsets for this corpus")
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val base = mix(id)
+          val near = base ^ 0xEL // flip bits 1,2,3 → fingerprint hamming 3
+          val baseSamples = graft.ext.AudioFp.synthSamples(base)
+          Seq((id, graft.ext.AudioFp.wavPcm16(baseSamples))) ++
+            (if (id % 25 == 0)
+              Seq((id + 90000L, graft.ext.AudioFp.wavPcm16(
+                graft.ext.AudioFp.synthSamples(near))))
+             else Nil) ++
+            (if (id % 40 == 0)
+              Seq((id + 180000L, graft.ext.Flac.encode(
+                Array(baseSamples), 8000, 16, 256, graft.ext.Flac.Verbatim)))
+             else Nil)
+        }
+        .toDF("media_id", "payload")
+      Multimodal.nearDupAudio(media, maxHamming = 5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("id1") % 90000 =!= col("id2") % 90000, 1L)
+            .otherwise(0L)).as("n_cross_family"),
+          sum(when(col("hamming") === 3, 1L).otherwise(0L)).as("n_near_pairs"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
+          sum(when(col("hamming") =!= 0 && col("hamming") =!= 3, 1L)
+            .otherwise(0L)).as("n_bad_hamming"))
+        .select(
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
+          coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
+          coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+          coalesce(col("n_bad_hamming"), lit(0L)).as("n_bad_hamming"))
+    },
+    Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                     AS BIGINT) AS n_pairs,
+                   CAST(0 AS BIGINT) AS n_cross_family,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                     AS BIGINT) AS n_near_pairs,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                     AS BIGINT) AS n_exact_pairs,
+                   CAST(0 AS BIGINT) AS n_bad_hamming"""),
+    "audio-dedup contract anchor: planted WAV near-dups at constructed " +
+      "fingerprint distances plus FLAC re-encodes of the same capture — " +
+      "every planted pair found at its exact Hamming distance (cross-codec " +
+      "exact pairs at 0), zero cross-family pairs, counts oracle-derived " +
+      "from documents alone")
+
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
@@ -5924,7 +6046,8 @@ object ExtQueries {
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
-    qDedupImage, qDedupImageAnchor, qMultimodal, qMultimodalAudio,
+    qDedupImage, qDedupImageAnchor, qDedupAudio, qDedupAudioAnchor,
+    qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,

@@ -50,7 +50,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("dbf", b => Dbf.read(b)),
     ("axml", b => Axml.elements(b)),
     ("po", b => Gettext.entries(b)),
-    ("xliff", b => Xliff.parse(b)))
+    ("xliff", b => Xliff.parse(b)),
+    ("audio_fp", b => AudioFp.fingerprint(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -93,7 +94,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
       (0, "manifest", Seq(("package", "a.b"), ("v", 1))),
       (1, "application", Seq(("debuggable", true)))))),
     ("po", Gettext.build(Seq(("c", "id", Seq("str"), false)))),
-    ("xliff", Xliff.build("en", "de", Seq(("u", "s", "t", "new")))))
+    ("xliff", Xliff.build("en", "de", Seq(("u", "s", "t", "new")))),
+    ("audio_fp_wav", AudioFp.wavPcm16(AudioFp.synthSamples(0x0123456789ABCDEFL))),
+    ("audio_fp_flac", Flac.encode(
+      Array(AudioFp.synthSamples(-1L)), 8000, 16, 256, Flac.Verbatim)))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {
