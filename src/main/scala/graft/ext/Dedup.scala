@@ -596,6 +596,57 @@ object Dedup {
     * long-lived caller running many batches should release them between
     * units of work via [[graft.ops.CacheUtils.releaseAll]].
     */
+  /** Shingle-space occupancy on a bounded sample: distinct shingles /
+    * emitted shingle instances over `sampleDocs` documents. Natural text
+    * with char-5 or word-3 shingles sits well above 0.1 (most shingles
+    * are novel); a LOW value means a tiny shingle vocabulary shared by
+    * every document — MinHash signatures then collide regardless of the
+    * band layout and LSH degenerates toward all-pairs. This is the
+    * misconfiguration the 40 M-doc soak hit (char shingles over a
+    * low-entropy corpus → 882 M candidate pairs); at 100 TB it is a
+    * cluster-wide blow-up, so it is worth one bounded sample job to
+    * detect BEFORE the corpus-wide shuffle. The sample is the first
+    * `sampleDocs` rows (one small job, no full scan).
+    */
+  def shingleOccupancy(
+      df: DataFrame,
+      textCol: String,
+      shingler: Shingler,
+      sampleDocs: Int = 2048): Double = {
+    val row = df.select(shingler(textCol).as("sh")).limit(sampleDocs)
+      .select(explode(col("sh")).as("s"))
+      .agg(approx_count_distinct(col("s")).as("d"), count(lit(1)).as("n"))
+      .head()
+    val n = row.getAs[Long]("n")
+    if (n == 0L) 1.0 else row.getAs[Long]("d").toDouble / n
+  }
+
+  /** Entropy guard for the shingling choice: when a CharShingles corpus
+    * samples below `minOccupancy`, auto-widen to word shingles (the
+    * selective choice for repetitive text) and warn; otherwise keep the
+    * caller's shingler. Word shingles and custom shinglers pass through
+    * untouched — the guard exists for the char-shingle default, whose
+    * failure mode is silent until the candidate explosion.
+    */
+  def guardedShingler(
+      df: DataFrame,
+      textCol: String,
+      shingler: Shingler,
+      sampleDocs: Int = 2048,
+      minOccupancy: Double = 0.05): Shingler = shingler match {
+    case cs: CharShingles =>
+      val occ = shingleOccupancy(df, textCol, cs, sampleDocs)
+      if (occ >= minOccupancy) cs
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"char-shingle occupancy $occ < $minOccupancy on a $sampleDocs-doc " +
+            "sample: low-entropy corpus, LSH would degenerate toward " +
+            "all-pairs; widening to WordShingles(3)")
+        WordShingles(3)
+      }
+    case other => other
+  }
+
   def nearDupMinHash(
       df: DataFrame,
       idCol: String,
@@ -603,20 +654,23 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingler: Shingler = CharShingles(5)): DataFrame = {
+      shingler: Shingler = CharShingles(5),
+      guardEntropy: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val effShingler =
+      if (guardEntropy) guardedShingler(df, textCol, shingler) else shingler
     // Stage discipline for scale: (1) signatures materialized once (the
     // band self-join reads them from cache instead of re-aggregating the
     // shingle explode per side); (2) the cheap signature-agreement
     // estimate prunes candidates BEFORE the expensive exact shingle-set
     // intersection — only near-threshold pairs pay for verification.
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingler)
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, effShingler)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
     val probable = estimatedJaccard(cand, sigs, idCol, numHashes)
       .filter(col("est_jaccard") >= threshold - 0.2)
       .select("id1", "id2")
-    exactJaccard(probable, df, idCol, textCol, shingler)
+    exactJaccard(probable, df, idCol, textCol, effShingler)
       .filter(col("jaccard") >= threshold)
   }
 

@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * watch are µs/doc flatness as nDocs grows (any superlinearity means a
   * parser allocates beyond the row).
   *
-  * Usage: runMain graft.tools.DocSoak [nDocs] (default 200000)
+  * Usage: runMain graft.tools.DocSoak [nDocs] [only]
+  *        (nDocs default 200000; `only` = comma-separated substrings —
+  *        only stages whose name contains one run)
   */
 object DocSoak {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val only: Seq[String] = args.lift(1)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "64")
@@ -32,7 +38,7 @@ object DocSoak {
     val docs = spark.read.parquet(docsDir).select("doc_id", "text")
     println(s"[docsoak] docs=${docs.count()}")
 
-    def timed(name: String)(body: => Long): Unit = {
+    def timed(name: String)(body: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = body
       val dt = (System.nanoTime() - t0) / 1e9
@@ -113,6 +119,56 @@ object DocSoak {
           ("doc.txt", text.getBytes("UTF-8"))))
         graft.ext.Iso.read(iso, "doc.txt").map(_.length).getOrElse(-1)
       }.filter(_ >= 0).count()
+    }
+
+    // Decode-ONLY soak over the four Inflater-bearing read paths
+    // (Zip.read raw, Warc gzip members, Png IDAT zlib, PDF FlateDecode):
+    // payloads are prebuilt to parquet OUTSIDE the timing, so the µs/doc
+    // isolates the read path — the parity check for the Deflater-pooling
+    // fix (a fresh Inflater per payload carries the same native
+    // buffer alloc/free the encode side was paying).
+    val inflateStages = Seq("inflate_zip", "inflate_warc", "inflate_png",
+      "inflate_pdf")
+    if (inflateStages.exists(selected)) {
+      val infDir = s"/tmp/graft_docsoak_inf_$nDocs"
+      if (!new java.io.File(s"$infDir/_SUCCESS").exists())
+        ds.map { case (id, text) =>
+          val textB = text.getBytes("UTF-8")
+          val zip = graft.ext.Zip.build(Seq(("d.txt", textB, true)))
+          val page = s"<html><body><p>$text</p></body></html>"
+          val warc = graft.ext.Codecs.gzip(
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: https://e/$id\r\n" +
+              s"Content-Length: ${page.getBytes("UTF-8").length}\r\n\r\n")
+              .getBytes("UTF-8") ++ page.getBytes("UTF-8") ++
+              "\r\n\r\n".getBytes("UTF-8"))
+          val png = graft.ext.Png.encode(graft.ext.Png.Image(32, 32, 1,
+            Array.tabulate(32 * 32)(i => ((id + i * 7) & 0xFF).toByte)))
+          val pdf = graft.ext.Pdf.buildSimple(Seq(text), flate = true)
+          (id, zip, warc, png, pdf)
+        }.toDF("media_id", "zip", "warc", "png", "pdf")
+          .write.mode("overwrite").parquet(infDir)
+      val inf = spark.read.parquet(infDir)
+      timed("inflate_zip") {
+        inf.select("zip").as[Array[Byte]].map(b =>
+          graft.ext.Zip.read(b, "d.txt").map(_.length).getOrElse(-1))
+          .filter(_ >= 0).count()
+      }
+      timed("inflate_warc") {
+        inf.select("warc").as[Array[Byte]].map(b =>
+          graft.ext.Warc.parse(b).map(_.body.length).sum)
+          .filter(_ >= 0).count()
+      }
+      timed("inflate_png") {
+        inf.select("png").as[Array[Byte]].map(b =>
+          graft.ext.Png.decode(b).map(_.pixels.length).getOrElse(-1))
+          .filter(_ >= 0).count()
+      }
+      timed("inflate_pdf") {
+        inf.select("pdf").as[Array[Byte]].map(b =>
+          graft.ext.Pdf.extractText(b).map(_.length).getOrElse(-1))
+          .filter(_ >= 0).count()
+      }
     }
 
     // mixed-format dispatch end-to-end: 6 rotating families through the

@@ -105,6 +105,45 @@ object LshSoak {
         graft.ext.Dedup.candidatePairs(bands, "doc_id").count()
       }
 
+      // Entropy-guard measurement (select with `guard`): the ScaleSoak
+      // corpus draws from a 600-token vocabulary, so char-5 shingles ARE
+      // the low-entropy misconfiguration — the probe must detect it on a
+      // 2048-doc sample (microseconds of cluster time) and widen, and
+      // the measured candidate-pair counts quantify what the widen
+      // avoids (the knob's effect, recorded in PERF.md).
+      timed(s"guard_probe_${m}m", n) {
+        val occ = graft.ext.Dedup.shingleOccupancy(
+          docs, "text", graft.ext.Dedup.CharShingles(5))
+        val widened = graft.ext.Dedup.guardedShingler(
+          docs, "text", graft.ext.Dedup.CharShingles(5)) match {
+          case _: graft.ext.Dedup.WordShingles => 1L
+          case _ => 0L
+        }
+        println(f"[lshsoak] guard occupancy=$occ%.4f widened=$widened")
+        widened
+      }
+      timed(s"guard_char_${m}m", n) {
+        // the misconfigured run the guard prevents — candidate pairs
+        // from char-5 shingles on the low-entropy corpus
+        val sigs = graft.ext.Dedup.minHashSignatures(
+          docs, "doc_id", "text", numHashes = 64,
+          shingler = graft.ext.Dedup.CharShingles(5), widen = false)
+        val bands = graft.ext.Dedup.lshBands(sigs, "doc_id",
+          bands = 16, rowsPerBand = 4)
+        graft.ext.Dedup.candidatePairs(bands, "doc_id").count()
+      }
+      timed(s"guard_widened_${m}m", n) {
+        // the same pipeline routed through the guard (auto-widened)
+        val sh = graft.ext.Dedup.guardedShingler(
+          docs, "text", graft.ext.Dedup.CharShingles(5))
+        val sigs = graft.ext.Dedup.minHashSignatures(
+          docs, "doc_id", "text", numHashes = 64, shingler = sh,
+          widen = false)
+        val bands = graft.ext.Dedup.lshBands(sigs, "doc_id",
+          bands = 16, rowsPerBand = 4)
+        graft.ext.Dedup.candidatePairs(bands, "doc_id").count()
+      }
+
       timed(s"gram_index_${m}m", n) {
         // write-once bucketed duplicated-gram index: tokenize + window
         // map-side, ONE groupBy(_g) shuffle, bucketed parquet sink

@@ -91,6 +91,46 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists { case (a, b) => b == 3L || b == 4L && a == 3L })
   }
 
+  test("shingle-entropy guard: natural text keeps char shingles") {
+    // ~50 docs of distinct English-ish text: char-5 shingle occupancy is
+    // high (most shingles novel) — the guard must not widen
+    val natural = (0 until 50).map(i =>
+      (i.toLong, s"document number $i talks about topic $i in its own words " +
+        s"and adds unique trailing content ${i * 37} ${i * 91}"))
+      .toDF("doc_id", "text")
+    val occ = Dedup.shingleOccupancy(natural, "text", Dedup.CharShingles(5))
+    assert(occ > 0.05, s"natural-text occupancy unexpectedly low: $occ")
+    assert(Dedup.guardedShingler(natural, "text", Dedup.CharShingles(5))
+      == Dedup.CharShingles(5))
+  }
+
+  test("shingle-entropy guard: low-entropy corpus widens to word shingles") {
+    // DNA-like 4-letter alphabet: char-5 shingle space is 4^5 = 1024,
+    // but 200 docs × ~500 slots emit ~100k instances — occupancy
+    // collapses and LSH over char shingles would degenerate toward
+    // all-pairs (the 40 M-doc soak's 882 M-candidate finding)
+    val dna = (0 until 200).map { i =>
+      val sb = new StringBuilder
+      var x = i.toLong * 2654435761L + 17
+      for (_ <- 0 until 500) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        sb.append("ACGT" (((x * 2685821657736338717L) >>> 62).toInt & 3))
+      }
+      (i.toLong, sb.toString)
+    }.toDF("doc_id", "text")
+    val occ = Dedup.shingleOccupancy(dna, "text", Dedup.CharShingles(5))
+    assert(occ < 0.05, s"low-entropy occupancy not low enough to trip: $occ")
+    assert(Dedup.guardedShingler(dna, "text", Dedup.CharShingles(5))
+      == Dedup.WordShingles(3))
+    // word shinglers and custom shinglers pass through untouched
+    assert(Dedup.guardedShingler(dna, "text", Dedup.WordShingles(2))
+      == Dedup.WordShingles(2))
+    // and the guarded pipeline still runs end-to-end on the widened form
+    val pairs = Dedup.nearDupMinHash(dna, "doc_id", "text", threshold = 0.9,
+      guardEntropy = true)
+    assert(pairs.count() >= 0L)
+  }
+
   test("exact jaccard: identical = 1.0, disjoint ≈ low") {
     val pairs = Seq((0L, 1L), (3L, 4L)).toDF("id1", "id2")
     val j = Dedup.exactJaccard(pairs, docs, "doc_id", "text")
