@@ -498,7 +498,9 @@ object Png {
     * ImageIO for everything else it can read.
     */
   def decodeAny(bytes: Array[Byte]): Option[Image] =
-    decode(bytes).orElse(Jpeg.decode(bytes)).orElse(decodeViaJdk(bytes))
+    decode(bytes).orElse(Jpeg.decode(bytes))
+      .orElse(Vp8l.decode(bytes).map(Vp8l.toPngImage))
+      .orElse(decodeViaJdk(bytes))
 
   /** Pixel-layer content identity: CRC32 over dims + channels + raw
     * samples. Invariant across re-encodes of the same raster (compressed

@@ -2702,6 +2702,58 @@ object ExtQueries {
       "codec reproduces deterministic pixels, hash-checked against the " +
       "oracle's direct arithmetic")
 
+  private val qWebpRoundtrip = Q(
+    "q_webp_roundtrip",
+    (s, d) => {
+      // REAL VP8L (WebP lossless) codec, driver-checked — closes the r12
+      // "metadata-only WebP" envelope cut: per doc a 20×12 ARGB raster
+      // with pixel i's RGB = (id·2654435761 + i·40503) mod 2^24 is
+      // encoded to a full RIFF/WEBP VP8L stream and decoded back by
+      // ext/Vp8l.scala. The encoder arm rotates by doc_id so every
+      // decoder stage is driver-exercised: plain literals,
+      // subtract-green, cross-color, predictor, color cache, and the
+      // stacked+meta form. The decoded RGB sum must hash-match DuckDB
+      // computing the same arithmetic directly — lossless means ANY
+      // mismatch anywhere in prefix codes, transforms, or cache replay
+      // breaks the row.
+      import s.implicits._
+      val (w, h) = (20, 12)
+      documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val px = Array.tabulate(w * h)(i =>
+            0xFF000000 | ((id * 2654435761L + i.toLong * 40503L) % 16777216L).toInt)
+          val opts = (id % 6).toInt match {
+            case 0 => graft.ext.Vp8l.EncOpts()
+            case 1 => graft.ext.Vp8l.EncOpts(subtractGreen = true)
+            case 2 => graft.ext.Vp8l.EncOpts(colorTransform = true)
+            case 3 => graft.ext.Vp8l.EncOpts(predictorT = true)
+            case 4 => graft.ext.Vp8l.EncOpts(cacheBits = 6)
+            case _ => graft.ext.Vp8l.EncOpts(subtractGreen = true,
+              colorTransform = true, predictorT = true, cacheBits = 5,
+              metaTrivial = true)
+          }
+          val bytes = graft.ext.Vp8l.encode(
+            graft.ext.Vp8l.Image(w, h, px), opts)
+          val img = graft.ext.Vp8l.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"vp8l roundtrip failed for $id"))
+          var rgbSum = 0L
+          img.argb.foreach(p => rgbSum += (p & 0xFFFFFF))
+          (id, img.width, img.height, rgbSum, id % 6)
+        }
+        .toDF("media_id", "width", "height", "rgb_sum", "arm")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 20 AS width, 12 AS height,
+                   CAST(sum((doc_id * 2654435761 + i * 40503) % 16777216)
+                     AS BIGINT) AS rgb_sum,
+                   doc_id % 6 AS arm
+            FROM documents CROSS JOIN generate_series(0, 239) AS t(i)
+            GROUP BY doc_id ORDER BY media_id"""),
+    "VP8L (WebP lossless) codec roundtrip certificate: six rotating " +
+      "encoder arms (literals, subtract-green, cross-color, predictor, " +
+      "color cache, stacked+meta) through the pure-JVM decoder, pixel " +
+      "sums hash-checked against the oracle's direct arithmetic")
+
   private val qWavPcm = Q(
     "q_wav_pcm",
     (s, d) => {
@@ -6048,7 +6100,7 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qDedupAudio, qDedupAudioAnchor,
     qMultimodal, qMultimodalAudio,
-    qPngRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
+    qPngRoundtrip, qWebpRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,

@@ -51,7 +51,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("axml", b => Axml.elements(b)),
     ("po", b => Gettext.entries(b)),
     ("xliff", b => Xliff.parse(b)),
-    ("audio_fp", b => AudioFp.fingerprint(b)))
+    ("audio_fp", b => AudioFp.fingerprint(b)),
+    ("vp8l", b => Vp8l.decode(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -97,7 +98,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("xliff", Xliff.build("en", "de", Seq(("u", "s", "t", "new")))),
     ("audio_fp_wav", AudioFp.wavPcm16(AudioFp.synthSamples(0x0123456789ABCDEFL))),
     ("audio_fp_flac", Flac.encode(
-      Array(AudioFp.synthSamples(-1L)), 8000, 16, 256, Flac.Verbatim)))
+      Array(AudioFp.synthSamples(-1L)), 8000, 16, 256, Flac.Verbatim)),
+    ("vp8l", Vp8l.encode(Vp8l.Image(16, 16,
+      Array.tabulate(256)(i => 0xFF000000 | (i * 790951))),
+      Vp8l.EncOpts(subtractGreen = true, predictorT = true, cacheBits = 4))))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {

@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VP8L codec roundtrip certificates: every encoder-reachable decoder
+  * stage recovers pixels bit-exactly (lossless by definition — any
+  * mismatch is a defect, not noise).
+  */
+class Vp8lSpec extends AnyFunSuite {
+
+  private def rng(seed: Long): Iterator[Int] = {
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    Iterator.continually {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      ((x * 2685821657736338717L) >>> 32).toInt
+    }
+  }
+
+  private def randomImage(w: Int, h: Int, seed: Long, opaque: Boolean = false): Vp8l.Image = {
+    val it = rng(seed)
+    Vp8l.Image(w, h, Array.fill(w * h) {
+      val p = it.next()
+      if (opaque) p | 0xFF000000 else p
+    })
+  }
+
+  test("literal-only roundtrip at assorted sizes") {
+    for ((w, h) <- Seq((1, 1), (3, 1), (1, 7), (7, 3), (16, 16), (63, 17))) {
+      val img = randomImage(w, h, w * 1000L + h)
+      val dec = Vp8l.decode(Vp8l.encode(img, rowCopy = false))
+      assert(dec.isDefined, s"decode failed at ${w}x$h")
+      assert(dec.get.width == w && dec.get.height == h)
+      assert(dec.get.argb.sameElements(img.argb), s"pixels at ${w}x$h")
+    }
+  }
+
+  test("row-copy LZ77 path: repeated rows roundtrip through backrefs") {
+    val w = 23
+    val rows = Seq.fill(3)(rng(42L).take(w).toArray)
+    // rows: A A B B B C A — repeats exercise length=w, distance=w refs
+    val pattern = Seq(0, 0, 1, 1, 1, 2, 0)
+    val img = Vp8l.Image(w, pattern.length,
+      pattern.flatMap(r => rows(r)).toArray)
+    val enc = Vp8l.encode(img, rowCopy = true)
+    val encLit = Vp8l.encode(img, rowCopy = false)
+    assert(enc.length < encLit.length, "row copies should shrink the stream")
+    val dec = Vp8l.decode(enc)
+    assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
+  }
+
+  test("constant and two-color images use simple codes and roundtrip") {
+    val flat = Vp8l.Image(9, 4, Array.fill(36)(0xFF336699))
+    assert(Vp8l.decode(Vp8l.encode(flat)).get.argb.sameElements(flat.argb))
+    val twoTone = Vp8l.Image(8, 8,
+      Array.tabulate(64)(i => if ((i / 8 + i % 8) % 2 == 0) 0xFF000000 else 0xFFFFFFFF))
+    assert(Vp8l.decode(Vp8l.encode(twoTone)).get.argb.sameElements(twoTone.argb))
+  }
+
+  test("alpha channel is preserved (non-opaque pixels)") {
+    val img = randomImage(11, 5, 77L, opaque = false)
+    assert(Vp8l.decode(Vp8l.encode(img)).get.argb.sameElements(img.argb))
+  }
+
+  test("webp metadata arm agrees with the pixel decoder on dims") {
+    val img = randomImage(31, 9, 5L)
+    val bytes = Vp8l.encode(img)
+    val meta = Webp.meta(bytes)
+    assert(meta.isDefined)
+    assert(meta.get.width == 31 && meta.get.height == 9)
+  }
+
+  test("subtract-green transform roundtrips") {
+    val img = randomImage(21, 13, 101L)
+    val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(subtractGreen = true)))
+    assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
+  }
+
+  test("cross-color transform roundtrips (constant multipliers)") {
+    val img = randomImage(40, 22, 202L) // spans multiple 16x16 blocks
+    val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(colorTransform = true)))
+    assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
+  }
+
+  test("predictor transform (mode T) roundtrips") {
+    val img = randomImage(40, 22, 303L)
+    val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(predictorT = true)))
+    assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
+  }
+
+  test("all three pixel-space transforms stacked roundtrip") {
+    val img = randomImage(33, 19, 404L)
+    val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(
+      subtractGreen = true, colorTransform = true, predictorT = true)))
+    assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
+  }
+
+  test("palette transform roundtrips at every packing width") {
+    // 2 colors → 8 px/byte, 4 → 4, 16 → 2, 200 → unpacked
+    for (n <- Seq(2, 4, 16, 200)) {
+      val pal = Array.tabulate(n)(k => 0xFF000000 | (k * 1103515245 + 7) & 0xFFFFFF)
+      val it = rng(n.toLong)
+      val img = Vp8l.Image(37, 11,
+        Array.fill(37 * 11)(pal(math.abs(it.next()) % n)))
+      val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(palette = true)))
+      assert(dec.isDefined, s"palette $n decode failed")
+      assert(dec.get.argb.sameElements(img.argb), s"palette $n pixels")
+    }
+  }
+
+  test("color cache roundtrips (repeated colors hit the cache)") {
+    val pal = Array.tabulate(8)(k => 0xFF000000 | (k * 2654435761L).toInt & 0xFFFFFF)
+    val it = rng(55L)
+    val img = Vp8l.Image(29, 17,
+      Array.fill(29 * 17)(pal(math.abs(it.next()) % 8)))
+    for (bits <- Seq(1, 4, 8)) {
+      val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(cacheBits = bits)))
+      assert(dec.isDefined && dec.get.argb.sameElements(img.argb),
+        s"cacheBits $bits")
+    }
+  }
+
+  test("meta prefix-code image (trivial single group) roundtrips") {
+    val img = randomImage(35, 14, 606L)
+    val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(metaTrivial = true)))
+    assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
+  }
+
+  test("kitchen sink: transforms + cache + meta + row copies together") {
+    val w = 24
+    val base = rng(77L).take(w).toArray
+    val img = Vp8l.Image(w, 9,
+      (0 until 9).flatMap { y =>
+        val row: Seq[Int] =
+          if (y % 3 == 2) base.toSeq else rng(y * 13L + 1).take(w).toSeq
+        row
+      }.toArray)
+    val dec = Vp8l.decode(Vp8l.encode(img, Vp8l.EncOpts(
+      subtractGreen = true, predictorT = true, cacheBits = 5,
+      metaTrivial = true)))
+    assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
+  }
+
+  test("hostile bytes: garbage, truncation, bit flips never throw") {
+    val valid = Vp8l.encode(randomImage(16, 16, 9L))
+    for (cut <- Seq(0, 1, 12, 20, valid.length / 2, valid.length - 1))
+      Vp8l.decode(java.util.Arrays.copyOf(valid, cut))
+    val it = rng(123L)
+    for (_ <- 0 until 50) {
+      val b = valid.clone()
+      val pos = math.abs(it.next()) % b.length
+      b(pos) = (b(pos) ^ (1 << (math.abs(it.next()) % 8))).toByte
+      Vp8l.decode(b) // Option-total: may be None, must not throw
+    }
+    for (n <- Seq(0, 1, 7, 64, 1024)) {
+      val g = Array.fill(n)(it.next().toByte)
+      Vp8l.decode(g)
+    }
+  }
+}
