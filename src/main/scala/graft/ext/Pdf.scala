@@ -169,7 +169,7 @@ object Pdf {
     * then skipped whole — never partially decoded into the text).
     */
   private def inflate(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
+    val inf = Zip.pooledInflaterZlib.get()
     try {
       inf.setInput(b, from, until - from)
       val out = new java.io.ByteArrayOutputStream(math.max(64, (until - from) * 4))
@@ -182,7 +182,7 @@ object Pdf {
         else if (inf.needsInput() || inf.needsDictionary()) return null
       }
       out.toByteArray
-    } finally inf.end()
+    } finally inf.reset()
   }
 
   // -------------------------------------------- /Differences font tables

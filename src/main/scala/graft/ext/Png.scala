@@ -239,7 +239,7 @@ object Png {
   }
 
   private def inflate(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
-    val inf = new Inflater()
+    val inf = Zip.pooledInflaterZlib.get()
     try {
       inf.setInput(data)
       val out = new Array[Byte](expected)
@@ -252,7 +252,7 @@ object Png {
       if (off == expected) Some(out) else None
     } catch {
       case _: java.util.zip.DataFormatException => None
-    } finally inf.end()
+    } finally inf.reset()
   }
 
   // ------------------------------------------------------------- encode

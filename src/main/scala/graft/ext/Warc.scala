@@ -109,7 +109,7 @@ object Warc {
     // --- raw deflate stream
     val buf = new Array[Byte](64 * 1024)
     val member = new java.io.ByteArrayOutputStream(buf.length)
-    val inf = new java.util.zip.Inflater(true)
+    val inf = Zip.pooledInflaterRaw.get()
     try {
       inf.setInput(blob, p, blob.length - p)
       var ok = true
@@ -132,7 +132,7 @@ object Warc {
         ((blob(t + 2) & 0xffL) << 16) | ((blob(t + 3) & 0xffL) << 24)
       if (crc.getValue != stored) return None
       Some((bytes, p + consumed + 8))
-    } finally inf.end()
+    } finally inf.reset()
   }
 
   /** Lazy walk over the gzip members of a blob — each `next()` inflates

@@ -58,6 +58,16 @@ object Zip {
   /** Per-thread raw Deflater (codec-pool pattern): reset between uses,
     * never end()'d — one native buffer per executor thread, bounded.
     */
+  /** Per-thread pooled Inflaters (raw-deflate and zlib-wrapped), the
+    * read-side twins of [[pooledDeflater]]: reset between uses, never
+    * end()'d — one bounded native buffer per executor thread instead of
+    * an alloc/free per decoded member/stream.
+    */
+  private[ext] val pooledInflaterRaw: ThreadLocal[java.util.zip.Inflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Inflater(true))
+  private[ext] val pooledInflaterZlib: ThreadLocal[java.util.zip.Inflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Inflater())
+
   private[ext] val pooledDeflater: ThreadLocal[java.util.zip.Deflater] =
     ThreadLocal.withInitial(() =>
       new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
@@ -389,7 +399,7 @@ object Zip {
           if (srcLen.toLong != e.uncomp_size) return None
           java.util.Arrays.copyOfRange(src, srcOff, srcOff + srcLen)
         case 8 =>
-          val inf = new java.util.zip.Inflater(true) // raw deflate
+          val inf = Zip.pooledInflaterRaw.get() // raw deflate, pooled
           try {
             inf.setInput(src, srcOff, srcLen)
             val out = new Array[Byte](e.uncomp_size.toInt)
@@ -401,7 +411,7 @@ object Zip {
             }
             if (got != out.length) return None
             out
-          } finally inf.end()
+          } finally inf.reset()
         case 9 =>
           // Deflate64 / "enhanced deflate" (APPNOTE §4.4.5 method 9):
           // 64 KiB window + widened length/distance codes (285 gains
