@@ -350,7 +350,8 @@ object Multimodal {
         batch.flatMap { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
           gifFrames(bytes, stride).orElse(aviFrames(bytes, stride))
-            .orElse(Mp4.frames(bytes, stride)) match {
+            .orElse(Mp4.frames(bytes, stride))
+            .orElse(webpAnimFrames(bytes, stride)) match {
             case Some(frames) =>
               frames.map { case (no, img) =>
                 SampledFrame(id, no, img.width, img.height, Png.encode(img))
@@ -791,6 +792,17 @@ object Multimodal {
   /** Every `stride`-th frame of a multi-frame GIF as rasters; None when
     * the payload isn't a GIF the JDK reader accepts.
     */
+  /** Animated-WebP frames: every `stride`-th ANMF's VP8L raster as a
+    * [[Png.Image]] — the fourth real multi-frame container next to GIF,
+    * AVI/MJPEG, and MP4. Still WebPs fall through to the
+    * [[Png.decodeAny]] single-frame path (which chains Vp8l).
+    */
+  private def webpAnimFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] =
+    Webp.animFrames(bytes).map(_.collect {
+      case (no, _, _, _, img) if no % stride == 0 =>
+        (no, Vp8l.toPngImage(img))
+    })
+
   private def gifFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] = {
     if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
       return None

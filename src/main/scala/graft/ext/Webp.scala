@@ -244,6 +244,72 @@ object Webp {
     chunk("VP8L", Array(0x2F.toByte) ++ le32(v))
   }
 
+  /** Decoded animation frames of an extended WebP: every ANMF chunk's
+    * VP8L-coded payload through [[Vp8l.decode]] — (frame_no, x, y,
+    * duration_ms, raster). Lossy (VP8) frames are skipped (the decode
+    * envelope is lossless-only, same as the still path); a container
+    * with no decodable frames yields an empty seq, hostile bytes None
+    * via the usual total-function contract.
+    */
+  def animFrames(b: Array[Byte]): Option[Seq[(Int, Int, Int, Int, Vp8l.Image)]] = {
+    if (b == null || b.length < 20) return None
+    try {
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
+        return None
+      val out = Vector.newBuilder[(Int, Int, Int, Int, Vp8l.Image)]
+      var n = 0
+      var p = 12
+      var sawAnmf = false
+      while (p + 8 <= b.length) {
+        val cc = fourcc(b, p)
+        val size = u32le(b, p + 4)
+        if (size < 0 || p + 8 + size > b.length) return None
+        if (cc == "ANMF" && size >= 16) {
+          sawAnmf = true
+          val fp = p + 8
+          val fx = u24le(b, fp) * 2
+          val fy = u24le(b, fp + 3) * 2
+          val dur = u24le(b, fp + 12)
+          // frame data chunks start after the 16-byte ANMF header
+          var q = fp + 16
+          val qEnd = p + 8 + size.toInt
+          while (q + 8 <= qEnd) {
+            val fcc = fourcc(b, q)
+            val fsize = u32le(b, q + 4)
+            if (fsize < 0 || q + 8 + fsize > qEnd) return None
+            if (fcc == "VP8L")
+              Vp8l.decodePayload(java.util.Arrays.copyOfRange(
+                b, q + 8, q + 8 + fsize.toInt))
+                .foreach(img => out += ((n, fx, fy, dur, img)))
+            q += 8 + fsize.toInt + (fsize.toInt & 1)
+          }
+          n += 1
+        }
+        p += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (!sawAnmf) None else Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Animated-WebP fixture builder: VP8X (anim flag) + ANIM (bg, loop)
+    * + one ANMF per frame wrapping a real VP8L stream. Frame offsets are
+    * stored halved per the spec (must be even).
+    */
+  private[graft] def buildAnim(canvasW: Int, canvasH: Int,
+      frames: Seq[(Int, Int, Int, Vp8l.Image)]): Array[Byte] = {
+    val anim = chunk("ANIM", le32(0xFFFFFFFFL) ++ Array[Byte](0, 0))
+    val anmfs = frames.map { case (x, y, durMs, img) =>
+      require(x % 2 == 0 && y % 2 == 0, "ANMF offsets must be even")
+      val hdr = le24(x / 2) ++ le24(y / 2) ++
+        le24(img.width - 1) ++ le24(img.height - 1) ++
+        le24(durMs) ++ Array[Byte](0)
+      chunk("ANMF", hdr ++ chunk("VP8L", Vp8l.encodePayload(img)))
+    }
+    extended(canvasW, canvasH, icc = false, alpha = false, exif = false,
+      anim = true, (anim +: anmfs): _*)
+  }
+
   /** 'VP8X' extended file: feature flags + canvas, followed by the given
     * feature chunks (ANMF frames, ALPH, EXIF, an image chunk).
     */

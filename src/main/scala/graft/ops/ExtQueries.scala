@@ -2754,6 +2754,58 @@ object ExtQueries {
       "color cache, stacked+meta) through the pure-JVM decoder, pixel " +
       "sums hash-checked against the oracle's direct arithmetic")
 
+  private val qWebpFrames = Q(
+    "q_webp_frames",
+    (s, d) => {
+      // Animated WebP through the REAL frame-sampling path: per doc a
+      // VP8X/ANIM/ANMF container with three VP8L-coded frames is built,
+      // routed through Multimodal.sampleFramesReal (the same entry GIF/
+      // AVI/MP4 frames use), each sampled frame re-encoded as PNG and
+      // decoded back — the emitted per-frame RGB sums certify the whole
+      // ANMF walk → VP8L decode → PNG roundtrip chain against DuckDB's
+      // direct arithmetic.
+      import s.implicits._
+      val (w, h, nF) = (10, 6, 3)
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (0 until nF).map { f =>
+            val px = Array.tabulate(w * h)(i =>
+              0xFF000000 | ((id * 2654435761L + f * 1216949L +
+                i * 40503L) % 16777216L).toInt)
+            (0, 0, 40, graft.ext.Vp8l.Image(w, h, px))
+          }
+          (id, graft.ext.Webp.buildAnim(w, h, frames))
+        }.toDF("media_id", "payload")
+      Multimodal.sampleFramesReal(media, stride = 1)
+        .map { sf =>
+          val img = graft.ext.Png.decode(sf.frame_png).getOrElse(
+            throw new IllegalStateException("png re-decode failed"))
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            if (i % 4 != 3) sum += img.pixels(i) & 0xFF // RGB, skip alpha
+            i += 1
+          }
+          (sf.media_id, sf.frame_no, sf.width, sf.height, sum)
+        }
+        .toDF("media_id", "frame_no", "width", "height", "rgb_sum")
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""SELECT doc_id AS media_id, f AS frame_no, 10 AS width,
+                   6 AS height,
+                   CAST(sum(v // 65536 + (v // 256) % 256 + v % 256)
+                     AS BIGINT) AS rgb_sum
+            FROM (SELECT doc_id, f, i,
+                         (doc_id * 2654435761 + f * 1216949 + i * 40503)
+                           % 16777216 AS v
+                  FROM documents
+                  CROSS JOIN generate_series(0, 2) AS ff(f)
+                  CROSS JOIN generate_series(0, 59) AS t(i))
+            GROUP BY doc_id, f ORDER BY media_id, frame_no"""),
+    "animated-WebP frame extraction certificate: ANMF walk + VP8L frame " +
+      "decode through the shared real-frame-sampling path, per-frame RGB " +
+      "sums hash-checked against the oracle's direct arithmetic")
+
   private val qWavPcm = Q(
     "q_wav_pcm",
     (s, d) => {
@@ -6100,7 +6152,7 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qDedupAudio, qDedupAudioAnchor,
     qMultimodal, qMultimodalAudio,
-    qPngRoundtrip, qWebpRoundtrip, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
+    qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,

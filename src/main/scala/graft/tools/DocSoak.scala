@@ -171,6 +171,17 @@ object DocSoak {
       }
     }
 
+    // perceptual audio fingerprint (the round-13 dedup modality): WAV
+    // build + decode + 72-band-energy Goertzel fingerprint per doc —
+    // map-only, the 100 TB serve shape; watch µs/doc flatness
+    timed("audio_fp") {
+      ds.map { case (id, _) =>
+        val wav = graft.ext.AudioFp.wavPcm16(
+          graft.ext.AudioFp.synthSamples(id * 0x9E3779B97F4A7C15L))
+        graft.ext.AudioFp.fingerprint(wav).getOrElse(-1L)
+      }.filter(_ != -1L).count()
+    }
+
     // mixed-format dispatch end-to-end: 6 rotating families through the
     // engine pipeline (sniff -> arms -> gate)
     timed("dispatch_mixed") {

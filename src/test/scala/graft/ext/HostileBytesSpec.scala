@@ -52,7 +52,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("po", b => Gettext.entries(b)),
     ("xliff", b => Xliff.parse(b)),
     ("audio_fp", b => AudioFp.fingerprint(b)),
-    ("vp8l", b => Vp8l.decode(b)))
+    ("vp8l", b => Vp8l.decode(b)),
+    ("webp_anim", b => Webp.animFrames(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -101,7 +102,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
       Array(AudioFp.synthSamples(-1L)), 8000, 16, 256, Flac.Verbatim)),
     ("vp8l", Vp8l.encode(Vp8l.Image(16, 16,
       Array.tabulate(256)(i => 0xFF000000 | (i * 790951))),
-      Vp8l.EncOpts(subtractGreen = true, predictorT = true, cacheBits = 4))))
+      Vp8l.EncOpts(subtractGreen = true, predictorT = true, cacheBits = 4))),
+    ("webp_anim", Webp.buildAnim(8, 8, (0 until 3).map(f =>
+      (0, 0, 25, Vp8l.Image(8, 8,
+        Array.tabulate(64)(i => 0xFF000000 | (i * 131071 + f * 777))))))))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {

@@ -140,6 +140,26 @@ class Vp8lSpec extends AnyFunSuite {
     assert(dec.isDefined && dec.get.argb.sameElements(img.argb))
   }
 
+  test("animated WebP: ANMF walk + per-frame VP8L decode + builder roundtrip") {
+    val frames = (0 until 4).map(f => randomImage(12, 7, f * 31L + 5))
+    val bytes = Webp.buildAnim(12, 7,
+      frames.map(img => (0, 0, 33, img)))
+    val meta = Webp.meta(bytes)
+    assert(meta.exists(m => m.variant == "extended" && m.n_frames == 4))
+    val dec = Webp.animFrames(bytes)
+    assert(dec.isDefined && dec.get.length == 4)
+    dec.get.zip(frames).foreach { case ((no, x, y, dur, img), want) =>
+      assert(x == 0 && y == 0 && dur == 33)
+      assert(img.argb.sameElements(want.argb), s"frame $no")
+    }
+    // still (non-animated) webp → None from the anim walk
+    assert(Webp.animFrames(Vp8l.encode(frames.head)).isEmpty)
+    // truncation/garbage total
+    for (cut <- Seq(1, 20, bytes.length / 2)) {
+      Webp.animFrames(java.util.Arrays.copyOf(bytes, cut))
+    }
+  }
+
   test("hostile bytes: garbage, truncation, bit flips never throw") {
     val valid = Vp8l.encode(randomImage(16, 16, 9L))
     for (cut <- Seq(0, 1, 12, 20, valid.length / 2, valid.length - 1))
