@@ -351,7 +351,8 @@ object Multimodal {
           val bytes = if (payload == null) Array.emptyByteArray else payload
           gifFrames(bytes, stride).orElse(aviFrames(bytes, stride))
             .orElse(Mp4.frames(bytes, stride))
-            .orElse(webpAnimFrames(bytes, stride)) match {
+            .orElse(webpAnimFrames(bytes, stride))
+            .orElse(apngFrames(bytes, stride)) match {
             case Some(frames) =>
               frames.map { case (no, img) =>
                 SampledFrame(id, no, img.width, img.height, Png.encode(img))
@@ -608,6 +609,9 @@ object Multimodal {
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
     else if (at(0, "GIF8")) "gif"
     else if (at(0, "BM")) "bmp"
+    // ICO's magic (00 00 01 00) is weak — admit only via the structural
+    // gates (entry count bound, directory fits)
+    else if (Ico.isIco(b)) "ico"
     else if ((at(0, "II") && b(2) == 42 && b(3) == 0) ||
       (at(0, "MM") && b(2) == 0 && b(3) == 42)) "tiff"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
@@ -801,6 +805,15 @@ object Multimodal {
     Webp.animFrames(bytes).map(_.collect {
       case (no, _, _, _, img) if no % stride == 0 =>
         (no, Vp8l.toPngImage(img))
+    })
+
+  /** APNG frames via [[Apng.frames]] — must sit BEFORE the
+    * [[Png.decodeAny]] single-frame fallback, which would otherwise
+    * decode an APNG's default image as a still.
+    */
+  private def apngFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] =
+    Apng.frames(bytes).map(_.collect {
+      case (no, _, _, _, img) if no % stride == 0 => (no, img)
     })
 
   private def gifFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Int, Png.Image)]] = {

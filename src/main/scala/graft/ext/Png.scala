@@ -41,9 +41,9 @@ object Png {
       s"pixel buffer ${pixels.length} != $width*$height*$channels")
   }
 
-  private val Magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+  private[ext] val Magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
 
-  private def be32(b: Array[Byte], i: Int): Int =
+  private[ext] def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
       ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
 
@@ -303,12 +303,12 @@ object Png {
     out.toByteArray
   }
 
-  private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+  private[ext] def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
     b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
   }
 
-  private def writeChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
+  private[ext] def writeChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
       data: Array[Byte]): Unit = {
     val len = new Array[Byte](4)
     putBe32(len, 0, data.length)
@@ -500,6 +500,8 @@ object Png {
   def decodeAny(bytes: Array[Byte]): Option[Image] =
     decode(bytes).orElse(Jpeg.decode(bytes))
       .orElse(Vp8l.decode(bytes).map(Vp8l.toPngImage))
+      .orElse(Bmp.decode(bytes))
+      .orElse(Ico.decode(bytes))
       .orElse(decodeViaJdk(bytes))
 
   /** Pixel-layer content identity: CRC32 over dims + channels + raw

@@ -2524,6 +2524,8 @@ object ExtQueries {
       // anchor's (q_dedup_audio_anchor).
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc synth+encode
+        .repartition(s.sparkContext.defaultParallelism)
         .flatMap { id =>
           def mix(z0: Long): Long = {
             var z = z0 + 0x9E3779B97F4A7C15L
@@ -2574,6 +2576,8 @@ object ExtQueries {
       // `documents` alone.
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc synth+encode
+        .repartition(s.sparkContext.defaultParallelism)
         .flatMap { id =>
           require(id >= 0 && id < 90000,
             s"q_dedup_audio_anchor: doc_id $id outside [0, 90000) — raise " +
@@ -2719,6 +2723,8 @@ object ExtQueries {
       import s.implicits._
       val (w, h) = (20, 12)
       documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc VP8L encode+decode
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val px = Array.tabulate(w * h)(i =>
             0xFF000000 | ((id * 2654435761L + i.toLong * 40503L) % 16777216L).toInt)
@@ -2767,6 +2773,8 @@ object ExtQueries {
       import s.implicits._
       val (w, h, nF) = (10, 6, 3)
       val media = documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc frame encodes
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val frames = (0 until nF).map { f =>
             val px = Array.tabulate(w * h)(i =>
@@ -2805,6 +2813,128 @@ object ExtQueries {
     "animated-WebP frame extraction certificate: ANMF walk + VP8L frame " +
       "decode through the shared real-frame-sampling path, per-frame RGB " +
       "sums hash-checked against the oracle's direct arithmetic")
+
+  private val qApngFrames = Q(
+    "q_apng_frames",
+    (s, d) => {
+      // APNG (animated PNG) through the same real frame-sampling entry:
+      // per doc a three-frame acTL/fcTL/fdAT animation over 8-bit RGB
+      // rasters — frame 0 rides the default-image IDAT (fcTL-preceded,
+      // so it IS a frame per spec), frames 1-2 ride fdAT with shared
+      // sequence numbering. Each sampled frame decodes back to the
+      // formula bytes; sums hash-checked against DuckDB.
+      import s.implicits._
+      val (w, h, nF) = (10, 6, 3)
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc frame encodes
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val frames = (0 until nF).map { f =>
+            graft.ext.Png.Image(w, h, 3, Array.tabulate(w * h * 3)(i =>
+              ((id * 31 + f * 997 + i * 7) % 256).toByte))
+          }
+          (id, graft.ext.Apng.build(frames))
+        }.toDF("media_id", "payload")
+      Multimodal.sampleFramesReal(media, stride = 1)
+        .map { sf =>
+          val img = graft.ext.Png.decode(sf.frame_png).getOrElse(
+            throw new IllegalStateException("png re-decode failed"))
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xFF))
+          (sf.media_id, sf.frame_no, sf.width, sf.height, sum)
+        }
+        .toDF("media_id", "frame_no", "width", "height", "pixel_sum")
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""SELECT doc_id AS media_id, f AS frame_no, 10 AS width,
+                   6 AS height,
+                   CAST(sum((doc_id * 31 + f * 997 + i * 7) % 256)
+                     AS BIGINT) AS pixel_sum
+            FROM documents
+            CROSS JOIN generate_series(0, 2) AS ff(f)
+            CROSS JOIN generate_series(0, 179) AS t(i)
+            GROUP BY doc_id, f ORDER BY media_id, frame_no"""),
+    "APNG frame extraction certificate: acTL/fcTL/fdAT walk with the " +
+      "default-image-as-frame rule, frames re-decoded through the still " +
+      "PNG codec, per-frame byte sums hash-checked against the oracle")
+
+  private val qBmpDecode = Q(
+    "q_bmp_decode",
+    (s, d) => {
+      // BMP pixel decode, driver-checked: odd width (11) forces the
+      // 4-byte row padding; arms rotate 24-bit BI_RGB (even ids) and
+      // 8-bit gray-palettized (odd ids — the decoded 3-channel raster
+      // triples the byte sum). Bottom-up row order and BGR swizzle are
+      // exactly what the sum certifies.
+      import s.implicits._
+      val (w, h) = (11, 7)
+      documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc build+decode
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val img =
+            if (id % 2 == 0)
+              graft.ext.Png.Image(w, h, 3, Array.tabulate(w * h * 3)(i =>
+                ((id * 31 + i * 7) % 256).toByte))
+            else
+              graft.ext.Png.Image(w, h, 1, Array.tabulate(w * h)(i =>
+                ((id * 31 + i * 7) % 256).toByte))
+          val bmp = graft.ext.Bmp.build(img)
+          val dec = graft.ext.Bmp.decode(bmp).getOrElse(
+            throw new IllegalStateException(s"bmp decode failed for $id"))
+          var sum = 0L
+          dec.pixels.foreach(v => sum += (v & 0xFF))
+          (id, dec.width, dec.height, dec.channels, sum)
+        }
+        .toDF("media_id", "width", "height", "n_channels", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 11 AS width, 7 AS height,
+                   3 AS n_channels,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (SELECT sum((doc_id * 31 + i * 7) % 256)
+                           FROM generate_series(0, 230) AS t(i))
+                     ELSE 3 * (SELECT sum((doc_id * 31 + i * 7) % 256)
+                               FROM generate_series(0, 76) AS t(i))
+                   END AS BIGINT) AS pixel_sum
+            FROM documents ORDER BY media_id"""),
+    "BMP decode certificate: 24-bit and gray-palette arms, bottom-up " +
+      "padded rows and BGR swizzle certified by exact byte sums")
+
+  private val qIcoDecode = Q(
+    "q_ico_decode",
+    (s, d) => {
+      // ICO (favicon) extraction: two PNG-coded entries per icon; the
+      // decoder must pick the LARGEST (16×16) and decode it through the
+      // still-PNG codec. Entry count from the directory walk.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc PNG encodes
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val small = graft.ext.Png.Image(8, 8, 1,
+            Array.tabulate(64)(i => ((id * 7 + i * 3) % 256).toByte))
+          val big = graft.ext.Png.Image(16, 16, 1,
+            Array.tabulate(256)(i => ((id * 13 + i * 5) % 256).toByte))
+          val ico = graft.ext.Ico.build(Seq(small, big))
+          val n = graft.ext.Ico.entries(ico).map(_.length).getOrElse(-1)
+          val dec = graft.ext.Ico.decode(ico).getOrElse(
+            throw new IllegalStateException(s"ico decode failed for $id"))
+          var sum = 0L
+          dec.pixels.foreach(v => sum += (v & 0xFF))
+          (id, n, dec.width, dec.height, sum)
+        }
+        .toDF("media_id", "n_entries", "width", "height", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 2 AS n_entries, 16 AS width,
+                   16 AS height,
+                   CAST(sum((doc_id * 13 + i * 5) % 256) AS BIGINT)
+                     AS pixel_sum
+            FROM documents CROSS JOIN generate_series(0, 255) AS t(i)
+            GROUP BY doc_id ORDER BY media_id"""),
+    "ICO extraction certificate: directory walk, largest-entry " +
+      "selection, PNG-coded favicon decode — sums oracle-checked")
 
   private val qWavPcm = Q(
     "q_wav_pcm",
@@ -6152,7 +6282,8 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qDedupAudio, qDedupAudioAnchor,
     qMultimodal, qMultimodalAudio,
-    qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
+    qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qApngFrames,
+    qBmpDecode, qIcoDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,

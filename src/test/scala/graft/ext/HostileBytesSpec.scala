@@ -53,7 +53,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("xliff", b => Xliff.parse(b)),
     ("audio_fp", b => AudioFp.fingerprint(b)),
     ("vp8l", b => Vp8l.decode(b)),
-    ("webp_anim", b => Webp.animFrames(b)))
+    ("webp_anim", b => Webp.animFrames(b)),
+    ("apng", b => Apng.frames(b)),
+    ("bmp", b => Bmp.decode(b)),
+    ("ico", b => Ico.decode(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -105,7 +108,13 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
       Vp8l.EncOpts(subtractGreen = true, predictorT = true, cacheBits = 4))),
     ("webp_anim", Webp.buildAnim(8, 8, (0 until 3).map(f =>
       (0, 0, 25, Vp8l.Image(8, 8,
-        Array.tabulate(64)(i => 0xFF000000 | (i * 131071 + f * 777))))))))
+        Array.tabulate(64)(i => 0xFF000000 | (i * 131071 + f * 777))))))),
+    ("apng", Apng.build((0 until 3).map(f => Png.Image(8, 6, 3,
+      Array.tabulate(144)(i => ((i * 37 + f * 91) % 256).toByte))))),
+    ("bmp", Bmp.build(Png.Image(9, 5, 3,
+      Array.tabulate(135)(i => (i * 29 % 256).toByte)))),
+    ("ico", Ico.build(Seq(Png.Image(8, 8, 1,
+      Array.tabulate(64)(i => (i * 4 % 256).toByte))))))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {

@@ -160,6 +160,24 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("APNG: builder/extractor roundtrip, default-image-as-frame rule") {
+    val frames = (0 until 3).map(f => Png.Image(9, 5, 3,
+      Array.tabulate(135)(i => ((i * 11 + f * 77) % 256).toByte)))
+    val bytes = Apng.build(frames)
+    val dec = Apng.frames(bytes)
+    assert(dec.isDefined && dec.get.length == 3)
+    dec.get.zip(frames).foreach { case ((no, x, y, delay, img), want) =>
+      assert(x == 0 && y == 0 && delay == 10)
+      assert(img.channels == 3 && img.pixels.sameElements(want.pixels), s"frame $no")
+    }
+    // a STILL png (no acTL) is not an animation
+    assert(Apng.frames(Png.encode(frames.head)).isEmpty)
+    // still decodes fine through the single-frame path
+    assert(Png.decode(Png.encode(frames.head)).isDefined)
+    for (cut <- Seq(1, 30, bytes.length / 2))
+      Apng.frames(java.util.Arrays.copyOf(bytes, cut))
+  }
+
   test("hostile bytes: garbage, truncation, bit flips never throw") {
     val valid = Vp8l.encode(randomImage(16, 16, 9L))
     for (cut <- Seq(0, 1, 12, 20, valid.length / 2, valid.length - 1))
