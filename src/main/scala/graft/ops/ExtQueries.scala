@@ -5165,8 +5165,8 @@ object ExtQueries {
   private val qMediaSniff = Q(
     "q_media_sniff",
     (s, d) => {
-      // Format-dispatch certificate: 59 payload families rotate by
-      // doc_id % 59 — every container/codec magic the engine owns an
+      // Format-dispatch certificate: 60 payload families rotate by
+      // doc_id % 60 — every container/codec magic the engine owns an
       // arm for (incl. the 257-offset ustar magic, a two-frame chained
       // MPEG stream for the weak-sync arm, whitespace-prefixed HTML,
       // RIFF/WEBP, the HEIC and AVIF ftyp major brands that must NOT
@@ -5181,7 +5181,7 @@ object ExtQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val p: Array[Byte] = (id % 59).toInt match {
+          val p: Array[Byte] = (id % 60).toInt match {
             case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
               new Array[Byte](8)
             case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
@@ -5277,6 +5277,12 @@ object ExtQueries {
             case 56 => graft.ext.Axml.build(Seq(
               (0, "manifest", Seq(("package", "a.b")))))
             case 57 => "msgid \"a\"\nmsgstr \"b\"\n".getBytes("US-ASCII")
+            case 58 =>
+              // ICO: weak 00 00 01 00 magic admitted only through the
+              // structural gates (1 entry, size 8 at offset 22 — 30 bytes)
+              Array[Byte](0, 0, 1, 0, 1, 0,
+                4, 4, 0, 0, 1, 0, 32, 0, 8, 0, 0, 0, 22, 0, 0, 0) ++
+                new Array[Byte](8)
             case _ => "<xliff version=\"1.2\"></xliff>".getBytes("US-ASCII")
           }
           (id, p)
@@ -5286,7 +5292,7 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 59
+                   CASE doc_id % 60
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
                      WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
                      WHEN 6 THEN 'flac' WHEN 7 THEN 'ogg' WHEN 8 THEN 'mp4'
@@ -5314,8 +5320,9 @@ object ExtQueries {
                      WHEN 52 THEN 'tex' WHEN 53 THEN 'bib'
                      WHEN 54 THEN 'ipynb' WHEN 55 THEN 'dbf'
                      WHEN 56 THEN 'axml' WHEN 57 THEN 'po'
+                     WHEN 58 THEN 'ico'
                      ELSE 'xliff' END AS format,
-                   CAST(CASE doc_id % 59
+                   CAST(CASE doc_id % 60
                      WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 2 THEN 12
                      WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
                      WHEN 6 THEN 8 WHEN 7 THEN 28 WHEN 8 THEN 16
@@ -5340,9 +5347,10 @@ object ExtQueries {
                      WHEN 52 THEN 23 WHEN 53 THEN 24
                      WHEN 54 THEN 25 WHEN 55 THEN 71
                      WHEN 56 THEN 176 WHEN 57 THEN 21
+                     WHEN 58 THEN 30
                      ELSE 29 END AS BIGINT) AS byte_len
             FROM documents ORDER BY media_id"""),
-    "format-dispatch certificate: 50 payload families (every owned " +
+    "format-dispatch certificate: 60 payload families (every owned " +
       "container/codec magic plus weak-sync MPEG, offset-257 ustar, " +
       "whitespace-prefixed HTML, RIFF/WEBP, the HEIC/AVIF ftyp major " +
       "brands, compression magics, the stored-mimetype ZIP split " +
