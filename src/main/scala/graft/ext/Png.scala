@@ -502,6 +502,7 @@ object Png {
       .orElse(Vp8l.decode(bytes).map(Vp8l.toPngImage))
       .orElse(Bmp.decode(bytes))
       .orElse(Ico.decode(bytes))
+      .orElse(TiffImg.decode(bytes))
       .orElse(decodeViaJdk(bytes))
 
   /** Pixel-layer content identity: CRC32 over dims + channels + raw

@@ -2936,6 +2936,56 @@ object ExtQueries {
     "ICO extraction certificate: directory walk, largest-entry " +
       "selection, PNG-coded favicon decode — sums oracle-checked")
 
+  private val qTiffDecode = Q(
+    "q_tiff_decode",
+    (s, d) => {
+      // TIFF PIXEL decode, driver-checked — lifts q_tiff_meta's
+      // "pixel codecs out of envelope" cut: arms rotate the full
+      // baseline matrix by doc_id — compression none/LZW/PackBits
+      // (id % 3), little/big endian (id % 2), Predictor 2 on LZW arms
+      // (the libtiff default pairing), gray vs RGB (id % 5 == 0). The
+      // REAL LZW codec (MSB-first, early change) and PackBits run per
+      // doc; decoded byte sums must hash-match DuckDB arithmetic.
+      import s.implicits._
+      val (w, h) = (14, 9)
+      documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc encode+decode
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val ch = if (id % 5 == 0) 1 else 3
+          val src = graft.ext.Png.Image(w, h, ch,
+            Array.tabulate(w * h * ch)(i => ((id * 31 + i * 7) % 256).toByte))
+          val comp = (id % 3).toInt match {
+            case 0 => 1
+            case 1 => 5
+            case _ => 32773
+          }
+          val t = graft.ext.TiffImg.build(src, comp,
+            bigEndian = id % 2 == 1,
+            predictor = if (comp == 5) 2 else 1)
+          val dec = graft.ext.TiffImg.decode(t).getOrElse(
+            throw new IllegalStateException(s"tiff decode failed for $id"))
+          var sum = 0L
+          dec.pixels.foreach(v => sum += (v & 0xFF))
+          (id, dec.width, dec.height, dec.channels, sum)
+        }
+        .toDF("media_id", "width", "height", "n_channels", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 14 AS width, 9 AS height,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
+                     AS n_channels,
+                   CAST(CASE WHEN doc_id % 5 = 0
+                     THEN (SELECT sum((doc_id * 31 + i * 7) % 256)
+                           FROM generate_series(0, 125) AS t(i))
+                     ELSE (SELECT sum((doc_id * 31 + i * 7) % 256)
+                           FROM generate_series(0, 377) AS t(i))
+                   END AS BIGINT) AS pixel_sum
+            FROM documents ORDER BY media_id"""),
+    "TIFF pixel-decode certificate: none/LZW/PackBits strips in both " +
+      "byte orders with Predictor 2 on the LZW arms — the real TIFF LZW " +
+      "codec per doc, byte sums oracle-checked")
+
   private val qWavPcm = Q(
     "q_wav_pcm",
     (s, d) => {
@@ -6291,7 +6341,7 @@ object ExtQueries {
     qDedupImage, qDedupImageAnchor, qDedupAudio, qDedupAudioAnchor,
     qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qApngFrames,
-    qBmpDecode, qIcoDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
+    qBmpDecode, qIcoDecode, qTiffDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,

@@ -56,7 +56,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("webp_anim", b => Webp.animFrames(b)),
     ("apng", b => Apng.frames(b)),
     ("bmp", b => Bmp.decode(b)),
-    ("ico", b => Ico.decode(b)))
+    ("ico", b => Ico.decode(b)),
+    ("tiff_img", b => TiffImg.decode(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -114,7 +115,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("bmp", Bmp.build(Png.Image(9, 5, 3,
       Array.tabulate(135)(i => (i * 29 % 256).toByte)))),
     ("ico", Ico.build(Seq(Png.Image(8, 8, 1,
-      Array.tabulate(64)(i => (i * 4 % 256).toByte))))))
+      Array.tabulate(64)(i => (i * 4 % 256).toByte))))),
+    ("tiff_img", TiffImg.build(Png.Image(12, 9, 3,
+      Array.tabulate(324)(i => (i * 13 % 256).toByte)),
+      compression = 5, bigEndian = true, predictor = 2)))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {
