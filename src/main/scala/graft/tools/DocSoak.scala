@@ -171,6 +171,38 @@ object DocSoak {
       }
     }
 
+    // round-13 codec arms at corpus scale: build+decode per doc, the
+    // certificate shape — watch µs/doc flatness
+    timed("vp8l") {
+      ds.map { case (id, _) =>
+        val img = graft.ext.Vp8l.Image(16, 12, Array.tabulate(192)(i =>
+          0xFF000000 | ((id * 2654435761L + i * 40503L) % 16777216L).toInt))
+        val enc = graft.ext.Vp8l.encode(img)
+        graft.ext.Vp8l.decode(enc).map(_.argb.length).getOrElse(-1)
+      }.filter(_ == 192).count()
+    }
+    timed("tiff_lzw") {
+      ds.map { case (id, _) =>
+        val img = graft.ext.Png.Image(16, 12, 3, Array.tabulate(576)(i =>
+          ((id * 31 + i * 7) % 256).toByte))
+        val t = graft.ext.TiffImg.build(img, compression = 5, predictor = 2)
+        graft.ext.TiffImg.decode(t).map(_.pixels.length).getOrElse(-1)
+      }.filter(_ == 576).count()
+    }
+    timed("bmp_ico") {
+      ds.map { case (id, _) =>
+        val img = graft.ext.Png.Image(16, 12, 3, Array.tabulate(576)(i =>
+          ((id * 13 + i * 11) % 256).toByte))
+        val b = graft.ext.Bmp.decode(graft.ext.Bmp.build(img))
+          .map(_.pixels.length).getOrElse(-1)
+        val gray = graft.ext.Png.Image(8, 8, 1, Array.tabulate(64)(i =>
+          ((id + i * 3) % 256).toByte))
+        val c = graft.ext.Ico.decode(graft.ext.Ico.build(Seq(gray)))
+          .map(_.pixels.length).getOrElse(-1)
+        b + c
+      }.filter(_ == 576 + 64).count()
+    }
+
     // perceptual audio fingerprint (the round-13 dedup modality): WAV
     // build + decode + 72-band-energy Goertzel fingerprint per doc —
     // map-only, the 100 TB serve shape; watch µs/doc flatness
