@@ -2635,6 +2635,89 @@ object ExtQueries {
       "exact pairs at 0), zero cross-family pairs, counts oracle-derived " +
       "from documents alone")
 
+  private val qDedupAudioIncremental = Q(
+    "q_dedup_audio_incremental",
+    (s, d) => {
+      // The write-once Hamming index serving the AUDIO modality (the
+      // q_hamming_index shape on band-energy fingerprints): the corpus'
+      // WAVs are fingerprinted through the REAL decode pipeline and
+      // materialized as the bucketed block-subset index; a later batch —
+      // planted near dups (exactly 3 fingerprint bits), cross-codec FLAC
+      // exact dups, and FAR decoys with unrelated targets — probes the
+      // RELOADED index. Only the batch is banded; the index side joins
+      // exchange-free. Every expected pair lands at its constructed
+      // distance, decoys match nothing, counts DuckDB-derivable.
+      import s.implicits._
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val corpusMedia = documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map(id => (id, graft.ext.AudioFp.wavPcm16(
+          graft.ext.AudioFp.synthSamples(mix(id)))))
+        .toDF("media_id", "payload")
+      val corpusFps = Multimodal.audioFingerprints(corpusMedia).toDF()
+        .select("media_id", "phash")
+      val prefix = s"graft_audiohamidx_${Tables.corpusTag(d)}"
+      Dedup.writeHammingIndex(corpusFps, "media_id", "phash", prefix,
+        maxHamming = 3, nBlocks = 6, numBuckets = 4,
+        basePath = Some(s"/tmp/$prefix"))
+      val batchMedia = documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { id =>
+          require(id >= 0 && id < 90000,
+            s"q_dedup_audio_incremental: doc_id $id outside [0, 90000)")
+          val base = mix(id)
+          (if (id % 25 == 0)
+            Seq((id + 90000L, graft.ext.AudioFp.wavPcm16(
+              graft.ext.AudioFp.synthSamples(base ^ 0xEL))))
+           else Nil) ++
+          (if (id % 40 == 0)
+            Seq((id + 180000L, graft.ext.Flac.encode(
+              Array(graft.ext.AudioFp.synthSamples(base)), 8000, 16, 256,
+              graft.ext.Flac.Verbatim)))
+           else Nil) ++
+          (if (id % 30 == 0)
+            Seq((id + 270000L, graft.ext.AudioFp.wavPcm16(
+              graft.ext.AudioFp.synthSamples(mix(id * 31 + 12345L)))))
+           else Nil)
+        }
+        .toDF("media_id", "payload")
+      val batchFps = Multimodal.audioFingerprints(batchMedia).toDF()
+        .select("media_id", "phash")
+      Dedup.hammingAgainstIndex(s, prefix, batchFps, "media_id", "phash")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") === 3, 1L).otherwise(0L)).as("n_near"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("batch_id") % 90000 =!= col("corpus_id"), 1L)
+            .otherwise(0L)).as("n_cross_family"),
+          sum(when(col("batch_id") >= 270000L, 1L).otherwise(0L))
+            .as("n_decoy_hits"))
+        .select(
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
+          coalesce(col("n_decoy_hits"), lit(0L)).as("n_decoy_hits"))
+    },
+    Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                     AS BIGINT) AS n_pairs,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                     AS BIGINT) AS n_near,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                     AS BIGINT) AS n_exact,
+                   CAST(0 AS BIGINT) AS n_cross_family,
+                   CAST(0 AS BIGINT) AS n_decoy_hits"""),
+    "incremental audio dedup: band-energy fingerprints through the real " +
+      "WAV/FLAC decode probed against the materialized bucketed Hamming " +
+      "index — near pairs at exactly 3 bits, cross-codec exact pairs at " +
+      "0, decoys silent, index side exchange-free")
+
   private val qMultimodal = Q(
     "q_multimodal",
     (s, d) => {
@@ -6339,6 +6422,7 @@ object ExtQueries {
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qDedupAudio, qDedupAudioAnchor,
+    qDedupAudioIncremental,
     qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qApngFrames,
     qBmpDecode, qIcoDecode, qTiffDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
