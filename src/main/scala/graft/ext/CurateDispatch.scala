@@ -87,7 +87,9 @@ object CurateDispatch {
           .filter(col("format").isin(formats: _*))
           .select("media_id", "payload", "format")
           .as[(Long, Array[Byte], String)]
-        val raster = rows(Seq("png", "jpeg", "gif", "bmp"))
+        // ico/tiff (round 13): Png.decodeAny now carries real arms for
+        // both, so favicons and baseline TIFFs get true dimensions
+        val raster = rows(Seq("png", "jpeg", "gif", "bmp", "ico", "tiff"))
           .mapPartitions(_.map { case (id, p, f) =>
             val (w, h) = Png.decodeAny(p)
               .map(i => (i.width, i.height)).getOrElse((0, 0))
@@ -175,7 +177,8 @@ object CurateDispatch {
         // unclaimed formats ride to the gate labeled, so drop policy
         // lives in ONE stage
         val rest = df
-          .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "webp",
+          .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "ico",
+            "tiff", "webp",
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
             "mhtml", "doc", "xls", "msg", "ppt", "rss", "atom", "ics",
