@@ -36,6 +36,12 @@ object GraftExtensions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> ((exprs: Seq[Expression]) =>
       CosineSimilarity(exprs(0), exprs(1))),
+    "audio_fingerprint" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 1)
+        throw new IllegalArgumentException(
+          s"audio_fingerprint expects (payload), got ${exprs.length} arguments")
+      graft.functions.AudioFingerprintExpr(exprs(0))
+    }),
     "dot_product" -> ((exprs: Seq[Expression]) =>
       DotProduct(exprs(0), exprs(1))),
     "minhash_signature" -> ((exprs: Seq[Expression]) => {

@@ -17,6 +17,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(self.forall(_.getDouble(2) > 0.0))
   }
 
+  test("audio_fingerprint is callable from SQL; NULL on undecodable bytes") {
+    GraftSql.bootstrap(spark, sfDir)
+    import spark.implicits._
+    val target = 0x0123456789ABCDEFL
+    val rows = Seq(
+      (1L, ext.AudioFp.wavPcm16(ext.AudioFp.synthSamples(target))),
+      (2L, ext.Flac.encode(Array(ext.AudioFp.synthSamples(target)),
+        8000, 16, 256, ext.Flac.Verbatim)),
+      (3L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    rows.createOrReplaceTempView("audio_fp_spec")
+    val out = spark.sql(
+      """SELECT id, audio_fingerprint(payload) AS fp
+         FROM audio_fp_spec ORDER BY id""").collect()
+    assert(out(0).getLong(1) == target)       // WAV
+    assert(out(1).getLong(1) == target)       // FLAC, cross-codec equal
+    assert(out(2).isNullAt(1))                // undecodable → NULL
+    // column API parity
+    val viaApi = rows.select(col("id"),
+      functions.AudioFingerprint.audio_fingerprint(col("payload")).as("fp"))
+      .orderBy("id").collect()
+    assert(viaApi(0).getLong(1) == target && viaApi(2).isNullAt(1))
+  }
+
   test("fused minhash functions are callable from SQL and match the column API") {
     GraftSql.bootstrap(spark, sfDir)
     val viaSql = spark.sql(
