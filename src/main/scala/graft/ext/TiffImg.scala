@@ -68,10 +68,15 @@ object TiffImg {
 
   /** TIFF LZW decode: MSB-first codes, 9→12-bit with EARLY change
     * (width bumps when the next free code reaches 2^width − 1).
+    * Parent-table representation (prefix code + suffix byte per entry,
+    * emitted by walking the chain into a scratch stack) — the naive
+    * per-entry byte-array `:+` form was a measured rising-at-scale
+    * allocation curve in the 6.4 M DocSoak.
     */
   private[ext] def lzwDecode(b: Array[Byte], from: Int, until: Int,
       maxOut: Int): Option[Array[Byte]] = {
-    val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 16))
+    val out = new Array[Byte](maxOut)
+    var op = 0
     var bitPos = from.toLong * 8
     val endBit = until.toLong * 8
     def read(width: Int): Int = {
@@ -86,35 +91,84 @@ object TiffImg {
       }
       v
     }
-    val table = new Array[Array[Byte]](4096)
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
     var next = 258
     var width = 9
-    def reset(): Unit = { next = 258; width = 9 }
-    var k = 0
-    while (k < 256) { table(k) = Array(k.toByte); k += 1 }
-    var prev: Array[Byte] = null
+    var prev = -1
+    var prevFirst = 0
+    // emit entry `code`; returns its FIRST byte, or -1 on overflow
+    def emit(code: Int, extra: Int): Int = {
+      var sp = 0
+      var c = code
+      if (extra >= 0) { stack(sp) = extra.toByte; sp += 1 }
+      while (c >= 258) {
+        stack(sp) = suffixOf(c); sp += 1
+        c = prefixOf(c)
+        if (sp >= stack.length) return -1 // corrupt chain
+      }
+      stack(sp) = c.toByte; sp += 1
+      if (op + sp > maxOut) return -1
+      var k = sp - 1
+      while (k >= 0) { out(op) = stack(k); op += 1; k -= 1 }
+      c // first byte
+    }
     var done = false
     while (!done) {
       val code = read(width)
       if (code < 0 || code == Eoi) done = true
-      else if (code == Clear) { reset(); prev = null }
+      else if (code == Clear) { next = 258; width = 9; prev = -1 }
       else {
-        val entry =
-          if (code < next && table(code) != null) table(code)
-          else if (code == next && prev != null) prev :+ prev(0)
+        val first =
+          if (code < 256) emit(code, -1)
+          else if (code < next && code >= 258) emit(code, -1)
+          else if (code == next && prev >= 0) emit(prev, prevFirst)
           else return None
-        if (out.size + entry.length > maxOut) return None
-        out.write(entry, 0, entry.length)
-        if (prev != null && next < 4096) {
-          table(next) = prev :+ entry(0)
+        if (first < 0) return None
+        if (prev >= 0 && next < 4096) {
+          prefixOf(next) = prev
+          suffixOf(next) = first.toByte
           next += 1
           if (next == (1 << width) - 1 && width < 12) width += 1
         }
-        prev = entry
+        prev = code
+        // prev may be the just-added entry (KwKwK); its first byte:
+        prevFirst = first
       }
     }
-    Some(out.toByteArray)
+    Some(if (op == maxOut) out else java.util.Arrays.copyOf(out, op))
   }
+
+  /** Reusable open-addressing (prefix<<8 | byte) → code table for
+    * [[lzwEncode]]: 8192 slots for ≤ 3835 live entries, generation
+    * stamps for O(1) clear, one instance per executor thread.
+    */
+  private final class LzwDict {
+    val keys = new Array[Int](8192)
+    val vals = new Array[Int](8192)
+    private val gens = new Array[Int](8192)
+    private var gen = 0
+    def nextGen(): Unit = {
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(gens, 0); gen = 0 }
+      gen += 1
+    }
+    def get(key: Int): Int = {
+      var h = ((key * 0x9E3779B1) >>> 19) & 8191
+      while (gens(h) == gen) {
+        if (keys(h) == key) return vals(h)
+        h = (h + 1) & 8191
+      }
+      -1
+    }
+    def put(key: Int, value: Int): Unit = {
+      var h = ((key * 0x9E3779B1) >>> 19) & 8191
+      while (gens(h) == gen && keys(h) != key) h = (h + 1) & 8191
+      keys(h) = key; vals(h) = value; gens(h) = gen
+    }
+  }
+  private val lzwDictPool: ThreadLocal[LzwDict] =
+    ThreadLocal.withInitial(() => new LzwDict)
 
   /** TIFF LZW encode — the exact inverse discipline (early change, Clear
     * restart before the 12-bit table fills).
@@ -132,9 +186,13 @@ object TiffImg {
         nbits -= 8
       }
     }
-    val dict = new java.util.HashMap[Long, Integer]()
+    // per-thread open-addressing (prefix<<8|byte) → code table (the
+    // codec-pool pattern: a fresh boxing HashMap per strip was the
+    // rising 6.4 M-doc curve); generation-stamped slots make reset O(1)
+    val dict = lzwDictPool.get()
+    dict.nextGen()
     var next = 258
-    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    def reset(): Unit = { dict.nextGen(); next = 258; width = 9 }
     emit(Clear)
     var prev = -1
     var i = 0
@@ -142,9 +200,9 @@ object TiffImg {
       val c = b(i) & 0xFF
       if (prev < 0) prev = c
       else {
-        val key = prev.toLong << 8 | c
+        val key = (prev << 8) | c
         val hit = dict.get(key)
-        if (hit != null) prev = hit.intValue()
+        if (hit >= 0) prev = hit
         else {
           emit(prev)
           dict.put(key, next)
