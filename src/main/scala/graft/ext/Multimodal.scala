@@ -612,6 +612,7 @@ object Multimodal {
     // ICO's magic (00 00 01 00) is weak — admit only via the structural
     // gates (entry count bound, directory fits)
     else if (Ico.isIco(b)) "ico"
+    else if (Pnm.isPnm(b)) "pnm"
     else if ((at(0, "II") && b(2) == 42 && b(3) == 0) ||
       (at(0, "MM") && b(2) == 0 && b(3) == 42)) "tiff"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"

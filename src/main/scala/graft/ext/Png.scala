@@ -503,6 +503,7 @@ object Png {
       .orElse(Bmp.decode(bytes))
       .orElse(Ico.decode(bytes))
       .orElse(TiffImg.decode(bytes))
+      .orElse(if (Pnm.isPnm(bytes)) Pnm.decode(bytes) else None)
       .orElse(decodeViaJdk(bytes))
 
   /** Pixel-layer content identity: CRC32 over dims + channels + raw

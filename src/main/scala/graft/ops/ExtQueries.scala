@@ -3069,6 +3069,42 @@ object ExtQueries {
       "byte orders with Predictor 2 on the LZW arms — the real TIFF LZW " +
       "codec per doc, byte sums oracle-checked")
 
+  private val qPnmDecode = Q(
+    "q_pnm_decode",
+    (s, d) => {
+      // Netpbm certificate: P6 RGB on even ids, P5 gray on odd; the
+      // builder plants a comment line so the header tokenizer's comment
+      // path runs per doc. Byte sums oracle-checked.
+      import s.implicits._
+      val (w, h) = (13, 8)
+      documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val ch = if (id % 2 == 0) 3 else 1
+          val src = graft.ext.Png.Image(w, h, ch,
+            Array.tabulate(w * h * ch)(i => ((id * 17 + i * 11) % 256).toByte))
+          val dec = graft.ext.Pnm.decode(graft.ext.Pnm.build(src)).getOrElse(
+            throw new IllegalStateException(s"pnm decode failed for $id"))
+          var sum = 0L
+          dec.pixels.foreach(v => sum += (v & 0xFF))
+          (id, dec.width, dec.height, dec.channels, sum)
+        }
+        .toDF("media_id", "width", "height", "n_channels", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 13 AS width, 8 AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+                     AS n_channels,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (SELECT sum((doc_id * 17 + i * 11) % 256)
+                           FROM generate_series(0, 311) AS t(i))
+                     ELSE (SELECT sum((doc_id * 17 + i * 11) % 256)
+                           FROM generate_series(0, 103) AS t(i))
+                   END AS BIGINT) AS pixel_sum
+            FROM documents ORDER BY media_id"""),
+    "netpbm decode certificate: P6/P5 arms with comment-bearing " +
+      "headers, byte sums oracle-checked")
+
   private val qWavPcm = Q(
     "q_wav_pcm",
     (s, d) => {
@@ -6425,7 +6461,7 @@ object ExtQueries {
     qDedupAudioIncremental,
     qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qApngFrames,
-    qBmpDecode, qIcoDecode, qTiffDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
+    qBmpDecode, qIcoDecode, qTiffDecode, qPnmDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,

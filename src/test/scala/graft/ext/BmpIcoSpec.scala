@@ -73,6 +73,25 @@ class BmpIcoSpec extends AnyFunSuite {
     assert(Ico.decode(Array[Byte](0, 0, 1, 0, 0, 0)).isEmpty) // zero entries
   }
 
+  test("pnm: P5/P6 roundtrip with comment headers; P4 bitmap decode") {
+    val gray = Png.Image(9, 4, 1, Array.tabulate(36)(i => (i * 7).toByte))
+    assert(Pnm.decode(Pnm.build(gray)).exists(_.pixels.sameElements(gray.pixels)))
+    val color = rgb(7, 5, 2)
+    assert(Pnm.decode(Pnm.build(color)).exists(_.pixels.sameElements(color.pixels)))
+    // hand-built P4: 10x3, row bytes = 2, alternating bits; 1 = black
+    val p4 = "P4 10 3 ".getBytes("US-ASCII") ++
+      Array[Byte](0xAA.toByte, 0x80.toByte, 0x55, 0x40, 0xFF.toByte, 0xC0.toByte)
+    val dec = Pnm.decode(p4)
+    assert(dec.isDefined && dec.get.width == 10 && dec.get.channels == 1)
+    assert(dec.get.pixels(0) == 0x00)          // bit 1 → black
+    assert(dec.get.pixels(1) == 0xFF.toByte)   // bit 0 → white
+    assert(dec.get.pixels(20) == 0x00)         // row 3 all black
+    assert(Multimodal.sniffFormat(Pnm.build(gray)) == "pnm")
+    // truncated raster / absurd dims are None
+    assert(Pnm.decode("P6 5 5 255 xx".getBytes("US-ASCII")).isEmpty)
+    assert(Pnm.decode("P5 999999999 9 255 ".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("decodeAny chains bmp and ico (image dedup seam)") {
     val img = rgb(10, 6, 8)
     assert(Png.decodeAny(Bmp.build(img)).exists(_.pixels.sameElements(img.pixels)))

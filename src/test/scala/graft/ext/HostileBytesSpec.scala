@@ -57,7 +57,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("apng", b => Apng.frames(b)),
     ("bmp", b => Bmp.decode(b)),
     ("ico", b => Ico.decode(b)),
-    ("tiff_img", b => TiffImg.decode(b)))
+    ("tiff_img", b => TiffImg.decode(b)),
+    ("pnm", b => Pnm.decode(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;
@@ -118,7 +119,9 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
       Array.tabulate(64)(i => (i * 4 % 256).toByte))))),
     ("tiff_img", TiffImg.build(Png.Image(12, 9, 3,
       Array.tabulate(324)(i => (i * 13 % 256).toByte)),
-      compression = 5, bigEndian = true, predictor = 2)))
+      compression = 5, bigEndian = true, predictor = 2)),
+    ("pnm", Pnm.build(Png.Image(11, 6, 3,
+      Array.tabulate(198)(i => (i * 41 % 256).toByte)))))
 
   test("round 2: bit-flipped and truncated valid fixtures never throw") {
     for ((name, fix) <- fixtures) {
