@@ -15,10 +15,10 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extension injection applies all builders without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.builders.map(_._1).sorted ==
-      Seq("bloom_filter_agg", "cosine_similarity", "dot_product",
-        "might_contain", "minhash_char_shingles", "minhash_signature",
-        "minhash_word_shingles", "multi_match_count", "stopword_count",
-        "stopword_votes", "subword_count"))
+      Seq("audio_fingerprint", "bloom_filter_agg", "cosine_similarity",
+        "dot_product", "might_contain", "minhash_char_shingles",
+        "minhash_signature", "minhash_word_shingles", "multi_match_count",
+        "stopword_count", "stopword_votes", "subword_count"))
   }
 
   test("every builder works through SQL on a live session") {
