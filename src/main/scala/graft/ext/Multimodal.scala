@@ -239,7 +239,16 @@ object Multimodal {
     * byte-region hash; with a codec, the same hash over downscaled
     * pixels). Feeds [[nearDupImages]].
     */
-  def perceptualHashes(media: DataFrame): Dataset[MediaFingerprint] = {
+  def perceptualHashes(media: DataFrame): Dataset[MediaFingerprint] =
+    perceptualHashes(media, rotInvariant = false)
+
+  /** `rotInvariant = true` hashes each raster with
+    * [[Png.aHashCanonical]] (unsigned-min over the four 90° rotations),
+    * so rotated copies pair at Hamming 0 — plain aHash misses them
+    * entirely. Non-decodable payloads keep the deterministic byte hash
+    * either way.
+    */
+  def perceptualHashes(media: DataFrame, rotInvariant: Boolean): Dataset[MediaFingerprint] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
@@ -250,8 +259,9 @@ object Multimodal {
           val ph = Png.decodeAny(bytes) match {
             // classic aHash over REAL 8×8 downscaled grayscale pixels —
             // invariant to re-encoding, robust to small pixel edits
-            case Some(img) => Png.aHash(img)
-            case None      => StubDecoders.perceptualHash(bytes)
+            case Some(img) =>
+              if (rotInvariant) Png.aHashCanonical(img) else Png.aHash(img)
+            case None => StubDecoders.perceptualHash(bytes)
           }
           MediaFingerprint(id, bytes.length.toLong, ph)
         }
@@ -268,10 +278,10 @@ object Multimodal {
     * few million items, exactly as for text fingerprints.
     */
   def nearDupImages(media: DataFrame, maxHamming: Int = 3,
-      nBlocks: Int = 0): DataFrame =
+      nBlocks: Int = 0, rotInvariant: Boolean = false): DataFrame =
     Dedup.hammingPairs64(
-      perceptualHashes(media).toDF(), "media_id", "phash", maxHamming,
-      nBlocks = nBlocks)
+      perceptualHashes(media, rotInvariant).toDF(), "media_id", "phash",
+      maxHamming, nBlocks = nBlocks)
 
   /** Perceptual AUDIO fingerprints ([[AudioFp]] band-energy signs over
     * the real WAV/FLAC decode; gain-invariant, codec-invariant across

@@ -326,6 +326,56 @@ object Png {
 
   // ------------------------------------------------- raster operations
 
+  /** 90°-clockwise raster rotation (pure index remap, any channel
+    * count): dst(x', y') = src(y', w−1−x') with dims swapped — the
+    * building block of [[aHashCanonical]]'s rotation-canonical dedup
+    * hash and of EXIF-orientation normalization.
+    */
+  def rotate90(img: Image): Image = {
+    val w = img.width
+    val h = img.height
+    val c = img.channels
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // source (x, y) lands at destination (h-1-y, x) in a h×w raster
+        val dx = h - 1 - y
+        val dy = x
+        var k = 0
+        while (k < c) {
+          out((dy * h + dx) * c + k) = img.pixels((y * w + x) * c + k)
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(h, w, c, out)
+  }
+
+  /** Rotation-canonical perceptual hash: the UNSIGNED-min of [[aHash]]
+    * over the four 90° rotations. Copies that differ only by rotation —
+    * which plain aHash misses entirely (the 8×8 grid rotates with the
+    * raster) — share the canonical hash exactly, so they pair at
+    * Hamming 0 through the same pigeonhole blocking. Cross-family
+    * collision odds rise only ~16× versus plain aHash (min-of-4 against
+    * min-of-4), still negligible at any corpus size.
+    */
+  def aHashCanonical(img: Image): Long = {
+    var best = aHash(img)
+    var r = img
+    var k = 0
+    while (k < 3) {
+      r = rotate90(r)
+      val h = aHash(r)
+      if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
+      k += 1
+    }
+    best
+  }
+
   /** Integer luma per pixel (ITU-R 601 weights in exact integer
     * arithmetic: (299r + 587g + 114b) / 1000, floor) — alpha ignored,
     * gray passthrough.

@@ -2509,6 +2509,70 @@ object ExtQueries {
       "Hamming distance, zero cross-family pairs, all counts " +
       "oracle-derived from documents alone")
 
+  private val qDedupImageRotAnchor = Q(
+    "q_dedup_image_rot_anchor",
+    (s, d) => {
+      // Rotation-canonical image dedup anchor: plain aHash misses a
+      // 90°-rotated copy ENTIRELY (the 8×8 grid rotates with the
+      // raster); the canonical hash (unsigned-min over four rotations)
+      // pairs it at Hamming 0 by construction — same rotation set on
+      // both sides. Per doc a 16×16 gray PNG from a splitmix-mixed
+      // raster; planted ROTATED copy (id+90000, rot90) for
+      // doc_id % 25 == 0 and a byte-identical copy (id+180000) for
+      // doc_id % 40 == 0. nearDupImages(rotInvariant = true) at
+      // maxHamming 0 must emit exactly the within-family pairs, all at
+      // Hamming 0, nothing cross-family. PngSpec asserts the negative
+      // control (plain aHash puts the rotated pair far apart).
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          require(id >= 0 && id < 90000,
+            s"q_dedup_image_rot_anchor: doc_id $id outside [0, 90000)")
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val px = new Array[Byte](16 * 16)
+          var k = 0
+          while (k < 256) {
+            px(k) = ((mix(id * 256L + k) >>> 56) & 0xFF).toByte
+            k += 1
+          }
+          val base = graft.ext.Png.Image(16, 16, 1, px)
+          Seq((id, graft.ext.Png.encode(base))) ++
+            (if (id % 25 == 0)
+              Seq((id + 90000L,
+                graft.ext.Png.encode(graft.ext.Png.rotate90(base))))
+             else Nil) ++
+            (if (id % 40 == 0)
+              Seq((id + 180000L, graft.ext.Png.encode(base)))
+             else Nil)
+        }
+        .toDF("media_id", "payload")
+      Multimodal.nearDupImages(media, maxHamming = 0, rotInvariant = true)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("id1") % 90000 =!= col("id2") % 90000, 1L)
+            .otherwise(0L)).as("n_cross_family"),
+          sum(when(col("hamming") =!= 0, 1L).otherwise(0L)).as("n_nonzero"))
+        .select(
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
+          coalesce(col("n_nonzero"), lit(0L)).as("n_nonzero"))
+    },
+    Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                     AS BIGINT) AS n_pairs,
+                   CAST(0 AS BIGINT) AS n_cross_family,
+                   CAST(0 AS BIGINT) AS n_nonzero"""),
+    "rotation-canonical image dedup anchor: 90°-rotated copies — " +
+      "invisible to plain aHash — pair at exactly Hamming 0 through the " +
+      "unsigned-min-over-rotations hash, zero cross-family pairs, " +
+      "counts oracle-derived from documents alone")
+
   private val qDedupAudio = Q(
     "q_dedup_audio",
     (s, d) => {
@@ -6457,7 +6521,8 @@ object ExtQueries {
     qSampleStratified, qSampleTokenBudget, qShuffleShard, qCuratePipeline,
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
-    qDedupImage, qDedupImageAnchor, qDedupAudio, qDedupAudioAnchor,
+    qDedupImage, qDedupImageAnchor, qDedupImageRotAnchor,
+    qDedupAudio, qDedupAudioAnchor,
     qDedupAudioIncremental,
     qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qApngFrames,

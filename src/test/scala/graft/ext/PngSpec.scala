@@ -626,4 +626,31 @@ class PngSpec extends AnyFunSuite {
       assert(sqA == want.map(v => v.toLong * v).sum, s"trial $trial sumSq")
     }
   }
+  test("rotate90: four rotations return to identity; dims and pixels remap") {
+    val img = Png.Image(5, 3, 3, Array.tabulate(45)(i => (i * 7).toByte))
+    val r1 = Png.rotate90(img)
+    assert(r1.width == 3 && r1.height == 5)
+    // src (0,0) -> dst (h-1-0, 0) = (2, 0)
+    assert(r1.pixels(2 * 3) == img.pixels(0))
+    val r4 = Png.rotate90(Png.rotate90(Png.rotate90(r1)))
+    assert(r4.width == 5 && r4.height == 3)
+    assert(r4.pixels.sameElements(img.pixels))
+  }
+
+  test("aHashCanonical: rotated copies collide at 0; plain aHash misses them") {
+    val r = rng(99L)
+    val px = Array.fill(256)((r.nextInt(256)).toByte)
+    val img = Png.Image(16, 16, 1, px)
+    val rot = Png.rotate90(img)
+    assert(Png.aHashCanonical(img) == Png.aHashCanonical(rot))
+    assert(Png.aHashCanonical(rot) == Png.aHashCanonical(Png.rotate90(rot)))
+    // the negative control: plain aHash puts the rotated pair far apart
+    val d = java.lang.Long.bitCount(Png.aHash(img) ^ Png.aHash(rot))
+    assert(d > 5, s"plain aHash unexpectedly close under rotation: $d bits")
+    // distinct images stay apart under the canonical hash
+    val other = Png.Image(16, 16, 1, Array.fill(256)((r.nextInt(256)).toByte))
+    assert(java.lang.Long.bitCount(
+      Png.aHashCanonical(img) ^ Png.aHashCanonical(other)) > 5)
+  }
+
 }
