@@ -355,20 +355,42 @@ object Png {
     Image(h, w, c, out)
   }
 
-  /** Rotation-canonical perceptual hash: the UNSIGNED-min of [[aHash]]
-    * over the four 90° rotations. Copies that differ only by rotation —
-    * which plain aHash misses entirely (the 8×8 grid rotates with the
-    * raster) — share the canonical hash exactly, so they pair at
-    * Hamming 0 through the same pigeonhole blocking. Cross-family
-    * collision odds rise only ~16× versus plain aHash (min-of-4 against
-    * min-of-4), still negligible at any corpus size.
+  /** Horizontal mirror (pure index remap, any channel count). */
+  def flipH(img: Image): Image = {
+    val w = img.width
+    val c = img.channels
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < w) {
+        var k = 0
+        while (k < c) {
+          out((y * w + (w - 1 - x)) * c + k) = img.pixels((y * w + x) * c + k)
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, img.height, c, out)
+  }
+
+  /** Orientation-canonical perceptual hash: the UNSIGNED-min of [[aHash]]
+    * over the full dihedral group D4 — four rotations of the raster and
+    * four of its mirror. Copies that differ only by rotation OR
+    * reflection — which plain aHash misses entirely (the 8×8 grid moves
+    * with the raster) — share the canonical hash exactly, so they pair
+    * at Hamming 0 through the same pigeonhole blocking. Cross-family
+    * collision odds rise only ~64× versus plain aHash (min-of-8 against
+    * min-of-8), still negligible at any corpus size.
     */
   def aHashCanonical(img: Image): Long = {
     var best = aHash(img)
     var r = img
     var k = 0
-    while (k < 3) {
-      r = rotate90(r)
+    while (k < 7) {
+      r = if (k == 3) flipH(img) else rotate90(r)
       val h = aHash(r)
       if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
       k += 1

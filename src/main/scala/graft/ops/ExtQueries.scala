@@ -2512,17 +2512,17 @@ object ExtQueries {
   private val qDedupImageRotAnchor = Q(
     "q_dedup_image_rot_anchor",
     (s, d) => {
-      // Rotation-canonical image dedup anchor: plain aHash misses a
-      // 90°-rotated copy ENTIRELY (the 8×8 grid rotates with the
-      // raster); the canonical hash (unsigned-min over four rotations)
-      // pairs it at Hamming 0 by construction — same rotation set on
-      // both sides. Per doc a 16×16 gray PNG from a splitmix-mixed
-      // raster; planted ROTATED copy (id+90000, rot90) for
-      // doc_id % 25 == 0 and a byte-identical copy (id+180000) for
-      // doc_id % 40 == 0. nearDupImages(rotInvariant = true) at
-      // maxHamming 0 must emit exactly the within-family pairs, all at
-      // Hamming 0, nothing cross-family. PngSpec asserts the negative
-      // control (plain aHash puts the rotated pair far apart).
+      // Orientation-canonical image dedup anchor: plain aHash misses
+      // 90°-rotated and mirrored copies ENTIRELY (the 8×8 grid moves
+      // with the raster); the canonical hash (unsigned-min over the D4
+      // group — 4 rotations × mirror) pairs them at Hamming 0 by
+      // construction — same orbit on both sides. Per doc a 16×16 gray
+      // PNG from a splitmix-mixed raster; planted ROTATED copy
+      // (id+90000, %25), byte-identical copy (id+180000, %40), and
+      // MIRRORED copy (id+270000, %30). nearDupImages(rotInvariant) at
+      // maxHamming 0 must emit exactly the within-family pair closure
+      // (C(m,2) per doc), all at Hamming 0, nothing cross-family.
+      // PngSpec asserts the negative control (plain aHash far apart).
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long]
         .flatMap { id =>
@@ -2548,6 +2548,10 @@ object ExtQueries {
              else Nil) ++
             (if (id % 40 == 0)
               Seq((id + 180000L, graft.ext.Png.encode(base)))
+             else Nil) ++
+            (if (id % 30 == 0) // MIRRORED copy — the D4 reflection arm
+              Seq((id + 270000L,
+                graft.ext.Png.encode(graft.ext.Png.flipH(base))))
              else Nil)
         }
         .toDF("media_id", "payload")
@@ -2562,15 +2566,18 @@ object ExtQueries {
           coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
           coalesce(col("n_nonzero"), lit(0L)).as("n_nonzero"))
     },
-    Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
-                      + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
-                      + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+    Some("""SELECT CAST((SELECT sum(m * (m - 1) / 2) FROM (
+                      SELECT 1 + CASE WHEN doc_id % 25 = 0 THEN 1 ELSE 0 END
+                               + CASE WHEN doc_id % 40 = 0 THEN 1 ELSE 0 END
+                               + CASE WHEN doc_id % 30 = 0 THEN 1 ELSE 0 END
+                             AS m
+                      FROM documents) t)
                      AS BIGINT) AS n_pairs,
                    CAST(0 AS BIGINT) AS n_cross_family,
                    CAST(0 AS BIGINT) AS n_nonzero"""),
-    "rotation-canonical image dedup anchor: 90°-rotated copies — " +
-      "invisible to plain aHash — pair at exactly Hamming 0 through the " +
-      "unsigned-min-over-rotations hash, zero cross-family pairs, " +
+    "orientation-canonical image dedup anchor: 90°-rotated AND mirrored " +
+      "copies — invisible to plain aHash — pair at exactly Hamming 0 " +
+      "through the D4 unsigned-min hash, zero cross-family pairs, " +
       "counts oracle-derived from documents alone")
 
   private val qDedupAudio = Q(

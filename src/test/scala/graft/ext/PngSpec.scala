@@ -644,6 +644,10 @@ class PngSpec extends AnyFunSuite {
     val rot = Png.rotate90(img)
     assert(Png.aHashCanonical(img) == Png.aHashCanonical(rot))
     assert(Png.aHashCanonical(rot) == Png.aHashCanonical(Png.rotate90(rot)))
+    // mirrored copies collide too (full D4 orbit)
+    assert(Png.aHashCanonical(img) == Png.aHashCanonical(Png.flipH(img)))
+    assert(Png.aHashCanonical(img) ==
+      Png.aHashCanonical(Png.rotate90(Png.flipH(img))))
     // the negative control: plain aHash puts the rotated pair far apart
     val d = java.lang.Long.bitCount(Png.aHash(img) ^ Png.aHash(rot))
     assert(d > 5, s"plain aHash unexpectedly close under rotation: $d bits")
