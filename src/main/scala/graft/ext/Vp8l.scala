@@ -13,8 +13,12 @@ package graft.ext
   *   - all four transforms (predictor, cross-color, subtract-green,
   *     color-indexing incl. sub-byte pixel packing), applied inverse in
   *     reverse declaration order;
-  *   - entropy image: optional meta prefix-code image, optional color
-  *     cache (hash 0x1e35a7bd), five canonical prefix codes per group
+  *   - entropy image: optional color cache (hash 0x1e35a7bd) then, for
+  *     the spatially-coded image only, an optional meta prefix-code
+  *     image (that spec field order is certified against a REAL
+  *     libwebp-encoded stream in Vp8lInteropSpec, alongside
+  *     [[decodeHeaderless]] for ALPH lossless-coded alpha planes);
+  *     five canonical prefix codes per group
   *     (green+length+cache / red / blue / alpha / distance), both the
   *     1–2-symbol simple form and the code-length-coded normal form
   *     (symbols 16/17/18 repeats, optional max_symbol);
@@ -219,16 +223,20 @@ object Vp8l {
     var metaBits = 0
     var metaImage: Array[Int] = null
     var metaW = 0
+    // field order per the spec ABNF: color-cache-info comes FIRST
+    // (spatially-coded-image = color-cache-info meta-prefix data;
+    // entropy-coded-image = color-cache-info data) — pinned against a
+    // real libwebp-encoded stream in Vp8lInteropSpec
+    if (r.readBit() == 1) { // color cache (allowed on any image per spec)
+      cacheBits = r.readBits(4)
+      if (cacheBits < 1 || cacheBits > 11)
+        throw new IllegalArgumentException("vp8l: cache bits")
+    }
     if (spatial && r.readBit() == 1) { // meta prefix codes
       metaBits = r.readBits(3) + 2
       metaW = (w + (1 << metaBits) - 1) >> metaBits
       val metaH = (h + (1 << metaBits) - 1) >> metaBits
       metaImage = decodeImage(r, metaW, metaH, spatial = false)
-    }
-    if (r.readBit() == 1) { // color cache (allowed on any image per spec)
-      cacheBits = r.readBits(4)
-      if (cacheBits < 1 || cacheBits > 11)
-        throw new IllegalArgumentException("vp8l: cache bits")
     }
     val numGroups =
       if (metaImage == null) 1
@@ -435,6 +443,26 @@ object Vp8l {
       val h = r.readBits(14) + 1
       r.readBit() // alpha hint
       if (r.readBits(3) != 0) return None // version must be 0
+      decodeBody(r, w, h)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode a HEADERLESS VP8L stream (no 0x2F signature / 14-bit size
+    * fields) with dimensions supplied out-of-band — the form libwebp
+    * emits for lossless-coded alpha planes (ALPH chunk, compression
+    * method 1): the stream starts directly at the transform list, exactly
+    * like the post-header body of a VP8L chunk. This is the interop seam
+    * Vp8lInteropSpec certifies against a real libwebp-encoded artifact.
+    */
+  def decodeHeaderless(b: Array[Byte], w: Int, h: Int): Option[Image] = {
+    try {
+      if (b == null || b.length < 1 || w < 1 || h < 1) return None
+      decodeBody(new Reader(b, 0), w, h)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodeBody(r: Reader, w: Int, h: Int): Option[Image] = {
+    {
       if (w.toLong * h > 16L * 1024 * 1024)
         throw new IllegalArgumentException("vp8l: image too large")
       // transforms, in declaration order
@@ -508,7 +536,7 @@ object Vp8l {
         }
       }
       Some(Image(w, h, argb))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Decode a full RIFF/WEBP container holding a VP8L chunk. */
@@ -730,6 +758,10 @@ object Vp8l {
   private def writeEntropyImage(wr: Writer, argb: Array[Int], w: Int, h: Int,
       rowCopy: Boolean, cacheBits: Int, spatial: Boolean,
       metaTrivial: Boolean = false): Unit = {
+    // emission order mirrors the decode/spec order: color-cache-info
+    // first, then (spatial only) the meta prefix image
+    if (cacheBits > 0) { wr.writeBit(1); wr.writeBits(cacheBits, 4) }
+    else wr.writeBit(0)
     if (spatial) {
       if (metaTrivial) {
         // meta prefix-code image: every block selects group 0 — pixels
@@ -742,8 +774,6 @@ object Vp8l {
           rowCopy = false, cacheBits = 0, spatial = false)
       } else wr.writeBit(0)
     }
-    if (cacheBits > 0) { wr.writeBit(1); wr.writeBits(cacheBits, 4) }
-    else wr.writeBit(0)
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     val cacheUsed = if (cacheSize > 0) new Array[Boolean](cacheSize) else null

@@ -202,6 +202,90 @@ object Webp {
     bytes
   }
 
+  /** Decoded ALPH alpha plane of an extended (VP8X) WebP — (width,
+    * height, row-major alpha bytes). Two compression methods per the
+    * container spec: 0 = raw bytes, 1 = a HEADERLESS VP8L stream with the
+    * alpha values in the green channel ([[Vp8l.decodeHeaderless]] — the
+    * canvas supplies the dimensions the headerless stream omits).
+    * Optional per-row prediction filters (horizontal / vertical /
+    * gradient) are inverted after decode. This is the one place the repo
+    * can certify VP8L entropy decoding against a REAL libwebp-encoded
+    * artifact (lossy+alpha files carry libwebp lossless-coded alpha even
+    * though lossy VP8 pixel decode stays an envelope cut) —
+    * Vp8lInteropSpec pins one such stream byte-for-byte.
+    */
+  def alphaPlane(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val m = meta(b).getOrElse(return None)
+    if (m.variant != "extended" || !m.has_alpha) return None
+    val w = m.width
+    val h = m.height
+    if (w.toLong * h > 16L * 1024 * 1024) return None
+    val end = math.min(b.length.toLong, 8L + u32le(b, 4)).toInt
+    var p = 12
+    while (p + 8 <= end) {
+      val cc = fourcc(b, p)
+      val sz = u32le(b, p + 4)
+      val ds = p + 8
+      val de = math.min(end.toLong, ds + sz).toInt
+      if (cc == "ALPH" && de - ds >= 1) {
+        val hdr = b(ds) & 0xFF
+        val compression = hdr & 3
+        val filter = (hdr >> 2) & 3
+        val plane: Array[Byte] = compression match {
+          case 0 =>
+            if (de - (ds + 1) < w.toLong * h) return None
+            java.util.Arrays.copyOfRange(b, ds + 1, ds + 1 + w * h)
+          case 1 =>
+            val img = Vp8l.decodeHeaderless(
+              java.util.Arrays.copyOfRange(b, ds + 1, de), w, h)
+              .getOrElse(return None)
+            val out = new Array[Byte](w * h)
+            var i = 0
+            while (i < out.length) { // alpha rides in the green channel
+              out(i) = ((img.argb(i) >> 8) & 0xFF).toByte
+              i += 1
+            }
+            out
+          case _ => return None
+        }
+        if (filter > 0) unfilterAlpha(plane, w, h, filter)
+        return Some((w, h, plane))
+      }
+      val next = p + 8L + sz + (sz & 1L)
+      p = if (next > end || next <= p) end else next.toInt
+    }
+    None
+  }
+
+  /** Inverse of the ALPH per-pixel prediction filters (1 = horizontal,
+    * 2 = vertical, 3 = gradient). Border rule per the spec: the top-left
+    * pixel predicts from 0, the rest of the first row from the left, the
+    * rest of the first column from above.
+    */
+  private def unfilterAlpha(a: Array[Byte], w: Int, h: Int, f: Int): Unit = {
+    def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val pred =
+          if (x == 0 && y == 0) 0
+          else if (y == 0) a(i - 1) & 0xFF
+          else if (x == 0) a(i - w) & 0xFF
+          else f match {
+            case 1 => a(i - 1) & 0xFF
+            case 2 => a(i - w) & 0xFF
+            case _ => clip255((a(i - 1) & 0xFF) + (a(i - w) & 0xFF) -
+              (a(i - w - 1) & 0xFF))
+          }
+        a(i) = (((a(i) & 0xFF) + pred) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   // ---- fixture builders (spec / certificate counterparts) ------------
 
   private def le32(v: Long): Array[Byte] =
