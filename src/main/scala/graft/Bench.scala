@@ -81,24 +81,52 @@ object Bench {
       if (xs.exists(_ < 0)) -1.0
       else { val s = xs.sorted; s(s.size / 2) }
     val results: Map[String, Double] = samples.map { case (n, xs) => n -> median(xs) }
+    // min-of-reps alongside the median: the median is the headline, but on
+    // a shared host the min is the load-robust floor — a rep spread like
+    // [7.0, 14.2, 0.5] is ambient weather, and carrying the min per round
+    // lets that be adjudicated from artifacts instead of re-measurement
+    def minRep(xs: Seq[Double]): Double =
+      if (xs.exists(_ < 0)) -1.0 else xs.min
+    val mins: Map[String, Double] = samples.map { case (n, xs) => n -> minRep(xs) }
     val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
+    val totalMin = math.rint(mins.values.filter(_ >= 0).sum * 1000) / 1000
     // Full-precision per-rep samples to a file for plan/variance audits…
     val detail = samples.map { case (k, xs) =>
-      s"\"" + k + "\":{\"median\":" + median(xs) + ",\"runs\":" +
-        xs.mkString("[", ",", "]") + "}"
+      s"\"" + k + "\":{\"median\":" + median(xs) + ",\"min\":" + minRep(xs) +
+        ",\"runs\":" + xs.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val loadAfter = loadAvg()
     val loadJson =
       s""""load":{"before":$loadBefore,"after":$loadAfter,"cpus":${Runtime.getRuntime.availableProcessors}}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$loadJson,"queries":$detail,"sf":"$sfDir"}""" + "\n")
-    catch { case _: Exception => () } // cwd may not be writable under the harness
+    val detailLine =
+      s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","reps":$reps,$loadJson,"queries":$detail,"sf":"$sfDir"}""" + "\n"
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine)
+      // …and an immutable per-round copy (BENCH_DETAIL_r{N}.json): the
+      // driver stamps BENCH_r{N}.json after this run, so the round in
+      // flight is max(existing N) + 1 — keeping every round's rep history
+      // on disk makes bench-weather adjudication artifact-only
+      val dir = java.nio.file.Paths.get(".")
+      val benchRe = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
+      var maxRound = 0
+      val ls = java.nio.file.Files.list(dir)
+      try {
+        ls.forEach { p =>
+          val m = benchRe.matcher(p.getFileName.toString)
+          if (m.matches()) maxRound = math.max(maxRound, m.group(1).toInt)
+        }
+      } finally ls.close()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"BENCH_DETAIL_r${maxRound + 1}%02d.json"),
+        detailLine)
+    } catch { case _: Exception => () } // cwd may not be writable under the harness
     // …but the stdout line must survive the harness's bounded (2000-char)
     // output-tail capture with sbt's footer behind it, or it never parses:
     // 2-decimal values, and if the query map alone would blow the budget,
     // the FASTEST queries are dropped (the slow ones are the audit surface)
     // with an "omitted" count so truncation is visible.
-    val budget = 1580 // was 1650; the load/reps fields joined the line
+    val budget = 1560 // was 1580; the top-level "min" joined the line
     def fmt(v: Double): String =
       if (v < 0) "-1"
       // Locale.ROOT: the default-locale f"" interpolator would emit a
@@ -116,7 +144,7 @@ object Bench {
       else omitted += 1
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$loadJson,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","reps":$reps,$loadJson,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

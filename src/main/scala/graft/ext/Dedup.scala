@@ -655,7 +655,13 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingler: Shingler = CharShingles(5),
-      guardEntropy: Boolean = false): DataFrame = {
+      // default-ON: the guard is one bounded 2048-doc sample job, and the
+      // misconfiguration it prevents (char shingles over a low-entropy
+      // corpus -> 882 M candidate pairs in the 40 M-doc soak) is a
+      // cluster-wide blow-up at 100 TB — silent-off is the wrong default
+      // for the served path; callers that pre-vetted their corpus can
+      // still opt out explicitly
+      guardEntropy: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val effShingler =
       if (guardEntropy) guardedShingler(df, textCol, shingler) else shingler

@@ -169,7 +169,7 @@ object Pdf {
     * then skipped whole — never partially decoded into the text).
     */
   private def inflate(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
-    val inf = Zip.pooledInflaterZlib.get()
+    val inf = Zip.pooledInflaterZlib.get().acquire()
     try {
       inf.setInput(b, from, until - from)
       val out = new java.io.ByteArrayOutputStream(math.max(64, (until - from) * 4))

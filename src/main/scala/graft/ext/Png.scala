@@ -239,7 +239,7 @@ object Png {
   }
 
   private def inflate(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
-    val inf = Zip.pooledInflaterZlib.get()
+    val inf = Zip.pooledInflaterZlib.get().acquire()
     try {
       inf.setInput(data)
       val out = new Array[Byte](expected)

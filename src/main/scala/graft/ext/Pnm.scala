@@ -36,8 +36,13 @@ object Pnm {
       if (w <= 0 || h <= 0 || w.toLong * h * 4 > (1L << 28)) return None
       val maxval = if (kind == 4) 255 else token()
       if (maxval <= 0 || maxval > 255) return None
-      // exactly ONE whitespace byte separates header from raster
-      if (i >= b.length) return None
+      // exactly ONE whitespace byte separates header from raster — and it
+      // must BE whitespace: a malformed header (maxval followed by '#' or
+      // a truncated token) would otherwise decode shifted raster bytes
+      // into a plausible-looking image instead of returning None
+      if (i >= b.length ||
+        !(b(i) == ' ' || b(i) == '\t' || b(i) == '\r' || b(i) == '\n'))
+        return None
       i += 1
       kind match {
         case 4 =>

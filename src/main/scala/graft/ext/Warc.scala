@@ -109,7 +109,7 @@ object Warc {
     // --- raw deflate stream
     val buf = new Array[Byte](64 * 1024)
     val member = new java.io.ByteArrayOutputStream(buf.length)
-    val inf = Zip.pooledInflaterRaw.get()
+    val inf = Zip.pooledInflaterRaw.get().acquire()
     try {
       inf.setInput(blob, p, blob.length - p)
       var ok = true

@@ -62,11 +62,33 @@ object Zip {
     * read-side twins of [[pooledDeflater]]: reset between uses, never
     * end()'d — one bounded native buffer per executor thread instead of
     * an alloc/free per decoded member/stream.
+    *
+    * NO-NESTING INVARIANT: each pool holds ONE Inflater per thread, so a
+    * caller must finish (try/finally reset()) before anything else on the
+    * same thread acquires the same pool — a nested acquisition (e.g.
+    * decoding an embedded deflate image while a PDF inflate loop is in
+    * flight) would silently clobber shared state and corrupt output.
+    * [[PooledInflater.acquire]] enforces this loudly: the flag flips on
+    * acquire and clears on the reset() every call site already runs in
+    * `finally`, so a nested use throws instead of corrupting decodes.
     */
-  private[ext] val pooledInflaterRaw: ThreadLocal[java.util.zip.Inflater] =
-    ThreadLocal.withInitial(() => new java.util.zip.Inflater(true))
-  private[ext] val pooledInflaterZlib: ThreadLocal[java.util.zip.Inflater] =
-    ThreadLocal.withInitial(() => new java.util.zip.Inflater())
+  private[ext] final class PooledInflater(raw: Boolean)
+      extends java.util.zip.Inflater(raw) {
+    private var inUse = false
+    def acquire(): PooledInflater = {
+      if (inUse)
+        throw new IllegalStateException(
+          "pooled Inflater acquired re-entrantly on this thread — " +
+            "nested decode would clobber shared native state")
+      inUse = true
+      this
+    }
+    override def reset(): Unit = { inUse = false; super.reset() }
+  }
+  private[ext] val pooledInflaterRaw: ThreadLocal[PooledInflater] =
+    ThreadLocal.withInitial(() => new PooledInflater(true))
+  private[ext] val pooledInflaterZlib: ThreadLocal[PooledInflater] =
+    ThreadLocal.withInitial(() => new PooledInflater(false))
 
   private[ext] val pooledDeflater: ThreadLocal[java.util.zip.Deflater] =
     ThreadLocal.withInitial(() =>
@@ -399,7 +421,7 @@ object Zip {
           if (srcLen.toLong != e.uncomp_size) return None
           java.util.Arrays.copyOfRange(src, srcOff, srcOff + srcLen)
         case 8 =>
-          val inf = Zip.pooledInflaterRaw.get() // raw deflate, pooled
+          val inf = Zip.pooledInflaterRaw.get().acquire() // raw deflate, pooled
           try {
             inf.setInput(src, srcOff, srcLen)
             val out = new Array[Byte](e.uncomp_size.toInt)

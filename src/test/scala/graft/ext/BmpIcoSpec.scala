@@ -90,6 +90,12 @@ class BmpIcoSpec extends AnyFunSuite {
     // truncated raster / absurd dims are None
     assert(Pnm.decode("P6 5 5 255 xx".getBytes("US-ASCII")).isEmpty)
     assert(Pnm.decode("P5 999999999 9 255 ".getBytes("US-ASCII")).isEmpty)
+    // the single header/raster separator must BE whitespace — a '#' (or
+    // any other byte) there would silently shift the raster otherwise
+    val body = Array.fill(4)(0x42.toByte)
+    assert(Pnm.decode("P5 2 2 255\n".getBytes("US-ASCII") ++ body).isDefined)
+    assert(Pnm.decode("P5 2 2 255#".getBytes("US-ASCII") ++ body).isEmpty)
+    assert(Pnm.decode("P5 2 2 255x".getBytes("US-ASCII") ++ body).isEmpty)
   }
 
   test("decodeAny chains bmp and ico (image dedup seam)") {

@@ -131,6 +131,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() >= 0L)
   }
 
+  test("entropy guard is ON by default in nearDupMinHash") {
+    // A planted pair that char shingles and word shingles DISAGREE on:
+    // both docs are the same 4-periodic ACGT stream, one broken into
+    // 25-char words, the other into 27-char words. Neither period is a
+    // multiple of 4, so the space alignments cycle through all four
+    // phases in both docs and the char-5 shingle SETS are identical
+    // (jaccard 1.0) — while the word vocabularies (25-char vs 27-char
+    // tokens) are disjoint, so word-3 jaccard is 0. With the guard OFF
+    // the pair is reported; with the low occupancy tripping the
+    // default-ON guard (auto-widen to word shingles) it is not. This
+    // pins that the bare call takes the guarded path.
+    def spaced(every: Int): String = {
+      val raw = Seq.fill(500)("ACGT").mkString
+      raw.grouped(every).mkString(" ")
+    }
+    // docs 2..79 are exact copies of doc 0 / doc 1: occupancy measures
+    // cross-doc vocabulary sharing (corpus-distinct / sum of per-doc
+    // distinct), so the guard needs many docs over the shared vocab to
+    // trip — and the copies only add exact-dup pairs, which both regimes
+    // agree on, leaving (0,1) as the discriminating pair
+    val docs = (0 until 80).map(i => (i.toLong, spaced(25 + 2 * (i % 2))))
+      .toDF("doc_id", "text")
+    val occ = Dedup.shingleOccupancy(docs, "text", Dedup.CharShingles(5))
+    assert(occ < 0.05, s"fixture not low-entropy enough to trip the guard: $occ")
+    val guardOff = Dedup.nearDupMinHash(docs, "doc_id", "text", threshold = 0.5,
+      guardEntropy = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guardOff.contains((0L, 1L)),
+      "char-shingle (unguarded) run must pair the char-identical docs")
+    val byDefault = Dedup.nearDupMinHash(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!byDefault.contains((0L, 1L)),
+      "default must take the guarded (word-shingle) path and drop the pair")
+  }
+
   test("exact jaccard: identical = 1.0, disjoint ≈ low") {
     val pairs = Seq((0L, 1L), (3L, 4L)).toDF("id1", "id2")
     val j = Dedup.exactJaccard(pairs, docs, "doc_id", "text")
