@@ -11,7 +11,9 @@ package graft.ext
   *     .foreachSample]] for the WAV PCM/float/G.711/ADPCM family,
   *     [[Flac.decode]] for FLAC — lossless, so a FLAC re-encode of the
   *     same capture fingerprints IDENTICALLY to its WAV: cross-codec
-  *     dedup for free, certified by q_dedup_audio_anchor);
+  *     dedup for free, certified by q_dedup_audio_anchor — and
+  *     [[Mp3.decodeMono]] for MPEG Layer III, lossy, so an MP3
+  *     re-encode pairs within a small bounded Hamming distance);
   *   - 9 non-overlapping 256-sample frames (2304 samples ≈ 0.3 s at
   *     8 kHz; shorter audio zero-pads, a silent frame has zero energy);
   *   - per frame, Goertzel spectral power at 8 fixed DFT bins
@@ -43,15 +45,21 @@ object AudioFp {
 
   private def bin(b: Int): Int = 4 * (b + 1)
 
-  /** Mono 16-bit-equivalent samples for any decodable WAV-family or FLAC
-    * payload; None (never a throw) otherwise. Multi-channel audio is
-    * mixed down by truncated integer mean — deterministic, and identical
-    * for WAV and FLAC encodings of the same capture.
+  /** Mono 16-bit-equivalent samples for any decodable WAV-family, FLAC
+    * or MPEG Layer III payload; None (never a throw) otherwise.
+    * Multi-channel audio is mixed down by truncated integer mean —
+    * deterministic, and identical for WAV and FLAC encodings of the same
+    * capture; MP3 decodes through [[Mp3]] (lossy, so an MP3 re-encode
+    * fingerprints within a small Hamming budget rather than exactly —
+    * the bound the gain-invariance argument above gives at high
+    * bitrate, certified by q_dedup_audio_anchor's MP3 plant).
     */
   def monoSamples(payload: Array[Byte]): Option[Array[Int]] = {
     if (payload == null || payload.length < 4) return None
     try {
-      if (payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' &&
+      if (Mp3.isMp3(payload)) {
+        Mp3.decodeMono(payload)
+      } else if (payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' &&
           payload(3) == 'C') {
         Flac.decode(payload).map { a =>
           if (a.channels == 1) a.samples

@@ -283,6 +283,53 @@ object Multimodal {
       perceptualHashes(media, rotInvariant).toDF(), "media_id", "phash",
       maxHamming, nBlocks = nBlocks)
 
+  /** Rotation+noise-robust near-dup image pairs: min PAIRWISE Hamming
+    * over the full D4 aHash orbits ([[Png.aHashD4]]). The canonical-min
+    * hash ([[nearDupImages]] with rotInvariant) pairs EXACT rotations /
+    * mirrors at Hamming 0 but is unstable once a rotated copy also
+    * carries pixel noise — the min-of-8 can canonicalize to different
+    * orientations on the two sides. Here every image bands ALL 8
+    * orientation hashes (bounded 8x key fan-out, index structure
+    * unchanged); by the D4 group property the orbit distance equals
+    * min_j H(h0_A, orbit_B[j]), so candidates verify with one array
+    * scan. Pigeonhole guarantee is preserved: a pair within maxHamming
+    * shares a block of the aligned orientation pair, and both sides'
+    * orbits are banded. Never all-pairs; scale shape identical to
+    * [[nearDupImages]].
+    */
+  def nearDupImagesOriented(media: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val orbits = media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val orbit = Png.decodeAny(bytes) match {
+            case Some(img) => Png.aHashD4(img)
+            case None => Array(StubDecoders.perceptualHash(bytes))
+          }
+          (id, orbit)
+        }
+      }
+      .toDF("media_id", "orbit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = orbits
+      .select(col("media_id"), explode(col("orbit")).as("phash"))
+      .distinct()
+    val blocksN = if (nBlocks == 0) maxHamming + 1 else nBlocks
+    val bands = Dedup.hammingBands(exploded, "media_id", "phash", maxHamming,
+      blocksN).distinct()
+    Dedup.candidatePairs(bands, "media_id")
+      .filter(col("id1") =!= col("id2"))
+      .join(orbits.select(col("media_id").as("id1"), col("orbit")(0).as("fp1")), "id1")
+      .join(orbits.select(col("media_id").as("id2"), col("orbit").as("orbit2")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("array_min(transform(orbit2, x -> int(bit_count(fp1 ^ x))))")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Perceptual AUDIO fingerprints ([[AudioFp]] band-energy signs over
     * the real WAV/FLAC decode; gain-invariant, codec-invariant across
     * lossless encodings of the same capture). Payloads no audio arm

@@ -398,6 +398,30 @@ object Png {
     best
   }
 
+  /** The full D4 orbit of [[aHash]] — index 0 is the plain hash, 1-3 the
+    * rotations, 4 the mirror, 5-7 its rotations. [[aHashCanonical]] is
+    * the unsigned-min of this array; near-dup pairing that must survive
+    * rotation PLUS pixel noise uses the whole orbit instead (min
+    * PAIRWISE Hamming over orbits, served by
+    * [[Multimodal.nearDupImagesOriented]]): under perturbation the
+    * canonical min can land on a different orientation on each side and
+    * miss, while the orbit minimum is stable — the bounded 8x probe
+    * fan-out buys noise robustness the single canonical hash cannot
+    * have.
+    */
+  def aHashD4(img: Image): Array[Long] = {
+    val out = new Array[Long](8)
+    out(0) = aHash(img)
+    var r = img
+    var k = 0
+    while (k < 7) {
+      r = if (k == 3) flipH(img) else rotate90(r)
+      out(k + 1) = aHash(r)
+      k += 1
+    }
+    out
+  }
+
   /** Integer luma per pixel (ITU-R 601 weights in exact integer
     * arithmetic: (299r + 587g + 114b) / 1000, floor) — alpha ignored,
     * gray passthrough.

@@ -2580,6 +2580,132 @@ object ExtQueries {
       "through the D4 unsigned-min hash, zero cross-family pairs, " +
       "counts oracle-derived from documents alone")
 
+  private val qDedupImageOrientAnchor = Q(
+    "q_dedup_image_orient_anchor",
+    (s, d) => {
+      // ROTATION + NOISE image dedup anchor (round-14): the canonical
+      // min-of-8 hash pairs exact rotations at Hamming 0 but is unstable
+      // once the rotated copy also carries pixel noise (the unsigned min
+      // can land on different orientations on the two sides). The
+      // oriented pairing (min PAIRWISE Hamming over the full D4 orbits,
+      // Multimodal.nearDupImagesOriented) is noise-stable. Per doc a
+      // 16x16 gray PNG whose aHash is a splitmix-mixed target exactly
+      // (grid-aligned blocks); plants:
+      //   +90000 (%25): 90-degree ROTATED copy with exactly 3 cells
+      //     flipped (base-frame column 1, rows 4-6) -> orbit distance 3;
+      //   +180000 (%40): 180-degree rotated EXACT copy -> distance 0;
+      //   +270000 (%30): MIRRORED copy with exactly 2 cells flipped
+      //     (base-frame row 7, cols 1-2) -> orbit distance 2.
+      // The flip sets are disjoint in the base frame, so co-planted
+      // copies pair at the SUM of their distances (rot-mir 5, rot-r180
+      // 3, mir-r180 2) — every pair count and the hamming SUM are
+      // DuckDB-derivable from `documents` alone. Alternative-orientation
+      // accidental matches sit ~32 bits away (random), far above the
+      // maxHamming 5 budget.
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          require(id >= 0 && id < 90000,
+            s"q_dedup_image_orient_anchor: doc_id $id outside [0, 90000)")
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          def gridImage(h: Long): graft.ext.Png.Image = {
+            val px = new Array[Byte](16 * 16)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val bit = (y / 2) * 8 + (x / 2)
+                px(y * 16 + x) =
+                  if (((h >>> bit) & 1L) == 1L) 0xFF.toByte else 0x00.toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.ext.Png.Image(16, 16, 1, px)
+          }
+          // flip one aHash grid cell (2x2 pixel block) in place
+          def flipCell(img: graft.ext.Png.Image, r: Int, c: Int): Unit = {
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val p = (r * 2 + dy) * 16 + (c * 2 + dx)
+                img.pixels(p) = (~img.pixels(p)).toByte
+                dx += 1
+              }
+              dy += 1
+            }
+          }
+          val base = (mix(id) | 1L) & ~(1L << 63)
+          val baseImg = gridImage(base)
+          val out = scala.collection.mutable.ArrayBuffer(
+            (id, graft.ext.Png.encode(baseImg)))
+          if (id % 25 == 0) {
+            val rot = graft.ext.Png.rotate90(gridImage(base))
+            // base-frame cells (4,1),(5,1),(6,1) land at rotated-frame
+            // (1,3),(1,2),(1,1) under the 90-degree rotation — flip them
+            // there so the orbit distance is exactly 3
+            flipCell(rot, 1, 1); flipCell(rot, 1, 2); flipCell(rot, 1, 3)
+            out += ((id + 90000L, graft.ext.Png.encode(rot)))
+          }
+          if (id % 40 == 0) {
+            val r180 = graft.ext.Png.rotate90(
+              graft.ext.Png.rotate90(gridImage(base)))
+            out += ((id + 180000L, graft.ext.Png.encode(r180)))
+          }
+          if (id % 30 == 0) {
+            val mir = graft.ext.Png.flipH(gridImage(base))
+            // base-frame cells (7,1),(7,2) mirror to (7,6),(7,5)
+            flipCell(mir, 7, 5); flipCell(mir, 7, 6)
+            out += ((id + 270000L, graft.ext.Png.encode(mir)))
+          }
+          out.toSeq
+        }
+        .toDF("media_id", "payload")
+      Multimodal.nearDupImagesOriented(media, maxHamming = 5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("id1") % 90000 =!= col("id2") % 90000, 1L)
+            .otherwise(0L)).as("n_cross_family"),
+          sum(col("hamming").cast("long")).as("hamming_sum"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_h0"),
+          sum(when(col("hamming") === 5, 1L).otherwise(0L)).as("n_h5"))
+        .select(
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
+          coalesce(col("hamming_sum"), lit(0L)).as("hamming_sum"),
+          coalesce(col("n_h0"), lit(0L)).as("n_h0"),
+          coalesce(col("n_h5"), lit(0L)).as("n_h5"))
+    },
+    Some("""SELECT CAST((SELECT sum(m * (m - 1) / 2) FROM (
+                      SELECT 1 + CASE WHEN doc_id % 25 = 0 THEN 1 ELSE 0 END
+                               + CASE WHEN doc_id % 40 = 0 THEN 1 ELSE 0 END
+                               + CASE WHEN doc_id % 30 = 0 THEN 1 ELSE 0 END
+                             AS m
+                      FROM documents) t)
+                     AS BIGINT) AS n_pairs,
+                   CAST(0 AS BIGINT) AS n_cross_family,
+                   CAST(3 * (SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
+                      + 2 * (SELECT count(*) FROM documents WHERE doc_id % 30 = 0)
+                      + 5 * (SELECT count(*) FROM documents WHERE doc_id % 150 = 0)
+                      + 3 * (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                      + 2 * (SELECT count(*) FROM documents WHERE doc_id % 120 = 0)
+                     AS BIGINT) AS hamming_sum,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                     AS BIGINT) AS n_h0,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 150 = 0)
+                     AS BIGINT) AS n_h5"""),
+    "rotation+noise image dedup anchor: rotated/mirrored copies WITH " +
+      "flipped cells pair at their exact constructed orbit distances " +
+      "through min-pairwise-D4 pairing (the canonical-min hash is not " +
+      "noise-stable), zero cross-family, counts and the Hamming sum " +
+      "oracle-derived from documents alone")
+
   private val qDedupAudio = Q(
     "q_dedup_audio",
     (s, d) => {
@@ -2615,6 +2741,13 @@ object ExtQueries {
             (if (id % 40 == 0)
               Seq((id + 180000L, graft.ext.Flac.encode(
                 Array(base), 8000, 16, 256, graft.ext.Flac.Verbatim)))
+             else Nil) ++
+            // MP3 re-encode of the same capture (lossy cross-codec arm;
+            // residue 7 mod 25 is provably disjoint from the near/flac
+            // plants, see the anchor) — decodes through the real Layer
+            // III pipeline and pairs within the Hamming budget
+            (if (id % 25 == 7)
+              Seq((id + 270000L, graft.ext.Mp3Enc.encode(base)))
              else Nil)
         }
         .toDF("media_id", "payload")
@@ -2623,7 +2756,7 @@ object ExtQueries {
     },
     None, // model-defined (perceptual fingerprint); contract anchored below
     "perceptual audio dedup: band-energy-sign fingerprint over the real " +
-      "WAV/FLAC decode, pigeonhole Hamming blocking (never all-pairs); " +
+      "WAV/FLAC/MP3 decode, pigeonhole Hamming blocking (never all-pairs); " +
       "gain-shifted and cross-codec copies pair, byte-dedup sees nothing")
 
   private val qDedupAudioAnchor = Q(
@@ -2670,6 +2803,19 @@ object ExtQueries {
             (if (id % 40 == 0)
               Seq((id + 180000L, graft.ext.Flac.encode(
                 Array(baseSamples), 8000, 16, 256, graft.ext.Flac.Verbatim)))
+             else Nil) ++
+            // MP3 re-encode of the SAME capture (round-14 lossy-audio
+            // arm): decodes through the real Layer III pipeline; lossy,
+            // so the pair lands within the Hamming budget (measured
+            // drift <= 3 over the synthSamples family, Mp3Spec) rather
+            // than exactly. Residue 7 mod 25 cannot coincide with the
+            // near plant (0 mod 25) and has no solution against the
+            // flac plant (0 mod 40 needs id ≡ 0 (mod 40) with
+            // id ≡ 7 (mod 25): gcd(15,25)=5 does not divide 7), so
+            // every MP3-planted id contributes EXACTLY one pair and the
+            // count is oracle-derivable.
+            (if (id % 25 == 7)
+              Seq((id + 270000L, graft.ext.Mp3Enc.encode(baseSamples)))
              else Nil)
         }
         .toDF("media_id", "payload")
@@ -2678,20 +2824,25 @@ object ExtQueries {
           count(lit(1)).as("n_pairs"),
           sum(when(col("id1") % 90000 =!= col("id2") % 90000, 1L)
             .otherwise(0L)).as("n_cross_family"),
-          sum(when(col("hamming") === 3, 1L).otherwise(0L)).as("n_near_pairs"),
-          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
-          sum(when(col("hamming") =!= 0 && col("hamming") =!= 3, 1L)
-            .otherwise(0L)).as("n_bad_hamming"))
+          sum(when(col("hamming") === 3 && col("id2") < 270000L, 1L)
+            .otherwise(0L)).as("n_near_pairs"),
+          sum(when(col("hamming") === 0 && col("id2") < 270000L, 1L)
+            .otherwise(0L)).as("n_exact_pairs"),
+          sum(when(col("id2") >= 270000L, 1L).otherwise(0L)).as("n_mp3_pairs"),
+          sum(when(col("hamming") =!= 0 && col("hamming") =!= 3 &&
+            col("id2") < 270000L, 1L).otherwise(0L)).as("n_bad_hamming"))
         .select(
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
           coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
           coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+          coalesce(col("n_mp3_pairs"), lit(0L)).as("n_mp3_pairs"),
           coalesce(col("n_bad_hamming"), lit(0L)).as("n_bad_hamming"))
     },
     Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 25 = 7)
                      AS BIGINT) AS n_pairs,
                    CAST(0 AS BIGINT) AS n_cross_family,
                    CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
@@ -2699,12 +2850,14 @@ object ExtQueries {
                      AS BIGINT) AS n_near_pairs,
                    CAST((SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
                      AS BIGINT) AS n_exact_pairs,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 7)
+                     AS BIGINT) AS n_mp3_pairs,
                    CAST(0 AS BIGINT) AS n_bad_hamming"""),
     "audio-dedup contract anchor: planted WAV near-dups at constructed " +
-      "fingerprint distances plus FLAC re-encodes of the same capture — " +
-      "every planted pair found at its exact Hamming distance (cross-codec " +
-      "exact pairs at 0), zero cross-family pairs, counts oracle-derived " +
-      "from documents alone")
+      "fingerprint distances, FLAC re-encodes of the same capture at " +
+      "Hamming 0, and MP3 re-encodes through the real Layer III decode " +
+      "within the lossy budget — every planted pair found, zero " +
+      "cross-family pairs, counts oracle-derived from documents alone")
 
   private val qDedupAudioIncremental = Q(
     "q_dedup_audio_incremental",
@@ -6529,6 +6682,7 @@ object ExtQueries {
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qDedupImageRotAnchor,
+    qDedupImageOrientAnchor,
     qDedupAudio, qDedupAudioAnchor,
     qDedupAudioIncremental,
     qMultimodal, qMultimodalAudio,

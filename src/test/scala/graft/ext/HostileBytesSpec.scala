@@ -58,7 +58,10 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("bmp", b => Bmp.decode(b)),
     ("ico", b => Ico.decode(b)),
     ("tiff_img", b => TiffImg.decode(b)),
-    ("pnm", b => Pnm.decode(b)))
+    ("pnm", b => Pnm.decode(b)),
+    ("mp3", b => Mp3.decode(b)),
+    ("mp3_inventory", b => Mp3.inventory(b)),
+    ("webp_alpha", b => Webp.alphaPlane(b)))
 
   test("round 1: seeded garbage never throws") {
     for ((name, p) <- parsers; seed <- 0L until 40L;

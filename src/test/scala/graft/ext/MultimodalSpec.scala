@@ -191,6 +191,47 @@ class MultimodalSpec extends SparkSpec {
     assert(again == Map(0L -> base, 1L -> near, 2L -> far))
   }
 
+  test("oriented pairing finds rotated+noise copies at the exact orbit distance") {
+    // grid-aligned 16x16 PNGs (2x2 blocks at 0/255): aHash bits are
+    // blocks, so flipping k blocks on the rotated copy plants a pair at
+    // orbit distance exactly k — the case the canonical-min hash cannot
+    // serve stably under perturbation
+    def gridPng(h: Long): Array[Byte] = {
+      val px = new Array[Byte](256)
+      for (y <- 0 until 16; x <- 0 until 16)
+        px(y * 16 + x) =
+          if (((h >>> ((y / 2) * 8 + x / 2)) & 1L) == 1L) 0xFF.toByte else 0
+      Png.encode(Png.Image(16, 16, 1, px))
+    }
+    val base = (0x9E3779B97F4A7C15L | 1L) & ~(1L << 63)
+    val rotNoisy = {
+      val img = Png.decodeAny(gridPng(base)).get
+      val rot = Png.rotate90(img)
+      for (cell <- Seq((1, 1), (1, 2), (1, 3)); dy <- 0 until 2; dx <- 0 until 2) {
+        val p = (cell._1 * 2 + dy) * 16 + (cell._2 * 2 + dx)
+        rot.pixels(p) = (~rot.pixels(p)).toByte
+      }
+      Png.encode(rot)
+    }
+    import spark.implicits._
+    val media = Seq(
+      (0L, gridPng(base)),
+      (1L, rotNoisy),
+      (2L, gridPng((~base | 1L) & ~(1L << 63)))) // unrelated control
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.nearDupImagesOriented(media, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 1L, 3)), s"got $pairs")
+    // the exact-rotation case still pairs at 0 through the oriented path
+    val exact = Seq(
+      (0L, gridPng(base)),
+      (1L, Png.encode(Png.rotate90(Png.decodeAny(gridPng(base)).get))))
+      .toDF("media_id", "payload")
+    val p2 = Multimodal.nearDupImagesOriented(exact, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p2 == Set((0L, 1L, 0)), s"got $p2")
+  }
+
   test("feature extraction emits unit-norm vectors that plug into the similarity family") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "image/fake")
     val emb = Multimodal.extractFeatures(media, dim = 16)

@@ -657,4 +657,38 @@ class PngSpec extends AnyFunSuite {
       Png.aHashCanonical(img) ^ Png.aHashCanonical(other)) > 5)
   }
 
+  test("aHashD4: orbit carries all 8 orientations; min-pairwise is noise-stable") {
+    // grid-aligned image (2x2 blocks at 0/255) so every aHash bit is a
+    // block: flipping k blocks moves exactly k bits
+    val r = rng(123L)
+    val px = new Array[Byte](256)
+    for (y <- 0 until 16; x <- 0 until 16)
+      px(y * 16 + x) = if (((r.nextInt() >> 5) & 1) == 1) 0xFF.toByte else 0
+    // re-derive per 2x2 block for grid alignment
+    val blocks = Array.fill(64)(r.nextInt(2))
+    blocks(0) = 1; blocks(63) = 0
+    for (y <- 0 until 16; x <- 0 until 16)
+      px(y * 16 + x) = if (blocks((y / 2) * 8 + x / 2) == 1) 0xFF.toByte else 0
+    val img = Png.Image(16, 16, 1, px)
+    val orbit = Png.aHashD4(img)
+    assert(orbit(0) == Png.aHash(img))
+    assert(orbit.map(h => java.lang.Long.compareUnsigned(h, Png.aHashCanonical(img)) >= 0).forall(identity))
+    assert(orbit.contains(Png.aHashCanonical(img)))
+    // rotated copy with 3 flipped blocks: min pairwise Hamming over the
+    // orbits is EXACTLY 3 (the aligned orientation), regardless of which
+    // orientation the canonical min lands on under the perturbation
+    val rot = Png.rotate90(img)
+    for (cell <- Seq((1, 1), (1, 2), (1, 3)); dy <- 0 until 2; dx <- 0 until 2) {
+      val p = (cell._1 * 2 + dy) * 16 + (cell._2 * 2 + dx)
+      rot.pixels(p) = (~rot.pixels(p)).toByte
+    }
+    val orbitRot = Png.aHashD4(rot)
+    val minPairwise = (for (a <- orbit; b <- orbitRot)
+      yield java.lang.Long.bitCount(a ^ b)).min
+    assert(minPairwise == 3, s"orbit distance drifted: $minPairwise")
+    // and the probe-side-only form the pairing uses is equivalent
+    val probeForm = orbitRot.map(b => java.lang.Long.bitCount(orbit(0) ^ b)).min
+    assert(probeForm == 3)
+  }
+
 }
