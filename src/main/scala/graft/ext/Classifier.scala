@@ -159,7 +159,8 @@ object Classifier {
       iters: Int = 20,
       lr: Double = 1.0,
       indexOf: Column => Column = null,
-      tol: Double = 1e-6): Model = {
+      tol: Double = 1e-6,
+      driverLoopMaxDocs: Int = 32768): Model = {
     val idx = Option(indexOf).getOrElse(hashIndex(_: Column, dim))
     // Cache width rides the INPUT's scan width (file-size derived), not
     // the session shuffle width: the compact feature table is ~one row
@@ -205,6 +206,20 @@ object Classifier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     featRdd.count() // materialize, then drop the row-form cache
     feats.unpersist()
+    // Small-corpus fast path (the Bpe discipline taken one step further):
+    // the compact feature table IS the model-loop artifact, and below
+    // ~32 k documents it is megabytes — collect it ONCE and run the
+    // iteration loop driver-side, replacing 10-20 one-task jobs (each
+    // dominated by scheduler/closure overhead, ~0.1 s apiece at bench
+    // scale) with a local loop. The gradient sum is EXACT decimal
+    // addition (associative and commutative), so the local loop is
+    // bit-identical to the distributed one — same corpus, same weights,
+    // same stopping step. Larger corpora keep the treeAggregate path:
+    // the artifact grows with the corpus and must stay distributed.
+    // (`driverLoopMaxDocs` is a parameter so specs can pin the two paths
+    // bit-identical by forcing the distributed loop on a small corpus)
+    val localFeats: Array[(Double, Array[Int], Array[Double])] =
+      if (nDocs <= driverLoopMaxDocs) featRdd.collect() else null
     var itersRun = 0
     try {
       var converged = false
@@ -217,9 +232,8 @@ object Classifier {
         // bit-stable under any partitioning, as the SQL DECIMAL(28,12)
         // aggregate it replaces was.
         val wB = w // captured by the closure, serialized per job
-        val grad = featRdd.treeAggregate(
-          Array.fill[java.math.BigDecimal](dim + 1)(java.math.BigDecimal.ZERO))(
-          seqOp = { case (acc, (y, is, xs)) =>
+        val seqOp: (Array[java.math.BigDecimal], (Double, Array[Int], Array[Double])) => Array[java.math.BigDecimal] = {
+          case (acc, (y, is, xs)) =>
             var z = 0.0
             var j = 0
             while (j < is.length) { z += wB(is(j)) * xs(j); j += 1 }
@@ -234,12 +248,21 @@ object Classifier {
               j += 1
             }
             acc
-          },
-          combOp = { (a, b) =>
-            var i = 0
-            while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }
-            a
-          })
+        }
+        val grad =
+          if (localFeats != null) {
+            val acc = Array.fill[java.math.BigDecimal](dim + 1)(java.math.BigDecimal.ZERO)
+            var di = 0
+            while (di < localFeats.length) { seqOp(acc, localFeats(di)); di += 1 }
+            acc
+          } else featRdd.treeAggregate(
+            Array.fill[java.math.BigDecimal](dim + 1)(java.math.BigDecimal.ZERO))(
+            seqOp = seqOp,
+            combOp = { (a, b) =>
+              var i = 0
+              while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }
+              a
+            })
         var normSq = 0.0
         var i = 0
         while (i < grad.length) {

@@ -39,6 +39,13 @@ class ClassifierSpec extends SparkSpec {
     val b = Classifier.train(planted.repartition(7), "doc_id", "text", "label",
       dim = dim, iters = 10, lr = 5.0)
     assert(a.weights.toSeq == b.weights.toSeq)
+    // the driver-side small-corpus loop and the distributed treeAggregate
+    // loop must be BIT-identical (exact decimal gradient sums are order-
+    // insensitive): force the distributed path on the same corpus
+    val c = Classifier.train(planted, "doc_id", "text", "label",
+      dim = dim, iters = 10, lr = 5.0, driverLoopMaxDocs = 0)
+    assert(a.weights.toSeq == c.weights.toSeq,
+      "driver-loop and treeAggregate paths diverged")
   }
 
   test("one gradient step matches the closed form on a two-doc corpus") {
