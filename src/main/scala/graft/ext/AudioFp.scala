@@ -59,6 +59,8 @@ object AudioFp {
     try {
       if (Mp3.isMp3(payload)) {
         Mp3.decodeMono(payload)
+      } else if (Vorbis.isVorbis(payload)) {
+        Vorbis.decodeMono(payload)
       } else if (payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' &&
           payload(3) == 'C') {
         Flac.decode(payload).map { a =>

@@ -154,6 +154,77 @@ object Ogg {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Reassembled logical packets of the FIRST logical stream (by BOS
+    * serial): pages are CRC-verified and walked in order; a packet spans
+    * segments (and pages, via the continued-packet flag) until a lacing
+    * value < 255 ends it. Damage resyncs to the next capture — the
+    * packets before the damage survive. The [[Vorbis]] decode arm feeds
+    * on this.
+    */
+  def packets(b: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    if (b == null || b.length < 28) return Nil
+    try {
+      var i = 0
+      var serial = -1L
+      var cur = new java.io.ByteArrayOutputStream()
+      var inPacket = false
+      while (i + 27 <= b.length) {
+        val isCapture = b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+          b(i + 3) == 'S' && b(i + 4) == 0
+        var advanced = false
+        if (isCapture) {
+          val nSegs = b(i + 26) & 0xFF
+          val headerLen = 27 + nSegs
+          if (i + headerLen <= b.length) {
+            var payloadLen = 0
+            var k = 0
+            while (k < nSegs) { payloadLen += b(i + 27 + k) & 0xFF; k += 1 }
+            val pageEnd = i + headerLen + payloadLen
+            if (pageEnd <= b.length) {
+              val stored = le32(b, i + 22).toInt
+              if (stored == crc(b, i, pageEnd, i + 22, i + 26)) {
+                val headerType = b(i + 5) & 0xFF
+                val pageSerial = le32(b, i + 14)
+                if (serial == -1L && (headerType & 2) != 0) serial = pageSerial
+                if (serial == pageSerial) {
+                  // a fresh page NOT flagged continued starts a new packet
+                  if ((headerType & 1) == 0 && inPacket) {
+                    cur = new java.io.ByteArrayOutputStream() // drop partial
+                    inPacket = false
+                  }
+                  var off = i + headerLen
+                  k = 0
+                  while (k < nSegs) {
+                    val lace = b(i + 27 + k) & 0xFF
+                    cur.write(b, off, lace)
+                    off += lace
+                    inPacket = true
+                    if (lace < 255) {
+                      out += cur.toByteArray
+                      cur = new java.io.ByteArrayOutputStream()
+                      inPacket = false
+                    }
+                    k += 1
+                  }
+                }
+                i = pageEnd
+                advanced = true
+              }
+            } else i = b.length
+          } else i = b.length
+        }
+        if (!advanced && i < b.length) {
+          var j = i + 1
+          while (j + 4 <= b.length &&
+            !(b(j) == 'O' && b(j + 1) == 'g' && b(j + 2) == 'g' && b(j + 3) == 'S')) j += 1
+          i = if (j + 4 <= b.length) j else b.length
+        }
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => out.result() }
+  }
+
   /** Assemble one Ogg page with a correct CRC — shared by the spec and
     * certificate builders (the parser is the artifact under test; the
     * oracle checks metadata fields, not CRC bytes).

@@ -2748,6 +2748,10 @@ object ExtQueries {
             // III pipeline and pairs within the Hamming budget
             (if (id % 25 == 7)
               Seq((id + 270000L, graft.ext.Mp3Enc.encode(base)))
+             else Nil) ++
+            // Ogg/Vorbis re-encode (residue 13 mod 25, same disjointness)
+            (if (id % 25 == 13)
+              Seq((id + 360000L, graft.ext.VorbisEnc.encode(base)))
              else Nil)
         }
         .toDF("media_id", "payload")
@@ -2756,8 +2760,9 @@ object ExtQueries {
     },
     None, // model-defined (perceptual fingerprint); contract anchored below
     "perceptual audio dedup: band-energy-sign fingerprint over the real " +
-      "WAV/FLAC/MP3 decode, pigeonhole Hamming blocking (never all-pairs); " +
-      "gain-shifted and cross-codec copies pair, byte-dedup sees nothing")
+      "WAV/FLAC/MP3/Vorbis decode, pigeonhole Hamming blocking (never " +
+      "all-pairs); gain-shifted and cross-codec copies pair, byte-dedup " +
+      "sees nothing")
 
   private val qDedupAudioAnchor = Q(
     "q_dedup_audio_anchor",
@@ -2816,6 +2821,15 @@ object ExtQueries {
             // count is oracle-derivable.
             (if (id % 25 == 7)
               Seq((id + 270000L, graft.ext.Mp3Enc.encode(baseSamples)))
+             else Nil) ++
+            // Ogg/Vorbis re-encode of the SAME capture: the second lossy
+            // arm, decoded through the real floor1/residue/MDCT pipeline.
+            // Residue 13 mod 25 is disjoint from near (0 mod 25) and mp3
+            // (7 mod 25), and 0 mod 40 with 13 mod 25 has no solution
+            // (gcd(15,25)=5 does not divide 13) — exactly one pair per
+            // planted id.
+            (if (id % 25 == 13)
+              Seq((id + 360000L, graft.ext.VorbisEnc.encode(baseSamples)))
              else Nil)
         }
         .toDF("media_id", "payload")
@@ -2828,7 +2842,9 @@ object ExtQueries {
             .otherwise(0L)).as("n_near_pairs"),
           sum(when(col("hamming") === 0 && col("id2") < 270000L, 1L)
             .otherwise(0L)).as("n_exact_pairs"),
-          sum(when(col("id2") >= 270000L, 1L).otherwise(0L)).as("n_mp3_pairs"),
+          sum(when(col("id2") >= 270000L && col("id2") < 360000L, 1L)
+            .otherwise(0L)).as("n_mp3_pairs"),
+          sum(when(col("id2") >= 360000L, 1L).otherwise(0L)).as("n_vorbis_pairs"),
           sum(when(col("hamming") =!= 0 && col("hamming") =!= 3 &&
             col("id2") < 270000L, 1L).otherwise(0L)).as("n_bad_hamming"))
         .select(
@@ -2837,12 +2853,14 @@ object ExtQueries {
           coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
           coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
           coalesce(col("n_mp3_pairs"), lit(0L)).as("n_mp3_pairs"),
+          coalesce(col("n_vorbis_pairs"), lit(0L)).as("n_vorbis_pairs"),
           coalesce(col("n_bad_hamming"), lit(0L)).as("n_bad_hamming"))
     },
     Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 25 = 7)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 25 = 13)
                      AS BIGINT) AS n_pairs,
                    CAST(0 AS BIGINT) AS n_cross_family,
                    CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
@@ -2852,11 +2870,13 @@ object ExtQueries {
                      AS BIGINT) AS n_exact_pairs,
                    CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 7)
                      AS BIGINT) AS n_mp3_pairs,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 13)
+                     AS BIGINT) AS n_vorbis_pairs,
                    CAST(0 AS BIGINT) AS n_bad_hamming"""),
     "audio-dedup contract anchor: planted WAV near-dups at constructed " +
-      "fingerprint distances, FLAC re-encodes of the same capture at " +
-      "Hamming 0, and MP3 re-encodes through the real Layer III decode " +
-      "within the lossy budget — every planted pair found, zero " +
+      "fingerprint distances, FLAC re-encodes at Hamming 0, and MP3 and " +
+      "Ogg/Vorbis re-encodes through the real lossy decode pipelines " +
+      "within the Hamming budget — every planted pair found, zero " +
       "cross-family pairs, counts oracle-derived from documents alone")
 
   private val qDedupAudioIncremental = Q(

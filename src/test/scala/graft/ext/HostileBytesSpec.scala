@@ -61,6 +61,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("pnm", b => Pnm.decode(b)),
     ("mp3", b => Mp3.decode(b)),
     ("mp3_inventory", b => Mp3.inventory(b)),
+    ("vorbis", b => Vorbis.decode(b)),
+    ("ogg_packets", b => Ogg.packets(b)),
     ("webp_alpha", b => Webp.alphaPlane(b)))
 
   test("round 1: seeded garbage never throws") {
