@@ -48,7 +48,13 @@ package graft.ext
   *     array ranges). A Type0 font WITHOUT a readable ToUnicode has no
   *     byte-level text meaning at all — its codes are glyph ids — so
   *     unmapped codes contribute nothing, documented (there is nothing
-  *     to pass through).
+  *     to pass through). PREDEFINED CMaps (UniGB-UCS2-H etc., the CJK
+  *     no-ToUnicode case) stay cut deliberately: they are tens of
+  *     thousands of tabulated code->codepoint mappings published as
+  *     Adobe data files with no public copy in this container to
+  *     transcribe, and fabricating them would emit WRONG text (worse
+  *     than the honest no-text gate) — the same rationale as the MP3
+  *     arm's untranscribable Huffman tables ([[Mp3]]).
   *   - Encrypted documents (a /Encrypt entry outside stream data) →
   *     None: nothing inside is readable without the crypt machinery.
   *

@@ -653,21 +653,25 @@ object Vorbis {
   }
 
   /** Inverse MDCT, Vorbis convention: n output samples from n/2 coeffs,
-    * y[j] = sum_k X[k] cos(pi/(2n)(2j+1+n/2)(2k+1)). O(n^2/4) direct —
-    * blocksizes are <= 8192 and this arm feeds dedup fingerprints, not a
-    * playback path.
+    * y[j] = sum_k X[k] cos(pi/(2n)(2j+1+n/2)(2k+1)). O(n^2/4) direct
+    * over a cached per-blocksize cosine matrix — blocksizes are <= 8192
+    * and this arm feeds dedup fingerprints, not a playback path.
     */
+  private val imdctCosCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+
   private[ext] def imdct(x: Array[Double], n: Int): Array[Double] = {
-    val out = new Array[Double](n)
     val n2 = n / 2
+    val cosM = imdctCosCache.getOrElseUpdate(n,
+      Array.tabulate(n, n2)((j, k) =>
+        math.cos(math.Pi / (2.0 * n) * (2 * j + 1 + n2) * (2 * k + 1))))
+    val out = new Array[Double](n)
     var j = 0
     while (j < n) {
+      val row = cosM(j)
       var acc = 0.0
       var k = 0
-      while (k < n2) {
-        acc += x(k) * math.cos(math.Pi / (2.0 * n) * (2 * j + 1 + n2) * (2 * k + 1))
-        k += 1
-      }
+      while (k < n2) { acc += x(k) * row(k); k += 1 }
       out(j) = acc
       j += 1
     }

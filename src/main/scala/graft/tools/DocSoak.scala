@@ -214,6 +214,25 @@ object DocSoak {
       }.filter(_ != -1L).count()
     }
 
+    // the round-14 lossy arms, full encode + decode + fingerprint per
+    // doc (the heaviest honest per-doc cost: a real corpus only pays the
+    // DECODE half) — map-only, watch µs/doc flatness
+    timed("mp3_fp") {
+      ds.map { case (id, _) =>
+        val mp3 = graft.ext.Mp3Enc.encode(
+          graft.ext.AudioFp.synthSamples(id * 0x9E3779B97F4A7C15L))
+        graft.ext.AudioFp.fingerprint(mp3).getOrElse(-1L)
+      }.filter(_ != -1L).count()
+    }
+
+    timed("vorbis_fp") {
+      ds.map { case (id, _) =>
+        val ogg = graft.ext.VorbisEnc.encode(
+          graft.ext.AudioFp.synthSamples(id * 0x9E3779B97F4A7C15L))
+        graft.ext.AudioFp.fingerprint(ogg).getOrElse(-1L)
+      }.filter(_ != -1L).count()
+    }
+
     // mixed-format dispatch end-to-end: 6 rotating families through the
     // engine pipeline (sniff -> arms -> gate)
     timed("dispatch_mixed") {
