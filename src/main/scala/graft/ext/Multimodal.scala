@@ -318,8 +318,12 @@ object Multimodal {
       .select(col("media_id"), explode(col("orbit")).as("phash"))
       .distinct()
     val blocksN = if (nBlocks == 0) maxHamming + 1 else nBlocks
+    // no distinct on the band rows: duplicate (band, id) rows only
+    // produce self/duplicate candidate pairs, which candidatePairs'
+    // terminal distinct and the id1 =!= id2 filter already drop — a
+    // distinct here would be a full extra shuffle of the banded rows
     val bands = Dedup.hammingBands(exploded, "media_id", "phash", maxHamming,
-      blocksN).distinct()
+      blocksN)
     Dedup.candidatePairs(bands, "media_id")
       .filter(col("id1") =!= col("id2"))
       .join(orbits.select(col("media_id").as("id1"), col("orbit")(0).as("fp1")), "id1")

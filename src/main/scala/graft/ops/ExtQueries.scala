@@ -2604,6 +2604,8 @@ object ExtQueries {
       // maxHamming 5 budget.
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc PNG encodes
+        .repartition(s.sparkContext.defaultParallelism)
         .flatMap { id =>
           require(id >= 0 && id < 90000,
             s"q_dedup_image_orient_anchor: doc_id $id outside [0, 90000)")
@@ -2667,7 +2669,13 @@ object ExtQueries {
           out.toSeq
         }
         .toDF("media_id", "payload")
-      Multimodal.nearDupImagesOriented(media, maxHamming = 5)
+      // nBlocks 7: the orbit fan-out banding 8 hashes per image would
+      // quadratically inflate the default 6-block (~11-bit) buckets with
+      // random collisions (measured 6.5 s at sf0.1); C(7,2)=21 2-block
+      // subsets make ~18-bit compound keys — buckets stay sparse at a
+      // 2.7x smaller band table than 8 blocks' 56 subsets — and the
+      // pigeonhole guarantee holds at maxHamming 5
+      Multimodal.nearDupImagesOriented(media, maxHamming = 5, nBlocks = 7)
         .agg(
           count(lit(1)).as("n_pairs"),
           sum(when(col("id1") % 90000 =!= col("id2") % 90000, 1L)
@@ -3032,6 +3040,111 @@ object ExtQueries {
     "PNG codec roundtrip certificate: encode→decode through the pure-JVM " +
       "codec reproduces deterministic pixels, hash-checked against the " +
       "oracle's direct arithmetic")
+
+  private val qMp3Roundtrip = Q(
+    "q_mp3_roundtrip",
+    (s, d) => {
+      // REAL MPEG-1 Layer III codec, driver-checked (the round-14
+      // lossy-audio arm): per doc a 2304-sample capture (the exact
+      // fingerprint inverse) is encoded by Mp3Enc and decoded back by
+      // ext/Mp3.scala — full side info, scalefactors, Huffman (validated
+      // table 10 + sign bits), requantize, IMDCT and polyphase
+      // synthesis. Lossy, so the contract is the BOUNDED-drift form:
+      // the decoded fingerprint must land within the Hamming budget of
+      // the source fingerprint for EVERY doc (swept exhaustively at
+      // sf0.1 before wiring, max observed 3), the stream must triage as
+      // MPEG-1 Layer III, and the frame count is structural
+      // (2304 samples -> ceil(2304/1152) + 2 flush = 4 frames/doc).
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        // single-split input serializes the per-doc encode+decode
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val target = mix(id * 7 + 3)
+          val samples = graft.ext.AudioFp.synthSamples(target)
+          val mp3 = graft.ext.Mp3Enc.encode(samples)
+          val meta = graft.ext.Mpeg.mp3Meta(mp3)
+          val fp = graft.ext.AudioFp.fingerprint(mp3)
+          val ok = fp.exists(f => java.lang.Long.bitCount(f ^ target) <= 5)
+          (id, if (ok) 1L else 0L,
+            if (meta.exists(m => m.version == "1" && m.layer == 3)) 1L else 0L,
+            meta.map(_.n_frames).getOrElse(0L))
+        }
+        .toDF("media_id", "ok", "triaged", "frames")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ok")).as("n_within_budget"),
+          sum(col("triaged")).as("n_triaged"),
+          sum(col("frames")).as("sum_frames"))
+        .select(col("n_docs"), col("n_within_budget"), col("n_triaged"),
+          col("sum_frames"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_within_budget,
+                   CAST(count(*) AS BIGINT) AS n_triaged,
+                   CAST(4 * count(*) AS BIGINT) AS sum_frames
+            FROM documents"""),
+    "MP3 codec certificate: per doc a real Layer III encode+decode " +
+      "roundtrip — every decoded fingerprint within the lossy Hamming " +
+      "budget, every stream triaging as MPEG-1 Layer III with the " +
+      "structural frame count, all counts oracle-derived")
+
+  private val qVorbisRoundtrip = Q(
+    "q_vorbis_roundtrip",
+    (s, d) => {
+      // REAL Ogg/Vorbis codec, driver-checked (the second round-14
+      // lossy-audio arm): per doc the same capture through VorbisEnc ->
+      // ext/Vorbis.scala (setup-header codebooks, envelope floor1 with
+      // predict/room Y coding, residue type 2, IMDCT + lapping).
+      // Bounded-drift contract (sf0.1 sweep max 1) plus the structural
+      // page count: 2304/128 + 3 lead/flush = 21 audio packets, one per
+      // CRC-stamped page, after the 3 header pages = 24 pages per doc.
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val target = mix(id * 11 + 5)
+          val samples = graft.ext.AudioFp.synthSamples(target)
+          val ogg = graft.ext.VorbisEnc.encode(samples)
+          val meta = graft.ext.Ogg.meta(ogg)
+          val fp = graft.ext.AudioFp.fingerprint(ogg)
+          val ok = fp.exists(f => java.lang.Long.bitCount(f ^ target) <= 5)
+          (id, if (ok) 1L else 0L,
+            if (meta.exists(m => m.codec == "vorbis" && m.channels == 1 &&
+              m.sample_rate == 44100)) 1L else 0L,
+            meta.map(_.n_pages).getOrElse(0L))
+        }
+        .toDF("media_id", "ok", "triaged", "pages")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ok")).as("n_within_budget"),
+          sum(col("triaged")).as("n_triaged"),
+          sum(col("pages")).as("sum_pages"))
+        .select(col("n_docs"), col("n_within_budget"), col("n_triaged"),
+          col("sum_pages"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_within_budget,
+                   CAST(count(*) AS BIGINT) AS n_triaged,
+                   CAST(24 * count(*) AS BIGINT) AS sum_pages
+            FROM documents"""),
+    "Ogg/Vorbis codec certificate: per doc a real encode+decode " +
+      "roundtrip through the self-describing setup-header pipeline — " +
+      "every decoded fingerprint within the lossy Hamming budget, every " +
+      "stream triaging as mono 44.1 kHz Vorbis with the structural page " +
+      "count, all counts oracle-derived")
 
   private val qWebpRoundtrip = Q(
     "q_webp_roundtrip",
@@ -6706,7 +6819,8 @@ object ExtQueries {
     qDedupAudio, qDedupAudioAnchor,
     qDedupAudioIncremental,
     qMultimodal, qMultimodalAudio,
-    qPngRoundtrip, qWebpRoundtrip, qWebpFrames, qApngFrames,
+    qPngRoundtrip, qWebpRoundtrip, qMp3Roundtrip, qVorbisRoundtrip,
+    qWebpFrames, qApngFrames,
     qBmpDecode, qIcoDecode, qTiffDecode, qPnmDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
