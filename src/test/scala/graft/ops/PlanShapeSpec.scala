@@ -39,7 +39,13 @@ class PlanShapeSpec extends SparkSpec {
     ("q_lm_backoff", 9, 5, 0),       // five count-table joins, all broadcast at sf
     ("q_media_curate_engine", 4, 1, 0),
     ("q_curate_dispatch", 1, 0, 0),  // five map arms + certificate sort
-    ("q_span_index", 4, 1, 1))
+    ("q_span_index", 4, 1, 1),
+    // round 14: the D4-orbit pairing's verification joins MUST broadcast
+    // (the orbit table is id-bounded) and the pipeline stays banded —
+    // a cartesian or SMJ here is the all-pairs regression
+    ("q_dedup_image_orient_anchor", 7, 2, 0),
+    ("q_mp3_roundtrip", 2, 0, 0),   // repartition + final aggregate only
+    ("q_vorbis_roundtrip", 2, 0, 0))
 
   audited.foreach { case (name, maxShuffles, minBhj, maxSmj) =>
     test(s"$name plan shape holds (≤$maxShuffles shuffles, ≥$minBhj bcast join, ≤$maxSmj SMJ)") {
