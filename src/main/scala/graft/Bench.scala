@@ -117,8 +117,14 @@ object Bench {
           if (m.matches()) maxRound = math.max(maxRound, m.group(1).toInt)
         }
       } finally ls.close()
+      // the sf tag keys the filename too: the gate benches BOTH scale
+      // factors in one round, and without it the second invocation would
+      // silently overwrite the first run's rep history — defeating the
+      // artifact-only weather adjudication this file exists for
+      val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9.]", "_")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"BENCH_DETAIL_r${maxRound + 1}%02d.json"),
+        java.nio.file.Paths.get(f"BENCH_DETAIL_r${maxRound + 1}%02d_$sfTag%s.json"),
         detailLine)
     } catch { case _: Exception => () } // cwd may not be writable under the harness
     // …but the stdout line must survive the harness's bounded (2000-char)

@@ -324,7 +324,7 @@ object Multimodal {
     // distinct here would be a full extra shuffle of the banded rows
     val bands = Dedup.hammingBands(exploded, "media_id", "phash", maxHamming,
       blocksN)
-    Dedup.candidatePairs(bands, "media_id")
+    val pairs = Dedup.candidatePairs(bands, "media_id")
       .filter(col("id1") =!= col("id2"))
       .join(orbits.select(col("media_id").as("id1"), col("orbit")(0).as("fp1")), "id1")
       .join(orbits.select(col("media_id").as("id2"), col("orbit").as("orbit2")), "id2")
@@ -332,6 +332,14 @@ object Multimodal {
         expr("array_min(transform(orbit2, x -> int(bit_count(fp1 ^ x))))")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small — bounded by true near-dup pairs) result so
+    // the per-image orbit cache can be dropped here instead of leaking
+    // cached blocks for the life of the session; the pair cache the
+    // caller consumes is orders of magnitude smaller than the orbit table
+    try pairs.count()
+    finally orbits.unpersist(blocking = false)
+    pairs
   }
 
   /** Perceptual AUDIO fingerprints ([[AudioFp]] band-energy signs over

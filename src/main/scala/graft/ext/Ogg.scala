@@ -193,18 +193,29 @@ object Ogg {
                     cur = new java.io.ByteArrayOutputStream() // drop partial
                     inPacket = false
                   }
+                  // continued flag with NO packet in flight (stream start
+                  // after damage, or resync): the tail belongs to a packet
+                  // whose head was lost — libogg discards it; emitting it
+                  // as a standalone packet would hand downstream decoders
+                  // a mid-packet fragment dressed as a whole one. Skip
+                  // segments through the first lacing < 255.
+                  var discarding = (headerType & 1) != 0 && !inPacket
                   var off = i + headerLen
                   k = 0
                   while (k < nSegs) {
                     val lace = b(i + 27 + k) & 0xFF
-                    cur.write(b, off, lace)
-                    off += lace
-                    inPacket = true
-                    if (lace < 255) {
-                      out += cur.toByteArray
-                      cur = new java.io.ByteArrayOutputStream()
-                      inPacket = false
+                    if (discarding) {
+                      if (lace < 255) discarding = false
+                    } else {
+                      cur.write(b, off, lace)
+                      inPacket = true
+                      if (lace < 255) {
+                        out += cur.toByteArray
+                        cur = new java.io.ByteArrayOutputStream()
+                        inPacket = false
+                      }
                     }
+                    off += lace
                     k += 1
                   }
                 }

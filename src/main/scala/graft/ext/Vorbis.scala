@@ -232,6 +232,16 @@ object Vorbis {
       val delta = float32Unpack(r.bitsL(32))
       val valueBits = r.bits(4) + 1
       val seqP = r.bit() == 1
+      // allocation cap BEFORE Array.fill: entries (<=2^22) * dims
+      // (<=65535) overflows to multi-GB for a crafted lookup-type-2
+      // codebook — OutOfMemoryError is NOT caught by the NonFatal gate
+      // in decode(), so an untrusted payload could kill the executor.
+      // Real streams keep entries*dims below ~2^13 (the vq table at
+      // Codebook.vq allocates the same product in DOUBLES, so the cap
+      // bounds both at <=8 MB). IllegalArgumentException -> decode()
+      // gates None.
+      if (entries.toLong * dims > (1L << 20))
+        throw new IllegalArgumentException("vorbis: codebook lookup too large")
       val nVals =
         if (lookupType == 1) lookup1Values(entries, dims)
         else entries * dims

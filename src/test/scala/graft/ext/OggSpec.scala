@@ -80,6 +80,51 @@ class OggSpec extends AnyFunSuite {
     assert(m.n_pages == 2 && m.duration_ms == 1000)
   }
 
+  test("orphaned continued tail (no packet in flight) is discarded, not emitted") {
+    // a damaged/resynced stream can present a page whose continued flag is
+    // set while no packet is being assembled: the tail segments belong to a
+    // packet whose head was lost. libogg discards them; emitting the tail
+    // as a standalone packet hands downstream decoders a mid-packet
+    // fragment dressed as a whole one.
+    def rawPage(headerType: Int, serial: Long, seq: Long,
+        lacing: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](27 + lacing.length + payload.length)
+      out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+      out(5) = headerType.toByte
+      var k = 0
+      while (k < 4) {
+        out(14 + k) = ((serial >>> (8 * k)) & 0xFF).toByte
+        out(18 + k) = ((seq >>> (8 * k)) & 0xFF).toByte
+        k += 1
+      }
+      out(26) = lacing.length.toByte
+      lacing.indices.foreach(j => out(27 + j) = lacing(j).toByte)
+      System.arraycopy(payload, 0, out, 27 + lacing.length, payload.length)
+      val c = Ogg.crc(out, 0, out.length, 22, 26)
+      k = 0
+      while (k < 4) { out(22 + k) = ((c >>> (8 * k)) & 0xFF).toByte; k += 1 }
+      out
+    }
+    val bosPkt = vorbisId(1, 8000)
+    val realPkt = Array[Byte](9, 8, 7, 6, 5)
+    // page 1 (BOS): one complete packet; page 2: CONTINUED flag set but
+    // nothing in flight — 10-byte orphan tail, then the 5-byte real packet
+    val orphan = Array.fill[Byte](10)(0x42)
+    val b = Ogg.page(2, 0, 9, 0, bosPkt) ++
+      rawPage(1, 9, 2, Array(orphan.length, realPkt.length), orphan ++ realPkt)
+    val pkts = Ogg.packets(b)
+    assert(pkts.length == 2, s"expected BOS + real packet, got ${pkts.length}")
+    assert(pkts(0).sameElements(bosPkt))
+    assert(pkts(1).sameElements(realPkt), "orphan tail must be discarded")
+    // an orphan tail that itself spans the whole page (all-255 lacing then
+    // a terminator on a later page) keeps discarding across segments
+    val longOrphan = Array.fill[Byte](255 + 20)(0x17)
+    val b2 = Ogg.page(2, 0, 9, 0, bosPkt) ++
+      rawPage(1, 9, 2, Array(255, 20, realPkt.length), longOrphan ++ realPkt)
+    val pkts2 = Ogg.packets(b2)
+    assert(pkts2.length == 2 && pkts2(1).sameElements(realPkt))
+  }
+
   test("non-Ogg payloads and every truncation: None or partial, never thrown") {
     assert(Ogg.meta(null).isEmpty)
     assert(Ogg.meta("no pages here at all -- plain text".getBytes).isEmpty)

@@ -119,6 +119,36 @@ class VorbisSpec extends AnyFunSuite {
       java.lang.Long.bitCount(f ^ target) <= 4))
   }
 
+  test("crafted huge lookup-type-2 codebook gates (IAE) before allocating") {
+    // entries (2^22) * dims (16) would be a 64 M-element mults array and a
+    // 512 MB vq table — an OutOfMemoryError is NOT caught by the NonFatal
+    // gate in decode(), so the allocation cap must throw
+    // IllegalArgumentException first. Build the codebook bits directly
+    // (LSB-first, as Reader consumes them).
+    val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def put(v: Long, n: Int): Unit = (0 until n).foreach(i => bits += ((v >> i) & 1L).toInt)
+    put(0x564342L, 24) // "BCV" sync
+    put(16, 16)        // dims
+    put(1 << 22, 24)   // entries (max the size check allows)
+    put(1, 1)          // ordered lengths
+    put(0, 5)          // initial length 1
+    put(1 << 22, 23)   // ilog(2^22) = 23 bits: fill ALL entries at length 1
+    put(2, 4)          // lookup type 2 (mults = entries * dims)
+    put(0, 32); put(0, 32) // minVal, delta
+    put(0, 4)          // valueBits - 1
+    put(0, 1)          // seqP
+    put(0, 64)         // slack the reader may touch before the cap fires
+    val payload = new Array[Byte]((bits.length + 7) / 8)
+    bits.zipWithIndex.foreach { case (b, i) =>
+      if (b != 0) payload(i >> 3) = (payload(i >> 3) | (1 << (i & 7))).toByte
+    }
+    // IllegalArgumentException (NonFatal -> decode() gates None), not
+    // OutOfMemoryError / NegativeArraySizeException from the allocation
+    intercept[IllegalArgumentException] {
+      Vorbis.readCodebook(new Vorbis.Reader(payload))
+    }
+  }
+
   test("hostile bytes: garbage, truncation, bit flips never throw") {
     val rng = new scala.util.Random(13)
     for (len <- Seq(0, 5, 64, 1024)) {
