@@ -30,10 +30,25 @@ package graft.ext
   * DOCUMENTED ENVELOPE (each arm gates to None, never garbage):
   *   - Huffman tables 13, 15 and the linbits families 16-23/24-31 are
   *     large tabulated data (ISO Table B.7) with no public copy in this
-  *     container to transcribe; a frame selecting them is reported
+  *     container to transcribe (a container-wide byte-signature scan for
+  *     every known decoder layout — ffmpeg uint16 codes, hlen byte rows,
+  *     count1-A — finds nothing); a frame selecting them is reported
   *     unsupported via [[inventory]] and the stream decodes to None.
   *     Fabricating plausible codes would misdecode real streams, which
   *     is worse than gating them out.
+  *     The round-15 recall experiment (tools/mp3_b7_recall_experiment.md)
+  *     measured why these four trees cannot ship the way tables 1-12
+  *     did: the 256-entry HLEN vector of table 13 was recalled EXACTLY
+  *     (its Kraft sum is exactly 1 — a near-impossible accident), but
+  *     the HCOD vector recalls at only ~70% fidelity (79 prefix
+  *     collisions), and table 24's lengths don't even reach Kraft 0.5.
+  *     At that fidelity even a validation PASS would be untrustworthy:
+  *     the prefix+Kraft check is blind to swapped same-length codewords,
+  *     so a high-error recall that happens to validate could still
+  *     misdecode. Derivation was ruled out experimentally: neither
+  *     canonical code assignment (any tie-break) nor canonical codeword
+  *     SETS per length reproduce the 11 validated tables — the ISO
+  *     codeword values are irreducible Huffman-tree data.
   *   - Intensity stereo bands decode as coded (no intensity projection);
   *     LSF intensity scalefactors (the mode_ext&1 + LSF combination) are
   *     unsupported.
