@@ -338,26 +338,6 @@ object Vp8 {
       mbY += 1
     }
 
-    if (debugState != null) {
-      debugState(s"hdr: ${width}x$height mb=${mbW}x$mbH part0Len=$part0Len " +
-        s"useSegment=$useSegment updateMap=$updateMap segAbs=$segAbs " +
-        s"simpleFilter=$simpleFilter level=$filterLevel sharp=$sharpness " +
-        s"lfDelta=$useLfDelta numParts=$numParts yacQi=$yacQi " +
-        s"useSkip=$useSkip skipProb=$skipProb")
-      debugState(s"after modes: hd.consumed=${hd.consumed}/$part0Len overrun=${hd.overrun}")
-      var y = 0
-      while (y < mbH) {
-        var x = 0
-        while (x < mbW) {
-          val m = mbs(y * mbW + x)
-          debugState(s"MB($x,$y) seg=${m.segment} skip=${m.skip} yMode=${m.yMode} " +
-            s"uv=${m.uvMode} b=${if (m.bModes == null) "-" else m.bModes.mkString("")}")
-          x += 1
-        }
-        y += 1
-      }
-    }
-
     // ---- canvases: (x, y) at (y + 1) * stride + (x + 1); row -1 = 127,
     // col -1 = 129 (written per MB row), RFC 6386 §12.2 conventions
     val yStride = mbW * 16 + 8
@@ -613,6 +593,13 @@ object Vp8 {
     v
   }
 
+  /** Encoder-shared entry: iDCT-add one raster-order coefficient block. */
+  private[ext] def idctAddShared(p: Array[Byte], o: Int, s: Int, blk: Array[Int]): Unit =
+    idctAdd(p, o, s, blk, 0)
+
+  /** Encoder-shared entry: Y2 inverse WHT + DC scatter (base 24*16). */
+  private[ext] def iwhtForEncoder(c: Array[Int]): Unit = iwht(c, 24 * 16)
+
   // --------------------------------------------------------- transforms
 
   /** 4x4 inverse DCT (RFC 6386 §14.3), adds into the plane at (off). */
@@ -690,15 +677,10 @@ object Vp8 {
     java.util.Arrays.fill(c, base, base + 16, 0)
   }
 
-  /** Test-only tap: (mbX, mbY, blockIdx, bMode, predPixels, finalPixels). */
-  private[ext] var debugHook: (Int, Int, Int, Int, Array[Int], Array[Int]) => Unit = null
-  /** Test-only tap incl. predictor inputs: (mbX, mbY, j, mode, A, L, P, pred, fin). */
-  private[ext] var debugAL: (Int, Int, Int, Int, Array[Int], Array[Int], Int, Array[Int], Array[Int]) => Unit = null
-  private[ext] var lastAL: (Array[Int], Array[Int], Int) = null
-  /** Test-only: bypass the loop filter (differential recon isolation). */
+  /** Test-only: bypass the loop filter so Vp8InteropSpec can certify the
+    * reconstruction against libwebp's bypass_filtering output separately
+    * from the filtered output. */
   private[ext] var debugSkipFilter: Boolean = false
-  /** Test-only: parse-state printer. */
-  private[ext] var debugState: String => Unit = null
 
   // ------------------------------------------------------- prediction
 
@@ -727,14 +709,7 @@ object Vp8 {
         val br = j >> 2; val bc = j & 3
         val bo = yo + (br * 4) * yS + bc * 4
         predictB(mb.bModes(j), yP, bo, yS)
-        if (debugHook != null || debugAL != null) {
-          val pred = Array.tabulate(16)(k => yP(bo + (k >> 2) * yS + (k & 3)) & 0xFF)
-          idctAdd(yP, bo, yS, c, j * 16)
-          val fin = Array.tabulate(16)(k => yP(bo + (k >> 2) * yS + (k & 3)) & 0xFF)
-          if (debugHook != null) debugHook(mbX, mbY, j, mb.bModes(j), pred, fin)
-          if (debugAL != null)
-            debugAL(mbX, mbY, j, mb.bModes(j), lastAL._1, lastAL._2, lastAL._3, pred, fin)
-        } else idctAdd(yP, bo, yS, c, j * 16)
+        idctAdd(yP, bo, yS, c, j * 16)
         j += 1
       }
     } else {
@@ -769,6 +744,19 @@ object Vp8 {
   /** Whole-block (16x16 luma or 8x8 chroma) intra prediction. */
   private def predict16(mode: Int, p: Array[Byte], o: Int, s: Int,
       mbX: Int, mbY: Int, n: Int): Unit = {
+    val out = predict16Shared(mode, p, o, s, mbX, mbY, n)
+    var r = 0
+    while (r < n) {
+      var c = 0
+      while (c < n) { p(o + r * s + c) = out(r * n + c).toByte; c += 1 }
+      r += 1
+    }
+  }
+
+  /** Prediction values only (shared with the fixture encoder). */
+  private[ext] def predict16Shared(mode: Int, p: Array[Byte], o: Int, s: Int,
+      mbX: Int, mbY: Int, n: Int): Array[Int] = {
+    val out = new Array[Int](n * n)
     mode match {
       case 0 => // DC
         var dc = 0
@@ -780,18 +768,20 @@ object Vp8 {
           if (mbX > 0) { var i = 0; while (i < n) { sum += p(o + i * s - 1) & 0xFF; i += 1 }; cnt += n }
           dc = (sum + cnt / 2) / cnt
         }
-        var r = 0
-        while (r < n) {
-          java.util.Arrays.fill(p, o + r * s, o + r * s + n, dc.toByte)
-          r += 1
-        }
+        java.util.Arrays.fill(out, dc)
       case 1 => // V
         var r = 0
-        while (r < n) { System.arraycopy(p, o - s, p, o + r * s, n); r += 1 }
+        while (r < n) {
+          var c = 0
+          while (c < n) { out(r * n + c) = p(o - s + c) & 0xFF; c += 1 }
+          r += 1
+        }
       case 2 => // H
         var r = 0
         while (r < n) {
-          java.util.Arrays.fill(p, o + r * s, o + r * s + n, p(o + r * s - 1))
+          val l = p(o + r * s - 1) & 0xFF
+          var c = 0
+          while (c < n) { out(r * n + c) = l; c += 1 }
           r += 1
         }
       case _ => // TM
@@ -799,15 +789,16 @@ object Vp8 {
         var r = 0
         while (r < n) {
           val l = p(o + r * s - 1) & 0xFF
-          var cc = 0
-          while (cc < n) {
-            val v = l + (p(o - s + cc) & 0xFF) - tl
-            p(o + r * s + cc) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-            cc += 1
+          var c = 0
+          while (c < n) {
+            val v = l + (p(o - s + c) & 0xFF) - tl
+            out(r * n + c) = if (v < 0) 0 else if (v > 255) 255 else v
+            c += 1
           }
           r += 1
         }
     }
+    out
   }
 
   /** 4x4 B_PRED sub-modes (RFC 6386 §12.3). */
@@ -821,7 +812,6 @@ object Vp8 {
     while (i < 4) { L(i) = p(o + i * s - 1) & 0xFF; i += 1 }
     val out = new Array[Int](16)
     predictInto(mode, A, L, P, out)
-    if (debugAL != null) lastAL = (A.clone(), L.clone(), P)
     var r = 0
     while (r < 4) {
       var c = 0

@@ -129,3 +129,16 @@ if pw:
     print('python.webp', manifest['python'])
 json.dump(manifest, open('/tmp/vp8x/fixtures/manifest.json','w'), indent=1)
 print("done")
+
+# ---------------------------------------------------------------------------
+# Addendum (same session): the fixtures pinned in Vp8InteropSpec also include
+#  - simple-filter and extra-segment variants produced through the advanced
+#    WebPConfig/WebPPicture/WebPEncode ctypes bindings (filter_type=1 is never
+#    emitted by the simple WebPEncodeRGB API), and
+#  - bypass_filtering=1 decodes (WebPDecoderConfig, MODE_YUV) captured as
+#    .ny/.nu/.nv planes so the reconstruction and the loop filter are
+#    certified separately.
+# libwebp clamps config.partitions to one partition in practice, so the
+# multi-partition decode path is certified in the other direction instead:
+# tools/vp8_enc_groundtruth.py pins libwebp's decode of the in-repo Vp8Enc
+# fixture encoder's two-partition streams.
