@@ -167,7 +167,7 @@ object Vp8Enc {
   // ------------------------------------------------------ YUV helpers
 
   /** BT.601 studio-range RGB -> YUV420 (box-averaged chroma). */
-  private[ext] def toYuv420(img: Png.Image): Vp8.Yuv = {
+  private[graft] def toYuv420(img: Png.Image): Vp8.Yuv = {
     val w = img.width; val h = img.height
     val cw = (w + 1) / 2; val ch = (h + 1) / 2
     val y = new Array[Byte](w * h)

@@ -53,6 +53,7 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("xliff", b => Xliff.parse(b)),
     ("audio_fp", b => AudioFp.fingerprint(b)),
     ("vp8l", b => Vp8l.decode(b)),
+    ("vp8", b => Vp8.decode(b)),
     ("webp_anim", b => Webp.animFrames(b)),
     ("apng", b => Apng.frames(b)),
     ("bmp", b => Bmp.decode(b)),
@@ -113,6 +114,8 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("vp8l", Vp8l.encode(Vp8l.Image(16, 16,
       Array.tabulate(256)(i => 0xFF000000 | (i * 790951))),
       Vp8l.EncOpts(subtractGreen = true, predictorT = true, cacheBits = 4))),
+    ("vp8", Vp8Enc.encode(Png.Image(24, 16, 3,
+      Array.tabulate(24 * 16 * 3)(i => (i * 53 % 256).toByte)), 8, 2)),
     ("webp_anim", Webp.buildAnim(8, 8, (0 until 3).map(f =>
       (0, 0, 25, Vp8l.Image(8, 8,
         Array.tabulate(64)(i => 0xFF000000 | (i * 131071 + f * 777))))))),
