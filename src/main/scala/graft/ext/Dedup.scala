@@ -914,13 +914,28 @@ object Dedup {
     * blocksN) or band hashes match nothing — which is why the index
     * records them in its `_meta` table.
     */
+  /** Number of block subsets the pigeonhole banding emits per row. */
+  private[graft] def hammingSubsetCount(maxHamming: Int, blocksN: Int): Int =
+    (0 until blocksN).combinations(blocksN - maxHamming).size
+
   private[graft] def hammingBands(
       fp: DataFrame,
       idCol: String,
       fpCol: String,
       maxHamming: Int,
-      blocksN: Int): DataFrame = {
-    val subsets = (0 until blocksN).combinations(blocksN - maxHamming).toVector
+      blocksN: Int,
+      subsetFrom: Int = 0,
+      subsetUntil: Int = Int.MaxValue): DataFrame = {
+    // [subsetFrom, subsetUntil) selects a WAVE of the subset family so
+    // high-fan-out callers (the D4 orbit pairing) can split one huge
+    // band-row shuffle into bounded-footprint passes; the union of all
+    // waves' candidate pairs equals the single-pass candidate set because
+    // a pair is a candidate iff it shares ANY one subset band
+    // keep GLOBAL subset indices as band ids so wave calls stay
+    // join-compatible with full-range callers (the persisted indexes)
+    val subsets = (0 until blocksN).combinations(blocksN - maxHamming)
+      .toVector.zipWithIndex
+      .filter { case (_, i) => i >= subsetFrom && i < subsetUntil }
     require(subsets.size <= 512,
       s"C($blocksN, $maxHamming) = ${subsets.size} block subsets — " +
         "per-row key fanout too high; lower nBlocks or raise maxHamming")
@@ -934,7 +949,7 @@ object Dedup {
     }
     // compound key: the subset's block values bit-concatenated (exact, no
     // hash collisions; total width = 64·|subset|/blocksN ≤ 64 always fits)
-    val keys = subsets.zipWithIndex.map { case (s, si) =>
+    val keys = subsets.map { case (s, si) =>
       val compound = s.foldLeft(lit(0L): Column) { (acc, i) =>
         shiftleft(acc, bounds(i + 1) - bounds(i)).bitwiseOR(blockVal(i))
       }

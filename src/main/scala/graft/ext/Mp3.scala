@@ -49,9 +49,11 @@ package graft.ext
   *     canonical code assignment (any tie-break) nor canonical codeword
   *     SETS per length reproduce the 11 validated tables — the ISO
   *     codeword values are irreducible Huffman-tree data.
-  *   - Intensity stereo bands decode as coded (no intensity projection);
-  *     LSF intensity scalefactors (the mode_ext&1 + LSF combination) are
-  *     unsupported.
+  *   - MPEG-1 intensity stereo is DECODED (round 15): is_pos bands
+  *     project per §2.4.3.4.9.3, with M/S applied below the bound when
+  *     both joint modes are set; LSF intensity scalefactors (the
+  *     mode_ext&1 + MPEG-2 combination, a different is_pos coding)
+  *     remain gated to None.
   *   - The polyphase prototype window is an analytically designed
   *     near-perfect-reconstruction pseudo-QMF lowpass (root-raised-
   *     cosine response — exactly power-complementary at the pi/64 band
@@ -581,6 +583,88 @@ object Mp3 {
     System.arraycopy(out, 0, xr, 0, 576)
   }
 
+  /** MPEG-1 intensity-stereo projection (ISO 11172-3 §2.4.3.4.9.3),
+    * closing the round-14 "decode as coded" envelope for the V1 case:
+    * bands above the right channel's zero boundary carry the summed
+    * signal in the LEFT channel and a position 0..6 in the RIGHT
+    * channel's scalefactor slot; is_ratio = tan(pos·π/12) splits it as
+    * L' = L·ir/(1+ir), R' = L·1/(1+ir) (pos 6 ⇒ all left, pos 7 ⇒ band
+    * not intensity-coded). Below the bound — and on pos-7 bands — M/S
+    * applies when mode_ext&2 is also set (the dist10 III_stereo
+    * semantics, block structure from the LEFT granule, positions from
+    * the RIGHT granule's scalefactors). Operates on the POST-reorder
+    * spectra, where short-block (sfb, window) cells sit at
+    * 3·(start+k)+w. Mixed-block long parts stay non-intensity (M/S or
+    * copy) — real encoders place the intensity bound far above the
+    * mixed long region. LSF intensity (the MPEG-2 scalefac variant)
+    * remains a documented gate.
+    */
+  private def intensityStereo(l: Array[Double], r: Array[Double],
+      grL: Granule, grR: Granule, rate: Int, msAlso: Boolean): Unit = {
+    val inv = 1.0 / math.sqrt(2.0)
+    @inline def msAt(i: Int): Unit = {
+      val m = l(i); val s = r(i); l(i) = (m + s) * inv; r(i) = (m - s) * inv
+    }
+    @inline def isAt(i: Int, pos: Int): Unit = {
+      if (pos == 6) { r(i) = 0.0 }
+      else {
+        val t = math.tan(pos * math.Pi / 12)
+        val v = l(i)
+        l(i) = v * (t / (1 + t))
+        r(i) = v * (1 / (1 + t))
+      }
+    }
+    @inline def cell(i: Int, intensity: Boolean, pos: Int): Unit =
+      if (intensity && pos != 7) isAt(i, pos)
+      else if (msAlso) msAt(i)
+    val shortBlocks = grL.windowSwitching && grL.blockType == 2
+    if (!shortBlocks) {
+      val long = sfbLong(rate)
+      var top = 575
+      while (top >= 0 && r(top) == 0.0) top -= 1
+      var sfb = 0
+      while (sfb < 22) {
+        val s = long(sfb); val e = long(sfb + 1)
+        val intensity = s > top
+        val pos = if (sfb < 21) grR.sfLong(sfb) else grR.sfLong(20)
+        var i = s
+        while (i < e) { cell(i, intensity, pos); i += 1 }
+        sfb += 1
+      }
+    } else {
+      val short = sfbShort(rate)
+      val mixedBase = if (grL.mixed) 36 else 0
+      if (grL.mixed && msAlso) { var i = 0; while (i < mixedBase) { msAt(i); i += 1 } }
+      // per-window zero boundary over the reordered layout
+      val topLine = new Array[Int](3)
+      var w = 0
+      while (w < 3) {
+        var line = 191
+        while (line >= 0 && (3 * line + w >= 576 || r(3 * line + w) == 0.0)) line -= 1
+        topLine(w) = line
+        w += 1
+      }
+      var sb = if (grL.mixed) 3 else 0
+      while (sb < 13) {
+        val start = short(sb)
+        val end = short(sb + 1)
+        w = 0
+        while (w < 3) {
+          val intensity = start > topLine(w)
+          val pos = if (sb < 12) grR.sfShort(sb)(w) else grR.sfShort(11)(w)
+          var k = start
+          while (k < end) {
+            val i = 3 * k + w
+            if (i >= mixedBase && i < 576) cell(i, intensity, pos)
+            k += 1
+          }
+          w += 1
+        }
+        sb += 1
+      }
+    }
+  }
+
   private def midSide(l: Array[Double], r: Array[Double]): Unit = {
     val inv = 1.0 / math.sqrt(2.0)
     var i = 0
@@ -1084,7 +1168,10 @@ object Mp3 {
                       ch += 1
                     }
                     if (frameOk) {
-                      if (chans == 2 && mode == 1 && (modeExt & 2) != 0)
+                      if (chans == 2 && mode == 1 && (modeExt & 1) != 0 && !lsf)
+                        intensityStereo(xr(0), xr(1), si.gr(g)(0), si.gr(g)(1),
+                          rate, msAlso = (modeExt & 2) != 0)
+                      else if (chans == 2 && mode == 1 && (modeExt & 2) != 0)
                         midSide(xr(0), xr(1))
                       var ch2 = 0
                       while (ch2 < chans) {

@@ -85,7 +85,26 @@ object Mp3Enc {
     * (window switching) so the reorder / short-IMDCT arms are roundtrip-
     * certified too.
     */
-  def encode(samples: Array[Int], shortBlocks: Boolean = false): Array[Byte] = {
+  def encode(samples: Array[Int], shortBlocks: Boolean = false): Array[Byte] =
+    encodeImpl(samples, shortBlocks, intensityPos = -1)
+
+  /** Encode as a JOINT-STEREO (mode_extension = intensity) MPEG-1 Layer
+    * III stream: the LEFT channel carries the mono pipeline's coded
+    * spectrum, the RIGHT channel is an all-zero-spectrum granule whose
+    * scalefactor slots hold `isPos` (0..6) for every band — the ISO
+    * intensity position layout, so the decoder's §2.4.3.4.9.3 projection
+    * must split every band as L·ir/(1+ir) / L·1/(1+ir),
+    * ir = tan(isPos·π/12). At isPos 3 both output channels carry L/2
+    * (gain-invariant for the fingerprint contract); 0 and 6 swing the
+    * image fully right / fully left, which Mp3Spec pins directionally.
+    */
+  def encodeIntensity(samples: Array[Int], isPos: Int = 3): Array[Byte] = {
+    require(isPos >= 0 && isPos <= 6, s"is_pos must be 0..6, got $isPos")
+    encodeImpl(samples, shortBlocks = false, intensityPos = isPos)
+  }
+
+  private def encodeImpl(samples: Array[Int], shortBlocks: Boolean,
+      intensityPos: Int): Array[Byte] = {
     val rate = 44100
     val kbps = 320
     val frameLen = 144 * kbps * 1000 / rate // 1044, padding 0
@@ -184,7 +203,11 @@ object Mp3Enc {
         granuleBase += 18
         g += 1
       }
-      out.write(packFrame(rate, kbps, frameLen, granBits, granMeta))
+      if (intensityPos < 0)
+        out.write(packFrame(rate, kbps, frameLen, granBits, granMeta))
+      else
+        out.write(packFrameIntensity(rate, kbps, frameLen, granBits, granMeta,
+          intensityPos))
       f += 1
     }
     out.toByteArray
@@ -387,6 +410,75 @@ object Mp3Enc {
     val head = w.result()
     val frame = java.util.Arrays.copyOf(head, frameLen)
     frame
+  }
+
+  /** Header + STEREO side info + per-granule (left main data, right
+    * intensity-position scalefactors) — the joint-stereo intensity frame
+    * layout [[encodeIntensity]] documents.
+    */
+  private def packFrameIntensity(rate: Int, kbps: Int, frameLen: Int,
+      granBits: Array[Array[Byte]], meta: Array[GranuleMeta],
+      isPos: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.bits(0x7FF, 11)
+    w.bits(3, 2) // version 1
+    w.bits(1, 2) // layer III
+    w.bits(1, 1) // no CRC
+    w.bits(14, 4) // 320 kbps
+    w.bits(0, 2) // 44100
+    w.bits(0, 1); w.bits(0, 1) // padding / private
+    w.bits(1, 2) // joint stereo
+    w.bits(1, 2) // mode ext: intensity on, M/S off
+    w.bits(0, 1); w.bits(0, 1); w.bits(0, 2) // copyright/original/emphasis
+    // side info (stereo, 32 bytes)
+    w.bits(0, 9) // main_data_begin
+    w.bits(0, 3) // private (stereo)
+    w.bits(0, 8) // scfsi both channels: none
+    // right-channel intensity granule: zero spectrum, scalefactors only
+    // (sfCompress 15 -> slen1=4 over 11 bands + slen2=3 over 10 = 74 bits)
+    val isPart23 = 74
+    var g = 0
+    while (g < 2) {
+      var ch = 0
+      while (ch < 2) {
+        if (ch == 0) {
+          val m = meta(g)
+          w.bits(m.part23, 12)
+          w.bits(m.bigValues, 9)
+          w.bits(m.globalGain, 8)
+          w.bits(15, 4)
+          w.bits(0, 1) // no window switching (intensity arm is long-only)
+          w.bits(10, 5); w.bits(10, 5); w.bits(10, 5)
+          w.bits(7, 4); w.bits(13, 3)
+          w.bits(0, 1); w.bits(0, 1); w.bits(1, 1)
+        } else {
+          w.bits(isPart23, 12)
+          w.bits(0, 9) // big_values 0
+          w.bits(210, 8) // global gain (unused: zero spectrum)
+          w.bits(15, 4)
+          w.bits(0, 1)
+          w.bits(0, 5); w.bits(0, 5); w.bits(0, 5)
+          w.bits(0, 4); w.bits(0, 3)
+          w.bits(0, 1); w.bits(0, 1); w.bits(0, 1)
+        }
+        ch += 1
+      }
+      g += 1
+    }
+    // main data: per granule, left channel bits then right is_pos scalefacs
+    g = 0
+    while (g < 2) {
+      appendBits(w, granBits(g), meta(g).part23)
+      var sfb = 0
+      while (sfb < 11) { w.bits(isPos, 4); sfb += 1 }
+      while (sfb < 21) { w.bits(isPos, 3); sfb += 1 }
+      g += 1
+    }
+    w.padToByte()
+    val head = w.result()
+    require(head.length <= frameLen,
+      s"intensity frame overflow: ${head.length} > $frameLen")
+    java.util.Arrays.copyOf(head, frameLen)
   }
 
   private def appendBits(w: BitWriter, bytes: Array[Byte], nBits: Int): Unit = {

@@ -298,7 +298,7 @@ object Multimodal {
     * [[nearDupImages]].
     */
   def nearDupImagesOriented(media: DataFrame, maxHamming: Int = 3,
-      nBlocks: Int = 0): DataFrame = {
+      nBlocks: Int = 0, maxResidentSubsets: Int = 0): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val orbits = media.select("media_id", "payload").as[(Long, Array[Byte])]
@@ -314,24 +314,8 @@ object Multimodal {
       }
       .toDF("media_id", "orbit")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = orbits
-      .select(col("media_id"), explode(col("orbit")).as("phash"))
-      .distinct()
-    val blocksN = if (nBlocks == 0) maxHamming + 1 else nBlocks
-    // no distinct on the band rows: duplicate (band, id) rows only
-    // produce self/duplicate candidate pairs, which candidatePairs'
-    // terminal distinct and the id1 =!= id2 filter already drop — a
-    // distinct here would be a full extra shuffle of the banded rows
-    val bands = Dedup.hammingBands(exploded, "media_id", "phash", maxHamming,
-      blocksN)
-    val pairs = Dedup.candidatePairs(bands, "media_id")
-      .filter(col("id1") =!= col("id2"))
-      .join(orbits.select(col("media_id").as("id1"), col("orbit")(0).as("fp1")), "id1")
-      .join(orbits.select(col("media_id").as("id2"), col("orbit").as("orbit2")), "id2")
-      .select(col("id1"), col("id2"),
-        expr("array_min(transform(orbit2, x -> int(bit_count(fp1 ^ x))))")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val pairs = orientedPairsFromOrbits(orbits, maxHamming, nBlocks,
+      maxResidentSubsets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (small — bounded by true near-dup pairs) result so
     // the per-image orbit cache can be dropped here instead of leaking
@@ -340,6 +324,52 @@ object Multimodal {
     try pairs.count()
     finally orbits.unpersist(blocking = false)
     pairs
+  }
+
+  /** Pairing core over a prepared (media_id, orbit[8]) table — shared by
+    * [[nearDupImagesOriented]] and the OrientSoak scale measurement.
+    *
+    * `maxResidentSubsets` > 0 splits the C(nBlocks, nBlocks-maxHamming)
+    * block-subset family into waves of at most that many subsets, one
+    * banding shuffle per wave: the union of wave candidates equals the
+    * single-pass candidate set (a pair is a candidate iff it shares ANY
+    * subset band — DedupSpec pins the equality), while the PEAK resident
+    * band-row footprint drops by the wave factor. This is the lever for
+    * the orbit fan-out at the 100 TB shape: band rows scale with
+    * images x 8 x subsets, and a single-disk local run hits its spill
+    * wall on exactly that product (PERF.md, round-15 measurement).
+    */
+  private[graft] def orientedPairsFromOrbits(orbits: DataFrame,
+      maxHamming: Int, nBlocks: Int, maxResidentSubsets: Int = 0): DataFrame = {
+    val exploded = orbits
+      .select(col("media_id"), explode(col("orbit")).as("phash"))
+      .distinct()
+    val blocksN = if (nBlocks == 0) maxHamming + 1 else nBlocks
+    // no distinct on the band rows: duplicate (band, id) rows only
+    // produce self/duplicate candidate pairs, which candidatePairs'
+    // terminal distinct and the id1 =!= id2 filter already drop — a
+    // distinct here would be a full extra shuffle of the banded rows
+    val total = Dedup.hammingSubsetCount(maxHamming, blocksN)
+    val waves: Seq[(Int, Int)] =
+      if (maxResidentSubsets <= 0 || maxResidentSubsets >= total) Seq((0, total))
+      else (0 until total by maxResidentSubsets)
+        .map(f => (f, math.min(f + maxResidentSubsets, total)))
+    val candWaves = waves.map { case (f, u) =>
+      Dedup.candidatePairs(
+        Dedup.hammingBands(exploded, "media_id", "phash", maxHamming,
+          blocksN, f, u), "media_id")
+    }
+    val cands =
+      if (candWaves.size == 1) candWaves.head
+      else candWaves.reduce(_ unionByName _).distinct()
+    cands
+      .filter(col("id1") =!= col("id2"))
+      .join(orbits.select(col("media_id").as("id1"), col("orbit")(0).as("fp1")), "id1")
+      .join(orbits.select(col("media_id").as("id2"), col("orbit").as("orbit2")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("array_min(transform(orbit2, x -> int(bit_count(fp1 ^ x))))")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Perceptual AUDIO fingerprints ([[AudioFp]] band-energy signs over

@@ -210,9 +210,10 @@ object Webp {
     * Optional per-row prediction filters (horizontal / vertical /
     * gradient) are inverted after decode. This is the one place the repo
     * can certify VP8L entropy decoding against a REAL libwebp-encoded
-    * artifact (lossy+alpha files carry libwebp lossless-coded alpha even
-    * though lossy VP8 pixel decode stays an envelope cut) —
-    * Vp8lInteropSpec pins one such stream byte-for-byte.
+    * artifact (lossy+alpha files carry libwebp lossless-coded alpha) —
+    * Vp8lInteropSpec pins one such stream byte-for-byte; since round 15
+    * the lossy VP8 color chunk of the same artifact also pixel-decodes
+    * through [[Vp8]] (Vp8InteropSpec pins it against WebPDecodeYUV).
     */
   def alphaPlane(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val m = meta(b).getOrElse(return None)
@@ -329,11 +330,11 @@ object Webp {
   }
 
   /** Decoded animation frames of an extended WebP: every ANMF chunk's
-    * VP8L-coded payload through [[Vp8l.decode]] — (frame_no, x, y,
-    * duration_ms, raster). Lossy (VP8) frames are skipped (the decode
-    * envelope is lossless-only, same as the still path); a container
-    * with no decodable frames yields an empty seq, hostile bytes None
-    * via the usual total-function contract.
+    * VP8L-coded payload through [[Vp8l.decode]] and every lossy VP8
+    * payload through [[Vp8]] (the round-15 intra decoder) — (frame_no,
+    * x, y, duration_ms, raster). A container with no decodable frames
+    * yields an empty seq, hostile bytes None via the usual
+    * total-function contract.
     */
   def animFrames(b: Array[Byte]): Option[Seq[(Int, Int, Int, Int, Vp8l.Image)]] = {
     if (b == null || b.length < 20) return None
@@ -366,6 +367,17 @@ object Webp {
               Vp8l.decodePayload(java.util.Arrays.copyOfRange(
                 b, q + 8, q + 8 + fsize.toInt))
                 .foreach(img => out += ((n, fx, fy, dur, img)))
+            else if (fcc == "VP8 ")
+              Vp8.decodeFrame(b, q + 8, q + 8 + fsize.toInt)
+                .foreach { yuv =>
+                  val rgb = Vp8.toPngImage(yuv)
+                  val argb = Array.tabulate(rgb.width * rgb.height) { k =>
+                    0xFF000000 | ((rgb.pixels(k * 3) & 0xFF) << 16) |
+                      ((rgb.pixels(k * 3 + 1) & 0xFF) << 8) |
+                      (rgb.pixels(k * 3 + 2) & 0xFF)
+                  }
+                  out += ((n, fx, fy, dur, Vp8l.Image(rgb.width, rgb.height, argb)))
+                }
             q += 8 + fsize.toInt + (fsize.toInt & 1)
           }
           n += 1

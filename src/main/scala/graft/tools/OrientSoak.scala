@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
   * planted rotated-noisy twin (3 bits flipped on one orbit member) that
   * must surface at Hamming <= 5.
   *
-  * Usage: runMain graft.tools.OrientSoak [imagesThousands,...]
-  *        (default "200,800")
+  * Usage: runMain graft.tools.OrientSoak [imagesThousands,...] [maxResidentSubsets]
+  *        (default "200,800" 0 — a positive second arg splits the 21
+  *        block subsets into waves of that size, the round-15 lever that
+  *        carries the measurement past the single-disk spill wall the
+  *        3.2 M-image point hit in round 14)
   */
 object OrientSoak {
   def main(args: Array[String]): Unit = {
     val points: Seq[Long] = args.headOption
       .map(_.split(",").toSeq.map(_.trim.toLong))
       .getOrElse(Seq(200L, 800L))
+    val maxResidentSubsets = if (args.length > 1) args(1).toInt else 0
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -59,20 +63,10 @@ object OrientSoak {
           out.toSeq
         }
         .toDF("media_id", "orbit")
-      // the pairing core, mirroring nearDupImagesOriented's plan shape
-      val exploded = orbits
-        .select(col("media_id"), explode(col("orbit")).as("phash"))
-        .distinct()
-      val bands = graft.ext.Dedup.hammingBands(
-        exploded, "media_id", "phash", 5, 7)
+      // the pairing core itself (shared with nearDupImagesOriented)
       val orbitsP = orbits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = graft.ext.Dedup.candidatePairs(bands, "media_id")
-        .filter(col("id1") =!= col("id2"))
-        .join(orbitsP.select(col("media_id").as("id1"), col("orbit")(0).as("fp1")), "id1")
-        .join(orbitsP.select(col("media_id").as("id2"), col("orbit").as("orbit2")), "id2")
-        .select(col("id1"), col("id2"),
-          expr("array_min(transform(orbit2, x -> int(bit_count(fp1 ^ x))))").as("hamming"))
-        .filter(col("hamming") <= 5)
+      val pairs = graft.ext.Multimodal.orientedPairsFromOrbits(
+        orbitsP, 5, 7, maxResidentSubsets)
       val found = pairs.count()
       val planted = (n + 99) / 100
       val wall = (System.nanoTime() - t0) / 1e9

@@ -207,4 +207,52 @@ class Mp3Spec extends AnyFunSuite {
     flip(good.length / 2) = (flip(good.length / 2) ^ 0x55).toByte
     Mp3.decode(flip)
   }
+  test("MPEG-1 intensity stereo projects is_pos bands per ISO 2.4.3.4.9.3") {
+    val target = 0x5AA5F00F3CC3A55AL
+    val samples = AudioFp.synthSamples(target)
+    def energies(pos: Int): (Double, Double, Array[Int]) = {
+      val mp3 = Mp3Enc.encodeIntensity(samples, pos)
+      val a = Mp3.decode(mp3).getOrElse(fail(s"intensity pos=$pos failed to decode"))
+      assert(a.channels == 2)
+      // header triage: joint stereo with the intensity bit set
+      val meta = Mpeg.mp3Meta(mp3)
+      assert(meta.exists(_.channels == 2))
+      val n = a.samples.length / 2
+      var el = 0.0; var er = 0.0
+      var i = 0
+      while (i < n) {
+        el += a.samples(2 * i).toDouble * a.samples(2 * i)
+        er += a.samples(2 * i + 1).toDouble * a.samples(2 * i + 1)
+        i += 1
+      }
+      (math.sqrt(el / n), math.sqrt(er / n), a.samples)
+    }
+    // pos 0: tan(0)=0 -> everything right; pos 6: tan(pi/2) -> everything
+    // left; pos 3: tan(pi/4)=1 -> equal split (L=R=source/2)
+    val (l0, r0, _) = energies(0)
+    assert(l0 < 1.0 && r0 > 50.0, s"pos 0 must swing fully right: L=$l0 R=$r0")
+    val (l6, r6, _) = energies(6)
+    assert(r6 < 1.0 && l6 > 50.0, s"pos 6 must swing fully left: L=$l6 R=$r6")
+    val (l3, r3, s3) = energies(3)
+    assert(math.abs(l3 - r3) / math.max(l3, 1.0) < 0.01,
+      s"pos 3 must split equally: L=$l3 R=$r3")
+    // at pos 3 the two channels are the SAME signal, sample for sample
+    val n3 = s3.length / 2
+    var i = 0
+    while (i < n3) {
+      assert(math.abs(s3(2 * i) - s3(2 * i + 1)) <= 1, s"pos-3 L!=R at $i")
+      i += 1
+    }
+    // pos 2: tan(30deg) = 0.5774 -> rms ratio L/R must track it
+    val (l2, r2, _) = energies(2)
+    assert(math.abs(l2 / r2 - math.tan(2 * math.Pi / 12)) < 0.02,
+      s"pos 2 ratio off: ${l2 / r2}")
+    // and the fingerprint survives the intensity arm (gain-invariant)
+    for (pos <- Seq(0, 3, 6)) {
+      val fp = AudioFp.fingerprint(Mp3Enc.encodeIntensity(samples, pos))
+      assert(fp.exists(f => java.lang.Long.bitCount(f ^ target) <= 8),
+        s"pos=$pos fingerprint drifted")
+    }
+  }
+
 }

@@ -232,6 +232,41 @@ class MultimodalSpec extends SparkSpec {
     assert(p2 == Set((0L, 1L, 0)), s"got $p2")
   }
 
+  test("wave-split banding (maxResidentSubsets) yields the identical pair set") {
+    // 60 synthetic orbits with planted twins at several Hamming distances:
+    // the 1-pass and every wave split of the 21 block subsets must agree
+    // EXACTLY — a pair is a candidate iff it shares any one subset band,
+    // so the union of wave candidates is the single-pass candidate set
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val orbits = (0L until 60L).flatMap { id =>
+      val base = mix(id)
+      val orbit = Array.tabulate(8)(j => if (j == 0) base else mix(base + j))
+      val rows = scala.collection.mutable.ArrayBuffer((id, orbit))
+      if (id % 7 == 0) {
+        val flips = (id % 5 + 1).toInt // 1..5 bits on one orbit member
+        val twin = Array.tabulate(8)(j =>
+          if (j == (id % 8).toInt) base ^ ((1L << flips) - 1)
+          else mix(base * 13 + j))
+        rows += ((id + 1000, twin))
+      }
+      rows.toSeq
+    }.toDF("media_id", "orbit")
+    def run(waves: Int): Set[(Long, Long, Int)] =
+      Multimodal.orientedPairsFromOrbits(orbits, 5, 7, waves)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val onePass = run(0)
+    assert(onePass.nonEmpty)
+    assert(run(11) == onePass, "2-wave split changed the pair set")
+    assert(run(7) == onePass, "3-wave split changed the pair set")
+    assert(run(1) == onePass, "per-subset waves changed the pair set")
+  }
+
   test("feature extraction emits unit-norm vectors that plug into the similarity family") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "image/fake")
     val emb = Multimodal.extractFeatures(media, dim = 16)

@@ -19,7 +19,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * method 1 — i.e. its alpha plane is a HEADERLESS VP8L stream encoded
   * by libwebp itself ("Lavf"/libwebp toolchain), decoded through
   * [[Vp8l.decodeHeaderless]] / [[Webp.alphaPlane]]. The lossy VP8 color
-  * chunk stays metadata-only per the documented envelope.
+  * chunk of the SAME artifact pixel-decodes through [[Vp8]] since round
+  * 15, pinned against libwebp's own WebPDecodeYUV in Vp8InteropSpec.
   */
 class Vp8lInteropSpec extends AnyFunSuite {
 
