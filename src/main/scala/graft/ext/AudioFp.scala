@@ -140,6 +140,41 @@ object AudioFp {
   def fingerprint(payload: Array[Byte]): Option[Long] =
     monoSamples(payload).map(fingerprint)
 
+  /** TIME-OFFSET CONTRACT (round-15 ask): [[fingerprint]] frames from
+    * sample 0, so it is alignment-SENSITIVE by design — a copy of the
+    * same capture shifted by e.g. 128 samples frames different windows
+    * and generally lands far outside the pairing budget (Mp3Spec pins
+    * this). [[fingerprintOnset]] is the alignment-robust variant: it
+    * anchors the 9-frame window at the first ONSET (the first sample
+    * with |x| ≥ max(64, peak/16)), so leading-silence shifts of ANY
+    * length — trims, DAW exports, padded captures — fingerprint
+    * IDENTICALLY (the frames cover the same samples), certified by
+    * q_dedup_audio_offset_anchor with oracle-exact counts. Mid-signal
+    * crops remain outside both contracts (no landmark indexing here).
+    */
+  def fingerprintOnset(samples: Array[Int]): Long =
+    fingerprint(java.util.Arrays.copyOfRange(samples, onset(samples),
+      samples.length))
+
+  /** Onset-anchored fingerprint of a raw payload. */
+  def fingerprintOnset(payload: Array[Byte]): Option[Long] =
+    monoSamples(payload).map(fingerprintOnset)
+
+  /** First sample index whose magnitude reaches max(64, peak/16); 0 for
+    * silence (the plain framing, so silent payloads agree across both
+    * variants). */
+  private[ext] def onset(samples: Array[Int]): Int = {
+    var peak = 0
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i)); if (a > peak) peak = a; i += 1
+    }
+    val thresh = math.max(64, peak / 16)
+    i = 0
+    while (i < samples.length && math.abs(samples(i)) < thresh) i += 1
+    if (i >= samples.length) 0 else i
+  }
+
   /** Audio whose fingerprint is EXACTLY `target` — the anchor-certificate
     * inverse. Per band b, an amplitude walk over the 9 frames: level
     * steps DOWN across transition t when target bit t·8+b is set (energy

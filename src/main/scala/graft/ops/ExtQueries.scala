@@ -2887,6 +2887,62 @@ object ExtQueries {
       "within the Hamming budget — every planted pair found, zero " +
       "cross-family pairs, counts oracle-derived from documents alone")
 
+  private val qDedupAudioOffsetAnchor = Q(
+    "q_dedup_audio_offset_anchor",
+    (s, d) => {
+      // TIME-OFFSET contract certificate (round-15 ask #5): the plain
+      // fingerprint frames from sample 0 and is alignment-sensitive BY
+      // DESIGN (Mp3Spec pins a shifted copy landing outside the budget);
+      // the onset-anchored variant must make leading-silence shifts of
+      // ARBITRARY length (37..1036 samples here, cycling per doc — not
+      // frame multiples) fingerprint IDENTICALLY: the onset detector
+      // re-anchors the 9-frame window on the first energetic sample, so
+      // the frames cover the same capture. Exact-count oracle: every
+      // doc's original WAV must onset-fingerprint to its target AND its
+      // silence-shifted copy must match exactly (Hamming 0).
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val target = mix(id * 17 + 9)
+          val samples = graft.ext.AudioFp.synthSamples(target)
+          val shift = 37 + (id % 1000).toInt
+          val shifted = new Array[Int](shift + samples.length)
+          System.arraycopy(samples, 0, shifted, shift, samples.length)
+          val wavA = graft.ext.AudioFp.wavPcm16(samples)
+          val wavB = graft.ext.AudioFp.wavPcm16(shifted)
+          val fpA = graft.ext.AudioFp.fingerprintOnset(wavA)
+          val fpB = graft.ext.AudioFp.fingerprintOnset(wavB)
+          (id,
+            if (fpA.contains(target)) 1L else 0L,
+            if (fpB.contains(target) && fpA == fpB) 1L else 0L,
+            shift.toLong)
+        }
+        .toDF("media_id", "orig_exact", "shift_exact", "shift")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("orig_exact")).as("n_orig_exact"),
+          sum(col("shift_exact")).as("n_shift_exact"),
+          sum(col("shift")).as("sum_shift"))
+        .select(col("n_docs"), col("n_orig_exact"), col("n_shift_exact"),
+          col("sum_shift"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_orig_exact,
+                   CAST(count(*) AS BIGINT) AS n_shift_exact,
+                   CAST(sum(37 + doc_id % 1000) AS BIGINT) AS sum_shift
+            FROM documents"""),
+    "audio fingerprint time-offset contract: onset-anchored framing makes " +
+      "arbitrary leading-silence shifts fingerprint identically (Hamming " +
+      "0, exact counts oracle-derived); the plain fingerprint's " +
+      "alignment sensitivity is the documented complement")
+
   private val qDedupAudioIncremental = Q(
     "q_dedup_audio_incremental",
     (s, d) => {
@@ -6897,7 +6953,7 @@ object ExtQueries {
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qDedupImageRotAnchor,
     qDedupImageOrientAnchor,
-    qDedupAudio, qDedupAudioAnchor,
+    qDedupAudio, qDedupAudioAnchor, qDedupAudioOffsetAnchor,
     qDedupAudioIncremental,
     qMultimodal, qMultimodalAudio,
     qPngRoundtrip, qWebpRoundtrip, qWebpLossyRoundtrip, qMp3Roundtrip,

@@ -99,4 +99,31 @@ class AudioFpSpec extends AnyFunSuite {
     assert(((fp >>> 32) & 0xFFL) === 0xFFL)
     assert((fp >>> 40) === 0L)
   }
+  test("time-offset contract: plain framing is shift-sensitive, onset framing is not") {
+    val target = 0x0F1E2D3C4B5A6978L
+    val samples = AudioFp.synthSamples(target)
+    assert(AudioFp.fingerprint(samples) == target)
+    // a 128-sample leading-silence shift re-frames the capture: the plain
+    // fingerprint must move far outside the pairing budget (the DOCUMENTED
+    // sensitivity)...
+    def shifted(n: Int): Array[Int] = {
+      val out = new Array[Int](n + samples.length)
+      System.arraycopy(samples, 0, out, n, samples.length)
+      out
+    }
+    val plain128 = AudioFp.fingerprint(shifted(128))
+    assert(java.lang.Long.bitCount(plain128 ^ target) > 5,
+      "plain fingerprint unexpectedly survived a 128-sample shift")
+    // ...while the onset-anchored variant is EXACT for arbitrary shifts
+    assert(AudioFp.fingerprintOnset(samples) == target)
+    for (n <- Seq(1, 37, 128, 255, 999, 2048)) {
+      assert(AudioFp.fingerprintOnset(shifted(n)) == target,
+        s"onset fingerprint drifted at shift $n")
+    }
+    // payload-level route (WAV) and silence fall-back
+    assert(AudioFp.fingerprintOnset(AudioFp.wavPcm16(shifted(500))).contains(target))
+    assert(AudioFp.fingerprintOnset(new Array[Int](4096)) ==
+      AudioFp.fingerprint(new Array[Int](4096)))
+  }
+
 }
