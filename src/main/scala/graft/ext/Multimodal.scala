@@ -336,8 +336,16 @@ object Multimodal {
     * subset band — DedupSpec pins the equality), while the PEAK resident
     * band-row footprint drops by the wave factor. This is the lever for
     * the orbit fan-out at the 100 TB shape: band rows scale with
-    * images x 8 x subsets, and a single-disk local run hits its spill
-    * wall on exactly that product (PERF.md, round-15 measurement).
+    * images x 8 x subsets — AND, past a corpus-dependent size, with
+    * RANDOM band-key collisions: a band key carries
+    * 64·(nBlocks-maxHamming)/nBlocks bits, so candidate volume turns
+    * quadratic once images x 8 approaches 2^keyBits (the round-15
+    * re-diagnosis of the round-14 "3.2 M spill wall": the disk filled
+    * with candidate pairs, not band rows). Size nBlocks so the key
+    * stays ahead of the corpus — nBlocks 7 gives ~18-bit keys (fine to
+    * a few hundred thousand images), 9 gives ~28-bit keys for the
+    * multi-million range at 6x the subset count; the pigeonhole
+    * guarantee holds for any nBlocks > maxHamming.
     */
   private[graft] def orientedPairsFromOrbits(orbits: DataFrame,
       maxHamming: Int, nBlocks: Int, maxResidentSubsets: Int = 0): DataFrame = {
@@ -354,10 +362,23 @@ object Multimodal {
       if (maxResidentSubsets <= 0 || maxResidentSubsets >= total) Seq((0, total))
       else (0 until total by maxResidentSubsets)
         .map(f => (f, math.min(f + maxResidentSubsets, total)))
+    val multiWave = waves.size > 1
     val candWaves = waves.map { case (f, u) =>
-      Dedup.candidatePairs(
+      val w = Dedup.candidatePairs(
         Dedup.hammingBands(exploded, "media_id", "phash", maxHamming,
           blocksN, f, u), "media_id")
+      if (!multiWave) w
+      else {
+        // materialize the wave NOW and truncate lineage: the whole point
+        // of waves is bounding PEAK shuffle footprint, and a lazy union
+        // would run every wave's banding shuffle inside one job with all
+        // their shuffle files alive simultaneously. localCheckpoint runs
+        // the wave as its own job; the GC nudge lets the ContextCleaner
+        // drop the finished wave's shuffle files before the next starts.
+        val cp = w.localCheckpoint(true)
+        System.gc()
+        cp
+      }
     }
     val cands =
       if (candWaves.size == 1) candWaves.head

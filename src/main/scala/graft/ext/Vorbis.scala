@@ -28,6 +28,20 @@ package graft.ext
   * absent from modern encoders) and residue type 0.
   * Encode-side counterpart: [[VorbisEnc]] (fixture encoder) — the same
   * builder-feeds-parser certificate discipline as PNG/FLAC/VP8L/MP3.
+  *
+  * THIRD-PARTY INTEROP STATUS (round-15 re-verification of the advice
+  * finding): unlike MP3 (pinned LAME stream) and VP8/VP8L (pinned
+  * libwebp streams + the on-disk libwebp library as a differential
+  * oracle), NO real Vorbis artifact exists in this container — a
+  * filesystem-wide search for .ogg/.oga/.webm/.mkv/.opus files AND a
+  * byte-scan of every file for an embedded "OggS"+"\\x01vorbis" BOS
+  * page finds only file-magic signature databases, and there is no
+  * encoder library to drive. The symmetric-bug exposure is narrowed by
+  * construction rather than interop: every codebook is self-describing
+  * in-stream (no recalled tables to misalign), the inverse-dB table is
+  * the spec's closed form, and the hostile/roundtrip/certificate suite
+  * plus the q_dedup_audio_anchor lossy plants bound the remaining risk.
+  * Revisit the moment any public Vorbis-bearing artifact appears here.
   */
 object Vorbis {
 

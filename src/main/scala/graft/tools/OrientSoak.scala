@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * planted rotated-noisy twin (3 bits flipped on one orbit member) that
   * must surface at Hamming <= 5.
   *
-  * Usage: runMain graft.tools.OrientSoak [imagesThousands,...] [maxResidentSubsets]
-  *        (default "200,800" 0 — a positive second arg splits the 21
-  *        block subsets into waves of that size, the round-15 lever that
-  *        carries the measurement past the single-disk spill wall the
-  *        3.2 M-image point hit in round 14)
+  * Usage: runMain graft.tools.OrientSoak [imagesThousands,...]
+  *        [maxResidentSubsets] [nBlocks]
+  *        (defaults "200,800" 0 7). The round-15 3.2 M measurement runs
+  *        waves ("3200" 7 9): nBlocks 9 widens band keys to ~28 bits —
+  *        the round-14 "spill wall" was quadratic random-collision
+  *        CANDIDATE volume at nBlocks 7's ~18-bit keys, not band rows —
+  *        and 18 waves of 7 subsets bound each banding job's footprint.
   */
 object OrientSoak {
   def main(args: Array[String]): Unit = {
@@ -28,6 +30,7 @@ object OrientSoak {
       .map(_.split(",").toSeq.map(_.trim.toLong))
       .getOrElse(Seq(200L, 800L))
     val maxResidentSubsets = if (args.length > 1) args(1).toInt else 0
+    val nBlocks = if (args.length > 2) args(2).toInt else 7
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -66,7 +69,7 @@ object OrientSoak {
       // the pairing core itself (shared with nearDupImagesOriented)
       val orbitsP = orbits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = graft.ext.Multimodal.orientedPairsFromOrbits(
-        orbitsP, 5, 7, maxResidentSubsets)
+        orbitsP, 5, nBlocks, maxResidentSubsets)
       val found = pairs.count()
       val planted = (n + 99) / 100
       val wall = (System.nanoTime() - t0) / 1e9
