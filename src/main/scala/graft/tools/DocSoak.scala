@@ -233,6 +233,21 @@ object DocSoak {
       }.filter(_ != -1L).count()
     }
 
+    // round-15 lossy VP8 arm: full key-frame encode + pixel decode +
+    // aHash per doc (real corpora pay only the decode half) — map-only
+    timed("webp_lossy") {
+      ds.map { case (id, _) =>
+        val px = new Array[Byte](32 * 32 * 3)
+        var i = 0
+        while (i < px.length) { px(i) = ((id * 31 + i * 7) % 256).toByte; i += 1 }
+        val webp = graft.ext.Vp8Enc.encode(
+          graft.ext.Png.Image(32, 32, 3, px), 8, 3)
+        graft.ext.Vp8.decode(webp)
+          .map(y => graft.ext.Png.aHash(graft.ext.Vp8.toPngImage(y)))
+          .getOrElse(-1L)
+      }.filter(_ != -1L).count()
+    }
+
     // mixed-format dispatch end-to-end: 6 rotating families through the
     // engine pipeline (sniff -> arms -> gate)
     timed("dispatch_mixed") {

@@ -19,11 +19,37 @@ class PlanShapeSpec extends SparkSpec {
   private def shape(name: String): Shape = {
     val plan = graft.SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val lines = plan.split("\n")
+    // cached intermediates (the eager-materialize-then-unpersist pattern
+    // the oriented pairing uses) EMBED their build plan under the
+    // InMemoryTableScan node in explain output, but that subtree was
+    // executed once at build — only operators ABOVE the cache boundary
+    // run when this query executes, so the audit must stop there. The
+    // embedded subtree renders at deeper indentation than the scan node.
+    val lines0 = plan.split("\n")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var skipDeeperThan = -1
+    def indent(s: String): Int = s.takeWhile(c => !c.isLetter && c != '*').length
+    for (l <- lines0) {
+      val ind = indent(l)
+      if (skipDeeperThan >= 0 && ind <= skipDeeperThan) skipDeeperThan = -1
+      if (skipDeeperThan < 0) {
+        out += l
+        if (l.contains("InMemoryTableScan") || l.contains("InMemoryRelation"))
+          skipDeeperThan = ind
+      }
+    }
+    val lines = out.toSeq
     def c(s: String) = lines.count(_.contains(s))
     val bcastX = c("BroadcastExchange")
-    Shape(c("Exchange ") - bcastX, bcastX, c("BroadcastHashJoin"),
-      c("SortMergeJoin"), c("CartesianProduct"))
+    // broadcast-join PRESENCE is audited over the FULL tree (a >= check,
+    // safe under the embedded-subtree duplication): the build phase's
+    // joins are part of the executed work even though they ran at cache
+    // build. SMJ/cartesian are banned over the full tree for the same
+    // reason; the shuffle BOUND applies to the per-run outer plan.
+    val full = lines0
+    def cf(s: String) = full.count(_.contains(s))
+    Shape(c("Exchange ") - bcastX, bcastX, cf("BroadcastHashJoin"),
+      cf("SortMergeJoin"), cf("CartesianProduct"))
   }
 
   // name → (max shuffle exchanges, min broadcast joins, max sort-merge joins)
@@ -43,9 +69,16 @@ class PlanShapeSpec extends SparkSpec {
     // round 14: the D4-orbit pairing's verification joins MUST broadcast
     // (the orbit table is id-bounded) and the pipeline stays banded —
     // a cartesian or SMJ here is the all-pairs regression
-    ("q_dedup_image_orient_anchor", 7, 2, 0),
+    // (re-audited round 15: the pairing materializes eagerly behind a
+    // cache boundary, so the per-run plan is cache-scan + aggregate; the
+    // >=2 broadcast verification joins are asserted over the full tree)
+    ("q_dedup_image_orient_anchor", 2, 2, 0),
     ("q_mp3_roundtrip", 2, 0, 0),   // repartition + final aggregate only
-    ("q_vorbis_roundtrip", 2, 0, 0))
+    ("q_vorbis_roundtrip", 2, 0, 0),
+    // round 15: both new certificates are map-only per doc + one final
+    // aggregate — any join/extra shuffle here is a regression
+    ("q_webp_lossy_roundtrip", 2, 0, 0),
+    ("q_dedup_audio_offset_anchor", 2, 0, 0))
 
   audited.foreach { case (name, maxShuffles, minBhj, maxSmj) =>
     test(s"$name plan shape holds (≤$maxShuffles shuffles, ≥$minBhj bcast join, ≤$maxSmj SMJ)") {
