@@ -33,6 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Spark whole-stage codegen churns generated classes; the JDK default
   // 240 MB JIT code cache fills under a 70-query session, after which the
   // compiler shuts off and everything runs interpreted (huge, noisy
-  // slowdowns). Size it for a long-lived multi-query driver.
-  "-XX:ReservedCodeCacheSize=512m",
+  // slowdowns). 512 MB sufficed through 322 queries; 1 GB is headroom
+  // for the growing catalog (a round-15 code-cache-flushing hypothesis
+  // for slow codec arms was DISPROVEN by a same-box control run of the
+  // round-14 tree — see PERF.md round-15 bench adjudication).
+  "-XX:ReservedCodeCacheSize=1g",
 )
