@@ -2433,12 +2433,20 @@ object ExtQueries {
       // so the raster is never uniform). Planted copies: a NEAR dup
       // (id+90000, exactly 3 aHash bits flipped) for doc_id % 25 == 0 and
       // an EXACT dup (id+180000, same raster) for doc_id % 40 == 0.
+      // Round 15 adds the CROSS-CODEC plant (id+270000, doc_id % 30):
+      // the SAME raster re-encoded as LOSSY WebP through Vp8Enc — the
+      // image twin of the audio anchor's MP3/Vorbis plants. The VP8
+      // quantization noise at qIndex 4 never crosses an aHash threshold
+      // on these 0/255 block rasters (swept exhaustively over the
+      // planted population: max drift 0), so the webp copy pairs at
+      // EXACTLY Hamming 0 with base/exact and 3 with near — byte-level
+      // dedup sees nothing (different container, different codec).
       // nearDupImages at maxHamming 5 must then emit exactly the
-      // within-family pairs — near pairs at hamming 3, exact at 0, plus
-      // the near↔exact pair when both exist (% 200) — and nothing
-      // cross-family (random 64-bit hashes collide within 5 bits with
-      // probability ~5e-13 per pair; deterministic besides). Every count
-      // below is derivable by DuckDB from `documents` alone.
+      // within-family pairs — near at hamming 3 (%25, %200, %150),
+      // exact at 0 (%40, %30, %120) — and nothing cross-family (random
+      // 64-bit hashes collide within 5 bits with probability ~5e-13 per
+      // pair; deterministic besides). Every count below is derivable by
+      // DuckDB from `documents` alone.
       import s.implicits._
       val media = documents(s, d).select(col("doc_id")).as[Long]
         .flatMap { id =>
@@ -2470,11 +2478,27 @@ object ExtQueries {
             }
             graft.ext.Png.encode(graft.ext.Png.Image(16, 16, 1, px))
           }
+          def webpLossy(h: Long): Array[Byte] = {
+            val px = new Array[Byte](16 * 16)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val bit = (y / 2) * 8 + (x / 2)
+                px(y * 16 + x) =
+                  if (((h >>> bit) & 1L) == 1L) 0xFF.toByte else 0x00.toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.ext.Vp8Enc.encode(graft.ext.Png.Image(16, 16, 1, px), 4, 0)
+          }
           val base = (mix(id) | 1L) & ~(1L << 63)
           val near = base ^ 0xEL // flip bits 1,2,3 → aHash hamming exactly 3
           Seq((id, png(base))) ++
             (if (id % 25 == 0) Seq((id + 90000L, png(near))) else Nil) ++
-            (if (id % 40 == 0) Seq((id + 180000L, png(base))) else Nil)
+            (if (id % 40 == 0) Seq((id + 180000L, png(base))) else Nil) ++
+            (if (id % 30 == 0) Seq((id + 270000L, webpLossy(base))) else Nil)
         }
         .toDF("media_id", "payload")
       Multimodal.nearDupImages(media, maxHamming = 5)
@@ -2496,17 +2520,24 @@ object ExtQueries {
     Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 30 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 150 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 120 = 0)
                      AS BIGINT) AS n_pairs,
                    CAST(0 AS BIGINT) AS n_cross_family,
                    CAST((SELECT count(*) FROM documents WHERE doc_id % 25 = 0)
                       + (SELECT count(*) FROM documents WHERE doc_id % 200 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 150 = 0)
                      AS BIGINT) AS n_near_pairs,
                    CAST((SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 30 = 0)
+                      + (SELECT count(*) FROM documents WHERE doc_id % 120 = 0)
                      AS BIGINT) AS n_exact_pairs,
                    CAST(0 AS BIGINT) AS n_bad_hamming"""),
-    "image-dedup contract anchor: planted near/exact PNG duplicates with " +
-      "constructed aHashes — every planted pair found at its exact " +
-      "Hamming distance, zero cross-family pairs, all counts " +
+    "image-dedup contract anchor: planted near/exact PNG duplicates AND a " +
+      "cross-codec lossy-WebP re-encode of the same raster — every " +
+      "planted pair found at its exact Hamming distance through the real " +
+      "PNG and VP8 decoders, zero cross-family pairs, all counts " +
       "oracle-derived from documents alone")
 
   private val qDedupImageRotAnchor = Q(
