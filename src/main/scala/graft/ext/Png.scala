@@ -596,7 +596,7 @@ object Png {
   def decodeAny(bytes: Array[Byte]): Option[Image] =
     decode(bytes).orElse(Jpeg.decode(bytes))
       .orElse(Vp8l.decode(bytes).map(Vp8l.toPngImage))
-      .orElse(Vp8.decode(bytes).map(Vp8.toPngImage))
+      .orElse(Vp8.decodeToImage(bytes))
       .orElse(Bmp.decode(bytes))
       .orElse(Ico.decode(bytes))
       .orElse(TiffImg.decode(bytes))

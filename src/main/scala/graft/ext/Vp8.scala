@@ -113,6 +113,30 @@ object Vp8 {
       findVp8Chunk(webp).flatMap { case (s, e) => decodeFrame(webp, s, e) }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Full-image decode of a lossy WebP INCLUDING the VP8X ALPH plane
+    * when present (python.webp's actual layout — lossy color + losslessly
+    * coded alpha): the YUV frame through [[toPngImage]], widened to RGBA
+    * with [[Webp.alphaPlane]]'s decoded alpha. Color-only files return
+    * the 3-channel image unchanged.
+    */
+  def decodeToImage(webp: Array[Byte]): Option[Png.Image] =
+    decode(webp).map(toPngImage).map { rgb =>
+      Webp.alphaPlane(webp) match {
+        case Some((aw, ah, a)) if aw == rgb.width && ah == rgb.height =>
+          val out = new Array[Byte](rgb.width * rgb.height * 4)
+          var i = 0
+          while (i < rgb.width * rgb.height) {
+            out(i * 4) = rgb.pixels(i * 3)
+            out(i * 4 + 1) = rgb.pixels(i * 3 + 1)
+            out(i * 4 + 2) = rgb.pixels(i * 3 + 2)
+            out(i * 4 + 3) = a(i)
+            i += 1
+          }
+          Png.Image(rgb.width, rgb.height, 4, out)
+        case _ => rgb
+      }
+    }
+
   /** VP8 YUV 4:2:0 to the repo's canonical RGB [[Png.Image]]: BT.601
     * integer conversion with nearest-neighbor chroma upsampling —
     * deterministic (the repo codec contract), intentionally NOT

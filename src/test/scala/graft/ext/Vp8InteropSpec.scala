@@ -176,6 +176,24 @@ class Vp8InteropSpec extends AnyFunSuite {
     assert(Vp8.decode(simple).exists(y => y.width == 48 && y.height == 48))
   }
 
+  test("python.webp decodes FULLY: lossy VP8 color + VP8L-coded alpha as RGBA") {
+    // the artifact's complete layout at last — round 13 decoded its alpha,
+    // round 15 its color; this row pins the merged 4-channel image
+    val bytes = fromHex(fixtures.find(_._1 == "python").get._2)
+    val img = Vp8.decodeToImage(bytes).getOrElse(fail("full decode failed"))
+    assert(img.width == 16 && img.height == 16 && img.channels == 4)
+    // the alpha channel is the REAL ALPH plane (transparent corners on the
+    // logo), and matches the standalone alpha decode byte-for-byte
+    val (aw, ah, alpha) = Webp.alphaPlane(bytes).get
+    assert(aw == 16 && ah == 16)
+    val gotAlpha = Array.tabulate(256)(i => img.pixels(i * 4 + 3))
+    assert(java.util.Arrays.equals(gotAlpha, alpha))
+    assert(alpha.exists(_ == 0) && alpha.exists(a => (a & 0xFF) == 255),
+      "logo alpha must carry both transparent and opaque pixels")
+    // and decodeAny serves the 4-channel image (the dedup entry point)
+    assert(Png.decodeAny(bytes).exists(_.channels == 4))
+  }
+
   // (w, h, qIndex, i4Every, seed, libwebp-decoded plane checksums)
   private val encPins = Seq(
 

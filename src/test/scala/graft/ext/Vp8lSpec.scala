@@ -160,6 +160,41 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("animated WebP with LOSSY (VP8) frames decodes since round 15") {
+    // hand-build an anim container whose ANMF frames wrap VP8 chunks from
+    // the lossy fixture encoder — the path real animated webp from lossy
+    // toolchains takes, previously skipped as an envelope
+    val w = 32; val h = 16
+    def lossyFrameChunk(seed: Int): Array[Byte] = {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 7 + seed * 131) % 256).toByte)
+      val full = Vp8Enc.encode(Png.Image(w, h, 3, px), 6, 2)
+      val (s, e) = Vp8.findVp8Chunk(full).get
+      Webp.chunk("VP8 ", java.util.Arrays.copyOfRange(full, s, e))
+    }
+    val anim = Webp.chunk("ANIM",
+      Array[Byte](0, 0, 0, 0xFF.toByte, 0, 0))
+    val anmfs = (0 until 3).map { f =>
+      val hdr = new Array[Byte](16)
+      def le24(off: Int, v: Int): Unit = {
+        hdr(off) = (v & 0xFF).toByte
+        hdr(off + 1) = ((v >> 8) & 0xFF).toByte
+        hdr(off + 2) = ((v >> 16) & 0xFF).toByte
+      }
+      le24(6, w - 1); le24(9, h - 1); le24(12, 40)
+      Webp.chunk("ANMF", hdr ++ lossyFrameChunk(f))
+    }
+    val bytes = Webp.extended(w, h, icc = false, alpha = false, exif = false,
+      anim = true, (anim +: anmfs): _*)
+    val dec = Webp.animFrames(bytes)
+    assert(dec.isDefined && dec.get.length == 3,
+      s"lossy anim frames: ${dec.map(_.length)}")
+    dec.get.foreach { case (no, _, _, dur, img) =>
+      assert(dur == 40 && img.width == w && img.height == h, s"frame $no")
+      // decoded pixels are real (not uniform) and deterministic
+      assert(img.argb.distinct.length > 16)
+    }
+  }
+
   test("APNG: builder/extractor roundtrip, default-image-as-frame rule") {
     val frames = (0 until 3).map(f => Png.Image(9, 5, 3,
       Array.tabulate(135)(i => ((i * 11 + f * 77) % 256).toByte)))
