@@ -18,8 +18,9 @@ import graft.spec.{PipelineSpec, SegType, Stage}
   * [[MediaCurate]] (typed image input).
   *
   * Scale shape: sniff is map-only; the dispatch stage is the one
-  * multi-consumer point (seven arm blocks — raster/WebP/HEIF/audio/
-  * office-zip/text-documents/rest, the text arm routing 20+ formats —
+  * multi-consumer point (eight arm blocks — raster/WebP/HEIF/audio/
+  * video/office-zip/text-documents/rest, the text arm routing 20+
+  * formats, the video arm decoding WebM V_VP8 keyframe thumbnails —
   * filter the same sniffed corpus,
   * persisted there under the map-tee discipline); every arm is a
   * filter + mapPartitions over that cache, so the whole plan is one
@@ -112,6 +113,20 @@ object CurateDispatch {
             val dur = Mpeg.mp3Meta(p).map(_.duration_ms).getOrElse(0L)
             (id, f, "audio", 0, 0, dur, "")
           }).toDF(cols: _*)
+        // video (round 16): WebM rides the raster seam — dims from the
+        // first V_VP8 keyframe decoded through the real Vp8 arm (a
+        // thumbnail decode, the video analog of the image dims), track
+        // metadata as the fallback for codecs without a decoder arm
+        val video = rows(Seq("webm"))
+          .mapPartitions(_.map { case (id, p, f) =>
+            val m = Webm.meta(p)
+            val (w, h) = Webm.decodeFirstFrame(p)
+              .map(i => (i.width, i.height))
+              .orElse(m.flatMap(_.tracks.find(_.track_type == 1))
+                .map(t => (t.width, t.height)))
+              .getOrElse((0, 0))
+            (id, f, "video", w, h, m.map(_.duration_ms).getOrElse(0L), "")
+          }).toDF(cols: _*)
         val docs = rows(Seq("zip", "pdf"))
           .mapPartitions(_.map { case (id, p, f) =>
             val text =
@@ -178,7 +193,7 @@ object CurateDispatch {
         // lives in ONE stage
         val rest = df
           .filter(!col("format").isin("png", "jpeg", "gif", "bmp", "ico",
-            "tiff", "webp",
+            "tiff", "webp", "webm",
             "heic", "avif", "mpeg_audio", "zip", "pdf",
             "epub", "rtf", "eml", "mbox", "odt", "ods", "odp", "sqlite",
             "mhtml", "doc", "xls", "msg", "ppt", "rss", "atom", "ics",
@@ -188,6 +203,7 @@ object CurateDispatch {
             lit(0).as("width"), lit(0).as("height"),
             lit(0L).as("duration_ms"), lit("").as("text"))
         raster.unionByName(webp).unionByName(heif).unionByName(audio)
+          .unionByName(video)
           .unionByName(docs).unionByName(textdocs).unionByName(rest)
       },
       stage("gate") { df =>

@@ -601,6 +601,7 @@ object Png {
       .orElse(Ico.decode(bytes))
       .orElse(TiffImg.decode(bytes))
       .orElse(if (Pnm.isPnm(bytes)) Pnm.decode(bytes) else None)
+      .orElse(Webm.decodeFirstFrame(bytes)) // video thumbnail (EBML magic)
       .orElse(decodeViaJdk(bytes))
 
   /** Pixel-layer content identity: CRC32 over dims + channels + raw

@@ -174,20 +174,146 @@ object Webm {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Assemble one EBML element (raw id bytes + 1/2-byte size varint +
+  // ----------------------------------------------- keyframe extraction
+
+  /** First video keyframe of the first video track: codec ID, declared
+    * pixel dims, and the raw coded frame bytes.
+    *
+    * Walk: Segment → Tracks → first TrackEntry with TrackType 1 gives
+    * the wanted TrackNumber + CodecID; then Segment → Clusters in file
+    * order, taking the first block on that track that is a keyframe —
+    * for SimpleBlock (0xA3) the 0x80 flag bit, for BlockGroup (0xA0)
+    * the ABSENCE of a ReferenceBlock child (the Matroska rule; Block's
+    * own 0x80 bit is not a keyframe flag there). Envelope: laced blocks
+    * (flag bits 0x06) are skipped — lacing packs many small AUDIO
+    * frames per block; video is one frame per block in practice.
+    */
+  final case class Keyframe(
+      codec: String, width: Int, height: Int, frame: Array[Byte])
+
+  def firstVideoKeyframe(b: Array[Byte]): Option[Keyframe] = {
+    val vtOpt = meta(b).flatMap(_.tracks.find(_.track_type == 1))
+    if (vtOpt.isEmpty) return None
+    val vt = vtOpt.get
+    try {
+      val blocks = for {
+        (id, s, e) <- children(b, 0, b.length) if id == 0x18538067L // Segment
+        (cid, cs, ce) <- children(b, s, e) if cid == 0x1F43B675L // Cluster
+        (bid, bs, be) <- children(b, cs, ce)
+        frame <- (bid match {
+          case 0xA3L => // SimpleBlock: keyframe = 0x80 flag
+            blockFrame(b, bs, be, vt.track_number, needKeyBit = true)
+          case 0xA0L => // BlockGroup: keyframe = no ReferenceBlock
+            var fr: Option[Array[Byte]] = None
+            var referenced = false
+            for ((gid, gs, ge) <- children(b, bs, be)) gid match {
+              case 0xA1L => // Block
+                fr = blockFrame(b, gs, ge, vt.track_number, needKeyBit = false)
+              case 0xFBL => referenced = true
+              case _ => ()
+            }
+            if (referenced) None else fr
+          case _ => None
+        }).iterator
+      } yield frame
+      if (blocks.hasNext)
+        Some(Keyframe(vt.codec, vt.width, vt.height, blocks.next()))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Frame bytes of a (Simple)Block payload [s, e) if it is on `track`,
+    * unlaced, and (when `needKeyBit`) carries the keyframe flag.
+    */
+  private def blockFrame(
+      b: Array[Byte], s: Int, e: Int, track: Long,
+      needKeyBit: Boolean): Option[Array[Byte]] = {
+    val (tn, tl) = varint(b, s, keepMarker = false)
+    if (tl == 0 || tn != track) return None
+    val p = s + tl // 2-byte timecode + 1 flags byte precede the frame
+    if (p + 3 >= e) return None
+    val flags = b(p + 2) & 0xFF
+    if ((flags & 0x06) != 0) return None // laced — out of envelope
+    if (needKeyBit && (flags & 0x80) == 0) return None
+    Some(java.util.Arrays.copyOfRange(b, p + 3, e))
+  }
+
+  /** Video-thumbnail decode: the first V_VP8 keyframe through the
+    * [[Vp8]] intra decoder to the canonical RGB raster — how a video
+    * joins the IMAGE dedup/triage cell ([[Png.decodeAny]] chains here
+    * on the EBML magic). V_VP9/V_AV1 tracks (no decoder arm) and laced
+    * or keyframe-less streams gate to None. Alpha (Matroska
+    * BlockAdditions) is out of envelope — thumbnails are opaque.
+    */
+  def decodeFirstFrame(b: Array[Byte]): Option[Png.Image] =
+    firstVideoKeyframe(b).flatMap { kf =>
+      if (kf.codec == "V_VP8")
+        Vp8.decodeFrame(kf.frame, 0, kf.frame.length).map(Vp8.toPngImage)
+      else None
+    }
+
+  /** Wrap raw VP8 keyframe bitstreams in a minimal playable WebM (EBML
+    * header + Segment{Info, Tracks[V_VP8], Cluster}) — the fixture /
+    * plant builder behind WebmSpec and q_video_thumb_anchor. The first
+    * frame is flagged keyframe; the rest are delta-flagged (a real
+    * stream's shape). 33 ms per frame at the default 1 ms timescale.
+    */
+  private[graft] def buildVp8(
+      w: Int, h: Int, frames: Seq[Array[Byte]],
+      trackNumber: Long = 1L,
+      firstIsKey: Boolean = true): Array[Byte] = {
+    require(trackNumber > 0 && trackNumber < 127, "builder: 1-byte track varint")
+    val ebml = el(0x1A45DFA3L,
+      el(0x4286L, uintB(1)), el(0x42F7L, uintB(1)), el(0x42F2L, uintB(4)),
+      el(0x42F3L, uintB(8)), el(0x4282L, "webm".getBytes("US-ASCII")),
+      el(0x4287L, uintB(4)), el(0x4285L, uintB(2)))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintB(1000000L)),
+      el(0x4489L, floatB(33.0f * frames.length)))
+    val tracks = el(0x1654AE6BL, el(0xAEL,
+      el(0xD7L, uintB(trackNumber)), el(0x73C5L, uintB(trackNumber)),
+      el(0x83L, uintB(1)), el(0x86L, "V_VP8".getBytes("US-ASCII")),
+      el(0xE0L, el(0xB0L, uintB(w)), el(0xBAL, uintB(h)))))
+    val blocks = frames.zipWithIndex.map { case (f, i) =>
+      val key = if (i == 0 && firstIsKey) 0x80 else 0x00
+      val tc = i * 33
+      el(0xA3L, Array((0x80 | trackNumber).toByte,
+        ((tc >> 8) & 0xFF).toByte, (tc & 0xFF).toByte, key.toByte), f)
+    }
+    val cluster = el(0x1F43B675L, (el(0xE7L, uintB(0)) +: blocks): _*)
+    ebml ++ el(0x18538067L, info, tracks, cluster)
+  }
+
+  /** Re-container a lossy simple WebP as WebM: lift the 'VP8 ' chunk's
+    * raw keyframe out of the RIFF and wrap it with [[buildVp8]] — the
+    * cross-CONTAINER plant builder (same coded bits, video file).
+    */
+  private[graft] def wrapWebpLossy(webp: Array[Byte]): Option[Array[Byte]] =
+    Vp8.findVp8Chunk(webp).flatMap { case (s, e) =>
+      val frame = java.util.Arrays.copyOfRange(webp, s, e)
+      Vp8.decodeFrame(frame, 0, frame.length)
+        .map(yuv => buildVp8(yuv.width, yuv.height, Seq(frame)))
+    }
+
+  /** Assemble one EBML element (raw id bytes + 1/2/4-byte size varint +
     * payload) — shared by the spec/certificate builders.
     */
   private[graft] def el(id: Long, payload: Array[Byte]*): Array[Byte] = {
     val body = payload.flatten.toArray
-    // strict: the 2-byte size varint encodes 0..16382 — 16383 would be
-    // the all-ones pattern EBML readers (including this parser) treat as
-    // "unknown size", silently swallowing the rest of the container
-    require(body.length < 16383, s"builder supports <16383 B elements: ${body.length}")
+    // strict: each size width excludes its all-ones pattern (16383
+    // 2-byte, 0x0FFFFFFF 4-byte) — EBML readers (including this parser)
+    // treat all-ones as "unknown size", swallowing the container tail
+    require(body.length < 0x0FFFFFFF,
+      s"builder supports <2^28-1 B elements: ${body.length}")
     val idLen = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
     val idB = Array.tabulate(idLen)(k => ((id >>> (8 * (idLen - 1 - k))) & 0xFF).toByte)
     val sizeB =
       if (body.length < 127) Array((0x80 | body.length).toByte)
-      else Array((0x40 | (body.length >>> 8)).toByte, (body.length & 0xFF).toByte)
+      else if (body.length < 16383)
+        Array((0x40 | (body.length >>> 8)).toByte, (body.length & 0xFF).toByte)
+      else Array((0x10 | (body.length >>> 24)).toByte,
+        ((body.length >>> 16) & 0xFF).toByte,
+        ((body.length >>> 8) & 0xFF).toByte, (body.length & 0xFF).toByte)
     idB ++ sizeB ++ body
   }
 

@@ -2540,6 +2540,87 @@ object ExtQueries {
       "PNG and VP8 decoders, zero cross-family pairs, all counts " +
       "oracle-derived from documents alone")
 
+  private val qVideoThumbAnchor = Q(
+    "q_video_thumb_anchor",
+    (s, d) => {
+      // Driver-visible certificate for the WebM → raster bridge: a
+      // VIDEO file joins the IMAGE dedup cell through its first-keyframe
+      // thumbnail (Webm.decodeFirstFrame → Vp8 → aHash, chained inside
+      // Png.decodeAny on the EBML magic). Per doc, the q_dedup_image_
+      // anchor 16×16 gray raster whose aHash equals a splitmix64-mixed
+      // target exactly; for doc_id % 20 == 0 a planted VIDEO twin
+      // (id+90000): the raster VP8-encoded at qIndex 4 (drift 0 on
+      // these 0/255 block rasters — the r15 exhaustive sweep) and
+      // wrapped as a one-keyframe WebM (EBML header + Segment{Info,
+      // Tracks[V_VP8], Cluster/SimpleBlock}). nearDupImages must pair
+      // each video with its still at EXACTLY Hamming 0 — byte dedup
+      // sees nothing (different container AND codec family), a
+      // thumbnail-less pipeline sees nothing at all — and emit no
+      // cross-family pairs. Every count is DuckDB-derivable from
+      // `documents` alone.
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          require(id >= 0 && id < 90000,
+            s"q_video_thumb_anchor: doc_id $id outside [0, 90000) — raise " +
+              "the planted-id offset for this corpus")
+          def mix(z0: Long): Long = {
+            var z = z0 + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          def raster(h: Long): graft.ext.Png.Image = {
+            val px = new Array[Byte](16 * 16)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val bit = (y / 2) * 8 + (x / 2)
+                px(y * 16 + x) =
+                  if (((h >>> bit) & 1L) == 1L) 0xFF.toByte else 0x00.toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.ext.Png.Image(16, 16, 1, px)
+          }
+          val base = (mix(id ^ 0x7EBAC0DEL) | 1L) & ~(1L << 63)
+          val img = raster(base)
+          Seq((id, graft.ext.Png.encode(img))) ++
+            (if (id % 20 == 0)
+              Seq((id + 90000L,
+                graft.ext.Webm.wrapWebpLossy(graft.ext.Vp8Enc.encode(img, 4, 0))
+                  .getOrElse(sys.error(
+                    s"q_video_thumb_anchor: WebM plant failed for doc $id"))))
+            else Nil)
+        }
+        .toDF("media_id", "payload")
+      Multimodal.nearDupImages(media, maxHamming = 5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("id1") % 90000 =!= col("id2") % 90000, 1L)
+            .otherwise(0L)).as("n_cross_family"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_h0_pairs"),
+          sum(when(col("hamming") =!= 0, 1L).otherwise(0L)).as("n_bad_hamming"))
+        .select(
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_cross_family"), lit(0L)).as("n_cross_family"),
+          coalesce(col("n_h0_pairs"), lit(0L)).as("n_h0_pairs"),
+          coalesce(col("n_bad_hamming"), lit(0L)).as("n_bad_hamming"))
+    },
+    Some("""SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+                     AS BIGINT) AS n_pairs,
+                   CAST(0 AS BIGINT) AS n_cross_family,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+                     AS BIGINT) AS n_h0_pairs,
+                   CAST(0 AS BIGINT) AS n_bad_hamming"""),
+    "video-thumbnail dedup anchor: planted WebM (V_VP8 keyframe) twins " +
+      "of still PNGs pair at exactly Hamming 0 through the real EBML " +
+      "walk + VP8 decoder — cross-CONTAINER, cross-CODEC membership of " +
+      "video in the image dedup cell, counts oracle-derived from " +
+      "documents alone")
+
   private val qDedupImageRotAnchor = Q(
     "q_dedup_image_rot_anchor",
     (s, d) => {
@@ -6983,7 +7064,7 @@ object ExtQueries {
     qRedact, qDecontaminate, qContaminationScore, qDecontaminateSpan,
     qDecontaminateBloom, qDecontaminateSemantic, qZorder,
     qDedupImage, qDedupImageAnchor, qDedupImageRotAnchor,
-    qDedupImageOrientAnchor,
+    qDedupImageOrientAnchor, qVideoThumbAnchor,
     qDedupAudio, qDedupAudioAnchor, qDedupAudioOffsetAnchor,
     qDedupAudioIncremental,
     qMultimodal, qMultimodalAudio,

@@ -40,6 +40,33 @@ class CurateDispatchSpec extends SparkSpec {
     assert(out(5) == ((6L, "heic", "image", 4032, 3024, 0L, "")))
   }
 
+  test("webm routes to the video arm: keyframe-decoded dims + duration") {
+    import spark.implicits._
+    // a real one-keyframe WebM (Vp8Enc stream): dims must come from the
+    // DECODED keyframe, not just the track header
+    val img = Png.Image(32, 20, 3, Array.tabulate(32 * 20 * 3)(i => (i * 7).toByte))
+    val webm = Webm.wrapWebpLossy(Vp8Enc.encode(img)).get
+    // V_VP9 track: no decoder arm → falls back to track-header dims
+    import Webm.{el, uintB}
+    val vp9 = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes)) ++
+      el(0x18538067L,
+        el(0x1549A966L, el(0x2AD7B1L, uintB(1000000L)),
+          el(0x4489L, Webm.floatB(1500f))),
+        el(0x1654AE6BL, el(0xAEL, el(0xD7L, uintB(1)), el(0x83L, uintB(1)),
+          el(0x86L, "V_VP9".getBytes),
+          el(0xE0L, el(0xB0L, uintB(1280)), el(0xBAL, uintB(720))))))
+    val media = Seq((0L, webm), (1L, vp9)).toDF("media_id", "payload")
+    val out = new graft.engine.Engine(CurateDispatch.spec())
+      .run("curate_dispatch", spark, Some(media),
+        graft.engine.RunOptions(orderedConcat = false))
+      .orderBy("media_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getString(6)))
+    assert(out(0) == ((0L, "webm", "video", 32, 20, 33L, "")))
+    assert(out(1) == ((1L, "webm", "video", 1280, 720, 1500L, "")))
+  }
+
   test("damaged payloads produce defaults in their arm, never a throw") {
     import spark.implicits._
     // right magic, broken body: arm claims it, parse fails to defaults

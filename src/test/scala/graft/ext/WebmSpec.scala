@@ -68,4 +68,132 @@ class WebmSpec extends AnyFunSuite {
       i += 1
     }
   }
+
+  // ----------------------------------------- V_VP8 keyframe → raster
+
+  /** 48×30 RGB gradient (dims NOT multiples of 16 → MB crop path). */
+  private def gradient(): Png.Image = {
+    val px = new Array[Byte](48 * 30 * 3)
+    var y = 0
+    while (y < 30) {
+      var x = 0
+      while (x < 48) {
+        val o = (y * 48 + x) * 3
+        px(o) = (x * 5).toByte; px(o + 1) = (y * 8).toByte
+        px(o + 2) = ((x + y) * 3).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.Image(48, 30, 3, px)
+  }
+
+  private def vp8Frame(img: Png.Image): Array[Byte] = {
+    val webp = Vp8Enc.encode(img)
+    val (s, e) = Vp8.findVp8Chunk(webp).get
+    java.util.Arrays.copyOfRange(webp, s, e)
+  }
+
+  test("V_VP8 keyframe decode == the same frame's WebP decode, bit-exact") {
+    val img = gradient()
+    val webp = Vp8Enc.encode(img)
+    val webm = Webm.buildVp8(48, 30, Seq(vp8Frame(img)))
+    val kf = Webm.firstVideoKeyframe(webm).get
+    assert(kf.codec == "V_VP8" && kf.width == 48 && kf.height == 30)
+    val thumb = Webm.decodeFirstFrame(webm).get
+    val still = Vp8.decodeToImage(webp).get
+    assert(thumb.width == 48 && thumb.height == 30 && thumb.channels == 3)
+    assert(java.util.Arrays.equals(thumb.pixels, still.pixels))
+    // and the decodeAny seam routes the container to the same raster
+    val any = Png.decodeAny(webm).get
+    assert(java.util.Arrays.equals(any.pixels, still.pixels))
+  }
+
+  test("delta-flagged leading SimpleBlock skipped; later keyframe found") {
+    val f = vp8Frame(gradient())
+    val junk = Array.fill[Byte](24)(0x55) // "delta frame" the walk must skip
+    val tracks = el(0x1654AE6BL, el(0xAEL,
+      el(0xD7L, uintB(1)), el(0x83L, uintB(1)), el(0x86L, "V_VP8".getBytes),
+      el(0xE0L, el(0xB0L, uintB(48)), el(0xBAL, uintB(30)))))
+    def sblock(frame: Array[Byte], flags: Int) =
+      el(0xA3L, Array(0x81.toByte, 0, 0, flags.toByte), frame)
+    val webm = header() ++ el(0x18538067L, tracks,
+      el(0x1F43B675L, el(0xE7L, uintB(0)),
+        sblock(junk, 0x00), sblock(f, 0x80)))
+    val kf = Webm.firstVideoKeyframe(webm).get
+    assert(kf.frame.sameElements(f))
+    // no keyframe flag anywhere → None (builder's firstIsKey=false path)
+    val nokey = Webm.buildVp8(48, 30, Seq(f), firstIsKey = false)
+    assert(Webm.firstVideoKeyframe(nokey).isEmpty)
+    assert(Webm.decodeFirstFrame(nokey).isEmpty)
+  }
+
+  test("BlockGroup: keyframe = no ReferenceBlock; laced blocks skipped") {
+    val f = vp8Frame(gradient())
+    val tracks = el(0x1654AE6BL, el(0xAEL,
+      el(0xD7L, uintB(1)), el(0x83L, uintB(1)), el(0x86L, "V_VP8".getBytes),
+      el(0xE0L, el(0xB0L, uintB(48)), el(0xBAL, uintB(30)))))
+    def group(refd: Boolean) = el(0xA0L,
+      (Seq(el(0xA1L, Array(0x81.toByte, 0, 0, 0x00.toByte), f)) ++
+        (if (refd) Seq(el(0xFBL, uintB(1))) else Nil)): _*)
+    val referenced = header() ++ el(0x18538067L, tracks,
+      el(0x1F43B675L, el(0xE7L, uintB(0)), group(refd = true)))
+    assert(Webm.firstVideoKeyframe(referenced).isEmpty)
+    val keyed = header() ++ el(0x18538067L, tracks,
+      el(0x1F43B675L, el(0xE7L, uintB(0)), group(refd = false)))
+    assert(Webm.firstVideoKeyframe(keyed).get.frame.sameElements(f))
+    // Xiph-laced SimpleBlock (flag 0x02) is out of envelope → skipped
+    val laced = header() ++ el(0x18538067L, tracks,
+      el(0x1F43B675L, el(0xE7L, uintB(0)),
+        el(0xA3L, Array(0x81.toByte, 0, 0, 0x82.toByte, 1.toByte), f)))
+    assert(Webm.firstVideoKeyframe(laced).isEmpty)
+  }
+
+  test("audio-first track order: blocks on the audio track are ignored") {
+    val f = vp8Frame(gradient())
+    val a = el(0xAEL, el(0xD7L, uintB(1)), el(0x83L, uintB(2)),
+      el(0x86L, "A_VORBIS".getBytes),
+      el(0xE1L, el(0xB5L, floatB(48000f)), el(0x9FL, uintB(2))))
+    val v = el(0xAEL, el(0xD7L, uintB(2)), el(0x83L, uintB(1)),
+      el(0x86L, "V_VP8".getBytes),
+      el(0xE0L, el(0xB0L, uintB(48)), el(0xBAL, uintB(30))))
+    val webm = header() ++ el(0x18538067L, el(0x1654AE6BL, a, v),
+      el(0x1F43B675L, el(0xE7L, uintB(0)),
+        // keyframe-flagged AUDIO block first — wrong track, must skip
+        el(0xA3L, Array(0x81.toByte, 0, 0, 0x80.toByte), Array.fill[Byte](9)(1)),
+        el(0xA3L, Array(0x82.toByte, 0, 0, 0x80.toByte), f)))
+    val kf = Webm.firstVideoKeyframe(webm).get
+    assert(kf.codec == "V_VP8" && kf.frame.sameElements(f))
+  }
+
+  test("V_VP9 keyframe surfaces but does not raster-decode; truncation soak") {
+    val tracks = el(0x1654AE6BL, el(0xAEL,
+      el(0xD7L, uintB(1)), el(0x83L, uintB(1)), el(0x86L, "V_VP9".getBytes),
+      el(0xE0L, el(0xB0L, uintB(64)), el(0xBAL, uintB(64)))))
+    val webm = header() ++ el(0x18538067L, tracks,
+      el(0x1F43B675L, el(0xE7L, uintB(0)),
+        el(0xA3L, Array(0x81.toByte, 0, 0, 0x80.toByte), Array.fill[Byte](40)(7))))
+    assert(Webm.firstVideoKeyframe(webm).get.codec == "V_VP9")
+    assert(Webm.decodeFirstFrame(webm).isEmpty)
+    val full = Webm.buildVp8(48, 30, Seq(vp8Frame(gradient())))
+    var i = 0
+    while (i <= full.length) { // never a throw at any truncation point
+      Webm.firstVideoKeyframe(full.take(i))
+      Webm.decodeFirstFrame(full.take(i))
+      i += 8
+    }
+  }
+
+  test("wrapWebpLossy: WebP → WebM re-container decodes to the same raster") {
+    val img = gradient()
+    val webp = Vp8Enc.encode(img, 4, 0)
+    val webm = Webm.wrapWebpLossy(webp).get
+    val m = Webm.meta(webm).get
+    assert(m.doc_type == "webm" &&
+      m.tracks.map(t => (t.codec, t.width, t.height)) == Vector(("V_VP8", 48, 30)))
+    val still = Vp8.decodeToImage(webp).get
+    val thumb = Webm.decodeFirstFrame(webm).get
+    assert(java.util.Arrays.equals(thumb.pixels, still.pixels))
+    assert(Webm.wrapWebpLossy(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
