@@ -296,6 +296,13 @@ object Multimodal {
     * shares a block of the aligned orientation pair, and both sides'
     * orbits are banded. Never all-pairs; scale shape identical to
     * [[nearDupImages]].
+    *
+    * Contract note: this method is EAGER — the whole pairing job runs
+    * inside the call (pairs.count()) so the per-image orbit cache can
+    * be released deterministically before returning; a caller that
+    * builds-but-discards the result still pays the job. The returned
+    * pair table is persisted and orders of magnitude smaller than the
+    * orbit table it replaced.
     */
   def nearDupImagesOriented(media: DataFrame, maxHamming: Int = 3,
       nBlocks: Int = 0, maxResidentSubsets: Int = 0): DataFrame = {

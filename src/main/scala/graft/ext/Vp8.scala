@@ -196,7 +196,7 @@ object Vp8 {
     var yMode = 0
     var uvMode = 0
     var bModes: Array[Int] = null
-    var hasCoeffs = false // any nonzero coefficient (loop-filter inner gate)
+    var hasCoeffs = false // any block with eob>first (loop-filter inner gate)
   }
 
   private def clampQ(i: Int): Int = if (i < 0) 0 else if (i > 127) 127 else i
@@ -213,7 +213,9 @@ object Vp8 {
           b(start + 5) == 0x2a.toByte)) return None
     val width = ((b(start + 6) & 0xFF) | ((b(start + 7) & 0xFF) << 8)) & 0x3FFF
     val height = ((b(start + 8) & 0xFF) | ((b(start + 9) & 0xFF) << 8)) & 0x3FFF
-    if (width == 0 || height == 0 || width > 8192 || height > 8192) return None
+    // full 14-bit dim range (WebP's own limit): worst case 16383² is
+    // ~0.7 GB of planes+borders — bounded, and huge-valid images decode
+    if (width == 0 || height == 0 || width > 16383 || height > 16383) return None
     val part0Start = start + 10
     if (part0Len <= 0 || part0Start + part0Len > end) return None
     val part0End = part0Start + part0Len
@@ -406,7 +408,7 @@ object Vp8 {
           // Y2 block (type 1)
           if (hasY2) {
             val ctx = (if (aNzY2(mbX)) 1 else 0) + (if (lNzY2) 1 else 0)
-            val nz = decodeCoeffs(td, probs, 1, 0, ctx, q(2), q(3), coeffs, 24 * 16)
+            val nz = decodeCoeffs(td, probs, 1, 0, ctx, q(2), q(3), coeffs, 24 * 16) > 0
             aNzY2(mbX) = nz; lNzY2 = nz
             if (nz) anyNz = true
           }
@@ -417,7 +419,7 @@ object Vp8 {
           while (j < 16) {
             val br = j >> 2; val bc = j & 3
             val ctx = (if (aNzY(mbX * 4 + bc)) 1 else 0) + (if (lNzY(br)) 1 else 0)
-            val nz = decodeCoeffs(td, probs, yType, first, ctx, q(0), q(1), coeffs, j * 16)
+            val nz = decodeCoeffs(td, probs, yType, first, ctx, q(0), q(1), coeffs, j * 16) > first
             aNzY(mbX * 4 + bc) = nz; lNzY(br) = nz
             if (nz) anyNz = true
             j += 1
@@ -427,7 +429,7 @@ object Vp8 {
           while (j < 4) {
             val br = j >> 1; val bc = j & 1
             val ctx = (if (aNzU(mbX * 2 + bc)) 1 else 0) + (if (lNzU(br)) 1 else 0)
-            val nz = decodeCoeffs(td, probs, 2, 0, ctx, q(4), q(5), coeffs, (16 + j) * 16)
+            val nz = decodeCoeffs(td, probs, 2, 0, ctx, q(4), q(5), coeffs, (16 + j) * 16) > 0
             aNzU(mbX * 2 + bc) = nz; lNzU(br) = nz
             if (nz) anyNz = true
             j += 1
@@ -436,7 +438,7 @@ object Vp8 {
           while (j < 4) {
             val br = j >> 1; val bc = j & 1
             val ctx = (if (aNzV(mbX * 2 + bc)) 1 else 0) + (if (lNzV(br)) 1 else 0)
-            val nz = decodeCoeffs(td, probs, 2, 0, ctx, q(4), q(5), coeffs, (20 + j) * 16)
+            val nz = decodeCoeffs(td, probs, 2, 0, ctx, q(4), q(5), coeffs, (20 + j) * 16) > 0
             aNzV(mbX * 2 + bc) = nz; lNzV(br) = nz
             if (nz) anyNz = true
             j += 1
@@ -566,21 +568,25 @@ object Vp8 {
 
   // --------------------------------------------------- token decoding
 
-  /** Decode one block's coefficients (RFC 6386 §13.2-13.3): returns true
-    * iff any coefficient is nonzero. Dequantized values land at
-    * out(base + rasterPos).
+  /** Decode one block's coefficients (RFC 6386 §13.2-13.3): returns the
+    * end-of-block position (index after the last decoded token). The
+    * caller's nonzero flag is `eob > first` — libwebp's GetCoeffs
+    * semantics: a block coded as explicit ZERO tokens with no nonzero
+    * values still sets the above/left contexts and the loop-filter
+    * inner gate (any-nonzero-VALUE would diverge from the reference on
+    * such streams, which encoders never emit but the bitstream allows).
+    * Dequantized values land at out(base + rasterPos).
     */
-  private def decodeCoeffs(d: BoolDec, probs: Array[Int], blockType: Int,
+  private[ext] def decodeCoeffs(d: BoolDec, probs: Array[Int], blockType: Int,
       first: Int, ctx0: Int, dqDc: Int, dqAc: Int,
-      out: Array[Int], base: Int): Boolean = {
+      out: Array[Int], base: Int): Int = {
     val typeBase = blockType * 8 * 3 * 11
     var n = first
     var ctx = ctx0
     var skipEob = false
-    var any = false
     while (n < 16) {
       val p = typeBase + (Vp8Tables.bands(n) * 3 + ctx) * 11
-      if (!skipEob && d.bool(probs(p)) == 0) return any
+      if (!skipEob && d.bool(probs(p)) == 0) return n
       if (d.bool(probs(p + 1)) == 0) {
         ctx = 0; skipEob = true
       } else {
@@ -601,13 +607,12 @@ object Vp8 {
         }
         if (d.bit() == 1) v = -v
         out(base + Vp8Tables.zigzag(n)) = v * (if (n == 0) dqDc else dqAc)
-        any = true
         ctx = if (v < -1 || v > 1) 2 else 1
         skipEob = false
       }
       n += 1
     }
-    any
+    16
   }
 
   private def cat(d: BoolDec, ps: Array[Int]): Int = {

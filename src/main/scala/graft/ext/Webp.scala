@@ -228,34 +228,45 @@ object Webp {
       val sz = u32le(b, p + 4)
       val ds = p + 8
       val de = math.min(end.toLong, ds + sz).toInt
-      if (cc == "ALPH" && de - ds >= 1) {
-        val hdr = b(ds) & 0xFF
-        val compression = hdr & 3
-        val filter = (hdr >> 2) & 3
-        val plane: Array[Byte] = compression match {
-          case 0 =>
-            if (de - (ds + 1) < w.toLong * h) return None
-            java.util.Arrays.copyOfRange(b, ds + 1, ds + 1 + w * h)
-          case 1 =>
-            val img = Vp8l.decodeHeaderless(
-              java.util.Arrays.copyOfRange(b, ds + 1, de), w, h)
-              .getOrElse(return None)
-            val out = new Array[Byte](w * h)
-            var i = 0
-            while (i < out.length) { // alpha rides in the green channel
-              out(i) = ((img.argb(i) >> 8) & 0xFF).toByte
-              i += 1
-            }
-            out
-          case _ => return None
-        }
-        if (filter > 0) unfilterAlpha(plane, w, h, filter)
-        return Some((w, h, plane))
-      }
+      if (cc == "ALPH" && de - ds >= 1)
+        return alphPayload(b, ds, de, w, h).map((w, h, _))
       val next = p + 8L + sz + (sz & 1L)
       p = if (next > end || next <= p) end else next.toInt
     }
     None
+  }
+
+  /** Decode one ALPH chunk payload [ds, de) for a w×h raster — shared
+    * by the still-image [[alphaPlane]] and the per-ANMF frame path
+    * ([[animFrames]]), where each animation frame carries its OWN ALPH
+    * chunk sized to the frame, not the canvas.
+    */
+  private def alphPayload(
+      b: Array[Byte], ds: Int, de: Int, w: Int, h: Int): Option[Array[Byte]] = {
+    if (de - ds < 1 || w <= 0 || h <= 0 ||
+        w.toLong * h > 16L * 1024 * 1024) return None
+    val hdr = b(ds) & 0xFF
+    val compression = hdr & 3
+    val filter = (hdr >> 2) & 3
+    val plane: Array[Byte] = compression match {
+      case 0 =>
+        if (de - (ds + 1) < w.toLong * h) return None
+        java.util.Arrays.copyOfRange(b, ds + 1, ds + 1 + w * h)
+      case 1 =>
+        val img = Vp8l.decodeHeaderless(
+          java.util.Arrays.copyOfRange(b, ds + 1, de), w, h)
+          .getOrElse(return None)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < out.length) { // alpha rides in the green channel
+          out(i) = ((img.argb(i) >> 8) & 0xFF).toByte
+          i += 1
+        }
+        out
+      case _ => return None
+    }
+    if (filter > 0) unfilterAlpha(plane, w, h, filter)
+    Some(plane)
   }
 
   /** Inverse of the ALPH per-pixel prediction filters (1 = horizontal,
@@ -331,10 +342,11 @@ object Webp {
 
   /** Decoded animation frames of an extended WebP: every ANMF chunk's
     * VP8L-coded payload through [[Vp8l.decode]] and every lossy VP8
-    * payload through [[Vp8]] (the round-15 intra decoder) — (frame_no,
-    * x, y, duration_ms, raster). A container with no decodable frames
-    * yields an empty seq, hostile bytes None via the usual
-    * total-function contract.
+    * payload through [[Vp8]] (the round-15 intra decoder), merging the
+    * frame's own ALPH chunk when a lossy+alpha frame carries one —
+    * (frame_no, x, y, duration_ms, raster). A container with no
+    * decodable frames yields an empty seq, hostile bytes None via the
+    * usual total-function contract.
     */
   def animFrames(b: Array[Byte]): Option[Seq[(Int, Int, Int, Int, Vp8l.Image)]] = {
     if (b == null || b.length < 20) return None
@@ -356,14 +368,18 @@ object Webp {
           val fx = u24le(b, fp) * 2
           val fy = u24le(b, fp + 3) * 2
           val dur = u24le(b, fp + 12)
-          // frame data chunks start after the 16-byte ANMF header
+          // frame data chunks start after the 16-byte ANMF header; a
+          // lossy+alpha frame carries ALPH before VP8 (container spec)
           var q = fp + 16
           val qEnd = p + 8 + size.toInt
+          var alphS = -1
+          var alphE = -1
           while (q + 8 <= qEnd) {
             val fcc = fourcc(b, q)
             val fsize = u32le(b, q + 4)
             if (fsize < 0 || q + 8 + fsize > qEnd) return None
-            if (fcc == "VP8L")
+            if (fcc == "ALPH") { alphS = q + 8; alphE = q + 8 + fsize.toInt }
+            else if (fcc == "VP8L")
               Vp8l.decodePayload(java.util.Arrays.copyOfRange(
                 b, q + 8, q + 8 + fsize.toInt))
                 .foreach(img => out += ((n, fx, fy, dur, img)))
@@ -371,8 +387,12 @@ object Webp {
               Vp8.decodeFrame(b, q + 8, q + 8 + fsize.toInt)
                 .foreach { yuv =>
                   val rgb = Vp8.toPngImage(yuv)
+                  val alpha = // this frame's own ALPH plane, frame-sized
+                    if (alphS < 0) None
+                    else alphPayload(b, alphS, alphE, rgb.width, rgb.height)
                   val argb = Array.tabulate(rgb.width * rgb.height) { k =>
-                    0xFF000000 | ((rgb.pixels(k * 3) & 0xFF) << 16) |
+                    val a = alpha.map(p0 => p0(k) & 0xFF).getOrElse(0xFF)
+                    (a << 24) | ((rgb.pixels(k * 3) & 0xFF) << 16) |
                       ((rgb.pixels(k * 3 + 1) & 0xFF) << 8) |
                       (rgb.pixels(k * 3 + 2) & 0xFF)
                   }

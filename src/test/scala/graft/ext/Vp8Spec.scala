@@ -135,6 +135,53 @@ class Vp8Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("decodeCoeffs eob>first: explicit zero tokens still flag the block") {
+    // libwebp GetCoeffs semantics: the nonzero CONTEXT and loop-filter
+    // inner gate key on the end-of-block position, not on any nonzero
+    // VALUE — a block coded as a pure zero-token run (legal bitstream,
+    // never encoder-emitted) must set them. Streams are hand-written
+    // with the encoder's BoolEnc over the default probability lattice.
+    val probs = Vp8Tables.coefProbs
+    val bt = 3 // standalone Y block
+    val typeBase = bt * 8 * 3 * 11
+    def enc(write: Vp8Enc.BoolEnc => Unit): Vp8.BoolDec = {
+      val e = new Vp8Enc.BoolEnc
+      write(e)
+      val bytes = e.finish()
+      new Vp8.BoolDec(bytes, 0, bytes.length)
+    }
+    def p(n: Int, ctx: Int) = typeBase + (Vp8Tables.bands(n) * 3 + ctx) * 11
+    val out = new Array[Int](16)
+
+    // (a) pure zero run to n=16: eob 16 > 0, every value zero
+    val zeros = enc { e =>
+      e.bool(probs(p(0, 0)), 1) // not-EOB
+      e.bool(probs(p(0, 0) + 1), 0) // zero token → ctx 0, EOB suppressed
+      var n = 1
+      while (n < 16) { e.bool(probs(p(n, 0) + 1), 0); n += 1 }
+    }
+    java.util.Arrays.fill(out, 0)
+    assert(Vp8.decodeCoeffs(zeros, probs, bt, 0, 0, 4, 4, out, 0) == 16)
+    assert(out.forall(_ == 0))
+
+    // (b) immediate EOB: eob == first → NOT flagged
+    val eob = enc(e => e.bool(probs(p(0, 0)), 0))
+    assert(Vp8.decodeCoeffs(eob, probs, bt, 0, 0, 4, 4, out, 0) == 0)
+
+    // (c) zero, +1, EOB: eob 2; the value dequantizes at zigzag(1)
+    val mixed = enc { e =>
+      e.bool(probs(p(0, 0)), 1)
+      e.bool(probs(p(0, 0) + 1), 0) // zero at n=0
+      e.bool(probs(p(1, 0) + 1), 1) // nonzero at n=1 (no EOB bit after zero)
+      e.bool(probs(p(1, 0) + 2), 0) // |v| = 1
+      e.bit(0) // sign +
+      e.bool(probs(p(2, 1)), 0) // EOB at n=2, ctx from |v|=1
+    }
+    java.util.Arrays.fill(out, 0)
+    assert(Vp8.decodeCoeffs(mixed, probs, bt, 0, 0, 4, 5, out, 0) == 2)
+    assert(out(Vp8Tables.zigzag(1)) == 5 && out.sum == 5)
+  }
 }
 
 /** Test tap for the encoder's private transforms. */

@@ -195,6 +195,41 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("animated lossy+alpha: per-frame ALPH chunk merges into the raster") {
+    // an animated lossy+alpha WebP carries an ALPH chunk INSIDE each
+    // ANMF, before the VP8 chunk — previously decoded opaque (0xFF)
+    val w = 24; val h = 10
+    val px = Array.tabulate(w * h * 3)(i => ((i * 13) % 256).toByte)
+    val full = Vp8Enc.encode(Png.Image(w, h, 3, px), 6, 2)
+    val (s, e) = Vp8.findVp8Chunk(full).get
+    val vp8 = Webp.chunk("VP8 ", java.util.Arrays.copyOfRange(full, s, e))
+    val alpha = Array.tabulate(w * h)(i => (i * 255 / (w * h - 1)).toByte)
+    val alph = Webp.chunk("ALPH", Array[Byte](0) ++ alpha) // raw, no filter
+    val hdr = new Array[Byte](16)
+    def le24(off: Int, v: Int): Unit = {
+      hdr(off) = (v & 0xFF).toByte
+      hdr(off + 1) = ((v >> 8) & 0xFF).toByte
+      hdr(off + 2) = ((v >> 16) & 0xFF).toByte
+    }
+    le24(6, w - 1); le24(9, h - 1); le24(12, 25)
+    val anim = Webp.chunk("ANIM", Array[Byte](0, 0, 0, 0xFF.toByte, 0, 0))
+    val withAlpha = Webp.chunk("ANMF", hdr ++ alph ++ vp8)
+    val opaque = Webp.chunk("ANMF", hdr ++ vp8)
+    val bytes = Webp.extended(w, h, icc = false, alpha = true, exif = false,
+      anim = true, anim, withAlpha, opaque)
+    val dec = Webp.animFrames(bytes).get
+    assert(dec.length == 2)
+    val (_, _, _, _, f0) = dec(0)
+    val (_, _, _, _, f1) = dec(1)
+    var i = 0
+    while (i < w * h) { // frame 0: planted alpha; frame 1: opaque; same color
+      assert(((f0.argb(i) >>> 24) & 0xFF) == (alpha(i) & 0xFF), s"alpha at $i")
+      assert(((f1.argb(i) >>> 24) & 0xFF) == 0xFF, s"opaque at $i")
+      assert((f0.argb(i) & 0xFFFFFF) == (f1.argb(i) & 0xFFFFFF), s"color at $i")
+      i += 1
+    }
+  }
+
   test("APNG: builder/extractor roundtrip, default-image-as-frame rule") {
     val frames = (0 until 3).map(f => Png.Image(9, 5, 3,
       Array.tabulate(135)(i => ((i * 11 + f * 77) % 256).toByte)))
