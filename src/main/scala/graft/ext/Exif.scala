@@ -137,8 +137,9 @@ object Exif {
     * ImageWidth (0x0100), ImageLength (0x0101), BitsPerSample (0x0102,
     * first component), Orientation, Make. TIFF is the archival/document
     * image format (scans, faxes, GeoTIFF), so triage needs it beside
-    * PNG/JPEG/GIF; pixel decode stays out of the pure-JVM envelope
-    * (LZW/CCITT codecs), mirroring the metadata-only MPEG arm.
+    * PNG/JPEG/GIF; [[TiffImg]] owns the pixel-decode path (baseline
+    * strips: uncompressed/LZW/PackBits) — this walk stays byte-only so
+    * triage also covers compressions the decoder rejects.
     */
   def tiffMeta(b: Array[Byte]): Option[TiffMeta] =
     try {

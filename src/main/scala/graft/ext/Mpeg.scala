@@ -7,9 +7,10 @@ package graft.ext
   * duration — all of which live in the 4-byte frame headers and the
   * optional Xing/Info VBR tag, so a pure byte walk recovers them at
   * container-scan speed. (The FLAC arm [[Flac]] owns the lossless decode
-  * path; full MPEG audio DECODE — hybrid filterbank + Huffman — is
-  * deliberately outside the pure-JVM envelope, like arithmetic-coded
-  * JPEG.)
+  * path; full MPEG-1/2 Layer III PCM decode — Huffman, requantization,
+  * stereo modes, hybrid filterbank — lives in [[Mp3]] since round 14.
+  * This walk stays sample-free on purpose: triage must run at container
+  * scan speed over payloads the decoder would reject.)
   *
   * Envelope (ISO/IEC 11172-3 / 13818-3 frame header layout, public
   * bitrate/samplerate tables):

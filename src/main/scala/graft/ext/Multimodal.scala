@@ -9,21 +9,21 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing here is real and tested — schema contract,
   * partition-sized batch iteration, deterministic outputs. The decode is
-  * REAL end-to-end for the formats a pure JVM can own: full PNG pixel
-  * decode/encode ([[Png]] — zlib + CRC via `java.util.zip`, all five
-  * 8-bit color types, every scanline filter, cross-validated against the
-  * JDK's independent ImageIO implementation), WAV PCM sample decode
-  * ([[AudioHeaders.pcm]]), and header metadata for JPEG/GIF
-  * ([[ImageHeaders]]). Resize, perceptual hashing, and feature
-  * extraction all run on real pixels when the payload decodes (the PNG
-  * envelope covers every spec-legal depth × color-type × interlace
-  * combination: 1/2/4/8/16-bit, all five color types, Adam7); payloads
-  * outside the supported envelope (JPEG entropy data via the pure
-  * codec — the ImageIO arm covers it — compressed audio) flow to a
-  * deterministic, clearly-marked stub —
-  * never a wrong decode — and swapping in a full codec changes only that
-  * fallback arm, not the operator shape (mapPartitions over binary
-  * batches, one decoder session per partition).
+  * REAL end-to-end across the raster/audio families the repo's codecs
+  * own (see [[Png.decodeAny]]'s chain): PNG (all spec-legal depth ×
+  * color-type × interlace combinations), baseline+progressive Huffman
+  * JPEG ([[Jpeg]]), lossless AND lossy-intra WebP ([[Vp8l]]/[[Vp8]]),
+  * BMP/ICO/TIFF-baseline/PNM, WebM V_VP8 keyframe thumbnails
+  * ([[Webm.decodeFirstFrame]]), WAV PCM ([[AudioHeaders.pcm]]), FLAC
+  * ([[Flac]]), Vorbis I ([[Vorbis]]) and MPEG-1/2 Layer III ([[Mp3]]).
+  * Resize, perceptual
+  * hashing, and feature extraction all run on real pixels/samples when
+  * the payload decodes; payloads outside the remaining envelope
+  * (arithmetic-coded JPEG, MPEG Layer I/II samples, V_VP9/AV1 video)
+  * flow to a deterministic, clearly-marked stub — never a wrong
+  * decode — and widening a codec changes only that fallback arm, not
+  * the operator shape (mapPartitions over binary batches, one decoder
+  * session per partition).
   */
 object Multimodal {
 
@@ -547,8 +547,8 @@ object Multimodal {
     * [[mp4Meta]]: frame-header scan ([[Mpeg.mp3Meta]]) recovers version,
     * layer, bitrate, sample rate, channels, frame count, duration and
     * VBR-ness without decoding a sample. Map-only; non-MPEG payloads are
-    * dropped (WAV/FLAC ride [[audioSampleStats]], full MPEG decode is
-    * outside the pure-JVM envelope by design).
+    * dropped (WAV/FLAC ride [[audioSampleStats]]; full Layer III PCM
+    * decode lives in [[Mp3]] — triage deliberately never pays for it).
     */
   def mpegMeta(media: DataFrame): Dataset[MpegAudioMeta] = {
     val spark = media.sparkSession

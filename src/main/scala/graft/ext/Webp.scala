@@ -1,13 +1,15 @@
 package graft.ext
 
-/** WebP container walk (RFC 9649) — the metadata-triage arm for the
-  * web's third image format, the sibling of [[Png]]/[[Jpeg]] (decode
-  * arms) on the triage side: variant, pixel dimensions, alpha /
-  * animation / metadata presence and frame count from pure byte reads,
-  * no decoder. A crawl pipeline that cannot name WebP routes a large
-  * slice of modern web imagery to "unknown" and silently drops it from
-  * image curation — this arm exists so the [[Multimodal.sniffFormat]]
-  * dispatch has somewhere real to send it.
+/** WebP container walk (RFC 9649) — the TRIAGE arm for the web's third
+  * image format: variant, pixel dimensions, alpha / animation /
+  * metadata presence and frame count from pure byte reads. Pixel decode
+  * lives in the codec arms this container routes to — [[Vp8l]]
+  * (lossless, round 14) and [[Vp8]] (lossy intra, round 15) — plus the
+  * ALPH alpha-plane and ANMF animation walks here. A crawl pipeline
+  * that cannot name WebP routes a large slice of modern web imagery to
+  * "unknown" and silently drops it from image curation — this arm
+  * exists so the [[Multimodal.sniffFormat]] dispatch has somewhere real
+  * to send it.
   *
   * Structure parsed (all little-endian):
   *   - RIFF header: "RIFF" + u32 size + "WEBP", then a chunk sequence of

@@ -19,28 +19,50 @@ object CoverageDoc {
   val Begin = "<!-- BEGIN GENERATED CERTIFICATION (graft.tools.CoverageDoc) -->"
   val End = "<!-- END GENERATED CERTIFICATION -->"
 
+  /** (tests, suites) from the JUnit XMLs, counting ONLY reports whose
+    * suite class still exists on the classpath: target/test-reports is
+    * append-only across renames/deletions, and counting orphaned XMLs
+    * is exactly the round-15 drift (banner 1032/104 vs a live-run
+    * 1025/97). Exposed for the spec that pins the stale-report filter.
+    */
+  def countReports(dir: java.nio.file.Path = Paths.get("target/test-reports"))
+      : (Int, Int) = {
+    val reports = Option(dir)
+      .filter(Files.isDirectory(_))
+      .map(d => Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".xml")).toList)
+      .getOrElse(Nil)
+    require(reports.nonEmpty,
+      s"no $dir/*.xml — run a full `sbt test` first")
+    val live = reports.flatMap { p =>
+      val root = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(p.toFile).getDocumentElement
+      val suite = root.getAttribute("name")
+      // the main runs on the Compile classpath, so resolve suites via
+      // the compiled test-classes tree (zinc deletes class files whose
+      // source went away), falling back to the context classloader
+      val asPath = Paths.get("target/scala-2.13/test-classes",
+        suite.replace('.', '/') + ".class")
+      val exists = Files.isRegularFile(asPath) ||
+        (try { Class.forName(suite, false, getClass.getClassLoader); true }
+        catch { case _: Throwable => false })
+      if (exists) Some(root.getAttribute("tests").toInt) else None
+    }
+    require(live.nonEmpty, "every report XML is orphaned — stale target dir?")
+    (live.sum, live.size)
+  }
+
   def certBlock(benchLine: Option[String]): String = {
     val declared = graft.ops.Catalog.all.size
     val oracle = graft.ops.Catalog.oracleSql.size
     val rowsOnly = declared - oracle
-    val reports = Option(Paths.get("target/test-reports"))
-      .filter(Files.isDirectory(_))
-      .map(dir => Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".xml")).toList)
-      .getOrElse(Nil)
-    require(reports.nonEmpty,
-      "no target/test-reports/*.xml — run a full `sbt test` first")
-    val tests = reports.map { p =>
-      val root = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder().parse(p.toFile).getDocumentElement
-      root.getAttribute("tests").toInt
-    }.sum
+    val (tests, suites) = countReports()
     val bench = benchLine.map(b => s"; $b").getOrElse("")
     s"""Certified state (generated from the tree, not hand-synced):
        |**$declared declared queries** — $oracle DuckDB-oracle-checked,
        |$rowsOnly rows-only (model-defined / approximate semantics, each
        |with a documented oracle-checked anchor); **$tests unit tests
-       |green across ${reports.size} spec files**$bench.""".stripMargin
+       |green across $suites spec files**$bench.""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

@@ -69,4 +69,19 @@ class CatalogSpec extends SparkSpec {
       s"stale COVERAGE.md: expected $oracle oracle-checked — rerun " +
         "`runMain graft.tools.CoverageDoc`")
   }
+
+  test("CoverageDoc counts only reports whose suite class still exists") {
+    // target/test-reports is append-only across suite renames/deletions;
+    // round 15's banner drifted to 1032/104 against a live 1025/97 by
+    // summing orphaned XMLs — the counter must drop them
+    val dir = java.nio.file.Files.createTempDirectory("covdoc")
+    def xml(suite: String, tests: Int) = java.nio.file.Files.writeString(
+      dir.resolve(suite + ".xml"),
+      s"""<?xml version="1.0"?><testsuite name="$suite" tests="$tests"/>""")
+    xml("graft.ops.CatalogSpec", 9) // this suite: resolvable
+    xml("graft.ext.GhostDeletedSpec", 7) // renamed-away: orphaned
+    val (tests, suites) = graft.tools.CoverageDoc.countReports(dir)
+    assert(tests == 9 && suites == 1,
+      s"stale-report filter broken: counted $tests/$suites")
+  }
 }
