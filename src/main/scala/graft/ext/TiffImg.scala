@@ -269,6 +269,7 @@ object TiffImg {
       var compression = 1L; var photometric = -1L
       var offsets: Array[Long] = null; var counts: Array[Long] = null
       var samples = 1L; var rowsPerStrip = Long.MaxValue; var predictor = 1L
+      var fillOrder = 1L; var t4Options = 0L; var t6Options = 0L
       var k2 = 0
       while (k2 < n) {
         val e = ifd + 2 + k2 * 12
@@ -278,16 +279,24 @@ object TiffImg {
           case 258 => bits = values(e).getOrElse(return None)
           case 259 => compression = values(e).flatMap(_.headOption).getOrElse(1L)
           case 262 => photometric = values(e).flatMap(_.headOption).getOrElse(-1L)
+          case 266 => fillOrder = values(e).flatMap(_.headOption).getOrElse(1L)
           case 273 => offsets = values(e).getOrElse(return None)
           case 277 => samples = values(e).flatMap(_.headOption).getOrElse(1L)
           case 278 => rowsPerStrip = values(e).flatMap(_.headOption).getOrElse(Long.MaxValue)
           case 279 => counts = values(e).getOrElse(return None)
+          case 292 => t4Options = values(e).flatMap(_.headOption).getOrElse(0L)
+          case 293 => t6Options = values(e).flatMap(_.headOption).getOrElse(0L)
           case 317 => predictor = values(e).flatMap(_.headOption).getOrElse(1L)
           case _ => ()
         }
         k2 += 1
       }
       if (width <= 0 || height <= 0 || width * height * 4 > (1L << 28)) return None
+      val bilevel = bits.length == 1 && bits(0) == 1L
+      if (bilevel)
+        return decodeBilevel(b, width.toInt, height.toInt, compression,
+          photometric, fillOrder, t4Options, t6Options, samples,
+          rowsPerStrip, offsets, counts)
       if (!bits.forall(_ == 8L)) return None // 8-bit samples only
       if (photometric != 1 && photometric != 2) return None
       if (predictor != 1 && predictor != 2) return None
@@ -341,6 +350,71 @@ object TiffImg {
       }
       Some(Png.Image(w, h, ch, out))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Bit-reversal LUT for FillOrder 2 (lsb-first strip bytes). */
+  private val bitRev: Array[Byte] = Array.tabulate(256) { v =>
+    (Integer.reverse(v) >>> 24).toByte
+  }
+
+  /** Bilevel (1 bit/sample) arm: CCITT MH / G3 / G4 strips through
+    * [[Ccitt.decode]], expanded to 8-bit gray by PhotometricInterpretation
+    * (0 = WhiteIsZero, the fax default: CCITT white → 255; 1 inverts).
+    */
+  private def decodeBilevel(b: Array[Byte], w: Int, h: Int,
+      compression: Long, photometric: Long, fillOrder: Long,
+      t4Options: Long, t6Options: Long, samples: Long, rowsPerStrip: Long,
+      offsets: Array[Long], counts: Array[Long]): Option[Png.Image] = {
+    if (samples != 1L) return None
+    if (photometric != 0 && photometric != 1) return None
+    if (fillOrder != 1 && fillOrder != 2) return None
+    if ((t4Options & 2L) != 0 || (t6Options & 2L) != 0) return None // uncompressed mode
+    val scheme: Ccitt.Scheme = compression match {
+      case 2 => Ccitt.Mh
+      case 3 => Ccitt.G3((t4Options & 1L) != 0, (t4Options & 4L) != 0)
+      case 4 => Ccitt.G4
+      case _ => return None
+    }
+    if (offsets == null || counts == null || offsets.length != counts.length)
+      return None
+    val out = new Array[Byte](w * h)
+    val whiteGray: Byte = if (photometric == 0) 0xFF.toByte else 0x00
+    val blackGray: Byte = if (photometric == 0) 0x00 else 0xFF.toByte
+    var row = 0
+    var strip = 0
+    while (strip < offsets.length && row < h) {
+      val off = offsets(strip)
+      val cnt = counts(strip)
+      if (off < 0 || cnt <= 0 || off + cnt > b.length) return None
+      val stripRows = math.min(
+        if (rowsPerStrip == Long.MaxValue) h.toLong else rowsPerStrip,
+        (h - row).toLong).toInt
+      val data =
+        if (fillOrder == 1) b
+        else { // FillOrder 2: strip bytes are lsb-first — reverse them
+          val d = new Array[Byte](cnt.toInt)
+          var i = 0
+          while (i < d.length) {
+            d(i) = bitRev(b(off.toInt + i) & 0xFF)
+            i += 1
+          }
+          d
+        }
+      val from = if (fillOrder == 1) off.toInt else 0
+      val until = if (fillOrder == 1) (off + cnt).toInt else cnt.toInt
+      val bm = Ccitt.decode(data, from, until, w, stripRows, scheme)
+        .getOrElse(return None)
+      var i = 0
+      val base = row * w
+      while (i < stripRows * w) {
+        out(base + i) = if (bm(i) != 0) blackGray else whiteGray
+        i += 1
+      }
+      row += stripRows
+      strip += 1
+    }
+    if (row < h) return None
+    Some(Png.Image(w, h, 1, out))
   }
 
   // -------------------------------------------------------------- build
@@ -454,6 +528,88 @@ object TiffImg {
     }
     strips.zip(stripOffs).foreach { case (s2, o) =>
       System.arraycopy(s2, 0, b, o, s2.length)
+    }
+    b
+  }
+
+  /** Deterministic bilevel (fax-class) TIFF: gray input thresholded at
+    * 128 (dark → CCITT black), CCITT-coded strips (compression 2 MH /
+    * 3 G3 with `t4Options` 1D-vs-2D + fill bits / 4 G4), photometric 0
+    * (WhiteIsZero, the fax default). Little-endian, ascending-tag IFD.
+    */
+  private[graft] def buildBilevel(img: Png.Image, compression: Int,
+      t4Options: Int = 0, rowsPerStrip: Int = 1 << 20): Array[Byte] = {
+    require(Set(2, 3, 4).contains(compression), "bilevel build: compression")
+    require(img.channels == 1, "bilevel build: gray input")
+    val w = img.width
+    val h = img.height
+    val scheme: Ccitt.Scheme = compression match {
+      case 2 => Ccitt.Mh
+      case 3 => Ccitt.G3((t4Options & 1) != 0, (t4Options & 4) != 0)
+      case _ => Ccitt.G4
+    }
+    val bm = new Array[Byte](w * h)
+    var i = 0
+    while (i < bm.length) { // dark pixels are fax black
+      if ((img.pixels(i) & 0xFF) < 128) bm(i) = 1
+      i += 1
+    }
+    val strips = (0 until h by rowsPerStrip).map { y0 =>
+      val rows = math.min(rowsPerStrip, h - y0)
+      Ccitt.encode(java.util.Arrays.copyOfRange(bm, y0 * w, (y0 + rows) * w),
+        w, rows, scheme)
+    }
+    val nStrips = strips.length
+    val nEntries = 9 + (if (compression == 3) 1 else 0)
+    val ifdOff = 8
+    var heap = ifdOff + 2 + nEntries * 12 + 4
+    val stripOffsOff = heap
+    val needStripHeap = nStrips > 1
+    if (needStripHeap) heap += nStrips * 8
+    var dataOff = heap
+    val stripOffs = strips.map { s => val o = dataOff; dataOff += s.length; o }
+    val b = new Array[Byte](dataOff)
+    def w16(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
+    }
+    def w32(o: Int, v: Long): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
+      b(o + 2) = (v >>> 16).toByte; b(o + 3) = (v >>> 24).toByte
+    }
+    b(0) = 'I'; b(1) = 'I'; w16(2, 42); w32(4, ifdOff)
+    var tags = Vector[(Int, Int, Long, Long)](
+      (256, 3, 1L, w.toLong),
+      (257, 3, 1L, h.toLong),
+      (258, 3, 1L, 1L),
+      (259, 3, 1L, compression.toLong),
+      (262, 3, 1L, 0L), // WhiteIsZero
+      (273, 4, nStrips.toLong,
+        if (needStripHeap) stripOffsOff.toLong else stripOffs.head.toLong),
+      (277, 3, 1L, 1L),
+      (278, 4, 1L, rowsPerStrip.toLong), // LONG: a one-strip file stores h≤2^20 here
+      (279, 4, nStrips.toLong,
+        if (needStripHeap) (stripOffsOff + nStrips * 4).toLong
+        else strips.head.length.toLong))
+    if (compression == 3) tags = tags :+ ((292, 4, 1L, t4Options.toLong))
+    val sorted = tags.sortBy(_._1)
+    w16(ifdOff, sorted.length)
+    sorted.zipWithIndex.foreach { case ((tag, tpe, cnt, value), k) =>
+      val e = ifdOff + 2 + k * 12
+      w16(e, tag); w16(e + 2, tpe); w32(e + 4, cnt)
+      if (tpe == 3) { w16(e + 8, value.toInt); w16(e + 10, 0) }
+      else w32(e + 8, value)
+    }
+    w32(ifdOff + 2 + sorted.length * 12, 0)
+    if (needStripHeap) {
+      stripOffs.zipWithIndex.foreach { case (o, k) =>
+        w32(stripOffsOff + k * 4, o.toLong)
+      }
+      strips.zipWithIndex.foreach { case (s, k) =>
+        w32(stripOffsOff + nStrips * 4 + k * 4, s.length.toLong)
+      }
+    }
+    strips.zip(stripOffs).foreach { case (s, o) =>
+      System.arraycopy(s, 0, b, o, s.length)
     }
     b
   }

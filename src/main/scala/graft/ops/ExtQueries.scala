@@ -3675,6 +3675,59 @@ object ExtQueries {
       "byte orders with Predictor 2 on the LZW arms — the real TIFF LZW " +
       "codec per doc, byte sums oracle-checked")
 
+  private val qTiffCcitt = Q(
+    "q_tiff_ccitt",
+    (s, d) => {
+      // CCITT fax decode, driver-checked (round 16) — the scanned-
+      // document compressions (G4/T.6, G3/T.4 1D and 2D, Modified
+      // Huffman) over bilevel strips: per doc a 40×11 bitmap whose
+      // pixel (x,y) is black iff (id·7 + y·5 + x·3) mod 11 < 4 is
+      // CCITT-encoded (compression rotates by id % 4: G4, G3-1D,
+      // G3-2D, MH; fill bits on half the G3 arms — a bit-grammar
+      // variant that must not change a single pixel) and decoded back
+      // through the run tables machine-extracted from libtiff. The
+      // white-pixel sum (photometric 0: white = 255) must hash-match
+      // DuckDB counting the same congruence directly.
+      import s.implicits._
+      val (w, h) = (40, 11)
+      documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          val gray = new Array[Byte](w * h)
+          var i = 0
+          while (i < gray.length) {
+            val black = (id * 7 + (i / w) * 5 + (i % w) * 3) % 11 < 4
+            gray(i) = if (black) 0x00 else 0xFF.toByte
+            i += 1
+          }
+          val (comp, t4) = (id % 4).toInt match {
+            case 0 => (4, 0)
+            case 1 => (3, if (id % 8 == 1) 4 else 0) // 1D, fill on half
+            case 2 => (3, if (id % 8 == 2) 5 else 1) // 2D, fill on half
+            case _ => (2, 0)
+          }
+          val t = graft.ext.TiffImg.buildBilevel(
+            graft.ext.Png.Image(w, h, 1, gray), comp, t4)
+          val dec = graft.ext.TiffImg.decode(t).getOrElse(
+            throw new IllegalStateException(s"ccitt decode failed for $id"))
+          var sum = 0L
+          dec.pixels.foreach(v => sum += (v & 0xFF))
+          (id, dec.width, dec.height, comp, sum)
+        }
+        .toDF("media_id", "width", "height", "compression", "pixel_sum")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 40 AS width, 11 AS height,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
+                        WHEN 2 THEN 3 ELSE 2 END AS INT) AS compression,
+                   CAST(255 * (SELECT count(*) FROM generate_series(0, 439) AS t(i)
+                          WHERE (doc_id * 7 + (i // 40) * 5 + (i % 40) * 3) % 11 >= 4)
+                     AS BIGINT) AS pixel_sum
+            FROM documents ORDER BY media_id"""),
+    "CCITT fax decode certificate: G4/G3-1D/G3-2D/MH bilevel strips " +
+      "(fill-bit variants included) through the libtiff-extracted run " +
+      "tables, white-pixel sums oracle-checked")
+
   private val qPnmDecode = Q(
     "q_pnm_decode",
     (s, d) => {
@@ -7071,7 +7124,7 @@ object ExtQueries {
     qPngRoundtrip, qWebpRoundtrip, qWebpLossyRoundtrip, qMp3Roundtrip,
     qVorbisRoundtrip,
     qWebpFrames, qApngFrames,
-    qBmpDecode, qIcoDecode, qTiffDecode, qPnmDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
+    qBmpDecode, qIcoDecode, qTiffDecode, qTiffCcitt, qPnmDecode, qWavPcm, qGifFrames, qJpegStats, qPng4Stats, qWavFloat,
     qWavG711, qJpegImageIo, qJpegProgressive, qWavAdpcm, qAviFrames, qHtmlExtract, qBoilerplate, qUrlNormalize, qWarcPipeline,
     qWarcGzip, qWebCurateEngine, qFlacStats, qPdfExtract,
     qMp4Meta, qMp4Frames, qMp3Meta, qOggMeta, qLmBackoff, qExifMeta,

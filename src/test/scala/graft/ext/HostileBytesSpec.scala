@@ -128,6 +128,12 @@ class HostileBytesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ("tiff_img", TiffImg.build(Png.Image(12, 9, 3,
       Array.tabulate(324)(i => (i * 13 % 256).toByte)),
       compression = 5, bigEndian = true, predictor = 2)),
+    ("tiff_g4", TiffImg.buildBilevel(Png.Image(21, 8, 1,
+      Array.tabulate(168)(i => if (i * 7 % 13 < 5) 0x00.toByte else 0xFF.toByte)),
+      compression = 4)),
+    ("tiff_g3_2d", TiffImg.buildBilevel(Png.Image(21, 8, 1,
+      Array.tabulate(168)(i => if (i * 11 % 17 < 6) 0x00.toByte else 0xFF.toByte)),
+      compression = 3, t4Options = 5)),
     ("pnm", Pnm.build(Png.Image(11, 6, 3,
       Array.tabulate(198)(i => (i * 41 % 256).toByte)))))
 
