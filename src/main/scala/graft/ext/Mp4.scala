@@ -10,6 +10,10 @@ import scala.collection.mutable.ArrayBuffer
   * long — the decide-whether-to-decode step over 100 TB of blobs), and
   * keyframe extraction for the tracks whose per-sample encoding a pure
   * JVM can own (MJPEG: each sample is a standalone JPEG → [[Jpeg]]).
+  * `mp4a` (AAC) sample decode is a MEASURED honest cut, not an
+  * oversight: the box carries the AAC Huffman codebooks in no form and
+  * no reference decoder to certify against — tools/aac_adjudication.md
+  * documents the round-16 search and the re-open trigger.
   *
   * Structure parsed (reference: gasket treats media as opaque stdio
   * bytes — /root/reference/index.js:118 pipes Buffers; the container
