@@ -25,12 +25,15 @@ import graft.ext.Png.Image
   * this codec exists so image dedup/stats operators run on real pixels
   * inside the JVM task with no process hop.
   *
-  * Determinism: IDCT is double-precision separable (exact to well below
-  * the final integer rounding for in-range coefficients), output is
-  * round-half-up then clamp — same every run, every JVM. DC-only blocks
-  * (solid rasters) reconstruct EXACTLY, which is what the certificate
-  * query relies on; arbitrary images are spec-accurate within ±1 of any
-  * compliant decoder (ImageIO cross-validation in JpegSpec).
+  * Determinism: IDCT and YCbCr→RGB are the de-facto reference INTEGER
+  * arithmetic (libjpeg's islow factorization and 16-bit fixed-point
+  * conversion, constants derived from their closed forms) — same every
+  * run, every JVM, and BIT-EXACT to the on-disk public libjpeg
+  * (JpegInteropSpec pins equality on libjpeg-encoded fixtures,
+  * baseline + progressive, gray/4:4:4/4:2:0). DC-only blocks (solid
+  * rasters) reconstruct EXACTLY, which is what the certificate query
+  * relies on; the ImageIO cross-validation in JpegSpec stays as a
+  * second, JVM-internal comparator.
   */
 object Jpeg {
 
@@ -49,21 +52,6 @@ object Jpeg {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
-  // cos((2x+1)·u·π/16) · C(u) for the separable IDCT, C(0)=1/√2
-  private val IdctCos: Array[Double] = {
-    val t = new Array[Double](64)
-    var u = 0
-    while (u < 8) {
-      var x = 0
-      while (x < 8) {
-        val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-        t(u * 8 + x) = c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
-        x += 1
-      }
-      u += 1
-    }
-    t
-  }
 
   /** Canonical Huffman table in the spec's mincode/maxcode/valptr form
     * (T.81 F.2.2.3): decode walks code lengths 1..16, comparing the
@@ -336,7 +324,7 @@ object Jpeg {
     }
     val r = new BitReader(b, scanStart)
     val coef = new Array[Int](64)
-    val tmp = new Array[Double](64)
+    val tmp = new Array[Int](64)
     var mcu = 0
     val nMcus = mcusX * mcusY
     var restartCount = 0
@@ -613,7 +601,7 @@ object Jpeg {
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val coefBuf = new Array[Int](64)
-    val tmp = new Array[Double](64)
+    val tmp = new Array[Int](64)
     comps.foreach { c =>
       val qt = quant(c.tq)
       c.planeW = c.blocksPerRow * 8
@@ -640,19 +628,23 @@ object Jpeg {
     Some(assemble(comps, width, height, hMax, vMax, adobeTransform))
   }
 
-  /** Separable double-precision 2-D IDCT (T.81 A.3.3), then level shift
-    * +128, round-half-up, clamp — written into the component plane.
-    * Sparsity-aware: real blocks are mostly zeros, so all-zero coefficient
-    * rows are skipped (their contribution is identically 0 — bit-identical
-    * to the dense sum), and a DC-only block short-circuits to a flat fill
-    * (the exact same value the dense path rounds to).
+  /** Integer 2-D IDCT, BIT-EXACT to libjpeg's `jpeg_idct_islow`
+    * (Loeffler-Ligtenberg-Moshovitz factorization, 13-bit fixed point,
+    * 2-bit pass-1 scaling): columns → workspace → rows, then level
+    * shift +128 and clamp into the component plane. Matching the
+    * de-facto reference arithmetic exactly is what lets
+    * JpegInteropSpec assert EQUALITY (not ±1) against libjpeg's own
+    * decode — a single wrong constant or descale fails those rows. The
+    * DC-only shortcut is the same collapse libjpeg performs (both
+    * descales of a lone DC term, exact by linearity).
     */
-  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+  private def idctBlock(coef: Array[Int], tmp: Array[Int],
       plane: Array[Byte], planeW: Int, y0: Int, x0: Int, lastK: Int): Unit = {
     if (lastK == 0) {
-      // DC-only: f(x,y) = DC/8 everywhere
-      val iv = ((coef(0) / 8.0) + 128.5).toInt
-      val flat = (if (iv < 0) 0 else if (iv > 255) 255 else iv).toByte
+      // DC-only: both islow passes collapse to one descale of the DC
+      val iv = ((coef(0) << P1) + (1 << (P1 + 2))) >> (P1 + 3)
+      val i2 = iv + 128
+      val flat = (if (i2 < 0) 0 else if (i2 > 255) 255 else i2).toByte
       var yy = 0
       while (yy < 8) {
         java.util.Arrays.fill(plane, (y0 + yy) * planeW + x0,
@@ -661,47 +653,126 @@ object Jpeg {
       }
       return
     }
-    // rows: for each v (vertical freq), tmp(v·8+x) = Σ_u F(v,u)·C(u)·cos(x,u)
-    var y = 0
-    while (y < 8) {
-      val base = y * 8
-      var nz = false
-      var u = 0
-      while (!nz && u < 8) { nz = coef(base + u) != 0; u += 1 }
-      if (nz) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0
-          var uu = 0
-          while (uu < 8) { s += coef(base + uu) * IdctCos(uu * 8 + x); uu += 1 }
-          tmp(base + x) = s
-          x += 1
-        }
-      } else java.util.Arrays.fill(tmp, base, base + 8, 0.0)
-      y += 1
+    // pass 1: columns → workspace (scaled by 2^P1)
+    var ctr = 0
+    while (ctr < 8) {
+      var z2 = coef(ctr + 8 * 2)
+      var z3 = coef(ctr + 8 * 6)
+      var z1 = (z2 + z3) * F_0_541196100
+      val etmp2 = z1 - z3 * F_1_847759065
+      val etmp3 = z1 + z2 * F_0_765366865
+      z2 = coef(ctr)
+      z3 = coef(ctr + 8 * 4)
+      val etmp0 = (z2 + z3) << CB
+      val etmp1 = (z2 - z3) << CB
+      val tmp10 = etmp0 + etmp3
+      val tmp13 = etmp0 - etmp3
+      val tmp11 = etmp1 + etmp2
+      val tmp12 = etmp1 - etmp2
+      var t0 = coef(ctr + 8 * 7)
+      var t1 = coef(ctr + 8 * 5)
+      var t2 = coef(ctr + 8 * 3)
+      var t3 = coef(ctr + 8 * 1)
+      z1 = t0 + t3
+      z2 = t1 + t2
+      z3 = t0 + t2
+      var z4 = t1 + t3
+      val z5 = (z3 + z4) * F_1_175875602
+      t0 *= F_0_298631336
+      t1 *= F_2_053119869
+      t2 *= F_3_072711026
+      t3 *= F_1_501321110
+      z1 *= -F_0_899976223
+      z2 *= -F_2_562915447
+      z3 = z3 * -F_1_961570560 + z5
+      z4 = z4 * -F_0_390180644 + z5
+      t0 += z1 + z3
+      t1 += z2 + z4
+      t2 += z2 + z3
+      t3 += z1 + z4
+      def ds1(v: Int): Int = (v + (1 << (CB - P1 - 1))) >> (CB - P1)
+      tmp(8 * 0 + ctr) = ds1(tmp10 + t3)
+      tmp(8 * 7 + ctr) = ds1(tmp10 - t3)
+      tmp(8 * 1 + ctr) = ds1(tmp11 + t2)
+      tmp(8 * 6 + ctr) = ds1(tmp11 - t2)
+      tmp(8 * 2 + ctr) = ds1(tmp12 + t1)
+      tmp(8 * 5 + ctr) = ds1(tmp12 - t1)
+      tmp(8 * 3 + ctr) = ds1(tmp13 + t0)
+      tmp(8 * 4 + ctr) = ds1(tmp13 - t0)
+      ctr += 1
     }
-    // cols + output; zero rows of tmp contribute nothing — cap the inner
-    // loop at the last nonzero vertical frequency
-    var vHi = 7
-    while (vHi > 0 && {
-      val b = vHi * 8; var allZ = true; var u = 0
-      while (allZ && u < 8) { allZ = tmp(b + u) == 0.0; u += 1 }; allZ
-    }) vHi -= 1
-    var x = 0
-    while (x < 8) {
-      var yy = 0
-      while (yy < 8) {
-        var s = 0.0
-        var v = 0
-        while (v <= vHi) { s += tmp(v * 8 + x) * IdctCos(v * 8 + yy); v += 1 }
-        val iv = ((s / 4.0) + 128.5).toInt
-        val clamped = if (iv < 0) 0 else if (iv > 255) 255 else iv
-        plane((y0 + yy) * planeW + (x0 + x)) = clamped.toByte
-        yy += 1
+    // pass 2: workspace rows → samples
+    var row = 0
+    while (row < 8) {
+      val b = row * 8
+      var z2 = tmp(b + 2)
+      var z3 = tmp(b + 6)
+      var z1 = (z2 + z3) * F_0_541196100
+      val etmp2 = z1 - z3 * F_1_847759065
+      val etmp3 = z1 + z2 * F_0_765366865
+      z2 = tmp(b)
+      z3 = tmp(b + 4)
+      val etmp0 = (z2 + z3) << CB
+      val etmp1 = (z2 - z3) << CB
+      val tmp10 = etmp0 + etmp3
+      val tmp13 = etmp0 - etmp3
+      val tmp11 = etmp1 + etmp2
+      val tmp12 = etmp1 - etmp2
+      var t0 = tmp(b + 7)
+      var t1 = tmp(b + 5)
+      var t2 = tmp(b + 3)
+      var t3 = tmp(b + 1)
+      z1 = t0 + t3
+      z2 = t1 + t2
+      z3 = t0 + t2
+      var z4 = t1 + t3
+      val z5 = (z3 + z4) * F_1_175875602
+      t0 *= F_0_298631336
+      t1 *= F_2_053119869
+      t2 *= F_3_072711026
+      t3 *= F_1_501321110
+      z1 *= -F_0_899976223
+      z2 *= -F_2_562915447
+      z3 = z3 * -F_1_961570560 + z5
+      z4 = z4 * -F_0_390180644 + z5
+      t0 += z1 + z3
+      t1 += z2 + z4
+      t2 += z2 + z3
+      t3 += z1 + z4
+      val o = (y0 + row) * planeW + x0
+      def st(x: Int, v: Int): Unit = {
+        val s = ((v + (1 << (CB + P1 + 2))) >> (CB + P1 + 3)) + 128
+        plane(o + x) = (if (s < 0) 0 else if (s > 255) 255 else s).toByte
       }
-      x += 1
+      st(0, tmp10 + t3); st(7, tmp10 - t3)
+      st(1, tmp11 + t2); st(6, tmp11 - t2)
+      st(2, tmp12 + t1); st(5, tmp12 - t1)
+      st(3, tmp13 + t0); st(4, tmp13 - t0)
+      row += 1
     }
   }
+
+  // islow fixed-point constants, DERIVED from their trig closed forms
+  // (c(k) = cos(kπ/16), √2-scaled sums per the published
+  // Loeffler-Ligtenberg-Moshovitz factorization) — bit-exactness vs
+  // libjpeg is certified by JpegInteropSpec's exact-match fixtures
+  private val CB = 13 // CONST_BITS
+  private val P1 = 2 // PASS1_BITS
+  private def fixc(x: Double): Int = math.round(x * (1 << CB)).toInt
+  private def cn(k: Int): Double = math.cos(k * math.Pi / 16)
+  private val Rt2 = math.sqrt(2.0)
+  private val F_0_541196100 = fixc(Rt2 * cn(6))
+  private val F_0_765366865 = fixc(Rt2 * (cn(2) - cn(6)))
+  private val F_1_847759065 = fixc(Rt2 * (cn(2) + cn(6)))
+  private val F_1_175875602 = fixc(Rt2 * cn(3))
+  private val F_0_298631336 = fixc(Rt2 * (-cn(1) + cn(3) + cn(5) - cn(7)))
+  private val F_2_053119869 = fixc(Rt2 * (cn(1) + cn(3) - cn(5) + cn(7)))
+  private val F_3_072711026 = fixc(Rt2 * (cn(1) + cn(3) + cn(5) - cn(7)))
+  private val F_1_501321110 = fixc(Rt2 * (cn(1) + cn(3) - cn(5) - cn(7)))
+  private val F_0_899976223 = fixc(Rt2 * (cn(3) - cn(7)))
+  private val F_2_562915447 = fixc(Rt2 * (cn(1) + cn(3)))
+  private val F_1_961570560 = fixc(Rt2 * (cn(3) + cn(5)))
+  private val F_0_390180644 = fixc(Rt2 * (cn(3) - cn(5)))
 
   /** Upsample each component to full resolution by sample replication
     * (box) and color-convert. The JFIF YCbCr→RGB formula with
@@ -742,9 +813,16 @@ object Jpeg {
           if (isRgb) {
             out(o) = lum.toByte; out(o + 1) = cb.toByte; out(o + 2) = cr.toByte
           } else {
-            out(o) = clamp8(lum + 1.402 * (cr - 128))
-            out(o + 1) = clamp8(lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-            out(o + 2) = clamp8(lum + 1.772 * (cb - 128))
+            // libjpeg's 16-bit fixed-point JFIF conversion, bit-exact
+            // (constants derived by FIX(), the half lives where libjpeg
+            // puts it) — so the external differential (JpegInteropSpec)
+            // isolates entropy+dequant+IDCT instead of stacking a
+            // second rounding seam
+            val cbd = cb - 128
+            val crd = cr - 128
+            out(o) = clampI(lum + ((FixR * crd + Half) >> Scale))
+            out(o + 1) = clampI(lum + ((-FixGb * cbd - FixGr * crd + Half) >> Scale))
+            out(o + 2) = clampI(lum + ((FixB * cbd + Half) >> Scale))
           }
           x += 1
           o += 3
@@ -761,4 +839,16 @@ object Jpeg {
     val iv = (v + 0.5).toInt
     (if (iv < 0) 0 else if (iv > 255) 255 else iv).toByte
   }
+
+  // JFIF/BT.601 coefficients in libjpeg's FIX() fixed point (round of
+  // coeff·2^16) — DERIVED from the published constants, not transcribed
+  private val Scale = 16
+  private val Half = 1 << (Scale - 1)
+  private val FixR = math.round(1.40200 * (1 << Scale)).toInt
+  private val FixGb = math.round(0.34414 * (1 << Scale)).toInt
+  private val FixGr = math.round(0.71414 * (1 << Scale)).toInt
+  private val FixB = math.round(1.77200 * (1 << Scale)).toInt
+
+  @inline private def clampI(v: Int): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
 }
