@@ -248,6 +248,40 @@ object DocSoak {
       }.filter(_ != -1L).count()
     }
 
+    // round-16 WebM thumbnail arm: VP8 keyframe encode + EBML wrap +
+    // container walk + keyframe pixel decode + aHash per doc (the video
+    // membership cost in the image dedup cell) — map-only
+    timed("webm_thumb") {
+      ds.map { case (id, _) =>
+        val px = new Array[Byte](32 * 32 * 3)
+        var i = 0
+        while (i < px.length) { px(i) = ((id * 37 + i * 11) % 256).toByte; i += 1 }
+        val webm = graft.ext.Webm.wrapWebpLossy(graft.ext.Vp8Enc.encode(
+          graft.ext.Png.Image(32, 32, 3, px), 8, 3)).getOrElse(Array.emptyByteArray)
+        graft.ext.Webm.decodeFirstFrame(webm)
+          .map(graft.ext.Png.aHash)
+          .getOrElse(-1L)
+      }.filter(_ != -1L).count()
+    }
+
+    // round-16 CCITT fax arm: bilevel G4 encode + strip decode per doc
+    // (the scanned-document compression) — map-only
+    timed("tiff_g4") {
+      ds.map { case (id, _) =>
+        val gray = new Array[Byte](64 * 24)
+        var i = 0
+        while (i < gray.length) {
+          gray(i) = if ((id * 7 + (i / 64) * 5 + (i % 64) * 3) % 11 < 4) 0x00
+            else 0xFF.toByte
+          i += 1
+        }
+        val t = graft.ext.TiffImg.buildBilevel(
+          graft.ext.Png.Image(64, 24, 1, gray), 4)
+        graft.ext.TiffImg.decode(t).map(img =>
+          img.pixels.count(_ == 0).toLong).getOrElse(-1L)
+      }.filter(_ != -1L).count()
+    }
+
     // mixed-format dispatch end-to-end: 6 rotating families through the
     // engine pipeline (sniff -> arms -> gate)
     timed("dispatch_mixed") {
