@@ -78,7 +78,13 @@ class PlanShapeSpec extends SparkSpec {
     // round 15: both new certificates are map-only per doc + one final
     // aggregate — any join/extra shuffle here is a regression
     ("q_webp_lossy_roundtrip", 2, 0, 0),
-    ("q_dedup_audio_offset_anchor", 2, 0, 0))
+    ("q_dedup_audio_offset_anchor", 2, 0, 0),
+    // round 16: the video-thumbnail plant rides the banded Hamming
+    // pairing — both verification joins MUST broadcast (id-bounded
+    // hash tables), banding is the only shuffle family; the CCITT
+    // certificate is map-only per doc + certificate sort
+    ("q_video_thumb_anchor", 3, 2, 0),
+    ("q_tiff_ccitt", 2, 0, 0))
 
   audited.foreach { case (name, maxShuffles, minBhj, maxSmj) =>
     test(s"$name plan shape holds (≤$maxShuffles shuffles, ≥$minBhj bcast join, ≤$maxSmj SMJ)") {
