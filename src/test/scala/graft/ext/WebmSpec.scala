@@ -184,6 +184,47 @@ class WebmSpec extends AnyFunSuite {
     }
   }
 
+  test("q_video_thumb_anchor plant population: thumbnail aHash drift exactly 0") {
+    // the oracle counts assume EVERY planted WebM pairs with its still
+    // at Hamming 0 — sweep the full potential plant population (all
+    // doc_id % 20 == 0 in [0, 90000), superset of every SF's corpus)
+    // and assert the VP8 qIndex-4 noise never crosses an aHash
+    // threshold on these 0/255 block rasters
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var id = 0L
+    var n = 0
+    while (id < 90000) {
+      val base = (mix(id ^ 0x7EBAC0DEL) | 1L) & ~(1L << 63)
+      val px = new Array[Byte](16 * 16)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val bit = (y / 2) * 8 + (x / 2)
+          px(y * 16 + x) =
+            if (((base >>> bit) & 1L) == 1L) 0xFF.toByte else 0x00.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val img = Png.Image(16, 16, 1, px)
+      val still = Png.aHash(img)
+      val webm = Webm.wrapWebpLossy(Vp8Enc.encode(img, 4, 0)).get
+      val thumb = Png.aHash(Webm.decodeFirstFrame(webm).get)
+      assert(thumb == still,
+        s"doc $id: thumbnail aHash drifted " +
+          java.lang.Long.bitCount(thumb ^ still) + " bits")
+      n += 1
+      id += 20
+    }
+    assert(n == 4500)
+  }
+
   test("wrapWebpLossy: WebP → WebM re-container decodes to the same raster") {
     val img = gradient()
     val webp = Vp8Enc.encode(img, 4, 0)
