@@ -5661,9 +5661,10 @@ object ExtQueries {
     (s, d) => {
       // Mixed-format curation THROUGH THE ENGINE over one UNTYPED blob
       // column — the realistic landing where format is not known per
-      // row: eight payload families rotate by doc_id % 8 (PNG, WebP
+      // row: thirteen payload families rotate by doc_id % 13 (PNG, WebP
       // lossless, an MPEG1-L3 frame chain, DOCX, PDF, plain text that
-      // must sniff unknown and be dropped by the gate, HEIC, and AVIF).
+      // must sniff unknown and be dropped by the gate, HEIC, AVIF, the
+      // text-doc formats, and a one-keyframe WebM for the video arm).
       // The sniff names each family, the per-format arms recover dims /
       // duration / text, and every emitted value is a closed form of
       // doc_id — a misrouted payload lands in the wrong arm and breaks
@@ -5681,48 +5682,61 @@ object ExtQueries {
         .orderBy("media_id")
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                   CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
                         WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'zip'
                         WHEN 4 THEN 'pdf' WHEN 6 THEN 'heic'
                         WHEN 7 THEN 'avif' WHEN 8 THEN 'epub'
                         WHEN 9 THEN 'rtf' WHEN 10 THEN 'eml'
+                        WHEN 12 THEN 'webm'
                         ELSE 'mbox' END AS format,
-                   CASE WHEN doc_id % 12 = 2 THEN 'audio'
-                        WHEN doc_id % 12 IN (3, 4, 8, 9, 10, 11) THEN 'doc'
+                   CASE WHEN doc_id % 13 = 2 THEN 'audio'
+                        WHEN doc_id % 13 = 12 THEN 'video'
+                        WHEN doc_id % 13 IN (3, 4, 8, 9, 10, 11) THEN 'doc'
                         ELSE 'image' END AS kind,
-                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 16
+                   CAST(CASE doc_id % 13 WHEN 0 THEN 8 + doc_id % 16
                         WHEN 1 THEN 1 + doc_id % 3000
                         WHEN 6 THEN 640 + doc_id % 2000
                         WHEN 7 THEN 320 + doc_id % 1000
+                        WHEN 12 THEN 16 + doc_id % 24
                         ELSE 0 END AS INT) AS width,
-                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 8
+                   CAST(CASE doc_id % 13 WHEN 0 THEN 8 + doc_id % 8
                         WHEN 1 THEN 1 + doc_id % 2000
                         WHEN 6 THEN 480 + doc_id % 1000
                         WHEN 7 THEN 240 + doc_id % 500
+                        WHEN 12 THEN 12 + doc_id % 16
                         ELSE 0 END AS INT) AS height,
-                   CAST(CASE doc_id % 12
+                   CAST(CASE doc_id % 13
                         WHEN 2 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
+                        WHEN 12 THEN 33
                         ELSE 0 END AS BIGINT) AS duration_ms,
-                   CASE doc_id % 12 WHEN 3 THEN text || chr(10)
+                   CASE doc_id % 13 WHEN 3 THEN text || chr(10)
                         WHEN 0 THEN '' WHEN 1 THEN '' WHEN 2 THEN ''
-                        WHEN 6 THEN '' WHEN 7 THEN ''
+                        WHEN 6 THEN '' WHEN 7 THEN '' WHEN 12 THEN ''
                         ELSE text END AS text
-            FROM documents WHERE doc_id % 12 <> 5 ORDER BY media_id"""),
+            FROM documents WHERE doc_id % 13 <> 5 ORDER BY media_id"""),
     "mixed-format curation through the sniff dispatcher AS an engine " +
-      "pipeline: eight untyped payload families routed to per-format " +
+      "pipeline: thirteen untyped payload families routed to per-format " +
       "arms (PNG/WebP dims, HEIF/AVIF ipma dims, MPEG duration, " +
-      "DOCX/PDF text), unknowns gated out — every value a closed form " +
-      "of doc_id")
+      "DOCX/PDF text, WebM video thumbnails), unknowns gated out — " +
+      "every value a closed form of doc_id")
 
-  /** The twelve rotating payload families behind q_curate_dispatch and
-    * its streaming twin — every emitted curation value is a closed form
-    * of doc_id/text so a misrouted payload breaks the hash: PNG, WebP
-    * lossless, an MPEG1-L3 frame chain, DOCX, PDF, plain text (sniffs
-    * unknown, gate-dropped), HEIC, AVIF, and the round-12b text-doc
-    * formats EPUB, RTF, EML, mbox.
+  /** The thirteen rotating payload families behind q_curate_dispatch
+    * and its streaming twin — every emitted curation value is a closed
+    * form of doc_id/text so a misrouted payload breaks the hash: PNG,
+    * WebP lossless, an MPEG1-L3 frame chain, DOCX, PDF, plain text
+    * (sniffs unknown, gate-dropped), HEIC, AVIF, the round-12b text-doc
+    * formats EPUB, RTF, EML, mbox, and (round 16) a one-keyframe WebM
+    * whose VIDEO arm dims come from the decoded VP8 keyframe.
     */
   private def dispatchPayload(id: Long, text: String): Array[Byte] =
-    (id % 12).toInt match {
+    (id % 13).toInt match {
+      case 12 => // round 16: one-keyframe WebM (VP8) — the video family
+        val w = (16 + id % 24).toInt
+        val h = (12 + id % 16).toInt
+        val px = Array.tabulate(w * h * 3)(i => ((id * 13 + i * 7) % 256).toByte)
+        graft.ext.Webm.wrapWebpLossy(graft.ext.Vp8Enc.encode(
+            graft.ext.Png.Image(w, h, 3, px), 8, 3))
+          .getOrElse(sys.error(s"dispatch webm build failed for $id"))
       case 0 =>
         val w = (8 + id % 16).toInt
         val h = (8 + id % 8).toInt
@@ -5778,7 +5792,7 @@ object ExtQueries {
     "q_stream_dispatch",
     (s, d) => {
       // The STREAMING half of q_curate_dispatch — how a crawler actually
-      // lands blobs: the same eight untyped payload families arrive as a
+      // lands blobs: the same thirteen untyped payload families arrive as a
       // bounded file-stream replay in FOUR micro-batches
       // (maxFilesPerTrigger=1 over four files), each batch routed through
       // the engine-declared sniff→arms→gate pipeline inside foreachBatch
@@ -5832,33 +5846,38 @@ object ExtQueries {
       } finally rmAll()
     },
     Some("""SELECT doc_id AS media_id,
-                   CASE doc_id % 12 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                   CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
                         WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'zip'
                         WHEN 4 THEN 'pdf' WHEN 6 THEN 'heic'
                         WHEN 7 THEN 'avif' WHEN 8 THEN 'epub'
                         WHEN 9 THEN 'rtf' WHEN 10 THEN 'eml'
+                        WHEN 12 THEN 'webm'
                         ELSE 'mbox' END AS format,
-                   CASE WHEN doc_id % 12 = 2 THEN 'audio'
-                        WHEN doc_id % 12 IN (3, 4, 8, 9, 10, 11) THEN 'doc'
+                   CASE WHEN doc_id % 13 = 2 THEN 'audio'
+                        WHEN doc_id % 13 = 12 THEN 'video'
+                        WHEN doc_id % 13 IN (3, 4, 8, 9, 10, 11) THEN 'doc'
                         ELSE 'image' END AS kind,
-                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 16
+                   CAST(CASE doc_id % 13 WHEN 0 THEN 8 + doc_id % 16
                         WHEN 1 THEN 1 + doc_id % 3000
                         WHEN 6 THEN 640 + doc_id % 2000
                         WHEN 7 THEN 320 + doc_id % 1000
+                        WHEN 12 THEN 16 + doc_id % 24
                         ELSE 0 END AS INT) AS width,
-                   CAST(CASE doc_id % 12 WHEN 0 THEN 8 + doc_id % 8
+                   CAST(CASE doc_id % 13 WHEN 0 THEN 8 + doc_id % 8
                         WHEN 1 THEN 1 + doc_id % 2000
                         WHEN 6 THEN 480 + doc_id % 1000
                         WHEN 7 THEN 240 + doc_id % 500
+                        WHEN 12 THEN 12 + doc_id % 16
                         ELSE 0 END AS INT) AS height,
-                   CAST(CASE doc_id % 12
+                   CAST(CASE doc_id % 13
                         WHEN 2 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
+                        WHEN 12 THEN 33
                         ELSE 0 END AS BIGINT) AS duration_ms,
-                   CASE doc_id % 12 WHEN 3 THEN text || chr(10)
+                   CASE doc_id % 13 WHEN 3 THEN text || chr(10)
                         WHEN 0 THEN '' WHEN 1 THEN '' WHEN 2 THEN ''
-                        WHEN 6 THEN '' WHEN 7 THEN ''
+                        WHEN 6 THEN '' WHEN 7 THEN '' WHEN 12 THEN ''
                         ELSE text END AS text
-            FROM documents WHERE doc_id % 12 <> 5 ORDER BY media_id"""),
+            FROM documents WHERE doc_id % 13 <> 5 ORDER BY media_id"""),
     "streaming mixed-format curation: the q_curate_dispatch pipeline " +
       "driven through a four-micro-batch bounded file-stream replay " +
       "(foreachBatch, append-only output log) — continuous ingest " +
