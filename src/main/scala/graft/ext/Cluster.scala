@@ -103,7 +103,11 @@ object Cluster {
       k: Int,
       iters: Int): DataFrame = {
     val a = assignments(embeddings, idCol, embCol, k, iters)
-    val dim = a.select(size(col("v"))).head().getInt(0)
+    // dim probe on the RAW input, not on `a`: probing `a` ran the whole
+    // assignment plan (scan → quantize → argmin kernel) as an extra
+    // limit-1 job just to read an array length; quantize is per-component,
+    // so the input embedding length IS the assignment vector length
+    val dim = embeddings.select(size(col(embCol))).head().getInt(0)
     val sumCols = (0 until dim).map(i =>
       sum(element_at(col("v"), i + 1)).as(s"s$i"))
     val meanCols = (0 until dim).map(i =>

@@ -425,6 +425,28 @@ object Tar {
     last
   }
 
+  /** Member listing PLUS the bytes of the named members, in ONE streaming
+    * pass. Byte-for-byte the same results as [[entries]] followed by
+    * [[read]] per name (same '0'/'S' typeflag filter, same last-complete-
+    * occurrence-wins update semantics) — but a compressed archive is
+    * inflated once instead of `1 + names.size` times. This is the
+    * certificate-query access pattern (list + extract k members); the
+    * per-name [[read]] stays the right call for single-member lookups.
+    */
+  def extract(raw: Array[Byte],
+      names: Set[String]): (Seq[Entry], Map[String, Array[Byte]]) = {
+    def wantTf(tf: Char) = tf == '0' || tf == 'S'
+    val es = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    val got = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+    walk(raw, e => names.contains(e.name) && wantTf(e.typeflag)).foreach {
+      case (e, d) =>
+        es += e
+        if (names.contains(e.name) && wantTf(e.typeflag) &&
+          d.length.toLong == e.size) got(e.name) = d
+    }
+    (es.toSeq, got.toMap)
+  }
+
   /** One 512-byte ustar header with a valid checksum — shared by
     * [[build]] and the spec/soak fixture writers.
     */

@@ -5902,11 +5902,14 @@ object ExtQueries {
             ("docs/", Array.emptyByteArray, '5'),
             ("docs/text.txt", textB, '0'),
             ("meta/info.bin", bin, '0')), gzip = id % 2 == 0)
-          val es = graft.ext.Tar.entries(tar)
-          val extracted = graft.ext.Tar.read(tar, "docs/text.txt")
+          // one streaming walk (one gunzip) for listing + both members —
+          // entries + read×2 re-inflated the archive three times
+          val (es, got) = graft.ext.Tar.extract(tar,
+            Set("docs/text.txt", "meta/info.bin"))
+          val extracted = got.get("docs/text.txt")
             .map(new String(_, "UTF-8")).getOrElse("")
           var binSum = 0L
-          graft.ext.Tar.read(tar, "meta/info.bin")
+          got.get("meta/info.bin")
             .foreach(_.foreach(b => binSum += (b & 0xFF)))
           (id, es.length, extracted, binSum, es.map(_.size).sum)
         }
@@ -6723,8 +6726,10 @@ object ExtQueries {
             case 6 => ("lzma", graft.ext.Codecs.lzma(tar))
             case _ => ("z", graft.ext.Codecs.zCompress(tar))
           }
-          val es = graft.ext.Tar.entries(blob)
-          val extracted = graft.ext.Tar.read(blob, "docs/text.txt")
+          // one walk (one xz/bzip2/… decode) for listing + extraction —
+          // the per-doc decompress is the whole cost of this certificate
+          val (es, got) = graft.ext.Tar.extract(blob, Set("docs/text.txt"))
+          val extracted = got.get("docs/text.txt")
             .map(new String(_, "UTF-8")).getOrElse("")
           (id, codec, es.length, extracted, es.map(_.size).sum)
         }

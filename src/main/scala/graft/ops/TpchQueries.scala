@@ -84,15 +84,17 @@ object TpchQueries {
       // Q2 (min-cost supplier) without partsupp: the (part, supplier)
       // bridge and its cost come from lineitem — cost := min decimal unit
       // price observed for the pair. The correlated "cost = min cost over
-      // the part" subquery is decorrelated by hand exactly as Catalyst
-      // would: per-part min join. The bridge aggregate is
-      // data-proportional → merge-joined; supplier/nation/region dims are
-      // broadcast.
+      // the part" subquery is a same-key window over the bridge aggregate
+      // (round-16 rewrite): min(cost) OVER (PARTITION BY l_partkey) + a
+      // filter replaces the old per-part re-aggregate + merge self-join,
+      // which cost a second full lineitem scan, a third exchange of the
+      // bridge, and an SMJ. Result-identical: a bridge row survives iff
+      // its cost equals the per-part min — exactly the old join+filter.
+      // supplier/nation/region dims stay broadcast.
       val cost = lineitem(s, d)
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(dec(col("l_extendedprice"))).as("cost_d"))
-      val minCost = cost.groupBy("l_partkey")
-        .agg(min(col("cost_d")).as("min_cost_d"))
+      val wPart = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
       val europeSupp = broadcast(
         supplier(s, d)
           .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
@@ -102,8 +104,8 @@ object TpchQueries {
       val parts = broadcast(part(s, d)
         .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
         .select("p_partkey", "p_name"))
-      cost.hint("merge")
-        .join(minCost.hint("merge"), "l_partkey")
+      cost
+        .withColumn("min_cost_d", min(col("cost_d")).over(wPart))
         .filter(col("cost_d") === col("min_cost_d"))
         .join(parts, col("l_partkey") === col("p_partkey"))
         .join(europeSupp, col("l_suppkey") === col("s_suppkey"))
@@ -126,8 +128,9 @@ object TpchQueries {
                             FROM lineitem l2 WHERE l2.l_partkey = ps.l_partkey)
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
             LIMIT 100"""),
-    "TPC-H Q2 shape: correlated min-cost subquery decorrelated to a " +
-      "per-part min + join; supplier/nation/region dim chain broadcast")
+    "TPC-H Q2 shape: correlated min-cost subquery as a same-key window " +
+      "over the bridge aggregate (one fact scan, no self-join); " +
+      "supplier/nation/region dim chain broadcast")
 
   // ------------------------------------------------------------------ Q4
   private val qTpchQ4 = Q(

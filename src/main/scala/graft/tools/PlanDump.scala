@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // `--all` sweeps the whole declared catalog (the round-16 plan-audit
+    // loop: grep the dump for Exchange counts / join strategies /
+    // PushedFilters per query)
+    val names = if (args.length > 1 && args(1) == "--all")
+      graft.ops.Catalog.all.map(_.name)
+    else if (args.length > 1) args.drop(1).toSeq
     else Seq("q_filter", "q_project", "q_join_broadcast", "q_join_sortmerge",
       "q_agg", "q_topk", "q_sim_topk")
     val spark = SparkSession.builder()
@@ -24,7 +29,13 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // a sweep must survive one query's construction failing (some
+      // queries execute eagerly while building — streams, index writes)
+      try graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable =>
+        println(s"[plandump] $n FAILED during construction: ${e.getMessage}")
+      }
+      graft.ops.CacheUtils.releaseAll(spark)
     }
     spark.stop()
   }

@@ -23,6 +23,24 @@ class TarSpec extends AnyFunSuite {
     }
   }
 
+  test("extract: one pass equals entries + read per name (plain and gz)") {
+    for (gz <- Seq(false, true)) {
+      val t = sample(gz)
+      val (es, got) = Tar.extract(t, Set("d/a.txt", "b.bin", "d/", "nope"))
+      assert(es == Tar.entries(t))
+      // same bytes as per-name read; dirs and missing names absent
+      assert(got.keySet == Set("d/a.txt", "b.bin"))
+      assert(got("d/a.txt").sameElements(Tar.read(t, "d/a.txt").get))
+      assert(got("b.bin").sameElements(Tar.read(t, "b.bin").get))
+    }
+    // last-complete-occurrence-wins parity with read on duplicate names
+    val dup = Tar.build(Seq(
+      ("x.txt", "old".getBytes, '0'),
+      ("x.txt", "newer".getBytes, '0')))
+    assert(new String(Tar.extract(dup, Set("x.txt"))._2("x.txt")) == "newer")
+    assert(new String(Tar.read(dup, "x.txt").get) == "newer")
+  }
+
   test("ustar prefix field extends the name") {
     val t = sample(false).clone()
     // plant a prefix on the second member's header (offset 512)
