@@ -222,7 +222,8 @@ object AnalyticsQueries {
         .join(broadcast(dim), "nk")
         .groupBy("n_name")
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
-      RelationalQueries.boundedReplay(s, name, ev, "complete")
+      RelationalQueries.boundedReplay(s, name, ev, "complete",
+        RelationalQueries.stateWidthFor(s, d, "events"))
         .select(col("n_name"), col("n"), col("sum_value").cast("double").as("sum_value"))
         .orderBy("n_name")
     },
@@ -796,7 +797,8 @@ object AnalyticsQueries {
           floor(col("value") * lit(10000.0)).as("value"))
         .as[graft.streaming.Stateful.KeyedEvent]
       val agg = graft.streaming.Stateful.runningStats(ev).toDF()
-      RelationalQueries.boundedReplay(s, name, agg, "update")
+      RelationalQueries.boundedReplay(s, name, agg, "update",
+        RelationalQueries.stateWidthFor(s, d, "events"))
         .groupBy(col("key").as("user_id"))
         .agg(max(struct(col("n"), col("sum"))).as("fin"))
         .select(col("user_id"), col("fin.n").as("n"),
@@ -828,7 +830,8 @@ object AnalyticsQueries {
         .withColumn("value", dec(col("value")))
       val agg = graft.streaming.StreamOps
         .tumblingCounts(ev, "ts", "event_type", "1 hour", "30 minutes")
-      RelationalQueries.boundedReplay(s, name, agg, "append")
+      RelationalQueries.boundedReplay(s, name, agg, "append",
+        RelationalQueries.stateWidthFor(s, d, "events"))
         .select(col("w_start").as("h"), col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("h", "event_type")

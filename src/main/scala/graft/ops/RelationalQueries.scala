@@ -929,7 +929,7 @@ object RelationalQueries {
       val ev = streamEvents(s, d).withColumn("value", dec(col("value")))
       val agg = graft.streaming.StreamOps
         .tumblingCounts(ev, "ts", "event_type", "1 hour", "30 minutes")
-      boundedReplay(s, name, agg, "complete")
+      boundedReplay(s, name, agg, "complete", stateWidthFor(s, d, "events"))
         .select(col("w_start").as("h"), col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("h", "event_type")
@@ -951,7 +951,7 @@ object RelationalQueries {
       val name = s"graft_stream_sliding_${streamRuns.incrementAndGet()}"
       val agg = graft.streaming.StreamOps.slidingCounts(
         streamEvents(s, d), "ts", "event_type", "2 hours", "1 hour", "30 minutes")
-      boundedReplay(s, name, agg, "complete")
+      boundedReplay(s, name, agg, "complete", stateWidthFor(s, d, "events"))
         .orderBy("w_start", "event_type")
     },
     Some("""WITH starts AS (
@@ -980,7 +980,7 @@ object RelationalQueries {
       val name = s"graft_stream_session_${streamRuns.incrementAndGet()}"
       val agg = graft.streaming.StreamOps
         .sessionCounts(streamEvents(s, d), "ts", "user_id", "30 minutes", "30 minutes")
-      boundedReplay(s, name, agg, "complete")
+      boundedReplay(s, name, agg, "complete", stateWidthFor(s, d, "events"))
         .select(col("user_id"), col("s_start"), col("n"))
         .orderBy("user_id", "s_start")
     },
@@ -1017,7 +1017,7 @@ object RelationalQueries {
       val agg = graft.streaming.StreamOps
         .sessionCountsFast(streamEvents(s, d), "ts", "user_id",
           "30 minutes", "30 minutes")
-      boundedReplay(s, name, agg, "append")
+      boundedReplay(s, name, agg, "append", stateWidthFor(s, d, "events"))
         .select(col("user_id"), col("s_start"), col("n"))
         .orderBy("user_id", "s_start")
     },
@@ -1062,7 +1062,8 @@ object RelationalQueries {
         .dedupWithinWatermark(streamEvents(s, d), "ts",
           Seq("user_id", "event_type"), "3650 days")
         .select("user_id", "event_type")
-      boundedReplay(s, name, deduped, "append").orderBy("user_id", "event_type")
+      boundedReplay(s, name, deduped, "append",
+        stateWidthFor(s, d, "events")).orderBy("user_id", "event_type")
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""),
@@ -1091,7 +1092,8 @@ object RelationalQueries {
       val novel = graft.streaming.StreamOps
         .dedupAgainstCorpus(stream, "text", corpusFp)
         .select("doc_id")
-      boundedReplay(s, name, novel, "append").orderBy("doc_id")
+      boundedReplay(s, name, novel, "append",
+        stateWidthFor(s, d, "documents")).orderBy("doc_id")
     },
     Some("""SELECT doc_id FROM documents
             WHERE md5(text) NOT IN
@@ -1124,7 +1126,8 @@ object RelationalQueries {
           graft.ext.Classifier.Model(w, 256), graft.ext.Classifier.md5Index,
           threshold = 0.5)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
-      boundedReplay(s, name, kept, "append").orderBy("doc_id")
+      boundedReplay(s, name, kept, "append",
+        stateWidthFor(s, d, "documents")).orderBy("doc_id")
     },
     Some("""WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
