@@ -1467,8 +1467,6 @@ object ExtQueries {
       val toks = documents(s, d)
         .select((col("doc_id") % 8).as("shard"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-      val total = toks.count()
-      val thresh = 0.002 * total
       // per-shard one-pass sketches (kilobytes each)
       val blobs = toks.groupBy("shard")
         .agg(expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("cms"))
@@ -1476,8 +1474,15 @@ object ExtQueries {
       val merged = blobs.map(r => CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))))
         .reduceLeft { (a, b) => a.mergeInPlace(b); a }
-      // candidate generation: exact LOCAL heavy hitters per shard
+      // candidate generation: exact LOCAL heavy hitters per shard. The
+      // corpus total rides the same 8-row per-shard aggregate (total =
+      // Σ shard totals — exact) instead of a separate toks.count(): one
+      // fewer full token-explode pass at any scale (guide §1.2 step 1,
+      // "don't compute things you throw away")
       val shardTotals = toks.groupBy("shard").agg(count(lit(1)).as("n_shard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = shardTotals.agg(sum(col("n_shard"))).head().getLong(0)
+      val thresh = 0.002 * total
       val candidates = toks.groupBy("shard", "tok")
         .agg(count(lit(1)).as("n_local"))
         .join(broadcast(shardTotals), "shard")
