@@ -122,61 +122,46 @@ object AdvancedQueries {
   private val qTpchQ21 = Q(
     "q_tpch_q21",
     (s, d) => {
-      // TPC-H Q21 shape (suppliers who kept orders waiting; the synthetic
-      // schema has no commitdate/receiptdate, so "waiting" is
-      // shipdate-based: the last shipper in a multi-supplier order).
+      // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+      // correlated EXISTS + NOT EXISTS chain — Catalyst decorrelates to a
+      // left-semi then a left-anti self-join of lineitem on the order key.
+      // Both rewritten joins shuffle on l_orderkey, so the three scans of
+      // the fact co-partition; the synthetic schema has no
+      // commitdate/receiptdate, so "waiting" is shipdate-based: the last
+      // shipper in a multi-supplier order.
       //
-      // Round-16 rewrite (guide §2.4/§3.3): the classic correlated
-      // EXISTS + NOT EXISTS chain decorrelates to a left-semi plus a
-      // left-anti SELF-JOIN of the fact — 3 full lineitem scans and 3
-      // full-fact exchanges on l_orderkey (plan archived in
-      // plans/r16/q_tpch_q21_before.txt). Both subqueries only ever ask
-      // per-(order, OTHER supplier) max-shipdate questions, so the same
-      // answer comes from the per-(order, supplier) max-shipdate
-      // aggregate: per-order stats via same-key windows (n_supp,
-      // top-1/top-2 supplier maxima with tie count) joined back to the
-      // fact. The fact is scanned twice but EXCHANGED once (the agg
-      // branch ships map-side-partially-aggregated (order, supplier, max)
-      // rows; the window and join-alignment exchanges move only the
-      // aggregate). Equivalence, null-robust:
-      //   EXISTS(other supplier)        ⇔ n_supp ≥ 2 (null suppkeys are
-      //     dropped up front: `l2.l_suppkey <> l1.l_suppkey` is never TRUE
-      //     through a NULL on either side, so such rows can neither
-      //     qualify nor witness);
-      //   NOT EXISTS(other ships later) ⇔ NOT coalesce(max_other >
-      //     l_shipdate, false): `l3.l_shipdate > l1.l_shipdate` is only
-      //     TRUE on non-null pairs, so a NULL shipdate (either side)
-      //     never witnesses — max ignores NULLs and the coalesce keeps a
-      //     NULL-shipdate l1 row qualified exactly as the EXISTS does;
-      //   max_other = m1 unless THIS supplier alone attains m1 (then m2);
-      //   ties across suppliers (cnt_m1 > 1) keep m1 — exact on integer
-      //   microsecond timestamps, no float anywhere.
-      // The fact-side join stays sort-merge (q_join_sortmerge discipline:
-      // per-order stats are order-count-proportional — a broadcast would
-      // be wrong at 100 TB even if the local file squeaks under the
-      // threshold).
-      val li = lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
-      val perSupp = li.groupBy("l_orderkey", "l_suppkey")
-        .agg(max(col("l_shipdate")).as("ms"))
-      val wOrd = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
-      val stats = perSupp
-        .withColumn("n_supp", count(lit(1)).over(wOrd))
-        .withColumn("m1", max(col("ms")).over(wOrd))
-        .withColumn("cnt_m1",
-          sum(when(col("ms") === col("m1"), 1L).otherwise(0L)).over(wOrd))
-        .withColumn("m2", max(when(col("ms") < col("m1"), col("ms"))).over(wOrd))
-        .select(col("l_orderkey"), col("l_suppkey"), col("n_supp"),
-          when(col("ms") < col("m1") || col("cnt_m1") > 1L, col("m1"))
-            .otherwise(col("m2")).as("max_other"))
-      li.join(stats.hint("merge"), Seq("l_orderkey", "l_suppkey"))
-        .filter(col("n_supp") >= 2L &&
-          !coalesce(col("max_other") > col("l_shipdate"), lit(false)))
-        .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("l_suppkey"))
-        .limit(50)
+      // Round-16 adjudication (OPTIMIZATION_r16.md): two rewrites that
+      // replace the self-join chain with a per-(order, supplier)
+      // max-shipdate aggregate were built, oracle-verified, and MEASURED
+      // SLOWER at sf0.1 — window-stats + co-partitioned join-back 0.81 →
+      // 1.47 s floor (1.39 with a shuffle_hash join-back), and a
+      // join-free collect_list/array-count form 2.08 s (interpreted
+      // higher-order filter + arrays riding the window exchange). The
+      // decorrelated semi/anti SMJs stream with near-zero per-row cost,
+      // and the rewrites' shuffle-byte saving (≈8 → ≈6.5 column-units of
+      // fact traffic) is too small to buy back their sort/window/buffer
+      // CPU. Kept as-is; revisit only if a deployment shows the order-key
+      // exchanges dominating.
+      lineitem(s, d).createOrReplaceTempView("lineitem_adv21")
+      // MERGE hints inside the subquery blocks survive decorrelation and
+      // pin the rewritten semi/anti joins to sort-merge — the build side
+      // is the RAW fact table (same q_join_sortmerge discipline: a plan
+      // that driver-broadcasts lineitem is wrong at 100 TB even if the
+      // local file squeaks under the broadcast threshold)
+      s.sql("""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+               FROM lineitem_adv21 l1
+               WHERE EXISTS (
+                       SELECT /*+ MERGE(l2) */ 1 FROM lineitem_adv21 l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (
+                       SELECT /*+ MERGE(l3) */ 1 FROM lineitem_adv21 l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_shipdate > l1.l_shipdate)
+               GROUP BY l_suppkey
+               ORDER BY numwait DESC, l_suppkey
+               LIMIT 50""")
     },
     Some("""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
             FROM lineitem l1
@@ -192,10 +177,9 @@ object AdvancedQueries {
             GROUP BY l_suppkey
             ORDER BY numwait DESC, l_suppkey
             LIMIT 50"""),
-    "TPC-H Q21 shape: the correlated EXISTS + NOT EXISTS chain computed " +
-      "from ONE fact scan (per-supplier max + same-key per-order window " +
-      "stats + co-partitioned join back) — result-identical to the " +
-      "decorrelated semi/anti self-join oracle")
+    "TPC-H Q21 shape: correlated EXISTS + NOT EXISTS → co-partitioned " +
+      "semi/anti self-joins on the order key (two aggregate-based " +
+      "rewrites measured slower and reverted — see OPTIMIZATION_r16.md)")
 
   // ---------------------------------------------------------------- Q22
   private val qTpchQ22 = Q(
