@@ -864,12 +864,16 @@ object RelationalQueries {
     * wait, not CPU — fewer partitions win), cleanup after success.
     */
   /** Replay state width derived from the input footprint: one state
-    * partition per ~32 MB of input, clamped to the session's parallelism.
-    * At replay scale this resolves to 1 (the measured optimum — the
-    * stateful stages are commit-wait-bound, and every extra partition
-    * pays 2 batches × 4 state-store commits); at 100× the same derivation
-    * widens the state with the data, so the declared query is the scale
-    * shape rather than a pinned toy width.
+    * partition per ~32 MB of input, with a floor of 4 and a cap at the
+    * session's parallelism. The floor is measured (round 16, quiet box,
+    * 3-rep floors): width 4 beats width 1 on every stateful kernel tried
+    * — session 1.56 vs 1.77 s, flatMapGroupsWithState 0.79 vs 0.92,
+    * stream-stream join 2.23 vs 2.60 — a little task parallelism hides
+    * the per-partition state-store commit latency, while 32 near-empty
+    * state partitions (the session default) pay 2 batches × 4 commits
+    * each for nothing. At 100× the same derivation widens the state with
+    * the data, so the declared query is the scale shape rather than a
+    * pinned toy width.
     */
   private[ops] def stateWidthFor(s: SparkSession, d: String, table: String): String = {
     val width =
@@ -878,8 +882,8 @@ object RelationalQueries {
         val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           .getContentSummary(p).getLength
         math.min(s.sparkContext.defaultParallelism.toLong,
-          bytes / (32L << 20) + 1L)
-      } catch { case _: Exception => 1L }
+          math.max(4L, bytes / (32L << 20) + 1L))
+      } catch { case _: Exception => 4L }
     width.toString
   }
 
