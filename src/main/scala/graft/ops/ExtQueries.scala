@@ -5827,11 +5827,16 @@ object ExtQueries {
         .repartition(4) // four files → four micro-batches
         .write.mode("overwrite").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
+      // one Engine for the whole replay: the spec and Engine are
+      // batch-invariant, so constructing them per micro-batch only adds
+      // driver work to every trigger (planning still runs per batch —
+      // that is the certificate's semantics)
+      val engine = new graft.engine.Engine(graft.ext.CurateDispatch.spec())
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          new graft.engine.Engine(graft.ext.CurateDispatch.spec())
+          engine
             .run("curate_dispatch", s, Some(batch.toDF()),
               graft.engine.RunOptions(orderedConcat = false))
             .write.mode("append").parquet(logDir)

@@ -1589,20 +1589,30 @@ object RelationalQueries {
                      FROM lineitem_sm GROUP BY l_returnflag)
                ORDER BY l_returnflag""")
     },
+    // Oracle-side decimal→double casts go THROUGH VARCHAR: DuckDB's
+    // direct DECIMAL→DOUBLE cast converts the int128 significand to
+    // double BEFORE dividing by 10^scale, which mis-rounds once the
+    // decimal carries ≳17 significant digits (measured round 16 on the
+    // on-box DuckDB: syy 7096786968835.8685 → …869 direct vs the
+    // correctly-rounded …868 that Spark's BigDecimal cast and DuckDB's
+    // string→double path both produce). The VARCHAR hop is exact (the
+    // decimal prints exactly) and its parse is correctly rounded in
+    // every DuckDB version, so both engines now derive the IDENTICAL
+    // IEEE double before the formula — the Spark side is untouched.
     Some("""SELECT l_returnflag,
                    sqrt((n * sxx - sx * sx) / (n * n)) AS stddev_pop_qty,
                    (n * sxy - sx * sy)
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
             FROM (SELECT l_returnflag,
                          CAST(count(*) AS DOUBLE) AS n,
-                         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-                         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-                         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-                         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-                         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                  * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+                         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+                         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
                   FROM lineitem GROUP BY l_returnflag)
             ORDER BY l_returnflag"""),
     "stddev/correlation from exact decimal co-moments (deterministic " +
