@@ -183,6 +183,18 @@ object AudioFp {
     * ≈ 30 760 < 32 767, and the smallest level's DFT magnitude (≈ 750)
     * ~160× the int16 rounding-noise magnitude (≈ 4.6 RMS).
     */
+  /** cos(2π·bin(b)·n/FrameLen) for every (band, in-frame sample) — the
+    * synth inner loop evaluated this 8×256 grid with a live math.cos per
+    * sample (18 432 calls per synthesized document; the dedup-audio
+    * queries synthesize thousands of documents per run). The table holds
+    * the SAME expression evaluated once per cell, so every emitted
+    * sample is bit-identical to the call-per-sample form (round-16
+    * optimization; per-task-work class, guide §1.2 step 2).
+    */
+  private lazy val synthCos: Array[Array[Double]] =
+    Array.tabulate(Bands, FrameLen)((b, n) =>
+      math.cos(2.0 * math.Pi * bin(b) * n / FrameLen))
+
   private[graft] def synthSamples(target: Long): Array[Int] = {
     val level = Array.ofDim[Int](Bands, Frames)
     var b = 0
@@ -204,7 +216,7 @@ object AudioFp {
         var x = 0.0
         var b2 = 0
         while (b2 < Bands) {
-          x += amps(b2) * math.cos(2.0 * math.Pi * bin(b2) * n / FrameLen)
+          x += amps(b2) * synthCos(b2)(n)
           b2 += 1
         }
         out(t * FrameLen + n) = math.round(x).toInt

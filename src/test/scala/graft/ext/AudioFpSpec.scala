@@ -24,6 +24,31 @@ class AudioFpSpec extends AnyFunSuite {
         f"target 0x$t%016x not recovered")
   }
 
+  test("synth cosine table is bit-identical to the per-sample cos form") {
+    // independent reimplementation of synthSamples with a LIVE math.cos
+    // per sample (the pre-round-16 form); the table-based production
+    // synth must emit byte-identical samples — the optimization is a
+    // memoization, never a value change
+    val target = 0x5A3C0FF1E2D4B897L
+    val level = Array.ofDim[Int](AudioFp.Bands, AudioFp.Frames)
+    for (b <- 0 until AudioFp.Bands; t <- 0 until AudioFp.Frames - 1) {
+      val falling = ((target >>> (t * AudioFp.Bands + b)) & 1L) == 1L
+      level(b)(t + 1) = level(b)(t) + (if (falling) -1 else 1)
+    }
+    def bin(b: Int) = 4 * (b + 1)
+    val expected = new Array[Int](AudioFp.Frames * AudioFp.FrameLen)
+    for (t <- 0 until AudioFp.Frames) {
+      val amps = Array.tabulate(AudioFp.Bands)(b2 => 150.0 * math.pow(1.5, level(b2)(t)))
+      for (n <- 0 until AudioFp.FrameLen) {
+        var x = 0.0
+        for (b2 <- 0 until AudioFp.Bands)
+          x += amps(b2) * math.cos(2.0 * math.Pi * bin(b2) * n / AudioFp.FrameLen)
+        expected(t * AudioFp.FrameLen + n) = math.round(x).toInt
+      }
+    }
+    assert(AudioFp.synthSamples(target).sameElements(expected))
+  }
+
   test("WAV container round-trip preserves the fingerprint") {
     for (seed <- 0L until 10L) {
       val t = mix(seed)
