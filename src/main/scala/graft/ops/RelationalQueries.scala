@@ -859,9 +859,11 @@ object RelationalQueries {
     * checkpoint placement (every state-store partition fsyncs its delta at
     * commit — against disk-backed /tmp those fsyncs cost ~70 task-seconds
     * per 10k-row replay; on a cluster this is HDFS/S3), memory sink,
-    * AvailableNow trigger, narrowed state width (measured at sf0.1: the
+    * AvailableNow trigger, narrowed state width (see [[stateWidthFor]]:
+    * far fewer partitions than the session default win, because the
     * stateful stages are dominated by per-partition state-store commit
-    * wait, not CPU — fewer partitions win), cleanup after success.
+    * wait — but the round-16 re-measure put the optimum at a floor of 4,
+    * not 1), cleanup after success.
     */
   /** Replay state width derived from the input footprint: one state
     * partition per ~32 MB of input, with a floor of 4 and a cap at the
