@@ -98,8 +98,15 @@ object Bench {
     val loadAfter = loadAvg()
     val loadJson =
       s""""load":{"before":$loadBefore,"after":$loadAfter,"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    // the bench's parallelism contract, self-evident in the artifact
+    // (round-16 adjudication: "cpus" above is the HOST core count, which
+    // made an 8-core driver run look like the env var was ignored):
+    // cpus_requested echoes $SPARK_GRAFT_CPUS, parallelism is the live
+    // sc.defaultParallelism under local[$cpus] — the two must agree
+    val parJson =
+      s""""cpus_requested":$cpus,"parallelism":${spark.sparkContext.defaultParallelism}"""
     val detailLine =
-      s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","reps":$reps,$loadJson,"queries":$detail,"sf":"$sfDir"}""" + "\n"
+      s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","reps":$reps,$parJson,$loadJson,"queries":$detail,"sf":"$sfDir"}""" + "\n"
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine)
@@ -132,7 +139,10 @@ object Bench {
     // 2-decimal values, and if the query map alone would blow the budget,
     // the FASTEST queries are dropped (the slow ones are the audit surface)
     // with an "omitted" count so truncation is visible.
-    val budget = 1560 // was 1580; the top-level "min" joined the line
+    // was 1580; the top-level "min" joined the line, then the two
+    // parallelism fields (~45 chars) — keep the whole line under the
+    // harness's 2000-char tail capture with sbt's footer behind it
+    val budget = 1515
     def fmt(v: Double): String =
       if (v < 0) "-1"
       // Locale.ROOT: the default-locale f"" interpolator would emit a
@@ -150,7 +160,7 @@ object Bench {
       else omitted += 1
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","reps":$reps,$loadJson,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","reps":$reps,$parJson,$loadJson,"queries":$qs,"omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -356,9 +356,14 @@ object Multimodal {
     */
   private[graft] def orientedPairsFromOrbits(orbits: DataFrame,
       maxHamming: Int, nBlocks: Int, maxResidentSubsets: Int = 0): DataFrame = {
+    // per-image orbit dedup is LOCAL (round 17): a duplicate (media_id,
+    // phash) row can only come from two orientations of the SAME image
+    // hashing equal (symmetric rasters), so array_distinct inside the row
+    // removes exactly what the old `.distinct()` after the explode did —
+    // without the full exchange + sequential AQE stage the distinct cost
+    // (cross-image (id, hash) collisions don't exist: media_id differs)
     val exploded = orbits
-      .select(col("media_id"), explode(col("orbit")).as("phash"))
-      .distinct()
+      .select(col("media_id"), explode(array_distinct(col("orbit"))).as("phash"))
     val blocksN = if (nBlocks == 0) maxHamming + 1 else nBlocks
     // no distinct on the band rows: duplicate (band, id) rows only
     // produce self/duplicate candidate pairs, which candidatePairs'

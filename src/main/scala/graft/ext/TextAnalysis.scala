@@ -133,7 +133,22 @@ object TextAnalysis {
     val toks = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
+    // The MODEL (vocab) is persisted, not the exploded corpus: without
+    // it the `total` scalar below re-runs the whole explode + frequency
+    // aggregate as its own subtree (a third full corpus pass — visible
+    // as three Generate chains in the round-17 before-plan), because
+    // DataFrame reuse is per-plan, not per-object. The vocab is
+    // |distinct tokens| rows — the top-V broadcast table of the 100 TB
+    // note above — so the cache is model-sized, never corpus-sized.
+    // (Round-17 measured-and-reverted alternative: pre-aggregating the
+    // explode to per-(doc, tok) counts before every exchange — guide
+    // §2.3 — was bit-identical but 20-25% SLOWER at 10× bench scale
+    // standalone (1.36 → 1.76 s floor at sf1): the added hash-aggregate
+    // pass over every token instance costs more than the compressed
+    // probe saves while the vocab join is a broadcast. Numbers in
+    // OPTIMIZATION_r17.md.)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus token total = sum over the vocab rows — |vocab| is tiny, so
     // this never rescans (let alone re-explodes) the corpus
     val total = vocab.agg(sum(col("_c")).as("_n"))

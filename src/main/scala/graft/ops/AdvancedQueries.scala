@@ -59,13 +59,13 @@ object AdvancedQueries {
           (sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
           count(lit(1)).cast("long").as("n_rows"))
     },
-    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+    Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0
                      AS avg_yearly,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             WHERE p.p_brand = 'Brand#1'
               AND l.l_quantity < 0.5 *
-                  (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  (SELECT CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                           / count(*)
                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
     "TPC-H Q17 shape: correlated per-part avg subquery, decorrelated to a " +
@@ -104,7 +104,7 @@ object AdvancedQueries {
                LIMIT 100""")
     },
     Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -208,10 +208,10 @@ object AdvancedQueries {
     },
     Some("""SELECT c_mktsegment,
                    CAST(count(*) AS BIGINT) AS n_cust,
-                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+                   CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
             FROM customer c
             WHERE c_acctbal > (
-                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                            / count(*)
                     FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (
@@ -404,8 +404,8 @@ object AdvancedQueries {
           sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
             .cast("double").as("revenue"),
           count(lit(1)).cast("long").as("n_rows")),
-    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+    Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                      AS revenue,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
@@ -557,8 +557,8 @@ object AdvancedQueries {
     },
     Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
                      AS avg_value,
                    min(value) AS min_v, max(value) AS max_v
             FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
@@ -824,9 +824,9 @@ object AdvancedQueries {
     },
     Some("""WITH st AS (
               SELECT event_type AS et, count(*) AS n,
-                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
-                     CAST(sum(CAST(value AS DECIMAL(18,2))
-                              * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s,
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,2))
+                              * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq
               FROM events GROUP BY event_type)
             SELECT event_id, event_type, value,
                    round((value - s / n) / sqrt((sq - s * s / n) / (n - 1)), 6) AS z
@@ -881,7 +881,7 @@ object AdvancedQueries {
     },
     Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
                    min(value) AS min_v, max(value) AS max_v
             FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
     "streaming incremental rollup: foreachBatch appends mergeable daily " +

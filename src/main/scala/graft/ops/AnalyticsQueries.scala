@@ -228,7 +228,7 @@ object AnalyticsQueries {
         .orderBy("n_name")
     },
     Some("""SELECT n_name, count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events JOIN nation ON n_nationkey = user_id % 25
             GROUP BY n_name ORDER BY n_name"""),
     "stream-static broadcast enrichment through the bounded-replay " +
@@ -456,11 +456,12 @@ object AnalyticsQueries {
                      sum(x*x) AS sxx
               FROM pts GROUP BY event_type)
             SELECT event_type, n,
-                   CAST(n*sxy - sx*sy AS DOUBLE)
-                     / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
-                   (CAST(sy AS DOUBLE)
-                    - (CAST(n*sxy - sx*sy AS DOUBLE)
-                       / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS slope,
+                   (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                    - (CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+                      * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
                      / CAST(n AS DOUBLE) AS intercept
             FROM stats ORDER BY event_type"""),
     "per-group closed-form OLS trend from mergeable decimal-exact " +
@@ -838,7 +839,7 @@ object AnalyticsQueries {
     },
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
             HAVING h + INTERVAL 1 HOUR
@@ -1148,12 +1149,12 @@ object AnalyticsQueries {
                GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
-                   CAST(sum(CAST(
+                   CAST(CAST(sum(CAST(
                      CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                           AS DECIMAL(18,4))
                      * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
-                     AS DECIMAL(18,6))) AS DOUBLE) AS total_charge,
+                     AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_charge,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     "declarative SQL UDF (CREATE FUNCTION ... RETURN): body inlines into " +

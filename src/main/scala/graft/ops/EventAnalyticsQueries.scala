@@ -151,7 +151,7 @@ object EventAnalyticsQueries {
     Some("""WITH hourly AS (
               SELECT user_id,
                      CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS h,
-                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
               FROM events WHERE user_id < 8 GROUP BY 1, 2),
             bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
                        FROM hourly GROUP BY 1),
@@ -190,7 +190,7 @@ object EventAnalyticsQueries {
           (col("sv").cast("double") / col("n")).as("avg_value"), col("share"))
         .orderBy("event_type", "hod"),
     Some("""SELECT event_type, hod, n,
-                   CAST(sv AS DOUBLE) / n AS avg_value,
+                   CAST(CAST(sv AS VARCHAR) AS DOUBLE) / n AS avg_value,
                    round(CAST(n AS DOUBLE) /
                          sum(n) OVER (PARTITION BY event_type), 6) AS share
             FROM (SELECT event_type,

@@ -636,12 +636,23 @@ object ExtQueries {
       val m = Classifier.train(labeled, "doc_id", "text", "_y",
         dim = dim, iters = 10, lr = 2.0)
       // fused serve kernel — bit-equal to score(..., hashIndex(_, dim))
-      // (ClassifierSpec property), one codegen pass per document
-      Classifier.scoreFast(labeled, "doc_id", "text", m)
-        .join(labeled.select(col("doc_id"), col("_y").as("label")), "doc_id")
+      // (ClassifierSpec property), one codegen pass per document. The
+      // label rides the SAME projection instead of a doc_id self-join of
+      // the cached table against itself (round 17, guide §2.4): doc_id is
+      // unique in `labeled` (docs ⋈ one-row-per-doc lmScore), so
+      // scoreFast(labeled) ⋈ labeled.select(doc_id, _y) is row-identical
+      // to selecting _y alongside the score — minus one exchange and one
+      // rescan of the persisted corpus. scoreFast's n_toks>0 filter is
+      // reproduced verbatim (zero-token docs dropped either way: the old
+      // inner join had no left row for them).
+      labeled
+        .select(col("doc_id"), col("_y").as("label"),
+          graft.functions.ScoreHashed
+            .score_hashed(col("text"), m.weights, m.dim).as("st"))
+        .filter(col("st.n_toks") > 0)
         .select(col("doc_id"), col("label"),
-          round(col("score"), 4).as("q_score"),
-          (col("score") > 0.5).cast("int").as("pred"))
+          round(col("st.score"), 4).as("q_score"),
+          (col("st.score") > 0.5).cast("int").as("pred"))
         .orderBy("doc_id")
     },
     None, // trained weights are a model artifact (not SQL-expressible)
@@ -662,8 +673,8 @@ object ExtQueries {
             total AS (SELECT count(*) AS n FROM toks2)
             SELECT t.doc_id,
                    count(*) AS n_toks,
-                   round(CAST(sum(CAST(round(-ln(CAST(v.c AS DOUBLE) / total.n), 6)
-                                       AS DECIMAL(18,6))) AS DOUBLE)
+                   round(CAST(CAST(sum(CAST(round(-ln(CAST(v.c AS DOUBLE) / total.n), 6)
+                                       AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                               / count(*), 4) AS avg_nll
             FROM toks2 t JOIN vocab v USING (tok) CROSS JOIN total
             GROUP BY t.doc_id
@@ -735,7 +746,7 @@ object ExtQueries {
         .orderBy("label", "dim"),
     Some("""SELECT label, dim, centroid, n FROM (
               SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
-                     CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(25,10))) AS DOUBLE)
+                     CAST(CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
                        / count(*) AS centroid,
                      count(*) AS n
               FROM embeddings,
@@ -1481,7 +1492,10 @@ object ExtQueries {
       // "don't compute things you throw away")
       val shardTotals = toks.groupBy("shard").agg(count(lit(1)).as("n_shard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val total = shardTotals.agg(sum(col("n_shard"))).head().getLong(0)
+      // coalesce: sum over ZERO rows is NULL — an empty corpus must yield
+      // total 0 (the old toks.count() semantics), not an NPE
+      val total = shardTotals.agg(coalesce(sum(col("n_shard")), lit(0L)))
+        .head().getLong(0)
       val thresh = 0.002 * total
       val candidates = toks.groupBy("shard", "tok")
         .agg(count(lit(1)).as("n_local"))
@@ -1489,6 +1503,10 @@ object ExtQueries {
         .filter(col("n_local") >= lit(0.002) * col("n_shard"))
         .select("tok").distinct()
         .collect().map(_.getString(0))
+      // both consumers (total + candidate join) have executed by here —
+      // release the 8-row cache so the query is self-contained in a
+      // session that never calls CacheUtils.releaseAll
+      shardTotals.unpersist(blocking = false)
       // CMS over-estimates only, so probing keeps every true heavy hitter;
       // survivors are then CONFIRMED by one exact aggregation filtered to
       // that bounded candidate set — the emitted counts are exact even if
@@ -5323,8 +5341,7 @@ object ExtQueries {
                    CAST(count(ct) AS BIGINT) AS tri_hits,
                    CAST(count(CASE WHEN w1 IS NOT NULL THEN cb END) AS BIGINT)
                      AS bi_hits,
-                   round(CAST(sum(CAST(round(-ln(s), 6) AS DECIMAL(18,6)))
-                              AS DOUBLE) / count(*), 4) AS avg_nll
+                   round(CAST(CAST(sum(CAST(round(-ln(s), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*), 4) AS avg_nll
             FROM sc GROUP BY doc_id ORDER BY doc_id"""),
     "stupid-backoff n-gram LM (Brants et al. 2007): distributed count " +
       "tables + three keyed joins, trigram→bigram→add-one-unigram " +

@@ -293,7 +293,7 @@ object RelationalQueries {
         .orderBy("p_brand"),
     Some("""SELECT p_brand,
                    count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand"""),
     "explicit broadcast-hash join against the dim table")
@@ -318,8 +318,8 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "l_returnflag"),
     Some("""SELECT o_orderpriority, l_returnflag,
                    count(*) AS n,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority, l_returnflag
             ORDER BY o_orderpriority, l_returnflag"""),
@@ -384,7 +384,7 @@ object RelationalQueries {
     },
     Some("""SELECT o_orderpriority, l_returnflag,
                    count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority, l_returnflag
             ORDER BY o_orderpriority, l_returnflag"""),
@@ -404,7 +404,7 @@ object RelationalQueries {
         .orderBy("c_custkey"),
     Some("""SELECT c_custkey, c_name,
                    count(o_orderkey) AS n_orders,
-                   coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+                   coalesce(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 0.0) AS total_spend
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey, c_name ORDER BY c_custkey"""),
     "left outer join preserving customers without orders")
@@ -458,7 +458,7 @@ object RelationalQueries {
         .orderBy("bucket"),
     Some("""SELECT CAST(r_regionkey AS BIGINT) AS bucket,
                    count(*) AS n,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
             FROM lineitem
             JOIN region ON l_quantity >= r_regionkey * 10
                        AND l_quantity < (r_regionkey + 1) * 10
@@ -573,11 +573,11 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -643,7 +643,7 @@ object RelationalQueries {
     Some("""SELECT coalesce(l_returnflag, '(all)') AS flag,
                    coalesce(l_linestatus, '(all)') AS status,
                    count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                    CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
                    CAST(grouping(l_linestatus) AS BIGINT) AS g_status
             FROM lineitem
@@ -823,7 +823,7 @@ object RelationalQueries {
         .orderBy("h", "event_type"),
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY h, event_type"""),
     "tumbling event-time window (batch form of the streaming window op)")
 
@@ -878,6 +878,14 @@ object RelationalQueries {
     * pinned toy width.
     */
   private[ops] def stateWidthFor(s: SparkSession, d: String, table: String): String = {
+    // operator escape hatch (and the round-17 scale-experiment hook): a
+    // deployment that knows its state width sets SPARK_GRAFT_STATE_WIDTH;
+    // unset (the default, and what the driver's bench sees) keeps the
+    // measured data-derived rule below
+    sys.env.get("SPARK_GRAFT_STATE_WIDTH") match {
+      case Some(w) if w.trim.nonEmpty => return w.trim
+      case _ => ()
+    }
     val width =
       try {
         val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
@@ -942,7 +950,7 @@ object RelationalQueries {
     },
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
                    count(*) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY h, event_type"""),
     "tumbling window executed by Structured Streaming (bounded replay, " +
       "complete-mode memory sink) — hash-equal to the batch oracle")
@@ -1313,7 +1321,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority, count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
     "salted skew join, hash-proven identical to the plain equi-join")
@@ -1416,8 +1424,8 @@ object RelationalQueries {
             .cast("double").as("revenue"))
         .orderBy("r_name", "n_name"),
     Some("""SELECT r_name, n_name, count(*) AS n,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1540,7 +1548,7 @@ object RelationalQueries {
                    count(*) AS n_rows,
                    count(o_orderkey) AS n_matched,
                    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-                   coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+                   coalesce(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 0.0) AS spend
             FROM customer LEFT JOIN orders
               ON c_custkey = o_custkey AND o_totalprice > 400000
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
@@ -1562,7 +1570,7 @@ object RelationalQueries {
                         WHEN l_quantity < 35 THEN 'medium'
                         ELSE 'large' END AS qty_band,
                    count(*) AS n,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
             FROM lineitem GROUP BY 1 ORDER BY qty_band"""),
     "conditional bucketing (CASE WHEN) feeding aggregation")
 
@@ -1729,7 +1737,7 @@ object RelationalQueries {
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag, count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
             FROM lineitem
             WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
                                 CAST(l_linenumber AS VARCHAR) || '-' ||

@@ -60,15 +60,14 @@ object TpchQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
     Some(s"""SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum($discPriceSql
-                            * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
-                        AS DOUBLE) AS sum_charge,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-                   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(sum($discPriceSql) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum($discPriceSql
+                            * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -207,7 +206,7 @@ object TpchQueries {
         .orderBy("supp_region", "cust_region", "l_year")
     },
     Some(s"""SELECT supp_region, cust_region, l_year,
-                    CAST(sum(volume) AS DOUBLE) AS revenue
+                    CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS revenue
              FROM (SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
                           CAST(year(l_shipdate) AS BIGINT) AS l_year,
                           $discPriceSql AS volume
@@ -265,9 +264,9 @@ object TpchQueries {
         .orderBy("o_year")
     },
     Some(s"""SELECT o_year,
-                    CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                      / CAST(sum(volume) AS DOUBLE) AS mkt_share
+                    CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
              FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                           $discPriceSql AS volume,
                           n1.n_name AS supp_nation
@@ -315,7 +314,7 @@ object TpchQueries {
         .agg(sum(profit).cast("double").as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
-    Some(s"""SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    Some(s"""SELECT nation, o_year, CAST(CAST(sum(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
              FROM (SELECT n_name AS nation,
                           CAST(year(o_orderdate) AS BIGINT) AS o_year,
                           $discPriceSql
@@ -362,8 +361,8 @@ object TpchQueries {
         .orderBy(col("value").desc, col("ps_partkey"))
     },
     Some("""SELECT l_partkey AS ps_partkey,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation ON n_nationkey = s_nationkey
@@ -465,10 +464,10 @@ object TpchQueries {
             .cast("double") * 100.0 /
             sum(discPrice).cast("double")).as("promo_revenue"))
     },
-    Some(s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
-                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    Some(s"""SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
                     * 100.0
-                    / CAST(sum($discPriceSql) AS DOUBLE) AS promo_revenue
+                    / CAST(CAST(sum($discPriceSql) AS VARCHAR) AS DOUBLE) AS promo_revenue
              FROM lineitem JOIN part ON p_partkey = l_partkey
              WHERE l_shipdate >= TIMESTAMP '1997-09-01'
                AND l_shipdate < TIMESTAMP '1997-10-01'"""),
@@ -503,7 +502,7 @@ object TpchQueries {
                  AND l_shipdate < TIMESTAMP '1997-04-01'
                GROUP BY l_suppkey)
              SELECT s_suppkey, s_name,
-                    CAST(total_revenue_d AS DOUBLE) AS total_revenue
+                    CAST(CAST(total_revenue_d AS VARCHAR) AS DOUBLE) AS total_revenue
              FROM supplier JOIN revenue ON s_suppkey = supplier_no
              WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM revenue)
              ORDER BY s_suppkey"""),
@@ -568,7 +567,7 @@ object TpchQueries {
         .agg(sum(discPrice).cast("double").as("revenue"),
           count(lit(1)).cast("long").as("n_rows"))
     },
-    Some(s"""SELECT CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+    Some(s"""SELECT CAST(CAST(sum($discPriceSql) AS VARCHAR) AS DOUBLE) AS revenue,
                     CAST(count(*) AS BIGINT) AS n_rows
              FROM lineitem JOIN part ON p_partkey = l_partkey
              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5

@@ -31,8 +31,10 @@ object PlanDump {
       println(s"\n========== $n ==========")
       // a sweep must survive one query's construction failing (some
       // queries execute eagerly while building — streams, index writes)
+      // non-fatal only: an OOM/LinkageError means a corrupted JVM whose
+      // continued sweep would lie — let those propagate
       try graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         println(s"[plandump] $n FAILED during construction: ${e.getMessage}")
       }
       graft.ops.CacheUtils.releaseAll(spark)

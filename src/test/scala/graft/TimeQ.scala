@@ -19,13 +19,20 @@ package graft
   */
 object TimeQ {
 
-  /** Default probe set: historical watch items + current top-cost. */
+  /** Default probe set: historical watch items + current top-cost.
+    * Round 17 adds the two-round 0.94–0.96× hoverers (q_hamming_absorb /
+    * q_hamming_index — VERDICT r16 item 10: two rounds running earns a
+    * TimeQ floor entry) and this round's touched paths (q_lm_score,
+    * q_web_curate_engine).
+    */
   private val WatchSet = Seq(
     "q_span_index", "q_7z_extract", "q_classifier_train", "q_zip_methods",
     "q_mp3_roundtrip", "q_webp_lossy_roundtrip", "q_recursive_cte",
     "q_dedup_audio_incremental", "q_kmeans",
     "q_dedup_image_anchor", "q_dedup_image_orient_anchor",
-    "q_tiff_ccitt", "q_video_thumb_anchor")
+    "q_tiff_ccitt", "q_video_thumb_anchor",
+    "q_hamming_absorb", "q_hamming_index",
+    "q_lm_score", "q_web_curate_engine")
 
   def main(args: Array[String]): Unit = {
     val jsonPath = args.collectFirst {

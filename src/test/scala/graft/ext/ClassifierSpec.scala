@@ -123,6 +123,36 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("label riding the scoreFast projection equals the scoreFast ⋈ label self-join") {
+    // round-17 q_classifier_train shape change: the final label attach is
+    // a same-row projection, not a doc_id self-join of the labeled table
+    // with itself. Pins row-set equality on a corpus with an empty doc
+    // (dropped by scoreFast's n_toks>0 filter AND by the old inner join —
+    // both sides must agree) and a unique id per row.
+    val dim2 = 1 << 8
+    val w = Array.tabulate(dim2 + 1)(j =>
+      ((j * 48271L % 499).toDouble / 499.0) - 0.5)
+    val m = Classifier.Model(w, dim2)
+    val labeled = Seq(
+      (0L, "alpha beta gamma", 1), (1L, "beta beta", 0),
+      (2L, "", 1), (3L, "   ", 0), (4L, "zz yy xx ww vv", 1)
+    ).toDF("doc_id", "text", "_y")
+    val joined = Classifier.scoreFast(labeled, "doc_id", "text", m)
+      .join(labeled.select(col("doc_id"), col("_y").as("label")), "doc_id")
+      .select(col("doc_id"), col("label"), round(col("score"), 4).as("q_score"),
+        (col("score") > 0.5).cast("int").as("pred"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val projected = labeled
+      .select(col("doc_id"), col("_y").as("label"),
+        graft.functions.ScoreHashed.score_hashed(col("text"), m.weights, m.dim).as("st"))
+      .filter(col("st.n_toks") > 0)
+      .select(col("doc_id"), col("label"), round(col("st.score"), 4).as("q_score"),
+        (col("st.score") > 0.5).cast("int").as("pred"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(projected == joined)
+    assert(projected.map(_.head) == Seq(0L, 1L, 4L)) // empty docs dropped by both
+  }
+
   test("convergence gate stops early on a separable fixture, deterministically") {
     // generous cap, loose tol: the planted corpus separates and the mean
     // gradient collapses well before 400 passes

@@ -232,6 +232,37 @@ class MultimodalSpec extends SparkSpec {
     assert(p2 == Set((0L, 1L, 0)), s"got $p2")
   }
 
+  test("duplicate orbit members (symmetric rasters) dedup locally — pair set unchanged") {
+    // round-17: the exploded orbit table dedups per-image via
+    // array_distinct instead of a post-explode .distinct() exchange. A
+    // fully symmetric (uniform) raster is the extreme case: all 8
+    // orientation hashes are EQUAL, so without per-image dedup the orbit
+    // would band 8 identical (id, hash) rows. Two identical uniform
+    // images must still pair exactly once at distance 0, and a distinct
+    // control must stay unpaired.
+    import spark.implicits._
+    def flatPng(v: Byte): Array[Byte] =
+      Png.encode(Png.Image(16, 16, 1, Array.fill(256)(v)))
+    // structured control (a uniform raster of ANY shade hashes to 0L —
+    // cell*64 > total is false everywhere — so a flat control would pair)
+    val gridCtl = {
+      val h = (0x9E3779B97F4A7C15L | 1L) & ~(1L << 63)
+      val px = new Array[Byte](256)
+      for (y <- 0 until 16; x <- 0 until 16)
+        px(y * 16 + x) =
+          if (((h >>> ((y / 2) * 8 + x / 2)) & 1L) == 1L) 0xFF.toByte else 0
+      Png.encode(Png.Image(16, 16, 1, px))
+    }
+    val media = Seq(
+      (0L, flatPng(0xFF.toByte)),
+      (1L, flatPng(0xFF.toByte)),
+      (2L, gridCtl))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.nearDupImagesOriented(media, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 1L, 0)), s"got $pairs")
+  }
+
   test("wave-split banding (maxResidentSubsets) yields the identical pair set") {
     // 60 synthetic orbits with planted twins at several Hamming distances:
     // the 1-pass and every wave split of the 21 block subsets must agree

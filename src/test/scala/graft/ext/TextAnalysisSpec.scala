@@ -361,6 +361,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("lmScore grouped (doc,tok)-count form is bit-equal to the per-instance reference") {
+    // round-17 shape change: lmScore aggregates token INSTANCES to
+    // per-(doc, tok) counts before any exchange (guide §2.3 "aggregate
+    // before you shuffle"). This pins bit-equality to the original
+    // per-instance form on a corpus with heavy repetition (where the two
+    // shapes differ most): Σ_instances round(-ln p, 6) must equal
+    // Σ_(doc,tok) count · round(-ln p, 6) exactly — DECIMAL × integer is
+    // exact — and n_toks = Σ count.
+    val docs = Seq(
+      (0L, "a a a a a a b"),
+      (1L, "a b c d e f g h"),
+      (2L, "b b b c c zz"),
+      (3L, ""),                       // zero tokens: absent from both
+      (4L, "zz zz zz zz zz zz zz zz zz zz zz")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions._
+    def reference(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+      val toks = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
+      val total = vocab.agg(sum(col("_c")).as("_n"))
+      toks.join(vocab, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(-log(col("_c").cast("double") / col("_n")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("_nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("_nll")).cast("double") / count(lit(1)), 4).as("avg_nll"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == reference(docs))
+    // and under a different physical layout (partitioning-stability)
+    val got7 = TextAnalysis.lmScore(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got7 == got)
+  }
+
   test("lmScoreBackoff: every backoff arm lands on hand-computed scores") {
     val train = Seq((10L, "a b c a b d")).toDF("doc_id", "text")
     // N=6; uni a:2 b:2 c:1 d:1; bi (a,b):2 (b,c):1 (c,a):1 (b,d):1;
