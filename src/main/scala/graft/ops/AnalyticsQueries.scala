@@ -1072,6 +1072,19 @@ object AnalyticsQueries {
       // the iterative-DataFrame loops: shortestPaths/pageRank/kCore).
       // The SAME SQL text runs in DuckDB — engine parity at the dialect
       // level, not just the result level.
+      //
+      // Round-17 session-tuning attempt, measured and NOT shipped: the
+      // BenchOne profile shows the cost is 13 UnionLoop iterations of
+      // sub-50 ms jobs — per-job scheduling floor, not shuffle or state.
+      // A direct-conf matrix looked promising (3-rep floors, sf0.1:
+      // AQE+32 parts 2.47 s; AQE off+32 2.94; AQE+4 2.27; AQE off+4
+      // 2.09) but neither graph-loop treatment reproduced it on the
+      // same harness minutes later — leased clone + AQE off + width 4 +
+      // localCheckpoint: 2.50; shared forPurpose clone, lazy: 2.72 —
+      // the clone/view/materialization overhead eats the conf delta and
+      // the 2.1–2.9 spread is box weather. Every exchange here carries
+      // ≤ 2^13−1 tree rows regardless of corpus size, so there is no
+      // scale risk being left on the table; kept on the caller session.
       customer(s, d).createOrReplaceTempView("customer")
       s.sql(recursiveTreeSql) // literally the oracle text
     },

@@ -4849,6 +4849,14 @@ object ExtQueries {
       val input = docs
         .unionByName(docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        // spread the CPU-heavy per-doc work (gzip WARC synthesis here,
+        // gunzip+HTML-extract in the engine's map stages downstream)
+        // across the session's cores: the documents scan is 2 splits at
+        // bench scale, and BenchOne showed this query's dominant stages
+        // running 3.5 task-seconds wide-2 (round 17). At lake scale the
+        // scan already has >= parallelism splits and this exchange of
+        // the raw rows is the cheap part of the plan.
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .map { case (id, text) => (id, graft.ext.WebCurate.warcGzBlob(id, text)) }
         .toDF("doc_id", "warc")

@@ -53,6 +53,19 @@ object ScaleExperiments {
     confs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wall clock on a shared host swings with ambient load (measured 2×
+    // this round between identical runs minutes apart), so every variant
+    // is ALSO graded by executor CPU time + shuffle write bytes — the
+    // contention-robust cost of the plan (the SessionTune discipline)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+        shufBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     println(s"[scalex] sfDir=$sfDir cpus=$cpus reps=$reps confs=$confs " +
       s"stateWidthEnv=${sys.env.get("SPARK_GRAFT_STATE_WIDTH")}")
 
@@ -108,6 +121,9 @@ object ScaleExperiments {
     names.foreach { n =>
       // untimed warmup (Bench methodology: codegen/JIT absorbed)
       build(n).count(); graft.ops.CacheUtils.releaseAll(spark)
+      // drain the listener bus so warmup metrics don't leak into rep 0
+      Thread.sleep(1500)
+      cpuNs.set(0L); shufBytes.set(0L)
       val ts = (0 until reps).map { r =>
         val t0 = System.nanoTime()
         build(n).count()
@@ -116,9 +132,12 @@ object ScaleExperiments {
         println(f"[scalex] $n rep$r $dt%7.2f s")
         dt
       }
+      Thread.sleep(1500) // listener bus drain before reading counters
       val sorted = ts.sorted
       println(f"[scalex] $n%-28s min=${sorted.head}%7.2f s  " +
-        f"median=${sorted(sorted.size / 2)}%7.2f s")
+        f"median=${sorted(sorted.size / 2)}%7.2f s  " +
+        f"cpu/rep=${cpuNs.get / 1e9 / reps}%7.2f s  " +
+        f"shufMB/rep=${shufBytes.get / 1e6 / reps}%8.1f")
     }
     spark.stop()
   }

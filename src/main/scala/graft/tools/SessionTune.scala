@@ -125,6 +125,17 @@ object SessionTune {
         // filesPerBatch CLI arg) — isolates per-batch fixed cost
         run("lm_w8_fpb", Map(LocalMerge -> "true"), statePartitions = 8)
         run("lm_w32_fpb", Map(LocalMerge -> "true"))
+      // round-17 scale evidence: the state-width sweep at a corpus where
+      // stateWidthFor's derived width exceeds the measured floor of 4 —
+      // does the derived width actually win past the floor?
+      case "widths" =>
+        Seq(1, 4, 8, 16, 32).foreach(w =>
+          run(s"session_w$w", Map.empty, statePartitions = w))
+      case "widths:fast" =>
+        Seq(1, 4, 8, 16, 32).foreach(w =>
+          runWith(s"fmgws_w$w", Map.empty, w,
+            src => graft.streaming.StreamOps
+              .sessionCountsFast(src, "ts", "user_id", "30 minutes", "30 minutes")))
       // one variant per JVM, for clean A/B runs
       case "only:base" => run("baseline_hdfs32", Map.empty)
       case "only:lm"   => run("local_merge", Map(LocalMerge -> "true"))
